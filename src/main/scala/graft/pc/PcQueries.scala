@@ -1,0 +1,165 @@
+package graft.pc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** The reference's benchmark query surface re-expressed on Spark
+  * (reference: pc-cli/src/benchmark.rs:95-265, BASELINE.md).
+  *
+  * Query parameters are fixed literals (the reference draws them from a
+  * seeded RNG; we pin them so the DuckDB oracle is a plain SQL string).
+  * Every query returns a small deterministic result: aggregates use exact
+  * integer arithmetic (counts / bigint checksums) so hash comparison is
+  * stable across engines.
+  */
+object PcQueries {
+  import Points.{boxPredicate, boxPredicateSql, pointsSql}
+
+  /** Fixed query geometry (domain is x,y in [0,1000)). */
+  val sRect = Aabb.xy(123.456, 234.567, 123.456 + 70.0, 234.567 + 70.0) // S_RECT edge 70
+  val mRect = Aabb.xy(300.25, 400.75, 300.25 + 220.0, 400.75 + 220.0)   // M_RECT edge 220
+  val sCircle = (500.5, 500.5, 25.0)  // S_CRC r=25
+  val mCircle = (444.0, 555.0, 100.0) // M_CRC r=100
+  val knnAt = (250.125, 750.875)
+  /** A level-2 quadtree cell of the [0,1000)^2 x [0,1) domain at depth 2:
+    * importance slice [5/21, 1) closed at 1.0, xy cell (1, 2) of 4x4. */
+  val vizCell = Aabb.xyi(250.0, 500.0, 5.0 / 21.0, 500.0, 750.0, 1.0)
+
+  private def points(spark: SparkSession, dir: String): DataFrame =
+    Points.fromLineitem(spark, dir)
+
+  /** count + bigint checksum of pid — one row, exact in any engine. */
+  private def summarize(df: DataFrame): DataFrame =
+    df.agg(count(lit(1)).as("cnt"), coalesce(sum(col("pid")), lit(0L)).as("pid_sum"))
+
+  private def summarizeSql(where: String): String =
+    s"SELECT count(*) AS cnt, CAST(coalesce(sum(pid), 0) AS BIGINT) AS pid_sum FROM ($pointsSql) WHERE $where"
+
+  // ---- count / bounds (reference: pc-cli/src/benchmark.rs:99-112) ----
+
+  def pcCount(spark: SparkSession, dir: String): DataFrame =
+    points(spark, dir).agg(count(lit(1)).as("cnt"))
+
+  val pcCountSql = s"SELECT count(*) AS cnt FROM ($pointsSql)"
+
+  def pcBounds(spark: SparkSession, dir: String): DataFrame =
+    Points.bounds(points(spark, dir), Seq("x", "y", "z", "i"))
+
+  val pcBoundsSql =
+    s"""SELECT min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max,
+       | min(z) AS z_min, max(z) AS z_max, min(i) AS i_min, max(i) AS i_max
+       | FROM ($pointsSql)""".stripMargin.replace("\n", " ")
+
+  // ---- range queries (reference: pc-cli/src/benchmark.rs:123-144) ----
+
+  def rect(box: Aabb)(spark: SparkSession, dir: String): DataFrame =
+    summarize(points(spark, dir).filter(boxPredicate(box)))
+
+  def rectSql(box: Aabb): String = summarizeSql(boxPredicateSql(box))
+
+  // ---- circle: bbox prefilter -> cache -> exact r^2
+  // (reference: pc-cli/src/benchmark.rs:183-220) ----
+
+  def circle(cx: Double, cy: Double, r: Double)(
+      spark: SparkSession, dir: String): DataFrame = {
+    val bbox = Aabb.xy(cx - r, cy - r, cx + r, cy + r)
+    val pre = points(spark, dir).filter(boxPredicate(bbox))
+    val d2 = (col("x") - cx) * (col("x") - cx) + (col("y") - cy) * (col("y") - cy)
+    summarize(pre.filter(d2 < r * r))
+  }
+
+  def circleSql(cx: Double, cy: Double, r: Double): String = {
+    val bbox = Aabb.xy(cx - r, cy - r, cx + r, cy + r)
+    summarizeSql(
+      s"${boxPredicateSql(bbox)} AND (x - $cx) * (x - $cx) + (y - $cy) * (y - $cy) < ${r * r}")
+  }
+
+  // ---- importance sampling: i < p selects ~p*N uniform points
+  // (reference: pc-cli/src/benchmark.rs:147-180) ----
+
+  def sample(p: Double)(spark: SparkSession, dir: String): DataFrame =
+    summarize(points(spark, dir).filter(col("i") < p))
+
+  def sampleSql(p: Double): String = summarizeSql(s"i < $p")
+
+  // ---- k-NN: bbox prefilter + distance sort + limit (Top-K)
+  // (reference: pc-cli/src/benchmark.rs:223-264). The bbox radius is part
+  // of the query definition (the reference derives it from an assumed
+  // density; we pin it so the oracle is static). ----
+
+  def knn(k: Int, r: Double)(spark: SparkSession, dir: String): DataFrame = {
+    val (cx, cy) = knnAt
+    val bbox = Aabb.xy(cx - r, cy - r, cx + r, cy + r)
+    points(spark, dir)
+      .filter(boxPredicate(bbox))
+      .withColumn("d2",
+        (col("x") - cx) * (col("x") - cx) + (col("y") - cy) * (col("y") - cy))
+      .select("pid", "d2")
+      .orderBy(col("d2").asc, col("pid").asc)
+      .limit(k)
+  }
+
+  def knnSql(k: Int, r: Double): String = {
+    val (cx, cy) = knnAt
+    val bbox = Aabb.xy(cx - r, cy - r, cx + r, cy + r)
+    s"""SELECT pid, (x - $cx) * (x - $cx) + (y - $cy) * (y - $cy) AS d2
+       | FROM ($pointsSql) WHERE ${boxPredicateSql(bbox)}
+       | ORDER BY d2 ASC, pid ASC LIMIT $k""".stripMargin.replace("\n", " ")
+  }
+
+  // ---- viz cell: an (x, y, i) quadtree-cell box query
+  // (reference: pc-cli/examples/viz.rs:158-271) ----
+
+  def viz(spark: SparkSession, dir: String): DataFrame =
+    rect(vizCell)(spark, dir)
+
+  val vizSql: String = rectSql(vizCell)
+
+  // ---- D2/D5 as a relational query: assign every point to its grid cell
+  // (delta=125 => 8x8 xy grid, 8 importance slices) and count per cell —
+  // exercises the cell-id expression the partitioner uses. ----
+
+  def gridCells(spark: SparkSession, dir: String): DataFrame =
+    points(spark, dir)
+      .groupBy(
+        floor(col("x") / 125.0).cast(LongType).as("cx"),
+        floor(col("y") / 125.0).cast(LongType).as("cy"),
+        floor(col("i") * 8.0).cast(LongType).as("ci"))
+      .agg(count(lit(1)).as("cnt"), sum(col("pid")).as("pid_sum"))
+      .orderBy("cx", "cy", "ci")
+
+  val gridCellsSql: String =
+    s"""SELECT CAST(floor(x / 125.0) AS BIGINT) AS cx,
+       | CAST(floor(y / 125.0) AS BIGINT) AS cy,
+       | CAST(floor(i * 8.0) AS BIGINT) AS ci,
+       | count(*) AS cnt, CAST(sum(pid) AS BIGINT) AS pid_sum
+       | FROM ($pointsSql) GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin.replace("\n", " ")
+
+  // ---- D4 as a relational query: assign every point to its quadtree LoD
+  // cell at depth 2 (21 cells; level l owns importance slice
+  // [seen/21, (seen+4^l)/21) and a 2^l x 2^l xy grid) and count. ----
+
+  def quadtreeAssign(spark: SparkSession, dir: String): DataFrame = {
+    val level = when(col("i") < 1.0 / 21.0, 0L)
+      .when(col("i") < 5.0 / 21.0, 1L)
+      .otherwise(2L)
+    val scale = when(col("i") < 1.0 / 21.0, 1.0)
+      .when(col("i") < 5.0 / 21.0, 2.0)
+      .otherwise(4.0)
+    points(spark, dir)
+      .withColumn("level", level)
+      .withColumn("qx", floor(col("x") / 1000.0 * scale).cast(LongType))
+      .withColumn("qy", floor(col("y") / 1000.0 * scale).cast(LongType))
+      .groupBy("level", "qx", "qy")
+      .agg(count(lit(1)).as("cnt"), sum(col("pid")).as("pid_sum"))
+      .orderBy("level", "qx", "qy")
+  }
+
+  val quadtreeAssignSql: String =
+    s"""SELECT CAST(CASE WHEN i < 1.0/21.0 THEN 0 WHEN i < 5.0/21.0 THEN 1 ELSE 2 END AS BIGINT) AS level,
+       | CAST(floor(x / 1000.0 * (CASE WHEN i < 1.0/21.0 THEN 1.0 WHEN i < 5.0/21.0 THEN 2.0 ELSE 4.0 END)) AS BIGINT) AS qx,
+       | CAST(floor(y / 1000.0 * (CASE WHEN i < 1.0/21.0 THEN 1.0 WHEN i < 5.0/21.0 THEN 2.0 ELSE 4.0 END)) AS BIGINT) AS qy,
+       | count(*) AS cnt, CAST(sum(pid) AS BIGINT) AS pid_sum
+       | FROM ($pointsSql) GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin.replace("\n", " ")
+}
