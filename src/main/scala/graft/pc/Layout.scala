@@ -1,0 +1,196 @@
+package graft.pc
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Write-time data organization: the reference's grid / quadtree
+  * partitioning re-designed as a Spark shuffle.
+  *
+  * The reference hand-rolls an out-of-core windowed repartition (filter
+  * per window, split rows into cells, border-cell caches, stream to one
+  * Parquet sink so each cell ~= one row group —
+  * pc-cli/src/partition.rs:249-374). On Spark the entire dance is
+  * `repartitionByRange(cell) + sortWithinPartitions(cell) + sized write`:
+  * the shuffle IS the out-of-core machinery, and it scales to any number
+  * of executors instead of one window at a time.
+  *
+  * The payoff (and the paper's thesis) is that rows clustered by
+  * (x, y, i) cell give tight Parquet row-group min/max statistics, so
+  * range/circle/sampling/LoD queries prune row groups for free at read
+  * time.
+  */
+object Layout {
+  /** Reference default batch / row-group size
+    * (pc-io/src/config.rs:3,30). */
+  val BatchSize: Long = 524288L
+
+  /** Geometry of a grid(sigma) layout: xy cell edge + importance splits
+    * (reference: pc-cli/src/partition.rs:164-198). Windows of the
+    * reference are `floor(8/sqrt(sigma))` cells per axis; because windows
+    * are aligned to multiples of the window edge, the global fine grid
+    * index `floor(coord / cellEdge)` assigns the identical cell. */
+  final case class GridGeometry(cellEdge: Double, sigma: Int) {
+    val cellNames: Seq[String] = Seq("cell_x", "cell_y", "cell_i")
+    def cellCols(df: DataFrame): Seq[Column] = Seq(
+      floor(col("x") / cellEdge).cast(LongType).as("cell_x"),
+      floor(col("y") / cellEdge).cast(LongType).as("cell_y"),
+      least(floor(col("i") * sigma), lit(sigma - 1)).cast(LongType).as("cell_i"))
+  }
+
+  def gridGeometry(bounds: Aabb, count: Long, sigma: Int,
+      batchSize: Long = BatchSize): GridGeometry = {
+    val numBatches = math.max(1L, count / batchSize)
+    val size = math.round(math.sqrt(bounds.area / (numBatches.toDouble / sigma))).toDouble
+    val acc = math.floor(8.0 / math.sqrt(sigma.toDouble))
+    // window edge = acc*size subdivided into acc slices => cell edge = size;
+    // keep the exact reference arithmetic anyway for acc that doesn't divide
+    val windowEdge = (8.0 / math.sqrt(sigma.toDouble)) * size
+    GridGeometry(windowEdge / math.max(1.0, acc), sigma)
+  }
+
+  /** Geometry of a quadtree LoD layout: the square box + depth
+    * (reference: pc-cli/src/partition.rs:199-237). Points are assigned
+    * level-by-importance, then a 2^level x 2^level xy cell. */
+  final case class QuadtreeGeometry(box: Aabb, depth: Int) {
+    val cellNames: Seq[String] = Seq("cell_l", "cell_qx", "cell_qy")
+    /** Cumulative importance thresholds: level l starts at seen_l/num. */
+    val num: Long = (0 to depth).map(l => math.pow(4.0, l).toLong).sum
+    val starts: Seq[Double] = // starts(l) = first importance of level l
+      (0 to depth).scanLeft(0L)((acc, l) => acc + math.pow(4.0, l).toLong)
+        .dropRight(1).map(_.toDouble / num)
+
+    def levelCol: Column =
+      (1 to depth).foldLeft(lit(0L)) { (acc, l) =>
+        when(col("i") >= starts(l), lit(l.toLong)).otherwise(acc)
+      }
+
+    def cellCols(df: DataFrame): Seq[Column] = {
+      val lvl = levelCol.as("cell_l")
+      val scale = (1 to depth).foldLeft(lit(1.0)) { (acc, l) =>
+        when(col("i") >= starts(l), lit(math.pow(2.0, l))).otherwise(acc)
+      }
+      val side = box.upper(0) - box.lower(0)
+      def axis(c: String, lo: Double, name: String) =
+        least(floor((col(c) - lo) / side * scale),
+          scale - 1).cast(LongType).as(name)
+      Seq(lvl, axis("x", box.lower(0), "cell_qx"), axis("y", box.lower(1), "cell_qy"))
+    }
+  }
+
+  def quadtreeGeometry(bounds: Aabb, count: Long,
+      batchSize: Long = BatchSize): QuadtreeGeometry = {
+    val (_, depth) = Aabb.quadtreePartitionCells(bounds, count, batchSize)
+    val dx = bounds.upper(0) - bounds.lower(0)
+    val dy = bounds.upper(1) - bounds.lower(1)
+    val size = math.max(dx, dy) + 0.1
+    val c = bounds.center
+    val half = size / 2.0
+    QuadtreeGeometry(
+      Aabb.xyi(c(0) - half, c(1) - half, 0.0, c(0) + half, c(1) + half, 1.0), depth)
+  }
+
+  /** Single pass over the data for bounds + count (the reference runs one
+    * query per statistic — pc-cli/src/partition.rs:175,201). */
+  def boundsAndCount(df: DataFrame): (Aabb, Long) = {
+    val row = df.agg(
+      min("x").as("x0"), max("x").as("x1"),
+      min("y").as("y0"), max("y").as("y1"),
+      count(lit(1)).as("n")).head()
+    (Aabb.xy(row.getDouble(0), row.getDouble(2), row.getDouble(1), row.getDouble(3)),
+      row.getLong(4))
+  }
+
+  private def writeClustered(
+      df: DataFrame, cellCols: Seq[Column], names: Seq[String],
+      path: String, count: Long, batchSize: Long): Unit = {
+    val numParts = math.max(1L, count / batchSize).toInt
+    df.select(col("*") +: cellCols: _*)
+      // range-partition on the cell id => cells are contiguous and whole
+      // within output files; sort inside each partition so every cell's
+      // rows are adjacent => one row group covers few cells => tight stats
+      .repartitionByRange(numParts, names.map(col): _*)
+      .sortWithinPartitions(names.map(col): _*)
+      .drop(names: _*)
+      .write
+      .mode("overwrite")
+      .option("maxRecordsPerFile", batchSize)
+      // row groups of ~BatchSize rows: x,y,z,i,pid ~ 40B/row => 16-32MiB
+      .option("parquet.block.size", (32L * 1024 * 1024).toString)
+      .parquet(path)
+  }
+
+  /** D5+D6: grid(sigma) layout. `batchSize` is the target rows per cell /
+    * row group — the reference's 512Ki default suits cluster-scale data;
+    * tests shrink it so small inputs still produce a multi-cell layout. */
+  def writeGrid(df: DataFrame, path: String, sigma: Int,
+      batchSize: Long = BatchSize): GridGeometry = {
+    val (bounds, count) = boundsAndCount(df)
+    val geo = gridGeometry(bounds, count, sigma, batchSize)
+    writeClustered(df, geo.cellCols(df), geo.cellNames, path, count, batchSize)
+    geo
+  }
+
+  /** D4+D6: quadtree LoD layout. */
+  def writeQuadtree(df: DataFrame, path: String,
+      batchSize: Long = BatchSize): QuadtreeGeometry = {
+    val (bounds, count) = boundsAndCount(df)
+    val geo = quadtreeGeometry(bounds, count, batchSize)
+    writeClustered(df, geo.cellCols(df), geo.cellNames, path, count, batchSize)
+    geo
+  }
+
+  /** I3: per-row-group min/max statistics straight from Parquet footers
+    * (reference extracts the same from footer metadata —
+    * pc-io/src/helpers.rs:35-125). Driver-side; used to *verify* layout
+    * quality and to prove pruning, not on the query path (Spark's reader
+    * prunes row groups natively from the same stats). */
+  final case class RowGroupStat(
+      file: String, ordinal: Int, rows: Long,
+      mins: Map[String, Double], maxs: Map[String, Double])
+
+  def rowGroupStats(spark: SparkSession, path: String, dims: Seq[String]): Seq[RowGroupStat] = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(path).getFileSystem(conf)
+    val files = fs.listStatus(new Path(path)).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet"))
+    files.flatMap { p =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+      try {
+        val md = reader.getFooter
+        md.getBlocks.toArray.zipWithIndex.map { case (b0, idx) =>
+          val b = b0.asInstanceOf[org.apache.parquet.hadoop.metadata.BlockMetaData]
+          val byCol = b.getColumns.toArray
+            .map(_.asInstanceOf[org.apache.parquet.hadoop.metadata.ColumnChunkMetaData])
+            .map(c => c.getPath.toDotString -> c).toMap
+          def stat(d: String, wantMin: Boolean): Option[(String, Double)] =
+            byCol.get(d).flatMap { c =>
+              val s = c.getStatistics
+              if (s == null || !s.hasNonNullValue) None
+              else Some(d -> (if (wantMin) s.genericGetMin else s.genericGetMax)
+                .asInstanceOf[Number].doubleValue())
+            }
+          RowGroupStat(p.getName, idx, b.getRowCount,
+            dims.flatMap(stat(_, wantMin = true)).toMap,
+            dims.flatMap(stat(_, wantMin = false)).toMap)
+        }.toSeq
+      } finally reader.close()
+    }.toSeq
+  }
+
+  /** Row groups whose stats intersect a query box — the driver-side
+    * pruning the paper compares against native row-group pruning. */
+  def intersectingRowGroups(stats: Seq[RowGroupStat], box: Aabb): Seq[RowGroupStat] =
+    stats.filter { rg =>
+      box.names.indices.forall { d =>
+        val n = box.names(d)
+        (rg.mins.get(n), rg.maxs.get(n)) match {
+          case (Some(lo), Some(hi)) => lo < box.upper(d) && box.lower(d) <= hi
+          case _ => true // no stats => cannot prune
+        }
+      }
+    }
+}

@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import graft.pc.{Aabb, Layout, PcQueries, Points}
+
+/** The partition-invariance property (the reference's implicit invariant:
+  * the same query returns the same result on the unpartitioned, grid, and
+  * quadtree layouts — pc-cli/examples/partition.rs:22-136) plus pruning
+  * evidence from Parquet footer statistics. */
+class LayoutSpec extends SparkSpec {
+
+  private lazy val tmp = Files.createTempDirectory("graft-layout").toString
+  private lazy val points = Points.fromLineitem(spark, sf001)
+
+  // sf0.01 has ~60k points; batchSize 2048 => ~29 cells/row groups, enough
+  // to observe clustering + pruning at test scale
+  private lazy val gridPath = {
+    Layout.writeGrid(points, s"$tmp/grid", sigma = 8, batchSize = 2048L); s"$tmp/grid"
+  }
+  private lazy val quadPath = {
+    Layout.writeQuadtree(points, s"$tmp/quad", batchSize = 2048L); s"$tmp/quad"
+  }
+  private lazy val flatPath = {
+    // "unpartitioned" baseline: same data, random row order, one file
+    points.orderBy(org.apache.spark.sql.functions.rand(7))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/flat")
+    s"$tmp/flat"
+  }
+
+  private def rectCount(df: DataFrame, box: Aabb): Long =
+    df.filter(Points.boxPredicate(box)).count()
+
+  test("layouts preserve every row (count + checksum)") {
+    import org.apache.spark.sql.functions._
+    val want = points.agg(count(lit(1)), sum("pid")).head()
+    for (p <- Seq(gridPath, quadPath)) {
+      val got = spark.read.parquet(p).agg(count(lit(1)), sum("pid")).head()
+      assert(got == want, s"layout $p lost rows")
+    }
+  }
+
+  test("partition invariance: same query result on flat, grid, quadtree layouts") {
+    val queries = Seq(
+      PcQueries.sRect, PcQueries.mRect,
+      Aabb.xyi(250.0, 500.0, 5.0 / 21.0, 500.0, 750.0, 1.0))
+    for (box <- queries) {
+      val flat = rectCount(spark.read.parquet(flatPath), box)
+      val grid = rectCount(spark.read.parquet(gridPath), box)
+      val quad = rectCount(spark.read.parquet(quadPath), box)
+      assert(flat == grid && grid == quad, s"box $box: flat=$flat grid=$grid quad=$quad")
+    }
+  }
+
+  test("grid layout produces spatially tight row groups") {
+    val stats = Layout.rowGroupStats(spark, gridPath, Seq("x", "y", "i"))
+    assert(stats.nonEmpty)
+    // every row group must carry stats for the dimensions
+    assert(stats.forall(s => s.mins.contains("x") && s.maxs.contains("y")))
+    // clustered row groups span far less than the full domain on some axis:
+    // a random layout would give every row group ~the full [0,1000) extent
+    val xSpans = stats.map(s => s.maxs("x") - s.mins("x"))
+    assert(xSpans.min < 500.0, s"row groups not clustered: min x-span ${xSpans.min}")
+  }
+
+  test("driver-side row-group pruning (I3) selects a strict subset for a small box") {
+    val stats = Layout.rowGroupStats(spark, gridPath, Seq("x", "y", "i"))
+    val hit = Layout.intersectingRowGroups(stats, PcQueries.sRect.withImportance(0.0, 1.0))
+    assert(hit.size < stats.size, s"no pruning: ${hit.size}/${stats.size} row groups intersect")
+    // sanity: the selected row groups still contain all matching rows
+    val hitRows = hit.map(_.rows).sum
+    val matching = rectCount(spark.read.parquet(gridPath), PcQueries.sRect)
+    assert(hitRows >= matching)
+  }
+
+  private def scanOutputRows(df: DataFrame): Long = {
+    df.collect() // execute THIS plan to populate its scan metrics
+    val plan = df.queryExecution.executedPlan
+    val finalPlan = plan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    finalPlan.collectLeaves().collectFirst {
+      case s: FileSourceScanExec => s.metrics("numOutputRows").value
+    }.getOrElse(sys.error("no FileSourceScanExec found"))
+  }
+
+  test("native row-group pruning: clustered layout reads fewer rows than flat") {
+    // grid(1) is the xy-optimized layout (sigma=8 spends granularity on the
+    // importance axis instead — same tradeoff as the reference's grid(8))
+    Layout.writeGrid(points, s"$tmp/grid1", sigma = 1, batchSize = 2048L)
+    val box = PcQueries.sRect
+    val flatRead = scanOutputRows(
+      spark.read.parquet(flatPath).filter(Points.boxPredicate(box)))
+    val gridRead = scanOutputRows(
+      spark.read.parquet(s"$tmp/grid1").filter(Points.boxPredicate(box)))
+    // flat layout: stats are useless, the scan materializes ~everything;
+    // grid layout: only row groups overlapping the 70x70 box survive
+    assert(gridRead < flatRead,
+      s"pruning ineffective: grid read $gridRead rows vs flat $flatRead")
+    assert(gridRead < flatRead / 2,
+      s"pruning weaker than 2x: grid $gridRead vs flat $flatRead")
+  }
+
+  test("importance sampling prunes row groups on the quadtree layout") {
+    import org.apache.spark.sql.functions.col
+    val p = 1.0 / 21.0 // exactly the level-0 importance slice
+    val quadRead = scanOutputRows(
+      spark.read.parquet(quadPath).filter(col("i") < p))
+    val flatRead = scanOutputRows(
+      spark.read.parquet(flatPath).filter(col("i") < p))
+    assert(quadRead < flatRead,
+      s"LoD pruning ineffective: quad read $quadRead rows vs flat $flatRead")
+  }
+}

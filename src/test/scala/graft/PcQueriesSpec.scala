@@ -1,0 +1,66 @@
+package graft
+
+import graft.pc.{PcQueries, PcSchema, Points}
+
+class PcQueriesSpec extends SparkSpec {
+
+  test("entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query in SparkEntry.queries runs and returns rows on sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf0001).count()
+      assert(n > 0, s"query $name returned no rows")
+    }
+  }
+
+  test("every oracleSql key has a matching queries key") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("synthesized points carry PC metadata and a valid pc schema") {
+    val pts = Points.fromLineitem(spark, sf0001)
+    val dims = PcSchema.dimensions(pts.schema)
+    assert(dims.map(_.name) == Seq("x", "y", "z", "i"))
+    assert(PcSchema.importance(pts.schema).map(_.name).contains("i"))
+    assert(PcSchema.validate(pts.schema).isRight)
+  }
+
+  test("importance augmentation (D1) is seeded-deterministic and uniform-ish") {
+    import org.apache.spark.sql.functions._
+    val base = Points.fromLineitem(spark, sf0001).drop("i")
+    val a = Points.withImportance(base, seed = 42L)
+    val b = Points.withImportance(base, seed = 42L)
+    assert(PcSchema.importance(a.schema).isDefined)
+    val meanA = a.agg(avg("i")).head().getDouble(0)
+    val meanB = b.agg(avg("i")).head().getDouble(0)
+    assert(meanA == meanB, "same seed must give identical importance")
+    assert(math.abs(meanA - 0.5) < 0.05, s"importance not uniform: mean $meanA")
+    val bounds = a.agg(min("i"), max("i")).head()
+    assert(bounds.getFloat(0) >= 0.0f && bounds.getFloat(1) < 1.0f)
+  }
+
+  test("knn returns exactly k rows ordered by distance") {
+    val res = PcQueries.knn(50, 100.0)(spark, sf0001).collect()
+    assert(res.length == 50)
+    val ds = res.map(_.getDouble(1))
+    assert(ds.sliding(2).forall { case Array(a, b) => a <= b })
+  }
+
+  test("sampling fraction selects approximately p*N points") {
+    val total = PcQueries.pcCount(spark, sf001).head().getLong(0)
+    val got = PcQueries.sample(0.05)(spark, sf001).head().getLong(0)
+    val expect = 0.05 * total
+    assert(math.abs(got - expect) < expect * 0.3, s"sampled $got, expected ~$expect")
+  }
+
+  test("circle result is subset of its bounding box result") {
+    val (cx, cy, r) = PcQueries.sCircle
+    val circ = PcQueries.circle(cx, cy, r)(spark, sf001).head().getLong(0)
+    val bbox = PcQueries.rect(graft.pc.Aabb.xy(cx - r, cy - r, cx + r, cy + r))(
+      spark, sf001).head().getLong(0)
+    assert(circ <= bbox && circ > 0)
+  }
+}
