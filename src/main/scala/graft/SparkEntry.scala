@@ -2,6 +2,10 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.pc.PcQueries
+import graft.text.{Sketches, TextOps}
+import graft.sim.SimOps
+import graft.mm.MultimodalOps
+import graft.events.EventOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -36,6 +40,33 @@ object SparkEntry {
     // -- data-organization operators as relational queries (SURVEY.md §2.7)
     "pc_grid_cells" -> (PcQueries.gridCells(_, _)),
     "pc_quadtree_assign" -> (PcQueries.quadtreeAssign(_, _)),
+    // -- text analysis (training-data pipeline extension surface)
+    "doc_stats" -> (TextOps.docStats(_, _)),
+    "doc_quality" -> (TextOps.docQuality(_, _)),
+    "doc_langid" -> (TextOps.docLangId(_, _)),
+    "doc_fingerprint" -> (TextOps.docFingerprint(_, _)),
+    // -- deduplication
+    "doc_exact_dedup" -> (TextOps.exactDedup(_, _)),
+    "doc_ngram_pairs" -> (TextOps.ngramJaccardPairs(0.8)(_, _)),
+    "doc_minhash_sig" -> (Sketches.minhashSignatures(_, _)),
+    "doc_minhash_pairs" -> (Sketches.minhashLshPairs(_, _)),
+    "doc_simhash" -> (Sketches.simhash(_, _)),
+    "doc_simhash_pairs" -> (Sketches.simhashPairs(3)(_, _)),
+    // -- similarity search over embeddings
+    "emb_topk" -> (SimOps.topK(0L, 20)(_, _)),
+    "emb_topk_multi" -> (SimOps.topKMulti(10, 5)(_, _)),
+    "emb_top_pairs_label" -> (SimOps.topPairsWithinLabel(20)(_, _)),
+    "emb_lsh_buckets" -> (SimOps.lshBuckets(_, _)),
+    "emb_lsh_topk" -> (SimOps.lshTopK(0L, 10)(_, _)),
+    // -- multimodal binary columns
+    "mm_meta" -> (MultimodalOps.mmMeta(_, _)),
+    "mm_chunk_hash" -> (MultimodalOps.mmChunkHashes(_, _)),
+    "mm_features" -> (MultimodalOps.mmFeatures(_, _)),
+    // -- event-log / windowed operators
+    "events_hourly" -> (EventOps.hourlyRollup(_, _)),
+    "events_sessionize" -> (EventOps.sessionize(_, _)),
+    "events_json_rollup" -> (EventOps.jsonRollup(_, _)),
+    "events_top_by_type" -> (EventOps.topByType(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -55,5 +86,27 @@ object SparkEntry {
     "pc_viz_cell" -> PcQueries.vizSql,
     "pc_grid_cells" -> PcQueries.gridCellsSql,
     "pc_quadtree_assign" -> PcQueries.quadtreeAssignSql,
+    "doc_stats" -> TextOps.docStatsSql,
+    "doc_quality" -> TextOps.docQualitySql,
+    "doc_langid" -> TextOps.docLangIdSql,
+    "doc_fingerprint" -> TextOps.docFingerprintSql,
+    "doc_exact_dedup" -> TextOps.exactDedupSql,
+    "doc_ngram_pairs" -> TextOps.ngramJaccardPairsSql(0.8),
+    "doc_minhash_sig" -> Sketches.minhashSignaturesSql,
+    "doc_minhash_pairs" -> Sketches.minhashLshPairsSql,
+    "doc_simhash" -> Sketches.simhashSql,
+    "doc_simhash_pairs" -> Sketches.simhashPairsSql(3),
+    "emb_topk" -> SimOps.topKSql(0L, 20),
+    "emb_topk_multi" -> SimOps.topKMultiSql(10, 5),
+    "emb_top_pairs_label" -> SimOps.topPairsWithinLabelSql(20),
+    "emb_lsh_buckets" -> SimOps.lshBucketsSql,
+    "emb_lsh_topk" -> SimOps.lshTopKSql(0L, 10),
+    "mm_meta" -> MultimodalOps.mmMetaSql,
+    "mm_chunk_hash" -> MultimodalOps.mmChunkHashesSql,
+    "mm_features" -> MultimodalOps.mmFeaturesSql,
+    "events_hourly" -> EventOps.hourlyRollupSql,
+    "events_sessionize" -> EventOps.sessionizeSql,
+    "events_json_rollup" -> EventOps.jsonRollupSql,
+    "events_top_by_type" -> EventOps.topByTypeSql,
   )
 }

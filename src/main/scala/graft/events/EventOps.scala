@@ -1,0 +1,104 @@
+package graft.events
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Event-log operators over the `events` table (event_id, ts
+  * nanosecond-timestamp, user_id, event_type, value, props JSON).
+  *
+  * The parquet carries TIMESTAMP(NANOS), which Spark 4 only reads via
+  * `spark.sql.legacy.parquet.nanosAsLong` — so all time arithmetic here
+  * is exact int64 nanoseconds (and the DuckDB oracle uses epoch_ns), no
+  * float time anywhere. Money-like doubles aggregate as integer cents.
+  *
+  * These are the batch shapes of the streaming pipeline (windowed rollup,
+  * sessionization, JSON extraction); `graft.streaming` runs the same
+  * logic incrementally.
+  */
+object EventOps {
+
+  val NsPerHour: Long = 3600L * 1000 * 1000 * 1000
+  val SessionGapNs: Long = 1800L * 1000 * 1000 * 1000 // 30 min
+
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+  }
+
+  /** Hourly windowed rollup per event type: the canonical streaming
+    * aggregation run as a batch. Count + exact integer-cent sum. */
+  def hourlyRollup(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(expr(s"ts div $NsPerHour").as("hour_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("value") * 100).cast(LongType)).as("cents"))
+      .orderBy("hour_id", "event_type")
+
+  val hourlyRollupSql: String =
+    s"""SELECT epoch_ns(ts) // $NsPerHour AS hour_id, event_type, count(*) AS cnt,
+       | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+       | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " ")
+
+  /** Sessionization: per-user sessions split at >30 min gaps, via
+    * lag + running sum — one shuffle on user_id, then linear per-user
+    * work. Output: per-user session count and longest session. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    val s = events(spark, dir)
+      .withColumn("prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev").isNull || col("ts") - col("prev") > SessionGapNs, 1L)
+          .otherwise(0L))
+      .withColumn("sess", sum(col("new_sess"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    s.groupBy("user_id", "sess").agg(count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(max(col("sess")).as("n_sessions"), max(col("n")).as("max_session_len"))
+      .orderBy("user_id")
+  }
+
+  val sessionizeSql: String =
+    s"""WITH s AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events),
+       | m AS (SELECT user_id, ts, CASE WHEN prev IS NULL OR epoch_ns(ts) - epoch_ns(prev) > $SessionGapNs THEN 1 ELSE 0 END AS new_sess FROM s),
+       | g AS (SELECT user_id, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess FROM m),
+       | c AS (SELECT user_id, sess, count(*) AS n FROM g GROUP BY 1, 2)
+       | SELECT user_id, max(sess) AS n_sessions, max(n) AS max_session_len
+       | FROM c GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")
+
+  /** JSON property extraction + rollup: parse `props.$.k` (bucketed mod
+    * 10) — scan-side JSON path extraction, single aggregation shuffle. */
+  def jsonRollup(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(get_json_object(col("props"), "$.k").cast(LongType).as("k"),
+        col("event_type"))
+      .groupBy((col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        count_distinct(col("event_type")).as("n_types"))
+      .orderBy("k_bucket")
+
+  val jsonRollupSql: String =
+    """SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+      | count(*) AS cnt, count(DISTINCT event_type) AS n_types
+      | FROM events GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")
+
+  /** Top-3 events by value within each event type (window rank over a
+    * keyed shuffle; rank ties broken by event_id for determinism). */
+  def topByType(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("cents").desc, col("event_id").asc)
+    events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast(LongType).as("cents"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= 3)
+      .orderBy("event_type", "rn")
+  }
+
+  val topByTypeSql: String =
+    """SELECT event_id, event_type, cents, rn FROM (
+      | SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+      |  CAST(row_number() OVER (PARTITION BY event_type ORDER BY CAST(round(value * 100) AS BIGINT) DESC, event_id ASC) AS BIGINT) AS rn
+      | FROM events) WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin.replace("\n", " ")
+}

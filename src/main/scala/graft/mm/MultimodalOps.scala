@@ -1,0 +1,146 @@
+package graft.mm
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: media (image/audio/video) as opaque
+  * `binary` columns with a typed metadata struct, plus the decode /
+  * feature-extract / frame-sample operator shapes a training pipeline
+  * needs.
+  *
+  * No codec libraries exist in this environment, so the *decode* step is
+  * a clearly-marked stub ([[MediaDecoder]]); everything Spark-side —
+  * schema, batch shape, partition-parallel `mapPartitions` plumbing,
+  * chunk/frame sampling, deterministic fingerprinting — is real and
+  * oracle-tested. The media blob is synthesized from `documents.text`
+  * (ASCII), which lets the DuckDB oracle compute the same hashes from
+  * string slices while Spark operates on genuine `BinaryType`.
+  */
+object MultimodalOps {
+
+  val ChunkBytes: Int = 64
+
+  /** documents → media table: (media_id, media: binary, meta struct).
+    * The struct mirrors what an ingest job would carry for real assets. */
+  def media(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet").select(
+      col("doc_id").as("media_id"),
+      encode(col("text"), "utf-8").as("media"),
+      struct(
+        when(col("doc_id") % 3 === 0, "image/png")
+          .when(col("doc_id") % 3 === 1, "audio/wav")
+          .otherwise("video/mp4").as("format"),
+        (col("doc_id") % 640 + 16).cast(IntegerType).as("width"),
+        (col("doc_id") % 480 + 16).cast(IntegerType).as("height")).as("meta"))
+
+  private val mediaMetaSql =
+    """SELECT doc_id AS media_id, text,
+      | CASE WHEN doc_id % 3 = 0 THEN 'image/png' WHEN doc_id % 3 = 1 THEN 'audio/wav' ELSE 'video/mp4' END AS format,
+      | CAST(doc_id % 640 + 16 AS INTEGER) AS width,
+      | CAST(doc_id % 480 + 16 AS INTEGER) AS height
+      | FROM documents""".stripMargin.replace("\n", " ")
+
+  /** Per-asset metadata + content fingerprint: byte length, md5, chunk
+    * count. Pure map-side projection — one scan at any scale. */
+  def mmMeta(spark: SparkSession, dir: String): DataFrame =
+    media(spark, dir).select(
+      col("media_id"),
+      col("meta.format").as("format"),
+      col("meta.width").as("width"),
+      col("meta.height").as("height"),
+      length(col("media")).cast(LongType).as("n_bytes"),
+      md5(col("media")).as("content_md5"),
+      ceil(length(col("media")) / lit(ChunkBytes.toDouble)).cast(LongType).as("n_chunks"))
+      .orderBy("media_id")
+
+  val mmMetaSql: String =
+    s"""SELECT media_id, format, width, height,
+       | CAST(length(text) AS BIGINT) AS n_bytes, md5(text) AS content_md5,
+       | CAST(ceil(length(text) / $ChunkBytes.0) AS BIGINT) AS n_chunks
+       | FROM ($mediaMetaSql) ORDER BY media_id""".stripMargin.replace("\n", " ")
+
+  /** Frame/chunk sampling: split each blob into fixed-size chunks (the
+    * frame-sample analog for video, window-sample for audio) and
+    * fingerprint each chunk. explode() keeps this fully distributed — a
+    * 100 TB corpus becomes (bytes/chunk) rows spread over all tasks. */
+  def mmChunkHashes(spark: SparkSession, dir: String): DataFrame = {
+    val nChunks = ceil(length(col("media")) / lit(ChunkBytes.toDouble)).cast(LongType)
+    media(spark, dir)
+      .select(col("media_id"), col("media"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
+      .select(col("media_id"), col("chunk_idx"),
+        md5(expr(s"substring(media, chunk_idx * $ChunkBytes + 1, $ChunkBytes)"))
+          .as("chunk_md5"))
+      .orderBy("media_id", "chunk_idx")
+  }
+
+  val mmChunkHashesSql: String =
+    s"""SELECT media_id, CAST(ci AS BIGINT) AS chunk_idx,
+       | md5(substr(text, ci * $ChunkBytes + 1, $ChunkBytes)) AS chunk_md5
+       | FROM (SELECT media_id, text, unnest(range(0, CAST(ceil(length(text) / $ChunkBytes.0) AS BIGINT))) AS ci
+       |   FROM ($mediaMetaSql))
+       | ORDER BY media_id, chunk_idx""".stripMargin.replace("\n", " ")
+
+  /** Deterministic stand-in "feature extraction": 4 doubles in [0,1)
+    * derived from md5 prefixes of the blob — the operator shape (binary
+    * in, fixed-width float features out, pure projection) matches a real
+    * embedding/decode UDF while staying oracle-checkable. */
+  def mmFeatures(spark: SparkSession, dir: String): DataFrame = {
+    def f(j: Int): Column =
+      round(conv(substring(md5(col("media")), j * 8 + 1, 7), 16, 10)
+        .cast(LongType).cast("double") / (1L << 28).toDouble, 6)
+    media(spark, dir).select(
+      col("media_id"),
+      f(0).as("f0"), f(1).as("f1"), f(2).as("f2"), f(3).as("f3"))
+      .orderBy("media_id")
+  }
+
+  val mmFeaturesSql: String = {
+    def f(j: Int) =
+      s"round(CAST(CAST('0x'||substr(md5(text),${j * 8 + 1},7) AS BIGINT) AS DOUBLE) / ${(1L << 28).toDouble}, 6) AS f$j"
+    s"SELECT media_id, ${(0 to 3).map(f).mkString(", ")} FROM ($mediaMetaSql) ORDER BY media_id"
+  }
+
+  // ---- real-decoder plumbing (stubbed codec) ---------------------------
+
+  /** Pluggable decoder: bytes of one asset → fixed-width feature vector.
+    * Real implementations (JPEG decode + resize, PCM windowing, video
+    * frame extraction) slot in here; none of those codecs exist in this
+    * container, so the default is a deterministic fake. */
+  trait MediaDecoder extends Serializable {
+    def features(format: String, bytes: Array[Byte]): Array[Float]
+  }
+
+  /** STUB: stands in for the real codec path. Deterministic: folds bytes
+    * into `dim` accumulators. Replace with actual image/audio decoding
+    * when codec libraries are available. */
+  final class StubDecoder(dim: Int = 8) extends MediaDecoder {
+    def features(format: String, bytes: Array[Byte]): Array[Float] = {
+      val acc = new Array[Float](dim)
+      var k = 0
+      while (k < bytes.length) {
+        acc(k % dim) += (bytes(k) & 0xff) / 255.0f
+        k += 1
+      }
+      acc
+    }
+  }
+
+  /** Distributed decode: partition-parallel map over the binary column.
+    * This is the `mapInPandas`-equivalent batch path — each task decodes
+    * its partition's blobs without any shuffle; the output schema is
+    * (media_id, features array<float>). */
+  def decodeFeatures(df: DataFrame, decoder: MediaDecoder): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("features", ArrayType(FloatType, containsNull = false))))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.select(col("media_id"), col("meta.format").as("format"), col("media"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          Row(r.getLong(0), decoder.features(r.getString(1), r.getAs[Array[Byte]](2)).toSeq)
+        }
+      }(enc)
+  }
+}

@@ -1,0 +1,171 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Similarity search over the `embeddings` table (vec_id, embedding:
+  * array<float> dim 64, label). The vectors are unit-normalized, so
+  * cosine similarity == dot product.
+  *
+  * Design for scale:
+  *  - query vectors are tiny side inputs => `broadcast` cross joins; the
+  *    scan side streams, no shuffle;
+  *  - top-k goes through `orderBy(...).limit(k)` which Spark plans as
+  *    TakeOrderedAndProject (per-partition heaps + driver merge, never a
+  *    full sort);
+  *  - the brute-force pair scan is bounded to a partition key (label) —
+  *    the IVF-style restriction — and the LSH path buckets vectors by
+  *    random-hyperplane signs so candidate generation is an equi-join.
+  *
+  * Dot products are `aggregate(zip_with(...))` over doubles — sequential
+  * left-to-right summation, which DuckDB's `list_sum(list_transform(...))`
+  * reproduces exactly; outputs round to 6 dp so the hash compare is
+  * stable anyway.
+  */
+object SimOps {
+
+  val Dim: Int = 64
+
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Sequential dot product of two array<float> columns in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private val dotSql: (String, String) => String = (a, b) =>
+    s"list_sum(list_transform(range(1, ${Dim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  // ---- brute-force cosine top-k ---------------------------------------
+
+  /** Top-k nearest neighbors of vector `queryId` by cosine similarity;
+    * the baseline every ANN variant is measured against. */
+  def topK(queryId: Long, k: Int)(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir)
+    val q = e.filter(col("vec_id") === queryId).select(col("embedding").as("qe"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), round(dot(col("embedding"), col("qe")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  def topKSql(queryId: Long, k: Int): String =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $queryId)
+       | SELECT vec_id, round(${dotSql("embedding", "qe")}, 6) AS sim
+       | FROM embeddings, q WHERE vec_id != $queryId
+       | ORDER BY sim DESC, vec_id ASC LIMIT $k""".stripMargin.replace("\n", " ")
+
+  /** Batched top-k: one broadcast of `nQueries` query vectors, top-k per
+    * query via a window rank — the shape of bulk retrieval jobs. */
+  def topKMulti(nQueries: Int, k: Int)(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("embedding"), col("qe")), 6).as("sim"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= k)
+      .orderBy("qid", "rn")
+  }
+
+  def topKMultiSql(nQueries: Int, k: Int): String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $nQueries),
+       | scored AS (SELECT qid, vec_id, round(${dotSql("embedding", "qe")}, 6) AS sim
+       |   FROM embeddings, q WHERE vec_id != qid),
+       | ranked AS (SELECT qid, vec_id, sim,
+       |   CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rn FROM scored)
+       | SELECT qid, vec_id, sim, rn FROM ranked WHERE rn <= $k ORDER BY qid, rn""".stripMargin.replace("\n", " ")
+
+  // ---- within-cluster near-duplicate pairs (IVF-style restriction) -----
+
+  /** Most-similar pairs, restricted to equal `label` (the coarse-quantizer
+    * cell): the O(n^2) blow-up is bounded per cell and the join
+    * co-partitions on the label key. */
+  def topPairsWithinLabel(k: Int)(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir)
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+        col("a.label").as("label"),
+        round(dot(col("a.embedding"), col("b.embedding")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("v1").asc, col("v2").asc)
+      .limit(k)
+  }
+
+  def topPairsWithinLabelSql(k: Int): String =
+    s"""SELECT a.vec_id AS v1, b.vec_id AS v2, a.label AS label,
+       |  round(${dotSql("a.embedding", "b.embedding")}, 6) AS sim
+       | FROM embeddings a JOIN embeddings b
+       |  ON a.label = b.label AND a.vec_id < b.vec_id
+       | ORDER BY sim DESC, v1 ASC, v2 ASC LIMIT $k""".stripMargin.replace("\n", " ")
+
+  // ---- random-hyperplane LSH ------------------------------------------
+
+  val Planes: Int = 8
+
+  /** Fixed ±1 hyperplane components, derived from md5("p-d") parity so
+    * they are reproducible anywhere (embedded as literals in the oracle
+    * SQL). planes(p)(d) ∈ {+1.0, -1.0}. */
+  val planes: Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(Planes, Dim) { (p, d) =>
+      val hex = md.digest(s"$p-$d".getBytes("UTF-8"))
+        .take(1).map(b => f"$b%02x").mkString
+      if ((Integer.parseInt(hex, 16) & 1) == 1) 1.0 else -1.0
+    }
+  }
+
+  /** Sign-bucket column: bit p of the bucket = [dot(v, plane_p) >= 0]. */
+  def bucketCol(emb: Column): Column =
+    (0 until Planes).map { p =>
+      val w = array(planes(p).map(lit): _*)
+      when(dot(emb, w) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _).cast(LongType)
+
+  private def bucketSql(emb: String): String =
+    (0 until Planes).map { p =>
+      val lst = planes(p).map(v => if (v > 0) "1" else "-1").mkString("[", ",", "]")
+      s"(CASE WHEN list_sum(list_transform(range(1, ${Dim + 1}), i -> CAST($emb[i] AS DOUBLE) * ($lst::DOUBLE[])[i])) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** Every vector's LSH bucket (0..2^Planes-1). */
+  def lshBuckets(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir)
+      .select(col("vec_id"), bucketCol(col("embedding")).as("bucket"))
+      .orderBy("vec_id")
+
+  val lshBucketsSql: String =
+    s"SELECT vec_id, CAST(${bucketSql("embedding")} AS BIGINT) AS bucket FROM embeddings ORDER BY vec_id"
+
+  /** ANN top-k via LSH: score only candidates in the query's bucket.
+    * The candidate filter is an equi-join on the bucket id — at scale the
+    * table is written bucketed/partitioned by `bucket` so this prunes to
+    * one partition instead of scanning all vectors. */
+  def lshTopK(queryId: Long, k: Int)(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), bucketCol(col("embedding")).as("bucket"))
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qe"), col("bucket").as("qb"))
+    e.join(broadcast(q), col("bucket") === col("qb"))
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), round(dot(col("embedding"), col("qe")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  def lshTopKSql(queryId: Long, k: Int): String =
+    s"""WITH e AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+       | q AS (SELECT embedding AS qe, bucket AS qb FROM e WHERE vec_id = $queryId)
+       | SELECT vec_id, round(${dotSql("embedding", "qe")}, 6) AS sim
+       | FROM e, q WHERE bucket = qb AND vec_id != $queryId
+       | ORDER BY sim DESC, vec_id ASC LIMIT $k""".stripMargin.replace("\n", " ")
+}

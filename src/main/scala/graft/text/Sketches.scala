@@ -1,0 +1,158 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** MinHash+LSH and SimHash near-duplicate sketches over `documents`.
+  *
+  * All hashing is built from md5 prefixes re-read as integers, so the
+  * DuckDB oracle reproduces every bit: a shingle/token hash is the first
+  * 7 (28-bit) or 15 (60-bit) hex chars of its md5, and the MinHash
+  * family is `(a_j * h + b_j) mod P` with fixed odd constants — products
+  * stay < 2^59 so 64-bit arithmetic never overflows (Spark 4 runs ANSI
+  * mode: overflow would *throw*, not wrap).
+  *
+  * Scale shape: signatures are one scan + one groupBy(doc_id) shuffle;
+  * LSH candidate pairs are an equi-join on (band, band-hash) — never an
+  * O(n^2) pair enumeration. That is exactly the 100 TB formulation.
+  */
+object Sketches {
+
+  val P: Long = 2147483647L // 2^31 - 1
+  /** MinHash family constants (k = 8), odd multipliers < 2^31. */
+  val MinHashAB: Seq[(Long, Long)] = Seq(
+    (1103515245L, 12345L), (1140671485L, 12820163L),
+    (65793L, 4282663L), (214013L, 2531011L),
+    (134775813L, 1L), (1664525L, 1013904223L),
+    (22695477L, 1L), (1103515245L, 54321L))
+  val Bands: Int = 4 // 4 bands x 2 rows
+
+  /** 28-bit shingle hash column (from TextOps.shingles' `s`). */
+  private def h28 = conv(substring(md5(col("s")), 1, 7), 16, 10).cast(LongType)
+
+  private val h28Sql = "CAST('0x'||substr(md5(s),1,7) AS BIGINT)"
+
+  // ---- MinHash signatures ---------------------------------------------
+
+  /** k=8 MinHash signature per document: min_j over distinct shingles of
+    * (a_j*h + b_j) mod P. One scan, one combiner-friendly groupBy. */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val sh = TextOps.shingles(spark, dir).select(col("doc_id"), h28.as("h"))
+    val aggs = MinHashAB.zipWithIndex.map { case ((a, b), j) =>
+      min((lit(a) * col("h") + lit(b)) % P).as(s"mh$j")
+    }
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*).orderBy("doc_id")
+  }
+
+  val minhashSignaturesSql: String = {
+    val mins = MinHashAB.zipWithIndex
+      .map { case ((a, b), j) => s"min(($a*h+$b)%$P) AS mh$j" }.mkString(", ")
+    s"""WITH sh AS (${TextOps.shinglesSql}),
+       | hh AS (SELECT doc_id, $h28Sql AS h FROM sh)
+       | SELECT doc_id, $mins FROM hh GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " ")
+  }
+
+  // ---- LSH candidate pairs --------------------------------------------
+
+  /** LSH banding: signature rows are exploded to (doc_id, band, band-key)
+    * and candidates found by equi-join on (band, key) — shuffle on the
+    * band key, so it scales linearly in corpus size. Output: candidate
+    * pair + number of matching bands. */
+  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignatures(spark, dir)
+    val bandRows = (0 until Bands).map { b =>
+      sig.select(col("doc_id"), lit(b).as("band"),
+        concat_ws(":", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("bkey"))
+    }.reduce(_ unionAll _)
+    bandRows.as("a").join(bandRows.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_bands"))
+      .orderBy("d1", "d2")
+  }
+
+  val minhashLshPairsSql: String = {
+    // Oracle-scale formulation: direct pairwise band comparison (the
+    // driver only runs this at sf0.01; the Spark plan above is the
+    // scalable one).
+    val bandMatch = (0 until Bands).map { b =>
+      s"(CASE WHEN a.mh${2 * b} = b.mh${2 * b} AND a.mh${2 * b + 1} = b.mh${2 * b + 1} THEN 1 ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH sig AS ($minhashSignaturesSql)
+       | SELECT a.doc_id AS d1, b.doc_id AS d2, CAST($bandMatch AS BIGINT) AS n_bands
+       | FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       | WHERE $bandMatch >= 1 ORDER BY 1, 2""".stripMargin.replace("\n", " ")
+  }
+
+  // ---- SimHash ---------------------------------------------------------
+
+  val SimHashBits: Int = 32
+
+  /** 32-bit SimHash over whitespace tokens (with multiplicity): bit b is
+    * set iff the majority of token-hash bits b vote 1. Implemented as 32
+    * conditional-sum aggregates — map-side combinable, single shuffle. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val tok = TextOps.docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+    val th = tok.select(col("doc_id"),
+      conv(substring(md5(col("t")), 1, 15), 16, 10).cast(LongType).as("h"))
+    val bitAggs = (0 until SimHashBits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"b$b")
+    }
+    val assembled = (0 until SimHashBits)
+      .map(b => when(col(s"b$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    th.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id"), assembled.cast(LongType).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  val simhashSql: String = {
+    val bitSums = (0 until SimHashBits)
+      .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
+      .mkString(", ")
+    val assemble = (0 until SimHashBits)
+      .map(b => s"(CASE WHEN b$b >= 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
+       | th AS (SELECT doc_id, CAST('0x'||substr(md5(t),1,15) AS BIGINT) AS h FROM tok),
+       | bits AS (SELECT doc_id, $bitSums FROM th GROUP BY doc_id)
+       | SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM bits ORDER BY doc_id""".stripMargin.replace("\n", " ")
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxDist, found by
+    * the banded trick: split the 32-bit sketch in two 16-bit halves; any
+    * pair within Hamming <= 3 of a half-match shares at least one exact
+    * half (pigeonhole only guarantees this for dist <= 1 per half — we
+    * use half-match as the candidate filter exactly like production
+    * SimHash dedup does, trading a sliver of recall for an equi-join). */
+  def simhashPairs(maxDist: Int)(spark: SparkSession, dir: String): DataFrame = {
+    val sig = simhash(spark, dir)
+    val halves = Seq(0, 1).map { hx =>
+      val half =
+        if (hx == 0) col("simhash").bitwiseAND(lit(0xFFFFL))
+        else shiftright(col("simhash"), 16)
+      sig.select(col("doc_id"), col("simhash"), lit(hx).as("hx"), half.as("hv"))
+    }.reduce(_ unionAll _)
+    halves.as("a").join(halves.as("b"),
+        col("a.hx") === col("b.hx") && col("a.hv") === col("b.hv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast(LongType)
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+      .orderBy("d1", "d2")
+  }
+
+  def simhashPairsSql(maxDist: Int): String =
+    s"""WITH sig AS ($simhashSql)
+       | SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       | FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       | WHERE ((a.simhash & 65535) = (b.simhash & 65535) OR (a.simhash >> 16) = (b.simhash >> 16))
+       |  AND bit_count(xor(a.simhash, b.simhash)) <= $maxDist
+       | ORDER BY 1, 2""".stripMargin.replace("\n", " ")
+}

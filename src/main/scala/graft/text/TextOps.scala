@@ -1,0 +1,195 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Text-analysis operators for a large-scale training-data pipeline, run
+  * over the driver testdata `documents` table (doc_id, text, lang, source,
+  * n_chars).
+  *
+  * Everything here is a narrow projection + aggregation over codegen'd
+  * built-ins (no UDFs): at 100 TB each query is a single scan with
+  * map-side work, and the only shuffles are the final keyed aggregations.
+  * Every query has an equivalent DuckDB oracle (single division / md5 /
+  * integer arithmetic only, so results hash-compare bit-for-bit).
+  */
+object TextOps {
+
+  def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Stopword list (the synthetic corpus vocabulary contains `a`/`the`). */
+  val Stopwords: Seq[String] = Seq("a", "the", "and", "of", "to", "in", "is")
+
+  private def words: Column = split(col("text"), " ")
+
+  // ---- token counting + quality signals -------------------------------
+
+  /** Per-document token/char statistics: whitespace tokens, distinct
+    * tokens, regex word tokens (BPE-ish `[a-z0-9]+` pieces), stopword
+    * hits, char length. */
+  def docStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      size(words).cast(LongType).as("n_tokens"),
+      size(array_distinct(words)).cast(LongType).as("n_distinct"),
+      regexp_count(col("text"), lit("[a-z0-9]+")).cast(LongType).as("n_word_tokens"),
+      size(filter(words, w => w.isin(Stopwords: _*))).cast(LongType).as("n_stop"),
+      length(col("text")).cast(LongType).as("n_chars_m"))
+      .orderBy("doc_id")
+
+  val docStatsSql: String =
+    s"""SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+       | CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct,
+       | CAST(len(regexp_extract_all(text,'[a-z0-9]+')) AS BIGINT) AS n_word_tokens,
+       | CAST(len(list_filter(string_split(text,' '), w -> w IN (${Stopwords.map(s => s"'$s'").mkString(",")}))) AS BIGINT) AS n_stop,
+       | CAST(length(text) AS BIGINT) AS n_chars_m
+       | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
+  /** Quality score in [0,1]: mix of stopword ratio, lexical diversity and
+    * a saturating length credit — the standard cheap heuristics used to
+    * filter web-scraped training text. One double op chain, identical
+    * shape in the oracle, rounded to 6 dp for hash stability. */
+  def docQuality(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(words).cast(LongType)
+    val nStop = size(filter(words, w => w.isin(Stopwords: _*))).cast(LongType)
+    val nDist = size(array_distinct(words)).cast(LongType)
+    val stopR = nStop.cast("double") / nTok.cast("double")
+    val distR = nDist.cast("double") / nTok.cast("double")
+    val lenS = least(length(col("text")).cast(LongType), lit(500L)).cast("double") / 500.0
+    docs(spark, dir).select(
+      col("doc_id"),
+      round(stopR * 0.3 + distR * 0.5 + lenS * 0.2, 6).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  val docQualitySql: String =
+    s"""SELECT doc_id, round(
+       | (CAST(len(list_filter(string_split(text,' '), w -> w IN (${Stopwords.map(s => s"'$s'").mkString(",")}))) AS DOUBLE) / CAST(len(string_split(text,' ')) AS DOUBLE)) * 0.3
+       | + (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / CAST(len(string_split(text,' ')) AS DOUBLE)) * 0.5
+       | + (CAST(least(length(text), 500) AS DOUBLE) / 500.0) * 0.2, 6) AS quality
+       | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
+  // ---- language identification (marker-token heuristic) ----------------
+
+  /** Marker stopwords per language; prediction = first language (in this
+    * fixed priority order) whose marker count is maximal and non-zero,
+    * else `und`. A real pipeline swaps in character-n-gram profiles; the
+    * operator shape (scan + per-row scoring, no shuffle) is the same. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "de" -> Seq("der", "die", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "es"),
+    "fr" -> Seq("le", "la", "les", "est"))
+
+  def docLangId(spark: SparkSession, dir: String): DataFrame = {
+    val counts = LangMarkers.map { case (lang, ms) =>
+      lang -> size(filter(words, w => w.isin(ms: _*))).cast(LongType)
+    }
+    val maxAll = greatest(counts.map(_._2): _*)
+    val pred = counts.foldRight(lit("und")) { case ((lang, c), els) =>
+      when(c > 0 && c === maxAll, lit(lang)).otherwise(els)
+    }
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"), pred.as("pred_lang"))
+      .orderBy("doc_id")
+  }
+
+  val docLangIdSql: String = {
+    def cnt(ms: Seq[String]) =
+      s"CAST(len(list_filter(string_split(text,' '), w -> w IN (${ms.map(m => s"'$m'").mkString(",")}))) AS BIGINT)"
+    val cs = LangMarkers.map { case (l, ms) => l -> cnt(ms) }
+    val maxAll = s"greatest(${cs.map(_._2).mkString(",")})"
+    val pred = cs.foldRight("'und'") { case ((l, c), els) =>
+      s"CASE WHEN $c > 0 AND $c = $maxAll THEN '$l' ELSE $els END"
+    }
+    s"SELECT doc_id, lang, $pred AS pred_lang FROM documents ORDER BY doc_id"
+  }
+
+  // ---- document fingerprinting ----------------------------------------
+
+  /** Content fingerprint: md5 of the text plus a 60-bit integer prefix of
+    * it (cheap join/dedup key — the rolling-hash analog with a portable
+    * definition). */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      md5(col("text")).as("fp"),
+      conv(substring(md5(col("text")), 1, 15), 16, 10).cast(LongType).as("fp64"))
+      .orderBy("doc_id")
+
+  val docFingerprintSql: String =
+    """SELECT doc_id, md5(text) AS fp,
+      | CAST('0x'||substr(md5(text),1,15) AS BIGINT) AS fp64
+      | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
+  // ---- exact deduplication --------------------------------------------
+
+  /** Exact dedup by content key: hash-groupBy on a normalized key (here
+    * the 5-token prefix, which actually collides in the corpus), keeping
+    * the smallest doc_id as the canonical representative. At scale this
+    * is one shuffle on a 128-bit key; no driver state. */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame = {
+    val key = md5(array_join(slice(words, 1, 5), " "))
+    docs(spark, dir)
+      .groupBy(key.as("key_hash"))
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keep_id"))
+      .orderBy("key_hash")
+  }
+
+  val exactDedupSql: String =
+    """SELECT md5(array_to_string(string_split(text,' ')[1:5],' ')) AS key_hash,
+      | count(*) AS cnt, min(doc_id) AS keep_id
+      | FROM documents GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")
+
+  // ---- n-gram Jaccard near-duplicate pairs ----------------------------
+
+  /** Distinct word-3-shingles per document (docs with <3 tokens drop out,
+    * identically in the oracle). */
+  private[text] def shingles(spark: SparkSession, dir: String): DataFrame = {
+    val w = words
+    docs(spark, dir)
+      .filter(size(w) >= 3)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(0), size(w) - 3),
+          i => concat_ws(" ", slice(w, i + lit(1), lit(3)))))).as("s"))
+  }
+
+  private[text] val shinglesSql: String =
+    """SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws)-1),
+      | i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]))) AS s
+      | FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents WHERE len(string_split(text,' ')) >= 3)""".stripMargin.replace("\n", " ")
+
+  /** Near-duplicate pairs with shingle-set Jaccard >= tau. The join is an
+    * equi-join on the shingle (shuffle on shingle hash, combiner-friendly
+    * count) — the scalable formulation; no O(n^2) pair enumeration. Doc
+    * shingle counts are a small side table => broadcast. */
+  def ngramJaccardPairs(tau: Double)(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(n.as("na")), col("d1") === col("na.doc_id"))
+      .join(broadcast(n.as("nb")), col("d2") === col("nb.doc_id"))
+      .select(col("d1"), col("d2"), col("inter"),
+        round(col("inter").cast("double") /
+          (col("na.n") + col("nb.n") - col("inter")).cast("double"), 6).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+      .orderBy("d1", "d2")
+  }
+
+  def ngramJaccardPairsSql(tau: Double): String =
+    s"""WITH sh AS ($shinglesSql),
+       | n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       | p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+       |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       | SELECT d1, d2, inter,
+       |  round(CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE), 6) AS jaccard
+       | FROM p JOIN n na ON na.doc_id = d1 JOIN n nb ON nb.doc_id = d2
+       | WHERE round(CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE), 6) >= $tau
+       | ORDER BY 1, 2""".stripMargin.replace("\n", " ")
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.{Sketches, TextOps}
+import graft.sim.SimOps
+import graft.mm.MultimodalOps
+import graft.events.EventOps
+
+/** Specs for the training-data-pipeline extension surface (dedup,
+  * similarity search, text analysis, multimodal plumbing, event ops). */
+class ExtensionOpsSpec extends SparkSpec {
+
+  test("ngram Jaccard finds the corpus's known near-duplicate pairs") {
+    val pairs = TextOps.ngramJaccardPairs(0.8)(spark, sf001)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.nonEmpty, "expected near-dup pairs in the synthetic corpus")
+    // cross-checked against DuckDB: jaccard(98, 290) ≈ 0.989
+    assert(pairs.contains((98L, 290L)))
+  }
+
+  test("minhash LSH candidates cover the high-jaccard pairs (recall)") {
+    val trueDups = TextOps.ngramJaccardPairs(0.9)(spark, sf001)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cands = Sketches.minhashLshPairs(spark, sf001)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = trueDups -- cands
+    assert(missed.size <= trueDups.size / 5,
+      s"LSH missed too many true dups: $missed")
+  }
+
+  test("simhash pairs have small hamming distance and are plausible dups") {
+    val rows = Sketches.simhashPairs(3)(spark, sf001).collect()
+    rows.foreach(r => assert(r.getLong(2) <= 3))
+  }
+
+  test("brute-force topk sims are within [-1,1] and sorted") {
+    val sims = SimOps.topK(0L, 20)(spark, sf001)
+      .select("sim").collect().map(_.getDouble(0))
+    assert(sims.length == 20)
+    assert(sims.forall(s => s >= -1.0001 && s <= 1.0001))
+    assert(sims.sameElements(sims.sorted.reverse))
+  }
+
+  test("lsh topk returns a subset scored identically to brute force") {
+    val brute = SimOps.topK(0L, 500)(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val lsh = SimOps.lshTopK(0L, 10)(spark, sf001).collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      assert(brute(r.getLong(0)) == r.getDouble(1),
+        s"lsh sim for vec ${r.getLong(0)} differs from brute force")
+    }
+  }
+
+  test("multimodal chunk hashing covers every byte of every asset") {
+    val meta = MultimodalOps.mmMeta(spark, sf001)
+    val chunkTotal = meta.agg(sum("n_chunks")).head().getLong(0)
+    val chunks = MultimodalOps.mmChunkHashes(spark, sf001).count()
+    assert(chunks == chunkTotal)
+  }
+
+  test("stubbed decoder runs distributed over the binary column") {
+    val df = MultimodalOps.media(spark, sf001).limit(50)
+    val feats = MultimodalOps
+      .decodeFeatures(df, new MultimodalOps.StubDecoder(8))
+      .collect()
+    assert(feats.length == 50)
+    feats.foreach { r =>
+      val v = r.getSeq[Float](1)
+      assert(v.length == 8 && v.exists(_ != 0.0f))
+    }
+  }
+
+  test("sessionize: session counts are positive and bounded by event count") {
+    val s = EventOps.sessionize(spark, sf001).collect()
+    assert(s.nonEmpty)
+    s.foreach { r =>
+      assert(r.getLong(1) >= 1, "every user has at least one session")
+      assert(r.getLong(2) >= 1)
+    }
+  }
+
+  test("hourly rollup cents equal the exact integer-cent sum") {
+    val total = EventOps.hourlyRollup(spark, sf001)
+      .agg(sum("cents")).head().getLong(0)
+    val direct = EventOps.events(spark, sf001)
+      .agg(sum(round(col("value") * 100).cast("long"))).head().getLong(0)
+    assert(total == direct)
+  }
+
+  test("language id predicts a language for every document") {
+    val rows = TextOps.docLangId(spark, sf001).collect()
+    assert(rows.length == 500)
+    assert(rows.forall(r => r.getString(2).nonEmpty))
+  }
+}
