@@ -37,13 +37,16 @@ object Sketches {
 
   /** k=8 MinHash signature per document: min_j over distinct shingles of
     * (a_j*h + b_j) mod P. One scan, one combiner-friendly groupBy. */
-  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+  private def minhashSigRaw(spark: SparkSession, dir: String): DataFrame = {
     val sh = TextOps.shingles(spark, dir).select(col("doc_id"), h28.as("h"))
     val aggs = MinHashAB.zipWithIndex.map { case ((a, b), j) =>
       min((lit(a) * col("h") + lit(b)) % P).as(s"mh$j")
     }
-    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*).orderBy("doc_id")
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
+
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    minhashSigRaw(spark, dir).orderBy("doc_id")
 
   val minhashSignaturesSql: String = {
     val mins = MinHashAB.zipWithIndex
@@ -60,11 +63,15 @@ object Sketches {
     * band key, so it scales linearly in corpus size. Output: candidate
     * pair + number of matching bands. */
   def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSignatures(spark, dir)
-    val bandRows = (0 until Bands).map { b =>
-      sig.select(col("doc_id"), lit(b).as("band"),
-        concat_ws(":", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("bkey"))
-    }.reduce(_ unionAll _)
+    // explode, not unionAll-of-selects: one signature aggregation feeds all
+    // bands, and the self-join's two sides canonicalize to the same plan so
+    // the shuffle is computed once (ReuseExchange).
+    val bandRows = minhashSigRaw(spark, dir).select(col("doc_id"),
+        explode(array((0 until Bands).map { b =>
+          struct(lit(b).as("band"),
+            concat_ws(":", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("bkey"))
+        }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
     bandRows.as("a").join(bandRows.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -93,7 +100,7 @@ object Sketches {
   /** 32-bit SimHash over whitespace tokens (with multiplicity): bit b is
     * set iff the majority of token-hash bits b vote 1. Implemented as 32
     * conditional-sum aggregates — map-side combinable, single shuffle. */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
+  private def simhashRaw(spark: SparkSession, dir: String): DataFrame = {
     val tok = TextOps.docs(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
     val th = tok.select(col("doc_id"),
@@ -107,8 +114,10 @@ object Sketches {
       .reduce(_ + _)
     th.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
       .select(col("doc_id"), assembled.cast(LongType).as("simhash"))
-      .orderBy("doc_id")
   }
+
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashRaw(spark, dir).orderBy("doc_id")
 
   val simhashSql: String = {
     val bitSums = (0 until SimHashBits)
@@ -129,13 +138,12 @@ object Sketches {
     * use half-match as the candidate filter exactly like production
     * SimHash dedup does, trading a sliver of recall for an equi-join). */
   def simhashPairs(maxDist: Int)(spark: SparkSession, dir: String): DataFrame = {
-    val sig = simhash(spark, dir)
-    val halves = Seq(0, 1).map { hx =>
-      val half =
-        if (hx == 0) col("simhash").bitwiseAND(lit(0xFFFFL))
-        else shiftright(col("simhash"), 16)
-      sig.select(col("doc_id"), col("simhash"), lit(hx).as("hx"), half.as("hv"))
-    }.reduce(_ unionAll _)
+    val halves = simhashRaw(spark, dir).select(col("doc_id"), col("simhash"),
+        explode(array(
+          struct(lit(0).as("hx"), col("simhash").bitwiseAND(lit(0xFFFFL)).as("hv")),
+          struct(lit(1).as("hx"), shiftright(col("simhash"), 16).as("hv")))).as("bb"))
+      .select(col("doc_id"), col("simhash"),
+        col("bb.hx").as("hx"), col("bb.hv").as("hv"))
     halves.as("a").join(halves.as("b"),
         col("a.hx") === col("b.hx") && col("a.hv") === col("b.hv") &&
           col("a.doc_id") < col("b.doc_id"))
