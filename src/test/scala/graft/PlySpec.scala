@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.pc.PcSchema
+import graft.sources.Ply
+
+class PlySpec extends SparkSpec {
+
+  private def cloud() = {
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(
+      StructField("x", FloatType, nullable = false),
+      StructField("y", FloatType, nullable = false),
+      StructField("z", FloatType, nullable = false),
+      StructField("intensity", IntegerType, nullable = false),
+      StructField("classification", ShortType, nullable = false)))
+    val rows = (0 until 1000).map { k =>
+      Row(k * 0.5f, (k % 37) * 1.5f, (k % 11) * -2.0f, k % 65536, (k % 32).toShort)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), schema)
+  }
+
+  private def roundTrip(format: String): Unit = {
+    val dir = Files.createTempDirectory("ply").toString
+    val path = s"$dir/cloud.ply"
+    val df = cloud()
+    Ply.write(df, path, format)
+    val back = Ply.read(spark, path)
+    assert(back.count() == 1000)
+    assert(back.schema.fieldNames.toSeq ==
+      Seq("x", "y", "z", "intensity", "classification"))
+    // x/y/z get PC metadata on read (reference attaches the same)
+    assert(PcSchema.dimensions(back.schema).map(_.name) == Seq("x", "y", "z"))
+    val a = df.orderBy("x", "y", "z").collect()
+    val b = back.orderBy("x", "y", "z").collect()
+    assert(a.zip(b).forall { case (r1, r2) => r1 == r2 }, s"$format round-trip differs")
+  }
+
+  test("PLY binary_little_endian round-trip")(roundTrip("binary_little_endian"))
+  test("PLY binary_big_endian round-trip")(roundTrip("binary_big_endian"))
+  test("PLY ascii round-trip")(roundTrip("ascii"))
+
+  test("PLY reader skips non-vertex elements and rejects list properties") {
+    val dir = Files.createTempDirectory("ply").toString
+    val path = s"$dir/mixed.ply"
+    val text =
+      """ply
+        |format ascii 1.0
+        |comment synthetic
+        |element dummy 2
+        |property int a
+        |element vertex 3
+        |property float x
+        |property float y
+        |property float z
+        |end_header
+        |7
+        |8
+        |0 0 0
+        |1 2 3
+        |4 5 6
+        |""".stripMargin
+    Files.write(java.nio.file.Paths.get(path), text.getBytes)
+    val df = Ply.read(spark, path)
+    assert(df.count() == 3)
+    assert(df.agg(sum("x")).head().getDouble(0) == 5.0)
+  }
+}
