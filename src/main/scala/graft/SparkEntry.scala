@@ -6,6 +6,7 @@ import graft.text.{Sketches, TextOps}
 import graft.sim.SimOps
 import graft.mm.MultimodalOps
 import graft.events.EventOps
+import graft.rel.RelQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -67,6 +68,10 @@ object SparkEntry {
     "events_sessionize" -> (EventOps.sessionize(_, _)),
     "events_json_rollup" -> (EventOps.jsonRollup(_, _)),
     "events_top_by_type" -> (EventOps.topByType(_, _)),
+    // -- relational star-join surface (joins/keyed aggs; broadcast dims)
+    "rel_pricing_summary" -> (RelQueries.pricingSummary(_, _)),
+    "rel_top_orders" -> (RelQueries.topOrders(_, _)),
+    "rel_nation_revenue" -> (RelQueries.nationRevenue(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -108,5 +113,8 @@ object SparkEntry {
     "events_sessionize" -> EventOps.sessionizeSql,
     "events_json_rollup" -> EventOps.jsonRollupSql,
     "events_top_by_type" -> EventOps.topByTypeSql,
+    "rel_pricing_summary" -> RelQueries.pricingSummarySql,
+    "rel_top_orders" -> RelQueries.topOrdersSql,
+    "rel_nation_revenue" -> RelQueries.nationRevenueSql,
   )
 }

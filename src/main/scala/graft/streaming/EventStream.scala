@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.types.LongType
+
+/** Structured-Streaming versions of the event-pipeline operators: the
+  * same logic as [[graft.events.EventOps]] run incrementally with
+  * watermarked state. Each transform takes a (possibly streaming)
+  * DataFrame with the `events` schema (ts as int64 nanoseconds) so batch
+  * and stream share one code path — the test harness asserts
+  * batch ≡ stream(AvailableNow) equivalence.
+  *
+  * At scale: state is keyed (event_type / user_id), so it partitions
+  * across executors with the shuffle; watermarks bound state size; no
+  * driver-side state anywhere.
+  */
+object EventStream {
+
+  /** int64-ns `ts` → proper event-time column (micros precision). */
+  def withEventTime(events: DataFrame): DataFrame =
+    events.withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+
+  /** Incremental hourly rollup per event type: tumbling window + count
+    * and exact integer-cent sum; watermark bounds the open-window state. */
+  def hourlyRollup(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("value") * 100).cast(LongType)).as("cents"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("cnt"), col("cents"))
+
+  /** Session windows per user (gap-based), the streaming analog of
+    * [[graft.events.EventOps.sessionize]]. */
+  def sessions(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", watermark)
+      .groupBy(session_window(col("event_time"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast(LongType)).as("cents"))
+      .select(col("session_window.start").as("sess_start"), col("user_id"),
+        col("n_events"), col("cents"))
+
+  /** Custom keyed state via mapGroupsWithState: running per-user event
+    * count + cents total, emitted once per micro-batch — the shape used
+    * for feature backfills and online counters. */
+  final case class UserTotals(user_id: Long, n_events: Long, cents: Long)
+
+  def runningUserTotals(events: DataFrame): Dataset[UserTotals] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), round(col("value") * 100).cast(LongType).as("cents"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserTotals, UserTotals](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(uid, 0L, 0L))
+          var n = prev.n_events
+          var c = prev.cents
+          rows.foreach { r => n += 1; c += r._2 }
+          val next = UserTotals(uid, n, c)
+          state.update(next)
+          next
+      }
+  }
+}

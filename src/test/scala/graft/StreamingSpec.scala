@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.events.EventOps
+import graft.streaming.EventStream
+
+/** Batch ≡ stream equivalence: the streaming pipeline over the events
+  * table (replayed as a file stream with AvailableNow) must produce the
+  * same rollup as the batch operator. */
+class StreamingSpec extends SparkSpec {
+
+  private lazy val eventsBatch = EventOps.events(spark, sf0001)
+
+  private def runStream(build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      sink: String): Unit = {
+    val src = Files.createTempDirectory("evt_stream").toString
+    val ckpt = Files.createTempDirectory("evt_ckpt").toString
+    // replay the batch table as a 4-file stream
+    eventsBatch.repartition(4).write.mode("overwrite").parquet(src)
+    val stream = spark.readStream.schema(eventsBatch.schema).parquet(src)
+    val q = build(stream).writeStream
+      .format("memory").queryName(sink).outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+  }
+
+  test("streaming hourly rollup matches the batch rollup") {
+    runStream(df => EventStream.hourlyRollup(df), "hourly_sink")
+    val streamed = spark.table("hourly_sink")
+      .select(expr("unix_micros(hour_start) div 3600000000").as("hour_id"),
+        col("event_type"), col("cnt"), col("cents"))
+      .orderBy("hour_id", "event_type").collect()
+    val batch = EventOps.hourlyRollup(spark, sf0001).collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getLong(0) == b.getLong(0) && s.getString(1) == b.getString(1)
+        && s.getLong(2) == b.getLong(2) && s.getLong(3) == b.getLong(3),
+        s"stream row $s != batch row $b")
+    }
+  }
+
+  test("streaming session windows cover every event exactly once") {
+    runStream(df => EventStream.sessions(df), "session_sink")
+    val total = spark.table("session_sink").agg(sum("n_events")).head().getLong(0)
+    assert(total == eventsBatch.count())
+  }
+
+  test("mapGroupsWithState running totals equal the batch totals") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = eventsBatch
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val mem = MemoryStream[(Long, Long, String, Double)]
+    val df = mem.toDF().toDF("user_id", "ts", "event_type", "value")
+    val ckpt = Files.createTempDirectory("evt_ckpt2").toString
+    val q = EventStream.runningUserTotals(df).writeStream
+      .format("memory").queryName("totals_sink").outputMode("update")
+      .option("checkpointLocation", ckpt).start()
+    val (h1, h2) = rows.splitAt(rows.length / 2)
+    mem.addData(h1.toIndexedSeq)
+    q.processAllAvailable()
+    mem.addData(h2.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    // last update per user == full batch totals
+    val finalTotals = spark.table("totals_sink")
+      .groupBy("user_id")
+      .agg(max("n_events").as("n"), max("cents").as("c"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batch = eventsBatch.groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("c"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(finalTotals == batch)
+  }
+}
