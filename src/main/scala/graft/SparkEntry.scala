@@ -41,6 +41,8 @@ object SparkEntry {
     // -- data-organization operators as relational queries (SURVEY.md §2.7)
     "pc_grid_cells" -> (PcQueries.gridCells(_, _)),
     "pc_quadtree_assign" -> (PcQueries.quadtreeAssign(_, _)),
+    "pc_srect_grid" -> (PcQueries.rectOnGrid(PcQueries.sRect)(_, _)),
+    "pc_sample_quad" -> (PcQueries.sampleOnQuadtree(0.01)(_, _)),
     // -- text analysis (training-data pipeline extension surface)
     "doc_stats" -> (TextOps.docStats(_, _)),
     "doc_quality" -> (TextOps.docQuality(_, _)),
@@ -91,6 +93,10 @@ object SparkEntry {
     "pc_viz_cell" -> PcQueries.vizSql,
     "pc_grid_cells" -> PcQueries.gridCellsSql,
     "pc_quadtree_assign" -> PcQueries.quadtreeAssignSql,
+    // layout-backed: layouts are result-invariant, so the oracle is the
+    // same SQL as the flat-path query
+    "pc_srect_grid" -> PcQueries.rectSql(PcQueries.sRect),
+    "pc_sample_quad" -> PcQueries.sampleSql(0.01),
     "doc_stats" -> TextOps.docStatsSql,
     "doc_quality" -> TextOps.docQualitySql,
     "doc_langid" -> TextOps.docLangIdSql,

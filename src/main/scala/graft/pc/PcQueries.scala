@@ -1,6 +1,6 @@
 package graft.pc
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -115,6 +115,39 @@ object PcQueries {
     rect(vizCell)(spark, dir)
 
   val vizSql: String = rectSql(vizCell)
+
+  // ---- layout-backed queries: the lakehouse path end-to-end ----------
+  // Write the (x,y,i)-clustered layout once per JVM, then query the
+  // materialized Parquet — this is the reference's actual architecture
+  // (partition → row-group stats → pruned scan), and unlike the
+  // synthesized-column path the box predicate pushes down to the scan.
+  // The oracle is the SAME SQL as the unpartitioned query: layouts must
+  // be result-invariant (the reference's core implicit invariant).
+
+  private val layoutCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def layoutPath(spark: SparkSession, dir: String, kind: String): String =
+    layoutCache.computeIfAbsent(s"$dir/$kind", { _ =>
+      val path = java.nio.file.Files
+        .createTempDirectory(s"graft_${kind}_layout").toString
+      val pts = points(spark, dir)
+      kind match {
+        case "grid" => Layout.writeGrid(pts, path, sigma = 8, batchSize = 8192L)
+        case "quad" => Layout.writeQuadtree(pts, path, batchSize = 8192L)
+      }
+      path
+    })
+
+  /** S_RECT on the grid(8) layout: same oracle as pc_srect. */
+  def rectOnGrid(box: Aabb)(spark: SparkSession, dir: String): DataFrame =
+    summarize(spark.read.parquet(layoutPath(spark, dir, "grid"))
+      .filter(boxPredicate(box)))
+
+  /** Importance sampling on the quadtree LoD layout: same oracle as the
+    * flat sample — the LoD pyramid only helps pruning, never results. */
+  def sampleOnQuadtree(p: Double)(spark: SparkSession, dir: String): DataFrame =
+    summarize(spark.read.parquet(layoutPath(spark, dir, "quad"))
+      .filter(col("i") < p))
 
   // ---- D2/D5 as a relational query: assign every point to its grid cell
   // (delta=125 => 8x8 xy grid, 8 importance slices) and count per cell —
