@@ -1,0 +1,218 @@
+package graft.sources.las
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.OptionalLong
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Spark DSv2 source for LAS point clouds — the faithful port of the
+  * reference's custom provider (pc-io/src/las/source.rs:34-138,
+  * pc-io/src/las/provider.rs:33-182), re-expressed on the connector API:
+  *
+  *  - one `InputPartition` per 512Ki-point slice per file (the
+  *    reference's chunk-parallel decode — parallelism *between* tasks
+  *    instead of a rayon pool inside one partition);
+  *  - `SupportsPushDownRequiredColumns`: only requested fields decode;
+  *  - `SupportsPushDownFilters`: x/y/z range predicates prune whole
+  *    files against header bounds (I1) but remain residual — *inexact*
+  *    pushdown, exactly the reference's contract
+  *    (pc-io/src/las/provider.rs:91-118);
+  *  - `SupportsReportStatistics`: exact row count + byte size from the
+  *    headers (I5).
+  *
+  * Usage: `spark.read.format("las").load(path)` (or directory of .las).
+  */
+class LasDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "las"
+
+  private def filesFor(options: CaseInsensitiveStringMap): Seq[String] = {
+    val conf = new Configuration()
+    val raw = Option(options.get("path")).toSeq ++
+      Option(options.get("paths")).toSeq.flatMap(_.split(","))
+    raw.flatMap { s =>
+      val p = new Path(s)
+      val fs = p.getFileSystem(conf)
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory)
+        fs.listStatus(p).toSeq.filter(_.isFile)
+          .map(_.getPath.toString).filter(_.toLowerCase.endsWith(".las"))
+      else Seq(s)
+    }.sorted
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val files = filesFor(options)
+    require(files.nonEmpty, "las source: no input files")
+    val conf = new Configuration()
+    val fmts = files.map(f => LasFormat.readHeader(conf, f).pointFormat)
+    // lowest common format wins (format 0 fields are a prefix of 1)
+    LasFormat.schemaFor(fmts.min)
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new LasTable(schema,
+      filesFor(new CaseInsensitiveStringMap(properties)))
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+class LasTable(schema: StructType, files: Seq[String])
+    extends Table with SupportsRead {
+  override def name(): String = s"las(${files.mkString(",")})"
+  override def schema(): StructType = schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new LasScanBuilder(schema, files)
+}
+
+class LasScanBuilder(fullSchema: StructType, files: Seq[String])
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // preserve our field order/metadata; keep only requested names
+    required = StructType(fullSchema.fields.filter(f =>
+      requiredSchema.fieldNames.contains(f.name)))
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // accept x/y/z range predicates for header-bounds pruning; everything
+    // stays residual (Inexact pushdown — Spark re-applies all filters)
+    pushed = filters.filter(LasPruning.prunable)
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new LasScan(fullSchema, required, files, pushed)
+}
+
+/** Filter-vs-header-bounds interval logic (I1). */
+object LasPruning {
+  private val dims = Set("x", "y", "z")
+
+  def prunable(f: Filter): Boolean = f match {
+    case GreaterThan(a, v: Number) => dims(a)
+    case GreaterThanOrEqual(a, v: Number) => dims(a)
+    case LessThan(a, v: Number) => dims(a)
+    case LessThanOrEqual(a, v: Number) => dims(a)
+    case EqualTo(a, v: Number) => dims(a)
+    case And(l, r) => prunable(l) && prunable(r)
+    case Or(l, r) => prunable(l) && prunable(r)
+    case _ => false
+  }
+
+  /** Can a record inside `bounds` possibly satisfy `f`? */
+  def mayMatch(f: Filter, bounds: Map[String, (Double, Double)]): Boolean = f match {
+    case GreaterThan(a, v: Number) =>
+      bounds.get(a).forall(_._2 > v.doubleValue)
+    case GreaterThanOrEqual(a, v: Number) =>
+      bounds.get(a).forall(_._2 >= v.doubleValue)
+    case LessThan(a, v: Number) =>
+      bounds.get(a).forall(_._1 < v.doubleValue)
+    case LessThanOrEqual(a, v: Number) =>
+      bounds.get(a).forall(_._1 <= v.doubleValue)
+    case EqualTo(a, v: Number) =>
+      bounds.get(a).forall(b => b._1 <= v.doubleValue && v.doubleValue <= b._2)
+    case And(l, r) => mayMatch(l, bounds) && mayMatch(r, bounds)
+    case Or(l, r) => mayMatch(l, bounds) || mayMatch(r, bounds)
+    case _ => true
+  }
+}
+
+final case class LasInputPartition(
+    path: String, pointFormat: Int, recordLength: Int, pointOffset: Long,
+    start: Long, count: Long,
+    sx: Double, sy: Double, sz: Double,
+    ox: Double, oy: Double, oz: Double) extends InputPartition
+
+class LasScan(fullSchema: StructType, required: StructType,
+    files: Seq[String], pushed: Array[Filter])
+    extends Scan with Batch with SupportsReportStatistics {
+
+  val ChunkRows: Long = 524288L // reference batch size (pc-io/src/config.rs:3)
+
+  override def readSchema(): StructType = required
+
+  private lazy val headers: Seq[(String, LasFormat.LasHeader)] = {
+    val conf = new Configuration()
+    files.map(f => f -> LasFormat.readHeader(conf, f))
+  }
+
+  /** Files surviving header-bounds pruning (I1). */
+  private lazy val survivors: Seq[(String, LasFormat.LasHeader)] =
+    headers.filter { case (_, h) =>
+      pushed.forall(LasPruning.mayMatch(_, h.bounds))
+    }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    survivors.flatMap { case (f, h) =>
+      (0L until h.pointCount by ChunkRows).map { start =>
+        LasInputPartition(f, h.pointFormat, h.recordLength, h.pointOffset,
+          start, math.min(ChunkRows, h.pointCount - start),
+          h.scale._1, h.scale._2, h.scale._3,
+          h.offset._1, h.offset._2, h.offset._3)
+      }
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LasReaderFactory(
+      required.fieldNames.map(n => fullSchema.fieldIndex(n)))
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong =
+      OptionalLong.of(survivors.map { case (_, h) => h.pointCount * h.recordLength }.sum)
+    override def numRows(): OptionalLong =
+      OptionalLong.of(survivors.map(_._2.pointCount).sum)
+  }
+
+  override def toBatch: Batch = this
+}
+
+class LasReaderFactory(fieldIdx: Array[Int]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[LasInputPartition]
+    new PartitionReader[InternalRow] {
+      private val conf = new Configuration()
+      private val bytes = {
+        val path = new Path(p.path)
+        val in = path.getFileSystem(conf).open(path)
+        try {
+          val buf = new Array[Byte]((p.count * p.recordLength).toInt)
+          in.readFully(p.pointOffset + p.start * p.recordLength, buf)
+          buf
+        } finally in.close()
+      }
+      private val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      private val header = LasFormat.LasHeader(p.pointFormat, p.recordLength,
+        p.count, 0L, (p.sx, p.sy, p.sz), (p.ox, p.oy, p.oz),
+        (0, 0, 0), (0, 0, 0))
+      private val out = new Array[Any](fieldIdx.length)
+      private var row = -1L
+
+      override def next(): Boolean = { row += 1; row < p.count }
+
+      override def get(): InternalRow = {
+        LasFormat.decode(bb, (row * p.recordLength).toInt, header, fieldIdx, out)
+        new GenericInternalRow(out.clone())
+      }
+
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,172 @@
+package graft.sources.las
+
+import java.io.{DataOutputStream, OutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.types._
+
+import graft.pc.PcSchema
+
+/** LAS 1.2 binary format: header codec, point-record codec, and a small
+  * writer for fixtures/export (reference reads LAS/LAZ via an external
+  * crate — pc-io/src/las/source.rs:50-138; the byte layout here follows
+  * the public ASPRS LAS 1.2 specification).
+  *
+  * Supported point formats: 0 (20 bytes) and 1 (format 0 + gps_time f64).
+  * Coordinates resolve as `raw_i32 * scale + offset`; the resolved schema
+  * mirrors the reference's `schema_from_header` mapping with unsigned
+  * widening (FIXTURES.md §1): intensity/point_source_id u16→Int, u8→Short.
+  */
+object LasFormat {
+
+  val HeaderSize: Int = 227
+  val Signature = "LASF"
+
+  final case class LasHeader(
+      pointFormat: Int,
+      recordLength: Int,
+      pointCount: Long,
+      pointOffset: Long,
+      scale: (Double, Double, Double),
+      offset: (Double, Double, Double),
+      // LAS headers store max before min, per axis
+      min: (Double, Double, Double),
+      max: (Double, Double, Double)) {
+    def bounds: Map[String, (Double, Double)] = Map(
+      "x" -> (min._1, max._1), "y" -> (min._2, max._2), "z" -> (min._3, max._3))
+  }
+
+  def readHeader(conf: Configuration, path: String): LasHeader = {
+    val p = new Path(path)
+    val in = p.getFileSystem(conf).open(p)
+    try {
+      val buf = new Array[Byte](HeaderSize)
+      in.readFully(0L, buf)
+      val bb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
+      val sig = new String(buf, 0, 4, "US-ASCII")
+      require(sig == Signature, s"$path is not a LAS file (signature `$sig`)")
+      val fmt = bb.get(104) & 0x7f
+      require(fmt <= 1, s"unsupported LAS point format $fmt (only 0/1)")
+      require((bb.get(104) & 0x80) == 0, "LAZ (compressed) not supported")
+      LasHeader(
+        pointFormat = fmt,
+        recordLength = bb.getShort(105) & 0xffff,
+        pointCount = bb.getInt(107).toLong & 0xffffffffL,
+        pointOffset = bb.getInt(96).toLong & 0xffffffffL,
+        scale = (bb.getDouble(131), bb.getDouble(139), bb.getDouble(147)),
+        offset = (bb.getDouble(155), bb.getDouble(163), bb.getDouble(171)),
+        min = (bb.getDouble(187), bb.getDouble(203), bb.getDouble(219)),
+        max = (bb.getDouble(179), bb.getDouble(195), bb.getDouble(211)))
+    } finally in.close()
+  }
+
+  /** Resolved-coordinate schema for a point format (reference:
+    * pc-io/src/las/schema.rs:38-84, with Spark unsigned widening). */
+  def schemaFor(pointFormat: Int): StructType = {
+    val base = Seq(
+      PcSchema.dimensionField("x", DoubleType, 1, location = true),
+      PcSchema.dimensionField("y", DoubleType, 2, location = true),
+      PcSchema.dimensionField("z", DoubleType, 3, location = true),
+      StructField("intensity", IntegerType, nullable = false),
+      StructField("return_number", ShortType, nullable = false),
+      StructField("number_of_returns", ShortType, nullable = false),
+      StructField("scan_direction", ShortType, nullable = false),
+      StructField("is_edge_of_flight_line", BooleanType, nullable = false),
+      StructField("classification", ShortType, nullable = false),
+      StructField("scan_angle_rank", ShortType, nullable = false),
+      StructField("user_data", ShortType, nullable = false),
+      StructField("point_source_id", IntegerType, nullable = false))
+    StructType(
+      if (pointFormat >= 1) base :+ StructField("gps_time", DoubleType, nullable = false)
+      else base)
+  }
+
+  /** Decode one point record into `out(i) = value of fieldIdx(i)`, where
+    * fieldIdx are indexes into [[schemaFor]]'s field order. */
+  def decode(bb: ByteBuffer, recordStart: Int, h: LasHeader,
+      fieldIdx: Array[Int], out: Array[Any]): Unit = {
+    var i = 0
+    while (i < fieldIdx.length) {
+      out(i) = fieldIdx(i) match {
+        case 0 => bb.getInt(recordStart) * h.scale._1 + h.offset._1
+        case 1 => bb.getInt(recordStart + 4) * h.scale._2 + h.offset._2
+        case 2 => bb.getInt(recordStart + 8) * h.scale._3 + h.offset._3
+        case 3 => bb.getShort(recordStart + 12) & 0xffff
+        case 4 => ((bb.get(recordStart + 14) & 0x07)).toShort
+        case 5 => ((bb.get(recordStart + 14) >> 3) & 0x07).toShort
+        case 6 => ((bb.get(recordStart + 14) >> 6) & 0x01).toShort
+        case 7 => ((bb.get(recordStart + 14) >> 7) & 0x01) == 1
+        case 8 => (bb.get(recordStart + 15) & 0xff).toShort
+        case 9 => bb.get(recordStart + 16).toShort
+        case 10 => (bb.get(recordStart + 17) & 0xff).toShort
+        case 11 => bb.getShort(recordStart + 18) & 0xffff
+        case 12 => bb.getDouble(recordStart + 20)
+      }
+      i += 1
+    }
+  }
+
+  /** One LAS point for the fixture writer. */
+  final case class LasPoint(
+      x: Double, y: Double, z: Double,
+      intensity: Int = 0, returnNumber: Int = 1, numberOfReturns: Int = 1,
+      scanDirection: Int = 0, edge: Boolean = false, classification: Int = 0,
+      scanAngleRank: Int = 0, userData: Int = 0, pointSourceId: Int = 0,
+      gpsTime: Double = 0.0)
+
+  /** Write a LAS 1.2 file (point format 0 or 1). */
+  def write(conf: Configuration, path: String, points: Seq[LasPoint],
+      pointFormat: Int = 1,
+      scale: (Double, Double, Double) = (0.001, 0.001, 0.001),
+      offset: (Double, Double, Double) = (0.0, 0.0, 0.0)): Unit = {
+    require(pointFormat <= 1)
+    val recLen = if (pointFormat == 1) 28 else 20
+    val p = new Path(path)
+    val out: OutputStream = p.getFileSystem(conf).create(p, true)
+    try {
+      val header = ByteBuffer.allocate(HeaderSize).order(ByteOrder.LITTLE_ENDIAN)
+      header.put(Signature.getBytes("US-ASCII"))
+      header.put(24, 1.toByte) // version major
+      header.put(25, 2.toByte) // version minor
+      header.putShort(94, HeaderSize.toShort)
+      header.putInt(96, HeaderSize) // point data offset (no VLRs)
+      header.put(104, pointFormat.toByte)
+      header.putShort(105, recLen.toShort)
+      header.putInt(107, points.size)
+      header.putDouble(131, scale._1); header.putDouble(139, scale._2)
+      header.putDouble(147, scale._3)
+      header.putDouble(155, offset._1); header.putDouble(163, offset._2)
+      header.putDouble(171, offset._3)
+      def res(v: Double, s: Double, o: Double) = Math.round((v - o) / s).toInt * s + o
+      val xs = points.map(p0 => res(p0.x, scale._1, offset._1))
+      val ys = points.map(p0 => res(p0.y, scale._2, offset._2))
+      val zs = points.map(p0 => res(p0.z, scale._3, offset._3))
+      header.putDouble(179, if (xs.isEmpty) 0 else xs.max)
+      header.putDouble(187, if (xs.isEmpty) 0 else xs.min)
+      header.putDouble(195, if (ys.isEmpty) 0 else ys.max)
+      header.putDouble(203, if (ys.isEmpty) 0 else ys.min)
+      header.putDouble(211, if (zs.isEmpty) 0 else zs.max)
+      header.putDouble(219, if (zs.isEmpty) 0 else zs.min)
+      out.write(header.array())
+      val rec = ByteBuffer.allocate(recLen).order(ByteOrder.LITTLE_ENDIAN)
+      points.foreach { pt =>
+        rec.clear()
+        rec.putInt(Math.round((pt.x - offset._1) / scale._1).toInt)
+        rec.putInt(Math.round((pt.y - offset._2) / scale._2).toInt)
+        rec.putInt(Math.round((pt.z - offset._3) / scale._3).toInt)
+        rec.putShort((pt.intensity & 0xffff).toShort)
+        val flags = (pt.returnNumber & 0x07) | ((pt.numberOfReturns & 0x07) << 3) |
+          ((pt.scanDirection & 0x01) << 6) | ((if (pt.edge) 1 else 0) << 7)
+        rec.put(flags.toByte)
+        rec.put((pt.classification & 0xff).toByte)
+        rec.put(pt.scanAngleRank.toByte)
+        rec.put((pt.userData & 0xff).toByte)
+        rec.putShort((pt.pointSourceId & 0xffff).toShort)
+        if (pointFormat == 1) rec.putDouble(pt.gpsTime)
+        out.write(rec.array(), 0, recLen)
+      }
+    } finally out.close()
+  }
+}

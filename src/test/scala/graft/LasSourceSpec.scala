@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+import graft.pc.PcSchema
+import graft.sources.las.{LasConvert, LasFormat}
+
+/** DSv2 LAS source: read-back fidelity, projection + filter pushdown,
+  * file-level header pruning (I1), statistics (I5), convert (D8). */
+class LasSourceSpec extends SparkSpec {
+
+  private val conf = new Configuration()
+  private lazy val dir = Files.createTempDirectory("las").toString
+
+  /** Two tiles with disjoint x ranges: [0,100) and [1000,1100). */
+  private lazy val paths: Seq[String] = {
+    def tile(path: String, x0: Double, n: Int): String = {
+      val pts = (0 until n).map { k =>
+        LasFormat.LasPoint(
+          x = x0 + (k % 100), y = (k % 37) * 2.0, z = (k % 11) * 1.5,
+          intensity = k % 65536, returnNumber = 1 + (k % 3),
+          numberOfReturns = 3, classification = k % 32,
+          scanAngleRank = (k % 21) - 10, pointSourceId = k % 100,
+          gpsTime = 1000.0 + k * 0.25)
+      }
+      LasFormat.write(conf, path, pts)
+      path
+    }
+    Seq(tile(s"$dir/tile_a.las", 0.0, 3000), tile(s"$dir/tile_b.las", 1000.0, 2000))
+  }
+
+  private def las: DataFrame = { paths; spark.read.format("las").load(dir) }
+
+  private def scanPartitions(df: DataFrame): Int = {
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val finalPlan = plan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    finalPlan.collectLeaves().collectFirst {
+      case s: BatchScanExec => s.inputRDD.getNumPartitions
+    }.getOrElse(sys.error("no BatchScanExec"))
+  }
+
+  test("reads all points with the documented schema and PC metadata") {
+    assert(las.count() == 5000)
+    val schema = las.schema
+    assert(schema.fieldNames.take(3).toSeq == Seq("x", "y", "z"))
+    assert(PcSchema.dimensions(schema).map(_.name) == Seq("x", "y", "z"))
+    assert(schema("gps_time").dataType.typeName == "double")
+  }
+
+  test("values round-trip through the raw i32 grid (scale 0.001)") {
+    val r = las.filter(col("x") < 100.0).agg(
+      sum(col("intensity")), max(col("gps_time")), max(col("return_number"))).head()
+    assert(r.getLong(0) == (0 until 3000).map(_ % 65536).sum)
+    assert(r.getDouble(1) == 1000.0 + 2999 * 0.25)
+    assert(r.getShort(2) == 3)
+  }
+
+  test("projection pushdown: narrow read schema still decodes correctly") {
+    val df = las.select("classification")
+    val counts = df.groupBy("classification").count().collect()
+    assert(counts.map(_.getLong(1)).sum == 5000)
+  }
+
+  test("file-level pruning (I1): a one-tile box reads only that tile's chunks") {
+    val all = scanPartitions(las)
+    val pruned = scanPartitions(las.filter(col("x") >= 1000.0))
+    assert(all == 2, s"expected one chunk per tile, got $all")
+    assert(pruned == 1, s"header pruning failed: $pruned partitions")
+    // and the unpruned residual filter still applies exactly
+    assert(las.filter(col("x") >= 1000.0).count() == 2000)
+  }
+
+  test("statistics (I5): exact row count reported to the planner") {
+    val scan = las.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+    }.get
+    assert(scan.computeStats().rowCount.contains(BigInt(5000)))
+  }
+
+  test("convert (D8): LAS → importance-augmented clustered parquet") {
+    val out = s"$dir/converted"
+    LasConvert.toGridLayout(spark, dir, out, sigma = 4, batchSize = 1024L)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 5000)
+    assert(back.columns.contains("i"))
+    val iStats = back.agg(min("i"), max("i")).head()
+    assert(iStats.getFloat(0) >= 0.0f && iStats.getFloat(1) < 1.0f)
+  }
+}
