@@ -164,12 +164,16 @@ object TextOps {
   /** Near-duplicate pairs with shingle-set Jaccard >= tau. The join is an
     * equi-join on the shingle (shuffle on shingle hash, combiner-friendly
     * count) — the scalable formulation; no O(n^2) pair enumeration. Doc
-    * shingle counts are a small side table => broadcast. */
+    * shingle counts are a small side table => broadcast. The join key is
+    * the 60-bit md5-prefix hash of the shingle, not the string: 8-byte
+    * shuffle keys, and the oracle computes the identical hash so results
+    * agree bit-for-bit even in the (vanishing) collision case. */
   def ngramJaccardPairs(tau: Double)(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir)
+    val sh = shingles(spark, dir).select(col("doc_id"),
+      conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
     val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -183,13 +187,31 @@ object TextOps {
   }
 
   def ngramJaccardPairsSql(tau: Double): String =
-    s"""WITH sh AS ($shinglesSql),
+    s"""WITH sh AS (SELECT doc_id, CAST('0x'||substr(md5(s),1,15) AS BIGINT) AS h FROM ($shinglesSql)),
        | n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
        | p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-       |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |   FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2)
        | SELECT d1, d2, inter,
        |  round(CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE), 6) AS jaccard
        | FROM p JOIN n na ON na.doc_id = d1 JOIN n nb ON nb.doc_id = d2
        | WHERE round(CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE), 6) >= $tau
        | ORDER BY 1, 2""".stripMargin.replace("\n", " ")
+
+  // ---- corpus term statistics -----------------------------------------
+
+  /** Global term-frequency top-k: the corpus-vocabulary profile a
+    * tokenizer-training / quality pipeline computes. explode + one keyed
+    * aggregation (map-side combined) + TakeOrderedAndProject. */
+  def topTerms(k: Int)(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(explode(words).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("term").asc)
+      .limit(k)
+
+  def topTermsSql(k: Int): String =
+    s"""SELECT term, count(*) AS tf
+       | FROM (SELECT unnest(string_split(text,' ')) AS term FROM documents)
+       | GROUP BY 1 ORDER BY tf DESC, term ASC LIMIT $k""".stripMargin.replace("\n", " ")
 }
