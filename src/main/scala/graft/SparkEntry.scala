@@ -49,6 +49,7 @@ object SparkEntry {
     "doc_langid" -> (TextOps.docLangId(_, _)),
     "doc_fingerprint" -> (TextOps.docFingerprint(_, _)),
     "doc_top_terms" -> (TextOps.topTerms(25)(_, _)),
+    "doc_vocab" -> (TextOps.vocab(_, _)),
     // -- deduplication
     "doc_exact_dedup" -> (TextOps.exactDedup(_, _)),
     "doc_ngram_pairs" -> (TextOps.ngramJaccardPairs(0.8)(_, _)),
@@ -103,6 +104,7 @@ object SparkEntry {
     "doc_langid" -> TextOps.docLangIdSql,
     "doc_fingerprint" -> TextOps.docFingerprintSql,
     "doc_top_terms" -> TextOps.topTermsSql(25),
+    "doc_vocab" -> TextOps.vocabSql,
     "doc_exact_dedup" -> TextOps.exactDedupSql,
     "doc_ngram_pairs" -> TextOps.ngramJaccardPairsSql(0.8),
     "doc_minhash_sig" -> Sketches.minhashSignaturesSql,

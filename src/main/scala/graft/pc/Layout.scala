@@ -140,6 +140,42 @@ object Layout {
     geo
   }
 
+  /** S8: compaction — re-write a (possibly many-file) clustered dataset
+    * into row-group-sized files, preserving the cell clustering (the
+    * reference's low-level parquet merge, pc-cli/src/merge.rs:46-84,
+    * re-expressed as a range shuffle on the sort key). */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      clusterCols: Seq[String], count: Long,
+      batchSize: Long = BatchSize,
+      compression: String = "zstd"): Unit = {
+    val df = spark.read.parquet(inPath)
+    val numParts = math.max(1L, count / batchSize).toInt
+    df.repartitionByRange(numParts, clusterCols.map(col): _*)
+      .sortWithinPartitions(clusterCols.map(col): _*)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", batchSize)
+      .option("compression", compression)
+      .option("parquet.block.size", (32L * 1024 * 1024).toString)
+      .parquet(outPath)
+  }
+
+  /** §2.9 misc: affine normalize — translate/scale the location dims into
+    * the unit box [0,1]^n (reference: pc-io/src/ply.rs:403-457). One
+    * bounds aggregate, then a pure projection. */
+  def normalize(df: DataFrame, dims: Seq[String] = Seq("x", "y", "z")): DataFrame = {
+    val b = Points.dataBounds(df, dims)
+    val cols = df.columns.map { c =>
+      val d = dims.indexOf(c)
+      if (d < 0) col(c)
+      else {
+        val extent = b.upper(d) - b.lower(d)
+        if (extent == 0.0) lit(0.0).as(c)
+        else ((col(c) - b.lower(d)) / extent).as(c)
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
   /** I3: per-row-group min/max statistics straight from Parquet footers
     * (reference extracts the same from footer metadata —
     * pc-io/src/helpers.rs:35-125). Driver-side; used to *verify* layout

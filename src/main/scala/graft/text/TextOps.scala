@@ -214,4 +214,16 @@ object TextOps {
     s"""SELECT term, count(*) AS tf
        | FROM (SELECT unnest(string_split(text,' ')) AS term FROM documents)
        | GROUP BY 1 ORDER BY tf DESC, term ASC LIMIT $k""".stripMargin.replace("\n", " ")
+
+  /** Corpus vocabulary size + totals: exact DISTINCT over the exploded
+    * term relation (two-phase distinct aggregation at scale). */
+  def vocab(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(explode(words).as("term"))
+      .agg(count_distinct(col("term")).as("vocab_size"),
+        count(lit(1)).as("total_tokens"))
+
+  val vocabSql: String =
+    """SELECT count(DISTINCT term) AS vocab_size, count(*) AS total_tokens
+      | FROM (SELECT unnest(string_split(text,' ')) AS term FROM documents)""".stripMargin.replace("\n", " ")
 }
