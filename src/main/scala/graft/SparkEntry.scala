@@ -72,6 +72,7 @@ object SparkEntry {
     "events_sessionize" -> (EventOps.sessionize(_, _)),
     "events_json_rollup" -> (EventOps.jsonRollup(_, _)),
     "events_top_by_type" -> (EventOps.topByType(_, _)),
+    "events_asof_join" -> (EventOps.asOfJoin(_, _)),
     // -- relational star-join surface (joins/keyed aggs; broadcast dims)
     "rel_pricing_summary" -> (RelQueries.pricingSummary(_, _)),
     "rel_top_orders" -> (RelQueries.topOrders(_, _)),
@@ -123,6 +124,7 @@ object SparkEntry {
     "events_sessionize" -> EventOps.sessionizeSql,
     "events_json_rollup" -> EventOps.jsonRollupSql,
     "events_top_by_type" -> EventOps.topByTypeSql,
+    "events_asof_join" -> EventOps.asOfJoinSql,
     "rel_pricing_summary" -> RelQueries.pricingSummarySql,
     "rel_top_orders" -> RelQueries.topOrdersSql,
     "rel_nation_revenue" -> RelQueries.nationRevenueSql,

@@ -83,6 +83,40 @@ object EventOps {
       | count(*) AS cnt, count(DISTINCT event_type) AS n_types
       | FROM events GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")
 
+  /** As-of join: each `purchase` event paired with the user's most recent
+    * `click` at-or-before it. Implemented the scalable way — NOT a range
+    * join: union both sides, one shuffle on user_id, then a running
+    * `last(click_ts)` window over the merged time order. O(n log n) per
+    * user partition, no pair blow-up, the standard distributed as-of
+    * formulation (what a custom SparkStrategy would also do). */
+  def asOfJoin(spark: SparkSession, dir: String): DataFrame = {
+    val byUserTime = Window.partitionBy("user_id")
+      .orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // microsecond precision: DuckDB TIMESTAMP truncates ns -> us, so the
+    // oracle-facing numbers are us on both sides (ns div 1000 == epoch_us)
+    val e = events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("click_us",
+        when(col("event_type") === "click", expr("ts div 1000")))
+    e.withColumn("last_click_us", last(col("click_us"), ignoreNulls = true).over(byUserTime))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        col("last_click_us"),
+        (expr("ts div 1000") - coalesce(col("last_click_us"), expr("ts div 1000")))
+          .as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  val asOfJoinSql: String =
+    """SELECT event_id, user_id, last_click_us,
+      | epoch_us(ts) - coalesce(last_click_us, epoch_us(ts)) AS gap_us FROM (
+      | SELECT event_id, user_id, ts, event_type,
+      |  last(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
+      |   OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS last_click_us
+      | FROM events WHERE event_type IN ('click', 'purchase'))
+      | WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin.replace("\n", " ")
+
   /** Top-3 events by value within each event type (window rank over a
     * keyed shuffle; rank ties broken by event_id for determinism). */
   def topByType(spark: SparkSession, dir: String): DataFrame = {
