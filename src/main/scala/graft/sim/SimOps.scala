@@ -27,11 +27,17 @@ object SimOps {
 
   val Dim: Int = 64
 
-  def embeddings(spark: SparkSession, dir: String): DataFrame =
+  def embeddings(spark: SparkSession, dir: String): DataFrame = {
+    FloatVecDot.register(spark)
     spark.read.parquet(s"$dir/embeddings.parquet")
+  }
 
-  /** Sequential dot product of two array<float> columns in double. */
-  def dot(a: Column, b: Column): Column =
+  /** Sequential dot product of two array<float> columns in double: the
+    * native codegen'd expression (identical left-to-right summation). */
+  def dot(a: Column, b: Column): Column = call_function("fvec_dot", a, b)
+
+  /** Built-in-only formulation (kept for the equivalence spec). */
+  def dotBuiltin(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
@@ -124,10 +130,12 @@ object SimOps {
     }
   }
 
-  /** Sign-bucket column: bit p of the bucket = [dot(v, plane_p) >= 0]. */
+  /** Sign-bucket column: bit p of the bucket = [dot(v, plane_p) >= 0].
+    * Plane literals are float (±1.0, exact) so fvec_dot applies without
+    * implicit casts. */
   def bucketCol(emb: Column): Column =
     (0 until Planes).map { p =>
-      val w = array(planes(p).map(lit): _*)
+      val w = array(planes(p).map(v => lit(v.toFloat)): _*)
       when(dot(emb, w) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _).cast(LongType)
 

@@ -33,6 +33,18 @@ class ExtensionOpsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(2) <= 3))
   }
 
+  test("native fvec_dot equals the built-in aggregate/zip_with chain exactly") {
+    val e = SimOps.embeddings(spark, sf001) // registers fvec_dot
+    val q = e.filter(col("vec_id") === 0L).select(col("embedding").as("qe"))
+    val diff = e.crossJoin(broadcast(q))
+      .select(
+        SimOps.dot(col("embedding"), col("qe")).as("native"),
+        SimOps.dotBuiltin(col("embedding"), col("qe")).as("builtin"))
+      .filter(col("native") =!= col("builtin"))
+      .count()
+    assert(diff == 0L, s"$diff rows differ between native and built-in dot")
+  }
+
   test("brute-force topk sims are within [-1,1] and sorted") {
     val sims = SimOps.topK(0L, 20)(spark, sf001)
       .select("sim").collect().map(_.getDouble(0))
