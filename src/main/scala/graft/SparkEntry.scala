@@ -43,12 +43,14 @@ object SparkEntry {
     "pc_quadtree_assign" -> (PcQueries.quadtreeAssign(_, _)),
     "pc_srect_grid" -> (PcQueries.rectOnGrid(PcQueries.sRect)(_, _)),
     "pc_sample_quad" -> (PcQueries.sampleOnQuadtree(0.01)(_, _)),
+    "pc_knn_grid" -> (PcQueries.knnOnGrid(1000, 250.0)(_, _)),
     // -- text analysis (training-data pipeline extension surface)
     "doc_stats" -> (TextOps.docStats(_, _)),
     "doc_quality" -> (TextOps.docQuality(_, _)),
     "doc_langid" -> (TextOps.docLangId(_, _)),
     "doc_fingerprint" -> (TextOps.docFingerprint(_, _)),
     "doc_top_terms" -> (TextOps.topTerms(25)(_, _)),
+    "doc_top_terms_salted" -> (TextOps.topTermsSalted(25)(_, _)),
     "doc_vocab" -> (TextOps.vocab(_, _)),
     // -- deduplication
     "doc_exact_dedup" -> (TextOps.exactDedup(_, _)),
@@ -63,6 +65,7 @@ object SparkEntry {
     "emb_top_pairs_label" -> (SimOps.topPairsWithinLabel(20)(_, _)),
     "emb_lsh_buckets" -> (SimOps.lshBuckets(_, _)),
     "emb_lsh_topk" -> (SimOps.lshTopK(0L, 10)(_, _)),
+    "emb_lsh_topk_part" -> (SimOps.lshTopKPartitioned(0L, 10)(_, _)),
     // -- multimodal binary columns
     "mm_meta" -> (MultimodalOps.mmMeta(_, _)),
     "mm_chunk_hash" -> (MultimodalOps.mmChunkHashes(_, _)),
@@ -100,11 +103,13 @@ object SparkEntry {
     // same SQL as the flat-path query
     "pc_srect_grid" -> PcQueries.rectSql(PcQueries.sRect),
     "pc_sample_quad" -> PcQueries.sampleSql(0.01),
+    "pc_knn_grid" -> PcQueries.knnSql(1000, 250.0),
     "doc_stats" -> TextOps.docStatsSql,
     "doc_quality" -> TextOps.docQualitySql,
     "doc_langid" -> TextOps.docLangIdSql,
     "doc_fingerprint" -> TextOps.docFingerprintSql,
     "doc_top_terms" -> TextOps.topTermsSql(25),
+    "doc_top_terms_salted" -> TextOps.topTermsSql(25), // salted == plain, by construction
     "doc_vocab" -> TextOps.vocabSql,
     "doc_exact_dedup" -> TextOps.exactDedupSql,
     "doc_ngram_pairs" -> TextOps.ngramJaccardPairsSql(0.8),
@@ -117,6 +122,7 @@ object SparkEntry {
     "emb_top_pairs_label" -> SimOps.topPairsWithinLabelSql(20),
     "emb_lsh_buckets" -> SimOps.lshBucketsSql,
     "emb_lsh_topk" -> SimOps.lshTopKSql(0L, 10),
+    "emb_lsh_topk_part" -> SimOps.lshTopKSql(0L, 10), // layout is result-invariant
     "mm_meta" -> MultimodalOps.mmMetaSql,
     "mm_chunk_hash" -> MultimodalOps.mmChunkHashesSql,
     "mm_features" -> MultimodalOps.mmFeaturesSql,

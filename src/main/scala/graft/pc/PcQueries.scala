@@ -143,6 +143,21 @@ object PcQueries {
     summarize(spark.read.parquet(layoutPath(spark, dir, "grid"))
       .filter(boxPredicate(box)))
 
+  /** k-NN on the grid layout: the bbox prefilter prunes row groups via
+    * the clustered (x,y) stats before the top-k heap. Same oracle as the
+    * flat-path k-NN. */
+  def knnOnGrid(k: Int, r: Double)(spark: SparkSession, dir: String): DataFrame = {
+    val (cx, cy) = knnAt
+    val bbox = Aabb.xy(cx - r, cy - r, cx + r, cy + r)
+    spark.read.parquet(layoutPath(spark, dir, "grid"))
+      .filter(boxPredicate(bbox))
+      .withColumn("d2",
+        (col("x") - cx) * (col("x") - cx) + (col("y") - cy) * (col("y") - cy))
+      .select("pid", "d2")
+      .orderBy(col("d2").asc, col("pid").asc)
+      .limit(k)
+  }
+
   /** Importance sampling on the quadtree LoD layout: same oracle as the
     * flat sample — the LoD pyramid only helps pruning, never results. */
   def sampleOnQuadtree(p: Double)(spark: SparkSession, dir: String): DataFrame =

@@ -170,6 +170,37 @@ object SimOps {
       .limit(k)
   }
 
+  // ---- materialized ANN layout: partition pruning on the bucket -------
+
+  private val annLayoutCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Embeddings written `partitionBy(bucket)` — the at-scale ANN layout:
+    * a query reads ONLY its bucket's directory (partition pruning), the
+    * file-source analog of a vector index's inverted lists. */
+  private def annLayoutPath(spark: SparkSession, dir: String): String =
+    annLayoutCache.computeIfAbsent(dir, { _ =>
+      val path = java.nio.file.Files.createTempDirectory("graft_ann_layout").toString
+      embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"), bucketCol(col("embedding")).as("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(path)
+      path
+    })
+
+  /** LSH top-k against the bucket-partitioned layout: same results as
+    * [[lshTopK]] (same oracle), but the scan is partition-pruned to the
+    * query's bucket instead of recomputing signatures over everything. */
+  def lshTopKPartitioned(queryId: Long, k: Int)(
+      spark: SparkSession, dir: String): DataFrame = {
+    val table = spark.read.parquet(annLayoutPath(spark, dir))
+    val q = table.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qe"), col("bucket").as("qb"))
+    table.join(broadcast(q), col("bucket") === col("qb"))
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), round(dot(col("embedding"), col("qe")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   def lshTopKSql(queryId: Long, k: Int): String =
     s"""WITH e AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
        | q AS (SELECT embedding AS qe, bucket AS qb FROM e WHERE vec_id = $queryId)

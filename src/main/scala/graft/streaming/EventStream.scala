@@ -45,6 +45,19 @@ object EventStream {
       .select(col("session_window.start").as("sess_start"), col("user_id"),
         col("n_events"), col("cents"))
 
+  /** Streaming exact dedup: keep the first record per key across
+    * micro-batches (stateful `dropDuplicates`; with a watermark the key
+    * state expires, bounding memory — the online twin of the batch
+    * exact-dedup operator). `keyCols` is typically a content fingerprint
+    * like md5(text). */
+  def streamingDedup(records: DataFrame, keyCols: Seq[String],
+      eventTimeCol: Option[String] = None, watermark: String = "2 hours"): DataFrame =
+    eventTimeCol match {
+      case Some(t) => records.withWatermark(t, watermark)
+        .dropDuplicates(keyCols :+ t)
+      case None => records.dropDuplicates(keyCols)
+    }
+
   /** Custom keyed state via mapGroupsWithState: running per-user event
     * count + cents total, emitted once per micro-batch — the shape used
     * for feature backfills and online counters. */

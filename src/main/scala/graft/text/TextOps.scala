@@ -215,6 +215,23 @@ object TextOps {
        | FROM (SELECT unnest(string_split(text,' ')) AS term FROM documents)
        | GROUP BY 1 ORDER BY tf DESC, term ASC LIMIT $k""".stripMargin.replace("\n", " ")
 
+  /** Skew-proof top-k terms: two-phase salted aggregation. Term
+    * frequencies are zipfian, so a single groupBy("term") sends every
+    * occurrence of a hot term to one reducer; salting first aggregates
+    * (term, hash%S) partials — bounded fan-in per reducer regardless of
+    * skew — then merges the S partials per term. Identical result to
+    * [[topTerms]] (same oracle). */
+  def topTermsSalted(k: Int, salts: Int = 16)(
+      spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), explode(words).as("term"))
+      .groupBy(col("term"), (col("doc_id") % salts).as("salt"))
+      .agg(count(lit(1)).as("ptf"))
+      .groupBy("term")
+      .agg(sum(col("ptf")).as("tf"))
+      .orderBy(col("tf").desc, col("term").asc)
+      .limit(k)
+
   /** Corpus vocabulary size + totals: exact DISTINCT over the exploded
     * term relation (two-phase distinct aggregation at scale). */
   def vocab(spark: SparkSession, dir: String): DataFrame =

@@ -48,6 +48,28 @@ class StreamingSpec extends SparkSpec {
     assert(total == eventsBatch.count())
   }
 
+  test("streaming dedup keeps exactly one record per fingerprint across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("rec_id", "fp")
+    val ckpt = Files.createTempDirectory("dedup_ckpt").toString
+    val q = EventStream.streamingDedup(df, Seq("fp")).writeStream
+      .format("memory").queryName("dedup_sink").outputMode("append")
+      .option("checkpointLocation", ckpt).start()
+    mem.addData(Seq((1L, "a"), (2L, "b"), (3L, "a")))
+    q.processAllAvailable()
+    mem.addData(Seq((4L, "b"), (5L, "c"), (6L, "a")))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup_sink").collect()
+    assert(out.length == 3, s"expected 3 unique fps, got ${out.toSeq}")
+    assert(out.map(_.getString(1)).toSet == Set("a", "b", "c"))
+    // first-wins: the surviving rec_ids are the first occurrences
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 2L, 5L))
+  }
+
   test("mapGroupsWithState running totals equal the batch totals") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
