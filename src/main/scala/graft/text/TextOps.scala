@@ -169,8 +169,12 @@ object TextOps {
     * shuffle keys, and the oracle computes the identical hash so results
     * agree bit-for-bit even in the (vanishing) collision case. */
   def ngramJaccardPairs(tau: Double)(spark: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint: the shingle relation feeds three consumers (both
+    // join sides + the per-doc count table); materializing it once cuts
+    // the explode+md5 work to a single pass (lazy: computed at first use)
     val sh = shingles(spark, dir).select(col("doc_id"),
       conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
+      .localCheckpoint(false)
     val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
