@@ -66,6 +66,8 @@ object SparkEntry {
     "emb_lsh_buckets" -> (SimOps.lshBuckets(_, _)),
     "emb_lsh_topk" -> (SimOps.lshTopK(0L, 10)(_, _)),
     "emb_lsh_topk_part" -> (SimOps.lshTopKPartitioned(0L, 10)(_, _)),
+    "emb_lsh_topk_mp" -> (SimOps.lshTopKMultiProbe(0L, 10)(_, _)),
+    "dedup_crosscheck" -> (Sketches.crossCheckPairs(_, _)),
     // -- multimodal binary columns
     "mm_meta" -> (MultimodalOps.mmMeta(_, _)),
     "mm_chunk_hash" -> (MultimodalOps.mmChunkHashes(_, _)),
@@ -123,6 +125,8 @@ object SparkEntry {
     "emb_lsh_buckets" -> SimOps.lshBucketsSql,
     "emb_lsh_topk" -> SimOps.lshTopKSql(0L, 10),
     "emb_lsh_topk_part" -> SimOps.lshTopKSql(0L, 10), // layout is result-invariant
+    "emb_lsh_topk_mp" -> SimOps.lshTopKMultiProbeSql(0L, 10),
+    "dedup_crosscheck" -> Sketches.crossCheckPairsSql,
     "mm_meta" -> MultimodalOps.mmMetaSql,
     "mm_chunk_hash" -> MultimodalOps.mmChunkHashesSql,
     "mm_features" -> MultimodalOps.mmFeaturesSql,

@@ -207,4 +207,29 @@ object SimOps {
        | SELECT vec_id, round(${dotSql("embedding", "qe")}, 6) AS sim
        | FROM e, q WHERE bucket = qb AND vec_id != $queryId
        | ORDER BY sim DESC, vec_id ASC LIMIT $k""".stripMargin.replace("\n", " ")
+
+  /** Multi-probe LSH top-k: candidates from the query's bucket AND every
+    * bucket at Hamming distance 1 (flip one hyperplane sign) — the
+    * standard recall knob. Candidate filter is a 1-row broadcast
+    * condition, so the scan still streams with no shuffle. */
+  def lshTopKMultiProbe(queryId: Long, k: Int)(
+      spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), bucketCol(col("embedding")).as("bucket"))
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qe"), col("bucket").as("qb"))
+    e.join(broadcast(q),
+        bit_count(col("bucket").bitwiseXOR(col("qb"))) <= 1)
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), round(dot(col("embedding"), col("qe")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  def lshTopKMultiProbeSql(queryId: Long, k: Int): String =
+    s"""WITH e AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+       | q AS (SELECT embedding AS qe, bucket AS qb FROM e WHERE vec_id = $queryId)
+       | SELECT vec_id, round(${dotSql("embedding", "qe")}, 6) AS sim
+       | FROM e, q WHERE bit_count(xor(bucket, qb)) <= 1 AND vec_id != $queryId
+       | ORDER BY sim DESC, vec_id ASC LIMIT $k""".stripMargin.replace("\n", " ")
 }

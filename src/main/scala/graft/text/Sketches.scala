@@ -155,6 +155,32 @@ object Sketches {
       .orderBy("d1", "d2")
   }
 
+  /** Cross-modal dedup verification: MinHash-LSH candidate pairs
+    * re-scored with the documents' embedding cosine (doc_id == vec_id in
+    * the testdata) — the text-sketch recall stage feeding a dense-vector
+    * precision stage, each side a broadcast-friendly equi-join. */
+  def crossCheckPairs(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLshPairs(spark, dir)
+    val emb = graft.sim.SimOps.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    pairs
+      .join(emb.as("ea"), col("d1") === col("ea.vec_id"))
+      .join(emb.as("eb"), col("d2") === col("eb.vec_id"))
+      .select(col("d1"), col("d2"), col("n_bands"),
+        round(graft.sim.SimOps.dot(col("ea.embedding"), col("eb.embedding")), 6)
+          .as("cosine"))
+      .orderBy("d1", "d2")
+  }
+
+  val crossCheckPairsSql: String = {
+    val dot = s"list_sum(list_transform(range(1, 65), i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))"
+    s"""WITH pairs AS ($minhashLshPairsSql)
+       | SELECT d1, d2, n_bands, round($dot, 6) AS cosine
+       | FROM pairs JOIN embeddings ea ON d1 = ea.vec_id
+       |  JOIN embeddings eb ON d2 = eb.vec_id
+       | ORDER BY d1, d2""".stripMargin.replace("\n", " ")
+  }
+
   def simhashPairsSql(maxDist: Int): String =
     s"""WITH sig AS ($simhashSql)
        | SELECT a.doc_id AS d1, b.doc_id AS d2,
