@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.pc.{Layout, Points}
+import graft.sources.las.LasConvert
+
+/** Command-line surface mirroring the reference's `pc-cli`
+  * (benchmark | convert | merge | partition — pc-cli/src/main.rs), so a
+  * user of the reference CLI has a 1:1 entry point here:
+  *
+  *   sbt "runMain graft.Cli benchmark"
+  *   sbt "runMain graft.Cli convert  <las-in> <parquet-out> [seed]"
+  *   sbt "runMain graft.Cli merge    <parquet-in> <parquet-out> [rows-per-group]"
+  *   sbt "runMain graft.Cli partition <parquet-in> <parquet-out> [grid|quadtree] [sigma]"
+  *
+  * `partition`/`merge` operate on any parquet with x/y(/i) columns;
+  * `benchmark` delegates to [[Bench]] (env-configured).
+  */
+object Cli {
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "benchmark" :: Nil =>
+      Bench.main(Array.empty)
+
+    case "convert" :: in :: out :: rest =>
+      val spark = session()
+      val seed = rest.headOption.map(_.toLong).getOrElse(42L)
+      LasConvert.toParquet(spark, in, out, seed)
+      println(s"converted $in -> $out (importance seed $seed)")
+      spark.stop()
+
+    case "merge" :: in :: out :: rest =>
+      val spark = session()
+      val df = spark.read.parquet(in)
+      val rows = rest.headOption.map(_.toLong).getOrElse(Layout.BatchSize)
+      val n = df.count()
+      val cluster = Seq("x", "y").filter(df.columns.contains)
+      if (cluster.nonEmpty) Layout.compact(spark, in, out, cluster, n, rows)
+      else df.coalesce(math.max(1L, n / rows).toInt)
+        .write.mode("overwrite").option("maxRecordsPerFile", rows).parquet(out)
+      println(s"merged $in ($n rows) -> $out")
+      spark.stop()
+
+    case "partition" :: in :: out :: rest =>
+      val spark = session()
+      val method = rest.headOption.getOrElse("grid")
+      val df0 = spark.read.parquet(in)
+      val df = if (df0.columns.contains("i")) df0 else Points.withImportance(df0)
+      method match {
+        case "grid" =>
+          val sigma = rest.drop(1).headOption.map(_.toInt).getOrElse(8)
+          val geo = Layout.writeGrid(df, out, sigma)
+          println(s"grid($sigma) layout at $out, cell edge ${geo.cellEdge}")
+        case "quadtree" =>
+          val geo = Layout.writeQuadtree(df, out)
+          println(s"quadtree layout at $out, depth ${geo.depth}")
+        case other => sys.error(s"unknown partition method: $other")
+      }
+      spark.stop()
+
+    case _ =>
+      System.err.println(
+        "usage: graft.Cli benchmark | convert <las> <out> [seed] | " +
+          "merge <in> <out> [rows] | partition <in> <out> [grid|quadtree] [sigma]")
+      sys.exit(2)
+  }
+}

@@ -72,6 +72,9 @@ object Sketches {
             concat_ws(":", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("bkey"))
         }: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      // one materialization feeds both self-join sides (shingle scan +
+      // signature aggregation would otherwise run twice)
+      .localCheckpoint(false)
     bandRows.as("a").join(bandRows.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
