@@ -47,29 +47,36 @@ object TextOps {
        | CAST(length(text) AS BIGINT) AS n_chars_m
        | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
-  /** Quality score in [0,1]: mix of stopword ratio, lexical diversity and
-    * a saturating length credit — the standard cheap heuristics used to
-    * filter web-scraped training text. One double op chain, identical
-    * shape in the oracle, rounded to 6 dp for hash stability. */
+  /** Quality score in parts-per-million of [0,1]: mix of stopword ratio
+    * (30%), lexical diversity (50%) and a saturating length credit (20%)
+    * — the standard cheap heuristics used to filter web-scraped training
+    * text. ALL-INTEGER arithmetic (floor division): float `round()` is
+    * engine-dependent at half-boundary values (Spark rounds the exact
+    * binary expansion, DuckDB the shortest decimal repr — they disagree
+    * on e.g. 0.36391249999999997), so exactness requires never leaving
+    * the integers. */
   def docQuality(spark: SparkSession, dir: String): DataFrame = {
     val nTok = size(words).cast(LongType)
     val nStop = size(filter(words, w => w.isin(Stopwords: _*))).cast(LongType)
     val nDist = size(array_distinct(words)).cast(LongType)
-    val stopR = nStop.cast("double") / nTok.cast("double")
-    val distR = nDist.cast("double") / nTok.cast("double")
-    val lenS = least(length(col("text")).cast(LongType), lit(500L)).cast("double") / 500.0
-    docs(spark, dir).select(
-      col("doc_id"),
-      round(stopR * 0.3 + distR * 0.5 + lenS * 0.2, 6).as("quality"))
+    docs(spark, dir)
+      .select(col("doc_id"), nTok.as("nt"), nStop.as("ns"), nDist.as("nd"),
+        least(length(col("text")).cast(LongType), lit(500L)).as("nc"))
+      .select(col("doc_id"),
+        (expr("(ns * 300000) div nt") + expr("(nd * 500000) div nt") +
+          col("nc") * 400L).as("quality_ppm"))
       .orderBy("doc_id")
   }
 
   val docQualitySql: String =
-    s"""SELECT doc_id, round(
-       | (CAST(len(list_filter(string_split(text,' '), w -> w IN (${Stopwords.map(s => s"'$s'").mkString(",")}))) AS DOUBLE) / CAST(len(string_split(text,' ')) AS DOUBLE)) * 0.3
-       | + (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / CAST(len(string_split(text,' ')) AS DOUBLE)) * 0.5
-       | + (CAST(least(length(text), 500) AS DOUBLE) / 500.0) * 0.2, 6) AS quality
-       | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")
+    s"""SELECT doc_id,
+       | (ns * 300000) // nt + (nd * 500000) // nt + nc * 400 AS quality_ppm
+       | FROM (SELECT doc_id,
+       |  CAST(len(string_split(text,' ')) AS BIGINT) AS nt,
+       |  CAST(len(list_filter(string_split(text,' '), w -> w IN (${Stopwords.map(s => s"'$s'").mkString(",")}))) AS BIGINT) AS ns,
+       |  CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS nd,
+       |  CAST(least(length(text), 500) AS BIGINT) AS nc
+       | FROM documents) ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
   // ---- language identification (marker-token heuristic) ----------------
 
