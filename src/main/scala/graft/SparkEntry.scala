@@ -80,6 +80,10 @@ object SparkEntry {
     "events_asof_join" -> (EventOps.asOfJoin(_, _)),
     // -- relational star-join surface (joins/keyed aggs; broadcast dims)
     "rel_pricing_summary" -> (RelQueries.pricingSummary(_, _)),
+    "rel_rollup" -> (RelQueries.rollupSummary(_, _)),
+    // sketch aggregates: no SQL oracle (engine-specific sketches) =>
+    // driver records the weaker rows-only check, spec bounds the error
+    "events_approx" -> (EventOps.approxStats(_, _)),
     "rel_top_orders" -> (RelQueries.topOrders(_, _)),
     "rel_nation_revenue" -> (RelQueries.nationRevenue(_, _)),
   )
@@ -136,6 +140,7 @@ object SparkEntry {
     "events_top_by_type" -> EventOps.topByTypeSql,
     "events_asof_join" -> EventOps.asOfJoinSql,
     "rel_pricing_summary" -> RelQueries.pricingSummarySql,
+    "rel_rollup" -> RelQueries.rollupSummarySql,
     "rel_top_orders" -> RelQueries.topOrdersSql,
     "rel_nation_revenue" -> RelQueries.nationRevenueSql,
   )

@@ -83,6 +83,20 @@ object EventOps {
       | count(*) AS cnt, count(DISTINCT event_type) AS n_types
       | FROM events GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")
 
+  /** Sketch aggregates: approximate distinct users + value percentiles —
+    * the HLL/quantile-sketch surface for dashboards over 100 TB where
+    * exactness doesn't pay. No DuckDB oracle (sketch internals differ by
+    * engine); the driver applies its rows>0 check, and the spec bounds
+    * the estimate against the exact count. */
+  def approxStats(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        count_distinct(col("user_id")).as("exact_users"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_value"))
+      .orderBy("event_type")
+
   /** As-of join: each `purchase` event paired with the user's most recent
     * `click` at-or-before it. Implemented the scalable way — NOT a range
     * join: union both sides, one shuffle on user_id, then a running

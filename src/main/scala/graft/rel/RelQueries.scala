@@ -48,6 +48,31 @@ object RelQueries {
       | FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
       | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " ")
 
+  /** ROLLUP pricing summary: hierarchical totals (flag × status → flag →
+    * grand total) in one pass — grouping-sets surface the reference lacks
+    * entirely. `grouping_id` disambiguates rollup rows; keys coalesce to
+    * '(all)' so the output is null-free for stable hashing. */
+  def rollupSummary(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("cnt"),
+        sum(cents("l_extendedprice")).as("sum_base_cents"))
+      .select(
+        coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+        col("gid"), col("cnt"), col("sum_base_cents"))
+      .orderBy("gid", "rf", "ls")
+
+  val rollupSummarySql: String =
+    """SELECT coalesce(l_returnflag, '(all)') AS rf,
+      | coalesce(l_linestatus, '(all)') AS ls,
+      | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      | count(*) AS cnt,
+      | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents
+      | FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      | ORDER BY gid, rf, ls""".stripMargin.replace("\n", " ")
+
   /** TPC-H Q3-shaped shipping priority: broadcast the filtered customer
     * dimension, shuffle-join orders⋈lineitem, top-10 revenue orders
     * (TakeOrderedAndProject — no global sort). */

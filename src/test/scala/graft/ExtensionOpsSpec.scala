@@ -100,6 +100,17 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(total == direct)
   }
 
+  test("approx sketch aggregates land within their error bounds") {
+    val rows = EventOps.approxStats(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact < 0.1,
+        s"${r.getString(0)}: approx $approx vs exact $exact")
+    }
+  }
+
   test("language id predicts a language for every document") {
     val rows = TextOps.docLangId(spark, sf001).collect()
     assert(rows.length == 500)
