@@ -43,9 +43,15 @@ class LayoutSpec extends SparkSpec {
   }
 
   test("partition invariance: same query result on flat, grid, quadtree layouts") {
+    val rnd = new scala.util.Random(76) // seeded like the reference workload
+    val randomBoxes = Seq.fill(5) {
+      val x0 = rnd.nextDouble() * 900; val y0 = rnd.nextDouble() * 900
+      val e = 10.0 + rnd.nextDouble() * 300
+      Aabb.xy(x0, y0, x0 + e, y0 + e)
+    }
     val queries = Seq(
       PcQueries.sRect, PcQueries.mRect,
-      Aabb.xyi(250.0, 500.0, 5.0 / 21.0, 500.0, 750.0, 1.0))
+      Aabb.xyi(250.0, 500.0, 5.0 / 21.0, 500.0, 750.0, 1.0)) ++ randomBoxes
     for (box <- queries) {
       val flat = rectCount(spark.read.parquet(flatPath), box)
       val grid = rectCount(spark.read.parquet(gridPath), box)
