@@ -138,9 +138,13 @@ object Aabb {
     val numBatches = math.max(1L, count / batchSize)
     val size = math.round(math.sqrt(bounds.area / (numBatches.toDouble / sigma))).toDouble
     val acc = 8.0 / math.sqrt(sigma.toDouble)
+    // floor (not round), matching the reference's integer truncation and
+    // Layout.gridGeometry — for sigma=8, 8/sqrt(8)=2.83 must give 2 splits
+    // per axis, so the enumerated cells equal what the layout writer emits
+    val splits = math.max(1, math.floor(acc).toInt)
     val windows = gridCoverage(bounds, Seq(acc * size, acc * size))
     val cells = windows.flatMap { w =>
-      w.withImportance(0.0, 1.0).split(Seq(acc.round.toInt, acc.round.toInt, sigma))
+      w.withImportance(0.0, 1.0).split(Seq(splits, splits, sigma))
     }
     (cells, size)
   }

@@ -76,9 +76,13 @@ case class FloatVecDot(left: Expression, right: Expression)
 object FloatVecDot {
   /** Register `fvec_dot` in the session's function registry (idempotent);
     * callable via `functions.call_function("fvec_dot", a, b)`. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "fvec_dot",
-      (exprs: Seq[Expression]) => FloatVecDot(exprs.head, exprs(1)),
-      "internal")
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    val id = org.apache.spark.sql.catalyst.FunctionIdentifier("fvec_dot")
+    if (!registry.functionExists(id)) // skip the "replaced" WARN per call
+      registry.createOrReplaceTempFunction(
+        "fvec_dot",
+        (exprs: Seq[Expression]) => FloatVecDot(exprs.head, exprs(1)),
+        "internal")
+  }
 }

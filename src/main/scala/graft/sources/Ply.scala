@@ -223,7 +223,9 @@ object Ply {
               case ByteType => bb.put(r.getByte(i))
               case ShortType => bb.putShort(r.getShort(i))
               case IntegerType => bb.putInt(r.getInt(i))
-              case LongType => bb.putInt(r.getLong(i).toInt)
+              case LongType => // clamp (not wrap) to int32 — PLY has no int64
+                val v = r.getLong(i)
+                bb.putInt(math.max(Int.MinValue.toLong, math.min(Int.MaxValue.toLong, v)).toInt)
               case FloatType => bb.putFloat(r.getFloat(i))
               case DoubleType => bb.putDouble(r.getDouble(i))
               case _ => throw new IllegalStateException

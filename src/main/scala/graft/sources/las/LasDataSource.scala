@@ -14,7 +14,30 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Hadoop-conf plumbing: the source must honor `spark.hadoop.*` settings
+  * (custom filesystems, credentials) like any built-in file source.
+  * Driver side we take the session's conf; executor side the reader gets
+  * a serialized snapshot (Configuration itself isn't serializable). */
+object LasHadoopConf {
+  /** The active session's hadoop configuration, or a bare default when no
+    * session exists (driver-side tools/tests outside Spark). */
+  def sessionConf(): Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  def snapshot(conf: Configuration): Array[(String, String)] =
+    conf.iterator().asScala.map(e => e.getKey -> e.getValue).toArray
+
+  def restore(entries: Array[(String, String)]): Configuration = {
+    val conf = new Configuration(false)
+    entries.foreach { case (k, v) => conf.set(k, v) }
+    conf
+  }
+}
 
 /** Spark DSv2 source for LAS point clouds — the faithful port of the
   * reference's custom provider (pc-io/src/las/source.rs:34-138,
@@ -37,7 +60,7 @@ class LasDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "las"
 
   private def filesFor(options: CaseInsensitiveStringMap): Seq[String] = {
-    val conf = new Configuration()
+    val conf = LasHadoopConf.sessionConf()
     val raw = Option(options.get("path")).toSeq ++
       Option(options.get("paths")).toSeq.flatMap(_.split(","))
     raw.flatMap { s =>
@@ -54,7 +77,7 @@ class LasDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val files = filesFor(options)
     require(files.nonEmpty, "las source: no input files")
-    val conf = new Configuration()
+    val conf = LasHadoopConf.sessionConf()
     val fmts = files.map(f => LasFormat.readHeader(conf, f).pointFormat)
     // lowest common format wins (format 0 fields are a prefix of 1)
     LasFormat.schemaFor(fmts.min)
@@ -150,7 +173,7 @@ class LasScan(fullSchema: StructType, required: StructType,
   override def readSchema(): StructType = required
 
   private lazy val headers: Seq[(String, LasFormat.LasHeader)] = {
-    val conf = new Configuration()
+    val conf = LasHadoopConf.sessionConf()
     files.map(f => f -> LasFormat.readHeader(conf, f))
   }
 
@@ -172,7 +195,8 @@ class LasScan(fullSchema: StructType, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new LasReaderFactory(
-      required.fieldNames.map(n => fullSchema.fieldIndex(n)))
+      required.fieldNames.map(n => fullSchema.fieldIndex(n)),
+      LasHadoopConf.snapshot(LasHadoopConf.sessionConf()))
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong =
@@ -184,11 +208,12 @@ class LasScan(fullSchema: StructType, required: StructType,
   override def toBatch: Batch = this
 }
 
-class LasReaderFactory(fieldIdx: Array[Int]) extends PartitionReaderFactory {
+class LasReaderFactory(fieldIdx: Array[Int],
+    confEntries: Array[(String, String)]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[LasInputPartition]
     new PartitionReader[InternalRow] {
-      private val conf = new Configuration()
+      private val conf = LasHadoopConf.restore(confEntries)
       private val bytes = {
         val path = new Path(p.path)
         val in = path.getFileSystem(conf).open(path)

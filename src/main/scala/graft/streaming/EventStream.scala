@@ -46,15 +46,22 @@ object EventStream {
         col("n_events"), col("cents"))
 
   /** Streaming exact dedup: keep the first record per key across
-    * micro-batches (stateful `dropDuplicates`; with a watermark the key
-    * state expires, bounding memory — the online twin of the batch
-    * exact-dedup operator). `keyCols` is typically a content fingerprint
-    * like md5(text). */
+    * micro-batches — the online twin of the batch exact-dedup operator.
+    * `keyCols` is typically a content fingerprint like md5(text).
+    *
+    * Without an event-time column the state is unbounded (exact global
+    * dedup via stateful `dropDuplicates`). With one, we use
+    * `dropDuplicatesWithinWatermark(keyCols)`: dedup is on the KEY ALONE
+    * (two records with the same fingerprint but different timestamps
+    * collapse to the first), and key state expires once the watermark
+    * passes the first-seen event time, bounding memory — duplicates are
+    * guaranteed dropped when they arrive within the watermark delay of
+    * each other, which is the contract a streaming ingest dedup needs. */
   def streamingDedup(records: DataFrame, keyCols: Seq[String],
       eventTimeCol: Option[String] = None, watermark: String = "2 hours"): DataFrame =
     eventTimeCol match {
       case Some(t) => records.withWatermark(t, watermark)
-        .dropDuplicates(keyCols :+ t)
+        .dropDuplicatesWithinWatermark(keyCols)
       case None => records.dropDuplicates(keyCols)
     }
 

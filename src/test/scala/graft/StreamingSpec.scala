@@ -70,6 +70,33 @@ class StreamingSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSet == Set(1L, 2L, 5L))
   }
 
+  test("watermarked streaming dedup is key-only: same fp, different ts collapses") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val df = mem.toDF().toDF("rec_id", "fp", "event_time")
+    val ckpt = Files.createTempDirectory("dedup_wm_ckpt").toString
+    val q = EventStream
+      .streamingDedup(df, Seq("fp"), eventTimeCol = Some("event_time"))
+      .writeStream
+      .format("memory").queryName("dedup_wm_sink").outputMode("append")
+      .option("checkpointLocation", ckpt).start()
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    // "a" arrives 3x with three DIFFERENT timestamps (all within the
+    // watermark delay) — key-only dedup must keep only the first
+    mem.addData(Seq((1L, "a", ts(0)), (2L, "b", ts(1)), (3L, "a", ts(5))))
+    q.processAllAvailable()
+    mem.addData(Seq((4L, "a", ts(9)), (5L, "c", ts(2))))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup_wm_sink").collect()
+    assert(out.map(_.getString(1)).sorted.toSeq == Seq("a", "b", "c"),
+      s"expected one row per fp, got ${out.toSeq}")
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 2L, 5L),
+      s"first-wins violated: ${out.toSeq}")
+  }
+
   test("mapGroupsWithState running totals equal the batch totals") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
