@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.pc.PcQueries
 import graft.text.{Sketches, TextOps}
-import graft.sim.SimOps
+import graft.sim.{Ivf, SimOps}
 import graft.mm.MultimodalOps
 import graft.events.EventOps
 import graft.rel.RelQueries
@@ -67,6 +67,8 @@ object SparkEntry {
     "emb_lsh_topk" -> (SimOps.lshTopK(0L, 10)(_, _)),
     "emb_lsh_topk_part" -> (SimOps.lshTopKPartitioned(0L, 10)(_, _)),
     "emb_lsh_topk_mp" -> (SimOps.lshTopKMultiProbe(0L, 10)(_, _)),
+    "emb_ivf_assign" -> (Ivf.assign(_, _)),
+    "emb_ivf_topk" -> (Ivf.topK(0L, 10, 2)(_, _)),
     "dedup_crosscheck" -> (Sketches.crossCheckPairs(_, _)),
     // -- multimodal binary columns
     "mm_meta" -> (MultimodalOps.mmMeta(_, _)),
@@ -130,6 +132,8 @@ object SparkEntry {
     "emb_lsh_topk" -> SimOps.lshTopKSql(0L, 10),
     "emb_lsh_topk_part" -> SimOps.lshTopKSql(0L, 10), // layout is result-invariant
     "emb_lsh_topk_mp" -> SimOps.lshTopKMultiProbeSql(0L, 10),
+    "emb_ivf_assign" -> Ivf.assignSql,
+    "emb_ivf_topk" -> Ivf.topKSql(0L, 10, 2),
     "dedup_crosscheck" -> Sketches.crossCheckPairsSql,
     "mm_meta" -> MultimodalOps.mmMetaSql,
     "mm_chunk_hash" -> MultimodalOps.mmChunkHashesSql,

@@ -1,0 +1,175 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** IVF (inverted-file) approximate nearest neighbor: a coarse quantizer
+  * (k-means over the embeddings) splits the corpus into K cells; a query
+  * probes only the `nprobe` nearest cells and scans candidates exactly.
+  * This is the classic trained-centroid ANN scale path that complements
+  * the LSH variant in [[SimOps]] (reference surface: the AGILE lakehouse
+  * has no ANN operator — this belongs to the training-data extension).
+  *
+  * **Determinism contract (oracle-exact across engines).** Lloyd k-means
+  * on doubles is not reproducible across engines (float sums are
+  * order-dependent). We make training exact and order-free instead:
+  *
+  *  - quantize each component to int64: `round((v + 2.0) * 2^20)` — the
+  *    float→double widening, +2.0 shift (vectors are unit-normalized, so
+  *    components are in (-1,1) and the shift makes everything positive)
+  *    and *2^20 are all binary-exact, so both engines round the same
+  *    exact value;
+  *  - seed centroids = the K smallest `vec_id`s (no RNG);
+  *  - assignment = argmin of integer squared L2 distance, ties to the
+  *    lowest cell id;
+  *  - one Lloyd update in integer space: per-dimension `sum / count`
+  *    truncating division on positive int64 == floor division — exact
+  *    and order-free on both engines.
+  *
+  * **Scale design.** Assignment is a single projection: the K centroids
+  * are *literal* arrays baked into one `least(struct(dist, cid), ...)`
+  * expression, so the scan side streams through codegen with NO join and
+  * NO shuffle — at 100 TB this is a map-only pass. The Lloyd update is a
+  * `groupBy(cid)` over K×dim integer sums (map-side partial aggregation;
+  * shuffle carries K rows per partition). Training actions collect only
+  * K×dim longs to the driver. The search probes `nprobe` cells, so the
+  * exact re-scoring touches ~nprobe/K of the data; with the assignment
+  * written `partitionBy(cid)` (see [[SimOps]]'s bucket layout) the
+  * non-probed cells are pruned at the file level.
+  */
+object Ivf {
+
+  val K: Int = 8
+  val Dim: Int = SimOps.Dim
+  val Shift: Double = 2.0
+  val Scale: Double = 1048576.0 // 2^20: binary-exact multiplier
+
+  /** embeddings + the quantized int64 vector `qv`. */
+  def quantized(spark: SparkSession, dir: String): DataFrame =
+    SimOps.embeddings(spark, dir).select(
+      col("vec_id"), col("embedding"),
+      transform(col("embedding"),
+        v => round((v.cast("double") + lit(Shift)) * lit(Scale)).cast(LongType))
+        .as("qv"))
+
+  /** Integer squared-L2 distance from `qv` to a literal centroid. */
+  private def distTo(cv: Array[Long]): Column =
+    aggregate(
+      zip_with(col("qv"), lit(cv), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** `struct(dist, cid)` argmin over literal centroids — ties break to
+    * the lowest cid because `least` compares structs lexicographically. */
+  private def nearest(centroids: Seq[(Long, Array[Long])]): Column =
+    least(centroids.map { case (cid, cv) =>
+      struct(distTo(cv).as("dist"), lit(cid).as("cid"))
+    }: _*)
+
+  /** Deterministic training: seed with the K smallest vec_ids, run one
+    * integer Lloyd step. Returns (cid, centroid) sorted by cid. */
+  def train(q: DataFrame): Seq[(Long, Array[Long])] = {
+    val seeds: Seq[(Long, Array[Long])] =
+      q.orderBy("vec_id").limit(K).select("qv").collect()
+        .zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Long](0).toArray) }.toSeq
+    val sumCols = (1 to Dim).map(j => sum(element_at(col("qv"), j)).as(s"s$j"))
+    val updated = q
+      .withColumn("cid", nearest(seeds).getField("cid"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n"), sumCols: _*)
+      .collect()
+      .map { r =>
+        val n = r.getLong(1)
+        // positive sums: truncating long division == floor division
+        r.getLong(0) -> Array.tabulate(Dim)(j => r.getLong(j + 2) / n)
+      }
+    updated.sortBy(_._1).toSeq
+  }
+
+  /** Per-vector cell assignment after training: (vec_id, cid, dist). */
+  def assign(spark: SparkSession, dir: String): DataFrame = {
+    val q = quantized(spark, dir)
+    val centroids = train(q)
+    val best = nearest(centroids)
+    q.select(col("vec_id"), best.getField("cid").as("cid"),
+        best.getField("dist").as("dist"))
+      .orderBy("vec_id")
+  }
+
+  /** IVF search: probe the `nprobe` cells nearest to `queryId`'s vector,
+    * then exact cosine top-k within the probed cells. */
+  def topK(queryId: Long, k: Int, nprobe: Int)(
+      spark: SparkSession, dir: String): DataFrame = {
+    val q = quantized(spark, dir)
+    val centroids = train(q)
+    val queryQv = q.filter(col("vec_id") === queryId)
+      .select("qv").head().getSeq[Long](0).toArray
+    def qdist(cv: Array[Long]): Long =
+      cv.iterator.zip(queryQv.iterator).map { case (c, x) =>
+        val d = x - c; d * d
+      }.sum
+    val probed = centroids.map { case (cid, cv) => (qdist(cv), cid) }
+      .sorted.take(nprobe).map(_._2)
+    val best = nearest(centroids)
+    val qe = SimOps.embeddings(spark, dir)
+      .filter(col("vec_id") === queryId).select(col("embedding").as("qe"))
+    q.withColumn("cid", best.getField("cid"))
+      .filter(col("cid").isin(probed: _*) && col("vec_id") =!= queryId)
+      .crossJoin(broadcast(qe))
+      .select(col("vec_id"),
+        round(SimOps.dot(col("embedding"), col("qe")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  // ---- DuckDB oracle: the same training chain in SQL -------------------
+
+  /** Shared CTE chain: quantize → seeds → assign → integer Lloyd update
+    * (c1) → final assignment (a1). */
+  private val chainSql: String =
+    s"""q AS (
+       |  SELECT vec_id, list_transform(embedding, v -> CAST(round((CAST(v AS DOUBLE)+$Shift)*$Scale) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |seeds AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, qv AS cv
+       |  FROM q ORDER BY vec_id LIMIT $K),
+       |d0 AS (
+       |  SELECT q.vec_id, q.qv, s.cid,
+       |    CAST(list_sum(list_transform(range(1,${Dim + 1}), i -> (q.qv[i]-s.cv[i])*(q.qv[i]-s.cv[i]))) AS BIGINT) AS dist
+       |  FROM q, seeds s),
+       |a0 AS (
+       |  SELECT vec_id, qv, cid FROM (
+       |    SELECT vec_id, qv, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d0)
+       |  WHERE rn = 1),
+       |c1 AS (
+       |  SELECT cid, list(s ORDER BY i) AS cv FROM (
+       |    SELECT cid, i, CAST(sum(qv[i]) AS BIGINT) // CAST(count(*) AS BIGINT) AS s
+       |    FROM a0, range(1,${Dim + 1}) AS t(i) GROUP BY cid, i)
+       |  GROUP BY cid),
+       |d1 AS (
+       |  SELECT q.vec_id, c.cid,
+       |    CAST(list_sum(list_transform(range(1,${Dim + 1}), i -> (q.qv[i]-c.cv[i])*(q.qv[i]-c.cv[i]))) AS BIGINT) AS dist
+       |  FROM q, c1 c),
+       |a1 AS (
+       |  SELECT vec_id, cid, dist FROM (
+       |    SELECT vec_id, cid, dist, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d1)
+       |  WHERE rn = 1)""".stripMargin
+
+  val assignSql: String =
+    s"WITH $chainSql SELECT vec_id, cid, dist FROM a1 ORDER BY vec_id"
+      .replace("\n", " ")
+
+  def topKSql(queryId: Long, k: Int, nprobe: Int): String =
+    s"""WITH $chainSql,
+       |probes AS (
+       |  SELECT c.cid FROM c1 c, (SELECT qv FROM q WHERE vec_id = $queryId) AS qq
+       |  ORDER BY CAST(list_sum(list_transform(range(1,${Dim + 1}), i -> (qq.qv[i]-c.cv[i])*(qq.qv[i]-c.cv[i]))) AS BIGINT), c.cid
+       |  LIMIT $nprobe)
+       |SELECT e.vec_id,
+       |  round(list_sum(list_transform(range(1,${Dim + 1}), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qe.embedding[i] AS DOUBLE))), 6) AS sim
+       |FROM embeddings e
+       |JOIN a1 ON e.vec_id = a1.vec_id
+       |JOIN (SELECT embedding FROM embeddings WHERE vec_id = $queryId) AS qe ON TRUE
+       |WHERE a1.cid IN (SELECT cid FROM probes) AND e.vec_id != $queryId
+       |ORDER BY sim DESC, e.vec_id ASC LIMIT $k""".stripMargin.replace("\n", " ")
+}

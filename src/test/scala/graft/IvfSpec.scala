@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sim.{Ivf, SimOps}
+
+/** IVF trained-centroid ANN: deterministic integer k-means + probe search. */
+class IvfSpec extends SparkSpec {
+
+  test("assignment is a total partition: every vector in exactly one cell") {
+    val a = Ivf.assign(spark, sf001)
+    val n = SimOps.embeddings(spark, sf001).count()
+    assert(a.count() == n)
+    assert(a.select("vec_id").distinct().count() == n)
+    val cids = a.select("cid").distinct().collect().map(_.getLong(0)).toSet
+    assert(cids.subsetOf((0L until Ivf.K.toLong).toSet))
+    assert(cids.size >= 2, s"degenerate clustering: $cids")
+  }
+
+  test("training is deterministic: two runs give identical centroids") {
+    val q = Ivf.quantized(spark, sf001)
+    val c1 = Ivf.train(q)
+    val c2 = Ivf.train(q)
+    assert(c1.map(_._1) == c2.map(_._1))
+    c1.zip(c2).foreach { case ((_, a), (_, b)) => assert(a.sameElements(b)) }
+  }
+
+  test("lloyd update reduces (or keeps) total quantization error") {
+    val q = Ivf.quantized(spark, sf001)
+    val seeds = q.orderBy("vec_id").limit(Ivf.K).select("qv").collect()
+      .zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Long](0).toArray) }.toSeq
+    def totalDist(centroids: Seq[(Long, Array[Long])]): Double = {
+      val rows = q.select("qv").collect().map(_.getSeq[Long](0).toArray)
+      rows.map { v =>
+        centroids.map { case (_, c) =>
+          v.zip(c).map { case (x, y) => val d = x - y; (d * d).toDouble }.sum
+        }.min
+      }.sum
+    }
+    assert(totalDist(Ivf.train(q)) <= totalDist(seeds))
+  }
+
+  test("probe search reaches decent recall vs brute force and full-probe is exact") {
+    val bf = SimOps.topK(0L, 10)(spark, sf001)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val ivf2 = Ivf.topK(0L, 10, 2)(spark, sf001)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert((bf & ivf2).size >= 7, s"nprobe=2 recall too low: ${(bf & ivf2).size}/10")
+    // probing every cell degenerates to exact brute force
+    val ivfAll = Ivf.topK(0L, 10, Ivf.K)(spark, sf001)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ivfAll == bf)
+  }
+
+  test("assignment plan is map-only: no shuffle before the final sort") {
+    val q = Ivf.quantized(spark, sf001)
+    val centroids = Ivf.train(q)
+    // the per-row argmin itself (what runs at 100 TB) must be a projection
+    val assigned = q.select(col("vec_id"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"quantize+argmin should not shuffle:\n$plan")
+    assert(centroids.size == Ivf.K)
+  }
+}
