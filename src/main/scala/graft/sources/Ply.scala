@@ -19,9 +19,12 @@ import graft.pc.PcSchema
   * clouds live in Parquet; PLY exists for viz import/export parity.
   *
   * Supported: ascii / binary_little_endian / binary_big_endian formats,
-  * scalar vertex properties of the 8 PLY numeric types, arbitrary extra
-  * elements (skipped). Unsigned types widen like the LAS mapping
-  * (SURVEY.md §1.4): uchar→Short, ushort→Int, uint→Long.
+  * scalar vertex properties of the 8 PLY numeric types, `property list`
+  * columns (→ Spark ArrayType — e.g. face `vertex_indices`; the
+  * reference engine is scalar-only here), arbitrary extra elements
+  * (skipped, or read explicitly via `readElement`). Unsigned types widen
+  * like the LAS mapping (SURVEY.md §1.4): uchar→Short, ushort→Int,
+  * uint→Long.
   */
 object Ply {
 
@@ -47,9 +50,14 @@ object Ply {
     case other => throw new IllegalArgumentException(s"non-numeric PLY column: $other")
   }
 
-  final case class PlyProperty(name: String, plyType: String) {
-    def sparkType: DataType = typeMap(plyType)._1
+  final case class PlyProperty(name: String, plyType: String,
+      listCountType: Option[String] = None) {
+    def isList: Boolean = listCountType.isDefined
+    def sparkType: DataType =
+      if (isList) ArrayType(typeMap(plyType)._1, containsNull = false)
+      else typeMap(plyType)._1
     def width: Int = typeMap(plyType)._2
+    def countWidth: Int = typeMap(listCountType.get)._2
   }
   final case class PlyElement(name: String, count: Long, props: Seq[PlyProperty])
   final case class PlyHeader(format: String, elements: Seq[PlyElement])
@@ -75,9 +83,12 @@ object Ply {
         case Seq("comment", _*) | Seq("obj_info", _*) => ()
         case Seq("element", name, n) =>
           elements += PlyElement(name, n.toLong, Vector.empty)
-        case Seq("property", "list", _, _, _) =>
-          throw new IllegalArgumentException(
-            s"list properties are not supported (element `${elements.last.name}`)")
+        case Seq("property", "list", ct, vt, name) =>
+          require(typeMap.contains(ct) && typeMap.contains(vt),
+            s"unknown PLY list types: $ct $vt")
+          val last = elements.last
+          elements(elements.size - 1) =
+            last.copy(props = last.props :+ PlyProperty(name, vt, Some(ct)))
         case Seq("property", t, name) =>
           require(typeMap.contains(t), s"unknown PLY type: $t")
           val last = elements.last
@@ -94,6 +105,7 @@ object Ply {
   private def schemaOf(el: PlyElement): StructType = StructType(el.props.map { p =>
     val base = StructField(p.name, p.sparkType, nullable = false)
     p.name match {
+      case _ if p.isList => base
       case "x" => PcSchema.dimensionField("x", p.sparkType, 1, location = true)
       case "y" => PcSchema.dimensionField("y", p.sparkType, 2, location = true)
       case "z" => PcSchema.dimensionField("z", p.sparkType, 3, location = true)
@@ -102,17 +114,7 @@ object Ply {
     }
   })
 
-  private def parseAsciiValue(p: PlyProperty, tok: String): Any = p.sparkType match {
-    case ByteType => tok.toByte
-    case ShortType => tok.toShort
-    case IntegerType => tok.toInt
-    case LongType => tok.toLong
-    case FloatType => tok.toFloat
-    case DoubleType => tok.toDouble
-    case _ => throw new IllegalStateException
-  }
-
-  private def readBinaryValue(p: PlyProperty, bb: ByteBuffer): Any = p.plyType match {
+  private def readBinaryScalar(plyType: String, bb: ByteBuffer): Any = plyType match {
     case "char" | "int8" => bb.get()
     case "uchar" | "uint8" => (bb.get() & 0xff).toShort
     case "short" | "int16" => bb.getShort
@@ -123,10 +125,34 @@ object Ply {
     case "double" | "float64" => bb.getDouble
   }
 
+  private def asCount(v: Any): Int = v match {
+    case b: Byte => b.toInt
+    case s: Short => s.toInt
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(s"bad list count: $other")
+  }
+
   /** Read a PLY file's `vertex` element into a DataFrame with PC:*
     * metadata on x/y/z(/i). Elements before `vertex` are consumed and
     * skipped; elements after are ignored. */
-  def read(spark: SparkSession, path: String): DataFrame = {
+  def read(spark: SparkSession, path: String): DataFrame =
+    readElement(spark, path, "vertex")
+
+  private def parseAsciiScalar(plyType: String, tok: String): Any =
+    typeMap(plyType)._1 match {
+      case ByteType => tok.toByte
+      case ShortType => tok.toShort
+      case IntegerType => tok.toInt
+      case LongType => tok.toLong
+      case FloatType => tok.toFloat
+      case DoubleType => tok.toDouble
+      case _ => throw new IllegalStateException
+    }
+
+  /** Read any element (vertex, face, ...) by name; list properties come
+    * back as ArrayType columns (e.g. face `vertex_indices`). */
+  def readElement(spark: SparkSession, path: String, element: String): DataFrame = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = new DataInputStream(new BufferedInputStream(fs.open(p)))
@@ -136,34 +162,45 @@ object Ply {
       val order =
         if (header.format == "binary_big_endian") ByteOrder.BIG_ENDIAN
         else ByteOrder.LITTLE_ENDIAN
+      val scratch = new Array[Byte](8)
+      def binScalar(t: String): Any = {
+        val w = typeMap(t)._2
+        in.readFully(scratch, 0, w)
+        readBinaryScalar(t, ByteBuffer.wrap(scratch, 0, w).order(order))
+      }
       var rows: Seq[Row] = null
       var schema: StructType = null
       header.elements.foreach { el =>
-        val isVertex = el.name == "vertex" && rows == null
-        if (ascii) {
-          val parsed = (0L until el.count).iterator.map { _ =>
+        val isTarget = el.name == element && rows == null
+        val parsed = (0L until el.count).iterator.map { _ =>
+          if (ascii) {
             val toks = readHeaderLine(in).trim.split("\\s+")
-            if (isVertex)
-              Row.fromSeq(el.props.zip(toks).map { case (pr, t) => parseAsciiValue(pr, t) })
-            else null
+            var ti = 0
+            val vals = el.props.map { pr =>
+              if (pr.isList) {
+                val n = asCount(parseAsciiScalar(pr.listCountType.get, toks(ti)))
+                val vs = (1 to n).map(j => parseAsciiScalar(pr.plyType, toks(ti + j)))
+                ti += 1 + n
+                vs
+              } else {
+                val v = parseAsciiScalar(pr.plyType, toks(ti)); ti += 1; v
+              }
+            }
+            if (isTarget) Row.fromSeq(vals) else null
+          } else {
+            val vals = el.props.map { pr =>
+              if (pr.isList) {
+                val n = asCount(binScalar(pr.listCountType.get))
+                (0 until n).map(_ => binScalar(pr.plyType))
+              } else binScalar(pr.plyType)
+            }
+            if (isTarget) Row.fromSeq(vals) else null
           }
-          if (isVertex) { rows = parsed.toVector; schema = schemaOf(el) }
-          else parsed.foreach(_ => ()) // consume + discard
-        } else {
-          val rowBytes = el.props.map(_.width).sum
-          val buf = new Array[Byte](rowBytes)
-          val parsed = (0L until el.count).iterator.map { _ =>
-            in.readFully(buf)
-            if (isVertex) {
-              val bb = ByteBuffer.wrap(buf).order(order)
-              Row.fromSeq(el.props.map(readBinaryValue(_, bb)))
-            } else null
-          }
-          if (isVertex) { rows = parsed.toVector; schema = schemaOf(el) }
-          else parsed.foreach(_ => ())
         }
+        if (isTarget) { rows = parsed.toVector; schema = schemaOf(el) }
+        else parsed.foreach(_ => ()) // consume + discard
       }
-      require(rows != null, s"no `vertex` element in $path")
+      require(rows != null, s"no `$element` element in $path")
       spark.createDataFrame(
         spark.sparkContext.parallelize(rows, math.max(1, rows.size / 524288 + 1)),
         schema)
@@ -192,43 +229,68 @@ object Ply {
       header ++= "ply\n"
       header ++= s"format $format 1.0\n"
       header ++= s"element vertex $n\n"
-      fields.foreach(f => header ++= s"property ${plyTypeOf(f.dataType)} ${f.name}\n")
+      fields.foreach {
+        case StructField(name, ArrayType(et, _), _, _) =>
+          // uchar counts: PLY's conventional list count type (<=255 items)
+          header ++= s"property list uchar ${plyTypeOf(et)} $name\n"
+        case f =>
+          header ++= s"property ${plyTypeOf(f.dataType)} ${f.name}\n"
+      }
       header ++= "end_header\n"
       out.write(header.toString.getBytes(StandardCharsets.US_ASCII))
       val order =
         if (format == "binary_big_endian") ByteOrder.BIG_ENDIAN
         else ByteOrder.LITTLE_ENDIAN
       val it = df.toLocalIterator()
+      def scalarBytes(dt: DataType): Int = dt match {
+        case ByteType => 1
+        case ShortType => 2
+        case IntegerType | LongType | FloatType => 4
+        case DoubleType => 8
+        case other => throw new IllegalArgumentException(other.toString)
+      }
+      def putScalar(bb: ByteBuffer, dt: DataType, v: Any): Unit = dt match {
+        case ByteType => bb.put(v.asInstanceOf[Byte])
+        case ShortType => bb.putShort(v.asInstanceOf[Short])
+        case IntegerType => bb.putInt(v.asInstanceOf[Int])
+        case LongType => // clamp (not wrap) to int32 — PLY has no int64
+          val l = v.asInstanceOf[Long]
+          bb.putInt(math.max(Int.MinValue.toLong, math.min(Int.MaxValue.toLong, l)).toInt)
+        case FloatType => bb.putFloat(v.asInstanceOf[Float])
+        case DoubleType => bb.putDouble(v.asInstanceOf[Double])
+        case _ => throw new IllegalStateException
+      }
       if (format == "ascii") {
         while (it.hasNext) {
           val r = it.next()
-          val line = fields.indices.map(i => fmtAscii(fields(i).dataType, r.get(i)))
-            .mkString("", " ", "\n")
+          val line = fields.indices.map { i =>
+            fields(i).dataType match {
+              case ArrayType(et, _) =>
+                val vs = r.getSeq[Any](i)
+                (vs.size +: vs.map(fmtAscii(et, _))).mkString(" ")
+              case dt => fmtAscii(dt, r.get(i))
+            }
+          }.mkString("", " ", "\n")
           out.write(line.getBytes(StandardCharsets.US_ASCII))
         }
       } else {
-        val rowBytes = fields.map(f => f.dataType match {
-          case ByteType => 1
-          case ShortType => 2
-          case IntegerType | LongType | FloatType => 4
-          case DoubleType => 8
-          case other => throw new IllegalArgumentException(other.toString)
-        }).sum
-        val bb = ByteBuffer.allocate(rowBytes).order(order)
         while (it.hasNext) {
           val r = it.next()
-          bb.clear()
+          val rowBytes = fields.indices.map { i =>
+            fields(i).dataType match {
+              case ArrayType(et, _) => 1 + r.getSeq[Any](i).size * scalarBytes(et)
+              case dt => scalarBytes(dt)
+            }
+          }.sum
+          val bb = ByteBuffer.allocate(rowBytes).order(order)
           fields.indices.foreach { i =>
             fields(i).dataType match {
-              case ByteType => bb.put(r.getByte(i))
-              case ShortType => bb.putShort(r.getShort(i))
-              case IntegerType => bb.putInt(r.getInt(i))
-              case LongType => // clamp (not wrap) to int32 — PLY has no int64
-                val v = r.getLong(i)
-                bb.putInt(math.max(Int.MinValue.toLong, math.min(Int.MaxValue.toLong, v)).toInt)
-              case FloatType => bb.putFloat(r.getFloat(i))
-              case DoubleType => bb.putDouble(r.getDouble(i))
-              case _ => throw new IllegalStateException
+              case ArrayType(et, _) =>
+                val vs = r.getSeq[Any](i)
+                require(vs.size <= 255, s"list longer than uchar count: ${vs.size}")
+                bb.put(vs.size.toByte)
+                vs.foreach(putScalar(bb, et, _))
+              case dt => putScalar(bb, dt, r.get(i))
             }
           }
           out.write(bb.array(), 0, rowBytes)

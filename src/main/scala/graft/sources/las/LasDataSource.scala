@@ -79,8 +79,9 @@ class LasDataSource extends TableProvider with DataSourceRegister {
     require(files.nonEmpty, "las source: no input files")
     val conf = LasHadoopConf.sessionConf()
     val fmts = files.map(f => LasFormat.readHeader(conf, f).pointFormat)
-    // lowest common format wins (format 0 fields are a prefix of 1)
-    LasFormat.schemaFor(fmts.min)
+    // widest schema every input format can serve (gps/rgb only when all
+    // files carry them)
+    LasFormat.commonSchema(fmts)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -195,7 +196,7 @@ class LasScan(fullSchema: StructType, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new LasReaderFactory(
-      required.fieldNames.map(n => fullSchema.fieldIndex(n)),
+      required.fieldNames.map(LasFormat.fieldCode),
       LasHadoopConf.snapshot(LasHadoopConf.sessionConf()))
 
   override def estimateStatistics(): Statistics = new Statistics {
@@ -208,7 +209,7 @@ class LasScan(fullSchema: StructType, required: StructType,
   override def toBatch: Batch = this
 }
 
-class LasReaderFactory(fieldIdx: Array[Int],
+class LasReaderFactory(fieldCodes: Array[Int],
     confEntries: Array[(String, String)]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[LasInputPartition]
@@ -227,13 +228,13 @@ class LasReaderFactory(fieldIdx: Array[Int],
       private val header = LasFormat.LasHeader(p.pointFormat, p.recordLength,
         p.count, 0L, (p.sx, p.sy, p.sz), (p.ox, p.oy, p.oz),
         (0, 0, 0), (0, 0, 0))
-      private val out = new Array[Any](fieldIdx.length)
+      private val out = new Array[Any](fieldCodes.length)
       private var row = -1L
 
       override def next(): Boolean = { row += 1; row < p.count }
 
       override def get(): InternalRow = {
-        LasFormat.decode(bb, (row * p.recordLength).toInt, header, fieldIdx, out)
+        LasFormat.decode(bb, (row * p.recordLength).toInt, header, fieldCodes, out)
         new GenericInternalRow(out.clone())
       }
 

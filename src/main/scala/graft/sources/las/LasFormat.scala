@@ -14,10 +14,12 @@ import graft.pc.PcSchema
   * crate — pc-io/src/las/source.rs:50-138; the byte layout here follows
   * the public ASPRS LAS 1.2 specification).
   *
-  * Supported point formats: 0 (20 bytes) and 1 (format 0 + gps_time f64).
+  * Supported point formats: 0 (20 bytes), 1 (format 0 + gps_time f64),
+  * 2 (format 0 + RGB u16×3) and 3 (format 1 + RGB u16×3).
   * Coordinates resolve as `raw_i32 * scale + offset`; the resolved schema
   * mirrors the reference's `schema_from_header` mapping with unsigned
-  * widening (FIXTURES.md §1): intensity/point_source_id u16→Int, u8→Short.
+  * widening (FIXTURES.md §1): intensity/point_source_id/colors u16→Int,
+  * u8→Short.
   */
 object LasFormat {
 
@@ -48,7 +50,7 @@ object LasFormat {
       val sig = new String(buf, 0, 4, "US-ASCII")
       require(sig == Signature, s"$path is not a LAS file (signature `$sig`)")
       val fmt = bb.get(104) & 0x7f
-      require(fmt <= 1, s"unsupported LAS point format $fmt (only 0/1)")
+      require(fmt <= 3, s"unsupported LAS point format $fmt (only 0-3)")
       require((bb.get(104) & 0x80) == 0, "LAZ (compressed) not supported")
       LasHeader(
         pointFormat = fmt,
@@ -78,18 +80,64 @@ object LasFormat {
       StructField("scan_angle_rank", ShortType, nullable = false),
       StructField("user_data", ShortType, nullable = false),
       StructField("point_source_id", IntegerType, nullable = false))
-    StructType(
-      if (pointFormat >= 1) base :+ StructField("gps_time", DoubleType, nullable = false)
-      else base)
+    val withGps =
+      if (hasGps(pointFormat)) base :+ StructField("gps_time", DoubleType, nullable = false)
+      else base
+    val withRgb =
+      if (hasRgb(pointFormat)) withGps ++ Seq(
+        StructField("red", IntegerType, nullable = false),
+        StructField("green", IntegerType, nullable = false),
+        StructField("blue", IntegerType, nullable = false))
+      else withGps
+    StructType(withRgb)
   }
 
-  /** Decode one point record into `out(i) = value of fieldIdx(i)`, where
-    * fieldIdx are indexes into [[schemaFor]]'s field order. */
+  def hasGps(pointFormat: Int): Boolean = pointFormat == 1 || pointFormat == 3
+  def hasRgb(pointFormat: Int): Boolean = pointFormat == 2 || pointFormat == 3
+
+  /** Widest schema every input format can serve (generalizes the old
+    * "lowest format wins" rule, which relied on format 0 being a prefix
+    * of format 1 — not true once RGB formats join the mix). */
+  def commonSchema(formats: Seq[Int]): StructType = {
+    require(formats.nonEmpty)
+    if (formats.forall(_ == formats.head)) schemaFor(formats.head)
+    else {
+      val gps = formats.forall(hasGps)
+      val rgb = formats.forall(hasRgb)
+      // pick the smallest format providing exactly the common fields
+      schemaFor((gps, rgb) match {
+        case (true, true) => 3
+        case (true, false) => 1
+        case (false, true) => 2
+        case (false, false) => 0
+      })
+    }
+  }
+
+  /** Format-independent semantic field codes: decode switches on these
+    * (plus the record's own point format for byte offsets), so a reader
+    * can serve any projection of [[commonSchema]] from any file format. */
+  val FieldNames: Seq[String] = Seq(
+    "x", "y", "z", "intensity", "return_number", "number_of_returns",
+    "scan_direction", "is_edge_of_flight_line", "classification",
+    "scan_angle_rank", "user_data", "point_source_id", "gps_time",
+    "red", "green", "blue")
+
+  def fieldCode(name: String): Int = {
+    val c = FieldNames.indexOf(name)
+    require(c >= 0, s"unknown LAS field `$name`")
+    c
+  }
+
+  /** Decode one point record into `out(i) = value of fieldCodes(i)`,
+    * where fieldCodes are [[fieldCode]] values; byte offsets of gps/rgb
+    * depend on the record's point format. */
   def decode(bb: ByteBuffer, recordStart: Int, h: LasHeader,
-      fieldIdx: Array[Int], out: Array[Any]): Unit = {
+      fieldCodes: Array[Int], out: Array[Any]): Unit = {
+    val rgbBase = recordStart + (if (h.pointFormat == 3) 28 else 20)
     var i = 0
-    while (i < fieldIdx.length) {
-      out(i) = fieldIdx(i) match {
+    while (i < fieldCodes.length) {
+      out(i) = fieldCodes(i) match {
         case 0 => bb.getInt(recordStart) * h.scale._1 + h.offset._1
         case 1 => bb.getInt(recordStart + 4) * h.scale._2 + h.offset._2
         case 2 => bb.getInt(recordStart + 8) * h.scale._3 + h.offset._3
@@ -103,6 +151,9 @@ object LasFormat {
         case 10 => (bb.get(recordStart + 17) & 0xff).toShort
         case 11 => bb.getShort(recordStart + 18) & 0xffff
         case 12 => bb.getDouble(recordStart + 20)
+        case 13 => bb.getShort(rgbBase) & 0xffff
+        case 14 => bb.getShort(rgbBase + 2) & 0xffff
+        case 15 => bb.getShort(rgbBase + 4) & 0xffff
       }
       i += 1
     }
@@ -114,15 +165,15 @@ object LasFormat {
       intensity: Int = 0, returnNumber: Int = 1, numberOfReturns: Int = 1,
       scanDirection: Int = 0, edge: Boolean = false, classification: Int = 0,
       scanAngleRank: Int = 0, userData: Int = 0, pointSourceId: Int = 0,
-      gpsTime: Double = 0.0)
+      gpsTime: Double = 0.0, red: Int = 0, green: Int = 0, blue: Int = 0)
 
-  /** Write a LAS 1.2 file (point format 0 or 1). */
+  /** Write a LAS 1.2 file (point formats 0-3). */
   def write(conf: Configuration, path: String, points: Seq[LasPoint],
       pointFormat: Int = 1,
       scale: (Double, Double, Double) = (0.001, 0.001, 0.001),
       offset: (Double, Double, Double) = (0.0, 0.0, 0.0)): Unit = {
-    require(pointFormat <= 1)
-    val recLen = if (pointFormat == 1) 28 else 20
+    require(pointFormat <= 3)
+    val recLen = Seq(20, 28, 26, 34)(pointFormat)
     val p = new Path(path)
     val out: OutputStream = p.getFileSystem(conf).create(p, true)
     try {
@@ -164,7 +215,12 @@ object LasFormat {
         rec.put(pt.scanAngleRank.toByte)
         rec.put((pt.userData & 0xff).toByte)
         rec.putShort((pt.pointSourceId & 0xffff).toShort)
-        if (pointFormat == 1) rec.putDouble(pt.gpsTime)
+        if (hasGps(pointFormat)) rec.putDouble(pt.gpsTime)
+        if (hasRgb(pointFormat)) {
+          rec.putShort((pt.red & 0xffff).toShort)
+          rec.putShort((pt.green & 0xffff).toShort)
+          rec.putShort((pt.blue & 0xffff).toShort)
+        }
         out.write(rec.array(), 0, recLen)
       }
     } finally out.close()

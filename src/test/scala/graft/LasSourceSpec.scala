@@ -86,6 +86,44 @@ class LasSourceSpec extends SparkSpec {
     assert(scan.computeStats().rowCount.contains(BigInt(5000)))
   }
 
+  test("point formats 2/3: RGB round-trips; gps offset shifts with format") {
+    val d2 = Files.createTempDirectory("las_rgb").toString
+    val pts = (0 until 500).map { k =>
+      LasFormat.LasPoint(x = k * 0.5, y = k * 0.25, z = 1.0,
+        intensity = k, gpsTime = 2000.0 + k,
+        red = (k * 131) % 65536, green = (k * 257) % 65536, blue = (k * 31) % 65536)
+    }
+    LasFormat.write(conf, s"$d2/f2.las", pts, pointFormat = 2)
+    LasFormat.write(conf, s"$d2/f3.las", pts, pointFormat = 3)
+    val f2 = spark.read.format("las").load(s"$d2/f2.las")
+    assert(f2.columns.toSeq ==
+      LasFormat.schemaFor(2).fieldNames.toSeq && !f2.columns.contains("gps_time"))
+    val f3 = spark.read.format("las").load(s"$d2/f3.las")
+    assert(f3.columns.contains("gps_time") && f3.columns.contains("red"))
+    // colors land identically from both formats despite different offsets
+    def colors(df: DataFrame) = df.orderBy("intensity")
+      .select("red", "green", "blue").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq
+    val expected = pts.sortBy(_.intensity).map(p => (p.red, p.green, p.blue))
+    assert(colors(f2) == expected)
+    assert(colors(f3) == expected)
+    val gps = f3.orderBy("intensity").select("gps_time").collect().map(_.getDouble(0)).toSeq
+    assert(gps == pts.sortBy(_.intensity).map(_.gpsTime))
+  }
+
+  test("mixed-format directory serves the widest common schema") {
+    val dm = Files.createTempDirectory("las_mixed").toString
+    val pts = (0 until 100).map(k => LasFormat.LasPoint(x = k, y = k, z = 0.0,
+      intensity = k, gpsTime = k, red = k, green = k, blue = k))
+    LasFormat.write(conf, s"$dm/a.las", pts, pointFormat = 2) // rgb, no gps
+    LasFormat.write(conf, s"$dm/b.las", pts, pointFormat = 3) // rgb + gps
+    val df = spark.read.format("las").load(dm)
+    // common fields: rgb yes (both have it), gps no (format 2 lacks it)
+    assert(df.columns.contains("red") && !df.columns.contains("gps_time"))
+    assert(df.count() == 200)
+    assert(df.filter(col("red") === col("intensity")).count() == 200)
+  }
+
   test("convert (D8): LAS → importance-augmented clustered parquet") {
     val out = s"$dir/converted"
     LasConvert.toGridLayout(spark, dir, out, sigma = 4, batchSize = 1024L)

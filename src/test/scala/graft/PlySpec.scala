@@ -42,7 +42,46 @@ class PlySpec extends SparkSpec {
   test("PLY binary_big_endian round-trip")(roundTrip("binary_big_endian"))
   test("PLY ascii round-trip")(roundTrip("ascii"))
 
-  test("PLY reader skips non-vertex elements and rejects list properties") {
+  test("PLY list properties: faces round-trip as array columns, both encodings") {
+    val dir = Files.createTempDirectory("ply_list").toString
+    val path = s"$dir/mesh.ply"
+    val text =
+      """ply
+        |format ascii 1.0
+        |element vertex 4
+        |property float x
+        |property float y
+        |property float z
+        |element face 3
+        |property list uchar int vertex_indices
+        |property float quality
+        |end_header
+        |0 0 0
+        |1 0 0
+        |1 1 0
+        |0 1 0
+        |3 0 1 2 0.5
+        |3 0 2 3 0.25
+        |4 0 1 2 3 1
+        |""".stripMargin
+    Files.write(java.nio.file.Paths.get(path), text.getBytes)
+    // vertex read skips the trailing face element (with lists) cleanly
+    assert(Ply.read(spark, path).count() == 4)
+    val faces = Ply.readElement(spark, path, "face").orderBy("quality").collect()
+    assert(faces.length == 3)
+    assert(faces(2).getSeq[Int](0) == Seq(0, 1, 2, 3)) // quality 1.0 quad
+    assert(faces(0).getSeq[Int](0) == Seq(0, 2, 3))
+    // round-trip through the binary writer and back
+    val out = s"$dir/mesh_bin.ply"
+    Ply.write(Ply.readElement(spark, path, "face"), out)
+    // writer emits element name `vertex`; read it back as such
+    val back = Ply.read(spark, out).orderBy("quality").collect()
+    assert(back.length == 3)
+    assert(back(2).getSeq[Int](0) == Seq(0, 1, 2, 3))
+    assert(back.map(_.getFloat(1)).toSeq == Seq(0.25f, 0.5f, 1.0f))
+  }
+
+  test("PLY reader skips non-vertex elements (scalar + list) before vertex") {
     val dir = Files.createTempDirectory("ply").toString
     val path = s"$dir/mixed.ply"
     val text =
@@ -51,13 +90,14 @@ class PlySpec extends SparkSpec {
         |comment synthetic
         |element dummy 2
         |property int a
+        |property list uchar int ids
         |element vertex 3
         |property float x
         |property float y
         |property float z
         |end_header
-        |7
-        |8
+        |7 2 10 11
+        |8 0
         |0 0 0
         |1 2 3
         |4 5 6
