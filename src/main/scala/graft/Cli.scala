@@ -71,10 +71,25 @@ object Cli {
       }
       spark.stop()
 
+    case "footprint" :: in :: out :: rest =>
+      // the paper's six-config storage experiment (README.md:48-71)
+      val spark = session()
+      val scale = rest.headOption.map(_.toDouble).getOrElse(0.001)
+      val src = spark.read.format("las").load(in)
+      val p = new org.apache.hadoop.fs.Path(in)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val inBytes = fs.getContentSummary(p).getLength
+      val report = graft.pc.StorageFootprint.run(spark, src, out, inBytes, scale)
+      report.collect().foreach { r =>
+        println(f"${r.getString(0)}%-30s ${r.getLong(1)}%12d B  x${r.getLong(2) / 1e6}%.3f")
+      }
+      spark.stop()
+
     case _ =>
       System.err.println(
         "usage: graft.Cli benchmark | convert <las> <out> [seed] | " +
-          "merge <in> <out> [rows] | partition <in> <out> [grid|quadtree] [sigma]")
+          "merge <in> <out> [rows] | partition <in> <out> [grid|quadtree] [sigma] | " +
+          "footprint <las> <out-dir> [scale]")
       sys.exit(2)
   }
 }

@@ -52,6 +52,9 @@ object SparkEntry {
     "doc_top_terms" -> (TextOps.topTerms(25)(_, _)),
     "doc_top_terms_salted" -> (TextOps.topTermsSalted(25)(_, _)),
     "doc_vocab" -> (TextOps.vocab(_, _)),
+    "doc_sample_strat" -> (TextOps.stratifiedSample(_, _)),
+    "doc_repetition" -> (TextOps.docRepetition(_, _)),
+    "doc_mix" -> (TextOps.docMix(_, _)),
     // -- deduplication
     "doc_exact_dedup" -> (TextOps.exactDedup(_, _)),
     "doc_ngram_pairs" -> (TextOps.ngramJaccardPairs(0.8)(_, _)),
@@ -119,6 +122,9 @@ object SparkEntry {
     "doc_top_terms" -> TextOps.topTermsSql(25),
     "doc_top_terms_salted" -> TextOps.topTermsSql(25), // salted == plain, by construction
     "doc_vocab" -> TextOps.vocabSql,
+    "doc_sample_strat" -> TextOps.stratifiedSampleSql,
+    "doc_repetition" -> TextOps.docRepetitionSql,
+    "doc_mix" -> TextOps.docMixSql,
     "doc_exact_dedup" -> TextOps.exactDedupSql,
     "doc_ngram_pairs" -> TextOps.ngramJaccardPairsSql(0.8),
     "doc_minhash_sig" -> Sketches.minhashSignaturesSql,

@@ -254,4 +254,87 @@ object TextOps {
   val vocabSql: String =
     """SELECT count(DISTINCT term) AS vocab_size, count(*) AS total_tokens
       | FROM (SELECT unnest(string_split(text,' ')) AS term FROM documents)""".stripMargin.replace("\n", " ")
+
+  // ---- mixture rebalancing: deterministic stratified sampling ---------
+
+  /** Per-language sampling rates in permille — the training-mixture
+    * rebalance (downsample over-represented languages). */
+  val SampleRates: Seq[(String, Int)] =
+    Seq("en" -> 500, "zh" -> 900, "de" -> 800, "fr" -> 800, "es" -> 800)
+
+  private def ratePermille: Column =
+    SampleRates.foldRight(lit(0)) { case ((l, r), acc) =>
+      when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+
+  /** Deterministic stratified sample: keep a document iff
+    * `md5_28bit(doc_id) % 1000 < rate(lang)`. Hash-gated (not `rand()`)
+    * so the sample is reproducible, stable under re-runs and partition
+    * layout, and needs no shuffle — a pure filter at any scale. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("h",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
+          .cast(LongType) % 1000)
+      .filter(col("h") < ratePermille)
+      .select(col("doc_id"), col("lang"), col("source"), col("h"))
+      .orderBy("doc_id")
+
+  val stratifiedSampleSql: String = {
+    val cases = SampleRates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+      .mkString(" ")
+    s"""SELECT doc_id, lang, source, h FROM (
+       |  SELECT doc_id, lang, source,
+       |    CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,7) AS BIGINT) % 1000 AS h
+       |  FROM documents)
+       | WHERE h < (CASE $cases ELSE 0 END) ORDER BY doc_id""".stripMargin.replace("\n", " ")
+  }
+
+  // ---- repetition ratio (boilerplate/spam signal) ---------------------
+
+  /** Max unigram frequency per document, absolute and in ppm of the
+    * token count — high values flag boilerplate/keyword-stuffed pages.
+    * Within-row array ops only (no explode/shuffle); all-integer ppm. */
+  def docRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val maxCnt = array_max(transform(array_distinct(words),
+      w => size(filter(words, t => t === w)))).cast(LongType)
+    docs(spark, dir)
+      .select(col("doc_id"),
+        size(words).cast(LongType).as("n_tokens"),
+        maxCnt.as("max_cnt"))
+      // all-integer ppm: `div` (not float /) keeps both engines exact
+      .withColumn("rep_ppm", expr("(max_cnt * 1000000) div n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val docRepetitionSql: String =
+    s"""SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+       | CAST(list_max(list_transform(list_distinct(string_split(text,' ')),
+       |   w -> len(list_filter(string_split(text,' '), t -> t = w)))) AS BIGINT) AS max_cnt,
+       | CAST(list_max(list_transform(list_distinct(string_split(text,' ')),
+       |   w -> len(list_filter(string_split(text,' '), t -> t = w)))) * 1000000
+       |   // len(string_split(text,' ')) AS BIGINT) AS rep_ppm
+       | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
+  // ---- corpus mixture accounting --------------------------------------
+
+  /** (source, lang) mixture: counts + share of corpus in ppm. The share
+    * denominator is a scalar broadcast (one extra tiny jobless stage),
+    * not a window over the whole table. */
+  def docMix(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val counts = d.groupBy("source", "lang").agg(count(lit(1)).as("n_docs"))
+    val total = d.select(count(lit(1)).as("total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("source"), col("lang"), col("n_docs"),
+        expr("(n_docs * 1000000) div total").as("share_ppm"))
+      .orderBy("source", "lang")
+  }
+
+  val docMixSql: String =
+    """SELECT source, lang, n_docs,
+      | CAST(n_docs * 1000000 // total AS BIGINT) AS share_ppm FROM
+      | (SELECT source, lang, count(*) AS n_docs FROM documents GROUP BY 1, 2),
+      | (SELECT count(*) AS total FROM documents)
+      | ORDER BY source, lang""".stripMargin.replace("\n", " ")
 }
