@@ -89,6 +89,8 @@ object SparkEntry {
     // sketch aggregates: no SQL oracle (engine-specific sketches) =>
     // driver records the weaker rows-only check, spec bounds the error
     "events_approx" -> (EventOps.approxStats(_, _)),
+    "events_hll" -> (EventOps.hllUsers(_, _)),
+    "events_quantiles" -> (EventOps.quantiles(_, _)),
     "rel_top_orders" -> (RelQueries.topOrders(_, _)),
     "rel_nation_revenue" -> (RelQueries.nationRevenue(_, _)),
   )
@@ -148,6 +150,8 @@ object SparkEntry {
     "events_sessionize" -> EventOps.sessionizeSql,
     "events_json_rollup" -> EventOps.jsonRollupSql,
     "events_top_by_type" -> EventOps.topByTypeSql,
+    "events_hll" -> EventOps.hllUsersSql,
+    "events_quantiles" -> EventOps.quantilesSql,
     "events_asof_join" -> EventOps.asOfJoinSql,
     "rel_pricing_summary" -> RelQueries.pricingSummarySql,
     "rel_rollup" -> RelQueries.rollupSummarySql,

@@ -1,6 +1,6 @@
 package graft.events
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -149,4 +149,107 @@ object EventOps {
       | SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents,
       |  CAST(row_number() OVER (PARTITION BY event_type ORDER BY CAST(round(value * 100) AS BIGINT) DESC, event_id ASC) AS BIGINT) AS rn
       | FROM events) WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin.replace("\n", " ")
+
+  // ---- deterministic HLL sketch (oracle-exact approx-distinct) --------
+
+  /** Register count m = 64 (6-bit bucket index out of the 28-bit hash). */
+  val HllBuckets: Int = 64
+  private val TailBits = 22 // 28 - 6
+  private val TailMod = 1L << TailBits // 4194304
+  private val EmptyWeight = 1L << (TailBits + 1) // 2^23: rho=0 contribution
+
+  /** HyperLogLog built from scratch on deterministic integer arithmetic,
+    * so the sketch itself is ORACLE-EXACT (unlike engine-native HLLs,
+    * whose hashes differ): bucket = top 6 bits of the md5-derived 28-bit
+    * hash, rho = leading-zero rank of the 22-bit tail, and the harmonic
+    * denominator is emitted as the order-free integer
+    * `sum(2^(23-M_j))` (+ 2^23 per empty register) instead of the float
+    * `sum(2^-M_j)`. The float estimate `alpha*m^2*2^23/harmonic_scaled`
+    * is one engine-local division away (done in the spec, not the hash-
+    * compared output). Distributes as two partial-agg groupBys, like any
+    * HLL merge. */
+  def hllUsers(spark: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 7), 16, 10)
+      .cast(LongType)
+    // bit length of the tail via an integer comparison ladder (log2 on
+    // doubles is off-by-one-ulp-hazardous at exact powers of two)
+    var bl: Column = when(col("tail") >= (1L << (TailBits - 1)), lit(TailBits))
+    for (k <- (TailBits - 1) to 1 by -1)
+      bl = bl.when(col("tail") >= (1L << (k - 1)), lit(k))
+    val rho = lit(TailBits + 1) - bl.otherwise(lit(0))
+    events(spark, dir)
+      .select(col("event_type"), col("user_id"), h.as("h"))
+      .select(col("event_type"),
+        expr(s"h div $TailMod").as("bucket"), (col("h") % TailMod).as("tail"))
+      .groupBy("event_type", "bucket")
+      .agg(max(rho).cast(LongType).as("mreg"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("used_buckets"),
+        (sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST(${TailBits + 1} - mreg AS INT))"))
+          + (lit(HllBuckets.toLong) - count(lit(1))) * lit(EmptyWeight))
+          .as("harmonic_scaled"))
+      .orderBy("event_type")
+  }
+
+  val hllUsersSql: String = {
+    val ladder = ((TailBits to 1 by -1)
+      .map(k => s"WHEN tail >= ${1L << (k - 1)} THEN $k") :+ "ELSE 0")
+      .mkString(" ")
+    s"""SELECT event_type, CAST(count(*) AS BIGINT) AS used_buckets,
+       | CAST(sum(CAST(1 AS BIGINT) << CAST(${TailBits + 1} - mreg AS INTEGER))
+       |   + ($HllBuckets - count(*)) * $EmptyWeight AS BIGINT) AS harmonic_scaled
+       | FROM (
+       |  SELECT event_type, bucket, CAST(max(${TailBits + 1} - (CASE $ladder END)) AS BIGINT) AS mreg
+       |  FROM (
+       |   SELECT event_type, hv // $TailMod AS bucket, hv % $TailMod AS tail
+       |   FROM (SELECT event_type, CAST('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,7) AS BIGINT) AS hv FROM events))
+       |  GROUP BY 1, 2)
+       | GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " ")
+  }
+
+  /** The float HLL estimate from the sketch's integer state (driver/spec
+    * side — deliberately outside the hash-compared surface). */
+  def hllEstimate(usedBuckets: Long, harmonicScaled: Long): Double = {
+    val m = HllBuckets.toDouble
+    val alpha = 0.709 // published alpha_64
+    val raw = alpha * m * m * EmptyWeight.toDouble / harmonicScaled.toDouble
+    if (raw <= 2.5 * m && usedBuckets < HllBuckets)
+      m * math.log(m / (m - usedBuckets.toDouble)) // linear counting
+    else raw
+  }
+
+  // ---- exact rank-based quantiles -------------------------------------
+
+  /** Exact p50/p90/p99 of the integer cent value per event type, by order
+    * statistic (rank `1 + p*(n-1)/100`, lower value on ties via a total
+    * (cents, event_id) order). Engine-agnostic by construction — no
+    * interpolation, no float percentile semantics. One shuffle. */
+  def quantiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("cents").asc, col("event_id").asc)
+    val ranked = events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 100).cast(LongType).as("cents"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+    ranked.groupBy("event_type")
+      .agg(
+        max(col("n")).as("n_events"),
+        max(when(col("rn") === expr("1 + (50 * (n - 1)) div 100"), col("cents"))).as("p50_cents"),
+        max(when(col("rn") === expr("1 + (90 * (n - 1)) div 100"), col("cents"))).as("p90_cents"),
+        max(when(col("rn") === expr("1 + (99 * (n - 1)) div 100"), col("cents"))).as("p99_cents"))
+      .orderBy("event_type")
+  }
+
+  val quantilesSql: String =
+    """SELECT event_type, CAST(max(n) AS BIGINT) AS n_events,
+      | max(CASE WHEN rn = 1 + (50 * (n - 1)) // 100 THEN cents END) AS p50_cents,
+      | max(CASE WHEN rn = 1 + (90 * (n - 1)) // 100 THEN cents END) AS p90_cents,
+      | max(CASE WHEN rn = 1 + (99 * (n - 1)) // 100 THEN cents END) AS p99_cents
+      | FROM (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+      |   CAST(row_number() OVER (PARTITION BY event_type ORDER BY CAST(round(value * 100) AS BIGINT) ASC, event_id ASC) AS BIGINT) AS rn,
+      |   CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      |  FROM events)
+      | GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " ")
 }

@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+/** Bucketing: the co-located join pattern for 100 TB scale. Writing both
+  * fact tables bucketed by the join key lets every future join on that
+  * key run shuffle-free (each task sort-merges one bucket pair) — the
+  * persistent-layout analog of what [[graft.pc.Layout]] does for spatial
+  * range queries. This spec proves the plan property the pattern exists
+  * for: the bucketed join contains NO ShuffleExchange on either side,
+  * while the same join over plain parquet shuffles both. */
+class BucketedJoinSpec extends SparkSpec {
+
+  private def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    df.collect()
+    var n = 0
+    def go(p: SparkPlan): Unit = p match {
+      case a: AdaptiveSparkPlanExec => go(a.executedPlan)
+      case s: QueryStageExec => go(s.plan) // unwrap; count the exchange itself
+      case e: ShuffleExchangeExec => n += 1; e.children.foreach(go)
+      case other => other.children.foreach(go)
+    }
+    go(df.queryExecution.executedPlan)
+    n
+  }
+
+  test("join on the bucket key is shuffle-free; plain parquet shuffles") {
+    // tables land in the session's default warehouse; DROP cleans them up
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val orders = spark.read.parquet(s"$sf001/orders.parquet")
+      val lineitem = spark.read.parquet(s"$sf001/lineitem.parquet")
+      orders.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("orders_b")
+      lineitem.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("lineitem_b")
+
+      val bucketed = spark.table("lineitem_b")
+        .join(spark.table("orders_b"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+      val plain = lineitem
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+
+      // identical results
+      val a = bucketed.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val b = plain.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(a == b)
+
+      // join-side shuffles: bucketed layout removes both (only the final
+      // groupBy may exchange); plain parquet must shuffle both join inputs
+      val sBucketed = shuffles(bucketed)
+      val sPlain = shuffles(plain)
+      assert(sBucketed <= 1, s"bucketed join shuffled $sBucketed times")
+      assert(sPlain >= 2, s"expected both plain join sides to shuffle, got $sPlain")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+}

@@ -111,6 +111,38 @@ class ExtensionOpsSpec extends SparkSpec {
     }
   }
 
+  test("deterministic HLL estimate tracks the exact distinct count") {
+    val exact = EventOps.events(spark, sf001)
+      .groupBy("event_type").agg(count_distinct(col("user_id")).as("exact"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = EventOps.hllUsers(spark, sf001).collect()
+    assert(rows.map(_.getString(0)).toSet == exact.keySet)
+    rows.foreach { r =>
+      val est = EventOps.hllEstimate(r.getLong(1), r.getLong(2))
+      val e = exact(r.getString(0)).toDouble
+      // m=64 => ~13% standard error; allow 3 sigma
+      assert(math.abs(est - e) / e < 0.4,
+        s"${r.getString(0)}: hll $est vs exact $e")
+    }
+  }
+
+  test("rank-based quantiles are exact order statistics and monotone") {
+    val rows = EventOps.quantiles(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p50, p90, p99) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(p50 <= p90 && p90 <= p99)
+    }
+    // cross-check one type against a driver-side sort
+    val cents = EventOps.events(spark, sf001)
+      .filter(col("event_type") === "click")
+      .select(round(col("value") * 100).cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    val expected = cents((50 * (cents.length - 1)) / 100)
+    val got = rows.find(_.getString(0) == "click").get.getLong(2)
+    assert(got == expected)
+  }
+
   test("language id predicts a language for every document") {
     val rows = TextOps.docLangId(spark, sf001).collect()
     assert(rows.length == 500)
