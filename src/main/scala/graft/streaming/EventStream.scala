@@ -65,6 +65,28 @@ object EventStream {
       case None => records.dropDuplicates(keyCols)
     }
 
+  /** Stream-stream interval join: attribute each purchase to the clicks
+    * of the same user within the preceding `horizon`. Both sides carry a
+    * watermark and the join condition bounds event-time distance, so the
+    * state store retains only `horizon + watermark` of each stream —
+    * bounded state at any scale, keyed (shuffled) by user_id. Works
+    * identically on batch DataFrames (batch ≡ stream spec). */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+      horizon: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    val c = withEventTime(clicks).withWatermark("event_time", watermark)
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("event_time").as("click_time"))
+    val p = withEventTime(purchases).withWatermark("event_time", watermark)
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("event_time").as("purchase_time"))
+    c.join(p,
+      col("c_user") === col("p_user") &&
+        col("purchase_time") >= col("click_time") &&
+        col("purchase_time") <= col("click_time") + expr(s"INTERVAL $horizon"))
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("purchase_id"), col("click_time"), col("purchase_time"))
+  }
+
   /** Custom keyed state via mapGroupsWithState: running per-user event
     * count + cents total, emitted once per micro-batch — the shape used
     * for feature backfills and online counters. */

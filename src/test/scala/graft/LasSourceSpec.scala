@@ -86,6 +86,20 @@ class LasSourceSpec extends SparkSpec {
     assert(scan.computeStats().rowCount.contains(BigInt(5000)))
   }
 
+  test("LAZ (compressed flag) is rejected with a clear error, not misread") {
+    val d = Files.createTempDirectory("laz").toString
+    val path = s"$d/c.laz"
+    LasFormat.write(conf, s"$d/c.las", Seq(LasFormat.LasPoint(1, 2, 3)))
+    // flip the compressed bit (0x80) in the point-format byte, like a LAZ
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$d/c.las"))
+    bytes(104) = (bytes(104) | 0x80).toByte
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), bytes)
+    val e = intercept[Exception] {
+      LasFormat.readHeader(conf, path)
+    }
+    assert(e.getMessage.contains("LAZ"), s"unclear error: ${e.getMessage}")
+  }
+
   test("point formats 2/3: RGB round-trips; gps offset shifts with format") {
     val d2 = Files.createTempDirectory("las_rgb").toString
     val pts = (0 until 500).map { k =>

@@ -70,6 +70,32 @@ class StreamingSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSet == Set(1L, 2L, 5L))
   }
 
+  test("stream-stream interval join equals the batch join") {
+    val src = Files.createTempDirectory("ssj_stream").toString
+    val ckpt = Files.createTempDirectory("ssj_ckpt").toString
+    eventsBatch.repartition(4).write.mode("overwrite").parquet(src)
+    def split(df: org.apache.spark.sql.DataFrame) = (
+      df.filter(col("event_type") === "click"),
+      df.filter(col("event_type") === "purchase"))
+    val stream = spark.readStream.schema(eventsBatch.schema).parquet(src)
+    val (sc, sp) = split(stream)
+    val q = EventStream.clickPurchaseJoin(sc, sp).writeStream
+      .format("memory").queryName("ssj_sink").outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("ssj_sink")
+      .select("click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (bc, bp) = split(eventsBatch)
+    val batch = EventStream.clickPurchaseJoin(bc, bp)
+      .select("click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty, "no click->purchase pairs in fixture")
+    assert(streamed == batch,
+      s"missing=${(batch -- streamed).take(5)} extra=${(streamed -- batch).take(5)}")
+  }
+
   test("watermarked streaming dedup is key-only: same fp, different ts collapses") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
