@@ -208,6 +208,35 @@ object TextOps {
        | WHERE round(CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE), 6) >= $tau
        | ORDER BY 1, 2""".stripMargin.replace("\n", " ")
 
+  // ---- decontamination: train/eval n-gram overlap ----------------------
+
+  /** Benchmark-decontamination sweep: find every training document that
+    * shares at least one 3-gram shingle with the "eval set" (here: the
+    * `evalDocs` lowest doc_ids stand in for the held-out benchmark).
+    * Shaped as a LEFT SEMI join on the 60-bit shingle hash — the eval
+    * shingle set is small and broadcasts, so the corpus side streams with
+    * no shuffle; output is the contaminated doc list with overlap counts.
+    * (At 100 TB: eval shingles are always the tiny side; semi-join +
+    * broadcast is the standard decontamination plan.) */
+  def contamination(evalDocs: Long)(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir).select(col("doc_id"),
+      conv(substring(md5(col("s")), 1, 15), 16, 10).cast(LongType).as("h"))
+    val evalSh = sh.filter(col("doc_id") < evalDocs)
+      .select(col("h")).distinct()
+    sh.filter(col("doc_id") >= evalDocs)
+      .join(broadcast(evalSh), "h") // equi on hash; count overlapping shingles
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .orderBy("doc_id")
+  }
+
+  def contaminationSql(evalDocs: Long): String =
+    s"""WITH sh AS (SELECT doc_id, CAST('0x'||substr(md5(s),1,15) AS BIGINT) AS h FROM ($shinglesSql)),
+       | ev AS (SELECT DISTINCT h FROM sh WHERE doc_id < $evalDocs)
+       | SELECT doc_id, count(*) AS n_overlap
+       | FROM sh JOIN ev USING (h) WHERE doc_id >= $evalDocs
+       | GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
   // ---- corpus term statistics -----------------------------------------
 
   /** Global term-frequency top-k: the corpus-vocabulary profile a
