@@ -42,6 +42,8 @@ object SparkEntry {
     "pc_grid_cells" -> (PcQueries.gridCells(_, _)),
     "pc_quadtree_assign" -> (PcQueries.quadtreeAssign(_, _)),
     "pc_srect_grid" -> (PcQueries.rectOnGrid(PcQueries.sRect)(_, _)),
+    "pc_scirc_rule" -> (PcQueries.circleOnGridNaive(
+      PcQueries.sCircle._1, PcQueries.sCircle._2, PcQueries.sCircle._3)(_, _)),
     "pc_sample_quad" -> (PcQueries.sampleOnQuadtree(0.01)(_, _)),
     "pc_knn_grid" -> (PcQueries.knnOnGrid(1000, 250.0)(_, _)),
     // -- text analysis (training-data pipeline extension surface)
@@ -116,6 +118,8 @@ object SparkEntry {
     // layout-backed: layouts are result-invariant, so the oracle is the
     // same SQL as the flat-path query
     "pc_srect_grid" -> PcQueries.rectSql(PcQueries.sRect),
+    "pc_scirc_rule" -> PcQueries.circleSql( // rule only changes the plan
+      PcQueries.sCircle._1, PcQueries.sCircle._2, PcQueries.sCircle._3),
     "pc_sample_quad" -> PcQueries.sampleSql(0.01),
     "pc_knn_grid" -> PcQueries.knnSql(1000, 250.0),
     "doc_stats" -> TextOps.docStatsSql,

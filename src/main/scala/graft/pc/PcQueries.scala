@@ -158,6 +158,18 @@ object PcQueries {
       .limit(k)
   }
 
+  /** S_CRC on the grid layout via the NAIVE predicate — no hand-written
+    * bbox: [[graft.plans.CirclePrefilterRule]] derives the pushable
+    * ranges in the optimizer, giving the reference's two-phase plan for
+    * free. Same oracle as the explicit two-phase circle. */
+  def circleOnGridNaive(cx: Double, cy: Double, r: Double)(
+      spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.install(spark)
+    val d2 = (col("x") - cx) * (col("x") - cx) + (col("y") - cy) * (col("y") - cy)
+    summarize(spark.read.parquet(layoutPath(spark, dir, "grid"))
+      .filter(d2 < r * r))
+  }
+
   /** Importance sampling on the quadtree LoD layout: same oracle as the
     * flat sample — the LoD pyramid only helps pruning, never results. */
   def sampleOnQuadtree(p: Double)(spark: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,100 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Catalyst optimizer rule: derive a pushable bounding-box prefilter from
+  * a raw circle predicate.
+  *
+  * The reference implements circle queries as a hand-written two-phase
+  * plan — bbox prefilter (prunable by file/row-group statistics) plus the
+  * exact `(x-cx)² + (y-cy)² < r²` re-filter (pc-cli/src/benchmark.rs:
+  * 183-220). Spark-first, that belongs in the OPTIMIZER: this rule spots
+  * the circle conjunct
+  *
+  *   (x - cx)*(x - cx) + (y - cy)*(y - cy) < r²    (cx, cy, r² literals)
+  *
+  * and conjoins the implied ranges `cx-r ≤ x ≤ cx+r`, `cy-r ≤ y ≤ cy+r`.
+  * The added conjuncts are simple attribute comparisons, so Catalyst
+  * pushes them into the Parquet scan (`PushedFilters`) where row-group
+  * min/max stats prune — a user can now write the naive predicate and
+  * still get the reference's two-phase plan, on ANY source with
+  * statistics. The exact predicate stays, so semantics are unchanged.
+  *
+  * Registered via [[GraftExtensions]]
+  * (`spark.sql.extensions=graft.plans.GraftExtensions`) or per-session
+  * with `spark.experimental.extraOptimizations`. The rewrite is guarded
+  * to be idempotent (fixed-point safe): it skips circles whose bbox
+  * conjuncts are already present.
+  */
+object CirclePrefilterRule extends Rule[LogicalPlan] {
+
+  private object Lit {
+    def unapply(e: Expression): Option[Double] = e match {
+      case Literal(v: Double, _) => Some(v)
+      case Literal(v: Float, _) => Some(v.toDouble)
+      case Literal(v: Int, _) => Some(v.toDouble)
+      case Literal(v: Long, _) => Some(v.toDouble)
+      case _ => None
+    }
+  }
+
+  /** (attr - c)*(attr - c) with literal c — one squared axis distance. */
+  private object SquaredDist {
+    def unapply(e: Expression): Option[(Attribute, Double)] = e match {
+      case Multiply(s1 @ Subtract(a: Attribute, Lit(c), _), s2, _)
+          if s1.semanticEquals(s2) => Some((a, c))
+      case _ => None
+    }
+  }
+
+  /** The circle conjunct: d²(x) + d²(y) < r². */
+  private object Circle {
+    def unapply(e: Expression): Option[(Attribute, Double, Attribute, Double, Double)] =
+      e match {
+        case LessThan(Add(SquaredDist(ax, cx), SquaredDist(ay, cy), _), Lit(r2))
+            if r2 > 0 && !ax.semanticEquals(ay) =>
+          Some((ax, cx, ay, cy, math.sqrt(r2)))
+        case _ => None
+      }
+  }
+
+  private def bboxConjuncts(ax: Attribute, cx: Double, ay: Attribute,
+      cy: Double, r: Double): Seq[Expression] = Seq(
+    GreaterThanOrEqual(ax, Literal(cx - r)), LessThanOrEqual(ax, Literal(cx + r)),
+    GreaterThanOrEqual(ay, Literal(cy - r)), LessThanOrEqual(ay, Literal(cy + r)))
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, child) =>
+      val conjuncts = splitConjuncts(cond)
+      val existing = ExpressionSet(conjuncts)
+      val derived = conjuncts.collect { case Circle(ax, cx, ay, cy, r) =>
+        bboxConjuncts(ax, cx, ay, cy, r).filterNot(existing.contains)
+      }.flatten
+      if (derived.isEmpty) f
+      else Filter(derived.foldLeft(cond)(And(_, _)), child)
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+}
+
+/** `SparkSessionExtensions` entry point:
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectOptimizerRule(_ => CirclePrefilterRule)
+}
+
+object GraftExtensions {
+  /** Attach the rule to an already-built session (tests / notebooks). */
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(CirclePrefilterRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ CirclePrefilterRule
+}
