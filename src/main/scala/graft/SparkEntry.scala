@@ -80,6 +80,8 @@ object SparkEntry {
     "mm_meta" -> (MultimodalOps.mmMeta(_, _)),
     "mm_chunk_hash" -> (MultimodalOps.mmChunkHashes(_, _)),
     "mm_features" -> (MultimodalOps.mmFeatures(_, _)),
+    "mm_frame_sample" -> (MultimodalOps.mmFrameSample(4L)(_, _)),
+    "mm_resize" -> (MultimodalOps.mmResize(320, 240)(_, _)),
     // -- event-log / windowed operators
     "events_hourly" -> (EventOps.hourlyRollup(_, _)),
     "events_sessionize" -> (EventOps.sessionize(_, _)),
@@ -152,6 +154,8 @@ object SparkEntry {
     "mm_meta" -> MultimodalOps.mmMetaSql,
     "mm_chunk_hash" -> MultimodalOps.mmChunkHashesSql,
     "mm_features" -> MultimodalOps.mmFeaturesSql,
+    "mm_frame_sample" -> MultimodalOps.mmFrameSampleSql(4L),
+    "mm_resize" -> MultimodalOps.mmResizeSql(320, 240),
     "events_hourly" -> EventOps.hourlyRollupSql,
     "events_sessionize" -> EventOps.sessionizeSql,
     "events_json_rollup" -> EventOps.jsonRollupSql,

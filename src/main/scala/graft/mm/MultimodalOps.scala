@@ -102,6 +102,94 @@ object MultimodalOps {
     s"SELECT media_id, ${(0 to 3).map(f).mkString(", ")} FROM ($mediaMetaSql) ORDER BY media_id"
   }
 
+  /** Temporal frame sampling: keep every `stride`-th chunk (video frame
+    * subsampling / audio window decimation). Same distributed explode
+    * shape as [[mmChunkHashes]], plus the stride filter — which Catalyst
+    * pushes below the projection, so skipped frames are never hashed. */
+  def mmFrameSample(stride: Long)(spark: SparkSession, dir: String): DataFrame = {
+    val nChunks = ceil(length(col("media")) / lit(ChunkBytes.toDouble)).cast(LongType)
+    media(spark, dir)
+      .select(col("media_id"), col("media"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
+      .filter(col("chunk_idx") % stride === 0)
+      .select(col("media_id"), col("chunk_idx"),
+        md5(expr(s"substring(media, chunk_idx * $ChunkBytes + 1, $ChunkBytes)"))
+          .as("frame_md5"))
+      .orderBy("media_id", "chunk_idx")
+  }
+
+  def mmFrameSampleSql(stride: Long): String =
+    s"""SELECT media_id, CAST(ci AS BIGINT) AS chunk_idx,
+       | md5(substr(text, ci * $ChunkBytes + 1, $ChunkBytes)) AS frame_md5
+       | FROM (SELECT media_id, text, unnest(range(0, CAST(ceil(length(text) / $ChunkBytes.0) AS BIGINT))) AS ci
+       |   FROM ($mediaMetaSql))
+       | WHERE ci % $stride = 0 ORDER BY media_id, chunk_idx""".stripMargin.replace("\n", " ")
+
+  // ---- resize (stub codec, real plumbing) ------------------------------
+
+  /** Aspect-preserving downscale factor for a (w, h) asset into a
+    * (maxW, maxH) box — never upscales. Shared by the Scala stub and the
+    * SQL oracle (identical IEEE double ops ⇒ identical results). */
+  def resizeScale(w: Int, h: Int, maxW: Int, maxH: Int): Double =
+    math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+
+  /** STUB resize: a real implementation decodes, rescales pixels and
+    * re-encodes; without codecs we keep the byte-count contract — the
+    * output blob is the first `ceil(n * scale²)` bytes (area ratio) —
+    * and the real metadata contract: floor(w·s) × floor(h·s). */
+  def resizeBytesStub(bytes: Array[Byte], scale: Double): Array[Byte] = {
+    val n = math.ceil(bytes.length * (scale * scale)).toInt
+    java.util.Arrays.copyOfRange(bytes, 0, math.min(bytes.length, n))
+  }
+
+  /** Distributed resize over the binary column: `mapPartitions` batch
+    * path (no shuffle), output = resized blob + updated meta struct. The
+    * oracle-gated projection [[mmResize]] exposes the integer outputs
+    * (new geometry + byte count) so the END-TO-END plumbing — including
+    * the actual resized array lengths — is hash-checked against DuckDB
+    * computing the same formulas. */
+  def resizeMedia(df: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("media", BinaryType),
+      StructField("meta", StructType(Seq(
+        StructField("format", StringType),
+        StructField("width", IntegerType, nullable = false),
+        StructField("height", IntegerType, nullable = false))))))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.select(col("media_id"), col("media"), col("meta.format"),
+        col("meta.width"), col("meta.height"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (w, h) = (r.getInt(3), r.getInt(4))
+          val s = resizeScale(w, h, maxW, maxH)
+          val out = resizeBytesStub(r.getAs[Array[Byte]](1), s)
+          Row(r.getLong(0), out, Row(r.getString(2),
+            math.floor(w * s).toInt, math.floor(h * s).toInt))
+        }
+      }(enc)
+  }
+
+  /** Oracle surface for the resize pipeline: run the REAL mapPartitions
+    * resize, then project the checkable integers. */
+  def mmResize(maxW: Int, maxH: Int)(spark: SparkSession, dir: String): DataFrame =
+    resizeMedia(media(spark, dir), maxW, maxH).select(
+      col("media_id"),
+      col("meta.width").as("width"),
+      col("meta.height").as("height"),
+      length(col("media")).cast(LongType).as("n_bytes"))
+      .orderBy("media_id")
+
+  def mmResizeSql(maxW: Int, maxH: Int): String = {
+    val scale = s"least(1.0, least($maxW / CAST(w AS DOUBLE), $maxH / CAST(h AS DOUBLE)))"
+    s"""SELECT media_id,
+       | CAST(floor(w * s) AS INTEGER) AS width,
+       | CAST(floor(h * s) AS INTEGER) AS height,
+       | CAST(least(length(text), CAST(ceil(length(text) * (s * s)) AS BIGINT)) AS BIGINT) AS n_bytes
+       | FROM (SELECT media_id, text, width AS w, height AS h, $scale AS s FROM ($mediaMetaSql))
+       | ORDER BY media_id""".stripMargin.replace("\n", " ")
+  }
+
   // ---- real-decoder plumbing (stubbed codec) ---------------------------
 
   /** Pluggable decoder: bytes of one asset → fixed-width feature vector.

@@ -83,6 +83,28 @@ class ExtensionOpsSpec extends SparkSpec {
     }
   }
 
+  test("resize keeps the blob/meta contract: bounded box, area-ratio bytes, no upscale") {
+    val in = MultimodalOps.media(spark, sf001)
+    val out = MultimodalOps.resizeMedia(in, 320, 240)
+    val joined = out.as("o").join(in.as("i"), "media_id")
+      .select(col("o.meta.width"), col("o.meta.height"),
+        length(col("o.media")), length(col("i.media")),
+        col("i.meta.width"), col("i.meta.height"),
+        col("o.meta.format"), col("i.meta.format"))
+      .collect()
+    assert(joined.length == in.count())
+    joined.foreach { r =>
+      val (w, h, nOut, nIn) = (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+      val (w0, h0) = (r.getInt(4), r.getInt(5))
+      assert(w <= 320 && h <= 240, s"box violated: ${w}x$h")
+      assert(w <= w0 && h <= h0, "upscaled")
+      assert(nOut <= nIn, "blob grew")
+      assert(r.getString(6) == r.getString(7), "format lost")
+      if (w0 <= 320 && h0 <= 240) // already fits: identity
+        assert(w == w0 && h == h0 && nOut == nIn)
+    }
+  }
+
   test("sessionize: session counts are positive and bounded by event count") {
     val s = EventOps.sessionize(spark, sf001).collect()
     assert(s.nonEmpty)
