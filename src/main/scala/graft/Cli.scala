@@ -71,6 +71,10 @@ object Cli {
       }
       spark.stop()
 
+    case "experiment" :: rest =>
+      // end-to-end partition-pipeline experiment (partition.rs twin)
+      Experiment.main(rest.toArray)
+
     case "footprint" :: in :: out :: rest =>
       // the paper's six-config storage experiment (README.md:48-71)
       val spark = session()
@@ -89,7 +93,7 @@ object Cli {
       System.err.println(
         "usage: graft.Cli benchmark | convert <las> <out> [seed] | " +
           "merge <in> <out> [rows] | partition <in> <out> [grid|quadtree] [sigma] | " +
-          "footprint <las> <out-dir> [scale]")
+          "footprint <las> <out-dir> [scale] | experiment [sfDir] [outDir] [runs]")
       sys.exit(2)
   }
 }

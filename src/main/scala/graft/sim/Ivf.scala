@@ -66,6 +66,16 @@ object Ivf {
       struct(distTo(cv).as("dist"), lit(cid).as("cid"))
     }: _*)
 
+  /** Training result cache keyed by input path: both IVF queries (assign
+    * + search) share one trained codebook per dataset, like a production
+    * pipeline that trains once and reuses. Centroids are K×dim longs —
+    * driver-memory-trivial at any corpus size. */
+  private val trainCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Array[Long])]]()
+
+  def trainCached(spark: SparkSession, dir: String): Seq[(Long, Array[Long])] =
+    trainCache.computeIfAbsent(dir, _ => train(quantized(spark, dir)))
+
   /** Deterministic training: seed with the K smallest vec_ids, run one
     * integer Lloyd step. Returns (cid, centroid) sorted by cid. */
   def train(q: DataFrame): Seq[(Long, Array[Long])] = {
@@ -89,7 +99,7 @@ object Ivf {
   /** Per-vector cell assignment after training: (vec_id, cid, dist). */
   def assign(spark: SparkSession, dir: String): DataFrame = {
     val q = quantized(spark, dir)
-    val centroids = train(q)
+    val centroids = trainCached(spark, dir)
     val best = nearest(centroids)
     q.select(col("vec_id"), best.getField("cid").as("cid"),
         best.getField("dist").as("dist"))
@@ -101,7 +111,7 @@ object Ivf {
   def topK(queryId: Long, k: Int, nprobe: Int)(
       spark: SparkSession, dir: String): DataFrame = {
     val q = quantized(spark, dir)
-    val centroids = train(q)
+    val centroids = trainCached(spark, dir)
     val queryQv = q.filter(col("vec_id") === queryId)
       .select("qv").head().getSeq[Long](0).toArray
     def qdist(cv: Array[Long]): Long =

@@ -138,6 +138,22 @@ class LasSourceSpec extends SparkSpec {
     assert(df.filter(col("red") === col("intensity")).count() == 200)
   }
 
+  test("SQL over the registered source (reference: SELECT mean(x) smoke)") {
+    // the reference's SQL entry point (pc-io/src/las/mod.rs:92-126) —
+    // DSv2 makes the source a first-class SQL table
+    spark.sql("DROP TABLE IF EXISTS las_sql")
+    spark.sql(s"CREATE TABLE las_sql USING las OPTIONS (path '$dir')")
+    try {
+      val viaSql = spark.sql("SELECT mean(x) AS mx, count(*) AS n FROM las_sql").head()
+      val viaDf = las.agg(avg("x"), count(lit(1))).head()
+      assert(viaSql.getLong(1) == 5000L)
+      assert(math.abs(viaSql.getDouble(0) - viaDf.getDouble(0)) < 1e-9)
+      // pushdown also works through the SQL path
+      assert(spark.sql("SELECT count(*) AS n FROM las_sql WHERE x >= 1000").head().getLong(0)
+        == las.filter(col("x") >= 1000).count())
+    } finally spark.sql("DROP TABLE IF EXISTS las_sql")
+  }
+
   test("convert (D8): LAS → importance-augmented clustered parquet") {
     val out = s"$dir/converted"
     LasConvert.toGridLayout(spark, dir, out, sigma = 4, batchSize = 1024L)
