@@ -75,6 +75,7 @@ object SparkEntry {
     "emb_lsh_topk_mp" -> (SimOps.lshTopKMultiProbe(0L, 10)(_, _)),
     "emb_ivf_assign" -> (Ivf.assign(_, _)),
     "emb_ivf_topk" -> (Ivf.topK(0L, 10, 2)(_, _)),
+    "emb_ivf_topk_part" -> (Ivf.topKPartitioned(0L, 10, 2)(_, _)),
     "dedup_crosscheck" -> (Sketches.crossCheckPairs(_, _)),
     // -- multimodal binary columns
     "mm_meta" -> (MultimodalOps.mmMeta(_, _)),
@@ -150,6 +151,7 @@ object SparkEntry {
     "emb_lsh_topk_mp" -> SimOps.lshTopKMultiProbeSql(0L, 10),
     "emb_ivf_assign" -> Ivf.assignSql,
     "emb_ivf_topk" -> Ivf.topKSql(0L, 10, 2),
+    "emb_ivf_topk_part" -> Ivf.topKSql(0L, 10, 2), // layout is result-invariant
     "dedup_crosscheck" -> Sketches.crossCheckPairsSql,
     "mm_meta" -> MultimodalOps.mmMetaSql,
     "mm_chunk_hash" -> MultimodalOps.mmChunkHashesSql,

@@ -42,11 +42,16 @@ object CirclePrefilterRule extends Rule[LogicalPlan] {
     }
   }
 
-  /** (attr - c)*(attr - c) with literal c — one squared axis distance. */
+  /** (attr - c)*(attr - c) with literal c — one squared axis distance.
+    * Restricted to DoubleType attributes: the derived bounds are double
+    * literals, and a float/int attribute would make the new comparison
+    * ill-typed post-analysis (the naive predicate would carry casts and
+    * not match this pattern anyway). */
   private object SquaredDist {
     def unapply(e: Expression): Option[(Attribute, Double)] = e match {
       case Multiply(s1 @ Subtract(a: Attribute, Lit(c), _), s2, _)
-          if s1.semanticEquals(s2) => Some((a, c))
+          if s1.semanticEquals(s2) &&
+            a.dataType == org.apache.spark.sql.types.DoubleType => Some((a, c))
       case _ => None
     }
   }

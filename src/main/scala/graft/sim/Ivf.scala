@@ -132,6 +132,48 @@ object Ivf {
       .limit(k)
   }
 
+  /** Materialized inverted-list layout: the assignment written
+    * `partitionBy(cid)` — one directory per cell. Built once per dataset
+    * (like a production index build job). */
+  private val layoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def layoutPath(spark: SparkSession, dir: String): String =
+    layoutCache.computeIfAbsent(dir, { _ =>
+      val path = java.nio.file.Files.createTempDirectory("graft_ivf_layout").toString
+      val q = quantized(spark, dir)
+      val best = nearest(trainCached(spark, dir))
+      q.select(col("vec_id"), col("embedding"), best.getField("cid").as("cid"))
+        .write.mode("overwrite").partitionBy("cid").parquet(path)
+      path
+    })
+
+  /** IVF search against the cid-partitioned layout: same results (and
+    * oracle) as [[topK]], but the probe filter `cid IN (...)` prunes at
+    * the FILE level — non-probed cells are never opened, the on-disk
+    * inverted-list behavior a production IVF index has. */
+  def topKPartitioned(queryId: Long, k: Int, nprobe: Int)(
+      spark: SparkSession, dir: String): DataFrame = {
+    val centroids = trainCached(spark, dir)
+    val table = spark.read.parquet(layoutPath(spark, dir))
+    val queryQv = quantized(spark, dir).filter(col("vec_id") === queryId)
+      .select("qv").head().getSeq[Long](0).toArray
+    def qdist(cv: Array[Long]): Long =
+      cv.iterator.zip(queryQv.iterator).map { case (c, x) =>
+        val d = x - c; d * d
+      }.sum
+    val probed = centroids.map { case (cid, cv) => (qdist(cv), cid) }
+      .sorted.take(nprobe).map(_._2)
+    val qe = table.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qe"))
+    table.filter(col("cid").isin(probed: _*) && col("vec_id") =!= queryId)
+      .crossJoin(broadcast(qe))
+      .select(col("vec_id"),
+        round(SimOps.dot(col("embedding"), col("qe")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   // ---- DuckDB oracle: the same training chain in SQL -------------------
 
   /** Shared CTE chain: quantize → seeds → assign → integer Lloyd update

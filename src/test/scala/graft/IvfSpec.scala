@@ -51,6 +51,17 @@ class IvfSpec extends SparkSpec {
     assert(ivfAll == bf)
   }
 
+  test("partitioned probe equals the direct probe and file-prunes to the cells") {
+    val direct = Ivf.topK(0L, 10, 2)(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val part = Ivf.topKPartitioned(0L, 10, 2)(spark, sf001)
+    val got = part.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == direct)
+    // the cid filter must reach partition pruning, not a post-scan filter
+    val plan = part.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cid"), s"no partition pruning:\n$plan")
+  }
+
   test("assignment plan is map-only: no shuffle before the final sort") {
     val q = Ivf.quantized(spark, sf001)
     val centroids = Ivf.train(q)
