@@ -64,16 +64,23 @@ object MultimodalOps {
     * frame-sample analog for video, window-sample for audio) and
     * fingerprint each chunk. explode() keeps this fully distributed — a
     * 100 TB corpus becomes (bytes/chunk) rows spread over all tasks. */
-  def mmChunkHashes(spark: SparkSession, dir: String): DataFrame = {
+  /** (media_id, chunk_idx, chunk_md5) relation shared by full chunk
+    * hashing and frame sampling. The `length > 0` guard matters: for an
+    * empty blob nChunks = 0 and Spark's `sequence(0, -1)` DESCENDS
+    * ([0, -1]) instead of being empty like the oracle's `range(0, 0)`. */
+  private def chunkHashRelation(spark: SparkSession, dir: String): DataFrame = {
     val nChunks = ceil(length(col("media")) / lit(ChunkBytes.toDouble)).cast(LongType)
     media(spark, dir)
+      .filter(length(col("media")) > 0)
       .select(col("media_id"), col("media"),
         explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
       .select(col("media_id"), col("chunk_idx"),
         md5(expr(s"substring(media, chunk_idx * $ChunkBytes + 1, $ChunkBytes)"))
           .as("chunk_md5"))
-      .orderBy("media_id", "chunk_idx")
   }
+
+  def mmChunkHashes(spark: SparkSession, dir: String): DataFrame =
+    chunkHashRelation(spark, dir).orderBy("media_id", "chunk_idx")
 
   val mmChunkHashesSql: String =
     s"""SELECT media_id, CAST(ci AS BIGINT) AS chunk_idx,
@@ -103,20 +110,14 @@ object MultimodalOps {
   }
 
   /** Temporal frame sampling: keep every `stride`-th chunk (video frame
-    * subsampling / audio window decimation). Same distributed explode
-    * shape as [[mmChunkHashes]], plus the stride filter — which Catalyst
-    * pushes below the projection, so skipped frames are never hashed. */
-  def mmFrameSample(stride: Long)(spark: SparkSession, dir: String): DataFrame = {
-    val nChunks = ceil(length(col("media")) / lit(ChunkBytes.toDouble)).cast(LongType)
-    media(spark, dir)
-      .select(col("media_id"), col("media"),
-        explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
+    * subsampling / audio window decimation) — [[chunkHashRelation]] plus
+    * the stride filter, which Catalyst pushes below the hash projection,
+    * so skipped frames are never hashed. */
+  def mmFrameSample(stride: Long)(spark: SparkSession, dir: String): DataFrame =
+    chunkHashRelation(spark, dir)
       .filter(col("chunk_idx") % stride === 0)
-      .select(col("media_id"), col("chunk_idx"),
-        md5(expr(s"substring(media, chunk_idx * $ChunkBytes + 1, $ChunkBytes)"))
-          .as("frame_md5"))
+      .withColumnRenamed("chunk_md5", "frame_md5")
       .orderBy("media_id", "chunk_idx")
-  }
 
   def mmFrameSampleSql(stride: Long): String =
     s"""SELECT media_id, CAST(ci AS BIGINT) AS chunk_idx,

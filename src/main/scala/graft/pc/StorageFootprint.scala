@@ -83,7 +83,9 @@ object StorageFootprint {
         .option("maxRecordsPerFile", rowGroupRows)
         .parquet(path)
       val bytes = dirBytes(spark, path)
-      Row(c.name, bytes, bytes * 1000000L / math.max(1L, inputBytes))
+      // BigInt: bytes * 1e6 overflows Long past ~9.2 TB of output
+      val ppm = (BigInt(bytes) * 1000000 / BigInt(math.max(1L, inputBytes))).toLong
+      Row(c.name, bytes, ppm)
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1),

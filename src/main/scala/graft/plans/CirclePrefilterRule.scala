@@ -67,10 +67,22 @@ object CirclePrefilterRule extends Rule[LogicalPlan] {
       }
   }
 
+  /** Derived bounds must be a SUPERSET of the circle under floating-point
+    * evaluation: `(x-cx)²+(y-cy)²` is computed with rounded ops, so a
+    * boundary row can satisfy the circle predicate while `x` sits a few
+    * ulps outside the real-arithmetic `cx ± √r²`. Widen the radius by a
+    * relative 1e-12 (≫ the ≤4-ulp evaluation error) and nudge the final
+    * literals one ulp outward — the implication `circle ⇒ bbox` then
+    * holds for every representable double, at immeasurable pruning cost. */
   private def bboxConjuncts(ax: Attribute, cx: Double, ay: Attribute,
-      cy: Double, r: Double): Seq[Expression] = Seq(
-    GreaterThanOrEqual(ax, Literal(cx - r)), LessThanOrEqual(ax, Literal(cx + r)),
-    GreaterThanOrEqual(ay, Literal(cy - r)), LessThanOrEqual(ay, Literal(cy + r)))
+      cy: Double, r0: Double): Seq[Expression] = {
+    val r = math.nextUp(r0 * (1.0 + 1e-12))
+    Seq(
+      GreaterThanOrEqual(ax, Literal(math.nextDown(cx - r))),
+      LessThanOrEqual(ax, Literal(math.nextUp(cx + r))),
+      GreaterThanOrEqual(ay, Literal(math.nextDown(cy - r))),
+      LessThanOrEqual(ay, Literal(math.nextUp(cy + r))))
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) =>

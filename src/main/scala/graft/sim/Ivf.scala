@@ -96,15 +96,41 @@ object Ivf {
     updated.sortBy(_._1).toSeq
   }
 
-  /** Per-vector cell assignment after training: (vec_id, cid, dist). */
-  def assign(spark: SparkSession, dir: String): DataFrame = {
-    val q = quantized(spark, dir)
-    val centroids = trainCached(spark, dir)
+  /** The map-only quantize+argmin projection (unsorted). */
+  def assignment(q: DataFrame, centroids: Seq[(Long, Array[Long])]): DataFrame = {
     val best = nearest(centroids)
     q.select(col("vec_id"), best.getField("cid").as("cid"),
-        best.getField("dist").as("dist"))
-      .orderBy("vec_id")
+      best.getField("dist").as("dist"))
   }
+
+  /** Per-vector cell assignment after training: (vec_id, cid, dist). */
+  def assign(spark: SparkSession, dir: String): DataFrame =
+    assignment(quantized(spark, dir), trainCached(spark, dir))
+      .orderBy("vec_id")
+
+  /** Integer distance between a centroid and the query's quantized
+    * vector, and the `nprobe` nearest cell ids — shared by both probe
+    * paths so tie-breaking ((dist, cid) order, matching the oracle's
+    * ORDER BY dist, cid) can never diverge between them. */
+  private def probeCells(centroids: Seq[(Long, Array[Long])],
+      queryQv: Array[Long], nprobe: Int): Seq[Long] = {
+    def qdist(cv: Array[Long]): Long =
+      cv.iterator.zip(queryQv.iterator).map { case (c, x) =>
+        val d = x - c; d * d
+      }.sum
+    centroids.map { case (cid, cv) => (qdist(cv), cid) }
+      .sorted.take(nprobe).map(_._2)
+  }
+
+  /** Exact cosine top-k over a candidate set vs a 1-row broadcast query. */
+  private def scoreTopK(candidates: DataFrame, qe: DataFrame, queryId: Long,
+      k: Int): DataFrame =
+    candidates.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(qe))
+      .select(col("vec_id"),
+        round(SimOps.dot(col("embedding"), col("qe")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
 
   /** IVF search: probe the `nprobe` cells nearest to `queryId`'s vector,
     * then exact cosine top-k within the probed cells. */
@@ -114,22 +140,13 @@ object Ivf {
     val centroids = trainCached(spark, dir)
     val queryQv = q.filter(col("vec_id") === queryId)
       .select("qv").head().getSeq[Long](0).toArray
-    def qdist(cv: Array[Long]): Long =
-      cv.iterator.zip(queryQv.iterator).map { case (c, x) =>
-        val d = x - c; d * d
-      }.sum
-    val probed = centroids.map { case (cid, cv) => (qdist(cv), cid) }
-      .sorted.take(nprobe).map(_._2)
-    val best = nearest(centroids)
+    val probed = probeCells(centroids, queryQv, nprobe)
     val qe = SimOps.embeddings(spark, dir)
       .filter(col("vec_id") === queryId).select(col("embedding").as("qe"))
-    q.withColumn("cid", best.getField("cid"))
-      .filter(col("cid").isin(probed: _*) && col("vec_id") =!= queryId)
-      .crossJoin(broadcast(qe))
-      .select(col("vec_id"),
-        round(SimOps.dot(col("embedding"), col("qe")), 6).as("sim"))
-      .orderBy(col("sim").desc, col("vec_id").asc)
-      .limit(k)
+    scoreTopK(
+      q.withColumn("cid", nearest(centroids).getField("cid"))
+        .filter(col("cid").isin(probed: _*)),
+      qe, queryId, k)
   }
 
   /** Materialized inverted-list layout: the assignment written
@@ -158,20 +175,10 @@ object Ivf {
     val table = spark.read.parquet(layoutPath(spark, dir))
     val queryQv = quantized(spark, dir).filter(col("vec_id") === queryId)
       .select("qv").head().getSeq[Long](0).toArray
-    def qdist(cv: Array[Long]): Long =
-      cv.iterator.zip(queryQv.iterator).map { case (c, x) =>
-        val d = x - c; d * d
-      }.sum
-    val probed = centroids.map { case (cid, cv) => (qdist(cv), cid) }
-      .sorted.take(nprobe).map(_._2)
+    val probed = probeCells(centroids, queryQv, nprobe)
     val qe = table.filter(col("vec_id") === queryId)
       .select(col("embedding").as("qe"))
-    table.filter(col("cid").isin(probed: _*) && col("vec_id") =!= queryId)
-      .crossJoin(broadcast(qe))
-      .select(col("vec_id"),
-        round(SimOps.dot(col("embedding"), col("qe")), 6).as("sim"))
-      .orderBy(col("sim").desc, col("vec_id").asc)
-      .limit(k)
+    scoreTopK(table.filter(col("cid").isin(probed: _*)), qe, queryId, k)
   }
 
   // ---- DuckDB oracle: the same training chain in SQL -------------------

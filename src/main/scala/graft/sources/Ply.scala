@@ -57,7 +57,6 @@ object Ply {
       if (isList) ArrayType(typeMap(plyType)._1, containsNull = false)
       else typeMap(plyType)._1
     def width: Int = typeMap(plyType)._2
-    def countWidth: Int = typeMap(listCountType.get)._2
   }
   final case class PlyElement(name: String, count: Long, props: Seq[PlyProperty])
   final case class PlyHeader(format: String, elements: Seq[PlyElement])
@@ -172,6 +171,10 @@ object Ply {
       var schema: StructType = null
       header.elements.foreach { el =>
         val isTarget = el.name == element && rows == null
+        // fixed-width (list-free) binary elements: one shared row buffer
+        val fixedRowBytes =
+          if (!ascii && el.props.forall(!_.isList)) el.props.map(_.width).sum else -1
+        val fixedBuf = if (fixedRowBytes >= 0) new Array[Byte](fixedRowBytes) else null
         val parsed = (0L until el.count).iterator.map { _ =>
           if (ascii) {
             val toks = readHeaderLine(in).trim.split("\\s+")
@@ -187,6 +190,14 @@ object Ply {
               }
             }
             if (isTarget) Row.fromSeq(vals) else null
+          } else if (fixedRowBytes >= 0) {
+            // fixed-width rows: ONE bulk read per row (hot path for large
+            // vertex elements; the per-scalar loop below is list-only)
+            in.readFully(fixedBuf)
+            if (isTarget) {
+              val bb = ByteBuffer.wrap(fixedBuf).order(order)
+              Row.fromSeq(el.props.map(pr => readBinaryScalar(pr.plyType, bb)))
+            } else null
           } else {
             val vals = el.props.map { pr =>
               if (pr.isList) {
@@ -267,6 +278,7 @@ object Ply {
             fields(i).dataType match {
               case ArrayType(et, _) =>
                 val vs = r.getSeq[Any](i)
+                require(vs.size <= 255, s"list longer than uchar count: ${vs.size}")
                 (vs.size +: vs.map(fmtAscii(et, _))).mkString(" ")
               case dt => fmtAscii(dt, r.get(i))
             }

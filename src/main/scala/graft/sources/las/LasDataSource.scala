@@ -19,8 +19,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** Hadoop-conf plumbing: the source must honor `spark.hadoop.*` settings
   * (custom filesystems, credentials) like any built-in file source.
-  * Driver side we take the session's conf; executor side the reader gets
-  * a serialized snapshot (Configuration itself isn't serializable). */
+  * Driver side we take the session's conf; executor side the readers get
+  * it via a BROADCAST of [[SerializableHadoopConf]] (Configuration isn't
+  * serializable) — one transfer per executor, like Spark's built-in file
+  * sources, instead of re-shipping the full conf with every task. */
 object LasHadoopConf {
   /** The active session's hadoop configuration, or a bare default when no
     * session exists (driver-side tools/tests outside Spark). */
@@ -28,14 +30,20 @@ object LasHadoopConf {
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
       .map(_.sessionState.newHadoopConf())
       .getOrElse(new Configuration())
+}
 
-  def snapshot(conf: Configuration): Array[(String, String)] =
-    conf.iterator().asScala.map(e => e.getKey -> e.getValue).toArray
-
-  def restore(entries: Array[(String, String)]): Configuration = {
-    val conf = new Configuration(false)
-    entries.foreach { case (k, v) => conf.set(k, v) }
-    conf
+/** Java-serializable Configuration wrapper (the standard Spark pattern;
+  * the built-in `SerializableConfiguration` is private[spark]). */
+final class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
   }
 }
 
@@ -194,10 +202,13 @@ class LasScan(fullSchema: StructType, required: StructType,
       }
     }.toArray
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = SparkSession.active
     new LasReaderFactory(
       required.fieldNames.map(LasFormat.fieldCode),
-      LasHadoopConf.snapshot(LasHadoopConf.sessionConf()))
+      spark.sparkContext.broadcast(
+        new SerializableHadoopConf(LasHadoopConf.sessionConf())))
+  }
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong =
@@ -210,11 +221,12 @@ class LasScan(fullSchema: StructType, required: StructType,
 }
 
 class LasReaderFactory(fieldCodes: Array[Int],
-    confEntries: Array[(String, String)]) extends PartitionReaderFactory {
+    confBc: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf])
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[LasInputPartition]
     new PartitionReader[InternalRow] {
-      private val conf = LasHadoopConf.restore(confEntries)
+      private val conf = confBc.value.value
       private val bytes = {
         val path = new Path(p.path)
         val in = path.getFileSystem(conf).open(path)
