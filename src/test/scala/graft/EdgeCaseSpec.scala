@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.functions._
+
+import graft.mm.MultimodalOps
+import graft.sources.{Ply, las => L}
+
+/** Degenerate-input behavior: empty blobs, zero-point files, zero-count
+  * elements — the places distributed pipelines break first. */
+class EdgeCaseSpec extends SparkSpec {
+
+  test("empty media blob contributes zero chunks/frames (no descending sequence)") {
+    // synthesize a documents table with an empty text row
+    val dir = Files.createTempDirectory("mm_empty").toString
+    spark.range(3).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id = 1 THEN '' ELSE 'some words here repeated words' END AS text",
+        "'en' AS lang", "'src0' AS source", "length('x') AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val chunks = MultimodalOps.mmChunkHashes(spark, dir).collect()
+    assert(!chunks.map(_.getLong(0)).contains(1L), "empty blob produced chunks")
+    assert(chunks.nonEmpty)
+    val frames = MultimodalOps.mmFrameSample(4L)(spark, dir).collect()
+    assert(!frames.map(_.getLong(0)).contains(1L))
+  }
+
+  test("zero-point LAS file: header reads, scan yields 0 rows, stats say 0") {
+    val conf = new Configuration()
+    val dir = Files.createTempDirectory("las_empty").toString
+    L.LasFormat.write(conf, s"$dir/empty.las", Seq.empty)
+    val df = spark.read.format("las").load(s"$dir/empty.las")
+    assert(df.count() == 0)
+    assert(df.schema.fieldNames.contains("x"))
+  }
+
+  test("zero-count PLY element skips cleanly; empty vertex element reads as 0 rows") {
+    val dir = Files.createTempDirectory("ply_empty").toString
+    val path = s"$dir/empty.ply"
+    val text =
+      """ply
+        |format ascii 1.0
+        |element face 0
+        |property list uchar int vertex_indices
+        |element vertex 0
+        |property float x
+        |property float y
+        |property float z
+        |end_header
+        |""".stripMargin
+    Files.write(java.nio.file.Paths.get(path), text.getBytes)
+    val df = Ply.read(spark, path)
+    assert(df.count() == 0)
+    assert(df.schema.fieldNames.toSeq == Seq("x", "y", "z"))
+  }
+
+  test("circle rule with a degenerate (zero-radius) circle derives empty-range bounds safely") {
+    graft.plans.GraftExtensions.install(spark)
+    try {
+      val dir = Files.createTempDirectory("circle_zero").toString
+      spark.range(10).selectExpr("CAST(id AS DOUBLE) AS x", "CAST(id AS DOUBLE) AS y")
+        .write.mode("overwrite").parquet(dir)
+      val d2 = (col("x") - 5.0) * (col("x") - 5.0) + (col("y") - 5.0) * (col("y") - 5.0)
+      // r² = 0.25 → only the point (5,5) qualifies
+      assert(spark.read.parquet(dir).filter(d2 < 0.25).count() == 1)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ == graft.plans.CirclePrefilterRule)
+    }
+  }
+}
