@@ -21,6 +21,7 @@ object EventOps {
 
   val NsPerHour: Long = 3600L * 1000 * 1000 * 1000
   val SessionGapNs: Long = 1800L * 1000 * 1000 * 1000 // 30 min
+  val SessionGapUs: Long = SessionGapNs / 1000
 
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -45,11 +46,18 @@ object EventOps {
     * lag + running sum — one shuffle on user_id, then linear per-user
     * work. Output: per-user session count and longest session. */
   def sessionize(spark: SparkSession, dir: String): DataFrame = {
-    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    // ALL oracle-visible time arithmetic in MICROSECONDS: events.ts is
+    // int64 ns but DuckDB truncates TIMESTAMP(NANOS) to us, so ns-level
+    // gaps/ordering would silently diverge at a boundary (same class of
+    // bug as the doc_quality float-round incident). Ties at equal us are
+    // broken by event_id on both sides.
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(expr("ts div 1000"), col("event_id"))
     val s = events(spark, dir)
-      .withColumn("prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("prev", lag(col("ts_us"), 1).over(byUser))
       .withColumn("new_sess",
-        when(col("prev").isNull || col("ts") - col("prev") > SessionGapNs, 1L)
+        when(col("prev").isNull || col("ts_us") - col("prev") > SessionGapUs, 1L)
           .otherwise(0L))
       .withColumn("sess", sum(col("new_sess"))
         .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -60,9 +68,9 @@ object EventOps {
   }
 
   val sessionizeSql: String =
-    s"""WITH s AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events),
-       | m AS (SELECT user_id, ts, CASE WHEN prev IS NULL OR epoch_ns(ts) - epoch_ns(prev) > $SessionGapNs THEN 1 ELSE 0 END AS new_sess FROM s),
-       | g AS (SELECT user_id, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess FROM m),
+    s"""WITH s AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev FROM events),
+       | m AS (SELECT user_id, event_id, ts_us, CASE WHEN prev IS NULL OR ts_us - prev > $SessionGapUs THEN 1 ELSE 0 END AS new_sess FROM s),
+       | g AS (SELECT user_id, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess FROM m),
        | c AS (SELECT user_id, sess, count(*) AS n FROM g GROUP BY 1, 2)
        | SELECT user_id, max(sess) AS n_sessions, max(n) AS max_session_len
        | FROM c GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")
@@ -104,8 +112,11 @@ object EventOps {
     * user partition, no pair blow-up, the standard distributed as-of
     * formulation (what a custom SparkStrategy would also do). */
   def asOfJoin(spark: SparkSession, dir: String): DataFrame = {
+    // order by MICROSECOND time (+ event_id tiebreak): DuckDB only sees
+    // us-truncated timestamps, so an ns-resolution order could disagree
+    // whenever two events of a user share the same us
     val byUserTime = Window.partitionBy("user_id")
-      .orderBy("ts", "event_id")
+      .orderBy(expr("ts div 1000"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // microsecond precision: DuckDB TIMESTAMP truncates ns -> us, so the
     // oracle-facing numbers are us on both sides (ns div 1000 == epoch_us)
@@ -127,7 +138,7 @@ object EventOps {
       | epoch_us(ts) - coalesce(last_click_us, epoch_us(ts)) AS gap_us FROM (
       | SELECT event_id, user_id, ts, event_type,
       |  last(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
-      |   OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS last_click_us
+      |   OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id ROWS UNBOUNDED PRECEDING) AS last_click_us
       | FROM events WHERE event_type IN ('click', 'purchase'))
       | WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin.replace("\n", " ")
 

@@ -126,22 +126,32 @@ object Aabb {
     }
   }
 
-  /** Grid(sigma) partitioning geometry: cell size from target
-    * `count / batchSize` row groups and `sigma` importance splits; windows
-    * are a coarse xy grid of `8/sqrt(sigma)` cells per axis
-    * (reference: pc-cli/src/partition.rs:164-198). */
+  /** Shared grid(σ) derivation (reference: pc-cli/src/partition.rs:
+    * 164-198): (cell size, window accumulator, per-axis
+    * splits). ONE function feeds both the driver-side cell enumeration
+    * below and Layout.gridGeometry's cell-id expression — the two views
+    * must agree bit-for-bit, and they drifted once (round vs floor on
+    * `acc`) while the arithmetic lived in two copies. Degenerate
+    * zero-area bounds (single point / collinear data) get size 1.0 so
+    * everything lands in one window instead of dividing by zero. */
+  def gridDerivation(bounds: Aabb, count: Long, sigma: Int,
+      batchSize: Long = 524288L): (Double, Double, Int) = {
+    val numBatches = math.max(1L, count / batchSize)
+    val raw = math.round(math.sqrt(bounds.area / (numBatches.toDouble / sigma))).toDouble
+    val size = if (raw > 0.0) raw else 1.0
+    val acc = 8.0 / math.sqrt(sigma.toDouble)
+    // floor (not round), matching the reference's integer truncation —
+    // for sigma=8, 8/sqrt(8)=2.83 must give 2 splits per axis
+    val splits = math.max(1, math.floor(acc).toInt)
+    (size, acc, splits)
+  }
+
   def gridPartitionCells(
       bounds: Aabb, // XY bounds of the data
       count: Long,
       sigma: Int,
       batchSize: Long = 524288L): (Seq[Aabb], Double) = {
-    val numBatches = math.max(1L, count / batchSize)
-    val size = math.round(math.sqrt(bounds.area / (numBatches.toDouble / sigma))).toDouble
-    val acc = 8.0 / math.sqrt(sigma.toDouble)
-    // floor (not round), matching the reference's integer truncation and
-    // Layout.gridGeometry — for sigma=8, 8/sqrt(8)=2.83 must give 2 splits
-    // per axis, so the enumerated cells equal what the layout writer emits
-    val splits = math.max(1, math.floor(acc).toInt)
+    val (size, acc, splits) = gridDerivation(bounds, count, sigma, batchSize)
     val windows = gridCoverage(bounds, Seq(acc * size, acc * size))
     val cells = windows.flatMap { w =>
       w.withImportance(0.0, 1.0).split(Seq(splits, splits, sigma))
@@ -149,22 +159,34 @@ object Aabb {
     (cells, size)
   }
 
-  /** Quadtree partitioning geometry: square box centered on the data with
-    * side = max extent, depth = round(log4(normalizedCount / batchSize))
-    * (reference: pc-cli/src/partition.rs:199-237). */
-  def quadtreePartitionCells(
-      bounds: Aabb,
-      count: Long,
-      batchSize: Long = 524288L): (Seq[Aabb], Int) = {
+  /** Closed-form quadtree depth = round(log4(normalizedCount/batchSize))
+    * + square (x,y,i) box centered on the data (reference:
+    * pc-cli/src/partition.rs:199-237) — shared with
+    * Layout.quadtreeGeometry so the enumerated cells and the writer's
+    * cell-id expressions can never drift. Zero-area bounds (single
+    * point / collinear data) skip the density normalization entirely:
+    * the unnormalized count would otherwise blow up to Long.MaxValue and
+    * ask for a ~4^22-cell enumeration. */
+  def quadtreeDerivation(bounds: Aabb, count: Long,
+      batchSize: Long = 524288L): (Aabb, Int) = {
     val dx = bounds.upper(0) - bounds.lower(0)
     val dy = bounds.upper(1) - bounds.lower(1)
     val size = math.max(dx, dy) + 0.1
-    val countNormalized = (count * (size * size / bounds.area)).toLong
+    val countNormalized =
+      if (bounds.area > 0.0) (count * (size * size / bounds.area)).toLong
+      else count
     val numBatches = math.max(1L, countNormalized / batchSize)
     val depth = math.max(0, math.round(math.log(numBatches.toDouble) / math.log(4.0)).toInt)
     val c = bounds.center
     val half = size / 2.0
-    val box = Aabb.xyi(c(0) - half, c(1) - half, 0.0, c(0) + half, c(1) + half, 1.0)
+    (Aabb.xyi(c(0) - half, c(1) - half, 0.0, c(0) + half, c(1) + half, 1.0), depth)
+  }
+
+  def quadtreePartitionCells(
+      bounds: Aabb,
+      count: Long,
+      batchSize: Long = 524288L): (Seq[Aabb], Int) = {
+    val (box, depth) = quadtreeDerivation(bounds, count, batchSize)
     (quadtreeCells(box, depth), depth)
   }
 }

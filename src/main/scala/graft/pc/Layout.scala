@@ -40,13 +40,12 @@ object Layout {
 
   def gridGeometry(bounds: Aabb, count: Long, sigma: Int,
       batchSize: Long = BatchSize): GridGeometry = {
-    val numBatches = math.max(1L, count / batchSize)
-    val size = math.round(math.sqrt(bounds.area / (numBatches.toDouble / sigma))).toDouble
-    val acc = math.floor(8.0 / math.sqrt(sigma.toDouble))
-    // window edge = acc*size subdivided into acc slices => cell edge = size;
-    // keep the exact reference arithmetic anyway for acc that doesn't divide
-    val windowEdge = (8.0 / math.sqrt(sigma.toDouble)) * size
-    GridGeometry(windowEdge / math.max(1.0, acc), sigma)
+    // single source of truth shared with Aabb.gridPartitionCells — the
+    // enumerated cells and this cell-id expression must agree exactly
+    val (size, acc, splits) = Aabb.gridDerivation(bounds, count, sigma, batchSize)
+    // window edge = acc*size subdivided into `splits` slices; keep the
+    // exact reference arithmetic for acc that doesn't divide evenly
+    GridGeometry((acc * size) / splits, sigma)
   }
 
   /** Geometry of a quadtree LoD layout: the square box + depth
@@ -80,14 +79,10 @@ object Layout {
 
   def quadtreeGeometry(bounds: Aabb, count: Long,
       batchSize: Long = BatchSize): QuadtreeGeometry = {
-    val (_, depth) = Aabb.quadtreePartitionCells(bounds, count, batchSize)
-    val dx = bounds.upper(0) - bounds.lower(0)
-    val dy = bounds.upper(1) - bounds.lower(1)
-    val size = math.max(dx, dy) + 0.1
-    val c = bounds.center
-    val half = size / 2.0
-    QuadtreeGeometry(
-      Aabb.xyi(c(0) - half, c(1) - half, 0.0, c(0) + half, c(1) + half, 1.0), depth)
+    // closed-form (no cell enumeration on the driver) + shared with
+    // Aabb.quadtreePartitionCells so box/depth can never drift
+    val (box, depth) = Aabb.quadtreeDerivation(bounds, count, batchSize)
+    QuadtreeGeometry(box, depth)
   }
 
   /** Single pass over the data for bounds + count (the reference runs one
@@ -97,6 +92,8 @@ object Layout {
       min("x").as("x0"), max("x").as("x1"),
       min("y").as("y0"), max("y").as("y1"),
       count(lit(1)).as("n")).head()
+    require(!row.isNullAt(0),
+      "empty point cloud: layout writers need at least one row")
     (Aabb.xy(row.getDouble(0), row.getDouble(2), row.getDouble(1), row.getDouble(3)),
       row.getLong(4))
   }

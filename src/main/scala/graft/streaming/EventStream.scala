@@ -96,7 +96,10 @@ object EventStream {
     val spark = events.sparkSession
     import spark.implicits._
     events
-      .select(col("user_id"), round(col("value") * 100).cast(LongType).as("cents"))
+      // coalesce: a NULL value would kill the tuple encoder mid-stream,
+      // while the batch twin's sum() silently skips it — 0 cents matches
+      .select(col("user_id"),
+        coalesce(round(col("value") * 100).cast(LongType), lit(0L)).as("cents"))
       .as[(Long, Long)]
       .groupByKey(_._1)
       .mapGroupsWithState[UserTotals, UserTotals](GroupStateTimeout.NoTimeout) {

@@ -190,10 +190,13 @@ object TextOps {
     inter
       .join(broadcast(n.as("na")), col("d1") === col("na.doc_id"))
       .join(broadcast(n.as("nb")), col("d2") === col("nb.doc_id"))
+      // ALL-INTEGER jaccard (ppm): round(inter/union, 6) is the exact
+      // float-round pattern already proven engine-divergent on
+      // small-denominator rationals (the sf0.1 doc_quality incident) —
+      // integer floor division can never disagree
       .select(col("d1"), col("d2"), col("inter"),
-        round(col("inter").cast("double") /
-          (col("na.n") + col("nb.n") - col("inter")).cast("double"), 6).as("jaccard"))
-      .filter(col("jaccard") >= tau)
+        expr("(inter * 1000000) div (na.n + nb.n - inter)").as("jaccard_ppm"))
+      .filter(col("jaccard_ppm") >= math.round(tau * 1e6))
       .orderBy("d1", "d2")
   }
 
@@ -203,9 +206,9 @@ object TextOps {
        | p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
        |   FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2)
        | SELECT d1, d2, inter,
-       |  round(CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE), 6) AS jaccard
+       |  CAST(inter * 1000000 // (na.n + nb.n - inter) AS BIGINT) AS jaccard_ppm
        | FROM p JOIN n na ON na.doc_id = d1 JOIN n nb ON nb.doc_id = d2
-       | WHERE round(CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE), 6) >= $tau
+       | WHERE inter * 1000000 // (na.n + nb.n - inter) >= ${math.round(tau * 1e6)}
        | ORDER BY 1, 2""".stripMargin.replace("\n", " ")
 
   // ---- decontamination: train/eval n-gram overlap ----------------------

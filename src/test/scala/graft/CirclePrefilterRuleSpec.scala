@@ -36,6 +36,11 @@ class CirclePrefilterRuleSpec extends SparkSpec {
   }
 
   test("rule injects a pushable bbox; results identical; plan is idempotent") {
+    // other suites may have installed the rule on the shared session
+    // (circleOnGridNaive does); start from a clean slate
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations
+        .filterNot(_ == graft.plans.CirclePrefilterRule)
     // without the rule: nothing pushable in the naive predicate
     val before = pushedFilters(circleDf())
     assert(!before.contains("GreaterThanOrEqual(x"),

@@ -56,6 +56,34 @@ class EdgeCaseSpec extends SparkSpec {
     assert(df.schema.fieldNames.toSeq == Seq("x", "y", "z"))
   }
 
+  test("degenerate geometry: single-point and collinear clouds write layouts without blowing up") {
+    import graft.pc.{Aabb, Layout, Points}
+    // single point: zero-area bounds must not divide by zero (grid) or
+    // saturate the quadtree depth to ~22
+    val one = spark.range(1).selectExpr(
+      "CAST(5.0 AS DOUBLE) AS x", "CAST(7.0 AS DOUBLE) AS y", "id AS pid")
+    val onePts = Points.withImportance(one, seed = 1L)
+    val d1 = Files.createTempDirectory("degen1").toString
+    Layout.writeGrid(onePts, s"$d1/grid", sigma = 4, batchSize = 16L)
+    assert(spark.read.parquet(s"$d1/grid").count() == 1)
+    val (_, depth) = Aabb.quadtreeDerivation(Aabb.xy(5.0, 7.0, 5.0, 7.0), 1L, 16L)
+    assert(depth <= 1, s"degenerate bounds gave depth $depth")
+    Layout.writeQuadtree(onePts, s"$d1/quad", batchSize = 16L)
+    assert(spark.read.parquet(s"$d1/quad").count() == 1)
+    // collinear (all same y): area 0, thousands of rows
+    val line = spark.range(2000).selectExpr(
+      "CAST(id AS DOUBLE) AS x", "CAST(1.0 AS DOUBLE) AS y", "id AS pid")
+    val linePts = Points.withImportance(line, seed = 2L)
+    val d2 = Files.createTempDirectory("degen2").toString
+    Layout.writeQuadtree(linePts, s"$d2/quad", batchSize = 256L)
+    assert(spark.read.parquet(s"$d2/quad").count() == 2000)
+    // empty input fails fast with a clear message, not an NPE
+    val e = intercept[IllegalArgumentException] {
+      Layout.boundsAndCount(onePts.filter(col("pid") < 0))
+    }
+    assert(e.getMessage.contains("empty point cloud"))
+  }
+
   test("circle rule with a degenerate (zero-radius) circle derives empty-range bounds safely") {
     graft.plans.GraftExtensions.install(spark)
     try {
