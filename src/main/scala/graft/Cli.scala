@@ -18,18 +18,7 @@ import graft.sources.las.LasConvert
   * `benchmark` delegates to [[Bench]] (env-configured).
   */
 object Cli {
-  private def session(): SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val s = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
+  private def session(): SparkSession = LocalSession("8")
 
   def main(args: Array[String]): Unit = args.toList match {
     case "benchmark" :: Nil =>

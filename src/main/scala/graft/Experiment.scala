@@ -75,8 +75,13 @@ object Experiment {
 
   def run(spark: SparkSession, sfDir: String, outDir: String,
       runs: Int = 3, batchSize: Long = Layout.BatchSize): Result = {
+    // persist: ~10 downstream actions (4 writes + their bounds passes)
+    // would otherwise re-scan lineitem AND re-evaluate rand(seed) each
+    // time — the count-invariance check must not depend on rand
+    // re-evaluation being partition-stable
     val pts = Points.withImportance(
       Points.fromLineitem(spark, sfDir).select("x", "y", "pid"), seed = 42L)
+      .persist()
     val (bounds, _) = Layout.boundsAndCount(pts)
 
     val stages = scala.collection.mutable.LinkedHashMap.empty[String, Double]
@@ -92,6 +97,7 @@ object Experiment {
     val (_, tQ) = time(Layout.writeQuadtree(pts, s"$outDir/quadtree", batchSize))
     stages += "quadtree" -> tQ
 
+    pts.unpersist(blocking = false)
     val layouts = Seq("plain", "grid1", "grid8", "quadtree")
     val edge = (bounds.upper(0) - bounds.lower(0)) / 14.0 // ~S_RECT scale
     val stats = layouts.flatMap { l =>
@@ -122,13 +128,7 @@ object Experiment {
     val outDir = args.lift(1).getOrElse(
       java.nio.file.Files.createTempDirectory("graft_experiment").toString)
     val runs = args.lift(2).map(_.toInt).getOrElse(3)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = LocalSession("8")
     val r = run(spark, sfDir, outDir, runs, batchSize = 65536L)
     println(f"${"stage"}%-10s time")
     r.stageSec.foreach { case (s, t) => println(f"$s%-10s $t%8.2fs") }

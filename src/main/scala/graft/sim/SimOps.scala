@@ -191,6 +191,10 @@ object SimOps {
     * query's bucket instead of recomputing signatures over everything. */
   def lshTopKPartitioned(queryId: Long, k: Int)(
       spark: SparkSession, dir: String): DataFrame = {
+    // register unconditionally: on a layout-cache hit the embeddings()
+    // call (which registers) is skipped, and a NEW session in the same
+    // JVM would otherwise miss fvec_dot
+    FloatVecDot.register(spark)
     val table = spark.read.parquet(annLayoutPath(spark, dir))
     val q = table.filter(col("vec_id") === queryId)
       .select(col("embedding").as("qe"), col("bucket").as("qb"))

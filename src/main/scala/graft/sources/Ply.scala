@@ -61,13 +61,18 @@ object Ply {
   final case class PlyElement(name: String, count: Long, props: Seq[PlyProperty])
   final case class PlyHeader(format: String, elements: Seq[PlyElement])
 
-  private def readHeaderLine(in: DataInputStream): String = {
+  private def readLine(in: DataInputStream, allowEof: Boolean): String = {
     val sb = new StringBuilder
     var c = in.read()
     while (c != -1 && c != '\n') { sb.append(c.toChar); c = in.read() }
-    if (c == -1) throw new EOFException("PLY header truncated")
+    // a final data row may legitimately end at EOF without a newline
+    if (c == -1 && !(allowEof && sb.nonEmpty))
+      throw new EOFException("PLY stream truncated")
     sb.toString.stripSuffix("\r")
   }
+
+  private def readHeaderLine(in: DataInputStream): String =
+    readLine(in, allowEof = false)
 
   /** Parse the header from the stream (consumes through `end_header`). */
   def parseHeader(in: DataInputStream): PlyHeader = {
@@ -169,15 +174,18 @@ object Ply {
       }
       var rows: Seq[Row] = null
       var schema: StructType = null
-      header.elements.foreach { el =>
-        val isTarget = el.name == element && rows == null
+      // trailing elements after the target are never needed — stop instead
+      // of parse-and-discarding (a large face element after vertex is the
+      // common layout)
+      header.elements.takeWhile(_ => rows == null).foreach { el =>
+        val isTarget = el.name == element
         // fixed-width (list-free) binary elements: one shared row buffer
         val fixedRowBytes =
           if (!ascii && el.props.forall(!_.isList)) el.props.map(_.width).sum else -1
         val fixedBuf = if (fixedRowBytes >= 0) new Array[Byte](fixedRowBytes) else null
         val parsed = (0L until el.count).iterator.map { _ =>
           if (ascii) {
-            val toks = readHeaderLine(in).trim.split("\\s+")
+            val toks = readLine(in, allowEof = true).trim.split("\\s+")
             var ti = 0
             val vals = el.props.map { pr =>
               if (pr.isList) {

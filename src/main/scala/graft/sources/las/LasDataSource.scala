@@ -69,8 +69,15 @@ class LasDataSource extends TableProvider with DataSourceRegister {
 
   private def filesFor(options: CaseInsensitiveStringMap): Seq[String] = {
     val conf = LasHadoopConf.sessionConf()
+    // Spark DSv2 passes multiple load() paths as a JSON array string
+    // (DataSourceV2Utils.getOptionsWithPaths), NOT comma-separated
+    def parsePaths(v: String): Seq[String] =
+      if (v.trim.startsWith("[")) {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        mapper.readValue(v, classOf[Array[String]]).toSeq
+      } else v.split(",").toSeq
     val raw = Option(options.get("path")).toSeq ++
-      Option(options.get("paths")).toSeq.flatMap(_.split(","))
+      Option(options.get("paths")).toSeq.flatMap(parsePaths)
     raw.flatMap { s =>
       val p = new Path(s)
       val fs = p.getFileSystem(conf)
@@ -93,24 +100,27 @@ class LasDataSource extends TableProvider with DataSourceRegister {
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
-    new LasTable(schema,
-      filesFor(new CaseInsensitiveStringMap(properties)))
+      properties: java.util.Map[String, String]): Table = {
+    val files = filesFor(new CaseInsensitiveStringMap(properties))
+    val conf = LasHadoopConf.sessionConf()
+    new LasTable(schema, files.map(f => f -> LasFormat.readHeader(conf, f)))
+  }
 
   override def supportsExternalMetadata(): Boolean = false
 }
 
-class LasTable(schema: StructType, files: Seq[String])
+class LasTable(schema: StructType, headers: Seq[(String, LasFormat.LasHeader)])
     extends Table with SupportsRead {
-  override def name(): String = s"las(${files.mkString(",")})"
+  override def name(): String = s"las(${headers.map(_._1).mkString(",")})"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new LasScanBuilder(schema, files)
+    new LasScanBuilder(schema, headers)
 }
 
-class LasScanBuilder(fullSchema: StructType, files: Seq[String])
+class LasScanBuilder(fullSchema: StructType,
+    headers: Seq[(String, LasFormat.LasHeader)])
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -131,7 +141,7 @@ class LasScanBuilder(fullSchema: StructType, files: Seq[String])
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new LasScan(fullSchema, required, files, pushed)
+  override def build(): Scan = new LasScan(fullSchema, required, headers, pushed)
 }
 
 /** Filter-vs-header-bounds interval logic (I1). */
@@ -174,17 +184,12 @@ final case class LasInputPartition(
     ox: Double, oy: Double, oz: Double) extends InputPartition
 
 class LasScan(fullSchema: StructType, required: StructType,
-    files: Seq[String], pushed: Array[Filter])
+    headers: Seq[(String, LasFormat.LasHeader)], pushed: Array[Filter])
     extends Scan with Batch with SupportsReportStatistics {
 
   val ChunkRows: Long = 524288L // reference batch size (pc-io/src/config.rs:3)
 
   override def readSchema(): StructType = required
-
-  private lazy val headers: Seq[(String, LasFormat.LasHeader)] = {
-    val conf = LasHadoopConf.sessionConf()
-    files.map(f => f -> LasFormat.readHeader(conf, f))
-  }
 
   /** Files surviving header-bounds pruning (I1). */
   private lazy val survivors: Seq[(String, LasFormat.LasHeader)] =
@@ -231,7 +236,11 @@ class LasReaderFactory(fieldCodes: Array[Int],
         val path = new Path(p.path)
         val in = path.getFileSystem(conf).open(path)
         try {
-          val buf = new Array[Byte]((p.count * p.recordLength).toInt)
+          val sizeL = p.count * p.recordLength.toLong
+          require(sizeL <= Int.MaxValue.toLong,
+            s"LAS chunk too large to buffer: $sizeL bytes " +
+              s"(count=${p.count}, recordLength=${p.recordLength})")
+          val buf = new Array[Byte](sizeL.toInt)
           in.readFully(p.pointOffset + p.start * p.recordLength, buf)
           buf
         } finally in.close()

@@ -86,6 +86,11 @@ class LasSourceSpec extends SparkSpec {
     assert(scan.computeStats().rowCount.contains(BigInt(5000)))
   }
 
+  test("multi-path load works (Spark passes `paths` as a JSON array, not CSV)") {
+    val df = spark.read.format("las").load(s"$dir/tile_a.las", s"$dir/tile_b.las")
+    assert(df.count() == 5000)
+  }
+
   test("LAZ (compressed flag) is rejected with a clear error, not misread") {
     val d = Files.createTempDirectory("laz").toString
     val path = s"$d/c.laz"
