@@ -211,6 +211,64 @@ object TextOps {
        | WHERE inter * 1000000 // (na.n + nb.n - inter) >= ${math.round(tau * 1e6)}
        | ORDER BY 1, 2""".stripMargin.replace("\n", " ")
 
+  // ---- duplicate-cluster resolution (connected components) -------------
+
+  /** Resolve near-duplicate PAIRS into duplicate CLUSTERS — the step that
+    * turns pairwise evidence into "keep one per group". Connected
+    * components by iterative min-label propagation: each doc's label
+    * converges to the smallest doc_id in its component, a fixpoint that
+    * is unique and order-free (so the DuckDB oracle's recursive closure
+    * lands on identical clusters regardless of iteration strategy).
+    *
+    * Scale notes: each iteration is one equi-join + min-aggregation
+    * (shuffle on doc_id); iterations ≈ component diameter (tiny for dup
+    * clusters). `localCheckpoint` per iteration truncates the lineage —
+    * the classic requirement for iterative algorithms on Spark, without
+    * which the plan doubles every round. */
+  def dupClusters(tau: Double)(spark: SparkSession, dir: String): DataFrame = {
+    val edges = ngramJaccardPairs(tau)(spark, dir)
+      .select(col("d1"), col("d2")).localCheckpoint(false)
+    var labels = edges.select(col("d1").as("doc_id"))
+      .union(edges.select(col("d2").as("doc_id")))
+      .distinct()
+      .withColumn("lbl", col("doc_id"))
+      .localCheckpoint(false)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 50) {
+      val viaD2 = edges.join(labels.withColumnRenamed("doc_id", "j"),
+        col("d2") === col("j")).select(col("d1").as("doc_id"), col("lbl"))
+      val viaD1 = edges.join(labels.withColumnRenamed("doc_id", "j"),
+        col("d1") === col("j")).select(col("d2").as("doc_id"), col("lbl"))
+      val next = viaD2.union(viaD1).union(labels)
+        .groupBy("doc_id").agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(false)
+      val changes = next.as("n")
+        .join(labels.withColumnRenamed("lbl", "old"), "doc_id")
+        .filter(col("lbl") =!= col("old")).count()
+      labels = next
+      converged = changes == 0
+      iter += 1
+    }
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+    labels.join(broadcast(sizes), "lbl")
+      .select(col("doc_id"), col("lbl").as("cluster"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  def dupClustersSql(tau: Double): String =
+    s"""WITH RECURSIVE
+       | e AS (SELECT d1, d2 FROM (${ngramJaccardPairsSql(tau)})),
+       | und AS (SELECT d1 AS a, d2 AS b FROM e UNION SELECT d2, d1 FROM e),
+       | nodes AS (SELECT a FROM und UNION SELECT b FROM und),
+       | reach(a, b) AS (
+       |   SELECT a, a FROM nodes
+       |   UNION
+       |   SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+       | lab AS (SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster FROM reach GROUP BY a)
+       | SELECT doc_id, cluster, CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_size
+       | FROM lab ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
   // ---- decontamination: train/eval n-gram overlap ----------------------
 
   /** Benchmark-decontamination sweep: find every training document that

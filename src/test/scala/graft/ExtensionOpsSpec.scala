@@ -18,6 +18,22 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(pairs.contains((98L, 290L)))
   }
 
+  test("dup clusters are consistent components of the pair graph") {
+    val pairs = TextOps.ngramJaccardPairs(0.8)(spark, sf001)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = TextOps.dupClusters(0.8)(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every paired doc got a label; both endpoints share it
+    pairs.foreach { case (a, b) =>
+      assert(clusters.contains(a) && clusters.contains(b))
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    // the label IS the component minimum
+    clusters.groupBy(_._2).foreach { case (lbl, members) =>
+      assert(members.keys.min == lbl, s"cluster $lbl not labeled by its min")
+    }
+  }
+
   test("minhash LSH candidates cover the high-jaccard pairs (recall)") {
     val trueDups = TextOps.ngramJaccardPairs(0.9)(spark, sf001)
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
