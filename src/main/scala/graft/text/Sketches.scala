@@ -38,7 +38,7 @@ object Sketches {
   /** k=8 MinHash signature per document: min_j over distinct shingles of
     * (a_j*h + b_j) mod P. One scan, one combiner-friendly groupBy. */
   private def minhashSigRaw(spark: SparkSession, dir: String): DataFrame = {
-    val sh = TextOps.shingles(spark, dir).select(col("doc_id"), h28.as("h"))
+    val sh = TextOps.shingleIndex(spark, dir).select(col("doc_id"), col("h28").as("h"))
     val aggs = MinHashAB.zipWithIndex.map { case ((a, b), j) =>
       min((lit(a) * col("h") + lit(b)) % P).as(s"mh$j")
     }

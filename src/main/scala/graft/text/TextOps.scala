@@ -163,6 +163,29 @@ object TextOps {
           i => concat_ws(" ", slice(w, i + lit(1), lit(3)))))).as("s"))
   }
 
+  /** Materialized shingle index: (doc_id, h28, h60) — both hash widths
+    * derived from ONE md5 per shingle — written to parquet once per
+    * dataset and shared by every shingle consumer (jaccard pairs, dup
+    * clusters, minhash signatures/LSH, cross-modal dedup). The build-once
+    * pattern of the ANN/IVF layouts applied to the text-dedup index: at
+    * 100 TB you explode + hash the corpus once, not once per query.
+    * Session-safe because the cache stores a PATH, not a DataFrame. */
+  private val shingleIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[text] def shingleIndex(spark: SparkSession, dir: String): DataFrame = {
+    val path = shingleIndexCache.computeIfAbsent(dir, { _ =>
+      val p = java.nio.file.Files.createTempDirectory("graft_shingle_idx").toString
+      val m = md5(col("s"))
+      shingles(spark, dir).select(col("doc_id"),
+          conv(substring(m, 1, 7), 16, 10).cast(LongType).as("h28"),
+          conv(substring(m, 1, 15), 16, 10).cast(LongType).as("h60"))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    spark.read.parquet(path)
+  }
+
   private[text] val shinglesSql: String =
     """SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws)-1),
       | i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]))) AS s
@@ -176,12 +199,9 @@ object TextOps {
     * shuffle keys, and the oracle computes the identical hash so results
     * agree bit-for-bit even in the (vanishing) collision case. */
   def ngramJaccardPairs(tau: Double)(spark: SparkSession, dir: String): DataFrame = {
-    // localCheckpoint: the shingle relation feeds three consumers (both
-    // join sides + the per-doc count table); materializing it once cuts
-    // the explode+md5 work to a single pass (lazy: computed at first use)
-    val sh = shingles(spark, dir).select(col("doc_id"),
-      conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
-      .localCheckpoint(false)
+    // the materialized shingle index feeds three consumers here (both
+    // join sides + the per-doc count table) and four other queries
+    val sh = shingleIndex(spark, dir).select(col("doc_id"), col("h60").as("h"))
     val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -280,8 +300,7 @@ object TextOps {
     * (At 100 TB: eval shingles are always the tiny side; semi-join +
     * broadcast is the standard decontamination plan.) */
   def contamination(evalDocs: Long)(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir).select(col("doc_id"),
-      conv(substring(md5(col("s")), 1, 15), 16, 10).cast(LongType).as("h"))
+    val sh = shingleIndex(spark, dir).select(col("doc_id"), col("h60").as("h"))
     val evalSh = sh.filter(col("doc_id") < evalDocs)
       .select(col("h")).distinct()
     sh.filter(col("doc_id") >= evalDocs)
