@@ -253,6 +253,11 @@ object TextOps {
       .distinct()
       .withColumn("lbl", col("doc_id"))
       .localCheckpoint(false)
+    // convergence via the label-sum invariant: min-propagation only ever
+    // DECREASES labels, so sum(lbl) strictly decreases until the fixpoint
+    // — one aggregate job per iteration (it also materializes the
+    // checkpoint), instead of a separate change-count join
+    var prevSum = labels.agg(sum(col("lbl"))).head().getLong(0)
     var converged = false
     var iter = 0
     while (!converged && iter < 50) {
@@ -263,11 +268,10 @@ object TextOps {
       val next = viaD2.union(viaD1).union(labels)
         .groupBy("doc_id").agg(min(col("lbl")).as("lbl"))
         .localCheckpoint(false)
-      val changes = next.as("n")
-        .join(labels.withColumnRenamed("lbl", "old"), "doc_id")
-        .filter(col("lbl") =!= col("old")).count()
+      val s = next.agg(sum(col("lbl"))).head().getLong(0)
       labels = next
-      converged = changes == 0
+      converged = s == prevSum
+      prevSum = s
       iter += 1
     }
     val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
