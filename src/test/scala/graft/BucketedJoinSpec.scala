@@ -17,7 +17,6 @@ class BucketedJoinSpec extends SparkSpec {
   private def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    df.collect()
     var n = 0
     def go(p: SparkPlan): Unit = p match {
       case a: AdaptiveSparkPlanExec => go(a.executedPlan)
@@ -25,7 +24,7 @@ class BucketedJoinSpec extends SparkSpec {
       case e: ShuffleExchangeExec => n += 1; e.children.foreach(go)
       case other => other.children.foreach(go)
     }
-    go(df.queryExecution.executedPlan)
+    go(finalPlan(df)) // shared AQE peel (also runs the query)
     n
   }
 

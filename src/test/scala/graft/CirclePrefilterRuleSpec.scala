@@ -28,11 +28,23 @@ class CirclePrefilterRuleSpec extends SparkSpec {
   }
 
   private def pushedFilters(df: DataFrame): String = {
-    spark.conf.set("spark.sql.debug.maxToStringFields", "200")
-    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
     df.collect()
     df.queryExecution.executedPlan.toString
       .linesIterator.filter(_.contains("PushedFilters")).mkString
+  }
+
+  /** Count comparison conjuncts on attribute `name` in the OPTIMIZED
+    * logical plan via the expression TREE (plan strings print exprIds
+    * like `x#140`, so substring matching is vacuous). */
+  private def boundCount(df: DataFrame, name: String): Int = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    df.queryExecution.optimizedPlan.collect { case f: Filter =>
+      f.condition.collect {
+        case GreaterThanOrEqual(a: AttributeReference, _: Literal) if a.name == name => 1
+        case LessThanOrEqual(a: AttributeReference, _: Literal) if a.name == name => 1
+      }.size
+    }.sum
   }
 
   test("rule injects a pushable bbox; results identical; plan is idempotent") {
@@ -54,9 +66,11 @@ class CirclePrefilterRuleSpec extends SparkSpec {
         && after.contains("GreaterThanOrEqual(y"),
         s"bbox not pushed: $after")
       assert(circleDf().count() == expected)
-      // idempotence: the optimized condition has exactly 4 derived bounds
-      val cond = circleDf().queryExecution.optimizedPlan.toString
-      assert(cond.sliding("(x >= ".length).count(_ == "(x >= ") <= 1, cond)
+      // idempotence: exactly ONE lower + ONE upper bound per axis — a
+      // non-idempotent rule re-adds conjuncts every fixed-point pass
+      assert(boundCount(circleDf(), "x") == 2,
+        s"expected 2 x-bounds, got ${boundCount(circleDf(), "x")}")
+      assert(boundCount(circleDf(), "y") == 2)
     } finally {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations
@@ -70,8 +84,8 @@ class CirclePrefilterRuleSpec extends SparkSpec {
       val df = spark.read.parquet(layoutDir).filter(col("x") > 100.0)
       val n = df.count()
       assert(n == spark.read.parquet(layoutDir).filter(col("x") > 100.0).count())
-      val plan = df.queryExecution.optimizedPlan.toString
-      assert(!plan.contains("y >="), plan)
+      // tree-based: the rule must not have injected any y bounds
+      assert(boundCount(df, "y") == 0)
     } finally {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations

@@ -84,15 +84,32 @@ class EdgeCaseSpec extends SparkSpec {
     assert(e.getMessage.contains("empty point cloud"))
   }
 
-  test("circle rule with a degenerate (zero-radius) circle derives empty-range bounds safely") {
+  test("circle rule: tiny radius fires and stays correct; exact r2=0 bypasses the guard") {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    def xBounds(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect { case f: LFilter =>
+        f.condition.collect {
+          case GreaterThanOrEqual(a: AttributeReference, _: Literal) if a.name == "x" => 1
+          case LessThanOrEqual(a: AttributeReference, _: Literal) if a.name == "x" => 1
+        }.size
+      }.sum
     graft.plans.GraftExtensions.install(spark)
     try {
       val dir = Files.createTempDirectory("circle_zero").toString
       spark.range(10).selectExpr("CAST(id AS DOUBLE) AS x", "CAST(id AS DOUBLE) AS y")
         .write.mode("overwrite").parquet(dir)
-      val d2 = (col("x") - 5.0) * (col("x") - 5.0) + (col("y") - 5.0) * (col("y") - 5.0)
-      // r² = 0.25 → only the point (5,5) qualifies
-      assert(spark.read.parquet(dir).filter(d2 < 0.25).count() == 1)
+      def circle(r2: Double) = {
+        val d2 = (col("x") - 5.0) * (col("x") - 5.0) + (col("y") - 5.0) * (col("y") - 5.0)
+        spark.read.parquet(dir).filter(d2 < r2)
+      }
+      // tiny radius: the rule FIRES (tree-checked) and results are exact
+      assert(xBounds(circle(0.25)) == 2, "rule did not fire for r2=0.25")
+      assert(circle(0.25).count() == 1) // only (5,5)
+      // exact r2 = 0: guard skips the rewrite (no bounds) and the empty
+      // predicate still evaluates correctly
+      assert(xBounds(circle(0.0)) == 0)
+      assert(circle(0.0).count() == 0)
     } finally {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations

@@ -36,17 +36,10 @@ class LasSourceSpec extends SparkSpec {
 
   private def las: DataFrame = { paths; spark.read.format("las").load(dir) }
 
-  private def scanPartitions(df: DataFrame): Int = {
-    df.collect()
-    val plan = df.queryExecution.executedPlan
-    val finalPlan = plan match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
-    }
-    finalPlan.collectLeaves().collectFirst {
+  private def scanPartitions(df: DataFrame): Int =
+    finalPlan(df).collectLeaves().collectFirst {
       case s: BatchScanExec => s.inputRDD.getNumPartitions
     }.getOrElse(sys.error("no BatchScanExec"))
-  }
 
   test("reads all points with the documented schema and PC metadata") {
     assert(las.count() == 5000)

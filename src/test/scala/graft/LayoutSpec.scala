@@ -81,17 +81,10 @@ class LayoutSpec extends SparkSpec {
     assert(hitRows >= matching)
   }
 
-  private def scanOutputRows(df: DataFrame): Long = {
-    df.collect() // execute THIS plan to populate its scan metrics
-    val plan = df.queryExecution.executedPlan
-    val finalPlan = plan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
-    }
-    finalPlan.collectLeaves().collectFirst {
+  private def scanOutputRows(df: DataFrame): Long =
+    finalPlan(df).collectLeaves().collectFirst {
       case s: FileSourceScanExec => s.metrics("numOutputRows").value
     }.getOrElse(sys.error("no FileSourceScanExec found"))
-  }
 
   test("native row-group pruning: clustered layout reads fewer rows than flat") {
     // grid(1) is the xy-optimized layout (sigma=8 spends granularity on the

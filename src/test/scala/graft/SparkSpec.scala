@@ -12,6 +12,10 @@ object SparkSpec {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // plan-string assertions need untruncated output; set ONCE for every
+    // suite so no test mutates shared-session state
+    .config("spark.sql.debug.maxToStringFields", "200")
+    .config("spark.sql.maxMetadataStringLength", "2000")
     .getOrCreate()
 }
 
@@ -19,4 +23,15 @@ trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.spark
   val sf0001 = "/root/testdata/sf0.001"
   val sf001 = "/root/testdata/sf0.01"
+
+  /** Executed plan with AQE wrappers peeled — shared by every suite that
+    * walks plans (scan partitions, shuffle counts, output rows). */
+  def finalPlan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.execution.SparkPlan = {
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+  }
 }

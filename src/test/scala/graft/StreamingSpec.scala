@@ -66,8 +66,11 @@ class StreamingSpec extends SparkSpec {
     val out = spark.table("dedup_sink").collect()
     assert(out.length == 3, s"expected 3 unique fps, got ${out.toSeq}")
     assert(out.map(_.getString(1)).toSet == Set("a", "b", "c"))
-    // first-wins: the surviving rec_ids are the first occurrences
-    assert(out.map(_.getLong(0)).toSet == Set(1L, 2L, 5L))
+    // the survivor for 'a' is from the FIRST micro-batch ((1) or (3) —
+    // intra-batch tie-breaking is unspecified); (6) from batch 2 must lose
+    val survivors = out.map(r => r.getString(1) -> r.getLong(0)).toMap
+    assert(Set(1L, 3L).contains(survivors("a")), s"late 'a' won: $survivors")
+    assert(survivors("b") == 2L && survivors("c") == 5L)
   }
 
   test("stream-stream interval join equals the batch join") {
@@ -119,8 +122,11 @@ class StreamingSpec extends SparkSpec {
     val out = spark.table("dedup_wm_sink").collect()
     assert(out.map(_.getString(1)).sorted.toSeq == Seq("a", "b", "c"),
       s"expected one row per fp, got ${out.toSeq}")
-    assert(out.map(_.getLong(0)).toSet == Set(1L, 2L, 5L),
-      s"first-wins violated: ${out.toSeq}")
+    // batch-1 'a' records (1 or 3; intra-batch tie unspecified) must beat
+    // the batch-2 duplicate (4)
+    val survivors = out.map(r => r.getString(1) -> r.getLong(0)).toMap
+    assert(Set(1L, 3L).contains(survivors("a")), s"late 'a' won: $survivors")
+    assert(survivors("b") == 2L && survivors("c") == 5L)
   }
 
   test("mapGroupsWithState running totals equal the batch totals") {
@@ -142,11 +148,14 @@ class StreamingSpec extends SparkSpec {
     mem.addData(h2.toIndexedSeq)
     q.processAllAvailable()
     q.stop()
-    // last update per user == full batch totals
+    // last update per user == full batch totals. n_events is strictly
+    // monotone per update, so max(struct(n_events, cents)) recovers the
+    // FINAL update's cents even if cents ever decreased (refund events)
     val finalTotals = spark.table("totals_sink")
       .groupBy("user_id")
-      .agg(max("n_events").as("n"), max("cents").as("c"))
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      .agg(max(struct(col("n_events"), col("cents"))).as("last"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getStruct(1).getLong(0), r.getStruct(1).getLong(1))).toMap
     val batch = eventsBatch.groupBy("user_id")
       .agg(count(lit(1)).as("n"),
         sum(round(col("value") * 100).cast("long")).as("c"))

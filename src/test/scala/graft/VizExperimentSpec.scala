@@ -39,6 +39,8 @@ class VizExperimentSpec extends SparkSpec {
     // leaf cells are small: the footer index must skip most row groups
     val avgHitFrac = deepest.map(r => r.getLong(3).toDouble / r.getLong(4)).sum / deepest.size
     assert(avgHitFrac < 0.5, s"leaf probes hit $avgHitFrac of row groups on average")
-    assert(deepest.map(_.getLong(1)).sum <= table)
+    // distinct rows: shallow levels REPEAT probes (max(1, m/4^l) copies),
+    // so a raw sum over repeats could legitimately exceed the table
+    assert(deepest.map(r => (r.getLong(1), r.getLong(2))).distinct.map(_._1).sum <= table)
   }
 }
