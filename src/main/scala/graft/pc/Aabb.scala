@@ -167,6 +167,13 @@ object Aabb {
     * point / collinear data) skip the density normalization entirely:
     * the unnormalized count would otherwise blow up to Long.MaxValue and
     * ask for a ~4^22-cell enumeration. */
+  /** Hard depth cap: cell ENUMERATION is O(4^depth) driver memory, and a
+    * near-degenerate box (tiny but non-zero area under many points) sends
+    * the density-normalized count — and so the uncapped depth — to
+    * absurd values. 12 ⇒ ≤ ~22M enumerable cells; real workloads sit far
+    * below (2B points ≈ depth 6). */
+  val MaxQuadtreeDepth: Int = 12
+
   def quadtreeDerivation(bounds: Aabb, count: Long,
       batchSize: Long = 524288L): (Aabb, Int) = {
     val dx = bounds.upper(0) - bounds.lower(0)
@@ -176,7 +183,8 @@ object Aabb {
       if (bounds.area > 0.0) (count * (size * size / bounds.area)).toLong
       else count
     val numBatches = math.max(1L, countNormalized / batchSize)
-    val depth = math.max(0, math.round(math.log(numBatches.toDouble) / math.log(4.0)).toInt)
+    val depth = math.min(MaxQuadtreeDepth,
+      math.max(0, math.round(math.log(numBatches.toDouble) / math.log(4.0)).toInt))
     val c = bounds.center
     val half = size / 2.0
     (Aabb.xyi(c(0) - half, c(1) - half, 0.0, c(0) + half, c(1) + half, 1.0), depth)
