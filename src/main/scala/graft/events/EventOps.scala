@@ -23,10 +23,11 @@ object EventOps {
   val SessionGapNs: Long = 1800L * 1000 * 1000 * 1000 // 30 min
   val SessionGapUs: Long = SessionGapNs / 1000
 
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  /** Requires `spark.sql.legacy.parquet.nanosAsLong=true` at session
+    * construction ([[graft.LocalSession]] / the test builder set it);
+    * mutating session conf per query-build was a global side effect. */
+  def events(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/events.parquet")
-  }
 
   /** Hourly windowed rollup per event type: the canonical streaming
     * aggregation run as a batch. Count + exact integer-cent sum. */

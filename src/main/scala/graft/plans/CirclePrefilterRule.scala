@@ -42,16 +42,22 @@ object CirclePrefilterRule extends Rule[LogicalPlan] {
     }
   }
 
-  /** (attr - c)*(attr - c) with literal c — one squared axis distance.
+  /** (attr - c)*(attr - c) or pow(attr - c, 2) with literal c — one
+    * squared axis distance. Both spellings occur in the wild (SURVEY §2.2
+    * P3 itself writes the `pow` form); `Pow` literal exponents are already
+    * constant-folded to doubles by the time extra optimizer rules run.
     * Restricted to DoubleType attributes: the derived bounds are double
     * literals, and a float/int attribute would make the new comparison
     * ill-typed post-analysis (the naive predicate would carry casts and
     * not match this pattern anyway). */
   private object SquaredDist {
+    private def isDoubleAttr(a: Attribute): Boolean =
+      a.dataType == org.apache.spark.sql.types.DoubleType
     def unapply(e: Expression): Option[(Attribute, Double)] = e match {
       case Multiply(s1 @ Subtract(a: Attribute, Lit(c), _), s2, _)
-          if s1.semanticEquals(s2) &&
-            a.dataType == org.apache.spark.sql.types.DoubleType => Some((a, c))
+          if s1.semanticEquals(s2) && isDoubleAttr(a) => Some((a, c))
+      case Pow(Subtract(a: Attribute, Lit(c), _), Lit(p))
+          if p == 2.0 && isDoubleAttr(a) => Some((a, c))
       case _ => None
     }
   }

@@ -407,18 +407,21 @@ object TextOps {
 
   /** Max unigram frequency per document, absolute and in ppm of the
     * token count — high values flag boilerplate/keyword-stuffed pages.
-    * Within-row array ops only (no explode/shuffle); all-integer ppm. */
-  def docRepetition(spark: SparkSession, dir: String): DataFrame = {
-    val maxCnt = array_max(transform(array_distinct(words),
-      w => size(filter(words, t => t === w)))).cast(LongType)
+    * explode + groupBy(doc_id, term) + max: LINEAR in tokens (the earlier
+    * filter-inside-transform formulation was O(tokens²) per row — fine on
+    * the oracle corpus, quadratic on a 100k-token document). sum of the
+    * per-term counts recovers n_tokens in the same aggregation, so the
+    * whole query is two map-side-combined shuffles and no second scan. */
+  def docRepetition(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .select(col("doc_id"),
-        size(words).cast(LongType).as("n_tokens"),
-        maxCnt.as("max_cnt"))
+      .select(col("doc_id"), explode(words).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"), max(col("c")).as("max_cnt"))
       // all-integer ppm: `div` (not float /) keeps both engines exact
       .withColumn("rep_ppm", expr("(max_cnt * 1000000) div n_tokens"))
       .orderBy("doc_id")
-  }
 
   val docRepetitionSql: String =
     s"""SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,

@@ -78,6 +78,38 @@ class CirclePrefilterRuleSpec extends SparkSpec {
     }
   }
 
+  test("pow(x-c, 2) spelling gets the same bbox as the multiply form") {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations
+        .filterNot(_ == graft.plans.CirclePrefilterRule)
+    val (cx, cy, r) = (400.0, 400.0, 60.0)
+    def powDf(): DataFrame = spark.read.parquet(layoutDir)
+      .filter(pow(col("x") - cx, 2) + pow(col("y") - cy, 2) < r * r)
+    val expected = powDf().count()
+    assert(boundCount(powDf(), "x") == 0, "no rule installed yet")
+
+    GraftExtensions.install(spark)
+    try {
+      val after = pushedFilters(powDf())
+      assert(after.contains("GreaterThanOrEqual(x") && after.contains("LessThanOrEqual(x")
+        && after.contains("GreaterThanOrEqual(y"),
+        s"bbox not pushed for pow spelling: $after")
+      assert(powDf().count() == expected)
+      assert(boundCount(powDf(), "x") == 2)
+      assert(boundCount(powDf(), "y") == 2)
+      // the SQL spelling `power(x-400, 2)` must match too
+      spark.read.parquet(layoutDir).createOrReplaceTempView("circle_rule_pts")
+      val sqlDf = spark.sql(
+        s"SELECT * FROM circle_rule_pts WHERE power(x - $cx, 2) + power(y - $cy, 2) < ${r * r}")
+      assert(sqlDf.count() == expected)
+      assert(boundCount(sqlDf, "x") == 2)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ == graft.plans.CirclePrefilterRule)
+    }
+  }
+
   test("rule leaves non-circle filters untouched") {
     GraftExtensions.install(spark)
     try {

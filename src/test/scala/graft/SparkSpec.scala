@@ -16,6 +16,10 @@ object SparkSpec {
     // suite so no test mutates shared-session state
     .config("spark.sql.debug.maxToStringFields", "200")
     .config("spark.sql.maxMetadataStringLength", "2000")
+    // events.parquet carries TIMESTAMP(NANOS); read as int64 nanoseconds.
+    // Set here (like LocalSession does for the mains) so no query builder
+    // has to mutate shared-session conf at call time.
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .getOrCreate()
 }
 
