@@ -84,7 +84,8 @@ class LasDataSource extends TableProvider with DataSourceRegister {
       val st = fs.getFileStatus(p)
       if (st.isDirectory)
         fs.listStatus(p).toSeq.filter(_.isFile)
-          .map(_.getPath.toString).filter(_.toLowerCase.endsWith(".las"))
+          .map(_.getPath.toString)
+          .filter(f => f.toLowerCase.endsWith(".las") || f.toLowerCase.endsWith(".laz"))
       else Seq(s)
     }.sorted
   }
@@ -183,6 +184,15 @@ final case class LasInputPartition(
     sx: Double, sy: Double, sz: Double,
     ox: Double, oy: Double, oz: Double) extends InputPartition
 
+/** A run of consecutive LAZ chunks (contiguous in the file — one read,
+  * decoded chunk-by-chunk; chunks are the format's independent decode
+  * units, mirroring the reference's chunk-table partitioning). */
+final case class LazInputPartition(
+    path: String, pointFormat: Int,
+    firstChunkOffset: Long, chunkBytes: Array[Long], chunkPoints: Array[Long],
+    sx: Double, sy: Double, sz: Double,
+    ox: Double, oy: Double, oz: Double) extends InputPartition
+
 class LasScan(fullSchema: StructType, required: StructType,
     headers: Seq[(String, LasFormat.LasHeader)], pushed: Array[Filter])
     extends Scan with Batch with SupportsReportStatistics {
@@ -199,11 +209,35 @@ class LasScan(fullSchema: StructType, required: StructType,
 
   override def planInputPartitions(): Array[InputPartition] =
     survivors.flatMap { case (f, h) =>
-      (0L until h.pointCount by ChunkRows).map { start =>
-        LasInputPartition(f, h.pointFormat, h.recordLength, h.pointOffset,
-          start, math.min(ChunkRows, h.pointCount - start),
-          h.scale._1, h.scale._2, h.scale._3,
-          h.offset._1, h.offset._2, h.offset._3)
+      if (h.laz.isEmpty) {
+        (0L until h.pointCount by ChunkRows).map { start =>
+          LasInputPartition(f, h.pointFormat, h.recordLength, h.pointOffset,
+            start, math.min(ChunkRows, h.pointCount - start),
+            h.scale._1, h.scale._2, h.scale._3,
+            h.offset._1, h.offset._2, h.offset._3): InputPartition
+        }
+      } else {
+        // LAZ: the chunk table defines the independent decode units; group
+        // consecutive chunks into ~ChunkRows-point partitions (one
+        // contiguous read each)
+        val chunks = graft.sources.las.laz.LazFormat.readChunks(
+          LasHadoopConf.sessionConf(), f, h)
+        val groups = scala.collection.mutable.ArrayBuffer.empty[Vector[graft.sources.las.laz.LazFormat.LazChunk]]
+        var cur = Vector.empty[graft.sources.las.laz.LazFormat.LazChunk]
+        var curPoints = 0L
+        chunks.foreach { c =>
+          if (cur.nonEmpty && curPoints + c.pointCount > ChunkRows) {
+            groups += cur; cur = Vector.empty; curPoints = 0L
+          }
+          cur :+= c; curPoints += c.pointCount
+        }
+        if (cur.nonEmpty) groups += cur
+        groups.map { g =>
+          LazInputPartition(f, h.pointFormat,
+            g.head.fileOffset, g.map(_.byteLen).toArray, g.map(_.pointCount).toArray,
+            h.scale._1, h.scale._2, h.scale._3,
+            h.offset._1, h.offset._2, h.offset._3): InputPartition
+        }
       }
     }.toArray
 
@@ -228,8 +262,81 @@ class LasScan(fullSchema: StructType, required: StructType,
 class LasReaderFactory(fieldCodes: Array[Int],
     confBc: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf])
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[LasInputPartition]
+
+  /** Project one decoded LAZ point through the semantic field codes
+    * (same contract as [[LasFormat.decode]] for raw records). */
+  private def projectLaz(pt: graft.sources.las.laz.LazPoint, p: LazInputPartition,
+      out: Array[Any]): Unit = {
+    var i = 0
+    while (i < fieldCodes.length) {
+      out(i) = fieldCodes(i) match {
+        case 0 => pt.x * p.sx + p.ox
+        case 1 => pt.y * p.sy + p.oy
+        case 2 => pt.z * p.sz + p.oz
+        case 3 => pt.intensity
+        case 4 => (pt.flags & 0x07).toShort
+        case 5 => ((pt.flags >> 3) & 0x07).toShort
+        case 6 => ((pt.flags >> 6) & 0x01).toShort
+        case 7 => ((pt.flags >> 7) & 0x01) == 1
+        case 8 => pt.classification.toShort
+        case 9 => pt.scanAngleRank.toByte.toShort // raw byte → signed i8
+        case 10 => pt.userData.toShort
+        case 11 => pt.pointSourceId
+        case 12 => java.lang.Double.longBitsToDouble(pt.gpsTime)
+        case 13 => pt.red
+        case 14 => pt.green
+        case 15 => pt.blue
+      }
+      i += 1
+    }
+  }
+
+  private def createLazReader(p: LazInputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      import graft.sources.las.laz.LazFormat
+      private val conf = confBc.value.value
+      private val bytes = {
+        val path = new Path(p.path)
+        val in = path.getFileSystem(conf).open(path)
+        try {
+          val totalL = p.chunkBytes.sum
+          require(totalL <= Int.MaxValue.toLong,
+            s"LAZ partition too large to buffer: $totalL bytes")
+          val buf = new Array[Byte](totalL.toInt)
+          in.readFully(p.firstChunkOffset, buf)
+          buf
+        } finally in.close()
+      }
+      private val out = new Array[Any](fieldCodes.length)
+      private var chunk = -1
+      private var chunkStart = 0
+      private var decoder: LazFormat.ChunkDecoder = null
+
+      override def next(): Boolean = {
+        while (decoder == null || !decoder.next()) {
+          chunk += 1
+          if (chunk >= p.chunkBytes.length) return false
+          if (chunk > 0) chunkStart += p.chunkBytes(chunk - 1).toInt
+          decoder = new LazFormat.ChunkDecoder(bytes, chunkStart,
+            chunkStart + p.chunkBytes(chunk).toInt, p.pointFormat, p.chunkPoints(chunk))
+        }
+        true
+      }
+
+      override def get(): InternalRow = {
+        projectLaz(decoder.point, p, out)
+        new GenericInternalRow(out.clone())
+      }
+
+      override def close(): Unit = ()
+    }
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = partition match {
+    case laz: LazInputPartition => createLazReader(laz)
+    case las: LasInputPartition => createLasReader(las)
+  }
+
+  private def createLasReader(p: LasInputPartition): PartitionReader[InternalRow] = {
     new PartitionReader[InternalRow] {
       private val conf = confBc.value.value
       private val bytes = {

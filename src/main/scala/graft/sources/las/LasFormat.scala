@@ -35,7 +35,9 @@ object LasFormat {
       offset: (Double, Double, Double),
       // LAS headers store max before min, per axis
       min: (Double, Double, Double),
-      max: (Double, Double, Double)) {
+      max: (Double, Double, Double),
+      /** Present iff the file is LAZ (compressed point records). */
+      laz: Option[graft.sources.las.laz.LazFormat.LazVlr] = None) {
     def bounds: Map[String, (Double, Double)] = Map(
       "x" -> (min._1, max._1), "y" -> (min._2, max._2), "z" -> (min._3, max._3))
   }
@@ -51,16 +53,46 @@ object LasFormat {
       require(sig == Signature, s"$path is not a LAS file (signature `$sig`)")
       val fmt = bb.get(104) & 0x7f
       require(fmt <= 3, s"unsupported LAS point format $fmt (only 0-3)")
-      require((bb.get(104) & 0x80) == 0, "LAZ (compressed) not supported")
+      val compressed = (bb.get(104) & 0x80) != 0
+      val pointOffset = bb.getInt(96).toLong & 0xffffffffL
+      val laz =
+        if (!compressed) None
+        else {
+          // walk the VLRs between header and point data for the laszip
+          // record (user id `laszip encoded`, record id 22204)
+          val headerSize = bb.getShort(94) & 0xffff
+          val vlrCount = bb.getInt(100)
+          val region = new Array[Byte]((pointOffset - headerSize).toInt)
+          in.readFully(headerSize.toLong, region)
+          val rb = ByteBuffer.wrap(region).order(ByteOrder.LITTLE_ENDIAN)
+          var pos = 0
+          var found: Option[graft.sources.las.laz.LazFormat.LazVlr] = None
+          var i = 0
+          while (i < vlrCount && found.isEmpty && pos + 54 <= region.length) {
+            val userId = new String(region, pos + 2, 16, "US-ASCII").takeWhile(_ != 0)
+            val recordId = rb.getShort(pos + 18) & 0xffff
+            val len = rb.getShort(pos + 20) & 0xffff
+            if (userId == graft.sources.las.laz.LazFormat.LaszipUserId &&
+                recordId == graft.sources.las.laz.LazFormat.LaszipRecordId) {
+              val payload = java.util.Arrays.copyOfRange(region, pos + 54, pos + 54 + len)
+              found = Some(graft.sources.las.laz.LazFormat.parseVlrPayload(payload))
+            }
+            pos += 54 + len
+            i += 1
+          }
+          Some(found.getOrElse(throw new IllegalArgumentException(
+            s"$path has the LAZ compressed bit but no laszip VLR")))
+        }
       LasHeader(
         pointFormat = fmt,
         recordLength = bb.getShort(105) & 0xffff,
         pointCount = bb.getInt(107).toLong & 0xffffffffL,
-        pointOffset = bb.getInt(96).toLong & 0xffffffffL,
+        pointOffset = pointOffset,
         scale = (bb.getDouble(131), bb.getDouble(139), bb.getDouble(147)),
         offset = (bb.getDouble(155), bb.getDouble(163), bb.getDouble(171)),
         min = (bb.getDouble(187), bb.getDouble(203), bb.getDouble(219)),
-        max = (bb.getDouble(179), bb.getDouble(195), bb.getDouble(211)))
+        max = (bb.getDouble(179), bb.getDouble(195), bb.getDouble(211)),
+        laz = laz)
     } finally in.close()
   }
 

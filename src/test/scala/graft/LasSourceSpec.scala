@@ -84,11 +84,12 @@ class LasSourceSpec extends SparkSpec {
     assert(df.count() == 5000)
   }
 
-  test("LAZ (compressed flag) is rejected with a clear error, not misread") {
+  test("compressed bit without a laszip VLR is rejected with a clear error") {
     val d = Files.createTempDirectory("laz").toString
     val path = s"$d/c.laz"
     LasFormat.write(conf, s"$d/c.las", Seq(LasFormat.LasPoint(1, 2, 3)))
-    // flip the compressed bit (0x80) in the point-format byte, like a LAZ
+    // flip the compressed bit (0x80) without adding the laszip VLR — a
+    // corrupt/truncated LAZ must fail loudly, not decode garbage
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$d/c.las"))
     bytes(104) = (bytes(104) | 0x80).toByte
     java.nio.file.Files.write(java.nio.file.Paths.get(path), bytes)
@@ -96,6 +97,55 @@ class LasSourceSpec extends SparkSpec {
       LasFormat.readHeader(conf, path)
     }
     assert(e.getMessage.contains("LAZ"), s"unclear error: ${e.getMessage}")
+  }
+
+  test("LAZ reads through the same DSv2 source: equal rows, same schema") {
+    val d = Files.createTempDirectory("laz_read").toString
+    val pts = (0 until 7000).map { k =>
+      LasFormat.LasPoint(
+        x = (k % 100) * 1.5, y = (k % 37) * 2.0, z = (k % 11) * 1.5,
+        intensity = (k * 7) % 65536, returnNumber = 1 + (k % 3),
+        numberOfReturns = 3, classification = k % 32,
+        scanAngleRank = (k % 21) - 10, pointSourceId = k % 100,
+        gpsTime = 1000.0 + k * 0.25)
+    }
+    LasFormat.write(conf, s"$d/pts.las", pts)
+    graft.sources.las.laz.LazFormat.write(conf, s"$d/pts.laz", pts, chunkSize = 1000)
+    val las = spark.read.format("las").load(s"$d/pts.las")
+    val laz = spark.read.format("las").load(s"$d/pts.laz")
+    assert(laz.schema == las.schema)
+    assert(laz.count() == 7000)
+    assert(laz.exceptAll(las).isEmpty && las.exceptAll(laz).isEmpty)
+  }
+
+  test("LAZ chunk table drives partitioning; header pruning still applies") {
+    val d = Files.createTempDirectory("laz_parts").toString
+    def tile(path: String, x0: Double, n: Int): Unit =
+      graft.sources.las.laz.LazFormat.write(conf, path,
+        (0 until n).map(k => LasFormat.LasPoint(x0 + (k % 100), k % 50, k % 7)),
+        pointFormat = 0, chunkSize = 1000)
+    tile(s"$d/a.laz", 0.0, 5000)
+    tile(s"$d/b.laz", 1000.0, 5000)
+    val df = spark.read.format("las").load(d)
+    assert(df.count() == 10000)
+    // 1000-point chunks group into 524288-point partitions → 1 per file here
+    assert(scanPartitions(df) == 2)
+    // header-bounds pruning drops file b entirely
+    assert(scanPartitions(df.filter(col("x") < 500.0)) == 1)
+    assert(df.filter(col("x") < 500.0).count() == 5000)
+  }
+
+  test("mixed directory of .las and .laz serves one consistent table") {
+    val d = Files.createTempDirectory("laz_mixed").toString
+    val pts = (0 until 1500).map(k =>
+      LasFormat.LasPoint(k * 0.5, k * 0.25, 1.0, intensity = k, gpsTime = k))
+    LasFormat.write(conf, s"$d/a.las", pts)
+    graft.sources.las.laz.LazFormat.write(conf, s"$d/b.laz", pts, chunkSize = 400)
+    val df = spark.read.format("las").load(d)
+    assert(df.count() == 3000)
+    // the two halves are identical point-for-point
+    assert(df.groupBy("x", "y", "z", "intensity", "gps_time").count()
+      .filter(col("count") =!= 2).isEmpty)
   }
 
   test("point formats 2/3: RGB round-trips; gps offset shifts with format") {

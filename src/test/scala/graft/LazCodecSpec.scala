@@ -1,0 +1,269 @@
+package graft
+
+import org.apache.hadoop.conf.Configuration
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.las.LasFormat
+import graft.sources.las.LasFormat.LasPoint
+import graft.sources.las.laz._
+
+/** LAZ codec round-trip properties. There are no laszip-written sample
+  * files (and no codec library) in this sandbox, so the verifiable
+  * contract is self-consistency at every layer: arithmetic coder,
+  * integer corrector, item codecs, chunks, whole files — encode→decode
+  * must be the identity, on adversarial inputs as well as coherent
+  * clouds. LAZ-vs-LAS equality through the DSv2 source lives in
+  * `LasSourceSpec`. */
+class LazCodecSpec extends AnyFunSuite {
+
+  private val params = SCTest.Parameters.default
+    .withMinSuccessfulTests(60)
+    .withInitialSeed(org.scalacheck.rng.Seed(41L))
+
+  private def check(name: String, prop: Prop): Unit = {
+    val r = SCTest.check(params, prop)
+    assert(r.passed, s"$name failed: ${r.status}")
+  }
+
+  // ---- arithmetic coder ----------------------------------------------
+
+  test("arithmetic coder: adaptive symbol models round-trip (skewed + uniform)") {
+    val rnd = new scala.util.Random(7)
+    // three interleaved models of different alphabet sizes (one above the
+    // decoder-table threshold of 16), plus a bit model and raw bits
+    val syms = Array.tabulate(20000) { i =>
+      val skew = rnd.nextInt(10)
+      (if (skew < 6) rnd.nextInt(3) else rnd.nextInt(33),
+        rnd.nextInt(5), rnd.nextInt(2), rnd.nextInt(1 << 19))
+    }
+    val enc = new ArithmeticEncoder
+    enc.init()
+    val em1 = new ArithmeticModel(33, forDecoder = false)
+    val em2 = new ArithmeticModel(5, forDecoder = false)
+    val eb = new ArithmeticBitModel
+    syms.foreach { case (a, b, bit, raw) =>
+      enc.encodeSymbol(em1, a)
+      enc.encodeSymbol(em2, b)
+      enc.encodeBit(eb, bit)
+      enc.writeBits(19, raw.toLong)
+    }
+    val bytes = enc.done()
+    val dec = new ArithmeticDecoder(bytes, 0, bytes.length)
+    dec.init()
+    val dm1 = new ArithmeticModel(33, forDecoder = true)
+    val dm2 = new ArithmeticModel(5, forDecoder = true)
+    val db = new ArithmeticBitModel
+    syms.foreach { case (a, b, bit, raw) =>
+      assert(dec.decodeSymbol(dm1) == a)
+      assert(dec.decodeSymbol(dm2) == b)
+      assert(dec.decodeBit(db) == bit)
+      assert(dec.readBits(19) == raw.toLong)
+    }
+  }
+
+  test("arithmetic coder: 32-bit raw ints round-trip including extremes") {
+    val vals = Seq(0L, 1L, 0xFFFFFFFFL, 0x80000000L, 0x7FFFFFFFL, 12345678L)
+    val enc = new ArithmeticEncoder
+    enc.init()
+    vals.foreach(enc.writeInt)
+    val bytes = enc.done()
+    val dec = new ArithmeticDecoder(bytes, 0, bytes.length)
+    dec.init()
+    vals.foreach(v => assert(dec.readInt() == v))
+  }
+
+  // ---- integer compressor --------------------------------------------
+
+  test("integer compressor: correctors round-trip at all magnitudes (property)") {
+    val extreme = Gen.oneOf(Int.MinValue, Int.MaxValue, Int.MinValue + 1, 0, 1, -1)
+    val anyInt = Gen.frequency(
+      3 -> Gen.choose(Int.MinValue, Int.MaxValue), 1 -> extreme)
+    val seqs = Gen.listOfN(200, Gen.zip(anyInt, anyInt, Gen.choose(0, 3)))
+    check("ic32", Prop.forAll(seqs) { pairs =>
+      val enc = new ArithmeticEncoder
+      enc.init()
+      val ic = new IntegerCompressor(enc, null, 32, 4)
+      pairs.foreach { case (pred, real, ctx) => ic.compress(pred, real, ctx) }
+      val bytes = enc.done()
+      val dec = new ArithmeticDecoder(bytes, 0, bytes.length)
+      dec.init()
+      val icd = new IntegerCompressor(null, dec, 32, 4)
+      pairs.forall { case (pred, real, ctx) => icd.decompress(pred, ctx) == real }
+    })
+  }
+
+  test("integer compressor: 16-bit mode wraps into the u16 corrector ring") {
+    val rnd = new scala.util.Random(13)
+    val pairs = Array.fill(2000)((rnd.nextInt(65536), rnd.nextInt(65536)))
+    val enc = new ArithmeticEncoder
+    enc.init()
+    val ic = new IntegerCompressor(enc, null, 16, 2)
+    pairs.foreach { case (p, r) => ic.compress(p, r, r % 2) }
+    val bytes = enc.done()
+    val dec = new ArithmeticDecoder(bytes, 0, bytes.length)
+    dec.init()
+    val icd = new IntegerCompressor(null, dec, 16, 2)
+    pairs.foreach { case (p, r) => assert(icd.decompress(p, r % 2) == r) }
+  }
+
+  // ---- chunk codec ----------------------------------------------------
+
+  private def coherentCloud(n: Int, seed: Long, fmt: Int): IndexedSeq[LazPoint] = {
+    val rnd = new scala.util.Random(seed)
+    var x = 100000; var y = 2000000; var z = 5000
+    var gps = 123456.75
+    (0 until n).map { k =>
+      val p = new LazPoint
+      x += rnd.nextInt(200) - 100 // flight-line-ish deltas
+      y += rnd.nextInt(100) - 50
+      z += rnd.nextInt(20) - 10
+      p.x = x; p.y = y; p.z = z
+      p.intensity = rnd.nextInt(65536)
+      val nr = 1 + rnd.nextInt(3)
+      p.flags = (1 + rnd.nextInt(nr)) | (nr << 3) |
+        ((k % 2) << 6) | (if (rnd.nextInt(50) == 0) 0x80 else 0)
+      p.classification = rnd.nextInt(32)
+      p.scanAngleRank = (rnd.nextInt(61) - 30) & 0xFF
+      p.userData = rnd.nextInt(256)
+      p.pointSourceId = rnd.nextInt(4)
+      gps += rnd.nextInt(4) * 0.000025
+      p.gpsTime = java.lang.Double.doubleToRawLongBits(gps)
+      p.red = (p.z * 13) & 0xFFFF
+      p.green = (p.red + rnd.nextInt(9) - 4) & 0xFFFF
+      p.blue = (p.red + rnd.nextInt(9) - 4) & 0xFFFF
+      p
+    }
+  }
+
+  private def adversarialCloud(n: Int, seed: Long): IndexedSeq[LazPoint] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { _ =>
+      val p = new LazPoint
+      p.x = rnd.nextInt(); p.y = rnd.nextInt(); p.z = rnd.nextInt()
+      p.intensity = rnd.nextInt(65536)
+      p.flags = rnd.nextInt(256)
+      p.classification = rnd.nextInt(256)
+      p.scanAngleRank = rnd.nextInt(256)
+      p.userData = rnd.nextInt(256)
+      p.pointSourceId = rnd.nextInt(65536)
+      p.gpsTime = rnd.nextLong()
+      p.red = rnd.nextInt(65536); p.green = rnd.nextInt(65536); p.blue = rnd.nextInt(65536)
+      p
+    }
+  }
+
+  private def assertSame(a: LazPoint, b: LazPoint, fmt: Int, i: Int): Unit = {
+    assert(a.x == b.x && a.y == b.y && a.z == b.z, s"xyz mismatch at $i")
+    assert(a.intensity == b.intensity, s"intensity at $i")
+    assert(a.flags == b.flags, s"flags at $i")
+    assert(a.classification == b.classification, s"classification at $i")
+    assert(a.scanAngleRank == b.scanAngleRank, s"scanAngleRank at $i")
+    assert(a.userData == b.userData, s"userData at $i")
+    assert(a.pointSourceId == b.pointSourceId, s"pointSourceId at $i")
+    if (LasFormat.hasGps(fmt)) assert(a.gpsTime == b.gpsTime, s"gpsTime at $i")
+    if (LasFormat.hasRgb(fmt)) assert(
+      a.red == b.red && a.green == b.green && a.blue == b.blue, s"rgb at $i")
+  }
+
+  private def chunkRoundTrip(pts: IndexedSeq[LazPoint], fmt: Int): Unit = {
+    val bytes = LazFormat.encodeChunk(pts, fmt)
+    val d = new LazFormat.ChunkDecoder(bytes, 0, bytes.length, fmt, pts.size.toLong)
+    pts.zipWithIndex.foreach { case (p, i) =>
+      assert(d.next(), s"decoder exhausted at $i")
+      assertSame(d.point, p, fmt, i)
+    }
+    assert(!d.next())
+  }
+
+  test("chunk codec: coherent clouds round-trip in all four point formats") {
+    (0 to 3).foreach { fmt => chunkRoundTrip(coherentCloud(3000, 100 + fmt, fmt), fmt) }
+  }
+
+  test("chunk codec: adversarial (uniform random) records round-trip") {
+    (0 to 3).foreach { fmt => chunkRoundTrip(adversarialCloud(1500, 200 + fmt), fmt) }
+  }
+
+  test("chunk codec: degenerate chunks (single point, all-identical points)") {
+    (0 to 3).foreach { fmt =>
+      chunkRoundTrip(coherentCloud(1, 7, fmt), fmt)
+      val one = coherentCloud(1, 8, fmt).head
+      chunkRoundTrip(IndexedSeq.fill(500)(one), fmt)
+    }
+  }
+
+  test("chunk codec: gps-time regimes (constant, linear, jumps, sign flips)") {
+    val pts = coherentCloud(2000, 5, 1)
+    var t = 0L
+    pts.zipWithIndex.foreach { case (p, i) =>
+      p.gpsTime = i match {
+        case k if k < 400 => java.lang.Double.doubleToRawLongBits(1000.0) // constant
+        case k if k < 800 => java.lang.Double.doubleToRawLongBits(1000.0 + k * 0.001)
+        case k if k < 1200 => java.lang.Double.doubleToRawLongBits(k.toDouble * 1e9) // huge jumps
+        case k if k < 1600 => java.lang.Double.doubleToRawLongBits(1000.0 - (k - 1200) * 0.001)
+        case k => { t += (if (k % 3 == 0) 1L << 40 else -(1L << 39)); t } // raw-bit extremes
+      }
+    }
+    chunkRoundTrip(pts, 1)
+  }
+
+  test("chunk codec round-trip property: random sizes and formats") {
+    val gen = Gen.zip(Gen.choose(1, 600), Gen.choose(0, 3), Gen.choose(0L, 1L << 40))
+    check("chunk", Prop.forAll(gen) { case (n, fmt, seed) =>
+      val pts =
+        if (seed % 2 == 0) coherentCloud(n, seed, fmt) else adversarialCloud(n, seed)
+      val bytes = LazFormat.encodeChunk(pts, fmt)
+      val d = new LazFormat.ChunkDecoder(bytes, 0, bytes.length, fmt, n.toLong)
+      pts.forall { p =>
+        d.next() && d.point.x == p.x && d.point.y == p.y && d.point.z == p.z &&
+          d.point.flags == p.flags && d.point.intensity == p.intensity &&
+          (!LasFormat.hasGps(fmt) || d.point.gpsTime == p.gpsTime) &&
+          (!LasFormat.hasRgb(fmt) || (d.point.red == p.red &&
+            d.point.green == p.green && d.point.blue == p.blue))
+      }
+    })
+  }
+
+  // ---- chunk table + whole file --------------------------------------
+
+  test("chunk table round-trips (including empty)") {
+    val sizes = Seq(Seq.empty[Long], Seq(100L), Seq(3120L, 2990L, 3301L, 87L))
+    sizes.foreach { s =>
+      val bytes = LazFormat.encodeChunkTable(s)
+      assert(LazFormat.decodeChunkTable(bytes, 0, bytes.length) == s)
+    }
+  }
+
+  test("whole file: header/VLR parse back, chunk layout covers all points") {
+    val conf = new Configuration()
+    val dir = java.nio.file.Files.createTempDirectory("lazfile").toString
+    val pts = (0 until 2500).map(k =>
+      LasPoint(k * 0.5, k * 0.25, (k % 9) * 1.0, intensity = k % 65536, gpsTime = k * 0.1))
+    LazFormat.write(conf, s"$dir/f.laz", pts, pointFormat = 3, chunkSize = 600)
+    val h = LasFormat.readHeader(conf, s"$dir/f.laz")
+    assert(h.pointFormat == 3 && h.pointCount == 2500)
+    assert(h.laz.isDefined)
+    assert(h.laz.get.chunkSize == 600)
+    assert(h.laz.get.items == Seq(LazFormat.ItemPoint10, LazFormat.ItemGpstime11, LazFormat.ItemRgb12))
+    val chunks = LazFormat.readChunks(conf, s"$dir/f.laz", h)
+    assert(chunks.size == 5) // ceil(2500/600)
+    assert(chunks.map(_.pointCount).sum == 2500)
+    assert(chunks.last.pointCount == 2500 - 4 * 600)
+    // chunks tile the byte range contiguously
+    chunks.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.fileOffset + a.byteLen == b.fileOffset)
+    }
+    // LAS bounds match the LAZ header bounds for the same cloud
+    LasFormat.write(conf, s"$dir/f.las", pts, pointFormat = 3)
+    val hLas = LasFormat.readHeader(conf, s"$dir/f.las")
+    assert(h.bounds == hLas.bounds)
+  }
+
+  test("compression: coherent cloud compresses well below raw record size") {
+    val pts = coherentCloud(20000, 99, 1)
+    val bytes = LazFormat.encodeChunk(pts, 1)
+    val raw = 20000L * LazFormat.recordLength(1)
+    assert(bytes.length < raw / 2,
+      s"LAZ chunk ${bytes.length} B vs raw $raw B — compression ineffective")
+  }
+}
