@@ -58,11 +58,21 @@ object Sketches {
 
   // ---- LSH candidate pairs --------------------------------------------
 
+  /** Document-frequency cap on band keys (same rationale as
+    * `TextOps.ShingleDfCap`: a band key shared by k docs contributes
+    * k^2/2 candidate rows on one shuffle key — a degenerate "everything
+    * hashes together" band must be dropped, not joined). Far above the
+    * testdata's max band df (12 at sf0.1). */
+  val BandDfCap = 512
+
   /** LSH banding: signature rows are exploded to (doc_id, band, band-key)
     * and candidates found by equi-join on (band, key) — shuffle on the
-    * band key, so it scales linearly in corpus size. Output: candidate
-    * pair + number of matching bands. */
-  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
+    * band key, so it scales linearly in corpus size. Band keys with more
+    * than `dfCap` members are dropped before the join (broadcast
+    * anti-join; the hot list is at most |rows|/cap keys). Output:
+    * candidate pair + number of matching (non-hot) bands. */
+  def minhashLshPairs(spark: SparkSession, dir: String,
+      dfCap: Int = BandDfCap): DataFrame = {
     // explode, not unionAll-of-selects: one signature aggregation feeds all
     // bands, and the self-join's two sides canonicalize to the same plan so
     // the shuffle is computed once (ReuseExchange).
@@ -75,7 +85,10 @@ object Sketches {
       // one materialization feeds both self-join sides (shingle scan +
       // signature aggregation would otherwise run twice)
       .localCheckpoint(false)
-    bandRows.as("a").join(bandRows.as("b"),
+    val hot = bandRows.groupBy("band", "bkey").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("band", "bkey")
+    val keep = bandRows.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
+    keep.as("a").join(keep.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
@@ -84,16 +97,18 @@ object Sketches {
   }
 
   val minhashLshPairsSql: String = {
-    // Oracle-scale formulation: direct pairwise band comparison (the
-    // driver only runs this at sf0.01; the Spark plan above is the
-    // scalable one).
-    val bandMatch = (0 until Bands).map { b =>
-      s"(CASE WHEN a.mh${2 * b} = b.mh${2 * b} AND a.mh${2 * b + 1} = b.mh${2 * b + 1} THEN 1 ELSE 0 END)"
-    }.mkString(" + ")
-    s"""WITH sig AS ($minhashSignaturesSql)
-       | SELECT a.doc_id AS d1, b.doc_id AS d2, CAST($bandMatch AS BIGINT) AS n_bands
-       | FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-       | WHERE $bandMatch >= 1 ORDER BY 1, 2""".stripMargin.replace("\n", " ")
+    // same banded formulation as the Spark plan (incl. the df cap), so
+    // the engines agree even when a cap fires
+    val bandRows = (0 until Bands).map { b =>
+      s"SELECT doc_id, $b AS band, CAST(mh${2 * b} AS VARCHAR)||':'||CAST(mh${2 * b + 1} AS VARCHAR) AS bkey FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH sig AS ($minhashSignaturesSql),
+       | bands AS ($bandRows),
+       | hot AS (SELECT band, bkey FROM bands GROUP BY 1, 2 HAVING count(*) > $BandDfCap),
+       | keep AS (SELECT bands.* FROM bands ANTI JOIN hot USING (band, bkey))
+       | SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS n_bands
+       | FROM keep a JOIN keep b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " ")
   }
 
   // ---- SimHash ---------------------------------------------------------
@@ -134,20 +149,33 @@ object Sketches {
        | SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM bits ORDER BY doc_id""".stripMargin.replace("\n", " ")
   }
 
+  /** Document-frequency cap on simhash halves — a half shared by k docs
+    * is a k^2/2 hot key in the candidate join. Above the testdata's max
+    * half df (128 at sf0.1). */
+  val HalfDfCap = 1024
+
   /** SimHash near-dup pairs with Hamming distance <= maxDist, found by
     * the banded trick: split the 32-bit sketch in two 16-bit halves; any
     * pair within Hamming <= 3 of a half-match shares at least one exact
     * half (pigeonhole only guarantees this for dist <= 1 per half — we
     * use half-match as the candidate filter exactly like production
-    * SimHash dedup does, trading a sliver of recall for an equi-join). */
-  def simhashPairs(maxDist: Int)(spark: SparkSession, dir: String): DataFrame = {
+    * SimHash dedup does, trading a sliver of recall for an equi-join).
+    * Halves with more than `dfCap` members are dropped before the join
+    * (they pair everything with everything — no signal, all skew). */
+  def simhashPairs(maxDist: Int, dfCap: Int = HalfDfCap)(
+      spark: SparkSession, dir: String): DataFrame = {
     val halves = simhashRaw(spark, dir).select(col("doc_id"), col("simhash"),
         explode(array(
           struct(lit(0).as("hx"), col("simhash").bitwiseAND(lit(0xFFFFL)).as("hv")),
           struct(lit(1).as("hx"), shiftright(col("simhash"), 16).as("hv")))).as("bb"))
       .select(col("doc_id"), col("simhash"),
         col("bb.hx").as("hx"), col("bb.hv").as("hv"))
-    halves.as("a").join(halves.as("b"),
+      // one shuffle feeds the hot-key aggregation and both join sides
+      .localCheckpoint(false)
+    val hot = halves.groupBy("hx", "hv").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("hx", "hv")
+    val keep = halves.join(broadcast(hot), Seq("hx", "hv"), "left_anti")
+    keep.as("a").join(keep.as("b"),
         col("a.hx") === col("b.hx") && col("a.hv") === col("b.hv") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
@@ -185,11 +213,15 @@ object Sketches {
   }
 
   def simhashPairsSql(maxDist: Int): String =
-    s"""WITH sig AS ($simhashSql)
-       | SELECT a.doc_id AS d1, b.doc_id AS d2,
-       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-       | FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-       | WHERE ((a.simhash & 65535) = (b.simhash & 65535) OR (a.simhash >> 16) = (b.simhash >> 16))
-       |  AND bit_count(xor(a.simhash, b.simhash)) <= $maxDist
+    s"""WITH sig AS ($simhashSql),
+       | halves AS (SELECT doc_id, simhash, 0 AS hx, simhash & 65535 AS hv FROM sig
+       |   UNION ALL SELECT doc_id, simhash, 1 AS hx, simhash >> 16 AS hv FROM sig),
+       | hot AS (SELECT hx, hv FROM halves GROUP BY 1, 2 HAVING count(*) > $HalfDfCap),
+       | keep AS (SELECT halves.* FROM halves ANTI JOIN hot USING (hx, hv)),
+       | cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+       |   a.simhash AS s1, b.simhash AS s2
+       |   FROM keep a JOIN keep b ON a.hx = b.hx AND a.hv = b.hv AND a.doc_id < b.doc_id)
+       | SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming FROM cand
+       | WHERE bit_count(xor(s1, s2)) <= $maxDist
        | ORDER BY 1, 2""".stripMargin.replace("\n", " ")
 }

@@ -191,17 +191,40 @@ object TextOps {
       | i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]))) AS s
       | FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents WHERE len(string_split(text,' ')) >= 3)""".stripMargin.replace("\n", " ")
 
+  /** Document-frequency cap for the shingle self-join: a shingle shared
+    * by more than this many documents is boilerplate — it carries no
+    * near-dup signal, but it quadratically dominates the join (a shingle
+    * in 10^6 docs yields 10^12 candidate rows ON ONE KEY). Dropping such
+    * keys bounds every key's contribution to DfCap^2 rows. The cap is
+    * far above the testdata's max df (25 at sf0.1), so oracle results
+    * are unchanged; the skew bound has its own spec. */
+  val ShingleDfCap = 512
+
+  /** Frequency-capped shingle relation: the hot-key list is tiny by
+    * construction (at most |index| / cap keys) => broadcast anti-join,
+    * no extra shuffle on the big side. */
+  private def cappedShingles(spark: SparkSession, dir: String, dfCap: Int): DataFrame = {
+    val sh = shingleIndex(spark, dir).select(col("doc_id"), col("h60").as("h"))
+    val hot = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("h")
+    sh.join(broadcast(hot), Seq("h"), "left_anti")
+  }
+
   /** Near-duplicate pairs with shingle-set Jaccard >= tau. The join is an
     * equi-join on the shingle (shuffle on shingle hash, combiner-friendly
     * count) — the scalable formulation; no O(n^2) pair enumeration. Doc
     * shingle counts are a small side table => broadcast. The join key is
     * the 60-bit md5-prefix hash of the shingle, not the string: 8-byte
     * shuffle keys, and the oracle computes the identical hash so results
-    * agree bit-for-bit even in the (vanishing) collision case. */
-  def ngramJaccardPairs(tau: Double)(spark: SparkSession, dir: String): DataFrame = {
+    * agree bit-for-bit even in the (vanishing) collision case. Jaccard is
+    * computed over the df-capped shingle universe (intersection AND
+    * per-doc counts), so both engines agree exactly even when a cap
+    * fires. */
+  def ngramJaccardPairs(tau: Double, dfCap: Int = ShingleDfCap)(
+      spark: SparkSession, dir: String): DataFrame = {
     // the materialized shingle index feeds three consumers here (both
     // join sides + the per-doc count table) and four other queries
-    val sh = shingleIndex(spark, dir).select(col("doc_id"), col("h60").as("h"))
+    val sh = cappedShingles(spark, dir, dfCap)
     val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -220,8 +243,10 @@ object TextOps {
       .orderBy("d1", "d2")
   }
 
-  def ngramJaccardPairsSql(tau: Double): String =
-    s"""WITH sh AS (SELECT doc_id, CAST('0x'||substr(md5(s),1,15) AS BIGINT) AS h FROM ($shinglesSql)),
+  def ngramJaccardPairsSql(tau: Double, dfCap: Int = ShingleDfCap): String =
+    s"""WITH sh0 AS (SELECT doc_id, CAST('0x'||substr(md5(s),1,15) AS BIGINT) AS h FROM ($shinglesSql)),
+       | hot AS (SELECT h FROM sh0 GROUP BY h HAVING count(*) > $dfCap),
+       | sh AS (SELECT sh0.* FROM sh0 ANTI JOIN hot USING (h)),
        | n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
        | p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
        |   FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2)
