@@ -38,6 +38,7 @@ object SparkEntry {
     "pc_knn_100" -> (PcQueries.knn(100, 100.0)(_, _)),
     "pc_knn_1000" -> (PcQueries.knn(1000, 250.0)(_, _)),
     "pc_viz_cell" -> (PcQueries.viz(_, _)),
+    "pc_color_rescale" -> (PcQueries.colorRescale(_, _)),
     // -- data-organization operators as relational queries (SURVEY.md §2.7)
     "pc_grid_cells" -> (PcQueries.gridCells(_, _)),
     "pc_quadtree_assign" -> (PcQueries.quadtreeAssign(_, _)),
@@ -117,6 +118,7 @@ object SparkEntry {
     "pc_knn_100" -> PcQueries.knnSql(100, 100.0),
     "pc_knn_1000" -> PcQueries.knnSql(1000, 250.0),
     "pc_viz_cell" -> PcQueries.vizSql,
+    "pc_color_rescale" -> PcQueries.colorRescaleSql,
     "pc_grid_cells" -> PcQueries.gridCellsSql,
     "pc_quadtree_assign" -> PcQueries.quadtreeAssignSql,
     // layout-backed: layouts are result-invariant, so the oracle is the

@@ -2,7 +2,7 @@ package graft.pc
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, FloatType, LongType, ShortType}
 
 /** The reference's benchmark query surface re-expressed on Spark
   * (reference: pc-cli/src/benchmark.rs:95-265, BASELINE.md).
@@ -115,6 +115,57 @@ object PcQueries {
     rect(vizCell)(spark, dir)
 
   val vizSql: String = rectSql(vizCell)
+
+  // ---- color rescale + recenter: the reference's viz-export projection
+  // (pc-io/src/ply.rs:480-499: recenter xyz on the cloud center as f32,
+  // rescale u16 colors to u8 via double arithmetic, keep rgb > 0) ----
+
+  /** Deterministic u16 color channels synthesized from pid (the testdata
+    * has no real colors; the LAS RGB read path has its own spec). */
+  private val CR = 7919L
+  private val CG = 104729L
+  private val CB = 15485863L
+
+  /** Center-shift to f32 + u16→u8 color rescale. The center is the full
+    * cloud's bounds midpoint — a 1-row aggregate broadcast into the
+    * projection (no driver collect); output keeps a pid % 97 slice so the
+    * result stays small at any SF while exercising every row's math.
+    * floor() before the integral cast keeps both engines exact (DuckDB
+    * rounds float→int casts; Spark truncates — floor makes it moot).
+    * u8 widens to Short per the unsigned-widening convention. */
+  def colorRescale(spark: SparkSession, dir: String): DataFrame = {
+    val pts = points(spark, dir).select(col("pid"), col("x"), col("y"), col("z"),
+      (col("pid") * CR % 65536L).as("red"),
+      (col("pid") * CG % 65536L).as("green"),
+      (col("pid") * CB % 65536L).as("blue"))
+    val center = pts.agg(
+      ((min(col("x")) + max(col("x"))) / 2.0).as("cx"),
+      ((min(col("y")) + max(col("y"))) / 2.0).as("cy"),
+      ((min(col("z")) + max(col("z"))) / 2.0).as("cz"))
+    def u8(c: Column) = floor(c.cast(DoubleType) / 65535.0 * 255.0).cast(ShortType)
+    pts.crossJoin(broadcast(center))
+      .filter(col("red") > 0 && col("green") > 0 && col("blue") > 0 &&
+        col("pid") % 97 === 0)
+      .select(col("pid"),
+        (col("x") - col("cx")).cast(FloatType).as("xc"),
+        (col("y") - col("cy")).cast(FloatType).as("yc"),
+        (col("z") - col("cz")).cast(FloatType).as("zc"),
+        u8(col("red")).as("r8"), u8(col("green")).as("g8"), u8(col("blue")).as("b8"))
+      .orderBy("pid")
+  }
+
+  val colorRescaleSql: String =
+    s"""WITH pts AS (SELECT pid, x, y, z, pid * $CR % 65536 AS red,
+       |  pid * $CG % 65536 AS green, pid * $CB % 65536 AS blue FROM ($pointsSql)),
+       | c AS (SELECT (min(x)+max(x))/2.0 AS cx, (min(y)+max(y))/2.0 AS cy,
+       |  (min(z)+max(z))/2.0 AS cz FROM pts)
+       | SELECT pid, CAST(x - cx AS FLOAT) AS xc, CAST(y - cy AS FLOAT) AS yc,
+       |  CAST(z - cz AS FLOAT) AS zc,
+       |  CAST(floor(CAST(red AS DOUBLE) / 65535.0 * 255.0) AS SMALLINT) AS r8,
+       |  CAST(floor(CAST(green AS DOUBLE) / 65535.0 * 255.0) AS SMALLINT) AS g8,
+       |  CAST(floor(CAST(blue AS DOUBLE) / 65535.0 * 255.0) AS SMALLINT) AS b8
+       | FROM pts, c WHERE red > 0 AND green > 0 AND blue > 0 AND pid % 97 = 0
+       | ORDER BY pid""".stripMargin.replace("\n", " ")
 
   // ---- layout-backed queries: the lakehouse path end-to-end ----------
   // Write the (x,y,i)-clustered layout once per JVM, then query the
