@@ -76,25 +76,44 @@ object Ivf {
   def trainCached(spark: SparkSession, dir: String): Seq[(Long, Array[Long])] =
     trainCache.computeIfAbsent(dir, _ => train(quantized(spark, dir)))
 
-  /** Deterministic training: seed with the K smallest vec_ids, run one
-    * integer Lloyd step. Returns (cid, centroid) sorted by cid. */
-  def train(q: DataFrame): Seq[(Long, Array[Long])] = {
+  /** Lloyd iterations run at training time (the oracle CTE chain extends
+    * mechanically with this constant — both engines iterate identically). */
+  val LloydSteps: Int = 2
+
+  /** Deterministic training: seed with the K smallest vec_ids, run
+    * `steps` integer Lloyd iterations. Each iteration is one map-only
+    * assignment + one groupBy(cid) shuffle collecting K×dim longs; the
+    * order-free integer arithmetic keeps every step oracle-exact.
+    * Returns (cid, centroid) sorted by cid. */
+  def train(q: DataFrame, steps: Int = LloydSteps): Seq[(Long, Array[Long])] = {
     val seeds: Seq[(Long, Array[Long])] =
       q.orderBy("vec_id").limit(K).select("qv").collect()
         .zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Long](0).toArray) }.toSeq
+    (1 to steps).foldLeft(seeds)((c, _) => lloydStep(q, c))
+  }
+
+  /** One integer Lloyd update: per-dimension `sum / count` (truncating
+    * division on positive int64 == floor division — exact and order-free
+    * on both engines). A cell that attracts no vectors drops out, exactly
+    * like the oracle's GROUP BY. */
+  private def lloydStep(q: DataFrame,
+      centroids: Seq[(Long, Array[Long])]): Seq[(Long, Array[Long])] = {
     val sumCols = (1 to Dim).map(j => sum(element_at(col("qv"), j)).as(s"s$j"))
-    val updated = q
-      .withColumn("cid", nearest(seeds).getField("cid"))
+    q.withColumn("cid", nearest(centroids).getField("cid"))
       .groupBy("cid")
       .agg(count(lit(1)).as("n"), sumCols: _*)
       .collect()
       .map { r =>
         val n = r.getLong(1)
-        // positive sums: truncating long division == floor division
         r.getLong(0) -> Array.tabulate(Dim)(j => r.getLong(j + 2) / n)
       }
-    updated.sortBy(_._1).toSeq
+      .sortBy(_._1).toSeq
   }
+
+  /** Total assignment cost (sum of integer squared distances) for a
+    * codebook — the Lloyd convergence measure the spec tracks. */
+  def totalDist(q: DataFrame, centroids: Seq[(Long, Array[Long])]): Long =
+    assignment(q, centroids).agg(sum(col("dist"))).head().getLong(0)
 
   /** The map-only quantize+argmin projection (unsorted). */
   def assignment(q: DataFrame, centroids: Seq[(Long, Array[Long])]): DataFrame = {
@@ -183,52 +202,62 @@ object Ivf {
 
   // ---- DuckDB oracle: the same training chain in SQL -------------------
 
-  /** Shared CTE chain: quantize → seeds → assign → integer Lloyd update
-    * (c1) → final assignment (a1). */
-  private val chainSql: String =
-    s"""q AS (
+  /** Mechanically generated CTE chain for `steps` Lloyd iterations:
+    * quantize (q) → c0 (seeds) → [d{s}: distances vs c{s} → a{s}: argmin
+    * → c{s+1}: integer means] repeated → final distances/argmin vs
+    * c{steps}. The per-step SQL shapes are identical, so extending
+    * `LloydSteps` extends the oracle with no hand-editing. */
+  private def chainSql(steps: Int): String = {
+    val dist = (c: String) =>
+      s"CAST(list_sum(list_transform(range(1,${Dim + 1}), i -> (q.qv[i]-$c.cv[i])*(q.qv[i]-$c.cv[i]))) AS BIGINT)"
+    val sb = new StringBuilder
+    sb ++= s"""q AS (
        |  SELECT vec_id, list_transform(embedding, v -> CAST(round((CAST(v AS DOUBLE)+$Shift)*$Scale) AS BIGINT)) AS qv
        |  FROM embeddings),
-       |seeds AS (
+       |c0 AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, qv AS cv
-       |  FROM q ORDER BY vec_id LIMIT $K),
-       |d0 AS (
-       |  SELECT q.vec_id, q.qv, s.cid,
-       |    CAST(list_sum(list_transform(range(1,${Dim + 1}), i -> (q.qv[i]-s.cv[i])*(q.qv[i]-s.cv[i]))) AS BIGINT) AS dist
-       |  FROM q, seeds s),
-       |a0 AS (
+       |  FROM q ORDER BY vec_id LIMIT $K)""".stripMargin
+    (0 until steps).foreach { s =>
+      sb ++= s""",
+       |d$s AS (
+       |  SELECT q.vec_id, q.qv, c.cid, ${dist("c")} AS dist
+       |  FROM q, c$s c),
+       |a$s AS (
        |  SELECT vec_id, qv, cid FROM (
-       |    SELECT vec_id, qv, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d0)
+       |    SELECT vec_id, qv, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d$s)
        |  WHERE rn = 1),
-       |c1 AS (
+       |c${s + 1} AS (
        |  SELECT cid, list(s ORDER BY i) AS cv FROM (
        |    SELECT cid, i, CAST(sum(qv[i]) AS BIGINT) // CAST(count(*) AS BIGINT) AS s
-       |    FROM a0, range(1,${Dim + 1}) AS t(i) GROUP BY cid, i)
-       |  GROUP BY cid),
-       |d1 AS (
-       |  SELECT q.vec_id, c.cid,
-       |    CAST(list_sum(list_transform(range(1,${Dim + 1}), i -> (q.qv[i]-c.cv[i])*(q.qv[i]-c.cv[i]))) AS BIGINT) AS dist
-       |  FROM q, c1 c),
-       |a1 AS (
+       |    FROM a$s, range(1,${Dim + 1}) AS t(i) GROUP BY cid, i)
+       |  GROUP BY cid)""".stripMargin
+    }
+    sb ++= s""",
+       |dfin AS (
+       |  SELECT q.vec_id, c.cid, ${dist("c")} AS dist
+       |  FROM q, c$steps c),
+       |afin AS (
        |  SELECT vec_id, cid, dist FROM (
-       |    SELECT vec_id, cid, dist, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d1)
+       |    SELECT vec_id, cid, dist, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM dfin)
        |  WHERE rn = 1)""".stripMargin
+    sb.toString
+  }
 
   val assignSql: String =
-    s"WITH $chainSql SELECT vec_id, cid, dist FROM a1 ORDER BY vec_id"
+    s"WITH ${chainSql(LloydSteps)} SELECT vec_id, cid, dist FROM afin ORDER BY vec_id"
       .replace("\n", " ")
 
   def topKSql(queryId: Long, k: Int, nprobe: Int): String =
-    s"""WITH $chainSql,
+    s"""WITH ${chainSql(LloydSteps)},
        |probes AS (
-       |  SELECT c.cid FROM c1 c, (SELECT qv FROM q WHERE vec_id = $queryId) AS qq
+       |  SELECT c.cid FROM c$LloydSteps c, (SELECT qv FROM q WHERE vec_id = $queryId) AS qq
        |  ORDER BY CAST(list_sum(list_transform(range(1,${Dim + 1}), i -> (qq.qv[i]-c.cv[i])*(qq.qv[i]-c.cv[i]))) AS BIGINT), c.cid
        |  LIMIT $nprobe)
        |SELECT e.vec_id,
        |  round(list_sum(list_transform(range(1,${Dim + 1}), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qe.embedding[i] AS DOUBLE))), 6) AS sim
        |FROM embeddings e
-       |JOIN a1 ON e.vec_id = a1.vec_id
+       |JOIN afin ON e.vec_id = afin.vec_id
        |JOIN (SELECT embedding FROM embeddings WHERE vec_id = $queryId) AS qe ON TRUE
-       |WHERE a1.cid IN (SELECT cid FROM probes) AND e.vec_id != $queryId
+       |WHERE afin.cid IN (SELECT cid FROM probes) AND e.vec_id != $queryId
        |ORDER BY sim DESC, e.vec_id ASC LIMIT $k""".stripMargin.replace("\n", " ")
 }

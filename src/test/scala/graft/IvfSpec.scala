@@ -39,6 +39,17 @@ class IvfSpec extends SparkSpec {
     assert(totalDist(Ivf.train(q)) <= totalDist(seeds))
   }
 
+  test("multi-step lloyd: assignment cost is monotonically non-increasing") {
+    val q = Ivf.quantized(spark, sf001)
+    val costs = (0 to 3).map(s => Ivf.totalDist(q, Ivf.train(q, steps = s)))
+    costs.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a, s"lloyd step increased cost: $costs")
+    }
+    // and the default (2 steps) strictly improves on the 1-step codebook
+    // for this data — the extension is doing real work
+    assert(costs(2) < costs(1), s"second step changed nothing: $costs")
+  }
+
   test("probe search reaches decent recall vs brute force and full-probe is exact") {
     val bf = SimOps.topK(0L, 10)(spark, sf001)
       .select("vec_id").collect().map(_.getLong(0)).toSet
