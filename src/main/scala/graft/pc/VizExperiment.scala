@@ -49,12 +49,14 @@ object VizExperiment {
       m: Int = 16): DataFrame = {
     val stats = Layout.rowGroupStats(spark, path, Seq("x", "y", "i"))
     val rgTotal = stats.size.toLong
+    // the R-tree arm: bulk-loaded once per layout, O(log n + k) per probe
+    val index = Layout.RowGroupIndex.build(stats, Seq("x", "y", "i"))
     val df = spark.read.parquet(path)
     val rows = selectProbes(box, depth, m).map { p =>
       // arm 1: engine scan with pushdown (native row-group pruning)
       val exact = df.filter(Points.boxPredicate(p.cell)).count()
-      // arm 2: external footer-stats index, driver-side intersection
-      val hit = Layout.intersectingRowGroups(stats, p.cell)
+      // arm 2: external footer-stats R-tree, driver-side descent
+      val hit = index.query(p.cell)
       Row(p.level, exact, hit.map(_.rows).sum, hit.size.toLong, rgTotal)
     }
     spark.createDataFrame(

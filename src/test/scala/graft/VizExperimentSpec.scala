@@ -43,4 +43,43 @@ class VizExperimentSpec extends SparkSpec {
     // so a raw sum over repeats could legitimately exceed the table
     assert(deepest.map(r => (r.getLong(1), r.getLong(2))).distinct.map(_._1).sum <= table)
   }
+
+  test("R-tree index returns exactly the linear scan's row groups") {
+    val dir = Files.createTempDirectory("viz_idx").toString
+    val pts = Points.withImportance(
+      Points.fromLineitem(spark, sf001).select("x", "y", "pid"), seed = 7L)
+    val geo = Layout.writeQuadtree(pts, dir, batchSize = 2048L)
+    val stats = Layout.rowGroupStats(spark, dir, Seq("x", "y", "i"))
+    val index = Layout.RowGroupIndex.build(stats, Seq("x", "y", "i"))
+    def key(s: Layout.RowGroupStat) = (s.file, s.ordinal)
+    VizExperiment.selectProbes(geo.box, geo.depth).foreach { p =>
+      val linear = Layout.intersectingRowGroups(stats, p.cell).map(key).toSet
+      val indexed = index.query(p.cell).map(key).toSet
+      assert(indexed == linear, s"probe ${p.cell} diverged")
+    }
+  }
+
+  test("R-tree probes visit O(log n + k) nodes on a many-row-group fixture") {
+    // 64x64 grid of synthetic row groups (4096 leaves) — the scale regime
+    // where the linear scan stops being free
+    val side = 64
+    val stats = for (gx <- 0 until side; gy <- 0 until side) yield
+      Layout.RowGroupStat(f"f$gx%02d", gy, 1000L,
+        Map("x" -> gx * 10.0, "y" -> gy * 10.0),
+        Map("x" -> (gx * 10.0 + 10.0), "y" -> (gy * 10.0 + 10.0)))
+    val index = Layout.RowGroupIndex.build(stats, Seq("x", "y"))
+    val rnd = new scala.util.Random(3)
+    (0 until 50).foreach { _ =>
+      val (x0, y0) = (rnd.nextDouble() * 620, rnd.nextDouble() * 620)
+      val box = graft.pc.Aabb.xy(x0, y0, x0 + 15.0, y0 + 15.0)
+      val linear = Layout.intersectingRowGroups(stats, box)
+        .map(s => (s.file, s.ordinal)).toSet
+      val hits = index.query(box)
+      assert(hits.map(s => (s.file, s.ordinal)).toSet == linear)
+      // a 2x2-to-3x3 cell probe must not walk the whole tree: the index
+      // wins by visiting a small fraction of the 8191 nodes
+      assert(index.lastVisited < index.size / 10,
+        s"visited ${index.lastVisited} of ${index.size} nodes for $box")
+    }
+  }
 }
