@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Keys and cleanup for the path-keyed derived-artifact caches (shingle
+  * index, ANN/IVF layouts, IVF codebooks). Two hygiene rules:
+  *
+  *  - cache keys carry an input snapshot marker (mtime + length), so a
+  *    dataset REWRITTEN at the same path within one JVM re-derives its
+  *    artifacts instead of serving stale ones;
+  *  - derived temp layouts register for recursive deletion at JVM exit
+  *    (`deleteOnExit` alone cannot remove non-empty directories).
+  */
+object DatasetCache {
+
+  /** Cache key for artifacts derived from `dir/table`. */
+  def snapshotKey(spark: SparkSession, dir: String, table: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    s"$dir/$table@${st.getModificationTime}:${st.getLen}"
+  }
+
+  private val tempDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val installHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      tempDirs.forEach { d =>
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(d))
+      }
+    }))
+
+  /** Register a derived temp directory for exit-time cleanup. */
+  def registerTempDir(path: String): String = {
+    installHook
+    tempDirs.add(path)
+    path
+  }
+}

@@ -141,7 +141,16 @@ object Aabb {
     val size = if (raw > 0.0) raw else 1.0
     val acc = 8.0 / math.sqrt(sigma.toDouble)
     // floor (not round), matching the reference's integer truncation —
-    // for sigma=8, 8/sqrt(8)=2.83 must give 2 splits per axis
+    // for sigma=8, 8/sqrt(8)=2.83 must give 2 splits per axis.
+    // INTENTIONAL DIVERGENCE from framework.rs:69-109 within a window:
+    // the reference steps cell edges by windowEdge/acc UN-floored
+    // (≈windowEdge/2.83) and stretches the last cell to the window edge;
+    // we divide the window evenly into floor(acc) equal slices. Query
+    // results are invariant (every point lands in exactly one cell either
+    // way, and cell ids agree between the driver enumeration and the
+    // writer expression — the invariant that actually matters); the even
+    // split just gives uniform physical clustering instead of a fat last
+    // cell.
     val splits = math.max(1, math.floor(acc).toInt)
     (size, acc, splits)
   }

@@ -74,7 +74,9 @@ object Ivf {
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Array[Long])]]()
 
   def trainCached(spark: SparkSession, dir: String): Seq[(Long, Array[Long])] =
-    trainCache.computeIfAbsent(dir, _ => train(quantized(spark, dir)))
+    trainCache.computeIfAbsent(
+      graft.DatasetCache.snapshotKey(spark, dir, "embeddings.parquet"),
+      _ => train(quantized(spark, dir)))
 
   /** Lloyd iterations run at training time (the oracle CTE chain extends
     * mechanically with this constant — both engines iterate identically). */
@@ -175,8 +177,10 @@ object Ivf {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def layoutPath(spark: SparkSession, dir: String): String =
-    layoutCache.computeIfAbsent(dir, { _ =>
-      val path = java.nio.file.Files.createTempDirectory("graft_ivf_layout").toString
+    layoutCache.computeIfAbsent(
+      graft.DatasetCache.snapshotKey(spark, dir, "embeddings.parquet"), { _ =>
+      val path = graft.DatasetCache.registerTempDir(
+        java.nio.file.Files.createTempDirectory("graft_ivf_layout").toString)
       val q = quantized(spark, dir)
       val best = nearest(trainCached(spark, dir))
       q.select(col("vec_id"), col("embedding"), best.getField("cid").as("cid"))

@@ -178,8 +178,10 @@ object SimOps {
     * a query reads ONLY its bucket's directory (partition pruning), the
     * file-source analog of a vector index's inverted lists. */
   private def annLayoutPath(spark: SparkSession, dir: String): String =
-    annLayoutCache.computeIfAbsent(dir, { _ =>
-      val path = java.nio.file.Files.createTempDirectory("graft_ann_layout").toString
+    annLayoutCache.computeIfAbsent(
+      graft.DatasetCache.snapshotKey(spark, dir, "embeddings.parquet"), { _ =>
+      val path = graft.DatasetCache.registerTempDir(
+        java.nio.file.Files.createTempDirectory("graft_ann_layout").toString)
       embeddings(spark, dir)
         .select(col("vec_id"), col("embedding"), bucketCol(col("embedding")).as("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(path)

@@ -176,8 +176,11 @@ object Ply {
       var schema: StructType = null
       // trailing elements after the target are never needed — stop instead
       // of parse-and-discarding (a large face element after vertex is the
-      // common layout)
-      header.elements.takeWhile(_ => rows == null).foreach { el =>
+      // common layout). The `.iterator` matters: a strict Seq.takeWhile
+      // evaluates every predicate up front (rows is still null), parsing
+      // all trailing elements anyway; the iterator re-checks after each
+      // element's side effects ran
+      header.elements.iterator.takeWhile(_ => rows == null).foreach { el =>
         val isTarget = el.name == element
         // fixed-width (list-free) binary elements: one shared row buffer
         val fixedRowBytes =

@@ -174,8 +174,11 @@ object TextOps {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private[text] def shingleIndex(spark: SparkSession, dir: String): DataFrame = {
-    val path = shingleIndexCache.computeIfAbsent(dir, { _ =>
-      val p = java.nio.file.Files.createTempDirectory("graft_shingle_idx").toString
+    // key on (path, input snapshot) — a rewritten dataset re-indexes
+    val key = graft.DatasetCache.snapshotKey(spark, dir, "documents.parquet")
+    val path = shingleIndexCache.computeIfAbsent(key, { _ =>
+      val p = graft.DatasetCache.registerTempDir(
+        java.nio.file.Files.createTempDirectory("graft_shingle_idx").toString)
       val m = md5(col("s"))
       shingles(spark, dir).select(col("doc_id"),
           conv(substring(m, 1, 7), 16, 10).cast(LongType).as("h28"),
@@ -299,6 +302,13 @@ object TextOps {
       prevSum = s
       iter += 1
     }
+    // the invariant the oracle checks is EXACT closure: silently returning
+    // unconverged labels would split components. 50 iterations bounds the
+    // propagation diameter, not the corpus size — a genuine overrun must
+    // fail loudly (large-star/small-star halving is the fix if it ever
+    // fires, not a bigger cap)
+    require(converged,
+      s"dupClusters: min-label propagation did not converge in $iter iterations")
     val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
     labels.join(broadcast(sizes), "lbl")
       .select(col("doc_id"), col("lbl").as("cluster"), col("cluster_size"))

@@ -107,4 +107,29 @@ class PlySpec extends SparkSpec {
     assert(df.count() == 3)
     assert(df.agg(sum("x")).head().getDouble(0) == 5.0)
   }
+
+  test("PLY reader stops at the target element: absent trailing data is fine") {
+    val dir = Files.createTempDirectory("ply").toString
+    val path = s"$dir/truncated.ply"
+    // a face element is DECLARED after vertex but its data is missing —
+    // a reader that parse-and-discards trailing elements throws EOF here;
+    // the lazy skip must succeed without ever touching them
+    val text =
+      """ply
+        |format ascii 1.0
+        |element vertex 2
+        |property float x
+        |property float y
+        |property float z
+        |element face 5
+        |property list uchar int vertex_indices
+        |end_header
+        |0 0 0
+        |1 2 3
+        |""".stripMargin
+    Files.write(java.nio.file.Paths.get(path), text.getBytes)
+    val df = Ply.read(spark, path)
+    assert(df.count() == 2)
+    assert(df.agg(sum("y")).head().getDouble(0) == 2.0)
+  }
 }
