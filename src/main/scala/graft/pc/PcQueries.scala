@@ -178,9 +178,10 @@ object PcQueries {
   private val layoutCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def layoutPath(spark: SparkSession, dir: String, kind: String): String =
-    layoutCache.computeIfAbsent(s"$dir/$kind", { _ =>
-      val path = java.nio.file.Files
-        .createTempDirectory(s"graft_${kind}_layout").toString
+    layoutCache.computeIfAbsent(
+      s"${graft.DatasetCache.snapshotKey(spark, dir, "lineitem.parquet")}/$kind", { _ =>
+      val path = graft.DatasetCache.registerTempDir(java.nio.file.Files
+        .createTempDirectory(s"graft_${kind}_layout").toString)
       val pts = points(spark, dir)
       kind match {
         case "grid" => Layout.writeGrid(pts, path, sigma = 8, batchSize = 8192L)
@@ -188,6 +189,14 @@ object PcQueries {
       }
       path
     })
+
+  /** Force the one-time layout builds (bench isolates them as
+    * `index_build` instead of charging whichever query runs first). */
+  def prebuildLayouts(spark: SparkSession, dir: String): Unit = {
+    layoutPath(spark, dir, "grid")
+    layoutPath(spark, dir, "quad")
+    ()
+  }
 
   /** S_RECT on the grid(8) layout: same oracle as pc_srect. */
   def rectOnGrid(box: Aabb)(spark: SparkSession, dir: String): DataFrame =

@@ -177,6 +177,12 @@ object SimOps {
   /** Embeddings written `partitionBy(bucket)` — the at-scale ANN layout:
     * a query reads ONLY its bucket's directory (partition pruning), the
     * file-source analog of a vector index's inverted lists. */
+  /** Force the one-time bucket-layout build (bench isolation hook). */
+  def prebuildAnnLayout(spark: SparkSession, dir: String): Unit = {
+    annLayoutPath(spark, dir)
+    ()
+  }
+
   private def annLayoutPath(spark: SparkSession, dir: String): String =
     annLayoutCache.computeIfAbsent(
       graft.DatasetCache.snapshotKey(spark, dir, "embeddings.parquet"), { _ =>

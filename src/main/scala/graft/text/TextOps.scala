@@ -173,6 +173,12 @@ object TextOps {
   private val shingleIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Force the one-time shingle-index build (bench isolation hook). */
+  def prebuildShingleIndex(spark: SparkSession, dir: String): Unit = {
+    shingleIndex(spark, dir)
+    ()
+  }
+
   private[text] def shingleIndex(spark: SparkSession, dir: String): DataFrame = {
     // key on (path, input snapshot) — a rewritten dataset re-indexes
     val key = graft.DatasetCache.snapshotKey(spark, dir, "documents.parquet")
