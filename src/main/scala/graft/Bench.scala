@@ -34,25 +34,36 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // one-time index/layout builds, isolated and individually timed
-    val indexBuilds: Seq[(String, Double)] = Seq(
-      "shingle_index" -> (() => graft.text.TextOps.prebuildShingleIndex(spark, sfDir)),
-      "ivf_codebook" -> (() => { graft.sim.Ivf.trainCached(spark, sfDir); () }),
-      "ivf_layout" -> (() => { graft.sim.Ivf.layoutPath(spark, sfDir); () }),
-      "ann_layout" -> (() => graft.sim.SimOps.prebuildAnnLayout(spark, sfDir)),
-      "pc_layouts" -> (() => graft.pc.PcQueries.prebuildLayouts(spark, sfDir))
-    ).map { case (name, build) =>
-      name -> (try timed(build()) catch {
-        case e: Throwable =>
-          System.err.println(s"bench: index $name FAILED: ${e.getMessage}")
-          -1.0
-      })
-    }
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => filter.forall(_.exists(n.startsWith)) }
+    val selected = queries.map(_._1)
+
+    // one-time index/layout builds, isolated and individually timed —
+    // but only those some selected query actually consumes (a filtered
+    // experiment must not pay for unrelated builds)
+    val indexDefs: Seq[(String, String => Boolean, () => Unit)] = Seq(
+      ("shingle_index", n => n.startsWith("doc_") || n.startsWith("dedup_"),
+        () => graft.text.TextOps.prebuildShingleIndex(spark, sfDir)),
+      ("ivf_codebook", _.startsWith("emb_ivf"),
+        () => { graft.sim.Ivf.trainCached(spark, sfDir); () }),
+      ("ivf_layout", _.startsWith("emb_ivf"),
+        () => { graft.sim.Ivf.layoutPath(spark, sfDir); () }),
+      ("ann_layout", _.startsWith("emb_lsh"),
+        () => graft.sim.SimOps.prebuildAnnLayout(spark, sfDir)),
+      ("pc_layouts", _.startsWith("pc_"),
+        () => graft.pc.PcQueries.prebuildLayouts(spark, sfDir)))
+    val indexBuilds: Seq[(String, Double)] = indexDefs
+      .filter { case (_, relevant, _) => selected.exists(relevant) }
+      .map { case (name, _, build) =>
+        name -> (try timed(build()) catch {
+          case e: Throwable =>
+            System.err.println(s"bench: index $name FAILED: ${e.getMessage}")
+            -1.0
+        })
+      }
 
     // min of 3 runs per query: steady-state (plans cached, JIT warm, all
     // shared indexes built); min discards shared-machine noise spikes
-    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => filter.forall(_.exists(n.startsWith)) }
     val results = queries.map { case (name, fn) =>
       var failed = false
       val times = (0 until 3).map { _ =>
@@ -69,7 +80,11 @@ object Bench {
     }
     def jsonMap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val failedNames = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    // failed index builds belong in `failed` too: a gate watching
+    // failed==[] must notice the isolation silently degrading (the first
+    // consumer query would re-run the build inside its timed loop)
+    val failedNames = (results.collect { case (k, v) if v < 0 => "\"" + k + "\"" } ++
+      indexBuilds.collect { case (k, v) if v < 0 => "\"index:" + k + "\"" })
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val indexTotal = indexBuilds.map(_._2).filter(_ >= 0).sum

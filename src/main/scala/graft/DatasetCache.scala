@@ -13,12 +13,24 @@ import org.apache.spark.sql.SparkSession
   */
 object DatasetCache {
 
-  /** Cache key for artifacts derived from `dir/table`. */
+  /** Cache key for artifacts derived from `dir/table`. For a dataset
+    * DIRECTORY the marker hashes the sorted child (name, mtime, length)
+    * list — a directory's own status is useless as a snapshot (length 0
+    * everywhere; object stores synthesize mtime 0 for prefixes, and
+    * local-FS dir mtime has coarse granularity). */
   def snapshotKey(spark: SparkSession, dir: String, table: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/$table")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(p)
-    s"$dir/$table@${st.getModificationTime}:${st.getLen}"
+    val marker =
+      if (!st.isDirectory) s"${st.getModificationTime}:${st.getLen}"
+      else {
+        val kids = fs.listStatus(p)
+          .map(k => s"${k.getPath.getName}:${k.getModificationTime}:${k.getLen}")
+          .sorted.mkString("|")
+        java.util.UUID.nameUUIDFromBytes(kids.getBytes("UTF-8")).toString
+      }
+    s"$dir/$table@$marker"
   }
 
   private val tempDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()

@@ -239,13 +239,18 @@ object Layout {
     * group with no stats on an indexed dim gets an infinite extent on it
     * (never pruned), matching [[intersectingRowGroups]]'s contract. */
   final class RowGroupIndex private (
-      dims: Seq[String], root: RowGroupIndex.Node) {
+      dims: Seq[String], root: Option[RowGroupIndex.Node]) {
     import RowGroupIndex._
 
     /** Same intersection semantics as [[intersectingRowGroups]]: stats
       * min strictly below the box's upper (half-open), box lower <= max.
       * `box.names` must be a subset of the indexed dims. */
-    def query(box: Aabb): Seq[RowGroupStat] = {
+    def query(box: Aabb): Seq[RowGroupStat] = queryCounting(box)._1
+
+    /** [[query]] plus the number of tree nodes visited — the pruning
+      * measure the spec asserts on (deterministic, unlike wall-clock;
+      * returned rather than stored so concurrent probes can't race). */
+    def queryCounting(box: Aabb): (Seq[RowGroupStat], Int) = {
       val dimIdx = box.names.map { n =>
         val i = dims.indexOf(n)
         require(i >= 0, s"dimension `$n` not indexed (have $dims)")
@@ -270,21 +275,16 @@ object Layout {
             if (hits(mins, maxs)) { walk(l); walk(r) }
         }
       }
-      walk(root)
-      lastVisited = visited
-      out.result()
+      root.foreach(walk)
+      (out.result(), visited)
     }
-
-    /** Nodes touched by the most recent [[query]] — the pruning measure
-      * the spec asserts on (deterministic, unlike wall-clock). */
-    @volatile var lastVisited: Int = 0
 
     def size: Int = {
       def count(n: Node): Int = n match {
         case _: Leaf => 1
         case Inner(_, _, l, r) => 1 + count(l) + count(r)
       }
-      count(root)
+      root.fold(0)(count)
     }
   }
 
@@ -295,8 +295,10 @@ object Layout {
     private[Layout] final case class Inner(
         mins: Array[Double], maxs: Array[Double], left: Node, right: Node) extends Node
 
+    /** Empty stats build an index whose every probe returns Nil — same
+      * graceful behavior as the linear scan over an empty stats list. */
     def build(stats: Seq[RowGroupStat], dims: Seq[String]): RowGroupIndex = {
-      require(stats.nonEmpty, "cannot index zero row groups")
+      if (stats.isEmpty) return new RowGroupIndex(dims, None)
       val entries = stats.map { s =>
         val mins = dims.map(d => s.mins.getOrElse(d, Double.NegativeInfinity)).toArray
         val maxs = dims.map(d => s.maxs.getOrElse(d, Double.PositiveInfinity)).toArray
@@ -323,7 +325,7 @@ object Layout {
           val (mi, ma) = mbr(ln, rn)
           Inner(mi, ma, ln, rn)
         }
-      new RowGroupIndex(dims, pack(entries, 0))
+      new RowGroupIndex(dims, Some(pack(entries, 0)))
     }
   }
 }

@@ -49,6 +49,13 @@ object LazFormat {
       s"unsupported LAZ compressor $compressor (only pointwise-chunked=2)")
     require(items.forall(ItemSpec.contains),
       s"unsupported LAZ items $items (only POINT10/GPSTIME11/RGB12 v2)")
+    // 0xFFFFFFFF (reads back as -1) marks variable-size chunking, whose
+    // per-chunk point counts live in the chunk table — a mode this codec
+    // does not speak. It must fail loudly here, not decode garbage via a
+    // nonsense fixed count downstream.
+    require(chunkSize > 0,
+      s"unsupported LAZ chunk size $chunkSize (variable-size chunking " +
+        "or corrupt VLR; only fixed positive chunk sizes)")
   }
 
   def itemsFor(pointFormat: Int): Seq[Int] =

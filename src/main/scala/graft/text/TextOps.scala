@@ -455,11 +455,18 @@ object TextOps {
     * whole query is two map-side-combined shuffles and no second scan. */
   def docRepetition(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .select(col("doc_id"), explode(words).as("term"))
+      // explode_outer + null-flag: a NULL-text doc must surface as a row
+      // with NULL stats (the oracle's len(string_split(NULL)) semantics),
+      // not silently vanish the way a plain explode would drop it
+      .select(col("doc_id"), explode_outer(words).as("term"))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
-      .agg(sum(col("c")).as("n_tokens"), max(col("c")).as("max_cnt"))
+      .agg(max(col("term").isNull).as("null_text"),
+        sum(col("c")).as("nt"), max(col("c")).as("mc"))
+      .select(col("doc_id"),
+        when(col("null_text"), lit(null).cast(LongType)).otherwise(col("nt")).as("n_tokens"),
+        when(col("null_text"), lit(null).cast(LongType)).otherwise(col("mc")).as("max_cnt"))
       // all-integer ppm: `div` (not float /) keeps both engines exact
       .withColumn("rep_ppm", expr("(max_cnt * 1000000) div n_tokens"))
       .orderBy("doc_id")

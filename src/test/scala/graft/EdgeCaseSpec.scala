@@ -27,6 +27,33 @@ class EdgeCaseSpec extends SparkSpec {
     assert(!frames.map(_.getLong(0)).contains(1L))
   }
 
+  test("NULL-text doc surfaces in docRepetition with NULL stats, not dropped") {
+    val dir = Files.createTempDirectory("null_text").toString
+    spark.range(3).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id = 1 THEN NULL ELSE 'w w v' END AS text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.text.TextOps.docRepetition(spark, dir).collect()
+    // all three docs present (explode_outer keeps the NULL-text row —
+    // the oracle's len(string_split(NULL)) = NULL semantics)
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(2) && rows(1).isNullAt(3))
+    assert(rows(0).getLong(1) == 3L && rows(0).getLong(2) == 2L)
+  }
+
+  test("derived-artifact caches re-derive when the dataset is rewritten in place") {
+    val dir = Files.createTempDirectory("cache_rewrite").toString
+    def write(n: Int): Unit =
+      spark.range(n).selectExpr("id AS doc_id", "'a b c d e f' AS text")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    write(4)
+    assert(graft.text.TextOps.ngramJaccardPairs(0.9)(spark, dir).count() == 6) // C(4,2)
+    Thread.sleep(5) // ensure a distinct child mtime even on coarse clocks
+    write(6)
+    // a path-only cache would keep serving the 4-doc shingle index
+    assert(graft.text.TextOps.ngramJaccardPairs(0.9)(spark, dir).count() == 15) // C(6,2)
+  }
+
   test("zero-point LAS file: header reads, scan yields 0 rows, stats say 0") {
     val conf = new Configuration()
     val dir = Files.createTempDirectory("las_empty").toString

@@ -74,12 +74,18 @@ class VizExperimentSpec extends SparkSpec {
       val box = graft.pc.Aabb.xy(x0, y0, x0 + 15.0, y0 + 15.0)
       val linear = Layout.intersectingRowGroups(stats, box)
         .map(s => (s.file, s.ordinal)).toSet
-      val hits = index.query(box)
+      val (hits, visited) = index.queryCounting(box)
       assert(hits.map(s => (s.file, s.ordinal)).toSet == linear)
       // a 2x2-to-3x3 cell probe must not walk the whole tree: the index
       // wins by visiting a small fraction of the 8191 nodes
-      assert(index.lastVisited < index.size / 10,
-        s"visited ${index.lastVisited} of ${index.size} nodes for $box")
+      assert(visited < index.size / 10,
+        s"visited $visited of ${index.size} nodes for $box")
     }
+  }
+
+  test("R-tree over zero row groups answers probes with empty hits") {
+    val index = Layout.RowGroupIndex.build(Nil, Seq("x", "y"))
+    val (hits, _) = index.queryCounting(graft.pc.Aabb.xy(0, 0, 10, 10))
+    assert(hits.isEmpty && index.size == 0)
   }
 }
