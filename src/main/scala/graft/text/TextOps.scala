@@ -280,45 +280,87 @@ object TextOps {
     * the classic requirement for iterative algorithms on Spark, without
     * which the plan doubles every round. */
   def dupClusters(tau: Double)(spark: SparkSession, dir: String): DataFrame = {
-    val edges = ngramJaccardPairs(tau)(spark, dir)
-      .select(col("d1"), col("d2")).localCheckpoint(false)
-    var labels = edges.select(col("d1").as("doc_id"))
-      .union(edges.select(col("d2").as("doc_id")))
+    val edges = ngramJaccardPairs(tau)(spark, dir).select(col("d1"), col("d2"))
+    val labels = connectedComponents(edges)._1
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+    labels.join(broadcast(sizes), "lbl")
+      .select(col("doc_id"), col("lbl").as("cluster"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  /** Connected components over an undirected edge list `(d1, d2)`:
+    * returns `(labels(doc_id, lbl), iterations)` where `lbl` is the
+    * SMALLEST doc_id in the node's component — a unique, order-free
+    * fixpoint, so any exact-closure oracle lands on identical clusters.
+    *
+    * Each round does (a) neighbor min-propagation (one equi-join + min
+    * aggregation) and (b) path halving — `lbl(u) <- min(lbl(u),
+    * lbl(lbl(u)))`, one self-join on the (small) label relation. Every
+    * label is itself a node id in the same component, so halving never
+    * escapes the component; with it, the label's "pointer depth" roughly
+    * halves per round and convergence is O(log diameter) rounds instead
+    * of O(diameter) — a chain of 10^6 pairwise near-dups converges in
+    * ~20 rounds, not 10^6 (the cap would fail loudly long before).
+    * `localCheckpoint` per round truncates lineage — the classic
+    * requirement for iterative algorithms on Spark, without which the
+    * plan doubles every round.
+    *
+    * Convergence via the label-sum invariant: both steps only ever
+    * DECREASE labels, so sum(lbl) strictly decreases until the fixpoint
+    * — one aggregate job per round (which also materializes the
+    * checkpoint), instead of a separate change-count join. Sum unchanged
+    * means neither step changed any label, i.e. plain propagation is at
+    * its fixpoint too: labels are exact component minima. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
+    // checkpoint the edge list up front: it is re-joined every round (so
+    // an expensive upstream like ngramJaccardPairs must not recompute),
+    // and unioning two projections of one NON-LEAF plan trips Catalyst's
+    // Union constraint rewrite — a LogicalRDD leaf avoids both
+    val e = edges.select(col("d1"), col("d2")).localCheckpoint(false)
+    var labels = e.select(col("d1").as("doc_id"))
+      .union(e.select(col("d2").as("doc_id")))
       .distinct()
       .withColumn("lbl", col("doc_id"))
       .localCheckpoint(false)
-    // convergence via the label-sum invariant: min-propagation only ever
-    // DECREASES labels, so sum(lbl) strictly decreases until the fixpoint
-    // — one aggregate job per iteration (it also materializes the
-    // checkpoint), instead of a separate change-count join
     var prevSum = labels.agg(sum(col("lbl"))).head().getLong(0)
-    var converged = false
+    var converged = labels.isEmpty // zero edges: vacuous fixpoint
     var iter = 0
-    while (!converged && iter < 50) {
-      val viaD2 = edges.join(labels.withColumnRenamed("doc_id", "j"),
+    while (!converged && iter < maxIter) {
+      val viaD2 = e.join(labels.withColumnRenamed("doc_id", "j"),
         col("d2") === col("j")).select(col("d1").as("doc_id"), col("lbl"))
-      val viaD1 = edges.join(labels.withColumnRenamed("doc_id", "j"),
+      val viaD1 = e.join(labels.withColumnRenamed("doc_id", "j"),
         col("d1") === col("j")).select(col("d2").as("doc_id"), col("lbl"))
-      val next = viaD2.union(viaD1).union(labels)
+      // the checkpoint lives on `prop`, NOT on the halving join: a
+      // localCheckpoint of a self-join captures constraints that
+      // reference the join's deduplicated (re-numbered) attributes, and
+      // feeding that LogicalRDD into the next round's union makes
+      // Catalyst's Union constraint rewrite throw `key not found`. The
+      // un-checkpointed halving join sits directly on the leaf `prop`,
+      // so lineage stays bounded; its 2-3 recomputations per round are
+      // joins of two small cached relations
+      val prop = viaD2.union(viaD1).union(labels)
         .groupBy("doc_id").agg(min(col("lbl")).as("lbl"))
         .localCheckpoint(false)
+      // path halving: lbl(u) <- min(lbl(u), lbl(lbl(u))). Left join +
+      // coalesce: every label IS a node id, but a label that is already
+      // its component's minimum maps to itself either way
+      val next = prop.as("p")
+        .join(prop.select(col("doc_id").as("j"), col("lbl").as("lbl2")).as("q"),
+          col("p.lbl") === col("q.j"), "left")
+        .select(col("p.doc_id").as("doc_id"),
+          least(col("p.lbl"), coalesce(col("lbl2"), col("p.lbl"))).as("lbl"))
       val s = next.agg(sum(col("lbl"))).head().getLong(0)
       labels = next
       converged = s == prevSum
       prevSum = s
       iter += 1
     }
-    // the invariant the oracle checks is EXACT closure: silently returning
-    // unconverged labels would split components. 50 iterations bounds the
-    // propagation diameter, not the corpus size — a genuine overrun must
-    // fail loudly (large-star/small-star halving is the fix if it ever
-    // fires, not a bigger cap)
+    // the invariant any exact-closure oracle checks is EXACT convergence:
+    // silently returning unconverged labels would split components, so a
+    // genuine overrun must fail loudly
     require(converged,
-      s"dupClusters: min-label propagation did not converge in $iter iterations")
-    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
-    labels.join(broadcast(sizes), "lbl")
-      .select(col("doc_id"), col("lbl").as("cluster"), col("cluster_size"))
-      .orderBy("doc_id")
+      s"connectedComponents: did not converge in $iter iterations")
+    (labels, iter)
   }
 
   def dupClustersSql(tau: Double): String =

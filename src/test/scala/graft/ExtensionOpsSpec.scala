@@ -34,6 +34,29 @@ class ExtensionOpsSpec extends SparkSpec {
     }
   }
 
+  test("connected components converge in O(log diameter) rounds on a long chain") {
+    // a 400-edge path graph: plain min-propagation needs ~400 rounds (the
+    // 50-round cap would fail loudly); path halving must land well inside it
+    val edges = spark.range(400).selectExpr("id AS d1", "id + 1 AS d2")
+    val (labels, iters) = TextOps.connectedComponents(edges)
+    assert(iters <= 15, s"expected O(log 400) ~ 9-12 rounds, took $iters")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 401 && got.values.forall(_ == 0L),
+      "every chain node must label to the component minimum 0")
+  }
+
+  test("connected components on disjoint components keep them separate") {
+    // two triangles + an isolated edge
+    val edges = spark.createDataFrame(Seq(
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L), (21L, 22L), (20L, 22L),
+      (30L, 31L))).toDF("d1", "d2")
+    val got = TextOps.connectedComponents(edges)._1.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 30L -> 30L, 31L -> 30L))
+  }
+
   test("minhash LSH candidates cover the high-jaccard pairs (recall)") {
     val trueDups = TextOps.ngramJaccardPairs(0.9)(spark, sf001)
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
