@@ -44,18 +44,23 @@ object LazFormat {
     ItemGpstime11 -> (8, 2),
     ItemRgb12 -> (6, 2))
 
+  /** Sentinel chunk size (0xFFFFFFFF in the VLR) marking variable-size
+    * chunking: per-chunk point counts live in the chunk table. */
+  val VariableChunkSize: Int = -1
+
   final case class LazVlr(compressor: Int, chunkSize: Int, items: Seq[Int]) {
     require(compressor == CompressorChunked,
       s"unsupported LAZ compressor $compressor (only pointwise-chunked=2)")
     require(items.forall(ItemSpec.contains),
       s"unsupported LAZ items $items (only POINT10/GPSTIME11/RGB12 v2)")
-    // 0xFFFFFFFF (reads back as -1) marks variable-size chunking, whose
-    // per-chunk point counts live in the chunk table — a mode this codec
-    // does not speak. It must fail loudly here, not decode garbage via a
-    // nonsense fixed count downstream.
-    require(chunkSize > 0,
-      s"unsupported LAZ chunk size $chunkSize (variable-size chunking " +
-        "or corrupt VLR; only fixed positive chunk sizes)")
+    // 0xFFFFFFFF reads back as -1: variable-size chunking, point counts
+    // in the chunk table. Anything else non-positive is a corrupt VLR
+    // and must fail loudly here, not decode garbage via a nonsense
+    // fixed count downstream.
+    require(chunkSize > 0 || chunkSize == VariableChunkSize,
+      s"corrupt LAZ chunk size $chunkSize (positive fixed size or " +
+        "0xFFFFFFFF variable marker)")
+    def variable: Boolean = chunkSize == VariableChunkSize
   }
 
   def itemsFor(pointFormat: Int): Seq[Int] =
@@ -201,7 +206,16 @@ object LazFormat {
   /** One chunk's placement: byte span in the file + point span. */
   final case class LazChunk(fileOffset: Long, byteLen: Long, pointStart: Long, pointCount: Long)
 
-  def encodeChunkTable(chunkByteSizes: Seq[Long]): Array[Byte] = {
+  /** Chunk table: version, count, then per chunk the arithmetic-coded
+    * byte size (context 1, previous size as the prediction) — preceded,
+    * in variable-size chunking, by the chunk's point count (context 0,
+    * previous count as the prediction), laszip's two-context scheme.
+    * `chunkPointCounts` must be supplied iff the VLR declares variable
+    * chunking. */
+  def encodeChunkTable(chunkByteSizes: Seq[Long],
+      chunkPointCounts: Option[Seq[Long]] = None): Array[Byte] = {
+    require(chunkPointCounts.forall(_.size == chunkByteSizes.size),
+      "chunk point-count list must align with the byte-size list")
     val head = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
     head.putInt(0) // version
     head.putInt(chunkByteSizes.size)
@@ -210,16 +224,25 @@ object LazFormat {
       val enc = new ArithmeticEncoder
       enc.init()
       val ic = new IntegerCompressor(enc, null, 32, 2)
-      var prev = 0L
-      chunkByteSizes.foreach { s =>
-        ic.compress(prev.toInt, s.toInt, 1)
-        prev = s
+      var prevSize = 0L
+      var prevCount = 0L
+      chunkByteSizes.indices.foreach { i =>
+        chunkPointCounts.foreach { counts =>
+          ic.compress(prevCount.toInt, counts(i).toInt, 0)
+          prevCount = counts(i)
+        }
+        ic.compress(prevSize.toInt, chunkByteSizes(i).toInt, 1)
+        prevSize = chunkByteSizes(i)
       }
       head.array() ++ enc.done()
     }
   }
 
-  def decodeChunkTable(buf: Array[Byte], start: Int, end: Int): Seq[Long] = {
+  /** Decode the chunk table to (pointCount, byteSize) pairs; for a
+    * fixed-size table the counts come back as -1 (caller fills them from
+    * the VLR chunk size). */
+  def decodeChunkTable(buf: Array[Byte], start: Int, end: Int,
+      variable: Boolean = false): Seq[(Long, Long)] = {
     val bb = ByteBuffer.wrap(buf, start, end - start).order(ByteOrder.LITTLE_ENDIAN)
     val version = bb.getInt()
     require(version == 0, s"unsupported LAZ chunk table version $version")
@@ -229,15 +252,22 @@ object LazFormat {
       val dec = new ArithmeticDecoder(buf, start + 8, end)
       dec.init()
       val ic = new IntegerCompressor(null, dec, 32, 2)
-      val sizes = new Array[Long](n)
-      var prev = 0L
+      val out = new Array[(Long, Long)](n)
+      var prevSize = 0L
+      var prevCount = 0L
       var i = 0
       while (i < n) {
-        sizes(i) = (ic.decompress(prev.toInt, 1).toLong & 0xFFFFFFFFL)
-        prev = sizes(i)
+        val count =
+          if (!variable) -1L
+          else {
+            prevCount = ic.decompress(prevCount.toInt, 0).toLong & 0xFFFFFFFFL
+            prevCount
+          }
+        prevSize = ic.decompress(prevSize.toInt, 1).toLong & 0xFFFFFFFFL
+        out(i) = (count, prevSize)
         i += 1
       }
-      sizes.toSeq
+      out.toSeq
     }
   }
 
@@ -260,18 +290,22 @@ object LazFormat {
       val tableLen = (fileLen - tableOffset).toInt
       val table = new Array[Byte](tableLen)
       in.readFully(tableOffset, table)
-      val sizes = decodeChunkTable(table, 0, tableLen)
+      val entries = decodeChunkTable(table, 0, tableLen, vlr.variable)
       var off = header.pointOffset + 8
       var pointStart = 0L
-      sizes.zipWithIndex.map { case (byteLen, i) =>
+      val chunks = entries.zipWithIndex.map { case ((tableCount, byteLen), i) =>
         val count =
-          if (i < sizes.size - 1) vlr.chunkSize.toLong
+          if (vlr.variable) tableCount
+          else if (i < entries.size - 1) vlr.chunkSize.toLong
           else header.pointCount - pointStart
         val c = LazChunk(off, byteLen, pointStart, count)
         off += byteLen
         pointStart += count
         c
       }
+      require(pointStart == header.pointCount,
+        s"$path: chunk table covers $pointStart points, header says ${header.pointCount}")
+      chunks
     } finally in.close()
   }
 
@@ -284,10 +318,16 @@ object LazFormat {
       pointFormat: Int = 1,
       scale: (Double, Double, Double) = (0.001, 0.001, 0.001),
       offset: (Double, Double, Double) = (0.0, 0.0, 0.0),
-      chunkSize: Int = DefaultChunkSize): Unit = {
+      chunkSize: Int = DefaultChunkSize,
+      variableChunks: Option[Seq[Int]] = None): Unit = {
     require(pointFormat <= 3)
     require(chunkSize > 0)
-    val payload = vlrPayload(pointFormat, chunkSize)
+    variableChunks.foreach { cs =>
+      require(cs.forall(_ > 0) && cs.sum == points.size,
+        s"variable chunk counts must be positive and sum to ${points.size}")
+    }
+    val payload = vlrPayload(pointFormat,
+      if (variableChunks.isDefined) VariableChunkSize else chunkSize)
     val pointOffset = LasFormat.HeaderSize + 54 + payload.length
 
     val header = ByteBuffer.allocate(LasFormat.HeaderSize).order(ByteOrder.LITTLE_ENDIAN)
@@ -346,13 +386,20 @@ object LazFormat {
     body.write(payload)
     val ptrPos = body.size()
     body.write(new Array[Byte](8)) // chunk table pointer, patched below
-    val chunkSizes = lazPts.grouped(chunkSize).map { group =>
+    val groups: Iterator[IndexedSeq[LazPoint]] = variableChunks match {
+      case None => lazPts.grouped(chunkSize)
+      case Some(cs) =>
+        val bounds = cs.scanLeft(0)(_ + _)
+        bounds.init.zip(bounds.tail).iterator.map { case (a, b) => lazPts.slice(a, b) }
+    }
+    val chunkSizes = groups.map { group =>
       val bytes = encodeChunk(group, pointFormat)
       body.write(bytes)
       bytes.length.toLong
     }.toSeq
     val tableOffset = body.size().toLong
-    body.write(encodeChunkTable(chunkSizes))
+    body.write(encodeChunkTable(chunkSizes,
+      variableChunks.map(_.map(_.toLong))))
 
     val all = body.toByteArray
     ByteBuffer.wrap(all, ptrPos, 8).order(ByteOrder.LITTLE_ENDIAN).putLong(tableOffset)

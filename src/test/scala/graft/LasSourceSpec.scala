@@ -135,6 +135,22 @@ class LasSourceSpec extends SparkSpec {
     assert(df.filter(col("x") < 500.0).count() == 5000)
   }
 
+  test("variable-chunked LAZ reads through DSv2 identically to LAS") {
+    val d = Files.createTempDirectory("laz_var_read").toString
+    val pts = (0 until 4000).map { k =>
+      LasFormat.LasPoint(
+        x = (k % 83) * 1.25, y = (k % 29) * 3.0, z = (k % 13) * 0.5,
+        intensity = (k * 13) % 65536, gpsTime = 500.0 + k * 0.125)
+    }
+    LasFormat.write(conf, s"$d/pts.las", pts)
+    graft.sources.las.laz.LazFormat.write(conf, s"$d/pts.laz", pts,
+      variableChunks = Some(Seq(1500, 3, 2000, 497)))
+    val las = spark.read.format("las").load(s"$d/pts.las")
+    val laz = spark.read.format("las").load(s"$d/pts.laz")
+    assert(laz.count() == 4000)
+    assert(laz.exceptAll(las).isEmpty && las.exceptAll(laz).isEmpty)
+  }
+
   test("mixed directory of .las and .laz serves one consistent table") {
     val d = Files.createTempDirectory("laz_mixed").toString
     val pts = (0 until 1500).map(k =>

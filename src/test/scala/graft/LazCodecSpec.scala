@@ -230,8 +230,51 @@ class LazCodecSpec extends AnyFunSuite {
     val sizes = Seq(Seq.empty[Long], Seq(100L), Seq(3120L, 2990L, 3301L, 87L))
     sizes.foreach { s =>
       val bytes = LazFormat.encodeChunkTable(s)
-      assert(LazFormat.decodeChunkTable(bytes, 0, bytes.length) == s)
+      assert(LazFormat.decodeChunkTable(bytes, 0, bytes.length).map(_._2) == s)
     }
+  }
+
+  test("variable-size chunk table round-trips counts and sizes") {
+    val sizes = Seq(3120L, 2990L, 3301L, 87L)
+    val counts = Seq(700L, 1200L, 850L, 12L)
+    val bytes = LazFormat.encodeChunkTable(sizes, Some(counts))
+    val back = LazFormat.decodeChunkTable(bytes, 0, bytes.length, variable = true)
+    assert(back == counts.zip(sizes))
+  }
+
+  test("variable-chunked whole file: table-driven counts, DSv2-visible layout") {
+    val conf = new Configuration()
+    val dir = java.nio.file.Files.createTempDirectory("lazvar").toString
+    val pts = (0 until 2500).map(k =>
+      LasPoint(k * 0.5, k * 0.25, (k % 9) * 1.0, intensity = k % 65536, gpsTime = k * 0.1))
+    val counts = Seq(900, 77, 1111, 412)
+    LazFormat.write(conf, s"$dir/f.laz", pts, pointFormat = 1,
+      variableChunks = Some(counts))
+    val h = LasFormat.readHeader(conf, s"$dir/f.laz")
+    assert(h.laz.exists(_.variable))
+    val chunks = LazFormat.readChunks(conf, s"$dir/f.laz", h)
+    assert(chunks.map(_.pointCount) == counts.map(_.toLong))
+    chunks.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.fileOffset + a.byteLen == b.fileOffset)
+      assert(a.pointStart + a.pointCount == b.pointStart)
+    }
+    // every point decodes identically to the fixed-chunk spelling
+    LazFormat.write(conf, s"$dir/g.laz", pts, pointFormat = 1, chunkSize = 600)
+    def decodeAll(path: String): Seq[(Int, Int, Int, Long)] = {
+      val hh = LasFormat.readHeader(conf, path)
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+      val len = fs.getFileStatus(new org.apache.hadoop.fs.Path(path)).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(new org.apache.hadoop.fs.Path(path))
+      try in.readFully(0, buf) finally in.close()
+      LazFormat.readChunks(conf, path, hh).flatMap { c =>
+        val d = new LazFormat.ChunkDecoder(buf, c.fileOffset.toInt,
+          (c.fileOffset + c.byteLen).toInt, hh.pointFormat, c.pointCount)
+        Iterator.continually(d).takeWhile(_.next())
+          .map(x => (x.point.x, x.point.y, x.point.z, x.point.gpsTime)).toSeq
+      }
+    }
+    assert(decodeAll(s"$dir/f.laz") == decodeAll(s"$dir/g.laz"))
   }
 
   test("whole file: header/VLR parse back, chunk layout covers all points") {
