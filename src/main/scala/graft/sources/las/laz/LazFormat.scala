@@ -216,23 +216,25 @@ object LazFormat {
       chunkPointCounts: Option[Seq[Long]] = None): Array[Byte] = {
     require(chunkPointCounts.forall(_.size == chunkByteSizes.size),
       "chunk point-count list must align with the byte-size list")
+    val sizes = chunkByteSizes.toIndexedSeq // O(1) access; a List would be O(n^2) below
+    val counts = chunkPointCounts.map(_.toIndexedSeq)
     val head = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
     head.putInt(0) // version
-    head.putInt(chunkByteSizes.size)
-    if (chunkByteSizes.isEmpty) head.array()
+    head.putInt(sizes.size)
+    if (sizes.isEmpty) head.array()
     else {
       val enc = new ArithmeticEncoder
       enc.init()
       val ic = new IntegerCompressor(enc, null, 32, 2)
       var prevSize = 0L
       var prevCount = 0L
-      chunkByteSizes.indices.foreach { i =>
-        chunkPointCounts.foreach { counts =>
-          ic.compress(prevCount.toInt, counts(i).toInt, 0)
-          prevCount = counts(i)
+      sizes.indices.foreach { i =>
+        counts.foreach { cs =>
+          ic.compress(prevCount.toInt, cs(i).toInt, 0)
+          prevCount = cs(i)
         }
-        ic.compress(prevSize.toInt, chunkByteSizes(i).toInt, 1)
-        prevSize = chunkByteSizes(i)
+        ic.compress(prevSize.toInt, sizes(i).toInt, 1)
+        prevSize = sizes(i)
       }
       head.array() ++ enc.done()
     }
@@ -291,6 +293,17 @@ object LazFormat {
       val table = new Array[Byte](tableLen)
       in.readFully(tableOffset, table)
       val entries = decodeChunkTable(table, 0, tableLen, vlr.variable)
+      // fixed mode derives the last chunk's count by subtraction, which
+      // would make a sum check tautological — validate the entry COUNT
+      // instead (every chunk but the last holds exactly chunkSize points)
+      if (!vlr.variable) {
+        val expected =
+          ((header.pointCount + vlr.chunkSize - 1) / vlr.chunkSize).toInt
+        require(entries.size == expected,
+          s"$path: ${entries.size} chunk table entries for " +
+            s"${header.pointCount} points at chunk size ${vlr.chunkSize} " +
+            s"(expected $expected)")
+      }
       var off = header.pointOffset + 8
       var pointStart = 0L
       val chunks = entries.zipWithIndex.map { case ((tableCount, byteLen), i) =>

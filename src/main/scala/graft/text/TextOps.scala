@@ -322,8 +322,11 @@ object TextOps {
       .distinct()
       .withColumn("lbl", col("doc_id"))
       .localCheckpoint(false)
-    var prevSum = labels.agg(sum(col("lbl"))).head().getLong(0)
-    var converged = labels.isEmpty // zero edges: vacuous fixpoint
+    // one agg for both the convergence sum and the zero-edge guard:
+    // sum() over zero rows is NULL, so it must be read as nullable
+    val first = labels.agg(sum(col("lbl")), count(lit(1))).head()
+    var prevSum = if (first.isNullAt(0)) 0L else first.getLong(0)
+    var converged = first.getLong(1) == 0L // zero edges: vacuous fixpoint
     var iter = 0
     while (!converged && iter < maxIter) {
       val viaD2 = e.join(labels.withColumnRenamed("doc_id", "j"),

@@ -45,6 +45,12 @@ class ExtensionOpsSpec extends SparkSpec {
       "every chain node must label to the component minimum 0")
   }
 
+  test("connected components on zero edges return the empty labeling") {
+    val edges = spark.range(0).selectExpr("id AS d1", "id AS d2")
+    val (labels, iters) = TextOps.connectedComponents(edges)
+    assert(labels.isEmpty && iters == 0)
+  }
+
   test("connected components on disjoint components keep them separate") {
     // two triangles + an isolated edge
     val edges = spark.createDataFrame(Seq(
