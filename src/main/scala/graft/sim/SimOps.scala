@@ -204,11 +204,24 @@ object SimOps {
     // JVM would otherwise miss fvec_dot
     FloatVecDot.register(spark)
     val table = spark.read.parquet(annLayoutPath(spark, dir))
-    val q = table.filter(col("vec_id") === queryId)
-      .select(col("embedding").as("qe"), col("bucket").as("qb"))
-    table.join(broadcast(q), col("bucket") === col("qb"))
-      .filter(col("vec_id") =!= queryId)
-      .select(col("vec_id"), round(dot(col("embedding"), col("qe")), 6).as("sim"))
+    // the query's (embedding, bucket) is a point lookup on the BASE
+    // table — one compact file with the vec_id filter pushed — not a
+    // scan of the 2^Planes-directory layout; surfacing the bucket as a
+    // driver literal turns the layout scan into STATIC partition
+    // pruning (plan-visible PartitionFilters), where the former
+    // bucket==qb broadcast join read every partition directory unless
+    // runtime DPP happened to fire. Same IVF-probe pattern as
+    // Ivf.topKPartitioned; the 1-row lookup is the documented
+    // driver-side exception (a query vector, not a dataset).
+    val qRow = embeddings(spark, dir)
+      .filter(col("vec_id") === queryId)
+      .select(col("embedding"), bucketCol(col("embedding")).as("bucket"))
+      .head()
+    val qe = qRow.getAs[scala.collection.Seq[Float]](0).toArray
+    val qb = qRow.getLong(1)
+    table.filter(col("bucket") === qb && col("vec_id") =!= queryId)
+      .select(col("vec_id"),
+        round(dot(col("embedding"), typedLit(qe)), 6).as("sim"))
       .orderBy(col("sim").desc, col("vec_id").asc)
       .limit(k)
   }

@@ -122,6 +122,18 @@ class ExtensionOpsSpec extends SparkSpec {
     }
   }
 
+  test("partitioned lsh topk equals the recomputing arm and statically prunes") {
+    val direct = SimOps.lshTopK(0L, 10)(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val part = SimOps.lshTopKPartitioned(0L, 10)(spark, sf001)
+    val got = part.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == direct)
+    // the literal bucket must reach partition pruning, not a post-scan filter
+    val plan = part.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.contains("bucket"), s"no static bucket pruning:\n$plan")
+  }
+
   test("multimodal chunk hashing covers every byte of every asset") {
     val meta = MultimodalOps.mmMeta(spark, sf001)
     val chunkTotal = meta.agg(sum("n_chunks")).head().getLong(0)
