@@ -45,6 +45,33 @@ class ExtensionOpsSpec extends SparkSpec {
       "every chain node must label to the component minimum 0")
   }
 
+  test("connected components match a local union-find on random graphs") {
+    val rnd = new scala.util.Random(76)
+    (1 to 6).foreach { trial =>
+      val n = 20 + rnd.nextInt(180) // node universe
+      val m = 1 + rnd.nextInt(2 * n) // edges
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        // local oracle: textbook union-find, then min id per root
+        val parent = Array.tabulate(n)(identity)
+        def find(x: Int): Int = {
+          var r = x
+          while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+          r
+        }
+        edges.foreach { case (a, b) => parent(find(a.toInt)) = find(b.toInt) }
+        val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+        val byRoot = nodes.groupBy(x => find(x.toInt))
+        val expected = nodes.map(x => x -> byRoot(find(x.toInt)).min).toMap
+        val df = spark.createDataFrame(edges).toDF("d1", "d2")
+        val got = TextOps.connectedComponents(df)._1.collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected, s"trial $trial (n=$n, m=$m) mismatch")
+      }
+    }
+  }
+
   test("connected components on zero edges return the empty labeling") {
     val edges = spark.range(0).selectExpr("id AS d1", "id AS d2")
     val (labels, iters) = TextOps.connectedComponents(edges)
