@@ -63,6 +63,16 @@ class EdgeCaseSpec extends SparkSpec {
     assert(df.schema.fieldNames.contains("x"))
   }
 
+  test("zero-point LAZ file: empty chunk table, scan yields 0 rows") {
+    val conf = new Configuration()
+    val dir = Files.createTempDirectory("laz_empty").toString
+    graft.sources.las.laz.LazFormat.write(conf, s"$dir/empty.laz", Seq.empty)
+    val h = L.LasFormat.readHeader(conf, s"$dir/empty.laz")
+    assert(h.pointCount == 0 && h.laz.isDefined)
+    assert(graft.sources.las.laz.LazFormat.readChunks(conf, s"$dir/empty.laz", h).isEmpty)
+    assert(spark.read.format("las").load(s"$dir/empty.laz").count() == 0)
+  }
+
   test("zero-count PLY element skips cleanly; empty vertex element reads as 0 rows") {
     val dir = Files.createTempDirectory("ply_empty").toString
     val path = s"$dir/empty.ply"
