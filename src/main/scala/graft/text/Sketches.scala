@@ -85,9 +85,7 @@ object Sketches {
       // one materialization feeds both self-join sides (shingle scan +
       // signature aggregation would otherwise run twice)
       .localCheckpoint(false)
-    val hot = bandRows.groupBy("band", "bkey").agg(count(lit(1)).as("df"))
-      .filter(col("df") > dfCap).select("band", "bkey")
-    val keep = bandRows.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
+    val keep = TextOps.dfCapped(bandRows, Seq("band", "bkey"), dfCap)
     keep.as("a").join(keep.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -172,9 +170,7 @@ object Sketches {
         col("bb.hx").as("hx"), col("bb.hv").as("hv"))
       // one shuffle feeds the hot-key aggregation and both join sides
       .localCheckpoint(false)
-    val hot = halves.groupBy("hx", "hv").agg(count(lit(1)).as("df"))
-      .filter(col("df") > dfCap).select("hx", "hv")
-    val keep = halves.join(broadcast(hot), Seq("hx", "hv"), "left_anti")
+    val keep = TextOps.dfCapped(halves, Seq("hx", "hv"), dfCap)
     keep.as("a").join(keep.as("b"),
         col("a.hx") === col("b.hx") && col("a.hv") === col("b.hv") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -209,15 +209,21 @@ object TextOps {
     * are unchanged; the skew bound has its own spec. */
   val ShingleDfCap = 512
 
-  /** Frequency-capped shingle relation: the hot-key list is tiny by
-    * construction (at most |index| / cap keys) => broadcast anti-join,
-    * no extra shuffle on the big side. */
-  private def cappedShingles(spark: SparkSession, dir: String, dfCap: Int): DataFrame = {
-    val sh = shingleIndex(spark, dir).select(col("doc_id"), col("h60").as("h"))
-    val hot = sh.groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") > dfCap).select("h")
-    sh.join(broadcast(hot), Seq("h"), "left_anti")
+  /** Drop rows whose `keys` group has more than `dfCap` members — the
+    * shared hot-key guard for every candidate-pair self-join (shingles,
+    * LSH bands, simhash halves). The hot list is tiny by construction
+    * (at most |rows| / cap keys) => broadcast anti-join, no extra
+    * shuffle on the big side. */
+  private[text] def dfCapped(rows: DataFrame, keys: Seq[String], dfCap: Int): DataFrame = {
+    val hot = rows.groupBy(keys.map(col): _*).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select(keys.map(col): _*)
+    rows.join(broadcast(hot), keys, "left_anti")
   }
+
+  /** Frequency-capped shingle relation. */
+  private def cappedShingles(spark: SparkSession, dir: String, dfCap: Int): DataFrame =
+    dfCapped(shingleIndex(spark, dir).select(col("doc_id"), col("h60").as("h")),
+      Seq("h"), dfCap)
 
   /** Near-duplicate pairs with shingle-set Jaccard >= tau. The join is an
     * equi-join on the shingle (shuffle on shingle hash, combiner-friendly
