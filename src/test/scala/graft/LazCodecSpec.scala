@@ -302,6 +302,27 @@ class LazCodecSpec extends AnyFunSuite {
     assert(h.bounds == hLas.bounds)
   }
 
+  test("corrupt header point count fails loudly against the chunk table") {
+    val conf = new Configuration()
+    val dir = java.nio.file.Files.createTempDirectory("lazcorrupt").toString
+    val pts = (0 until 2500).map(k => LasPoint(k * 0.5, k * 0.25, 1.0))
+    LazFormat.write(conf, s"$dir/f.laz", pts, pointFormat = 0, chunkSize = 600)
+    // binary-patch the header's point count (u32 at offset 107): the
+    // 5-entry table no longer matches ceil(3100/600)=6 expected chunks
+    val f = java.nio.file.Paths.get(dir, "f.laz")
+    val bytes = java.nio.file.Files.readAllBytes(f)
+    java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(107, 3100)
+    java.nio.file.Files.write(f, bytes)
+    // drop the Hadoop LocalFS checksum sidecar invalidated by the patch
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, ".f.laz.crc"))
+    val h = LasFormat.readHeader(conf, s"$dir/f.laz")
+    val e = intercept[IllegalArgumentException] {
+      LazFormat.readChunks(conf, s"$dir/f.laz", h)
+    }
+    assert(e.getMessage.contains("chunk table entries"))
+  }
+
   test("compression: coherent cloud compresses well below raw record size") {
     val pts = coherentCloud(20000, 99, 1)
     val bytes = LazFormat.encodeChunk(pts, 1)
