@@ -44,6 +44,8 @@ object Bench {
     val indexDefs: Seq[(String, String => Boolean, () => Unit)] = Seq(
       ("shingle_index", n => n.startsWith("doc_") || n.startsWith("dedup_"),
         () => graft.text.TextOps.prebuildShingleIndex(spark, sfDir)),
+      ("pair_index", _.startsWith("doc_dup_clusters"),
+        () => graft.text.TextOps.prebuildPairIndex(0.8)(spark, sfDir)),
       ("ivf_codebook", _.startsWith("emb_ivf"),
         () => { graft.sim.Ivf.trainCached(spark, sfDir); () }),
       ("ivf_layout", _.startsWith("emb_ivf"),
