@@ -45,7 +45,7 @@ object Bench {
       ("shingle_index", n => n.startsWith("doc_") || n.startsWith("dedup_"),
         () => graft.text.TextOps.prebuildShingleIndex(spark, sfDir)),
       ("pair_index", _.startsWith("doc_dup_clusters"),
-        () => graft.text.TextOps.prebuildPairIndex(0.8)(spark, sfDir)),
+        () => graft.text.TextOps.prebuildPairIndex(graft.text.TextOps.DupClusterTau)(spark, sfDir)),
       ("ivf_codebook", _.startsWith("emb_ivf"),
         () => { graft.sim.Ivf.trainCached(spark, sfDir); () }),
       ("ivf_layout", _.startsWith("emb_ivf"),

@@ -59,7 +59,7 @@ object SparkEntry {
     "doc_repetition" -> (TextOps.docRepetition(_, _)),
     "doc_mix" -> (TextOps.docMix(_, _)),
     "doc_contamination" -> (TextOps.contamination(10L)(_, _)),
-    "doc_dup_clusters" -> (TextOps.dupClusters(0.8)(_, _)),
+    "doc_dup_clusters" -> (TextOps.dupClusters(TextOps.DupClusterTau)(_, _)),
     // -- deduplication
     "doc_exact_dedup" -> (TextOps.exactDedup(_, _)),
     "doc_ngram_pairs" -> (TextOps.ngramJaccardPairs(0.8)(_, _)),
@@ -139,7 +139,7 @@ object SparkEntry {
     "doc_repetition" -> TextOps.docRepetitionSql,
     "doc_mix" -> TextOps.docMixSql,
     "doc_contamination" -> TextOps.contaminationSql(10L),
-    "doc_dup_clusters" -> TextOps.dupClustersSql(0.8),
+    "doc_dup_clusters" -> TextOps.dupClustersSql(TextOps.DupClusterTau),
     "doc_exact_dedup" -> TextOps.exactDedupSql,
     "doc_ngram_pairs" -> TextOps.ngramJaccardPairsSql(0.8),
     "doc_minhash_sig" -> Sketches.minhashSignaturesSql,

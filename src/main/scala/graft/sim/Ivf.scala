@@ -159,15 +159,18 @@ object Ivf {
       spark: SparkSession, dir: String): DataFrame = {
     val q = quantized(spark, dir)
     val centroids = trainCached(spark, dir)
-    val queryQv = q.filter(col("vec_id") === queryId)
-      .select("qv").head().getSeq[Long](0).toArray
-    val probed = probeCells(centroids, queryQv, nprobe)
-    val qe = SimOps.embeddings(spark, dir)
-      .filter(col("vec_id") === queryId).select(col("embedding").as("qe"))
-    scoreTopK(
-      q.withColumn("cid", nearest(centroids).getField("cid"))
-        .filter(col("cid").isin(probed: _*)),
-      qe, queryId, k)
+    q.filter(col("vec_id") === queryId)
+      .select("qv").collect().headOption match {
+      case None => SimOps.emptyTopK(spark) // unknown id: empty, like the oracle
+      case Some(row) =>
+        val probed = probeCells(centroids, row.getSeq[Long](0).toArray, nprobe)
+        val qe = SimOps.embeddings(spark, dir)
+          .filter(col("vec_id") === queryId).select(col("embedding").as("qe"))
+        scoreTopK(
+          q.withColumn("cid", nearest(centroids).getField("cid"))
+            .filter(col("cid").isin(probed: _*)),
+          qe, queryId, k)
+    }
   }
 
   /** Materialized inverted-list layout: the assignment written
@@ -196,12 +199,15 @@ object Ivf {
       spark: SparkSession, dir: String): DataFrame = {
     val centroids = trainCached(spark, dir)
     val table = spark.read.parquet(layoutPath(spark, dir))
-    val queryQv = quantized(spark, dir).filter(col("vec_id") === queryId)
-      .select("qv").head().getSeq[Long](0).toArray
-    val probed = probeCells(centroids, queryQv, nprobe)
-    val qe = table.filter(col("vec_id") === queryId)
-      .select(col("embedding").as("qe"))
-    scoreTopK(table.filter(col("cid").isin(probed: _*)), qe, queryId, k)
+    quantized(spark, dir).filter(col("vec_id") === queryId)
+      .select("qv").collect().headOption match {
+      case None => SimOps.emptyTopK(spark) // unknown id: empty, like the oracle
+      case Some(row) =>
+        val probed = probeCells(centroids, row.getSeq[Long](0).toArray, nprobe)
+        val qe = table.filter(col("vec_id") === queryId)
+          .select(col("embedding").as("qe"))
+        scoreTopK(table.filter(col("cid").isin(probed: _*)), qe, queryId, k)
+    }
   }
 
   // ---- DuckDB oracle: the same training chain in SQL -------------------

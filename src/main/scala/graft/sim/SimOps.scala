@@ -213,18 +213,27 @@ object SimOps {
     // runtime DPP happened to fire. Same IVF-probe pattern as
     // Ivf.topKPartitioned; the 1-row lookup is the documented
     // driver-side exception (a query vector, not a dataset).
-    val qRow = embeddings(spark, dir)
+    embeddings(spark, dir)
       .filter(col("vec_id") === queryId)
       .select(col("embedding"), bucketCol(col("embedding")).as("bucket"))
-      .head()
-    val qe = qRow.getAs[scala.collection.Seq[Float]](0).toArray
-    val qb = qRow.getLong(1)
-    table.filter(col("bucket") === qb && col("vec_id") =!= queryId)
-      .select(col("vec_id"),
-        round(dot(col("embedding"), typedLit(qe)), 6).as("sim"))
-      .orderBy(col("sim").desc, col("vec_id").asc)
-      .limit(k)
+      .collect().headOption match {
+      case None => emptyTopK(spark) // unknown id: empty, like the join arms
+      case Some(qRow) =>
+        val qe = qRow.getAs[scala.collection.Seq[Float]](0).toArray
+        val qb = qRow.getLong(1)
+        table.filter(col("bucket") === qb && col("vec_id") =!= queryId)
+          .select(col("vec_id"),
+            round(dot(col("embedding"), typedLit(qe)), 6).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id").asc)
+          .limit(k)
+    }
   }
+
+  /** What every top-k arm returns for a query id not in the table — the
+    * join/oracle formulations yield zero rows, so the point-lookup arms
+    * must too instead of throwing on `head()`. */
+  private[sim] def emptyTopK(spark: SparkSession): DataFrame =
+    spark.range(0).select(col("id").as("vec_id"), lit(0.0).as("sim"))
 
   def lshTopKSql(queryId: Long, k: Int): String =
     s"""WITH e AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),

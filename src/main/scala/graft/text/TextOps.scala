@@ -285,6 +285,11 @@ object TextOps {
     * clusters). `localCheckpoint` per iteration truncates the lineage —
     * the classic requirement for iterative algorithms on Spark, without
     * which the plan doubles every round. */
+  /** The tau the registered `doc_dup_clusters` query runs at — shared by
+    * SparkEntry (query + oracle) and Bench's pair-index prebuild so the
+    * warmed cache key can never silently diverge from the timed query. */
+  val DupClusterTau = 0.8
+
   private val pairIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 

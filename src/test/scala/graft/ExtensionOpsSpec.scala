@@ -155,10 +155,20 @@ class ExtensionOpsSpec extends SparkSpec {
     val part = SimOps.lshTopKPartitioned(0L, 10)(spark, sf001)
     val got = part.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(got == direct)
-    // the literal bucket must reach partition pruning, not a post-scan filter
+    // the literal bucket must reach partition pruning, not a post-scan
+    // filter — `bucket` must appear INSIDE the PartitionFilters bracket
+    // (two independent contains() would pass on an empty bracket plus a
+    // post-scan Filter mentioning bucket)
     val plan = part.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: [") &&
-      plan.contains("bucket"), s"no static bucket pruning:\n$plan")
+    assert("""PartitionFilters: \[[^\]]*bucket""".r.findFirstIn(plan).isDefined,
+      s"no static bucket pruning:\n$plan")
+  }
+
+  test("point-lookup topk arms return empty (not throw) for an unknown query id") {
+    val missing = 999999999L
+    assert(SimOps.lshTopKPartitioned(missing, 5)(spark, sf001).isEmpty)
+    assert(graft.sim.Ivf.topK(missing, 5, 2)(spark, sf001).isEmpty)
+    assert(graft.sim.Ivf.topKPartitioned(missing, 5, 2)(spark, sf001).isEmpty)
   }
 
   test("multimodal chunk hashing covers every byte of every asset") {
