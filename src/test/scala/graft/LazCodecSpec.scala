@@ -234,6 +234,22 @@ class LazCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("chunk table round-trip property: random sizes/counts, both modes") {
+    val entry = Gen.zip(
+      Gen.chooseNum(0L, Int.MaxValue.toLong), // byte size
+      Gen.chooseNum(1L, Int.MaxValue.toLong)) // point count
+    val table = Gen.listOfN(40, entry).flatMap(l => Gen.choose(0, 40).map(l.take))
+    check("chunkTable", Prop.forAll(table, Gen.oneOf(false, true)) { (t, variable) =>
+      val sizes = t.map(_._1)
+      val counts = t.map(_._2)
+      val bytes = LazFormat.encodeChunkTable(sizes,
+        if (variable) Some(counts) else None)
+      val back = LazFormat.decodeChunkTable(bytes, 0, bytes.length, variable)
+      back.map(_._2) == sizes &&
+        (if (variable) back.map(_._1) == counts else back.forall(_._1 == -1L))
+    })
+  }
+
   test("variable-size chunk table round-trips counts and sizes") {
     val sizes = Seq(3120L, 2990L, 3301L, 87L)
     val counts = Seq(700L, 1200L, 850L, 12L)
