@@ -9,21 +9,27 @@ import org.apache.spark.sql.types._
 
 import graft.pc.PcSchema
 
-/** LAS 1.2 binary format: header codec, point-record codec, and a small
-  * writer for fixtures/export (reference reads LAS/LAZ via an external
-  * crate — pc-io/src/las/source.rs:50-138; the byte layout here follows
-  * the public ASPRS LAS 1.2 specification).
+/** LAS 1.2/1.4 binary format: header codec, point-record codec, and a
+  * small writer for fixtures/export (reference reads LAS/LAZ via an
+  * external crate — pc-io/src/las/source.rs:50-138; the byte layout here
+  * follows the public ASPRS LAS 1.2 and 1.4 specifications).
   *
-  * Supported point formats: 0 (20 bytes), 1 (format 0 + gps_time f64),
-  * 2 (format 0 + RGB u16×3) and 3 (format 1 + RGB u16×3).
+  * Supported point formats: legacy 0 (20 bytes), 1 (format 0 + gps_time
+  * f64), 2 (format 0 + RGB u16×3), 3 (format 1 + RGB u16×3); and the
+  * LAS 1.4 extended records 6 (30 bytes: 4-bit return fields, scanner
+  * channel, i16 scan angle, mandatory gps_time), 7 (format 6 + RGB) and
+  * 8 (format 7 + NIR). Formats 9/10 (waveform packets) are rejected with
+  * a clear error — same practical scope as the reference's usage.
   * Coordinates resolve as `raw_i32 * scale + offset`; the resolved schema
   * mirrors the reference's `schema_from_header` mapping with unsigned
-  * widening (FIXTURES.md §1): intensity/point_source_id/colors u16→Int,
-  * u8→Short.
+  * widening (FIXTURES.md §1): intensity/point_source_id/colors/nir
+  * u16→Int, u8→Short.
   */
 object LasFormat {
 
   val HeaderSize: Int = 227
+  /** LAS 1.4 header size (adds waveform/EVLR pointers + 64-bit counts). */
+  val HeaderSize14: Int = 375
   val Signature = "LASF"
 
   final case class LasHeader(
@@ -46,14 +52,25 @@ object LasFormat {
     val p = new Path(path)
     val in = p.getFileSystem(conf).open(p)
     try {
-      val buf = new Array[Byte](HeaderSize)
-      in.readFully(0L, buf)
-      val bb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
-      val sig = new String(buf, 0, 4, "US-ASCII")
+      val small = new Array[Byte](HeaderSize)
+      in.readFully(0L, small)
+      val sig = new String(small, 0, 4, "US-ASCII")
       require(sig == Signature, s"$path is not a LAS file (signature `$sig`)")
+      // re-read at the declared header size: LAS 1.4 headers are 375
+      // bytes and carry the 64-bit point count past offset 227
+      val declared = ByteBuffer.wrap(small).order(ByteOrder.LITTLE_ENDIAN)
+        .getShort(94) & 0xffff
+      val buf =
+        if (declared <= HeaderSize) small
+        else { val b = new Array[Byte](declared); in.readFully(0L, b); b }
+      val bb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
       val fmt = bb.get(104) & 0x7f
-      require(fmt <= 3, s"unsupported LAS point format $fmt (only 0-3)")
+      require(fmt <= 3 || (fmt >= 6 && fmt <= 8),
+        s"unsupported LAS point format $fmt (only 0-3 and 6-8)")
       val compressed = (bb.get(104) & 0x80) != 0
+      require(!compressed || fmt <= 3,
+        s"unsupported LAZ point format $fmt (the layered v3/v4 item codecs " +
+          "for extended records are not implemented; only 0-3)")
       val pointOffset = bb.getInt(96).toLong & 0xffffffffL
       val laz =
         if (!compressed) None
@@ -83,10 +100,16 @@ object LasFormat {
           Some(found.getOrElse(throw new IllegalArgumentException(
             s"$path has the LAZ compressed bit but no laszip VLR")))
         }
+      // LAS 1.4 stores the real count as u64 at 247 (the legacy u32 at
+      // 107 is zero for extended formats); prefer it when present
+      val legacyCount = bb.getInt(107).toLong & 0xffffffffL
+      val count =
+        if (buf.length >= HeaderSize14 && bb.getLong(247) > 0) bb.getLong(247)
+        else legacyCount
       LasHeader(
         pointFormat = fmt,
         recordLength = bb.getShort(105) & 0xffff,
-        pointCount = bb.getInt(107).toLong & 0xffffffffL,
+        pointCount = count,
         pointOffset = pointOffset,
         scale = (bb.getDouble(131), bb.getDouble(139), bb.getDouble(147)),
         offset = (bb.getDouble(155), bb.getDouble(163), bb.getDouble(171)),
@@ -112,20 +135,33 @@ object LasFormat {
       StructField("scan_angle_rank", ShortType, nullable = false),
       StructField("user_data", ShortType, nullable = false),
       StructField("point_source_id", IntegerType, nullable = false))
-    val withGps =
-      if (hasGps(pointFormat)) base :+ StructField("gps_time", DoubleType, nullable = false)
+    val withChannel =
+      if (isExtended(pointFormat))
+        base :+ StructField("scanner_channel", ShortType, nullable = false)
       else base
+    val withGps =
+      if (hasGps(pointFormat)) withChannel :+ StructField("gps_time", DoubleType, nullable = false)
+      else withChannel
     val withRgb =
       if (hasRgb(pointFormat)) withGps ++ Seq(
         StructField("red", IntegerType, nullable = false),
         StructField("green", IntegerType, nullable = false),
         StructField("blue", IntegerType, nullable = false))
       else withGps
-    StructType(withRgb)
+    val withNir =
+      if (hasNir(pointFormat)) withRgb :+ StructField("nir", IntegerType, nullable = false)
+      else withRgb
+    StructType(withNir)
   }
 
-  def hasGps(pointFormat: Int): Boolean = pointFormat == 1 || pointFormat == 3
-  def hasRgb(pointFormat: Int): Boolean = pointFormat == 2 || pointFormat == 3
+  /** LAS 1.4 extended records (4-bit returns, scanner channel, i16 scan
+    * angle, mandatory gps). */
+  def isExtended(pointFormat: Int): Boolean = pointFormat >= 6
+  def hasGps(pointFormat: Int): Boolean =
+    pointFormat == 1 || pointFormat == 3 || isExtended(pointFormat)
+  def hasRgb(pointFormat: Int): Boolean =
+    pointFormat == 2 || pointFormat == 3 || pointFormat == 7 || pointFormat == 8
+  def hasNir(pointFormat: Int): Boolean = pointFormat == 8
 
   /** Widest schema every input format can serve (generalizes the old
     * "lowest format wins" rule, which relied on format 0 being a prefix
@@ -134,14 +170,18 @@ object LasFormat {
     require(formats.nonEmpty)
     if (formats.forall(_ == formats.head)) schemaFor(formats.head)
     else {
+      // the representative format providing exactly the shared features;
+      // nir-only mixes can't arise (nir => format 8, caught by all-equal)
       val gps = formats.forall(hasGps)
       val rgb = formats.forall(hasRgb)
-      // pick the smallest format providing exactly the common fields
-      schemaFor((gps, rgb) match {
-        case (true, true) => 3
-        case (true, false) => 1
-        case (false, true) => 2
-        case (false, false) => 0
+      val ext = formats.forall(isExtended) // implies gps
+      schemaFor((ext, gps, rgb) match {
+        case (true, _, true) => 7
+        case (true, _, false) => 6
+        case (false, true, true) => 3
+        case (false, true, false) => 1
+        case (false, false, true) => 2
+        case (false, false, false) => 0
       })
     }
   }
@@ -153,7 +193,7 @@ object LasFormat {
     "x", "y", "z", "intensity", "return_number", "number_of_returns",
     "scan_direction", "is_edge_of_flight_line", "classification",
     "scan_angle_rank", "user_data", "point_source_id", "gps_time",
-    "red", "green", "blue")
+    "red", "green", "blue", "scanner_channel", "nir")
 
   def fieldCode(name: String): Int = {
     val c = FieldNames.indexOf(name)
@@ -166,7 +206,9 @@ object LasFormat {
     * depend on the record's point format. */
   def decode(bb: ByteBuffer, recordStart: Int, h: LasHeader,
       fieldCodes: Array[Int], out: Array[Any]): Unit = {
-    val rgbBase = recordStart + (if (h.pointFormat == 3) 28 else 20)
+    val ext = isExtended(h.pointFormat)
+    val rgbBase = recordStart +
+      (if (ext) 30 else if (h.pointFormat == 3) 28 else 20)
     var i = 0
     while (i < fieldCodes.length) {
       out(i) = fieldCodes(i) match {
@@ -174,18 +216,35 @@ object LasFormat {
         case 1 => bb.getInt(recordStart + 4) * h.scale._2 + h.offset._2
         case 2 => bb.getInt(recordStart + 8) * h.scale._3 + h.offset._3
         case 3 => bb.getShort(recordStart + 12) & 0xffff
-        case 4 => ((bb.get(recordStart + 14) & 0x07)).toShort
-        case 5 => ((bb.get(recordStart + 14) >> 3) & 0x07).toShort
-        case 6 => ((bb.get(recordStart + 14) >> 6) & 0x01).toShort
-        case 7 => ((bb.get(recordStart + 14) >> 7) & 0x01) == 1
-        case 8 => (bb.get(recordStart + 15) & 0xff).toShort
-        case 9 => bb.get(recordStart + 16).toShort
+        case 4 =>
+          if (ext) (bb.get(recordStart + 14) & 0x0f).toShort
+          else (bb.get(recordStart + 14) & 0x07).toShort
+        case 5 =>
+          if (ext) ((bb.get(recordStart + 14) >> 4) & 0x0f).toShort
+          else ((bb.get(recordStart + 14) >> 3) & 0x07).toShort
+        case 6 =>
+          if (ext) ((bb.get(recordStart + 15) >> 6) & 0x01).toShort
+          else ((bb.get(recordStart + 14) >> 6) & 0x01).toShort
+        case 7 =>
+          if (ext) ((bb.get(recordStart + 15) >> 7) & 0x01) == 1
+          else ((bb.get(recordStart + 14) >> 7) & 0x01) == 1
+        case 8 =>
+          if (ext) (bb.get(recordStart + 16) & 0xff).toShort
+          else (bb.get(recordStart + 15) & 0xff).toShort
+        case 9 => // i8 "rank" (legacy) vs i16 0.006-degree units (extended)
+          if (ext) bb.getShort(recordStart + 18)
+          else bb.get(recordStart + 16).toShort
         case 10 => (bb.get(recordStart + 17) & 0xff).toShort
-        case 11 => bb.getShort(recordStart + 18) & 0xffff
-        case 12 => bb.getDouble(recordStart + 20)
+        case 11 =>
+          if (ext) bb.getShort(recordStart + 20) & 0xffff
+          else bb.getShort(recordStart + 18) & 0xffff
+        case 12 =>
+          bb.getDouble(recordStart + (if (ext) 22 else 20))
         case 13 => bb.getShort(rgbBase) & 0xffff
         case 14 => bb.getShort(rgbBase + 2) & 0xffff
         case 15 => bb.getShort(rgbBase + 4) & 0xffff
+        case 16 => ((bb.get(recordStart + 15) >> 4) & 0x03).toShort
+        case 17 => bb.getShort(rgbBase + 6) & 0xffff
       }
       i += 1
     }
@@ -197,27 +256,38 @@ object LasFormat {
       intensity: Int = 0, returnNumber: Int = 1, numberOfReturns: Int = 1,
       scanDirection: Int = 0, edge: Boolean = false, classification: Int = 0,
       scanAngleRank: Int = 0, userData: Int = 0, pointSourceId: Int = 0,
-      gpsTime: Double = 0.0, red: Int = 0, green: Int = 0, blue: Int = 0)
+      gpsTime: Double = 0.0, red: Int = 0, green: Int = 0, blue: Int = 0,
+      scannerChannel: Int = 0, nir: Int = 0)
 
-  /** Write a LAS 1.2 file (point formats 0-3). */
+  /** Point record length by format. */
+  def recordLengthFor(pointFormat: Int): Int = pointFormat match {
+    case 0 => 20; case 1 => 28; case 2 => 26; case 3 => 34
+    case 6 => 30; case 7 => 36; case 8 => 38
+    case f => throw new IllegalArgumentException(s"unsupported point format $f")
+  }
+
+  /** Write a LAS file: 1.2 for point formats 0-3, 1.4 for 6-8 (375-byte
+    * header, 64-bit point count, legacy count zeroed per spec). */
   def write(conf: Configuration, path: String, points: Seq[LasPoint],
       pointFormat: Int = 1,
       scale: (Double, Double, Double) = (0.001, 0.001, 0.001),
       offset: (Double, Double, Double) = (0.0, 0.0, 0.0)): Unit = {
-    require(pointFormat <= 3)
-    val recLen = Seq(20, 28, 26, 34)(pointFormat)
+    val ext = isExtended(pointFormat)
+    val recLen = recordLengthFor(pointFormat)
+    val hdrLen = if (ext) HeaderSize14 else HeaderSize
     val p = new Path(path)
     val out: OutputStream = p.getFileSystem(conf).create(p, true)
     try {
-      val header = ByteBuffer.allocate(HeaderSize).order(ByteOrder.LITTLE_ENDIAN)
+      val header = ByteBuffer.allocate(hdrLen).order(ByteOrder.LITTLE_ENDIAN)
       header.put(Signature.getBytes("US-ASCII"))
       header.put(24, 1.toByte) // version major
-      header.put(25, 2.toByte) // version minor
-      header.putShort(94, HeaderSize.toShort)
-      header.putInt(96, HeaderSize) // point data offset (no VLRs)
+      header.put(25, (if (ext) 4 else 2).toByte) // version minor
+      header.putShort(94, hdrLen.toShort)
+      header.putInt(96, hdrLen) // point data offset (no VLRs)
       header.put(104, pointFormat.toByte)
       header.putShort(105, recLen.toShort)
-      header.putInt(107, points.size)
+      if (ext) header.putLong(247, points.size.toLong) // legacy u32 stays 0
+      else header.putInt(107, points.size)
       header.putDouble(131, scale._1); header.putDouble(139, scale._2)
       header.putDouble(147, scale._3)
       header.putDouble(155, offset._1); header.putDouble(163, offset._2)
@@ -240,19 +310,31 @@ object LasFormat {
         rec.putInt(Math.round((pt.y - offset._2) / scale._2).toInt)
         rec.putInt(Math.round((pt.z - offset._3) / scale._3).toInt)
         rec.putShort((pt.intensity & 0xffff).toShort)
-        val flags = (pt.returnNumber & 0x07) | ((pt.numberOfReturns & 0x07) << 3) |
-          ((pt.scanDirection & 0x01) << 6) | ((if (pt.edge) 1 else 0) << 7)
-        rec.put(flags.toByte)
-        rec.put((pt.classification & 0xff).toByte)
-        rec.put(pt.scanAngleRank.toByte)
-        rec.put((pt.userData & 0xff).toByte)
-        rec.putShort((pt.pointSourceId & 0xffff).toShort)
-        if (hasGps(pointFormat)) rec.putDouble(pt.gpsTime)
+        if (ext) {
+          rec.put(((pt.returnNumber & 0x0f) | ((pt.numberOfReturns & 0x0f) << 4)).toByte)
+          rec.put((((pt.scannerChannel & 0x03) << 4) |
+            ((pt.scanDirection & 0x01) << 6) | ((if (pt.edge) 1 else 0) << 7)).toByte)
+          rec.put((pt.classification & 0xff).toByte)
+          rec.put((pt.userData & 0xff).toByte)
+          rec.putShort(pt.scanAngleRank.toShort) // i16 0.006-degree units
+          rec.putShort((pt.pointSourceId & 0xffff).toShort)
+          rec.putDouble(pt.gpsTime)
+        } else {
+          val flags = (pt.returnNumber & 0x07) | ((pt.numberOfReturns & 0x07) << 3) |
+            ((pt.scanDirection & 0x01) << 6) | ((if (pt.edge) 1 else 0) << 7)
+          rec.put(flags.toByte)
+          rec.put((pt.classification & 0xff).toByte)
+          rec.put(pt.scanAngleRank.toByte)
+          rec.put((pt.userData & 0xff).toByte)
+          rec.putShort((pt.pointSourceId & 0xffff).toShort)
+          if (hasGps(pointFormat)) rec.putDouble(pt.gpsTime)
+        }
         if (hasRgb(pointFormat)) {
           rec.putShort((pt.red & 0xffff).toShort)
           rec.putShort((pt.green & 0xffff).toShort)
           rec.putShort((pt.blue & 0xffff).toShort)
         }
+        if (hasNir(pointFormat)) rec.putShort((pt.nir & 0xffff).toShort)
         out.write(rec.array(), 0, recLen)
       }
     } finally out.close()

@@ -164,6 +164,78 @@ class LasSourceSpec extends SparkSpec {
       .filter(col("count") =!= 2).isEmpty)
   }
 
+  test("LAS 1.4 formats 6/7/8: extended records round-trip through DSv2") {
+    val d = Files.createTempDirectory("las14").toString
+    val pts = (0 until 800).map { k =>
+      LasFormat.LasPoint(
+        x = k * 0.5, y = k * 0.25, z = (k % 9) * 1.0,
+        intensity = (k * 31) % 65536,
+        returnNumber = 1 + (k % 15), numberOfReturns = 15, // 4-bit fields
+        scanDirection = k % 2, edge = k % 7 == 0,
+        classification = k % 256, // full u8 (legacy caps at 5 bits)
+        scanAngleRank = ((k % 60001) - 30000), // i16 0.006-degree units
+        userData = k % 256, pointSourceId = k % 65536,
+        gpsTime = 1e9 + k * 0.5, scannerChannel = k % 4,
+        red = (k * 3) % 65536, green = (k * 5) % 65536, blue = (k * 7) % 65536,
+        nir = (k * 11) % 65536)
+    }
+    Seq(6, 7, 8).foreach { fmt =>
+      val path = s"$d/f$fmt.las"
+      LasFormat.write(conf, path, pts, pointFormat = fmt)
+      val h = LasFormat.readHeader(conf, path)
+      assert(h.pointFormat == fmt && h.pointCount == 800) // via the u64 count
+      assert(h.recordLength == LasFormat.recordLengthFor(fmt))
+      val df = spark.read.format("las").load(path)
+      val names = df.schema.fieldNames.toSeq
+      assert(names.contains("scanner_channel") && names.contains("gps_time"))
+      assert(names.contains("nir") == (fmt == 8))
+      assert(names.contains("red") == (fmt >= 7))
+      val rows = df.orderBy("gps_time").collect()
+      assert(rows.length == 800)
+      val r42 = rows(42)
+      def f(n: String) = r42.get(r42.fieldIndex(n))
+      assert(f("return_number") == (1 + (42 % 15)).toShort)
+      assert(f("number_of_returns") == 15.toShort)
+      assert(f("classification") == (42 % 256).toShort)
+      assert(f("scan_angle_rank") == (42 - 30000).toShort)
+      assert(f("scanner_channel") == (42 % 4).toShort)
+      assert(f("user_data") == (42 % 256).toShort)
+      assert(f("point_source_id") == 42 % 65536)
+      assert(f("gps_time") == 1e9 + 42 * 0.5)
+      if (fmt >= 7) assert(f("red") == (42 * 3) % 65536)
+      if (fmt == 8) assert(f("nir") == (42 * 11) % 65536)
+    }
+  }
+
+  test("mixed 1.2 + 1.4 directory serves the shared-feature schema") {
+    val d = Files.createTempDirectory("las_mixed14").toString
+    val pts = (0 until 300).map(k =>
+      LasFormat.LasPoint(k * 0.5, k * 0.25, 1.0, gpsTime = k))
+    LasFormat.write(conf, s"$d/a.las", pts, pointFormat = 1)
+    LasFormat.write(conf, s"$d/b.las", pts, pointFormat = 7)
+    val df = spark.read.format("las").load(d)
+    // shared features: gps yes; rgb/scanner_channel not in format 1
+    assert(df.schema.fieldNames.toSeq ==
+      LasFormat.schemaFor(1).fieldNames.toSeq)
+    assert(df.count() == 600)
+  }
+
+  test("LAZ with an extended point format is rejected with a clear error") {
+    val d = Files.createTempDirectory("laz14").toString
+    // hand-build a header claiming compressed format 6
+    val pts = (0 until 10).map(k => LasFormat.LasPoint(k, k, 0))
+    LasFormat.write(conf, s"$d/f.las", pts, pointFormat = 6)
+    val f = java.nio.file.Paths.get(d, "f.las")
+    val bytes = java.nio.file.Files.readAllBytes(f)
+    bytes(104) = (6 | 0x80).toByte // set the LAZ compressed bit
+    java.nio.file.Files.write(f, bytes)
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(d, ".f.las.crc"))
+    val e = intercept[IllegalArgumentException] {
+      LasFormat.readHeader(conf, s"$d/f.las")
+    }
+    assert(e.getMessage.contains("layered"))
+  }
+
   test("point formats 2/3: RGB round-trips; gps offset shifts with format") {
     val d2 = Files.createTempDirectory("las_rgb").toString
     val pts = (0 until 500).map { k =>
