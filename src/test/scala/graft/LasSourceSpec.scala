@@ -207,6 +207,40 @@ class LasSourceSpec extends SparkSpec {
     }
   }
 
+  test("format 8 record bytes match the ASPRS layout (golden offsets)") {
+    // round-trip tests can't catch a matching writer+reader offset error;
+    // this pins the on-disk layout to the published spec by hand
+    val d = Files.createTempDirectory("las14_golden").toString
+    val pt = LasFormat.LasPoint(
+      x = 12.345, y = -6.789, z = 3.21, intensity = 0xBEEF,
+      returnNumber = 5, numberOfReturns = 12, scanDirection = 1, edge = true,
+      classification = 200, scanAngleRank = -12345, userData = 0xAB,
+      pointSourceId = 0xCAFE, gpsTime = 123456.789, scannerChannel = 2,
+      red = 0x1111, green = 0x2222, blue = 0x3333, nir = 0x4444)
+    LasFormat.write(conf, s"$d/g.las", Seq(pt), pointFormat = 8)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(d, "g.las"))
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert((bb.get(24), bb.get(25)) == (1.toByte, 4.toByte)) // version 1.4
+    assert((bb.getShort(94) & 0xffff) == 375) // header size
+    assert(bb.getInt(107) == 0) // legacy count zero for extended formats
+    assert(bb.getLong(247) == 1L) // u64 count
+    val r = bb.getInt(96) // record start
+    assert(bb.getInt(r) == Math.round(12.345 / 0.001).toInt) // x raw i32
+    assert((bb.getShort(r + 12) & 0xffff) == 0xBEEF) // intensity
+    assert((bb.get(r + 14) & 0xff) == (5 | (12 << 4))) // 4-bit returns
+    assert((bb.get(r + 15) & 0xff) == ((2 << 4) | (1 << 6) | (1 << 7))) // ch/dir/edge
+    assert((bb.get(r + 16) & 0xff) == 200) // full-u8 classification
+    assert((bb.get(r + 17) & 0xff) == 0xAB) // user data
+    assert(bb.getShort(r + 18) == -12345) // i16 scan angle
+    assert((bb.getShort(r + 20) & 0xffff) == 0xCAFE) // point source id
+    assert(bb.getDouble(r + 22) == 123456.789) // gps time
+    assert((bb.getShort(r + 30) & 0xffff) == 0x1111) // red
+    assert((bb.getShort(r + 32) & 0xffff) == 0x2222)
+    assert((bb.getShort(r + 34) & 0xffff) == 0x3333)
+    assert((bb.getShort(r + 36) & 0xffff) == 0x4444) // nir
+    assert(bytes.length == r + 38) // record length 38
+  }
+
   test("mixed 1.2 + 1.4 directory serves the shared-feature schema") {
     val d = Files.createTempDirectory("las_mixed14").toString
     val pts = (0 until 300).map(k =>
