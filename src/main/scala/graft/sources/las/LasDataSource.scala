@@ -264,9 +264,12 @@ class LasReaderFactory(fieldCodes: Array[Int],
     extends PartitionReaderFactory {
 
   /** Project one decoded LAZ point through the semantic field codes
-    * (same contract as [[LasFormat.decode]] for raw records). */
+    * (same contract as [[LasFormat.decode]] for raw records); extended
+    * records (formats 6-8) read the 4-bit returns / extFlags / i16 scan
+    * angle / nir fields instead of the legacy packed byte. */
   private def projectLaz(pt: graft.sources.las.laz.LazPoint, p: LazInputPartition,
       out: Array[Any]): Unit = {
+    val ext = LasFormat.isExtended(p.pointFormat)
     var i = 0
     while (i < fieldCodes.length) {
       out(i) = fieldCodes(i) match {
@@ -274,18 +277,28 @@ class LasReaderFactory(fieldCodes: Array[Int],
         case 1 => pt.y * p.sy + p.oy
         case 2 => pt.z * p.sz + p.oz
         case 3 => pt.intensity
-        case 4 => (pt.flags & 0x07).toShort
-        case 5 => ((pt.flags >> 3) & 0x07).toShort
-        case 6 => ((pt.flags >> 6) & 0x01).toShort
-        case 7 => ((pt.flags >> 7) & 0x01) == 1
+        case 4 =>
+          if (ext) (pt.returns & 0x0f).toShort else (pt.flags & 0x07).toShort
+        case 5 =>
+          if (ext) ((pt.returns >> 4) & 0x0f).toShort
+          else ((pt.flags >> 3) & 0x07).toShort
+        case 6 =>
+          if (ext) ((pt.extFlags >> 6) & 0x01).toShort
+          else ((pt.flags >> 6) & 0x01).toShort
+        case 7 =>
+          if (ext) ((pt.extFlags >> 7) & 0x01) == 1
+          else ((pt.flags >> 7) & 0x01) == 1
         case 8 => pt.classification.toShort
-        case 9 => pt.scanAngleRank.toByte.toShort // raw byte → signed i8
+        case 9 => // i8 "rank" (legacy) vs i16 0.006-degree units (extended)
+          if (ext) pt.scanAngle.toShort else pt.scanAngleRank.toByte.toShort
         case 10 => pt.userData.toShort
         case 11 => pt.pointSourceId
         case 12 => java.lang.Double.longBitsToDouble(pt.gpsTime)
         case 13 => pt.red
         case 14 => pt.green
         case 15 => pt.blue
+        case 16 => ((pt.extFlags >> 4) & 0x03).toShort
+        case 17 => pt.nir
       }
       i += 1
     }
@@ -310,15 +323,23 @@ class LasReaderFactory(fieldCodes: Array[Int],
       private val out = new Array[Any](fieldCodes.length)
       private var chunk = -1
       private var chunkStart = 0
-      private var decoder: LazFormat.ChunkDecoder = null
+      private var decoder: LazFormat.ChunkReader = null
 
       override def next(): Boolean = {
         while (decoder == null || !decoder.next()) {
           chunk += 1
           if (chunk >= p.chunkBytes.length) return false
           if (chunk > 0) chunkStart += p.chunkBytes(chunk - 1).toInt
-          decoder = new LazFormat.ChunkDecoder(bytes, chunkStart,
-            chunkStart + p.chunkBytes(chunk).toInt, p.pointFormat, p.chunkPoints(chunk))
+          decoder =
+            if (LasFormat.isExtended(p.pointFormat))
+              // layered framing: only the projected layers decode
+              new LazFormat.ChunkDecoder14(bytes, chunkStart,
+                chunkStart + p.chunkBytes(chunk).toInt, p.pointFormat,
+                p.chunkPoints(chunk), fieldCodes)
+            else
+              new LazFormat.ChunkDecoder(bytes, chunkStart,
+                chunkStart + p.chunkBytes(chunk).toInt, p.pointFormat,
+                p.chunkPoints(chunk))
         }
         true
       }

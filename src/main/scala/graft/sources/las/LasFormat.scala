@@ -68,9 +68,6 @@ object LasFormat {
       require(fmt <= 3 || (fmt >= 6 && fmt <= 8),
         s"unsupported LAS point format $fmt (only 0-3 and 6-8)")
       val compressed = (bb.get(104) & 0x80) != 0
-      require(!compressed || fmt <= 3,
-        s"unsupported LAZ point format $fmt (the layered v3/v4 item codecs " +
-          "for extended records are not implemented; only 0-3)")
       val pointOffset = bb.getInt(96).toLong & 0xffffffffL
       val laz =
         if (!compressed) None

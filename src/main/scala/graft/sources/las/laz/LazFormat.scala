@@ -10,16 +10,22 @@ import graft.sources.las.LasFormat
 import graft.sources.las.LasFormat.LasPoint
 
 /** LAZ (LASzip) container plumbing: the laszip VLR, the chunk table, and
-  * chunk-at-a-time encode/decode over the item codecs in [[LazItems]].
+  * chunk-at-a-time encode/decode over the item codecs in [[LazItems]]
+  * (pointwise v2, legacy formats 0-3) and [[LazItems14]] (layered v3,
+  * LAS 1.4 extended formats 6-8).
   *
-  * Layout (public LASzip container format, pointwise-chunked compressor):
-  * a LAS header whose point-format byte has the 0x80 compressed bit, one
-  * `laszip encoded` VLR (record 22204) describing coder + items + chunk
-  * size, then at the point-data offset an i64 pointer to the chunk
-  * table, followed by the chunks themselves. Each chunk stores its first
-  * point raw and arithmetic-codes the rest; chunks are independent — the
-  * unit of parallel decode (reference: pc-io/src/las/source.rs:159-208
-  * builds its scan partitions from exactly this table via laz-rs).
+  * Layout (public LASzip container format): a LAS header whose
+  * point-format byte has the 0x80 compressed bit, one `laszip encoded`
+  * VLR (record 22204) describing coder + items + chunk size, then at
+  * the point-data offset an i64 pointer to the chunk table, followed by
+  * the chunks themselves. Chunks are independent — the unit of parallel
+  * decode (reference: pc-io/src/las/source.rs:159-208 builds its scan
+  * partitions from exactly this table via laz-rs). A pointwise
+  * (compressor 2) chunk stores its first point raw and arithmetic-codes
+  * the rest in one stream; a layered (compressor 3) chunk stores the
+  * raw anchor, a u32 point count, per-layer byte sizes, then one
+  * independent arithmetic stream per field group, enabling selective
+  * decompression (see [[LazItems14]]).
   *
   * Byte-level compatibility with laszip-written files cannot be verified
   * in this sandbox (no sample files, no codec library, no egress), so
@@ -30,29 +36,44 @@ object LazFormat {
 
   val LaszipUserId = "laszip encoded"
   val LaszipRecordId = 22204
-  /** Pointwise chunked compressor id. */
+  /** Pointwise chunked compressor id (legacy formats 0-3). */
   val CompressorChunked = 2
+  /** Layered chunked compressor id (extended formats 6-8). */
+  val CompressorLayered = 3
   val DefaultChunkSize = 50000
 
   val ItemPoint10 = 6
   val ItemGpstime11 = 7
   val ItemRgb12 = 8
+  val ItemPoint14 = 10
+  val ItemRgb14 = 11
+  val ItemRgbNir14 = 12
 
   /** type → (size, version) for the items this codec speaks. */
   private val ItemSpec = Map(
     ItemPoint10 -> (20, 2),
     ItemGpstime11 -> (8, 2),
-    ItemRgb12 -> (6, 2))
+    ItemRgb12 -> (6, 2),
+    ItemPoint14 -> (30, 3),
+    ItemRgb14 -> (6, 3),
+    ItemRgbNir14 -> (8, 3))
+  private val LayeredItems = Set(ItemPoint14, ItemRgb14, ItemRgbNir14)
 
   /** Sentinel chunk size (0xFFFFFFFF in the VLR) marking variable-size
     * chunking: per-chunk point counts live in the chunk table. */
   val VariableChunkSize: Int = -1
 
   final case class LazVlr(compressor: Int, chunkSize: Int, items: Seq[Int]) {
-    require(compressor == CompressorChunked,
-      s"unsupported LAZ compressor $compressor (only pointwise-chunked=2)")
+    require(compressor == CompressorChunked || compressor == CompressorLayered,
+      s"unsupported LAZ compressor $compressor (pointwise-chunked=2 or layered=3)")
     require(items.forall(ItemSpec.contains),
-      s"unsupported LAZ items $items (only POINT10/GPSTIME11/RGB12 v2)")
+      s"unsupported LAZ items $items " +
+        "(only POINT10/GPSTIME11/RGB12 v2 and POINT14/RGB14/RGBNIR14 v3)")
+    // the compressor id and the item generation must agree: layered
+    // framing (anchor + layer sizes + layer blobs) only exists for the
+    // v3 items, pointwise framing only for the v2 items
+    require(items.forall(i => LayeredItems(i) == (compressor == CompressorLayered)),
+      s"LAZ compressor $compressor does not match items $items")
     // 0xFFFFFFFF reads back as -1: variable-size chunking, point counts
     // in the chunk table. Anything else non-positive is a corrupt VLR
     // and must fail loudly here, not decode garbage via a nonsense
@@ -61,17 +82,26 @@ object LazFormat {
       s"corrupt LAZ chunk size $chunkSize (positive fixed size or " +
         "0xFFFFFFFF variable marker)")
     def variable: Boolean = chunkSize == VariableChunkSize
+    def layered: Boolean = compressor == CompressorLayered
   }
 
   def itemsFor(pointFormat: Int): Seq[Int] =
-    Seq(ItemPoint10) ++
-      (if (LasFormat.hasGps(pointFormat)) Seq(ItemGpstime11) else Nil) ++
-      (if (LasFormat.hasRgb(pointFormat)) Seq(ItemRgb12) else Nil)
+    if (LasFormat.isExtended(pointFormat))
+      Seq(ItemPoint14) ++
+        (if (LasFormat.hasNir(pointFormat)) Seq(ItemRgbNir14)
+         else if (LasFormat.hasRgb(pointFormat)) Seq(ItemRgb14)
+         else Nil)
+    else
+      Seq(ItemPoint10) ++
+        (if (LasFormat.hasGps(pointFormat)) Seq(ItemGpstime11) else Nil) ++
+        (if (LasFormat.hasRgb(pointFormat)) Seq(ItemRgb12) else Nil)
 
   def vlrPayload(pointFormat: Int, chunkSize: Int): Array[Byte] = {
     val items = itemsFor(pointFormat)
+    val compressor =
+      if (LasFormat.isExtended(pointFormat)) CompressorLayered else CompressorChunked
     val bb = ByteBuffer.allocate(34 + 6 * items.size).order(ByteOrder.LITTLE_ENDIAN)
-    bb.putShort(CompressorChunked.toShort)
+    bb.putShort(compressor.toShort)
     bb.putShort(0) // coder: arithmetic
     bb.put(2.toByte) // version major
     bb.put(2.toByte) // version minor
@@ -110,40 +140,68 @@ object LazFormat {
   private def writeRaw(bb: ByteBuffer, p: LazPoint, fmt: Int): Unit = {
     bb.putInt(p.x); bb.putInt(p.y); bb.putInt(p.z)
     bb.putShort(p.intensity.toShort)
-    bb.put(p.flags.toByte)
-    bb.put(p.classification.toByte)
-    bb.put(p.scanAngleRank.toByte)
-    bb.put(p.userData.toByte)
-    bb.putShort(p.pointSourceId.toShort)
-    if (LasFormat.hasGps(fmt)) bb.putLong(p.gpsTime)
+    if (LasFormat.isExtended(fmt)) {
+      bb.put(p.returns.toByte)
+      bb.put(p.extFlags.toByte)
+      bb.put(p.classification.toByte)
+      bb.put(p.userData.toByte)
+      bb.putShort(p.scanAngle.toShort)
+      bb.putShort(p.pointSourceId.toShort)
+      bb.putLong(p.gpsTime)
+    } else {
+      bb.put(p.flags.toByte)
+      bb.put(p.classification.toByte)
+      bb.put(p.scanAngleRank.toByte)
+      bb.put(p.userData.toByte)
+      bb.putShort(p.pointSourceId.toShort)
+      if (LasFormat.hasGps(fmt)) bb.putLong(p.gpsTime)
+    }
     if (LasFormat.hasRgb(fmt)) {
       bb.putShort(p.red.toShort); bb.putShort(p.green.toShort); bb.putShort(p.blue.toShort)
     }
+    if (LasFormat.hasNir(fmt)) bb.putShort(p.nir.toShort)
   }
 
   private def readRaw(bb: ByteBuffer, p: LazPoint, fmt: Int): Unit = {
     p.x = bb.getInt(); p.y = bb.getInt(); p.z = bb.getInt()
     p.intensity = bb.getShort() & 0xFFFF
-    p.flags = bb.get() & 0xFF
-    p.classification = bb.get() & 0xFF
-    p.scanAngleRank = bb.get() & 0xFF
-    p.userData = bb.get() & 0xFF
-    p.pointSourceId = bb.getShort() & 0xFFFF
-    if (LasFormat.hasGps(fmt)) p.gpsTime = bb.getLong()
+    if (LasFormat.isExtended(fmt)) {
+      p.returns = bb.get() & 0xFF
+      p.extFlags = bb.get() & 0xFF
+      p.classification = bb.get() & 0xFF
+      p.userData = bb.get() & 0xFF
+      p.scanAngle = bb.getShort().toInt
+      p.pointSourceId = bb.getShort() & 0xFFFF
+      p.gpsTime = bb.getLong()
+    } else {
+      p.flags = bb.get() & 0xFF
+      p.classification = bb.get() & 0xFF
+      p.scanAngleRank = bb.get() & 0xFF
+      p.userData = bb.get() & 0xFF
+      p.pointSourceId = bb.getShort() & 0xFFFF
+      if (LasFormat.hasGps(fmt)) p.gpsTime = bb.getLong()
+    }
     if (LasFormat.hasRgb(fmt)) {
       p.red = bb.getShort() & 0xFFFF
       p.green = bb.getShort() & 0xFFFF
       p.blue = bb.getShort() & 0xFFFF
     }
+    if (LasFormat.hasNir(fmt)) p.nir = bb.getShort() & 0xFFFF
   }
 
-  def recordLength(fmt: Int): Int = Seq(20, 28, 26, 34)(fmt)
+  def recordLength(fmt: Int): Int = LasFormat.recordLengthFor(fmt)
 
   // ---- chunk codec ---------------------------------------------------
 
-  /** Encode one chunk: raw first point + arithmetic-coded rest. */
+  /** Encode one chunk: raw first point + arithmetic-coded rest (legacy
+    * pointwise framing for formats 0-3, layered for 6-8). */
   def encodeChunk(pts: IndexedSeq[LazPoint], fmt: Int): Array[Byte] = {
     require(pts.nonEmpty)
+    if (LasFormat.isExtended(fmt)) encodeChunkLayered(pts, fmt)
+    else encodeChunkPointwise(pts, fmt)
+  }
+
+  private def encodeChunkPointwise(pts: IndexedSeq[LazPoint], fmt: Int): Array[Byte] = {
     val recLen = recordLength(fmt)
     val raw = ByteBuffer.allocate(recLen).order(ByteOrder.LITTLE_ENDIAN)
     writeRaw(raw, pts.head, fmt)
@@ -166,8 +224,132 @@ object LazFormat {
     }
   }
 
-  /** Streaming decoder over one chunk's byte slice. */
-  final class ChunkDecoder(buf: Array[Byte], start: Int, end: Int, fmt: Int, count: Long) {
+  /** Layered (v3) chunk: raw anchor, u32 point count, u32 byte size per
+    * layer, then the layer blobs — each layer an independent arithmetic
+    * stream (see [[LazItems14]]). */
+  private def encodeChunkLayered(pts: IndexedSeq[LazPoint], fmt: Int): Array[Byte] = {
+    val recLen = recordLength(fmt)
+    val nLayers = LazLayers.numLayers(fmt)
+    val blobs: Array[Array[Byte]] =
+      if (pts.size == 1) Array.fill(nLayers)(Array.emptyByteArray)
+      else {
+        val encs = Array.fill(nLayers) { val e = new ArithmeticEncoder; e.init(); e }
+        val p14 = new Point14V3(encs, null, pts.head)
+        val rgb =
+          if (LasFormat.hasRgb(fmt)) new Rgb14V3(encs(LazLayers.Rgb), null, pts.head)
+          else null
+        val nir =
+          if (LasFormat.hasNir(fmt)) new Nir14V3(encs(LazLayers.Nir), null, pts.head)
+          else null
+        var i = 1
+        while (i < pts.size) {
+          val p = pts(i)
+          p14.encode(p)
+          if (rgb != null) rgb.encode(p14.context, p.red, p.green, p.blue)
+          if (nir != null) nir.encode(p14.context, p.nir)
+          i += 1
+        }
+        encs.map(_.done())
+      }
+    val total = recLen + 4 + 4 * nLayers + blobs.map(_.length).sum
+    val bb = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    writeRaw(bb, pts.head, fmt)
+    bb.putInt(pts.size)
+    blobs.foreach(b => bb.putInt(b.length))
+    blobs.foreach(bb.put)
+    bb.array()
+  }
+
+  /** Common streaming-decode contract of the two chunk framings. */
+  sealed trait ChunkReader {
+    /** The record decoded by the last successful [[next]]. */
+    def point: LazPoint
+    /** Advance to the next point (into [[point]]); false when exhausted. */
+    def next(): Boolean
+  }
+
+  /** Streaming decoder over one layered (v3) chunk's byte slice.
+    * `wantedFieldCodes` ([[LasFormat.fieldCode]] values) selects which
+    * layers actually decode — unprojected layers are skipped wholesale
+    * (their bytes are never touched), the point of the layered framing.
+    * Fields outside the wanted set hold garbage in [[point]]. */
+  final class ChunkDecoder14(buf: Array[Byte], start: Int, end: Int, fmt: Int,
+      count: Long, wantedFieldCodes: Array[Int]) extends ChunkReader {
+    import LazLayers._
+    val point = new LazPoint
+    private var i = 0L
+    private var p14: Point14V3 = null
+    private var rgb: Rgb14V3 = null
+    private var nir: Nir14V3 = null
+
+    private val wantRgb = LasFormat.hasRgb(fmt) &&
+      wantedFieldCodes.exists(c => c >= 13 && c <= 15)
+    private val wantNir = LasFormat.hasNir(fmt) && wantedFieldCodes.contains(17)
+
+    private def layerWanted(l: Int): Boolean = l match {
+      case XY => true // carries contexts, returns and channel — always on
+      case Z => wantedFieldCodes.contains(2)
+      case Cls => wantedFieldCodes.contains(8)
+      // scan_angle needs the scan-direction bit for its corrector context
+      case Flags =>
+        wantedFieldCodes.exists(c => c == 6 || c == 7 || c == 9)
+      case Intens => wantedFieldCodes.contains(3)
+      case ScanAngle => wantedFieldCodes.contains(9)
+      case UserData => wantedFieldCodes.contains(10)
+      case PointSource => wantedFieldCodes.contains(11)
+      case Gps => wantedFieldCodes.contains(12)
+      case Rgb => wantRgb
+      case Nir => wantNir
+    }
+
+    def next(): Boolean = {
+      if (i >= count) false
+      else {
+        if (i == 0) {
+          val recLen = recordLength(fmt)
+          val nLayers = numLayers(fmt)
+          val bb = ByteBuffer.wrap(buf, start, end - start).order(ByteOrder.LITTLE_ENDIAN)
+          readRaw(bb, point, fmt)
+          val stored = bb.getInt().toLong & 0xFFFFFFFFL
+          require(stored == count,
+            s"LAZ layered chunk declares $stored points, chunk table says $count")
+          if (count > 1) {
+            val sizes = new Array[Int](nLayers)
+            var l = 0
+            while (l < nLayers) { sizes(l) = bb.getInt(); l += 1 }
+            var off = start + recLen + 4 + 4 * nLayers
+            val decs = new Array[ArithmeticDecoder](nLayers)
+            l = 0
+            while (l < nLayers) {
+              require(off + sizes(l) <= end,
+                s"LAZ layered chunk overruns its byte span (layer $l)")
+              if (layerWanted(l)) {
+                decs(l) = new ArithmeticDecoder(buf, off, off + sizes(l))
+                decs(l).init()
+              }
+              off += sizes(l)
+              l += 1
+            }
+            p14 = new Point14V3(null, decs.take(NumPoint14), point)
+            if (decs.length > Rgb && decs(Rgb) != null)
+              rgb = new Rgb14V3(null, decs(Rgb), point)
+            if (decs.length > Nir && decs(Nir) != null)
+              nir = new Nir14V3(null, decs(Nir), point)
+          }
+        } else {
+          p14.decode(point)
+          if (rgb != null) rgb.decode(p14.context, point)
+          if (nir != null) point.nir = nir.decode(p14.context)
+        }
+        i += 1
+        true
+      }
+    }
+  }
+
+  /** Streaming decoder over one pointwise (v2) chunk's byte slice. */
+  final class ChunkDecoder(buf: Array[Byte], start: Int, end: Int, fmt: Int, count: Long)
+      extends ChunkReader {
     val point = new LazPoint
     private var i = 0L
     private val recLen = recordLength(fmt)
@@ -279,6 +461,9 @@ object LazFormat {
   def readChunks(conf: Configuration, path: String, header: LasFormat.LasHeader): Seq[LazChunk] = {
     val vlr = header.laz.getOrElse(
       throw new IllegalArgumentException(s"$path is not a LAZ file"))
+    require(vlr.layered == LasFormat.isExtended(header.pointFormat),
+      s"$path: LAZ compressor ${vlr.compressor} does not match " +
+        s"point format ${header.pointFormat}")
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val fileLen = fs.getFileStatus(p).getLen
@@ -324,7 +509,8 @@ object LazFormat {
 
   // ---- whole-file writer (fixtures / export) -------------------------
 
-  /** Write a LAZ file (point formats 0-3), mirroring
+  /** Write a LAZ file (legacy point formats 0-3 as LAS 1.2, extended
+    * formats 6-8 as LAS 1.4 with layered compression), mirroring
     * [[LasFormat.write]]'s header/quantization so a LAS and a LAZ of the
     * same points resolve identically. */
   def write(conf: Configuration, path: String, points: Seq[LasPoint],
@@ -333,26 +519,29 @@ object LazFormat {
       offset: (Double, Double, Double) = (0.0, 0.0, 0.0),
       chunkSize: Int = DefaultChunkSize,
       variableChunks: Option[Seq[Int]] = None): Unit = {
-    require(pointFormat <= 3)
+    require(pointFormat <= 3 || LasFormat.isExtended(pointFormat))
     require(chunkSize > 0)
     variableChunks.foreach { cs =>
       require(cs.forall(_ > 0) && cs.sum == points.size,
         s"variable chunk counts must be positive and sum to ${points.size}")
     }
+    val ext = LasFormat.isExtended(pointFormat)
+    val hdrLen = if (ext) LasFormat.HeaderSize14 else LasFormat.HeaderSize
     val payload = vlrPayload(pointFormat,
       if (variableChunks.isDefined) VariableChunkSize else chunkSize)
-    val pointOffset = LasFormat.HeaderSize + 54 + payload.length
+    val pointOffset = hdrLen + 54 + payload.length
 
-    val header = ByteBuffer.allocate(LasFormat.HeaderSize).order(ByteOrder.LITTLE_ENDIAN)
+    val header = ByteBuffer.allocate(hdrLen).order(ByteOrder.LITTLE_ENDIAN)
     header.put(LasFormat.Signature.getBytes("US-ASCII"))
     header.put(24, 1.toByte) // version major
-    header.put(25, 2.toByte) // version minor
-    header.putShort(94, LasFormat.HeaderSize.toShort)
+    header.put(25, (if (ext) 4 else 2).toByte) // version minor
+    header.putShort(94, hdrLen.toShort)
     header.putInt(96, pointOffset)
     header.putInt(100, 1) // one VLR: laszip
     header.put(104, (pointFormat | 0x80).toByte)
     header.putShort(105, recordLength(pointFormat).toShort)
-    header.putInt(107, points.size)
+    if (ext) header.putLong(247, points.size.toLong) // legacy u32 stays 0
+    else header.putInt(107, points.size)
     header.putDouble(131, scale._1); header.putDouble(139, scale._2)
     header.putDouble(147, scale._3)
     header.putDouble(155, offset._1); header.putDouble(163, offset._2)
@@ -390,6 +579,13 @@ object LazFormat {
       lp.pointSourceId = pt.pointSourceId & 0xFFFF
       lp.gpsTime = java.lang.Double.doubleToRawLongBits(pt.gpsTime)
       lp.red = pt.red & 0xFFFF; lp.green = pt.green & 0xFFFF; lp.blue = pt.blue & 0xFFFF
+      // extended (1.4) fields: scanAngleRank doubles as the i16 extended
+      // scan angle, exactly like LasFormat.write's format 6-8 path
+      lp.returns = (pt.returnNumber & 0x0F) | ((pt.numberOfReturns & 0x0F) << 4)
+      lp.extFlags = ((pt.scannerChannel & 0x03) << 4) |
+        ((pt.scanDirection & 0x01) << 6) | ((if (pt.edge) 1 else 0) << 7)
+      lp.scanAngle = pt.scanAngleRank.toShort.toInt
+      lp.nir = pt.nir & 0xFFFF
       lp
     }.toIndexedSeq
 

@@ -5,7 +5,13 @@ package graft.sources.las.laz
   * intensity/pointSourceId/colors, the packed flags byte (return number,
   * number of returns, scan direction, edge), u8 classification /
   * scanAngleRank (raw byte; sign belongs to the LAS layer) / userData,
-  * gpsTime as raw f64 bits. */
+  * gpsTime as raw f64 bits.
+  *
+  * LAS 1.4 extended records (formats 6-8) use `returns` (4-bit return
+  * number | 4-bit number of returns << 4), `extFlags` (classification
+  * flags nibble | scanner channel << 4 | scan direction << 6 |
+  * edge << 7), i16 `scanAngle` and u16 `nir` instead of `flags` /
+  * `scanAngleRank`. */
 final class LazPoint {
   var x = 0
   var y = 0
@@ -20,6 +26,11 @@ final class LazPoint {
   var red = 0
   var green = 0
   var blue = 0
+  // extended (formats 6-8) fields
+  var returns = 0
+  var extFlags = 0
+  var scanAngle = 0
+  var nir = 0
 
   def copyFrom(o: LazPoint): Unit = {
     x = o.x; y = o.y; z = o.z
@@ -28,6 +39,8 @@ final class LazPoint {
     userData = o.userData; pointSourceId = o.pointSourceId
     gpsTime = o.gpsTime
     red = o.red; green = o.green; blue = o.blue
+    returns = o.returns; extFlags = o.extFlags
+    scanAngle = o.scanAngle; nir = o.nir
   }
 }
 
@@ -443,6 +456,10 @@ final class Rgb12V2(enc: ArithmeticEncoder, dec: ArithmeticDecoder, first: LazPo
   private var lastR = first.red
   private var lastG = first.green
   private var lastB = first.blue
+
+  /** Current prediction state — seeds a fresh scanner-channel context in
+    * the layered (v3) RGB codec. */
+  def last: (Int, Int, Int) = (lastR, lastG, lastB)
 
   def encode(r: Int, g: Int, b: Int): Unit = {
     val rl = r & 0xFF; val rh = r >>> 8

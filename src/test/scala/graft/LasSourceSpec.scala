@@ -254,20 +254,45 @@ class LasSourceSpec extends SparkSpec {
     assert(df.count() == 600)
   }
 
-  test("LAZ with an extended point format is rejected with a clear error") {
+  test("LAZ 1.4 formats 6/7/8: layered decode matches the LAS twin through DSv2") {
     val d = Files.createTempDirectory("laz14").toString
-    // hand-build a header claiming compressed format 6
-    val pts = (0 until 10).map(k => LasFormat.LasPoint(k, k, 0))
-    LasFormat.write(conf, s"$d/f.las", pts, pointFormat = 6)
-    val f = java.nio.file.Paths.get(d, "f.las")
-    val bytes = java.nio.file.Files.readAllBytes(f)
-    bytes(104) = (6 | 0x80).toByte // set the LAZ compressed bit
-    java.nio.file.Files.write(f, bytes)
-    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(d, ".f.las.crc"))
-    val e = intercept[IllegalArgumentException] {
-      LasFormat.readHeader(conf, s"$d/f.las")
+    val pts = (0 until 800).map { k =>
+      LasFormat.LasPoint(
+        x = k * 0.5, y = k * 0.25, z = (k % 9) * 1.0,
+        intensity = (k * 31) % 65536,
+        returnNumber = 1 + (k % 15), numberOfReturns = 15,
+        scanDirection = k % 2, edge = k % 7 == 0,
+        classification = k % 256,
+        scanAngleRank = ((k % 60001) - 30000),
+        userData = k % 256, pointSourceId = k % 65536,
+        gpsTime = 1e9 + k * 0.5, scannerChannel = k % 4,
+        red = (k * 3) % 65536, green = (k * 5) % 65536, blue = (k * 7) % 65536,
+        nir = (k * 11) % 65536)
     }
-    assert(e.getMessage.contains("layered"))
+    Seq(6, 7, 8).foreach { fmt =>
+      LasFormat.write(conf, s"$d/las$fmt/f.las", pts, pointFormat = fmt)
+      graft.sources.las.laz.LazFormat.write(conf, s"$d/laz$fmt/f.laz", pts,
+        pointFormat = fmt, chunkSize = 256)
+      val las = spark.read.format("las").load(s"$d/las$fmt")
+      val laz = spark.read.format("las").load(s"$d/laz$fmt")
+      assert(laz.schema.fieldNames.toSeq == las.schema.fieldNames.toSeq)
+      assert(laz.count() == 800)
+      assert(laz.exceptAll(las).isEmpty && las.exceptAll(laz).isEmpty)
+      // narrow projection exercises the layered source's selective
+      // decompression (only the XY layer decodes for this plan)
+      val sx = laz.agg(sum("x")).head().getDouble(0)
+      assert(math.abs(sx - pts.map(p => (p.x / 0.001).round * 0.001).sum) < 1e-6)
+    }
+    // the compressed bit without a laszip VLR still fails loudly on 1.4
+    val f = java.nio.file.Paths.get(d, "las6", "f.las")
+    val bytes = java.nio.file.Files.readAllBytes(f)
+    bytes(104) = (6 | 0x80).toByte
+    java.nio.file.Files.write(f, bytes)
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(d, "las6", ".f.las.crc"))
+    val e = intercept[IllegalArgumentException] {
+      LasFormat.readHeader(conf, s"$d/las6/f.las")
+    }
+    assert(e.getMessage.contains("laszip VLR"))
   }
 
   test("point formats 2/3: RGB round-trips; gps offset shifts with format") {

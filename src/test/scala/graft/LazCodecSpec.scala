@@ -224,6 +224,194 @@ class LazCodecSpec extends AnyFunSuite {
     })
   }
 
+  // ---- layered (v3) chunk codec: extended formats 6-8 ----------------
+
+  /** All semantic field codes — the "decode everything" projection. */
+  private val allFields: Array[Int] =
+    LasFormat.FieldNames.map(LasFormat.fieldCode).toArray
+
+  private def coherentCloud14(n: Int, seed: Long): IndexedSeq[LazPoint] = {
+    val rnd = new scala.util.Random(seed)
+    var x = 100000; var y = 2000000; var z = 5000
+    var gps = 123456.75
+    var channel = rnd.nextInt(4)
+    var angle = 0
+    (0 until n).map { k =>
+      val p = new LazPoint
+      // scanner channels interleave in runs — the context-switch hot path
+      if (rnd.nextInt(12) == 0) channel = rnd.nextInt(4)
+      x += rnd.nextInt(200) - 100
+      y += rnd.nextInt(100) - 50
+      z += rnd.nextInt(20) - 10
+      p.x = x; p.y = y; p.z = z
+      p.intensity = rnd.nextInt(65536)
+      val nr = 1 + rnd.nextInt(if (rnd.nextInt(20) == 0) 15 else 3)
+      p.returns = (1 + rnd.nextInt(nr)) | (nr << 4)
+      p.extFlags = (if (rnd.nextInt(40) == 0) rnd.nextInt(16) else 0) |
+        (channel << 4) | ((k % 2) << 6) | (if (rnd.nextInt(50) == 0) 0x80 else 0)
+      p.classification = rnd.nextInt(64)
+      angle += rnd.nextInt(21) - 10
+      p.scanAngle = math.max(-30000, math.min(30000, angle))
+      p.userData = rnd.nextInt(256)
+      p.pointSourceId = rnd.nextInt(4)
+      gps += rnd.nextInt(4) * 0.000025
+      p.gpsTime = java.lang.Double.doubleToRawLongBits(gps)
+      p.red = (p.z * 13) & 0xFFFF
+      p.green = (p.red + rnd.nextInt(9) - 4) & 0xFFFF
+      p.blue = (p.red + rnd.nextInt(9) - 4) & 0xFFFF
+      p.nir = (p.red + rnd.nextInt(17) - 8) & 0xFFFF
+      p
+    }
+  }
+
+  private def adversarialCloud14(n: Int, seed: Long): IndexedSeq[LazPoint] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { _ =>
+      val p = new LazPoint
+      p.x = rnd.nextInt(); p.y = rnd.nextInt(); p.z = rnd.nextInt()
+      p.intensity = rnd.nextInt(65536)
+      p.returns = rnd.nextInt(256)
+      p.extFlags = rnd.nextInt(256)
+      p.classification = rnd.nextInt(256)
+      p.scanAngle = rnd.nextInt(65536).toShort.toInt
+      p.userData = rnd.nextInt(256)
+      p.pointSourceId = rnd.nextInt(65536)
+      p.gpsTime = rnd.nextLong()
+      p.red = rnd.nextInt(65536); p.green = rnd.nextInt(65536); p.blue = rnd.nextInt(65536)
+      p.nir = rnd.nextInt(65536)
+      p
+    }
+  }
+
+  private def assertSame14(a: LazPoint, b: LazPoint, fmt: Int, i: Int): Unit = {
+    assert(a.x == b.x && a.y == b.y && a.z == b.z, s"xyz mismatch at $i")
+    assert(a.intensity == b.intensity, s"intensity at $i")
+    assert(a.returns == b.returns, s"returns at $i")
+    assert(a.extFlags == b.extFlags, s"extFlags at $i")
+    assert(a.classification == b.classification, s"classification at $i")
+    assert(a.scanAngle == b.scanAngle, s"scanAngle at $i")
+    assert(a.userData == b.userData, s"userData at $i")
+    assert(a.pointSourceId == b.pointSourceId, s"pointSourceId at $i")
+    assert(a.gpsTime == b.gpsTime, s"gpsTime at $i")
+    if (LasFormat.hasRgb(fmt)) assert(
+      a.red == b.red && a.green == b.green && a.blue == b.blue, s"rgb at $i")
+    if (LasFormat.hasNir(fmt)) assert(a.nir == b.nir, s"nir at $i")
+  }
+
+  private def chunkRoundTrip14(pts: IndexedSeq[LazPoint], fmt: Int): Unit = {
+    val bytes = LazFormat.encodeChunk(pts, fmt)
+    val d = new LazFormat.ChunkDecoder14(bytes, 0, bytes.length, fmt,
+      pts.size.toLong, allFields)
+    pts.zipWithIndex.foreach { case (p, i) =>
+      assert(d.next(), s"decoder exhausted at $i")
+      assertSame14(d.point, p, fmt, i)
+    }
+    assert(!d.next())
+  }
+
+  test("layered chunk codec: coherent extended clouds round-trip (formats 6-8)") {
+    Seq(6, 7, 8).foreach { fmt => chunkRoundTrip14(coherentCloud14(3000, 300 + fmt), fmt) }
+  }
+
+  test("layered chunk codec: adversarial extended records round-trip") {
+    Seq(6, 7, 8).foreach { fmt => chunkRoundTrip14(adversarialCloud14(1500, 400 + fmt), fmt) }
+  }
+
+  test("layered chunk codec: degenerate chunks (single point, all-identical)") {
+    Seq(6, 7, 8).foreach { fmt =>
+      chunkRoundTrip14(coherentCloud14(1, 17), fmt)
+      val one = coherentCloud14(1, 18).head
+      chunkRoundTrip14(IndexedSeq.fill(500)(one), fmt)
+    }
+  }
+
+  test("layered chunk codec: every-point channel switches exercise all banks") {
+    val pts = coherentCloud14(2000, 31).zipWithIndex.map { case (p, k) =>
+      p.extFlags = (p.extFlags & 0xCF) | ((k % 4) << 4) // 0,1,2,3,0,1,...
+      p
+    }
+    Seq(6, 7, 8).foreach(fmt => chunkRoundTrip14(pts, fmt))
+  }
+
+  test("layered chunk codec round-trip property: random sizes and formats") {
+    val gen = Gen.zip(Gen.choose(1, 600), Gen.oneOf(6, 7, 8), Gen.choose(0L, 1L << 40))
+    check("chunk14", Prop.forAll(gen) { case (n, fmt, seed) =>
+      val pts =
+        if (seed % 2 == 0) coherentCloud14(n, seed) else adversarialCloud14(n, seed)
+      val bytes = LazFormat.encodeChunk(pts, fmt)
+      val d = new LazFormat.ChunkDecoder14(bytes, 0, bytes.length, fmt, n.toLong, allFields)
+      pts.forall { p =>
+        d.next() && d.point.x == p.x && d.point.y == p.y && d.point.z == p.z &&
+          d.point.returns == p.returns && d.point.extFlags == p.extFlags &&
+          d.point.scanAngle == p.scanAngle && d.point.gpsTime == p.gpsTime &&
+          (!LasFormat.hasRgb(fmt) || (d.point.red == p.red &&
+            d.point.green == p.green && d.point.blue == p.blue)) &&
+          (!LasFormat.hasNir(fmt) || d.point.nir == p.nir)
+      }
+    })
+  }
+
+  test("selective decompression: skipped layers leave wanted fields exact") {
+    val pts = coherentCloud14(4000, 77)
+    val bytes = LazFormat.encodeChunk(pts, 8)
+    def decode(wanted: Array[Int]): IndexedSeq[LazPoint] = {
+      val d = new LazFormat.ChunkDecoder14(bytes, 0, bytes.length, 8, pts.size.toLong, wanted)
+      pts.indices.map { i =>
+        assert(d.next(), s"exhausted at $i")
+        val c = new LazPoint; c.copyFrom(d.point); c
+      }
+    }
+    // x/y only: gps, rgb, nir, z, classification ... all skipped
+    val xy = decode(Array(0, 1))
+    pts.zip(xy).foreach { case (p, q) => assert(p.x == q.x && p.y == q.y) }
+    // scan_angle pulls in the flags layer for its direction context
+    val ang = decode(Array(0, 1, 9))
+    pts.zip(ang).foreach { case (p, q) =>
+      assert(p.scanAngle == q.scanAngle && ((p.extFlags ^ q.extFlags) & 0xF0) == 0)
+    }
+    // gps + nir without rgb
+    val gn = decode(Array(12, 17))
+    pts.zip(gn).foreach { case (p, q) =>
+      assert(p.gpsTime == q.gpsTime && p.nir == q.nir)
+    }
+  }
+
+  test("layered whole file: VLR (compressor 3, v3 items), chunks, variable mode") {
+    val conf = new Configuration()
+    val dir = java.nio.file.Files.createTempDirectory("lazext").toString
+    val pts = (0 until 2500).map(k =>
+      LasPoint(k * 0.5, k * 0.25, (k % 9) * 1.0, intensity = k % 65536,
+        gpsTime = k * 0.1, scannerChannel = k % 3, scanAngleRank = (k % 400) - 200,
+        red = k % 65536, green = (k * 3) % 65536, blue = (k * 7) % 65536,
+        nir = (k * 11) % 65536))
+    LazFormat.write(conf, s"$dir/f.laz", pts, pointFormat = 8, chunkSize = 600)
+    val h = LasFormat.readHeader(conf, s"$dir/f.laz")
+    assert(h.pointFormat == 8 && h.pointCount == 2500)
+    assert(h.laz.exists(_.layered))
+    assert(h.laz.get.items == Seq(LazFormat.ItemPoint14, LazFormat.ItemRgbNir14))
+    val chunks = LazFormat.readChunks(conf, s"$dir/f.laz", h)
+    assert(chunks.size == 5 && chunks.map(_.pointCount).sum == 2500)
+    chunks.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.fileOffset + a.byteLen == b.fileOffset)
+    }
+    // variable-size chunking composes with the layered framing
+    val counts = Seq(900, 77, 1111, 412)
+    LazFormat.write(conf, s"$dir/v.laz", pts, pointFormat = 6,
+      variableChunks = Some(counts))
+    val hv = LasFormat.readHeader(conf, s"$dir/v.laz")
+    assert(hv.laz.exists(v => v.layered && v.variable))
+    val vchunks = LazFormat.readChunks(conf, s"$dir/v.laz", hv)
+    assert(vchunks.map(_.pointCount) == counts.map(_.toLong))
+  }
+
+  test("layered compression: coherent extended cloud beats raw record size") {
+    val pts = coherentCloud14(20000, 99)
+    val bytes = LazFormat.encodeChunk(pts, 6)
+    val raw = 20000L * LazFormat.recordLength(6)
+    assert(bytes.length < raw / 2,
+      s"layered LAZ chunk ${bytes.length} B vs raw $raw B — compression ineffective")
+  }
+
   // ---- chunk table + whole file --------------------------------------
 
   test("chunk table round-trips (including empty)") {
