@@ -352,7 +352,24 @@ class LasReaderFactory(fieldCodes: Array[Int],
       override def close(): Unit = ()
     }
 
+  /** Zero-column projections (`count()`) need no point bytes at all: the
+    * row count is already exact from the header / chunk table, so emit
+    * empty rows without opening the file — the extreme case of the
+    * layered source's selective decompression. */
+  private def createCountingReader(n: Long): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val empty = new GenericInternalRow(0)
+      private var row = -1L
+      override def next(): Boolean = { row += 1; row < n }
+      override def get(): InternalRow = empty
+      override def close(): Unit = ()
+    }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = partition match {
+    case laz: LazInputPartition if fieldCodes.isEmpty =>
+      createCountingReader(laz.chunkPoints.sum)
+    case las: LasInputPartition if fieldCodes.isEmpty =>
+      createCountingReader(las.count)
     case laz: LazInputPartition => createLazReader(laz)
     case las: LasInputPartition => createLasReader(las)
   }

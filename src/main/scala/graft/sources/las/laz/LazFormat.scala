@@ -129,7 +129,8 @@ object LazFormat {
       val t = bb.getShort(34 + 6 * i) & 0xFFFF
       val version = bb.getShort(34 + 6 * i + 4) & 0xFFFF
       require(!ItemSpec.contains(t) || version == ItemSpec(t)._2,
-        s"unsupported LAZ item version $version for item $t (only v2)")
+        s"unsupported LAZ item version $version for item $t " +
+          s"(expected v${ItemSpec.get(t).map(_._2).getOrElse(0)})")
       t
     }
     LazVlr(compressor, chunkSize, items)
@@ -316,7 +317,15 @@ object LazFormat {
           if (count > 1) {
             val sizes = new Array[Int](nLayers)
             var l = 0
-            while (l < nLayers) { sizes(l) = bb.getInt(); l += 1 }
+            while (l < nLayers) {
+              sizes(l) = bb.getInt()
+              // a u32 size >= 2^31 reads back negative: corrupt (a layer
+              // cannot exceed its chunk), and a negative size would walk
+              // the layer offset backwards into already-decoded bytes
+              require(sizes(l) >= 0,
+                s"corrupt LAZ layer size ${sizes(l).toLong & 0xFFFFFFFFL} (layer $l)")
+              l += 1
+            }
             var off = start + recLen + 4 + 4 * nLayers
             val decs = new Array[ArithmeticDecoder](nLayers)
             l = 0
@@ -464,6 +473,11 @@ object LazFormat {
     require(vlr.layered == LasFormat.isExtended(header.pointFormat),
       s"$path: LAZ compressor ${vlr.compressor} does not match " +
         s"point format ${header.pointFormat}")
+    // the decoder derives its item/layer list from the point format — a
+    // VLR declaring a different item set would mis-slice every chunk
+    require(vlr.items == itemsFor(header.pointFormat),
+      s"$path: laszip VLR items ${vlr.items} do not match " +
+        s"point format ${header.pointFormat} (expected ${itemsFor(header.pointFormat)})")
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val fileLen = fs.getFileStatus(p).getLen

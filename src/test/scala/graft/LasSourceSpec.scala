@@ -295,6 +295,26 @@ class LasSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("laszip VLR"))
   }
 
+  test("count() reads no point bytes: exact count survives a corrupt chunk body") {
+    val d = Files.createTempDirectory("laz_count").toString
+    val pts = (0 until 1000).map(k =>
+      LasFormat.LasPoint(k * 0.5, k * 0.25, 1.0, gpsTime = k, scannerChannel = k % 2))
+    graft.sources.las.laz.LazFormat.write(conf, s"$d/f.laz", pts,
+      pointFormat = 6, chunkSize = 300)
+    // zero out compressed bytes inside the first chunk body (past the
+    // 30-byte anchor + count + layer sizes): any decode would now yield
+    // garbage or throw, but a pure count() never touches them
+    val h = LasFormat.readHeader(conf, s"$d/f.laz")
+    val chunk0 = graft.sources.las.laz.LazFormat.readChunks(conf, s"$d/f.laz", h).head
+    val f = java.nio.file.Paths.get(d, "f.laz")
+    val bytes = java.nio.file.Files.readAllBytes(f)
+    val bodyStart = chunk0.fileOffset.toInt + 30 + 4 + 4 * 9
+    java.util.Arrays.fill(bytes, bodyStart + 8, bodyStart + 64, 0xAA.toByte)
+    java.nio.file.Files.write(f, bytes)
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(d, ".f.laz.crc"))
+    assert(spark.read.format("las").load(s"$d/f.laz").count() == 1000L)
+  }
+
   test("point formats 2/3: RGB round-trips; gps offset shifts with format") {
     val d2 = Files.createTempDirectory("las_rgb").toString
     val pts = (0 until 500).map { k =>

@@ -404,6 +404,40 @@ class LazCodecSpec extends AnyFunSuite {
     assert(vchunks.map(_.pointCount) == counts.map(_.toLong))
   }
 
+  test("layered chunk: corrupt (negative-u32) layer size fails loudly") {
+    val pts = coherentCloud14(100, 55)
+    val bytes = LazFormat.encodeChunk(pts, 6)
+    // patch the first layer-size u32 (after the 30-byte anchor + u32
+    // count) to 0x80000000 — reads back negative
+    java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(34, 0x80000000)
+    val d = new LazFormat.ChunkDecoder14(bytes, 0, bytes.length, 6, 100L, allFields)
+    val e = intercept[IllegalArgumentException] { d.next() }
+    assert(e.getMessage.contains("corrupt LAZ layer size"))
+  }
+
+  test("VLR items disagreeing with the point format fail loudly") {
+    val conf = new Configuration()
+    val dir = java.nio.file.Files.createTempDirectory("lazbaditems").toString
+    val pts = (0 until 100).map(k => LasPoint(k * 0.5, k * 0.25, 1.0, gpsTime = k))
+    LazFormat.write(conf, s"$dir/f.laz", pts, pointFormat = 7)
+    // patch the second VLR item's type u16: RGB14 (11) → RGBNIR14 (12);
+    // still a valid v3 item, but not the format-7 layer list
+    val f = java.nio.file.Paths.get(dir, "f.laz")
+    val bytes = java.nio.file.Files.readAllBytes(f)
+    val itemOff = LasFormat.HeaderSize14 + 54 + 34 + 6
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert((bb.getShort(itemOff) & 0xFFFF) == LazFormat.ItemRgb14)
+    bb.putShort(itemOff, LazFormat.ItemRgbNir14.toShort)
+    java.nio.file.Files.write(f, bytes)
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, ".f.laz.crc"))
+    val h = LasFormat.readHeader(conf, s"$dir/f.laz")
+    val e = intercept[IllegalArgumentException] {
+      LazFormat.readChunks(conf, s"$dir/f.laz", h)
+    }
+    assert(e.getMessage.contains("items"))
+  }
+
   test("layered compression: coherent extended cloud beats raw record size") {
     val pts = coherentCloud14(20000, 99)
     val bytes = LazFormat.encodeChunk(pts, 6)
