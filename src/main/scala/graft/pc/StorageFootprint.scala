@@ -14,9 +14,11 @@ import org.apache.spark.sql.types._
   * Raw grid coordinates store `round((v - offset) / scale)` as Int32 and
   * record the transform in `PC:offset` / `PC:scale` field metadata
   * (reference: pc-io/src/las/schema.rs:11-37); resolving back is a pure
-  * projection. The reference divides by the LAZ size; with no LAZ codec
-  * in this environment the denominator is the given input's byte size
-  * (LAS input ≈ the PDAL LAS comparison row of the paper).
+  * projection. The reference divides by the LAZ size; the denominator
+  * here is the given input's byte size, so pointing the CLI at a LAZ
+  * input (readable since the `graft.sources.las.laz` codec) reproduces
+  * the paper's converted/LAZ amplification directly, and a LAS input
+  * gives the PDAL-LAS comparison row instead.
   *
   * Sizes come from the filesystem after each write — one job per config,
   * embarrassingly parallel across configs at any scale.

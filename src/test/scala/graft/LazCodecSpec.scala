@@ -438,6 +438,44 @@ class LazCodecSpec extends AnyFunSuite {
     assert(e.getMessage.contains("items"))
   }
 
+  test("layered wire format: VLR payload and chunk framing at golden offsets") {
+    // round-trip tests can't catch a matching writer+reader framing
+    // error; pin the container layout by hand for a 2-point format-8 file
+    val conf = new Configuration()
+    val dir = java.nio.file.Files.createTempDirectory("lazgolden").toString
+    val pts = Seq(
+      LasPoint(1.0, 2.0, 3.0, gpsTime = 100.0, nir = 7, scannerChannel = 1),
+      LasPoint(1.5, 2.5, 3.5, gpsTime = 100.5, nir = 9, scannerChannel = 1))
+    LazFormat.write(conf, s"$dir/g.laz", pts, pointFormat = 8, chunkSize = 1000)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dir, "g.laz"))
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert((bb.get(104) & 0xFF) == (8 | 0x80)) // compressed bit + format
+    val payload = LasFormat.HeaderSize14 + 54 // laszip VLR payload start
+    assert((bb.getShort(payload) & 0xFFFF) == 3) // compressor: layered
+    assert((bb.getShort(payload + 2) & 0xFFFF) == 0) // coder: arithmetic
+    assert(bb.getInt(payload + 12) == 1000) // chunk size
+    assert((bb.getShort(payload + 32) & 0xFFFF) == 2) // two items
+    assert((bb.getShort(payload + 34) & 0xFFFF) == LazFormat.ItemPoint14)
+    assert((bb.getShort(payload + 36) & 0xFFFF) == 30) // POINT14 size
+    assert((bb.getShort(payload + 38) & 0xFFFF) == 3) // POINT14 version
+    assert((bb.getShort(payload + 40) & 0xFFFF) == LazFormat.ItemRgbNir14)
+    assert((bb.getShort(payload + 42) & 0xFFFF) == 8) // RGBNIR14 size
+    assert((bb.getShort(payload + 44) & 0xFFFF) == 3) // RGBNIR14 version
+    val pointOffset = bb.getInt(96)
+    assert(pointOffset == payload + 46)
+    val tablePtr = bb.getLong(pointOffset)
+    val chunk = pointOffset + 8 // first chunk right after the i64 pointer
+    // anchor record (38 raw bytes, ASPRS layout), then u32 count, then
+    // 11 u32 layer sizes (9 POINT14 layers + rgb + nir), then the blobs
+    assert(bb.getInt(chunk) == 1000) // anchor x = 1.0 / 0.001
+    assert(bb.getDouble(chunk + 22) == 100.0) // anchor gps
+    assert((bb.getShort(chunk + 36) & 0xFFFF) == 7) // anchor nir
+    assert(bb.getInt(chunk + 38) == 2) // chunk point count
+    val sizes = (0 until 11).map(l => bb.getInt(chunk + 42 + 4 * l))
+    assert(sizes.forall(_ >= 0))
+    assert(chunk + 42 + 44 + sizes.sum == tablePtr) // blobs end at the table
+  }
+
   test("layered compression: coherent extended cloud beats raw record size") {
     val pts = coherentCloud14(20000, 99)
     val bytes = LazFormat.encodeChunk(pts, 6)

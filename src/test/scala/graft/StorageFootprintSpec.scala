@@ -29,6 +29,33 @@ class StorageFootprintSpec extends SparkSpec {
     assert(sizes("f64_zstd_importance") > sizes("f64_zstd"))
   }
 
+  test("LAZ input gives the paper's converted/LAZ amplification denominator") {
+    // the reference reports converted size / LAZ size (README.md:48-67);
+    // with the LAZ codec the CLI path measures exactly that: write a LAZ
+    // twin of the cloud, use its byte size as the denominator
+    val dir = Files.createTempDirectory("footprint_laz").toString
+    val pts = points.limit(2000).collect().map { r =>
+      graft.sources.las.LasFormat.LasPoint(
+        r.getDouble(r.fieldIndex("x")), r.getDouble(r.fieldIndex("y")),
+        r.getDouble(r.fieldIndex("z")))
+    }.toSeq
+    val conf = spark.sparkContext.hadoopConfiguration
+    graft.sources.las.laz.LazFormat.write(conf, s"$dir/in.laz", pts)
+    val lazBytes = new org.apache.hadoop.fs.Path(s"$dir/in.laz")
+      .getFileSystem(conf).getFileStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/in.laz")).getLen
+    assert(lazBytes > 0)
+    val cloud = spark.read.format("las").load(s"$dir/in.laz")
+      .select("x", "y", "z")
+    val report = StorageFootprint
+      .run(spark, cloud, s"$dir/out", inputBytes = lazBytes, rowGroupRows = 4096L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // amplification is now relative to the compressed LAZ baseline:
+    // uncompressed f64 must amplify (>1x), i.e. ppm > 1e6
+    assert(report("f64_uncompressed") > 1000000L)
+    assert(report.values.forall(_ > 0))
+  }
+
   test("raw grid coordinates resolve back within half a grid step") {
     val dir = Files.createTempDirectory("rawgrid").toString
     val scale = 0.001
