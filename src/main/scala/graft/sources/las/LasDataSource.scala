@@ -288,7 +288,8 @@ class LasReaderFactory(fieldCodes: Array[Int],
         case 7 =>
           if (ext) ((pt.extFlags >> 7) & 0x01) == 1
           else ((pt.flags >> 7) & 0x01) == 1
-        case 8 => pt.classification.toShort
+        case 8 => // legacy strips the flag bits like the reference's reader
+          if (ext) pt.classification.toShort else (pt.classification & 0x1f).toShort
         case 9 => // i8 "rank" (legacy) vs i16 0.006-degree units (extended)
           if (ext) pt.scanAngle.toShort else pt.scanAngleRank.toByte.toShort
         case 10 => pt.userData.toShort
@@ -299,6 +300,19 @@ class LasReaderFactory(fieldCodes: Array[Int],
         case 15 => pt.blue
         case 16 => ((pt.extFlags >> 4) & 0x03).toShort
         case 17 => pt.nir
+        case 18 =>
+          if (ext) (pt.extFlags & 0x01) == 1
+          else ((pt.classification >> 5) & 0x01) == 1
+        case 19 =>
+          if (ext) ((pt.extFlags >> 1) & 0x01) == 1
+          else ((pt.classification >> 6) & 0x01) == 1
+        case 20 =>
+          if (ext) ((pt.extFlags >> 2) & 0x01) == 1
+          else ((pt.classification >> 7) & 0x01) == 1
+        case 21 => ext && ((pt.extFlags >> 3) & 0x01) == 1
+        case 22 => // degrees as f32
+          if (ext) pt.scanAngle * 0.006f
+          else pt.scanAngleRank.toByte.toFloat
       }
       i += 1
     }

@@ -128,8 +128,19 @@ object LasFormat {
       StructField("number_of_returns", ShortType, nullable = false),
       StructField("scan_direction", ShortType, nullable = false),
       StructField("is_edge_of_flight_line", BooleanType, nullable = false),
+      // classification flags, uniform across formats like the reference
+      // (legacy: classification-byte bits 5-7, no overlap flag; extended:
+      // the flags nibble) — schema_from_header exposes the same four
+      StructField("is_synthetic", BooleanType, nullable = false),
+      StructField("is_key_point", BooleanType, nullable = false),
+      StructField("is_withheld", BooleanType, nullable = false),
+      StructField("is_overlap", BooleanType, nullable = false),
       StructField("classification", ShortType, nullable = false),
       StructField("scan_angle_rank", ShortType, nullable = false),
+      // reference exposes degrees as f32 (las crate semantics: legacy
+      // rank is whole degrees, extended units are 0.006 deg); the raw
+      // scan_angle_rank column above is kept as the lossless twin
+      StructField("scan_angle", FloatType, nullable = false),
       StructField("user_data", ShortType, nullable = false),
       StructField("point_source_id", IntegerType, nullable = false))
     val withChannel =
@@ -190,7 +201,8 @@ object LasFormat {
     "x", "y", "z", "intensity", "return_number", "number_of_returns",
     "scan_direction", "is_edge_of_flight_line", "classification",
     "scan_angle_rank", "user_data", "point_source_id", "gps_time",
-    "red", "green", "blue", "scanner_channel", "nir")
+    "red", "green", "blue", "scanner_channel", "nir",
+    "is_synthetic", "is_key_point", "is_withheld", "is_overlap", "scan_angle")
 
   def fieldCode(name: String): Int = {
     val c = FieldNames.indexOf(name)
@@ -225,9 +237,9 @@ object LasFormat {
         case 7 =>
           if (ext) ((bb.get(recordStart + 15) >> 7) & 0x01) == 1
           else ((bb.get(recordStart + 14) >> 7) & 0x01) == 1
-        case 8 =>
+        case 8 => // legacy strips the flag bits like the reference's reader
           if (ext) (bb.get(recordStart + 16) & 0xff).toShort
-          else (bb.get(recordStart + 15) & 0xff).toShort
+          else (bb.get(recordStart + 15) & 0x1f).toShort
         case 9 => // i8 "rank" (legacy) vs i16 0.006-degree units (extended)
           if (ext) bb.getShort(recordStart + 18)
           else bb.get(recordStart + 16).toShort
@@ -242,19 +254,45 @@ object LasFormat {
         case 15 => bb.getShort(rgbBase + 4) & 0xffff
         case 16 => ((bb.get(recordStart + 15) >> 4) & 0x03).toShort
         case 17 => bb.getShort(rgbBase + 6) & 0xffff
+        case 18 => // is_synthetic: flags nibble (ext) / classification bit 5
+          if (ext) (bb.get(recordStart + 15) & 0x01) == 1
+          else ((bb.get(recordStart + 15) >> 5) & 0x01) == 1
+        case 19 => // is_key_point
+          if (ext) ((bb.get(recordStart + 15) >> 1) & 0x01) == 1
+          else ((bb.get(recordStart + 15) >> 6) & 0x01) == 1
+        case 20 => // is_withheld
+          if (ext) ((bb.get(recordStart + 15) >> 2) & 0x01) == 1
+          else ((bb.get(recordStart + 15) >> 7) & 0x01) == 1
+        case 21 => // is_overlap: extended-only flag, false on legacy
+          if (ext) ((bb.get(recordStart + 15) >> 3) & 0x01) == 1
+          else false
+        case 22 => // degrees as f32: legacy rank = whole degrees, ext 0.006°
+          if (ext) bb.getShort(recordStart + 18) * 0.006f
+          else bb.get(recordStart + 16).toFloat
       }
       i += 1
     }
   }
 
-  /** One LAS point for the fixture writer. */
+  /** One LAS point for the fixture writer. `overlap` only exists in the
+    * extended (1.4) records; the legacy writer ignores it. */
   final case class LasPoint(
       x: Double, y: Double, z: Double,
       intensity: Int = 0, returnNumber: Int = 1, numberOfReturns: Int = 1,
       scanDirection: Int = 0, edge: Boolean = false, classification: Int = 0,
       scanAngleRank: Int = 0, userData: Int = 0, pointSourceId: Int = 0,
       gpsTime: Double = 0.0, red: Int = 0, green: Int = 0, blue: Int = 0,
-      scannerChannel: Int = 0, nir: Int = 0)
+      scannerChannel: Int = 0, nir: Int = 0,
+      synthetic: Boolean = false, keyPoint: Boolean = false,
+      withheld: Boolean = false, overlap: Boolean = false) {
+    /** The extended flags nibble (byte 15 bits 0-3). */
+    def flagsNibble: Int = (if (synthetic) 1 else 0) | (if (keyPoint) 2 else 0) |
+      (if (withheld) 4 else 0) | (if (overlap) 8 else 0)
+    /** The legacy classification byte: 5-bit class + 3 flag bits. */
+    def legacyClassByte: Int = (classification & 0x1f) |
+      (if (synthetic) 0x20 else 0) | (if (keyPoint) 0x40 else 0) |
+      (if (withheld) 0x80 else 0)
+  }
 
   /** Point record length by format. */
   def recordLengthFor(pointFormat: Int): Int = pointFormat match {
@@ -309,7 +347,7 @@ object LasFormat {
         rec.putShort((pt.intensity & 0xffff).toShort)
         if (ext) {
           rec.put(((pt.returnNumber & 0x0f) | ((pt.numberOfReturns & 0x0f) << 4)).toByte)
-          rec.put((((pt.scannerChannel & 0x03) << 4) |
+          rec.put((pt.flagsNibble | ((pt.scannerChannel & 0x03) << 4) |
             ((pt.scanDirection & 0x01) << 6) | ((if (pt.edge) 1 else 0) << 7)).toByte)
           rec.put((pt.classification & 0xff).toByte)
           rec.put((pt.userData & 0xff).toByte)
@@ -320,7 +358,7 @@ object LasFormat {
           val flags = (pt.returnNumber & 0x07) | ((pt.numberOfReturns & 0x07) << 3) |
             ((pt.scanDirection & 0x01) << 6) | ((if (pt.edge) 1 else 0) << 7)
           rec.put(flags.toByte)
-          rec.put((pt.classification & 0xff).toByte)
+          rec.put(pt.legacyClassByte.toByte)
           rec.put(pt.scanAngleRank.toByte)
           rec.put((pt.userData & 0xff).toByte)
           rec.putShort((pt.pointSourceId & 0xffff).toShort)

@@ -291,11 +291,12 @@ object LazFormat {
       case XY => true // carries contexts, returns and channel — always on
       case Z => wantedFieldCodes.contains(2)
       case Cls => wantedFieldCodes.contains(8)
-      // scan_angle needs the scan-direction bit for its corrector context
+      // serves scan direction/edge (6/7), the classification-flags
+      // booleans (18-21), and the scan-angle corrector's direction context
       case Flags =>
-        wantedFieldCodes.exists(c => c == 6 || c == 7 || c == 9)
+        wantedFieldCodes.exists(c => c == 6 || c == 7 || c == 9 || (c >= 18 && c <= 22))
       case Intens => wantedFieldCodes.contains(3)
-      case ScanAngle => wantedFieldCodes.contains(9)
+      case ScanAngle => wantedFieldCodes.exists(c => c == 9 || c == 22)
       case UserData => wantedFieldCodes.contains(10)
       case PointSource => wantedFieldCodes.contains(11)
       case Gps => wantedFieldCodes.contains(12)
@@ -587,7 +588,11 @@ object LazFormat {
       lp.intensity = pt.intensity & 0xFFFF
       lp.flags = (pt.returnNumber & 0x07) | ((pt.numberOfReturns & 0x07) << 3) |
         ((pt.scanDirection & 0x01) << 6) | ((if (pt.edge) 1 else 0) << 7)
-      lp.classification = pt.classification & 0xFF
+      // legacy packs the 3 flag bits into the classification byte;
+      // extended keeps the full u8 class and a separate flags nibble
+      lp.classification =
+        if (LasFormat.isExtended(pointFormat)) pt.classification & 0xFF
+        else pt.legacyClassByte
       lp.scanAngleRank = pt.scanAngleRank & 0xFF
       lp.userData = pt.userData & 0xFF
       lp.pointSourceId = pt.pointSourceId & 0xFFFF
@@ -596,7 +601,7 @@ object LazFormat {
       // extended (1.4) fields: scanAngleRank doubles as the i16 extended
       // scan angle, exactly like LasFormat.write's format 6-8 path
       lp.returns = (pt.returnNumber & 0x0F) | ((pt.numberOfReturns & 0x0F) << 4)
-      lp.extFlags = ((pt.scannerChannel & 0x03) << 4) |
+      lp.extFlags = pt.flagsNibble | ((pt.scannerChannel & 0x03) << 4) |
         ((pt.scanDirection & 0x01) << 6) | ((if (pt.edge) 1 else 0) << 7)
       lp.scanAngle = pt.scanAngleRank.toShort.toInt
       lp.nir = pt.nir & 0xFFFF

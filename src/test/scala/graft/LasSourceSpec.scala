@@ -295,6 +295,47 @@ class LasSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("laszip VLR"))
   }
 
+  test("classification flags + degree scan_angle columns (reference schema parity)") {
+    // the reference exposes is_synthetic/is_key_point/is_withheld/
+    // is_overlap and a f32 scan_angle in degrees (pc-io/src/las/
+    // schema.rs:61-71); legacy packs 3 flags into the classification
+    // byte (no overlap), extended carries a flags nibble + 0.006° units
+    val d = Files.createTempDirectory("las_flags").toString
+    val pts = (0 until 400).map { k =>
+      LasFormat.LasPoint(k * 0.5, k * 0.25, 1.0, gpsTime = k,
+        classification = k % 32, scanAngleRank = (k % 61) - 30,
+        synthetic = k % 2 == 0, keyPoint = k % 3 == 0, withheld = k % 5 == 0,
+        overlap = k % 7 == 0, scannerChannel = k % 4)
+    }
+    // legacy (format 1): LAS and LAZ agree; overlap is always false
+    LasFormat.write(conf, s"$d/legacy/f.las", pts, pointFormat = 1)
+    graft.sources.las.laz.LazFormat.write(conf, s"$d/legacyz/f.laz", pts,
+      pointFormat = 1, chunkSize = 128)
+    // extended (format 6): the nibble carries all four flags
+    LasFormat.write(conf, s"$d/ext/f.las", pts, pointFormat = 6)
+    graft.sources.las.laz.LazFormat.write(conf, s"$d/extz/f.laz", pts,
+      pointFormat = 6, chunkSize = 128)
+    for ((dir, ext) <- Seq(s"$d/legacy" -> false, s"$d/legacyz" -> false,
+        s"$d/ext" -> true, s"$d/extz" -> true)) {
+      val rows = spark.read.format("las").load(dir)
+        .select("gps_time", "classification", "is_synthetic", "is_key_point",
+          "is_withheld", "is_overlap", "scan_angle_rank", "scan_angle")
+        .orderBy("gps_time").collect()
+      assert(rows.length == 400, dir)
+      rows.zipWithIndex.foreach { case (r, k) =>
+        assert(r.getShort(1) == (k % 32).toShort, s"$dir class at $k")
+        assert(r.getBoolean(2) == (k % 2 == 0), s"$dir synthetic at $k")
+        assert(r.getBoolean(3) == (k % 3 == 0), s"$dir keypoint at $k")
+        assert(r.getBoolean(4) == (k % 5 == 0), s"$dir withheld at $k")
+        assert(r.getBoolean(5) == (ext && k % 7 == 0), s"$dir overlap at $k")
+        val rank = (k % 61) - 30
+        assert(r.getShort(6) == rank.toShort, s"$dir rank at $k")
+        val deg = if (ext) rank * 0.006f else rank.toFloat
+        assert(r.getFloat(7) == deg, s"$dir degrees at $k")
+      }
+    }
+  }
+
   test("count() reads no point bytes: exact count survives a corrupt chunk body") {
     val d = Files.createTempDirectory("laz_count").toString
     val pts = (0 until 1000).map(k =>
