@@ -94,10 +94,12 @@ class LasDataSource extends TableProvider with DataSourceRegister {
     val files = filesFor(options)
     require(files.nonEmpty, "las source: no input files")
     val conf = LasHadoopConf.sessionConf()
-    val fmts = files.map(f => LasFormat.readHeader(conf, f).pointFormat)
-    // widest schema every input format can serve (gps/rgb only when all
-    // files carry them)
-    LasFormat.commonSchema(fmts)
+    val headers = files.map(f => LasFormat.readHeader(conf, f))
+    // widest schema every input format can serve (gps/rgb/extra_bytes
+    // only when all files carry them)
+    LasFormat.commonSchema(
+      headers.map(_.pointFormat),
+      headers.map(h => h.recordLength - LasFormat.recordLengthFor(h.pointFormat)))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -186,9 +188,10 @@ final case class LasInputPartition(
 
 /** A run of consecutive LAZ chunks (contiguous in the file — one read,
   * decoded chunk-by-chunk; chunks are the format's independent decode
-  * units, mirroring the reference's chunk-table partitioning). */
+  * units, mirroring the reference's chunk-table partitioning).
+  * `extraCount` is the record's extra-bytes tail length. */
 final case class LazInputPartition(
-    path: String, pointFormat: Int,
+    path: String, pointFormat: Int, extraCount: Int,
     firstChunkOffset: Long, chunkBytes: Array[Long], chunkPoints: Array[Long],
     sx: Double, sy: Double, sz: Double,
     ox: Double, oy: Double, oz: Double) extends InputPartition
@@ -234,6 +237,7 @@ class LasScan(fullSchema: StructType, required: StructType,
         if (cur.nonEmpty) groups += cur
         groups.map { g =>
           LazInputPartition(f, h.pointFormat,
+            h.recordLength - LasFormat.recordLengthFor(h.pointFormat),
             g.head.fileOffset, g.map(_.byteLen).toArray, g.map(_.pointCount).toArray,
             h.scale._1, h.scale._2, h.scale._3,
             h.offset._1, h.offset._2, h.offset._3): InputPartition
@@ -313,6 +317,7 @@ class LasReaderFactory(fieldCodes: Array[Int],
         case 22 => // degrees as f32
           if (ext) pt.scanAngle * 0.006f
           else pt.scanAngleRank.toByte.toFloat
+        case 23 => pt.extra // decoders hand out a fresh array per point
       }
       i += 1
     }
@@ -349,11 +354,11 @@ class LasReaderFactory(fieldCodes: Array[Int],
               // layered framing: only the projected layers decode
               new LazFormat.ChunkDecoder14(bytes, chunkStart,
                 chunkStart + p.chunkBytes(chunk).toInt, p.pointFormat,
-                p.chunkPoints(chunk), fieldCodes)
+                p.chunkPoints(chunk), fieldCodes, p.extraCount)
             else
               new LazFormat.ChunkDecoder(bytes, chunkStart,
                 chunkStart + p.chunkBytes(chunk).toInt, p.pointFormat,
-                p.chunkPoints(chunk))
+                p.chunkPoints(chunk), p.extraCount)
         }
         true
       }

@@ -103,9 +103,12 @@ object LasFormat {
       val count =
         if (buf.length >= HeaderSize14 && bb.getLong(247) > 0) bb.getLong(247)
         else legacyCount
+      val recLen = bb.getShort(105) & 0xffff
+      require(recLen >= recordLengthFor(fmt),
+        s"$path: record length $recLen below format $fmt's ${recordLengthFor(fmt)}")
       LasHeader(
         pointFormat = fmt,
-        recordLength = bb.getShort(105) & 0xffff,
+        recordLength = recLen,
         pointCount = count,
         pointOffset = pointOffset,
         scale = (bb.getDouble(131), bb.getDouble(139), bb.getDouble(147)),
@@ -117,8 +120,11 @@ object LasFormat {
   }
 
   /** Resolved-coordinate schema for a point format (reference:
-    * pc-io/src/las/schema.rs:38-84, with Spark unsigned widening). */
-  def schemaFor(pointFormat: Int): StructType = {
+    * pc-io/src/las/schema.rs:38-84, with Spark unsigned widening).
+    * `extraBytes > 0` (record length beyond the standard format length)
+    * appends an opaque `extra_bytes` binary column — user-defined
+    * per-point attributes, common in production tiles. */
+  def schemaFor(pointFormat: Int, extraBytes: Int = 0): StructType = {
     val base = Seq(
       PcSchema.dimensionField("x", DoubleType, 1, location = true),
       PcSchema.dimensionField("y", DoubleType, 2, location = true),
@@ -159,7 +165,11 @@ object LasFormat {
     val withNir =
       if (hasNir(pointFormat)) withRgb :+ StructField("nir", IntegerType, nullable = false)
       else withRgb
-    StructType(withNir)
+    val withExtra =
+      if (extraBytes > 0)
+        withNir :+ StructField("extra_bytes", BinaryType, nullable = false)
+      else withNir
+    StructType(withExtra)
   }
 
   /** LAS 1.4 extended records (4-bit returns, scanner channel, i16 scan
@@ -173,10 +183,13 @@ object LasFormat {
 
   /** Widest schema every input format can serve (generalizes the old
     * "lowest format wins" rule, which relied on format 0 being a prefix
-    * of format 1 — not true once RGB formats join the mix). */
-  def commonSchema(formats: Seq[Int]): StructType = {
+    * of format 1 — not true once RGB formats join the mix). The
+    * `extra_bytes` column appears only when EVERY file carries extra
+    * bytes (payload lengths may differ per file — it's binary). */
+  def commonSchema(formats: Seq[Int], extras: Seq[Int] = Nil): StructType = {
     require(formats.nonEmpty)
-    if (formats.forall(_ == formats.head)) schemaFor(formats.head)
+    val extra = if (extras.nonEmpty && extras.forall(_ > 0)) 1 else 0
+    if (formats.forall(_ == formats.head)) schemaFor(formats.head, extra)
     else {
       // the representative format providing exactly the shared features;
       // nir-only mixes can't arise (nir => format 8, caught by all-equal)
@@ -190,7 +203,7 @@ object LasFormat {
         case (false, true, false) => 1
         case (false, false, true) => 2
         case (false, false, false) => 0
-      })
+      }, extra)
     }
   }
 
@@ -202,7 +215,8 @@ object LasFormat {
     "scan_direction", "is_edge_of_flight_line", "classification",
     "scan_angle_rank", "user_data", "point_source_id", "gps_time",
     "red", "green", "blue", "scanner_channel", "nir",
-    "is_synthetic", "is_key_point", "is_withheld", "is_overlap", "scan_angle")
+    "is_synthetic", "is_key_point", "is_withheld", "is_overlap", "scan_angle",
+    "extra_bytes")
 
   def fieldCode(name: String): Int = {
     val c = FieldNames.indexOf(name)
@@ -269,6 +283,14 @@ object LasFormat {
         case 22 => // degrees as f32: legacy rank = whole degrees, ext 0.006°
           if (ext) bb.getShort(recordStart + 18) * 0.006f
           else bb.get(recordStart + 16).toFloat
+        case 23 => // opaque extra-bytes tail of the record
+          val out23 = new Array[Byte](h.recordLength - recordLengthFor(h.pointFormat))
+          var j = 0
+          while (j < out23.length) {
+            out23(j) = bb.get(recordStart + recordLengthFor(h.pointFormat) + j)
+            j += 1
+          }
+          out23
       }
       i += 1
     }
@@ -284,7 +306,8 @@ object LasFormat {
       gpsTime: Double = 0.0, red: Int = 0, green: Int = 0, blue: Int = 0,
       scannerChannel: Int = 0, nir: Int = 0,
       synthetic: Boolean = false, keyPoint: Boolean = false,
-      withheld: Boolean = false, overlap: Boolean = false) {
+      withheld: Boolean = false, overlap: Boolean = false,
+      extra: Array[Byte] = Array.emptyByteArray) {
     /** The extended flags nibble (byte 15 bits 0-3). */
     def flagsNibble: Int = (if (synthetic) 1 else 0) | (if (keyPoint) 2 else 0) |
       (if (withheld) 4 else 0) | (if (overlap) 8 else 0)
@@ -306,9 +329,12 @@ object LasFormat {
   def write(conf: Configuration, path: String, points: Seq[LasPoint],
       pointFormat: Int = 1,
       scale: (Double, Double, Double) = (0.001, 0.001, 0.001),
-      offset: (Double, Double, Double) = (0.0, 0.0, 0.0)): Unit = {
+      offset: (Double, Double, Double) = (0.0, 0.0, 0.0),
+      extraBytes: Int = 0): Unit = {
+    require(points.forall(_.extra.length == extraBytes),
+      s"every point's extra payload must be exactly $extraBytes bytes")
     val ext = isExtended(pointFormat)
-    val recLen = recordLengthFor(pointFormat)
+    val recLen = recordLengthFor(pointFormat) + extraBytes
     val hdrLen = if (ext) HeaderSize14 else HeaderSize
     val p = new Path(path)
     val out: OutputStream = p.getFileSystem(conf).create(p, true)
@@ -370,6 +396,7 @@ object LasFormat {
           rec.putShort((pt.blue & 0xffff).toShort)
         }
         if (hasNir(pointFormat)) rec.putShort((pt.nir & 0xffff).toShort)
+        if (extraBytes > 0) rec.put(pt.extra)
         out.write(rec.array(), 0, recLen)
       }
     } finally out.close()

@@ -42,14 +42,17 @@ object LazFormat {
   val CompressorLayered = 3
   val DefaultChunkSize = 50000
 
+  val ItemByte = 0
   val ItemPoint10 = 6
   val ItemGpstime11 = 7
   val ItemRgb12 = 8
   val ItemPoint14 = 10
   val ItemRgb14 = 11
   val ItemRgbNir14 = 12
+  val ItemByte14 = 14
 
-  /** type → (size, version) for the items this codec speaks. */
+  /** type → (size, version) for the fixed-size items; the BYTE/BYTE14
+    * extra-bytes items have caller-defined sizes (versions 2/3). */
   private val ItemSpec = Map(
     ItemPoint10 -> (20, 2),
     ItemGpstime11 -> (8, 2),
@@ -57,23 +60,33 @@ object LazFormat {
     ItemPoint14 -> (30, 3),
     ItemRgb14 -> (6, 3),
     ItemRgbNir14 -> (8, 3))
-  private val LayeredItems = Set(ItemPoint14, ItemRgb14, ItemRgbNir14)
+  private def itemVersion(t: Int): Option[Int] = t match {
+    case ItemByte => Some(2)
+    case ItemByte14 => Some(3)
+    case other => ItemSpec.get(other).map(_._2)
+  }
+  private val LayeredItems = Set(ItemPoint14, ItemRgb14, ItemRgbNir14, ItemByte14)
 
   /** Sentinel chunk size (0xFFFFFFFF in the VLR) marking variable-size
     * chunking: per-chunk point counts live in the chunk table. */
   val VariableChunkSize: Int = -1
 
-  final case class LazVlr(compressor: Int, chunkSize: Int, items: Seq[Int]) {
+  final case class LazVlr(compressor: Int, chunkSize: Int, items: Seq[Int],
+      extraBytes: Int = 0) {
     require(compressor == CompressorChunked || compressor == CompressorLayered,
       s"unsupported LAZ compressor $compressor (pointwise-chunked=2 or layered=3)")
-    require(items.forall(ItemSpec.contains),
+    require(items.forall(itemVersion(_).isDefined),
       s"unsupported LAZ items $items " +
-        "(only POINT10/GPSTIME11/RGB12 v2 and POINT14/RGB14/RGBNIR14 v3)")
+        "(only POINT10/GPSTIME11/RGB12/BYTE v2 and POINT14/RGB14/RGBNIR14/BYTE14 v3)")
     // the compressor id and the item generation must agree: layered
     // framing (anchor + layer sizes + layer blobs) only exists for the
     // v3 items, pointwise framing only for the v2 items
     require(items.forall(i => LayeredItems(i) == (compressor == CompressorLayered)),
       s"LAZ compressor $compressor does not match items $items")
+    require(items.count(i => i == ItemByte || i == ItemByte14) <= 1,
+      s"multiple extra-bytes items in $items")
+    require((extraBytes > 0) == items.exists(i => i == ItemByte || i == ItemByte14),
+      s"extra-bytes item size $extraBytes inconsistent with items $items")
     // 0xFFFFFFFF reads back as -1: variable-size chunking, point counts
     // in the chunk table. Anything else non-positive is a corrupt VLR
     // and must fail loudly here, not decode garbage via a nonsense
@@ -85,19 +98,21 @@ object LazFormat {
     def layered: Boolean = compressor == CompressorLayered
   }
 
-  def itemsFor(pointFormat: Int): Seq[Int] =
-    if (LasFormat.isExtended(pointFormat))
+  def itemsFor(pointFormat: Int, extraBytes: Int = 0): Seq[Int] =
+    (if (LasFormat.isExtended(pointFormat))
       Seq(ItemPoint14) ++
         (if (LasFormat.hasNir(pointFormat)) Seq(ItemRgbNir14)
          else if (LasFormat.hasRgb(pointFormat)) Seq(ItemRgb14)
-         else Nil)
+         else Nil) ++
+        (if (extraBytes > 0) Seq(ItemByte14) else Nil)
     else
       Seq(ItemPoint10) ++
         (if (LasFormat.hasGps(pointFormat)) Seq(ItemGpstime11) else Nil) ++
-        (if (LasFormat.hasRgb(pointFormat)) Seq(ItemRgb12) else Nil)
+        (if (LasFormat.hasRgb(pointFormat)) Seq(ItemRgb12) else Nil) ++
+        (if (extraBytes > 0) Seq(ItemByte) else Nil))
 
-  def vlrPayload(pointFormat: Int, chunkSize: Int): Array[Byte] = {
-    val items = itemsFor(pointFormat)
+  def vlrPayload(pointFormat: Int, chunkSize: Int, extraBytes: Int = 0): Array[Byte] = {
+    val items = itemsFor(pointFormat, extraBytes)
     val compressor =
       if (LasFormat.isExtended(pointFormat)) CompressorLayered else CompressorChunked
     val bb = ByteBuffer.allocate(34 + 6 * items.size).order(ByteOrder.LITTLE_ENDIAN)
@@ -112,7 +127,8 @@ object LazFormat {
     bb.putLong(-1L) // offset to special evlrs
     bb.putShort(items.size.toShort)
     items.foreach { t =>
-      val (size, version) = ItemSpec(t)
+      val size = if (t == ItemByte || t == ItemByte14) extraBytes else ItemSpec(t)._1
+      val version = itemVersion(t).get
       bb.putShort(t.toShort); bb.putShort(size.toShort); bb.putShort(version.toShort)
     }
     bb.array()
@@ -125,15 +141,18 @@ object LazFormat {
     require(coder == 0, s"unsupported LAZ coder $coder (only arithmetic=0)")
     val chunkSize = bb.getInt(12)
     val numItems = bb.getShort(32) & 0xFFFF
+    var extraBytes = 0
     val items = (0 until numItems).map { i =>
       val t = bb.getShort(34 + 6 * i) & 0xFFFF
+      val size = bb.getShort(34 + 6 * i + 2) & 0xFFFF
       val version = bb.getShort(34 + 6 * i + 4) & 0xFFFF
-      require(!ItemSpec.contains(t) || version == ItemSpec(t)._2,
+      require(itemVersion(t).forall(_ == version),
         s"unsupported LAZ item version $version for item $t " +
-          s"(expected v${ItemSpec.get(t).map(_._2).getOrElse(0)})")
+          s"(expected v${itemVersion(t).getOrElse(0)})")
+      if (t == ItemByte || t == ItemByte14) extraBytes = size
       t
     }
-    LazVlr(compressor, chunkSize, items)
+    LazVlr(compressor, chunkSize, items, extraBytes)
   }
 
   // ---- raw (first-point) record codec --------------------------------
@@ -161,9 +180,10 @@ object LazFormat {
       bb.putShort(p.red.toShort); bb.putShort(p.green.toShort); bb.putShort(p.blue.toShort)
     }
     if (LasFormat.hasNir(fmt)) bb.putShort(p.nir.toShort)
+    if (p.extra.nonEmpty) bb.put(p.extra)
   }
 
-  private def readRaw(bb: ByteBuffer, p: LazPoint, fmt: Int): Unit = {
+  private def readRaw(bb: ByteBuffer, p: LazPoint, fmt: Int, extraCount: Int): Unit = {
     p.x = bb.getInt(); p.y = bb.getInt(); p.z = bb.getInt()
     p.intensity = bb.getShort() & 0xFFFF
     if (LasFormat.isExtended(fmt)) {
@@ -188,6 +208,11 @@ object LazFormat {
       p.blue = bb.getShort() & 0xFFFF
     }
     if (LasFormat.hasNir(fmt)) p.nir = bb.getShort() & 0xFFFF
+    if (extraCount > 0) {
+      val e = new Array[Byte](extraCount)
+      bb.get(e)
+      p.extra = e
+    } else p.extra = Array.emptyByteArray
   }
 
   def recordLength(fmt: Int): Int = LasFormat.recordLengthFor(fmt)
@@ -198,12 +223,15 @@ object LazFormat {
     * pointwise framing for formats 0-3, layered for 6-8). */
   def encodeChunk(pts: IndexedSeq[LazPoint], fmt: Int): Array[Byte] = {
     require(pts.nonEmpty)
+    require(pts.forall(_.extra.length == pts.head.extra.length),
+      "all points in a chunk must carry the same extra-bytes length")
     if (LasFormat.isExtended(fmt)) encodeChunkLayered(pts, fmt)
     else encodeChunkPointwise(pts, fmt)
   }
 
   private def encodeChunkPointwise(pts: IndexedSeq[LazPoint], fmt: Int): Array[Byte] = {
-    val recLen = recordLength(fmt)
+    val extraCount = pts.head.extra.length
+    val recLen = recordLength(fmt) + extraCount
     val raw = ByteBuffer.allocate(recLen).order(ByteOrder.LITTLE_ENDIAN)
     writeRaw(raw, pts.head, fmt)
     if (pts.size == 1) raw.array()
@@ -213,12 +241,14 @@ object LazFormat {
       val p10 = new Point10V2(enc, null, pts.head)
       val gps = if (LasFormat.hasGps(fmt)) new GpsTime11V2(enc, null, pts.head) else null
       val rgb = if (LasFormat.hasRgb(fmt)) new Rgb12V2(enc, null, pts.head) else null
+      val ext = if (extraCount > 0) new Byte2V2(enc, null, pts.head) else null
       var i = 1
       while (i < pts.size) {
         val p = pts(i)
         p10.encode(p)
         if (gps != null) gps.encode(p.gpsTime)
         if (rgb != null) rgb.encode(p.red, p.green, p.blue)
+        if (ext != null) ext.encode(p.extra)
         i += 1
       }
       raw.array() ++ enc.done()
@@ -229,8 +259,10 @@ object LazFormat {
     * layer, then the layer blobs — each layer an independent arithmetic
     * stream (see [[LazItems14]]). */
   private def encodeChunkLayered(pts: IndexedSeq[LazPoint], fmt: Int): Array[Byte] = {
-    val recLen = recordLength(fmt)
-    val nLayers = LazLayers.numLayers(fmt)
+    val extraCount = pts.head.extra.length
+    val recLen = recordLength(fmt) + extraCount
+    val extraBase = LazLayers.numLayers(fmt)
+    val nLayers = extraBase + extraCount // one layer per extra byte
     val blobs: Array[Array[Byte]] =
       if (pts.size == 1) Array.fill(nLayers)(Array.emptyByteArray)
       else {
@@ -242,12 +274,17 @@ object LazFormat {
         val nir =
           if (LasFormat.hasNir(fmt)) new Nir14V3(encs(LazLayers.Nir), null, pts.head)
           else null
+        val ext =
+          if (extraCount > 0)
+            new Byte14V3(encs.slice(extraBase, nLayers), null, pts.head)
+          else null
         var i = 1
         while (i < pts.size) {
           val p = pts(i)
           p14.encode(p)
           if (rgb != null) rgb.encode(p14.context, p.red, p.green, p.blue)
           if (nir != null) nir.encode(p14.context, p.nir)
+          if (ext != null) ext.encode(p14.context, p.extra)
           i += 1
         }
         encs.map(_.done())
@@ -275,43 +312,49 @@ object LazFormat {
     * (their bytes are never touched), the point of the layered framing.
     * Fields outside the wanted set hold garbage in [[point]]. */
   final class ChunkDecoder14(buf: Array[Byte], start: Int, end: Int, fmt: Int,
-      count: Long, wantedFieldCodes: Array[Int]) extends ChunkReader {
+      count: Long, wantedFieldCodes: Array[Int], extraCount: Int = 0)
+      extends ChunkReader {
     import LazLayers._
     val point = new LazPoint
     private var i = 0L
     private var p14: Point14V3 = null
     private var rgb: Rgb14V3 = null
     private var nir: Nir14V3 = null
+    private var ext: Byte14V3 = null
 
     private val wantRgb = LasFormat.hasRgb(fmt) &&
       wantedFieldCodes.exists(c => c >= 13 && c <= 15)
     private val wantNir = LasFormat.hasNir(fmt) && wantedFieldCodes.contains(17)
+    private val wantExtra = extraCount > 0 && wantedFieldCodes.contains(23)
+    private val extraBase = numLayers(fmt)
 
-    private def layerWanted(l: Int): Boolean = l match {
-      case XY => true // carries contexts, returns and channel — always on
-      case Z => wantedFieldCodes.contains(2)
-      case Cls => wantedFieldCodes.contains(8)
-      // serves scan direction/edge (6/7), the classification-flags
-      // booleans (18-21), and the scan-angle corrector's direction context
-      case Flags =>
-        wantedFieldCodes.exists(c => c == 6 || c == 7 || c == 9 || (c >= 18 && c <= 22))
-      case Intens => wantedFieldCodes.contains(3)
-      case ScanAngle => wantedFieldCodes.exists(c => c == 9 || c == 22)
-      case UserData => wantedFieldCodes.contains(10)
-      case PointSource => wantedFieldCodes.contains(11)
-      case Gps => wantedFieldCodes.contains(12)
-      case Rgb => wantRgb
-      case Nir => wantNir
-    }
+    private def layerWanted(l: Int): Boolean =
+      if (l >= extraBase) wantExtra // one layer per extra byte
+      else l match {
+        case XY => true // carries contexts, returns and channel — always on
+        case Z => wantedFieldCodes.contains(2)
+        case Cls => wantedFieldCodes.contains(8)
+        // serves scan direction/edge (6/7), the classification-flags
+        // booleans (18-21), and the scan-angle corrector's direction context
+        case Flags =>
+          wantedFieldCodes.exists(c => c == 6 || c == 7 || c == 9 || (c >= 18 && c <= 22))
+        case Intens => wantedFieldCodes.contains(3)
+        case ScanAngle => wantedFieldCodes.exists(c => c == 9 || c == 22)
+        case UserData => wantedFieldCodes.contains(10)
+        case PointSource => wantedFieldCodes.contains(11)
+        case Gps => wantedFieldCodes.contains(12)
+        case Rgb => wantRgb
+        case Nir => wantNir
+      }
 
     def next(): Boolean = {
       if (i >= count) false
       else {
         if (i == 0) {
-          val recLen = recordLength(fmt)
-          val nLayers = numLayers(fmt)
+          val recLen = recordLength(fmt) + extraCount
+          val nLayers = extraBase + extraCount
           val bb = ByteBuffer.wrap(buf, start, end - start).order(ByteOrder.LITTLE_ENDIAN)
-          readRaw(bb, point, fmt)
+          readRaw(bb, point, fmt, extraCount)
           val stored = bb.getInt().toLong & 0xFFFFFFFFL
           require(stored == count,
             s"LAZ layered chunk declares $stored points, chunk table says $count")
@@ -341,15 +384,18 @@ object LazFormat {
               l += 1
             }
             p14 = new Point14V3(null, decs.take(NumPoint14), point)
-            if (decs.length > Rgb && decs(Rgb) != null)
+            if (LasFormat.hasRgb(fmt) && decs(Rgb) != null)
               rgb = new Rgb14V3(null, decs(Rgb), point)
-            if (decs.length > Nir && decs(Nir) != null)
+            if (LasFormat.hasNir(fmt) && decs(Nir) != null)
               nir = new Nir14V3(null, decs(Nir), point)
+            if (wantExtra)
+              ext = new Byte14V3(null, decs.slice(extraBase, nLayers), point)
           }
         } else {
           p14.decode(point)
           if (rgb != null) rgb.decode(p14.context, point)
           if (nir != null) point.nir = nir.decode(p14.context)
+          if (ext != null) point.extra = ext.decode(p14.context)
         }
         i += 1
         true
@@ -358,14 +404,15 @@ object LazFormat {
   }
 
   /** Streaming decoder over one pointwise (v2) chunk's byte slice. */
-  final class ChunkDecoder(buf: Array[Byte], start: Int, end: Int, fmt: Int, count: Long)
-      extends ChunkReader {
+  final class ChunkDecoder(buf: Array[Byte], start: Int, end: Int, fmt: Int, count: Long,
+      extraCount: Int = 0) extends ChunkReader {
     val point = new LazPoint
     private var i = 0L
-    private val recLen = recordLength(fmt)
+    private val recLen = recordLength(fmt) + extraCount
     private var p10: Point10V2 = null
     private var gps: GpsTime11V2 = null
     private var rgb: Rgb12V2 = null
+    private var ext: Byte2V2 = null
     private var dec: ArithmeticDecoder = null
 
     /** Advance to the next point (into [[point]]); false when exhausted. */
@@ -374,18 +421,20 @@ object LazFormat {
       else {
         if (i == 0) {
           val bb = ByteBuffer.wrap(buf, start, end - start).order(ByteOrder.LITTLE_ENDIAN)
-          readRaw(bb, point, fmt)
+          readRaw(bb, point, fmt, extraCount)
           if (count > 1) {
             dec = new ArithmeticDecoder(buf, start + recLen, end)
             dec.init()
             p10 = new Point10V2(null, dec, point)
             gps = if (LasFormat.hasGps(fmt)) new GpsTime11V2(null, dec, point) else null
             rgb = if (LasFormat.hasRgb(fmt)) new Rgb12V2(null, dec, point) else null
+            ext = if (extraCount > 0) new Byte2V2(null, dec, point) else null
           }
         } else {
           p10.decode(point)
           if (gps != null) point.gpsTime = gps.decode()
           if (rgb != null) rgb.decode(point)
+          if (ext != null) point.extra = ext.decode()
         }
         i += 1
         true
@@ -474,11 +523,14 @@ object LazFormat {
     require(vlr.layered == LasFormat.isExtended(header.pointFormat),
       s"$path: LAZ compressor ${vlr.compressor} does not match " +
         s"point format ${header.pointFormat}")
-    // the decoder derives its item/layer list from the point format — a
-    // VLR declaring a different item set would mis-slice every chunk
-    require(vlr.items == itemsFor(header.pointFormat),
-      s"$path: laszip VLR items ${vlr.items} do not match " +
-        s"point format ${header.pointFormat} (expected ${itemsFor(header.pointFormat)})")
+    // the decoder derives its item/layer list from the point format and
+    // the record length's extra-bytes tail — a VLR declaring a different
+    // item set would mis-slice every chunk
+    val headerExtra = header.recordLength - recordLength(header.pointFormat)
+    require(vlr.items == itemsFor(header.pointFormat, headerExtra) &&
+        vlr.extraBytes == headerExtra,
+      s"$path: laszip VLR items ${vlr.items} (extra ${vlr.extraBytes} B) do not " +
+        s"match point format ${header.pointFormat} with $headerExtra extra bytes")
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val fileLen = fs.getFileStatus(p).getLen
@@ -533,9 +585,12 @@ object LazFormat {
       scale: (Double, Double, Double) = (0.001, 0.001, 0.001),
       offset: (Double, Double, Double) = (0.0, 0.0, 0.0),
       chunkSize: Int = DefaultChunkSize,
-      variableChunks: Option[Seq[Int]] = None): Unit = {
+      variableChunks: Option[Seq[Int]] = None,
+      extraBytes: Int = 0): Unit = {
     require(pointFormat <= 3 || LasFormat.isExtended(pointFormat))
     require(chunkSize > 0)
+    require(points.forall(_.extra.length == extraBytes),
+      s"every point's extra payload must be exactly $extraBytes bytes")
     variableChunks.foreach { cs =>
       require(cs.forall(_ > 0) && cs.sum == points.size,
         s"variable chunk counts must be positive and sum to ${points.size}")
@@ -543,7 +598,7 @@ object LazFormat {
     val ext = LasFormat.isExtended(pointFormat)
     val hdrLen = if (ext) LasFormat.HeaderSize14 else LasFormat.HeaderSize
     val payload = vlrPayload(pointFormat,
-      if (variableChunks.isDefined) VariableChunkSize else chunkSize)
+      if (variableChunks.isDefined) VariableChunkSize else chunkSize, extraBytes)
     val pointOffset = hdrLen + 54 + payload.length
 
     val header = ByteBuffer.allocate(hdrLen).order(ByteOrder.LITTLE_ENDIAN)
@@ -554,7 +609,7 @@ object LazFormat {
     header.putInt(96, pointOffset)
     header.putInt(100, 1) // one VLR: laszip
     header.put(104, (pointFormat | 0x80).toByte)
-    header.putShort(105, recordLength(pointFormat).toShort)
+    header.putShort(105, (recordLength(pointFormat) + extraBytes).toShort)
     if (ext) header.putLong(247, points.size.toLong) // legacy u32 stays 0
     else header.putInt(107, points.size)
     header.putDouble(131, scale._1); header.putDouble(139, scale._2)
@@ -605,6 +660,7 @@ object LazFormat {
         ((pt.scanDirection & 0x01) << 6) | ((if (pt.edge) 1 else 0) << 7)
       lp.scanAngle = pt.scanAngleRank.toShort.toInt
       lp.nir = pt.nir & 0xFFFF
+      lp.extra = if (pt.extra.isEmpty) Array.emptyByteArray else pt.extra.clone()
       lp
     }.toIndexedSeq
 

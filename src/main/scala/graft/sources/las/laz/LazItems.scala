@@ -31,6 +31,9 @@ final class LazPoint {
   var extFlags = 0
   var scanAngle = 0
   var nir = 0
+  /** Opaque extra-bytes tail (record length beyond the standard format
+    * length); empty when the file has none. */
+  var extra: Array[Byte] = Array.emptyByteArray
 
   def copyFrom(o: LazPoint): Unit = {
     x = o.x; y = o.y; z = o.z
@@ -41,6 +44,7 @@ final class LazPoint {
     red = o.red; green = o.green; blue = o.blue
     returns = o.returns; extFlags = o.extFlags
     scanAngle = o.scanAngle; nir = o.nir
+    extra = if (o.extra.isEmpty) Array.emptyByteArray else o.extra.clone()
   }
 }
 
@@ -239,6 +243,37 @@ final class Point10V2(enc: ArithmeticEncoder, dec: ArithmeticDecoder, first: Laz
     lastHeight(l) = last.z
 
     out.copyFrom(last)
+  }
+}
+
+/** BYTE item codec (v2 layout): user-defined extra bytes, one adaptive
+  * 256-symbol model per byte position coding the folded difference to
+  * the previous point's byte — the published v2 scheme for extra-bytes
+  * payloads. */
+final class Byte2V2(enc: ArithmeticEncoder, dec: ArithmeticDecoder, first: LazPoint) {
+  import LazUtil.u8Fold
+  private val forDecoder = dec != null
+  private val n = first.extra.length
+  private val mDiff = Array.fill(n)(new ArithmeticModel(256, forDecoder))
+  private val last = first.extra.clone()
+
+  def encode(extra: Array[Byte]): Unit = {
+    var i = 0
+    while (i < n) {
+      enc.encodeSymbol(mDiff(i), u8Fold((extra(i) & 0xFF) - (last(i) & 0xFF)))
+      last(i) = extra(i)
+      i += 1
+    }
+  }
+
+  /** Decodes into a fresh array (callers hand it to the row as-is). */
+  def decode(): Array[Byte] = {
+    var i = 0
+    while (i < n) {
+      last(i) = u8Fold(dec.decodeSymbol(mDiff(i)) + (last(i) & 0xFF)).toByte
+      i += 1
+    }
+    last.clone()
   }
 }
 

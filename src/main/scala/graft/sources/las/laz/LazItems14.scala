@@ -337,6 +337,58 @@ final class Rgb14V3(
     switchTo(channel).decode(out)
 }
 
+/** BYTE14 (v3, layered): user-defined extra bytes, one layer per byte
+  * position (each independently skippable), per-scanner-channel banks,
+  * folded-difference coding per byte like the v2 BYTE scheme. `decs`
+  * layers may be null only as a whole item (all-or-nothing skip, since
+  * the column is one opaque binary value). */
+final class Byte14V3(
+    encs: Array[ArithmeticEncoder], decs: Array[ArithmeticDecoder],
+    first: LazPoint) {
+  import LazUtil.u8Fold
+  private val forDecoder = decs != null
+  private val n = first.extra.length
+  require(if (forDecoder) decs.length == n else encs.length == n,
+    "BYTE14 needs one layer per extra byte")
+
+  private final class Bank(initFrom: Array[Byte]) {
+    val last = initFrom.clone()
+    val mDiff = Array.fill(n)(new ArithmeticModel(256, forDecoder))
+  }
+
+  private val banks = new Array[Bank](4)
+  private var cur = (first.extFlags >>> 4) & 3
+  banks(cur) = new Bank(first.extra)
+
+  private def switchTo(channel: Int): Bank = {
+    if (channel != cur) {
+      if (banks(channel) == null) banks(channel) = new Bank(banks(cur).last)
+      cur = channel
+    }
+    banks(cur)
+  }
+
+  def encode(channel: Int, extra: Array[Byte]): Unit = {
+    val b = switchTo(channel)
+    var i = 0
+    while (i < n) {
+      encs(i).encodeSymbol(b.mDiff(i), u8Fold((extra(i) & 0xFF) - (b.last(i) & 0xFF)))
+      b.last(i) = extra(i)
+      i += 1
+    }
+  }
+
+  def decode(channel: Int): Array[Byte] = {
+    val b = switchTo(channel)
+    var i = 0
+    while (i < n) {
+      b.last(i) = u8Fold(decs(i).decodeSymbol(b.mDiff(i)) + (b.last(i) & 0xFF)).toByte
+      i += 1
+    }
+    b.last.clone()
+  }
+}
+
 /** NIR layer of the RGBNIR14 item (v3): per-channel banks; a 4-symbol
   * low/high-byte-changed mask, then folded byte differences — the same
   * shape as one RGB channel. */

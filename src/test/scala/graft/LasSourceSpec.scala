@@ -336,6 +336,39 @@ class LasSourceSpec extends SparkSpec {
     }
   }
 
+  test("extra-bytes records serve an opaque binary column through DSv2") {
+    val d = Files.createTempDirectory("las_extra").toString
+    val pts = (0 until 600).map { k =>
+      LasFormat.LasPoint(k * 0.5, k * 0.25, 1.0, gpsTime = k, scannerChannel = k % 3,
+        extra = Array.tabulate(6)(j => ((k * 13 + j * 31) % 256).toByte))
+    }
+    // LAS 1.2, LAS 1.4, LAZ legacy, LAZ layered — all four carry the tail
+    LasFormat.write(conf, s"$d/a/f.las", pts, pointFormat = 1, extraBytes = 6)
+    LasFormat.write(conf, s"$d/b/f.las", pts, pointFormat = 6, extraBytes = 6)
+    graft.sources.las.laz.LazFormat.write(conf, s"$d/c/f.laz", pts,
+      pointFormat = 1, chunkSize = 150, extraBytes = 6)
+    graft.sources.las.laz.LazFormat.write(conf, s"$d/e/f.laz", pts,
+      pointFormat = 6, chunkSize = 150, extraBytes = 6)
+    for (sub <- Seq("a", "b", "c", "e")) {
+      val df = spark.read.format("las").load(s"$d/$sub")
+      assert(df.schema("extra_bytes").dataType ==
+        org.apache.spark.sql.types.BinaryType, sub)
+      val rows = df.select("gps_time", "extra_bytes").orderBy("gps_time").collect()
+      assert(rows.length == 600, sub)
+      rows.zipWithIndex.foreach { case (r, k) =>
+        assert(java.util.Arrays.equals(r.getAs[Array[Byte]](1), pts(k).extra),
+          s"$sub extra at $k")
+      }
+    }
+    // a mixed dir where one file lacks extras drops the column
+    LasFormat.write(conf, s"$d/m/p.las", pts, pointFormat = 1, extraBytes = 6)
+    LasFormat.write(conf, s"$d/m/q.las", pts.map(_.copy(extra = Array.emptyByteArray)),
+      pointFormat = 1)
+    val mixed = spark.read.format("las").load(s"$d/m")
+    assert(!mixed.columns.contains("extra_bytes"))
+    assert(mixed.count() == 1200)
+  }
+
   test("count() reads no point bytes: exact count survives a corrupt chunk body") {
     val d = Files.createTempDirectory("laz_count").toString
     val pts = (0 until 1000).map(k =>

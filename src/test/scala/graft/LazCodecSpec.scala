@@ -404,6 +404,53 @@ class LazCodecSpec extends AnyFunSuite {
     assert(vchunks.map(_.pointCount) == counts.map(_.toLong))
   }
 
+  test("extra-bytes payloads round-trip in both framings (BYTE v2 / BYTE14 v3)") {
+    val rnd = new scala.util.Random(91)
+    def withExtras(pts: IndexedSeq[LazPoint], n: Int): IndexedSeq[LazPoint] =
+      pts.map { p => p.extra = Array.fill(n)(rnd.nextInt(256).toByte); p }
+    // pointwise (format 1): the BYTE item joins the single stream
+    val legacy = withExtras(coherentCloud(800, 21, 1), 5)
+    val bytes2 = LazFormat.encodeChunk(legacy, 1)
+    val d2 = new LazFormat.ChunkDecoder(bytes2, 0, bytes2.length, 1, 800L, extraCount = 5)
+    legacy.foreach { p =>
+      assert(d2.next())
+      assert(java.util.Arrays.equals(d2.point.extra, p.extra))
+      assert(d2.point.x == p.x && d2.point.gpsTime == p.gpsTime)
+    }
+    // layered (format 6): one layer per extra byte
+    val ext = withExtras(coherentCloud14(800, 22), 3)
+    val bytes3 = LazFormat.encodeChunk(ext, 6)
+    val d3 = new LazFormat.ChunkDecoder14(bytes3, 0, bytes3.length, 6, 800L,
+      allFields, extraCount = 3)
+    ext.foreach { p =>
+      assert(d3.next())
+      assert(java.util.Arrays.equals(d3.point.extra, p.extra))
+      assert(d3.point.x == p.x && d3.point.returns == p.returns)
+    }
+    // selective decode without code 23: extra layers untouched, x/y exact
+    val dSel = new LazFormat.ChunkDecoder14(bytes3, 0, bytes3.length, 6, 800L,
+      Array(0, 1), extraCount = 3)
+    ext.foreach { p => assert(dSel.next() && dSel.point.x == p.x && dSel.point.y == p.y) }
+  }
+
+  test("extra-bytes whole file: VLR declares the byte item, DSv2-visible") {
+    val conf = new Configuration()
+    val dir = java.nio.file.Files.createTempDirectory("lazextra").toString
+    val pts = (0 until 700).map { k =>
+      LasPoint(k * 0.5, k * 0.25, 1.0, gpsTime = k,
+        extra = Array.tabulate(4)(j => ((k * 7 + j) % 256).toByte))
+    }
+    for ((fmt, item) <- Seq(1 -> LazFormat.ItemByte, 6 -> LazFormat.ItemByte14)) {
+      val path = s"$dir/f$fmt.laz"
+      LazFormat.write(conf, path, pts, pointFormat = fmt, chunkSize = 200, extraBytes = 4)
+      val h = LasFormat.readHeader(conf, path)
+      assert(h.recordLength == LasFormat.recordLengthFor(fmt) + 4)
+      assert(h.laz.exists(v => v.items.last == item && v.extraBytes == 4))
+      val chunks = LazFormat.readChunks(conf, path, h)
+      assert(chunks.map(_.pointCount).sum == 700)
+    }
+  }
+
   test("layered chunk: corrupt (negative-u32) layer size fails loudly") {
     val pts = coherentCloud14(100, 55)
     val bytes = LazFormat.encodeChunk(pts, 6)
