@@ -99,7 +99,7 @@ class LasDataSource extends TableProvider with DataSourceRegister {
     // only when all files carry them)
     LasFormat.commonSchema(
       headers.map(_.pointFormat),
-      headers.map(h => h.recordLength - LasFormat.recordLengthFor(h.pointFormat)))
+      headers.map(_.extraBytes))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -237,7 +237,7 @@ class LasScan(fullSchema: StructType, required: StructType,
         if (cur.nonEmpty) groups += cur
         groups.map { g =>
           LazInputPartition(f, h.pointFormat,
-            h.recordLength - LasFormat.recordLengthFor(h.pointFormat),
+            h.extraBytes,
             g.head.fileOffset, g.map(_.byteLen).toArray, g.map(_.pointCount).toArray,
             h.scale._1, h.scale._2, h.scale._3,
             h.offset._1, h.offset._2, h.offset._3): InputPartition

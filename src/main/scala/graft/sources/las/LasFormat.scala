@@ -46,6 +46,10 @@ object LasFormat {
       laz: Option[graft.sources.las.laz.LazFormat.LazVlr] = None) {
     def bounds: Map[String, (Double, Double)] = Map(
       "x" -> (min._1, max._1), "y" -> (min._2, max._2), "z" -> (min._3, max._3))
+    /** Length of the record's user-defined extra-bytes tail — the single
+      * definition every consumer (planner, VLR validation, row decoder)
+      * derives it from. */
+    def extraBytes: Int = recordLength - recordLengthFor(pointFormat)
   }
 
   def readHeader(conf: Configuration, path: String): LasHeader = {
@@ -283,14 +287,10 @@ object LasFormat {
         case 22 => // degrees as f32: legacy rank = whole degrees, ext 0.006°
           if (ext) bb.getShort(recordStart + 18) * 0.006f
           else bb.get(recordStart + 16).toFloat
-        case 23 => // opaque extra-bytes tail of the record
-          val out23 = new Array[Byte](h.recordLength - recordLengthFor(h.pointFormat))
-          var j = 0
-          while (j < out23.length) {
-            out23(j) = bb.get(recordStart + recordLengthFor(h.pointFormat) + j)
-            j += 1
-          }
-          out23
+        case 23 => // opaque extra-bytes tail of the record (bulk copy)
+          val tailStart = recordStart + h.recordLength - h.extraBytes
+          java.util.Arrays.copyOfRange(bb.array(),
+            bb.arrayOffset() + tailStart, bb.arrayOffset() + tailStart + h.extraBytes)
       }
       i += 1
     }

@@ -526,7 +526,7 @@ object LazFormat {
     // the decoder derives its item/layer list from the point format and
     // the record length's extra-bytes tail — a VLR declaring a different
     // item set would mis-slice every chunk
-    val headerExtra = header.recordLength - recordLength(header.pointFormat)
+    val headerExtra = header.extraBytes
     require(vlr.items == itemsFor(header.pointFormat, headerExtra) &&
         vlr.extraBytes == headerExtra,
       s"$path: laszip VLR items ${vlr.items} (extra ${vlr.extraBytes} B) do not " +

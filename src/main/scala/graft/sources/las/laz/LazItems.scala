@@ -44,7 +44,10 @@ final class LazPoint {
     red = o.red; green = o.green; blue = o.blue
     returns = o.returns; extFlags = o.extFlags
     scanAngle = o.scanAngle; nir = o.nir
-    extra = if (o.extra.isEmpty) Array.emptyByteArray else o.extra.clone()
+    // share the reference: extra arrays are never mutated in place (the
+    // codecs keep their own cloned state and hand out fresh arrays), and
+    // a per-point clone here would sit on the hot decode loop
+    extra = o.extra
   }
 }
 
@@ -246,12 +249,22 @@ final class Point10V2(enc: ArithmeticEncoder, dec: ArithmeticDecoder, first: Laz
   }
 }
 
+/** The per-byte folded-difference step shared by the extra-bytes codecs
+  * (pointwise [[Byte2V2]] and layered Byte14V3) — one place for the
+  * fold arithmetic. */
+private[laz] object ByteDiff {
+  import LazUtil.u8Fold
+  def encode(enc: ArithmeticEncoder, m: ArithmeticModel, cur: Byte, last: Byte): Unit =
+    enc.encodeSymbol(m, u8Fold((cur & 0xFF) - (last & 0xFF)))
+  def decode(dec: ArithmeticDecoder, m: ArithmeticModel, last: Byte): Byte =
+    u8Fold(dec.decodeSymbol(m) + (last & 0xFF)).toByte
+}
+
 /** BYTE item codec (v2 layout): user-defined extra bytes, one adaptive
   * 256-symbol model per byte position coding the folded difference to
   * the previous point's byte — the published v2 scheme for extra-bytes
   * payloads. */
 final class Byte2V2(enc: ArithmeticEncoder, dec: ArithmeticDecoder, first: LazPoint) {
-  import LazUtil.u8Fold
   private val forDecoder = dec != null
   private val n = first.extra.length
   private val mDiff = Array.fill(n)(new ArithmeticModel(256, forDecoder))
@@ -260,7 +273,7 @@ final class Byte2V2(enc: ArithmeticEncoder, dec: ArithmeticDecoder, first: LazPo
   def encode(extra: Array[Byte]): Unit = {
     var i = 0
     while (i < n) {
-      enc.encodeSymbol(mDiff(i), u8Fold((extra(i) & 0xFF) - (last(i) & 0xFF)))
+      ByteDiff.encode(enc, mDiff(i), extra(i), last(i))
       last(i) = extra(i)
       i += 1
     }
@@ -270,7 +283,7 @@ final class Byte2V2(enc: ArithmeticEncoder, dec: ArithmeticDecoder, first: LazPo
   def decode(): Array[Byte] = {
     var i = 0
     while (i < n) {
-      last(i) = u8Fold(dec.decodeSymbol(mDiff(i)) + (last(i) & 0xFF)).toByte
+      last(i) = ByteDiff.decode(dec, mDiff(i), last(i))
       i += 1
     }
     last.clone()

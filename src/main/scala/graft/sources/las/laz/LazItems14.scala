@@ -345,7 +345,6 @@ final class Rgb14V3(
 final class Byte14V3(
     encs: Array[ArithmeticEncoder], decs: Array[ArithmeticDecoder],
     first: LazPoint) {
-  import LazUtil.u8Fold
   private val forDecoder = decs != null
   private val n = first.extra.length
   require(if (forDecoder) decs.length == n else encs.length == n,
@@ -372,7 +371,7 @@ final class Byte14V3(
     val b = switchTo(channel)
     var i = 0
     while (i < n) {
-      encs(i).encodeSymbol(b.mDiff(i), u8Fold((extra(i) & 0xFF) - (b.last(i) & 0xFF)))
+      ByteDiff.encode(encs(i), b.mDiff(i), extra(i), b.last(i))
       b.last(i) = extra(i)
       i += 1
     }
@@ -382,7 +381,7 @@ final class Byte14V3(
     val b = switchTo(channel)
     var i = 0
     while (i < n) {
-      b.last(i) = u8Fold(decs(i).decodeSymbol(b.mDiff(i)) + (b.last(i) & 0xFF)).toByte
+      b.last(i) = ByteDiff.decode(decs(i), b.mDiff(i), b.last(i))
       i += 1
     }
     b.last.clone()

@@ -367,6 +367,17 @@ class LasSourceSpec extends SparkSpec {
     val mixed = spark.read.format("las").load(s"$d/m")
     assert(!mixed.columns.contains("extra_bytes"))
     assert(mixed.count() == 1200)
+    // mixed legacy + extended where BOTH carry extras keeps the column
+    // (commonSchema's representative-format path, differing tail lengths)
+    LasFormat.write(conf, s"$d/k/p.las", pts, pointFormat = 1, extraBytes = 6)
+    LasFormat.write(conf, s"$d/k/q.las",
+      pts.map(p => p.copy(extra = p.extra.take(2))), pointFormat = 6, extraBytes = 2)
+    val kept = spark.read.format("las").load(s"$d/k")
+    assert(kept.columns.contains("extra_bytes"))
+    val lens = kept.select(org.apache.spark.sql.functions.length(col("extra_bytes")))
+      .groupBy("length(extra_bytes)").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(lens == Map(6 -> 600L, 2 -> 600L))
   }
 
   test("count() reads no point bytes: exact count survives a corrupt chunk body") {

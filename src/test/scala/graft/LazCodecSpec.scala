@@ -445,9 +445,20 @@ class LazCodecSpec extends AnyFunSuite {
       LazFormat.write(conf, path, pts, pointFormat = fmt, chunkSize = 200, extraBytes = 4)
       val h = LasFormat.readHeader(conf, path)
       assert(h.recordLength == LasFormat.recordLengthFor(fmt) + 4)
+      assert(h.extraBytes == 4)
       assert(h.laz.exists(v => v.items.last == item && v.extraBytes == 4))
       val chunks = LazFormat.readChunks(conf, path, h)
       assert(chunks.map(_.pointCount).sum == 700)
+    }
+    // extras compose with variable-size chunking in both framings
+    for (fmt <- Seq(1, 6)) {
+      val path = s"$dir/v$fmt.laz"
+      LazFormat.write(conf, path, pts, pointFormat = fmt,
+        variableChunks = Some(Seq(300, 55, 345)), extraBytes = 4)
+      val h = LasFormat.readHeader(conf, path)
+      assert(h.laz.exists(v => v.variable && v.extraBytes == 4))
+      val chunks = LazFormat.readChunks(conf, path, h)
+      assert(chunks.map(_.pointCount) == Seq(300L, 55L, 345L))
     }
   }
 
