@@ -43,6 +43,7 @@ object SparkEntry {
     "pc_grid_cells" -> (PcQueries.gridCells(_, _)),
     "pc_quadtree_assign" -> (PcQueries.quadtreeAssign(_, _)),
     "pc_srect_grid" -> (PcQueries.rectOnGrid(PcQueries.sRect)(_, _)),
+    "pc_srect_zorder" -> (PcQueries.rectOnZorder(PcQueries.sRect)(_, _)),
     "pc_scirc_rule" -> (PcQueries.circleOnGridNaive(
       PcQueries.sCircle._1, PcQueries.sCircle._2, PcQueries.sCircle._3)(_, _)),
     "pc_sample_quad" -> (PcQueries.sampleOnQuadtree(0.01)(_, _)),
@@ -60,6 +61,7 @@ object SparkEntry {
     "doc_mix" -> (TextOps.docMix(_, _)),
     "doc_contamination" -> (TextOps.contamination(10L)(_, _)),
     "doc_dup_clusters" -> (TextOps.dupClusters(TextOps.DupClusterTau)(_, _)),
+    "doc_dedup_keep" -> (TextOps.dedupKeepOne(TextOps.DupClusterTau)(_, _)),
     // -- deduplication
     "doc_exact_dedup" -> (TextOps.exactDedup(_, _)),
     "doc_ngram_pairs" -> (TextOps.ngramJaccardPairs(0.8)(_, _)),
@@ -101,6 +103,7 @@ object SparkEntry {
     "events_quantiles" -> (EventOps.quantiles(_, _)),
     "rel_top_orders" -> (RelQueries.topOrders(_, _)),
     "rel_nation_revenue" -> (RelQueries.nationRevenue(_, _)),
+    "rel_small_qty_rev" -> (RelQueries.smallQtyRevenue("Brand#4")(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -124,6 +127,7 @@ object SparkEntry {
     // layout-backed: layouts are result-invariant, so the oracle is the
     // same SQL as the flat-path query
     "pc_srect_grid" -> PcQueries.rectSql(PcQueries.sRect),
+    "pc_srect_zorder" -> PcQueries.rectSql(PcQueries.sRect),
     "pc_scirc_rule" -> PcQueries.circleSql( // rule only changes the plan
       PcQueries.sCircle._1, PcQueries.sCircle._2, PcQueries.sCircle._3),
     "pc_sample_quad" -> PcQueries.sampleSql(0.01),
@@ -140,6 +144,7 @@ object SparkEntry {
     "doc_mix" -> TextOps.docMixSql,
     "doc_contamination" -> TextOps.contaminationSql(10L),
     "doc_dup_clusters" -> TextOps.dupClustersSql(TextOps.DupClusterTau),
+    "doc_dedup_keep" -> TextOps.dedupKeepOneSql(TextOps.DupClusterTau),
     "doc_exact_dedup" -> TextOps.exactDedupSql,
     "doc_ngram_pairs" -> TextOps.ngramJaccardPairsSql(0.8),
     "doc_minhash_sig" -> Sketches.minhashSignaturesSql,
@@ -173,5 +178,6 @@ object SparkEntry {
     "rel_rollup" -> RelQueries.rollupSummarySql,
     "rel_top_orders" -> RelQueries.topOrdersSql,
     "rel_nation_revenue" -> RelQueries.nationRevenueSql,
+    "rel_small_qty_rev" -> RelQueries.smallQtyRevenueSql("Brand#4"),
   )
 }

@@ -85,6 +85,63 @@ object Layout {
     QuadtreeGeometry(box, depth)
   }
 
+  /** Z-order (Morton) clustering geometry: an alternative to grid(σ)
+    * that needs no per-dataset cell-size derivation — quantize (x, y)
+    * onto a 2^bits × 2^bits grid over the data bounds and interleave the
+    * bits into ONE 2·bits-bit sort key. Points close in (x, y) are close
+    * on the curve, so `repartitionByRange(zkey) + sort` produces row
+    * groups with tight (x, y) min/max stats — the same pruning payoff as
+    * the grid layout, but from a single total order that is robust to
+    * any aspect ratio or density skew (dense regions simply occupy more
+    * key range; no fat cells, no empty cells). The reference has no
+    * analogue (its clustering is the σ-grid); this is the standard
+    * lakehouse Z-ORDER BY re-expressed as a range shuffle. The
+    * interleave is pure shift/and/or column arithmetic — codegen'd, no
+    * UDF, so the write-side scan stays whole-stage. */
+  final case class ZorderGeometry(bounds: Aabb, bits: Int) {
+    require(bits >= 1 && bits <= 31, s"zorder bits must be in [1,31], got $bits")
+
+    /** Spread the low 32 bits of `c` into the even bit positions of a
+      * long (the classic mask-doubling Morton spread). */
+    private def spread(c: Column): Column = {
+      def step(x: Column, shift: Int, mask: Long): Column =
+        x.bitwiseOR(shiftleft(x, shift)).bitwiseAND(lit(mask))
+      val s1 = step(c, 16, 0x0000FFFF0000FFFFL)
+      val s2 = step(s1, 8, 0x00FF00FF00FF00FFL)
+      val s3 = step(s2, 4, 0x0F0F0F0F0F0F0F0FL)
+      val s4 = step(s3, 2, 0x3333333333333333L)
+      step(s4, 1, 0x5555555555555555L)
+    }
+
+    private def quantize(c: Column, lo: Double, hi: Double): Column = {
+      val extent = hi - lo
+      if (extent == 0.0) lit(0L)
+      else // clamp both ends: fp round-up at the max edge, and callers
+        // may pass rows slightly outside the derived bounds
+        greatest(lit(0L), least(
+          floor((c - lo) / extent * (1L << bits)).cast(LongType),
+          lit((1L << bits) - 1L)))
+    }
+
+    /** The Morton key expression over the `x`/`y` columns. */
+    def zCol: Column = {
+      val qx = quantize(col("x"), bounds.lower(0), bounds.upper(0))
+      val qy = quantize(col("y"), bounds.lower(1), bounds.upper(1))
+      spread(qx).bitwiseOR(shiftleft(spread(qy), 1))
+    }
+  }
+
+  /** Z-order layout write: one bounds pass, then the range shuffle on
+    * the Morton key. Unlike [[writeGrid]] there is no driver-side cell
+    * enumeration at all — the only driver state is the 4-double bounds. */
+  def writeZorder(df: DataFrame, path: String, bits: Int = 16,
+      batchSize: Long = BatchSize): ZorderGeometry = {
+    val (bounds, count) = boundsAndCount(df)
+    val geo = ZorderGeometry(bounds, bits)
+    writeClustered(df, Seq(geo.zCol.as("zkey")), Seq("zkey"), path, count, batchSize)
+    geo
+  }
+
   /** Single pass over the data for bounds + count (the reference runs one
     * query per statistic — pc-cli/src/partition.rs:175,201). */
   def boundsAndCount(df: DataFrame): (Aabb, Long) = {

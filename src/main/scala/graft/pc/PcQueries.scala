@@ -186,6 +186,7 @@ object PcQueries {
       kind match {
         case "grid" => Layout.writeGrid(pts, path, sigma = 8, batchSize = 8192L)
         case "quad" => Layout.writeQuadtree(pts, path, batchSize = 8192L)
+        case "zorder" => Layout.writeZorder(pts, path, batchSize = 8192L)
       }
       path
     })
@@ -195,12 +196,20 @@ object PcQueries {
   def prebuildLayouts(spark: SparkSession, dir: String): Unit = {
     layoutPath(spark, dir, "grid")
     layoutPath(spark, dir, "quad")
+    layoutPath(spark, dir, "zorder")
     ()
   }
 
   /** S_RECT on the grid(8) layout: same oracle as pc_srect. */
   def rectOnGrid(box: Aabb)(spark: SparkSession, dir: String): DataFrame =
     summarize(spark.read.parquet(layoutPath(spark, dir, "grid"))
+      .filter(boxPredicate(box)))
+
+  /** S_RECT on the Z-order layout: layouts are result-invariant, so the
+    * oracle is again the flat pc_srect SQL — the layout only changes
+    * which row groups the scan can skip. */
+  def rectOnZorder(box: Aabb)(spark: SparkSession, dir: String): DataFrame =
+    summarize(spark.read.parquet(layoutPath(spark, dir, "zorder"))
       .filter(boxPredicate(box)))
 
   /** k-NN on the grid layout: the bbox prefilter prunes row groups via

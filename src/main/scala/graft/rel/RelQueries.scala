@@ -136,4 +136,44 @@ object RelQueries {
       | WHERE r_name = 'ASIA'
       |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
       | GROUP BY 1 ORDER BY revenue_units DESC, n_name ASC""".stripMargin.replace("\n", " ")
+
+  /** TPC-H Q17-shaped small-quantity revenue: revenue from lineitems of
+    * one brand whose quantity is below 20% of that part's average — the
+    * classic correlated scalar subquery, DECORRELATED by hand into an
+    * aggregate-then-join (the plan every optimizer rewrites Q17 into).
+    *
+    * Scale design: the brand part list broadcasts, semi-filtering
+    * lineitem map-side FIRST, so the per-part average aggregates only
+    * the brand's lineitems (~1/|brands| of the table) — and that tiny
+    * part-keyed aggregate broadcasts back, so the fact table is never
+    * shuffled at all: two map-only passes + one small agg.
+    *
+    * `l_quantity < 0.2 * avg(q)` is evaluated as the integer cross
+    * product `q * 5 * cnt < sum_q` — exact in both engines, no float
+    * division. */
+  def smallQtyRevenue(brand: String)(spark: SparkSession, dir: String): DataFrame = {
+    val parts = broadcast(t(spark, dir, "part")
+      .filter(col("p_brand") === brand).select("p_partkey"))
+    val liBrand = t(spark, dir, "lineitem")
+      .join(parts, col("l_partkey") === col("p_partkey"), "left_semi")
+      .select(col("l_partkey"),
+        col("l_quantity").cast(LongType).as("q"),
+        cents("l_extendedprice").as("price_cents"))
+    val perPart = liBrand.groupBy("l_partkey")
+      .agg(sum(col("q")).as("sum_qty"), count(lit(1)).as("cnt_qty"))
+    liBrand.join(broadcast(perPart), "l_partkey")
+      .filter(col("q") * 5 * col("cnt_qty") < col("sum_qty"))
+      .agg(count(lit(1)).as("cnt"),
+        coalesce(sum(col("price_cents")), lit(0L)).as("rev_cents"))
+  }
+
+  def smallQtyRevenueSql(brand: String): String =
+    s"""WITH lb AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
+       |   CAST(round(l_extendedprice*100) AS BIGINT) AS price_cents
+       |  FROM lineitem SEMI JOIN part ON l_partkey = p_partkey AND p_brand = '$brand'),
+       | pp AS (SELECT l_partkey, CAST(sum(q) AS BIGINT) AS sum_qty, count(*) AS cnt_qty
+       |  FROM lb GROUP BY 1)
+       | SELECT count(*) AS cnt, CAST(coalesce(sum(price_cents), 0) AS BIGINT) AS rev_cents
+       | FROM lb JOIN pp USING (l_partkey)
+       | WHERE q * 5 * cnt_qty < sum_qty""".stripMargin.replace("\n", " ")
 }

@@ -416,6 +416,38 @@ object TextOps {
        | SELECT doc_id, cluster, CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_size
        | FROM lab ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
+  /** End-to-end fuzzy-dedup corpus filter — the step a training pipeline
+    * actually ships: resolve near-dup clusters, keep ONE representative
+    * per cluster (the smallest doc_id, the same order-free fixpoint the
+    * cluster labels converge to), drop the rest. The "loser" list
+    * (cluster members that are not their cluster's minimum) is tiny
+    * relative to the corpus — only near-dups appear in it — so it
+    * broadcasts and the corpus side streams through a map-only
+    * LEFT ANTI join: at 100 TB the full-corpus scan never shuffles. */
+  def dedupKeepOne(tau: Double)(spark: SparkSession, dir: String): DataFrame = {
+    val edges = pairIndex(spark, dir, tau).select(col("d1"), col("d2"))
+    val losers = connectedComponents(edges)._1
+      .filter(col("doc_id") =!= col("lbl")).select(col("doc_id"))
+    docs(spark, dir)
+      .join(broadcast(losers), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  def dedupKeepOneSql(tau: Double): String =
+    s"""WITH RECURSIVE
+       | e AS (SELECT d1, d2 FROM (${ngramJaccardPairsSql(tau)})),
+       | und AS (SELECT d1 AS a, d2 AS b FROM e UNION SELECT d2, d1 FROM e),
+       | nodes AS (SELECT a FROM und UNION SELECT b FROM und),
+       | reach(a, b) AS (
+       |   SELECT a, a FROM nodes
+       |   UNION
+       |   SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+       | losers AS (SELECT a AS doc_id FROM reach GROUP BY a HAVING a <> min(b))
+       | SELECT doc_id, source, n_chars
+       | FROM documents ANTI JOIN losers USING (doc_id)
+       | ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
   // ---- decontamination: train/eval n-gram overlap ----------------------
 
   /** Benchmark-decontamination sweep: find every training document that

@@ -34,6 +34,21 @@ class ExtensionOpsSpec extends SparkSpec {
     }
   }
 
+  test("keep-one dedup drops exactly the non-minimum cluster members") {
+    val clusters = TextOps.dupClusters(0.8)(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kept = TextOps.dedupKeepOne(0.8)(spark, sf001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val total = TextOps.docs(spark, sf001).count()
+    // survivors = corpus minus every clustered doc that is not its label
+    val losers = clusters.collect { case (d, lbl) if d != lbl => d }.toSet
+    assert(losers.nonEmpty, "synthetic corpus must contain near-dups to drop")
+    assert(kept.size == total - losers.size)
+    assert(losers.forall(d => !kept.contains(d)))
+    // every cluster still has exactly its representative present
+    clusters.groupBy(_._2).foreach { case (lbl, _) => assert(kept.contains(lbl)) }
+  }
+
   test("connected components converge in O(log diameter) rounds on a long chain") {
     // a 400-edge path graph: plain min-propagation needs ~400 rounds (the
     // 50-round cap would fail loudly); path halving must land well inside it

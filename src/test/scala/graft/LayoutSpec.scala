@@ -30,6 +30,10 @@ class LayoutSpec extends SparkSpec {
     s"$tmp/flat"
   }
 
+  private lazy val zorderPath = {
+    Layout.writeZorder(points, s"$tmp/zorder", batchSize = 2048L); s"$tmp/zorder"
+  }
+
   private def rectCount(df: DataFrame, box: Aabb): Long =
     df.filter(Points.boxPredicate(box)).count()
 
@@ -101,6 +105,53 @@ class LayoutSpec extends SparkSpec {
       s"pruning ineffective: grid read $gridRead rows vs flat $flatRead")
     assert(gridRead < flatRead / 2,
       s"pruning weaker than 2x: grid $gridRead vs flat $flatRead")
+  }
+
+  test("zorder key column matches a local Morton interleave") {
+    val (bounds, _) = Layout.boundsAndCount(points)
+    val geo = Layout.ZorderGeometry(bounds, bits = 16)
+    def localQuant(v: Double, lo: Double, hi: Double): Long =
+      if (hi == lo) 0L
+      else math.max(0L, math.min((1L << 16) - 1L,
+        math.floor((v - lo) / (hi - lo) * (1L << 16)).toLong))
+    def localSpread(v: Long): Long = {
+      var x = v
+      x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
+      x = (x | (x << 8)) & 0x00FF00FF00FF00FFL
+      x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0FL
+      x = (x | (x << 2)) & 0x3333333333333333L
+      (x | (x << 1)) & 0x5555555555555555L
+    }
+    val rows = points.select(org.apache.spark.sql.functions.col("x"),
+        org.apache.spark.sql.functions.col("y"), geo.zCol.as("z"))
+      .limit(1000).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val want = localSpread(localQuant(r.getDouble(0), bounds.lower(0), bounds.upper(0))) |
+        (localSpread(localQuant(r.getDouble(1), bounds.lower(1), bounds.upper(1))) << 1)
+      assert(r.getLong(2) == want, s"morton mismatch at (${r.getDouble(0)}, ${r.getDouble(1)})")
+    }
+  }
+
+  test("zorder layout: result-invariant and prunes like the grid") {
+    import org.apache.spark.sql.functions._
+    // preserves every row
+    val want = points.agg(count(lit(1)), sum("pid")).head()
+    assert(spark.read.parquet(zorderPath).agg(count(lit(1)), sum("pid")).head() == want)
+    // result-invariant on the benchmark boxes
+    for (box <- Seq(PcQueries.sRect, PcQueries.mRect)) {
+      assert(rectCount(spark.read.parquet(zorderPath), box) ==
+        rectCount(spark.read.parquet(flatPath), box))
+    }
+    // the Morton order clusters (x, y) jointly: row-group stats prune the
+    // native scan well below the flat layout's full materialization
+    val box = PcQueries.sRect
+    val flatRead = scanOutputRows(
+      spark.read.parquet(flatPath).filter(Points.boxPredicate(box)))
+    val zRead = scanOutputRows(
+      spark.read.parquet(zorderPath).filter(Points.boxPredicate(box)))
+    assert(zRead < flatRead / 2,
+      s"zorder pruning weaker than 2x: $zRead vs flat $flatRead")
   }
 
   test("importance sampling prunes row groups on the quadtree layout") {
