@@ -44,7 +44,7 @@ object Bench {
     val indexDefs: Seq[(String, String => Boolean, () => Unit)] = Seq(
       ("shingle_index", n => n.startsWith("doc_") || n.startsWith("dedup_"),
         () => graft.text.TextOps.prebuildShingleIndex(spark, sfDir)),
-      ("pair_index", _.startsWith("doc_dup_clusters"),
+      ("pair_index", n => n.startsWith("doc_dup_clusters") || n.startsWith("doc_dedup_keep"),
         () => graft.text.TextOps.prebuildPairIndex(graft.text.TextOps.DupClusterTau)(spark, sfDir)),
       ("ivf_codebook", _.startsWith("emb_ivf"),
         () => { graft.sim.Ivf.trainCached(spark, sfDir); () }),
