@@ -46,6 +46,8 @@ object Bench {
         () => graft.text.TextOps.prebuildShingleIndex(spark, sfDir)),
       ("pair_index", n => n.startsWith("doc_dup_clusters") || n.startsWith("doc_dedup_keep"),
         () => graft.text.TextOps.prebuildPairIndex(graft.text.TextOps.DupClusterTau)(spark, sfDir)),
+      ("label_index", _.startsWith("doc_dedup_keep"),
+        () => graft.text.TextOps.prebuildLabelIndex(graft.text.TextOps.DupClusterTau)(spark, sfDir)),
       ("ivf_codebook", _.startsWith("emb_ivf"),
         () => { graft.sim.Ivf.trainCached(spark, sfDir); () }),
       ("ivf_layout", _.startsWith("emb_ivf"),

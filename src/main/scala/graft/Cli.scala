@@ -12,7 +12,7 @@ import graft.sources.las.LasConvert
   *   sbt "runMain graft.Cli benchmark"
   *   sbt "runMain graft.Cli convert  <las-in> <parquet-out> [seed]"
   *   sbt "runMain graft.Cli merge    <parquet-in> <parquet-out> [rows-per-group]"
-  *   sbt "runMain graft.Cli partition <parquet-in> <parquet-out> [grid|quadtree] [sigma]"
+  *   sbt "runMain graft.Cli partition <parquet-in> <parquet-out> [grid|quadtree|zorder] [sigma|bits]"
   *
   * `partition`/`merge` operate on any parquet with x/y(/i) columns;
   * `benchmark` delegates to [[Bench]] (env-configured).
@@ -56,6 +56,10 @@ object Cli {
         case "quadtree" =>
           val geo = Layout.writeQuadtree(df, out)
           println(s"quadtree layout at $out, depth ${geo.depth}")
+        case "zorder" =>
+          val bits = rest.drop(1).headOption.map(_.toInt).getOrElse(16)
+          val geo = Layout.writeZorder(df, out, bits)
+          println(s"zorder($bits) layout at $out, bounds ${geo.bounds}")
         case other => sys.error(s"unknown partition method: $other")
       }
       spark.stop()
@@ -81,7 +85,7 @@ object Cli {
     case _ =>
       System.err.println(
         "usage: graft.Cli benchmark | convert <las> <out> [seed] | " +
-          "merge <in> <out> [rows] | partition <in> <out> [grid|quadtree] [sigma] | " +
+          "merge <in> <out> [rows] | partition <in> <out> [grid|quadtree|zorder] [sigma|bits] | " +
           "footprint <las> <out-dir> [scale] | experiment [sfDir] [outDir] [runs]")
       sys.exit(2)
   }
