@@ -44,6 +44,7 @@ object SparkEntry {
     "pc_quadtree_assign" -> (PcQueries.quadtreeAssign(_, _)),
     "pc_srect_grid" -> (PcQueries.rectOnGrid(PcQueries.sRect)(_, _)),
     "pc_srect_zorder" -> (PcQueries.rectOnZorder(PcQueries.sRect)(_, _)),
+    "pc_dist_join" -> (PcQueries.distJoin(PcQueries.sRect, 5.0)(_, _)),
     "pc_scirc_rule" -> (PcQueries.circleOnGridNaive(
       PcQueries.sCircle._1, PcQueries.sCircle._2, PcQueries.sCircle._3)(_, _)),
     "pc_sample_quad" -> (PcQueries.sampleOnQuadtree(0.01)(_, _)),
@@ -128,6 +129,7 @@ object SparkEntry {
     // same SQL as the flat-path query
     "pc_srect_grid" -> PcQueries.rectSql(PcQueries.sRect),
     "pc_srect_zorder" -> PcQueries.rectSql(PcQueries.sRect),
+    "pc_dist_join" -> PcQueries.distJoinSql(PcQueries.sRect, 5.0),
     "pc_scirc_rule" -> PcQueries.circleSql( // rule only changes the plan
       PcQueries.sCircle._1, PcQueries.sCircle._2, PcQueries.sCircle._3),
     "pc_sample_quad" -> PcQueries.sampleSql(0.01),

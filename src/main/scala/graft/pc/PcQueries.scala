@@ -291,4 +291,48 @@ object PcQueries {
        | CAST(floor(y / 1000.0 * (CASE WHEN i < 1.0/21.0 THEN 1.0 WHEN i < 5.0/21.0 THEN 2.0 ELSE 4.0 END)) AS BIGINT) AS qy,
        | count(*) AS cnt, CAST(sum(pid) AS BIGINT) AS pid_sum
        | FROM ($pointsSql) GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin.replace("\n", " ")
+
+  // ---- distance self-join (spatial similarity join) -------------------
+
+  /** All point pairs within distance `r` among the points in `box` — the
+    * spatial similarity join (cluster detection, double-scan dedup for
+    * merged LiDAR tiles). A naive formulation is a cross join; the
+    * scalable plan buckets points into r-sized grid cells and EQUI-joins
+    * on the cell key: any pair within r shares a cell or touches
+    * adjacent cells, so one side replicates to its 3x3 neighborhood and
+    * the join explores only local candidates. `pid < pid2` keeps each
+    * unordered pair exactly once (every candidate surfaces twice, once
+    * per endpoint's home cell). At 100 TB this is one shuffle on the
+    * cell key with 9x replication of one side — versus a cross join's
+    * n²; skewed dense cells are bounded by AQE skew-join splitting.
+    * The distance predicate is written with identical IEEE expression
+    * shape in the oracle, so results hash-match bit-for-bit. */
+  def distJoin(box: Aabb, r: Double)(spark: SparkSession, dir: String): DataFrame = {
+    val pts = points(spark, dir).filter(boxPredicate(box))
+      .select(col("pid"), col("x"), col("y"))
+    val home = pts
+      .withColumn("cx", floor(col("x") / r).cast(LongType))
+      .withColumn("cy", floor(col("y") / r).cast(LongType))
+    val offsets = for { ox <- -1 to 1; oy <- -1 to 1 } yield (ox, oy)
+    val probe = home.select(
+      col("pid").as("pid2"), col("x").as("x2"), col("y").as("y2"),
+      explode(array(offsets.map { case (ox, oy) =>
+        struct((col("cx") + ox).as("cx"), (col("cy") + oy).as("cy"))
+      }: _*)).as("c"))
+      .select(col("pid2"), col("x2"), col("y2"),
+        col("c.cx").as("cx"), col("c.cy").as("cy"))
+    val dx = col("x") - col("x2")
+    val dy = col("y") - col("y2")
+    home.join(probe, Seq("cx", "cy"))
+      .filter(col("pid") < col("pid2") && (dx * dx + dy * dy <= lit(r * r)))
+      .agg(count(lit(1)).as("cnt"),
+        coalesce(sum(col("pid") + col("pid2")), lit(0L)).as("pair_sum"))
+  }
+
+  def distJoinSql(box: Aabb, r: Double): String =
+    s"""WITH p AS (SELECT pid, x, y FROM ($pointsSql) WHERE ${boxPredicateSql(box)})
+       | SELECT count(*) AS cnt,
+       |  CAST(coalesce(sum(a.pid + b.pid), 0) AS BIGINT) AS pair_sum
+       | FROM p a JOIN p b ON a.pid < b.pid
+       |  AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= ${r * r}""".stripMargin.replace("\n", " ")
 }

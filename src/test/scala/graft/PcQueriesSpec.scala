@@ -63,4 +63,29 @@ class PcQueriesSpec extends SparkSpec {
       spark, sf001).head().getLong(0)
     assert(circ <= bbox && circ > 0)
   }
+
+  test("distance self-join equals a local brute force on the box subset") {
+    import graft.pc.Points
+    val r = 5.0
+    val pts = Points.fromLineitem(spark, sf001)
+      .filter(Points.boxPredicate(PcQueries.sRect))
+      .select("pid", "x", "y").collect()
+      .map(row => (row.getLong(0), row.getDouble(1), row.getDouble(2)))
+    // brute force over the (small) box subset. The synthetic lineitem
+    // contains duplicate (orderkey, linenumber) rows => duplicate pids
+    // with identical coordinates; the join's pid < pid2 keeps one
+    // orientation per DISTINCT-pid row pair and drops self-pid pairs,
+    // exactly like the oracle's a.pid < b.pid — mirror that here
+    val want = (for {
+      i <- pts.indices; j <- (i + 1) until pts.length
+      (p1, x1, y1) = pts(i); (p2, x2, y2) = pts(j)
+      if p1 != p2
+      if (x1 - x2) * (x1 - x2) + (y1 - y2) * (y1 - y2) <= r * r
+    } yield (math.min(p1, p2), p1 + p2)).toVector
+    val got = PcQueries.distJoin(PcQueries.sRect, r)(spark, sf001).head()
+    assert(got.getLong(0) == want.size.toLong,
+      s"pair count ${got.getLong(0)} != brute ${want.size}")
+    assert(got.getLong(1) == want.map(_._2).sum)
+    assert(want.nonEmpty, "expected some close pairs in the box")
+  }
 }
