@@ -50,12 +50,16 @@ object Bench {
         () => graft.text.TextOps.prebuildLabelIndex(graft.text.TextOps.DupClusterTau)(spark, sfDir)),
       ("ivf_codebook", _.startsWith("emb_ivf"),
         () => { graft.sim.Ivf.trainCached(spark, sfDir); () }),
+      ("pq_codebooks", _.startsWith("emb_pq"),
+        () => graft.sim.Pq.prebuildCodebooks(spark, sfDir)),
       ("ivf_layout", _.startsWith("emb_ivf"),
         () => { graft.sim.Ivf.layoutPath(spark, sfDir); () }),
       ("ann_layout", _.startsWith("emb_lsh"),
         () => graft.sim.SimOps.prebuildAnnLayout(spark, sfDir)),
       ("pc_layouts", _.startsWith("pc_"),
-        () => graft.pc.PcQueries.prebuildLayouts(spark, sfDir)))
+        () => graft.pc.PcQueries.prebuildLayouts(spark, sfDir)),
+      ("bucket_layout", _.startsWith("rel_order_rev_bucket"),
+        () => graft.rel.RelQueries.prebuildBucketedTables(spark, sfDir)))
     val indexBuilds: Seq[(String, Double)] = indexDefs
       .filter { case (_, relevant, _) => selected.exists(relevant) }
       .map { case (name, _, build) =>

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.pc.PcQueries
 import graft.text.{Sketches, TextOps}
-import graft.sim.{Ivf, SimOps}
+import graft.sim.{Ivf, Pq, SimOps}
 import graft.mm.MultimodalOps
 import graft.events.EventOps
 import graft.rel.RelQueries
@@ -64,6 +64,7 @@ object SparkEntry {
     "doc_dup_clusters" -> (TextOps.dupClusters(TextOps.DupClusterTau)(_, _)),
     "doc_dedup_keep" -> (TextOps.dedupKeepOne(TextOps.DupClusterTau)(_, _)),
     // -- deduplication
+    "doc_scrub" -> (TextOps.docScrub(_, _)),
     "doc_exact_dedup" -> (TextOps.exactDedup(_, _)),
     "doc_ngram_pairs" -> (TextOps.ngramJaccardPairs(0.8)(_, _)),
     "doc_minhash_sig" -> (Sketches.minhashSignatures(_, _)),
@@ -81,6 +82,8 @@ object SparkEntry {
     "emb_ivf_assign" -> (Ivf.assign(_, _)),
     "emb_ivf_topk" -> (Ivf.topK(0L, 10, 2)(_, _)),
     "emb_ivf_topk_part" -> (Ivf.topKPartitioned(0L, 10, 2)(_, _)),
+    "emb_pq_codes" -> (Pq.codes(_, _)),
+    "emb_pq_topk" -> (Pq.topK(0L, 10)(_, _)),
     "dedup_crosscheck" -> (Sketches.crossCheckPairs(_, _)),
     // -- multimodal binary columns
     "mm_meta" -> (MultimodalOps.mmMeta(_, _)),
@@ -94,6 +97,7 @@ object SparkEntry {
     "events_json_rollup" -> (EventOps.jsonRollup(_, _)),
     "events_top_by_type" -> (EventOps.topByType(_, _)),
     "events_asof_join" -> (EventOps.asOfJoin(_, _)),
+    "events_funnel" -> (EventOps.funnel(_, _)),
     // -- relational star-join surface (joins/keyed aggs; broadcast dims)
     "rel_pricing_summary" -> (RelQueries.pricingSummary(_, _)),
     "rel_rollup" -> (RelQueries.rollupSummary(_, _)),
@@ -105,6 +109,8 @@ object SparkEntry {
     "rel_top_orders" -> (RelQueries.topOrders(_, _)),
     "rel_nation_revenue" -> (RelQueries.nationRevenue(_, _)),
     "rel_small_qty_rev" -> (RelQueries.smallQtyRevenue("Brand#4")(_, _)),
+    "rel_order_rev_bucket" -> (RelQueries.orderRevenueBucket(_, _)),
+    "rel_large_orders" -> (RelQueries.largeOrders(300L)(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -147,6 +153,7 @@ object SparkEntry {
     "doc_contamination" -> TextOps.contaminationSql(10L),
     "doc_dup_clusters" -> TextOps.dupClustersSql(TextOps.DupClusterTau),
     "doc_dedup_keep" -> TextOps.dedupKeepOneSql(TextOps.DupClusterTau),
+    "doc_scrub" -> TextOps.docScrubSql,
     "doc_exact_dedup" -> TextOps.exactDedupSql,
     "doc_ngram_pairs" -> TextOps.ngramJaccardPairsSql(0.8),
     "doc_minhash_sig" -> Sketches.minhashSignaturesSql,
@@ -163,6 +170,8 @@ object SparkEntry {
     "emb_ivf_assign" -> Ivf.assignSql,
     "emb_ivf_topk" -> Ivf.topKSql(0L, 10, 2),
     "emb_ivf_topk_part" -> Ivf.topKSql(0L, 10, 2), // layout is result-invariant
+    "emb_pq_codes" -> Pq.codesSql,
+    "emb_pq_topk" -> Pq.topKSql(0L, 10),
     "dedup_crosscheck" -> Sketches.crossCheckPairsSql,
     "mm_meta" -> MultimodalOps.mmMetaSql,
     "mm_chunk_hash" -> MultimodalOps.mmChunkHashesSql,
@@ -176,10 +185,14 @@ object SparkEntry {
     "events_hll" -> EventOps.hllUsersSql,
     "events_quantiles" -> EventOps.quantilesSql,
     "events_asof_join" -> EventOps.asOfJoinSql,
+    "events_funnel" -> EventOps.funnelSql,
     "rel_pricing_summary" -> RelQueries.pricingSummarySql,
     "rel_rollup" -> RelQueries.rollupSummarySql,
     "rel_top_orders" -> RelQueries.topOrdersSql,
     "rel_nation_revenue" -> RelQueries.nationRevenueSql,
     "rel_small_qty_rev" -> RelQueries.smallQtyRevenueSql("Brand#4"),
+    // layout is result-invariant: oracle is the flat-parquet SQL
+    "rel_order_rev_bucket" -> RelQueries.orderRevenueBucketSql,
+    "rel_large_orders" -> RelQueries.largeOrdersSql(300L),
   )
 }

@@ -143,6 +143,42 @@ object EventOps {
       | FROM events WHERE event_type IN ('click', 'purchase'))
       | WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin.replace("\n", " ")
 
+  /** Click→purchase conversion funnel: users whose first purchase
+    * strictly follows their first click, with the conversion delay —
+    * the sequence-analytics shape (did A happen, then B?) behind every
+    * funnel/retention report.
+    *
+    * Scale design: first-click is one map-side-combined aggregation on
+    * user_id; purchases then join and re-aggregate ON THE SAME KEY, so
+    * the exchange introduced by the first groupBy is reused by both the
+    * join and the second groupBy — no second full shuffle of the events
+    * table, no per-user pair blow-up, state is one row per user. All
+    * time math in integer microseconds (DuckDB truncates ns → us). */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .groupBy("user_id").agg(min(expr("ts div 1000")).as("click_us"))
+    e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts div 1000").as("p_us"))
+      .join(clicks, "user_id")
+      .filter(col("p_us") > col("click_us"))
+      .groupBy("user_id")
+      .agg(min(col("click_us")).as("click_us"), min(col("p_us")).as("purch_us"))
+      .select(col("user_id"), col("click_us"), col("purch_us"),
+        (col("purch_us") - col("click_us")).as("delay_us"))
+      .orderBy("user_id")
+  }
+
+  val funnelSql: String =
+    """WITH c AS (SELECT user_id, min(epoch_us(ts)) AS click_us
+      |  FROM events WHERE event_type = 'click' GROUP BY 1)
+      | SELECT e.user_id, min(c.click_us) AS click_us,
+      |  min(epoch_us(e.ts)) AS purch_us,
+      |  min(epoch_us(e.ts)) - min(c.click_us) AS delay_us
+      | FROM events e JOIN c ON e.user_id = c.user_id
+      | WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.click_us
+      | GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")
+
   /** Top-3 events by value within each event type (window rank over a
     * keyed shuffle; rank ties broken by event_id for determinism). */
   def topByType(spark: SparkSession, dir: String): DataFrame = {

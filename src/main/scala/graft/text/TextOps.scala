@@ -131,6 +131,36 @@ object TextOps {
       | CAST('0x'||substr(md5(text),1,15) AS BIGINT) AS fp64
       | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
+  // ---- blocklist scrubbing --------------------------------------------
+
+  /** Blocklist terms scrubbed with a word-boundary regex — the shape of
+    * every pattern-removal stage in a training pipeline (PII masks,
+    * boilerplate markers, stop phrases). Kept to `\b(...)\b` over
+    * `[a-z0-9]` words so Java regex (Spark) and RE2 (DuckDB) agree
+    * byte-for-byte. */
+  val ScrubPattern: String = "\\b(spark|dup|slow)\\b"
+
+  /** Per-document scrub report: hit count, post-scrub length, and an
+    * md5 of the scrubbed text proving the two engines produced the
+    * IDENTICAL output string — pure map-side projection, no shuffle
+    * beyond the presentation sort. */
+  def docScrub(spark: SparkSession, dir: String): DataFrame = {
+    val scrubbed = regexp_replace(col("text"), ScrubPattern, "")
+    docs(spark, dir).select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(ScrubPattern)).cast(LongType).as("n_hits"),
+      length(scrubbed).cast(LongType).as("len_after"),
+      md5(scrubbed).as("scrub_md5"))
+      .orderBy("doc_id")
+  }
+
+  val docScrubSql: String =
+    s"""SELECT doc_id,
+       | CAST(len(regexp_extract_all(text, '$ScrubPattern')) AS BIGINT) AS n_hits,
+       | CAST(length(regexp_replace(text, '$ScrubPattern', '', 'g')) AS BIGINT) AS len_after,
+       | md5(regexp_replace(text, '$ScrubPattern', '', 'g')) AS scrub_md5
+       | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
   // ---- exact deduplication --------------------------------------------
 
   /** Exact dedup by content key: hash-groupBy on a normalized key (here

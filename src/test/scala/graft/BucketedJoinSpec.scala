@@ -68,4 +68,48 @@ class BucketedJoinSpec extends SparkSpec {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("rel_order_rev_bucket: whole query runs with zero exchanges") {
+    val df = graft.rel.RelQueries.orderRevenueBucket(spark, sf0001)
+
+    // results identical to the flat-parquet formulation
+    val flat = {
+      val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+      val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      def cents(c: String) =
+        round(col(c) * 100).cast(org.apache.spark.sql.types.LongType)
+      li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(sum(cents("l_extendedprice") * (lit(100L) - cents("l_discount")))
+          .as("revenue_units"), count(lit(1)).as("nli"))
+        .orderBy(col("revenue_units").desc, col("o_orderkey").asc)
+        .limit(10)
+    }
+    assert(df.collect().toSeq == flat.collect().toSeq)
+
+    // the merge-hinted join AND the per-order aggregation both reuse the
+    // bucket partitioning: no ShuffleExchange anywhere in the plan
+    assert(shuffles(df) == 0, "bucketed query plan must be exchange-free")
+  }
+
+  test("bucketed layout is rebuilt when the dataset is rewritten") {
+    // copy sf0.001 orders+lineitem to a temp dir, build, rewrite orders
+    // with one row dropped, build again: the snapshot key must change the
+    // served tables (stale-cache guard, same contract as the other
+    // derived layouts)
+    val dir = Files.createTempDirectory("graft_bucket_snap").toString
+    graft.DatasetCache.registerTempDir(dir)
+    val ord = spark.read.parquet(s"$sf0001/orders.parquet")
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    ord.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val (ordA, _) = graft.rel.RelQueries.bucketedTables(spark, dir)
+    val nA = spark.table(ordA).count()
+    ord.limit((nA - 1).toInt).write.mode("overwrite")
+      .parquet(s"$dir/orders.parquet")
+    val (ordB, _) = graft.rel.RelQueries.bucketedTables(spark, dir)
+    assert(ordB != ordA, "rewritten input must re-derive the layout")
+    assert(spark.table(ordB).count() == nA - 1)
+  }
 }

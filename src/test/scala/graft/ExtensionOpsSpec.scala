@@ -236,6 +236,37 @@ class ExtensionOpsSpec extends SparkSpec {
     }
   }
 
+  test("funnel users converted: click strictly before first purchase") {
+    val f = EventOps.funnel(spark, sf001).collect()
+    assert(f.nonEmpty)
+    f.foreach { r =>
+      val (click, purch, delay) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(purch > click, "first qualifying purchase must follow the click")
+      assert(delay == purch - click)
+    }
+    // funnel is a subset of users with both event types at all
+    val both = EventOps.events(spark, sf001)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy("user_id")
+      .agg(countDistinct("event_type").as("n"))
+      .filter(col("n") === 2).count()
+    assert(f.length <= both)
+  }
+
+  test("doc scrub removes every blocklist hit and nothing else survives") {
+    val s = graft.text.TextOps.docScrub(spark, sf001)
+    // scrubbed text contains no blocklisted word: re-scrubbing is a no-op
+    val hits = s.join(
+      graft.text.TextOps.docs(spark, sf001), "doc_id")
+      .select(regexp_count(
+        regexp_replace(col("text"), graft.text.TextOps.ScrubPattern, ""),
+        lit(graft.text.TextOps.ScrubPattern)).as("left"))
+      .agg(sum("left")).head().getLong(0)
+    assert(hits == 0)
+    // and the corpus genuinely exercises the pattern
+    assert(s.agg(sum("n_hits")).head().getLong(0) > 0)
+  }
+
   test("hourly rollup cents equal the exact integer-cent sum") {
     val total = EventOps.hourlyRollup(spark, sf001)
       .agg(sum("cents")).head().getLong(0)

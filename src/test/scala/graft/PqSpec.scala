@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sim.{Ivf, Pq, SimOps}
+
+/** Product quantization: codes, ADC distances, and approximation
+  * sanity. Oracle hash-equality is the driver's job; this suite pins the
+  * internal contracts the oracle can't see. */
+class PqSpec extends SparkSpec {
+
+  private def quantizedRows(n: Int) =
+    Ivf.quantized(spark, sf001).orderBy("vec_id").limit(n)
+      .select("vec_id", "qv").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+
+  private def subDist(a: Array[Long], b: Array[Long]): Long =
+    a.iterator.zip(b.iterator).map { case (x, y) => val d = x - y; d * d }.sum
+
+  test("codes are valid, deterministic, and match a local argmin replay") {
+    val books = Pq.trainCached(spark, sf001)
+    assert(books.length == Pq.M)
+    books.foreach { b =>
+      assert(b.nonEmpty && b.length <= Pq.Ksub)
+      b.foreach { case (_, cw) => assert(cw.length == Pq.SubDim) }
+    }
+    val codes = Pq.codes(spark, sf001).limit(50).collect()
+      .map(r => r.getLong(0) -> (0 until Pq.M).map(m => r.getLong(m + 1))).toMap
+    val qvs = quantizedRows(50).toMap
+    codes.foreach { case (vid, cs) =>
+      val qv = qvs(vid)
+      cs.zipWithIndex.foreach { case (code, m) =>
+        val sv = qv.slice(m * Pq.SubDim, (m + 1) * Pq.SubDim)
+        // local argmin with (dist, code) tie-break — must equal the
+        // engine's codegen'd least(struct(...)) exactly
+        val expect = books(m).map { case (c, cw) => (subDist(sv, cw), c) }.min._2
+        assert(code == expect, s"vec $vid subspace $m")
+      }
+    }
+  }
+
+  test("ADC top-k distances equal the assigned-codeword sum exactly") {
+    val books = Pq.trainCached(spark, sf001)
+    val q0 = quantizedRows(1).head._2
+    val top = Pq.topK(0L, 10)(spark, sf001).collect()
+    assert(top.length == 10)
+    val codes = Pq.codes(spark, sf001).collect()
+      .map(r => r.getLong(0) -> (0 until Pq.M).map(m => r.getLong(m + 1))).toMap
+    top.foreach { r =>
+      val (vid, adc) = (r.getLong(0), r.getLong(1))
+      val expect = (0 until Pq.M).map { m =>
+        val qs = q0.slice(m * Pq.SubDim, (m + 1) * Pq.SubDim)
+        val cw = books(m).find(_._1 == codes(vid)(m)).get._2
+        subDist(qs, cw)
+      }.sum
+      assert(adc == expect, s"vec $vid")
+    }
+    // ordered ascending with vec_id tie-break
+    assert(top.map(r => (r.getLong(1), r.getLong(0))).toSeq ==
+      top.map(r => (r.getLong(1), r.getLong(0))).sortBy(identity).toSeq)
+  }
+
+  test("ADC ranking approximates the true distance ranking") {
+    // the ADC top-10's mean TRUE integer distance must beat the corpus
+    // mean by a wide margin — i.e. 1-byte codes still rank usefully
+    val qv = Ivf.quantized(spark, sf001)
+    val q0 = quantizedRows(1).head._2
+    val trueDist = aggregate(
+      zip_with(col("qv"), lit(q0), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+    val all = qv.filter(col("vec_id") =!= 0L)
+      .select(col("vec_id"), trueDist.as("td")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val corpusMean = all.values.sum.toDouble / all.size
+    val topIds = Pq.topK(0L, 10)(spark, sf001).collect().map(_.getLong(0))
+    val topMean = topIds.map(all).sum.toDouble / topIds.length
+    assert(topMean < corpusMean * 0.8,
+      s"ADC top-10 true-dist mean $topMean vs corpus mean $corpusMean")
+  }
+
+  test("unknown query id returns empty, not an error") {
+    assert(Pq.topK(-1L, 10)(spark, sf001).collect().isEmpty)
+  }
+}
