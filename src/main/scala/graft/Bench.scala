@@ -50,9 +50,10 @@ object Bench {
         () => graft.text.TextOps.prebuildLabelIndex(graft.text.TextOps.DupClusterTau)(spark, sfDir)),
       ("ivf_codebook", _.startsWith("emb_ivf"),
         () => { graft.sim.Ivf.trainCached(spark, sfDir); () }),
-      ("pq_codebooks", _.startsWith("emb_pq"),
+      ("pq_codebooks", n => n.startsWith("emb_pq") || n.startsWith("emb_ivfpq"),
         () => graft.sim.Pq.prebuildCodebooks(spark, sfDir)),
-      ("ivf_layout", _.startsWith("emb_ivf"),
+      // the partitioned-layout build feeds only the `_part` probe arm
+      ("ivf_layout", n => n.startsWith("emb_ivf") && !n.startsWith("emb_ivfpq"),
         () => { graft.sim.Ivf.layoutPath(spark, sfDir); () }),
       ("ann_layout", _.startsWith("emb_lsh"),
         () => graft.sim.SimOps.prebuildAnnLayout(spark, sfDir)),

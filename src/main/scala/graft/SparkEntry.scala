@@ -84,6 +84,8 @@ object SparkEntry {
     "emb_ivf_topk_part" -> (Ivf.topKPartitioned(0L, 10, 2)(_, _)),
     "emb_pq_codes" -> (Pq.codes(_, _)),
     "emb_pq_topk" -> (Pq.topK(0L, 10)(_, _)),
+    "emb_pq_rerank" -> (Pq.rerank(0L, 50, 10)(_, _)),
+    "emb_ivfpq_topk" -> (Pq.ivfPqTopK(0L, 10, 2, 50)(_, _)),
     "dedup_crosscheck" -> (Sketches.crossCheckPairs(_, _)),
     // -- multimodal binary columns
     "mm_meta" -> (MultimodalOps.mmMeta(_, _)),
@@ -98,6 +100,7 @@ object SparkEntry {
     "events_top_by_type" -> (EventOps.topByType(_, _)),
     "events_asof_join" -> (EventOps.asOfJoin(_, _)),
     "events_funnel" -> (EventOps.funnel(_, _)),
+    "events_retention" -> (EventOps.retention(_, _)),
     // -- relational star-join surface (joins/keyed aggs; broadcast dims)
     "rel_pricing_summary" -> (RelQueries.pricingSummary(_, _)),
     "rel_rollup" -> (RelQueries.rollupSummary(_, _)),
@@ -172,6 +175,8 @@ object SparkEntry {
     "emb_ivf_topk_part" -> Ivf.topKSql(0L, 10, 2), // layout is result-invariant
     "emb_pq_codes" -> Pq.codesSql,
     "emb_pq_topk" -> Pq.topKSql(0L, 10),
+    "emb_pq_rerank" -> Pq.rerankSql(0L, 50, 10),
+    "emb_ivfpq_topk" -> Pq.ivfPqTopKSql(0L, 10, 2, 50),
     "dedup_crosscheck" -> Sketches.crossCheckPairsSql,
     "mm_meta" -> MultimodalOps.mmMetaSql,
     "mm_chunk_hash" -> MultimodalOps.mmChunkHashesSql,
@@ -186,6 +191,7 @@ object SparkEntry {
     "events_quantiles" -> EventOps.quantilesSql,
     "events_asof_join" -> EventOps.asOfJoinSql,
     "events_funnel" -> EventOps.funnelSql,
+    "events_retention" -> EventOps.retentionSql,
     "rel_pricing_summary" -> RelQueries.pricingSummarySql,
     "rel_rollup" -> RelQueries.rollupSummarySql,
     "rel_top_orders" -> RelQueries.topOrdersSql,

@@ -179,6 +179,39 @@ object EventOps {
       | WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.click_us
       | GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")
 
+  val UsPerDay: Long = 86400L * 1000 * 1000
+
+  /** Cohort retention: users grouped by their first active day, with
+    * day-1 and day-7 return counts — the canonical growth-analytics
+    * rollup. One distinct pass compresses events to (user, day), so
+    * every later stage works on the tiny distinct relation, not the
+    * event log; the remaining shuffles are all user-keyed aggregations
+    * of that compressed set. Days are integer floor-divisions of the
+    * µs timestamp, so both engines bucket identically. */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val ud = events(spark, dir)
+      .select(col("user_id"), expr(s"(ts div 1000) div $UsPerDay").as("day"))
+      .distinct()
+    val cohort = ud.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    ud.join(cohort, "user_id")
+      .groupBy("cohort_day")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        countDistinct(when(col("day") === col("cohort_day") + 1, col("user_id")))
+          .as("d1"),
+        countDistinct(when(col("day") === col("cohort_day") + 7, col("user_id")))
+          .as("d7"))
+      .orderBy("cohort_day")
+  }
+
+  val retentionSql: String =
+    s"""WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // $UsPerDay AS day FROM events),
+       | c AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY 1)
+       | SELECT c.cohort_day, count(DISTINCT c.user_id) AS n_users,
+       |  count(DISTINCT CASE WHEN ud.day = c.cohort_day + 1 THEN ud.user_id END) AS d1,
+       |  count(DISTINCT CASE WHEN ud.day = c.cohort_day + 7 THEN ud.user_id END) AS d7
+       | FROM ud JOIN c ON ud.user_id = c.user_id
+       | GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")
+
   /** Top-3 events by value within each event type (window rank over a
     * keyed shuffle; rank ties broken by event_id for determinism). */
   def topByType(spark: SparkSession, dir: String): DataFrame = {

@@ -61,7 +61,7 @@ object Ivf {
 
   /** `struct(dist, cid)` argmin over literal centroids — ties break to
     * the lowest cid because `least` compares structs lexicographically. */
-  private def nearest(centroids: Seq[(Long, Array[Long])]): Column =
+  private[sim] def nearest(centroids: Seq[(Long, Array[Long])]): Column =
     least(centroids.map { case (cid, cv) =>
       struct(distTo(cv).as("dist"), lit(cid).as("cid"))
     }: _*)
@@ -133,7 +133,7 @@ object Ivf {
     * vector, and the `nprobe` nearest cell ids — shared by both probe
     * paths so tie-breaking ((dist, cid) order, matching the oracle's
     * ORDER BY dist, cid) can never diverge between them. */
-  private def probeCells(centroids: Seq[(Long, Array[Long])],
+  private[graft] def probeCells(centroids: Seq[(Long, Array[Long])],
       queryQv: Array[Long], nprobe: Int): Seq[Long] = {
     def qdist(cv: Array[Long]): Long =
       cv.iterator.zip(queryQv.iterator).map { case (c, x) =>
@@ -217,14 +217,22 @@ object Ivf {
     * → c{s+1}: integer means] repeated → final distances/argmin vs
     * c{steps}. The per-step SQL shapes are identical, so extending
     * `LloydSteps` extends the oracle with no hand-editing. */
-  private def chainSql(steps: Int): String = {
+  /** The shared quantize CTE — factored out so [[Pq]] can compose its
+    * subspace chains with this one without defining `q` twice. */
+  private[sim] val qCteSql: String =
+    s"""q AS (
+       |  SELECT vec_id, list_transform(embedding, v -> CAST(round((CAST(v AS DOUBLE)+$Shift)*$Scale) AS BIGINT)) AS qv
+       |  FROM embeddings)""".stripMargin
+
+  private def chainSql(steps: Int): String = s"$qCteSql,\n${chainBodySql(steps)}"
+
+  /** The IVF train+assign chain WITHOUT the leading `q` CTE (for
+    * composition with the PQ chains, which share `q`). */
+  private[sim] def chainBodySql(steps: Int): String = {
     val dist = (c: String) =>
       s"CAST(list_sum(list_transform(range(1,${Dim + 1}), i -> (q.qv[i]-$c.cv[i])*(q.qv[i]-$c.cv[i]))) AS BIGINT)"
     val sb = new StringBuilder
-    sb ++= s"""q AS (
-       |  SELECT vec_id, list_transform(embedding, v -> CAST(round((CAST(v AS DOUBLE)+$Shift)*$Scale) AS BIGINT)) AS qv
-       |  FROM embeddings),
-       |c0 AS (
+    sb ++= s"""c0 AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, qv AS cv
        |  FROM q ORDER BY vec_id LIMIT $K)""".stripMargin
     (0 until steps).foreach { s =>

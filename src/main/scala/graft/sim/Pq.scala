@@ -131,30 +131,88 @@ object Pq {
             org.apache.spark.sql.types.StructField("vec_id", LongType),
             org.apache.spark.sql.types.StructField("adc_dist", LongType))))
       case Some(row) =>
-        val qv = row.getSeq[Long](0).toArray
-        // LUT[m][j]: exact integer distance from query subvector m to
-        // codeword j — codes index it, so absent codes (empty Lloyd
-        // cells) never appear and order never matters
-        val lut: Seq[Map[Long, Long]] = (0 until M).map { m =>
-          val qs = qv.slice(m * SubDim, (m + 1) * SubDim)
-          books(m).map { case (code, cw) =>
-            code -> cw.iterator.zip(qs.iterator).map { case (c, x) =>
-              val d = x - c; d * d
-            }.sum
-          }.toMap
-        }
-        val adc = (0 until M).map { m =>
-          // map literal: codes are sparse if a cell emptied during Lloyd
-          val pairs = lut(m).toSeq.sortBy(_._1)
-          val mapCol = map(pairs.flatMap { case (c, d) =>
-            Seq(lit(c), lit(d)) }: _*)
-          element_at(mapCol, col(s"code_$m"))
-        }.reduce(_ + _)
         enc.filter(col("vec_id") =!= queryId)
-          .select(col("vec_id"), adc.as("adc_dist"))
+          .select(col("vec_id"),
+            adcColumn(books, row.getSeq[Long](0).toArray).as("adc_dist"))
           .orderBy(col("adc_dist").asc, col("vec_id").asc)
           .limit(k)
     }
+  }
+
+  /** The ADC expression for a concrete query vector: LUT[m][j] = exact
+    * integer distance from query subvector m to codeword j, probed by
+    * the code columns. A literal map per subspace — codes index it, so
+    * absent codes (empty Lloyd cells) never appear and order never
+    * matters. */
+  private def adcColumn(books: Seq[Seq[(Long, Array[Long])]],
+      qv: Array[Long]): Column =
+    (0 until M).map { m =>
+      val qs = qv.slice(m * SubDim, (m + 1) * SubDim)
+      val pairs = books(m).map { case (code, cw) =>
+        code -> cw.iterator.zip(qs.iterator).map { case (c, x) =>
+          val d = x - c; d * d
+        }.sum
+      }.sortBy(_._1)
+      element_at(
+        map(pairs.flatMap { case (c, d) => Seq(lit(c), lit(d)) }: _*),
+        col(s"code_$m"))
+    }.reduce(_ + _)
+
+  /** The full IVF-PQ stack: route with the coarse quantizer (probe the
+    * `nprobe` cells nearest the query), ADC-rank ONLY the probed cells'
+    * codes, exact-rerank the shortlist — coarse routing prunes the scan,
+    * compressed codes rank the survivors, float vectors are touched for
+    * `shortlist` rows only. This is the composition a 100 TB vector
+    * store actually runs: each stage cuts the data the next one reads
+    * (cells → codes → floats). */
+  def ivfPqTopK(queryId: Long, k: Int, nprobe: Int, shortlist: Int)(
+      spark: SparkSession, dir: String): DataFrame = {
+    val centroids = Ivf.trainCached(spark, dir)
+    val books = trainCached(spark, dir)
+    val enc = encoded(spark, dir)
+      .withColumn("cid", Ivf.nearest(centroids).getField("cid"))
+    val qe = SimOps.embeddings(spark, dir)
+      .filter(col("vec_id") === queryId).select(col("embedding").as("qe"))
+    enc.filter(col("vec_id") === queryId)
+      .select("qv").collect().headOption match {
+      case None => SimOps.emptyTopK(spark) // unknown id: empty, like the oracle
+      case Some(row) =>
+        val qv = row.getSeq[Long](0).toArray
+        val probed = Ivf.probeCells(centroids, qv, nprobe)
+        val short = enc
+          .filter(col("cid").isin(probed: _*) && col("vec_id") =!= queryId)
+          .select(col("vec_id"), adcColumn(books, qv).as("adc_dist"))
+          .orderBy(col("adc_dist").asc, col("vec_id").asc)
+          .limit(shortlist)
+          .select("vec_id")
+        SimOps.embeddings(spark, dir)
+          .join(broadcast(short), "vec_id")
+          .crossJoin(broadcast(qe))
+          .select(col("vec_id"),
+            round(SimOps.dot(col("embedding"), col("qe")), 6).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id").asc)
+          .limit(k)
+    }
+  }
+
+  /** ADC shortlist → exact re-rank: the production two-stage shape. The
+    * 1-byte codes rank the whole corpus cheaply (map-only, integer
+    * adds); only the `shortlist` survivors have their float vectors
+    * touched for exact cosine scoring. At 100 TB the exact stage reads
+    * `shortlist` rows instead of the corpus — the compressed codes do
+    * the heavy lifting, the embeddings are only probed. */
+  def rerank(queryId: Long, shortlist: Int, k: Int)(
+      spark: SparkSession, dir: String): DataFrame = {
+    val short = topK(queryId, shortlist)(spark, dir).select("vec_id")
+    val qe = SimOps.embeddings(spark, dir)
+      .filter(col("vec_id") === queryId).select(col("embedding").as("qe"))
+    SimOps.embeddings(spark, dir)
+      .join(broadcast(short), "vec_id")
+      .crossJoin(broadcast(qe))
+      .select(col("vec_id"),
+        round(SimOps.dot(col("embedding"), col("qe")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
   }
 
   // ---- DuckDB oracle: the same per-subspace chains in SQL --------------
@@ -197,12 +255,9 @@ object Pq {
     sb.toString
   }
 
-  private def allChains: String = {
-    val q = s"""q AS (
-       |  SELECT vec_id, list_transform(embedding, v -> CAST(round((CAST(v AS DOUBLE)+${Ivf.Shift})*${Ivf.Scale}) AS BIGINT)) AS qv
-       |  FROM embeddings)""".stripMargin
-    (q +: (0 until M).map(m => subChainSql(m, Ivf.LloydSteps))).mkString(",\n")
-  }
+  private def allChains: String =
+    (Ivf.qCteSql +: (0 until M).map(m => subChainSql(m, Ivf.LloydSteps)))
+      .mkString(",\n")
 
   val codesSql: String = {
     val joins = (0 until M).map(m =>
@@ -212,10 +267,12 @@ object Pq {
       .replace("\n", " ")
   }
 
-  /** ADC distance in SQL: join each subspace's assignment to its final
-    * codebook and sum the exact distances from the query's subvectors to
-    * the ASSIGNED codewords — algebraically identical to the LUT. */
-  def topKSql(queryId: Long, k: Int): String = {
+  /** ADC-ranked relation in SQL: join each subspace's assignment to its
+    * final codebook and sum the exact distances from the query's
+    * subvectors to the ASSIGNED codewords — algebraically identical to
+    * the LUT. */
+  private def adcSql(queryId: Long, n: Int,
+      extraJoin: String = "", extraWhere: String = ""): String = {
     val perSub = (0 until M).map { m =>
       s"""(SELECT CAST(list_sum(list_transform(range(1,${SubDim + 1}), i -> (qq$m.sv[i]-cb$m.cv[i])*(qq$m.sv[i]-cb$m.cv[i]))) AS BIGINT)
          | FROM qs$m qq$m, c${Ivf.LloydSteps}_$m cb$m
@@ -223,11 +280,48 @@ object Pq {
     }.mkString(" + ")
     val joins = (0 until M).map(m =>
       s"JOIN afin_$m ON afin_$m.vec_id = q.vec_id").mkString(" ")
-    s"""WITH $allChains
-       |SELECT q.vec_id, $perSub AS adc_dist
-       |FROM q $joins
+    s"""SELECT q.vec_id, $perSub AS adc_dist
+       |FROM q $joins $extraJoin
        |WHERE q.vec_id != $queryId
        |  AND EXISTS (SELECT 1 FROM q WHERE vec_id = $queryId)
-       |ORDER BY adc_dist ASC, q.vec_id ASC LIMIT $k""".stripMargin.replace("\n", " ")
+       |  $extraWhere
+       |ORDER BY adc_dist ASC, q.vec_id ASC LIMIT $n""".stripMargin
+  }
+
+  def topKSql(queryId: Long, k: Int): String =
+    s"WITH $allChains ${adcSql(queryId, k)}".replace("\n", " ")
+
+  /** Exact-rerank tail shared by [[rerankSql]] and [[ivfPqTopKSql]]. */
+  private def rerankTailSql(queryId: Long, k: Int): String =
+    s"""SELECT e.vec_id,
+       |  round(list_sum(list_transform(range(1,${Ivf.Dim + 1}), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qe.embedding[i] AS DOUBLE))), 6) AS sim
+       |FROM embeddings e
+       |JOIN short ON e.vec_id = short.vec_id
+       |JOIN (SELECT embedding FROM embeddings WHERE vec_id = $queryId) AS qe ON TRUE
+       |ORDER BY sim DESC, e.vec_id ASC LIMIT $k""".stripMargin
+
+  /** Shortlist-then-exact oracle: ADC LIMIT `shortlist`, then exact
+    * cosine over the survivors only — same two stages as [[rerank]]. */
+  def rerankSql(queryId: Long, shortlist: Int, k: Int): String =
+    s"""WITH $allChains,
+       |short AS (${adcSql(queryId, shortlist)})
+       |${rerankTailSql(queryId, k)}""".stripMargin.replace("\n", " ")
+
+  /** IVF-PQ oracle: the IVF chain (cell assignment `afin` + probe list)
+    * and all four PQ subspace chains share one quantize CTE; the ADC
+    * shortlist is restricted to the probed cells, then exact-reranked. */
+  def ivfPqTopKSql(queryId: Long, k: Int, nprobe: Int, shortlist: Int): String = {
+    val chains =
+      (Seq(Ivf.qCteSql, Ivf.chainBodySql(Ivf.LloydSteps)) ++
+        (0 until M).map(m => subChainSql(m, Ivf.LloydSteps))).mkString(",\n")
+    s"""WITH $chains,
+       |probes AS (
+       |  SELECT c.cid FROM c${Ivf.LloydSteps} c, (SELECT qv FROM q WHERE vec_id = $queryId) AS qq
+       |  ORDER BY CAST(list_sum(list_transform(range(1,${Ivf.Dim + 1}), i -> (qq.qv[i]-c.cv[i])*(qq.qv[i]-c.cv[i]))) AS BIGINT), c.cid
+       |  LIMIT $nprobe),
+       |short AS (${adcSql(queryId, shortlist,
+          extraJoin = "JOIN afin ON afin.vec_id = q.vec_id",
+          extraWhere = "AND afin.cid IN (SELECT cid FROM probes)")})
+       |${rerankTailSql(queryId, k)}""".stripMargin.replace("\n", " ")
   }
 }

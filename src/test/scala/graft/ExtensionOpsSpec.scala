@@ -253,6 +253,20 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(f.length <= both)
   }
 
+  test("retention: cohort sizes partition the users; returns bounded by cohort") {
+    val r = EventOps.retention(spark, sf001).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (n, d1, d7) = (row.getLong(1), row.getLong(2), row.getLong(3))
+      assert(d1 <= n && d7 <= n, "returning users are a subset of the cohort")
+      assert(n >= 1)
+    }
+    val totalUsers = EventOps.events(spark, sf001)
+      .select("user_id").distinct().count()
+    assert(r.map(_.getLong(1)).sum == totalUsers,
+      "every user belongs to exactly one cohort")
+  }
+
   test("doc scrub removes every blocklist hit and nothing else survives") {
     val s = graft.text.TextOps.docScrub(spark, sf001)
     // scrubbed text contains no blocklisted word: re-scrubbing is a no-op

@@ -79,5 +79,40 @@ class PqSpec extends SparkSpec {
 
   test("unknown query id returns empty, not an error") {
     assert(Pq.topK(-1L, 10)(spark, sf001).collect().isEmpty)
+    assert(Pq.rerank(-1L, 50, 10)(spark, sf001).collect().isEmpty)
+  }
+
+  test("ivf-pq composition: candidates come only from probed cells") {
+    val centroids = Ivf.trainCached(spark, sf001)
+    val qv0 = quantizedRows(1).head._2
+    val got = Pq.ivfPqTopK(0L, 10, 2, 50)(spark, sf001).collect()
+    assert(got.length == 10)
+    // every returned vector's IVF cell is one of the 2 probed cells
+    val cellOf = Ivf.assign(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probeSet = Ivf.probeCells(centroids, qv0, 2).toSet
+    got.foreach(r => assert(probeSet(cellOf(r.getLong(0))),
+      s"vec ${r.getLong(0)} outside probed cells"))
+    // sims are exact (same scorer as brute force)
+    val brute = SimOps.topK(0L, 500)(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got.foreach(r => assert(r.getDouble(1) == brute(r.getLong(0))))
+    assert(Pq.ivfPqTopK(-1L, 10, 2, 50)(spark, sf001).collect().isEmpty)
+  }
+
+  test("rerank = exact scores over the ADC shortlist, with useful recall") {
+    val shortIds = Pq.topK(0L, 50)(spark, sf001).collect().map(_.getLong(0)).toSet
+    val rr = Pq.rerank(0L, 50, 10)(spark, sf001).collect()
+    assert(rr.length == 10)
+    assert(rr.forall(r => shortIds(r.getLong(0))), "rerank ⊆ shortlist")
+    // per-id sims identical to the brute-force scorer (same expression)
+    val brute = SimOps.topK(0L, 500)(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rr.foreach(r => assert(r.getDouble(1) == brute(r.getLong(0))))
+    // the 50-deep shortlist should recover most of the true top-10
+    val trueTop = brute.toSeq.sortBy { case (id, s) => (-s, id) }.take(10)
+      .map(_._1).toSet
+    val hit = rr.map(_.getLong(0)).count(trueTop)
+    assert(hit >= 5, s"recall@10 with shortlist 50 was $hit/10")
   }
 }
