@@ -82,11 +82,40 @@ object Cli {
       }
       spark.stop()
 
+    case "lake" :: op :: table :: rest =>
+      // ACID table ops over the from-scratch transaction log
+      val spark = session()
+      op match {
+        case "append" | "overwrite" =>
+          val src = rest.headOption.getOrElse(sys.error(s"lake $op needs a source"))
+          val df = spark.read.parquet(src)
+          val v =
+            if (op == "append") graft.lake.LakeTable.append(spark, table, df)
+            else graft.lake.LakeTable.overwrite(spark, table, df)
+          println(s"committed version $v (${df.count()} rows)")
+        case "read" =>
+          val version = rest.headOption.map(_.toLong)
+          val snap = graft.lake.LakeTable.snapshot(spark, table, version)
+          println(s"rows=${snap.count()} version=${version.getOrElse(
+            graft.lake.LakeTable.latestVersion(table).getOrElse(0L))}")
+        case "history" =>
+          graft.lake.LakeTable.history(table).foreach(c =>
+            println(s"v${c.version} ${c.op} +${c.add.size} -${c.remove.size}"))
+        case "vacuum" =>
+          val retain = rest.headOption.map(_.toLong)
+            .orElse(graft.lake.LakeTable.latestVersion(table)).getOrElse(1L)
+          val gone = graft.lake.LakeTable.vacuum(table, retain)
+          println(s"vacuumed ${gone.size} files (retained >= v$retain)")
+        case other => sys.error(s"unknown lake op: $other")
+      }
+      spark.stop()
+
     case _ =>
       System.err.println(
         "usage: graft.Cli benchmark | convert <las> <out> [seed] | " +
           "merge <in> <out> [rows] | partition <in> <out> [grid|quadtree|zorder] [sigma|bits] | " +
-          "footprint <las> <out-dir> [scale] | experiment [sfDir] [outDir] [runs]")
+          "footprint <las> <out-dir> [scale] | experiment [sfDir] [outDir] [runs] | " +
+          "lake append|overwrite|read|history|vacuum <table> [src|version]")
       sys.exit(2)
   }
 }

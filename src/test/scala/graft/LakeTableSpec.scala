@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.Executors
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+
+import org.apache.spark.sql.functions._
+import graft.lake.LakeTable
+
+/** ACID contract of the from-scratch transaction log: atomic commits,
+  * snapshot isolation, serializable version history, time travel,
+  * crash-orphan invisibility, vacuum. */
+class LakeTableSpec extends SparkSpec {
+
+  private def freshTable(): String = {
+    val d = Files.createTempDirectory("graft_lake").toString
+    DatasetCache.registerTempDir(d)
+    d
+  }
+
+  private def df(ids: Range) = {
+    import spark.implicits._
+    ids.toDF("id").withColumn("v", col("id") * 2)
+  }
+
+  test("append/overwrite/time travel: every version stays readable") {
+    val t = freshTable()
+    val v1 = LakeTable.append(spark, t, df(0 until 10))
+    val v2 = LakeTable.append(spark, t, df(10 until 30))
+    val v3 = LakeTable.overwrite(spark, t, df(100 until 105))
+    assert(Seq(v1, v2, v3) == Seq(1L, 2L, 3L))
+    assert(LakeTable.snapshot(spark, t, Some(1)).count() == 10)
+    assert(LakeTable.snapshot(spark, t, Some(2)).count() == 30)
+    assert(LakeTable.snapshot(spark, t, Some(3)).count() == 5)
+    assert(LakeTable.snapshot(spark, t).count() == 5) // latest
+    // history records the ops in serial order
+    assert(LakeTable.history(t).map(_.op) == Seq("append", "append", "overwrite"))
+  }
+
+  test("snapshot isolation: an open snapshot ignores a later overwrite") {
+    val t = freshTable()
+    LakeTable.append(spark, t, df(0 until 20))
+    val pinned = LakeTable.snapshot(spark, t) // file list captured NOW
+    LakeTable.overwrite(spark, t, df(0 until 3))
+    assert(pinned.count() == 20, "pinned snapshot must not see the overwrite")
+    assert(LakeTable.snapshot(spark, t).count() == 3)
+  }
+
+  test("concurrent appends all commit with contiguous versions, no loss") {
+    val t = freshTable()
+    LakeTable.append(spark, t, df(0 until 1))
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = (0 until 8).map { i =>
+        Future(LakeTable.append(spark, t, df(1000 * (i + 1) until 1000 * (i + 1) + 50)))
+      }
+      val got = Await.result(Future.sequence(futures), 120.seconds)
+      assert(got.sorted == (2L to 9L), s"versions must be contiguous, got $got")
+      assert(LakeTable.snapshot(spark, t).count() == 1 + 8 * 50)
+    } finally pool.shutdown()
+  }
+
+  test("concurrent overwrites serialize: last version wins, count is sane") {
+    val t = freshTable()
+    LakeTable.append(spark, t, df(0 until 10))
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = (0 until 4).map { i =>
+        Future(i -> LakeTable.overwrite(spark, t, df(0 until (i + 1) * 7)))
+      }
+      val got = Await.result(Future.sequence(futures), 120.seconds).toMap
+      // the writer that won the highest version defines the final state
+      val lastWriter = got.maxBy(_._2)._1
+      assert(LakeTable.snapshot(spark, t).count() == (lastWriter + 1) * 7)
+      assert(LakeTable.versions(t) == (1L to 5L))
+    } finally pool.shutdown()
+  }
+
+  test("a crashed writer's staged files are invisible and vacuumable") {
+    val t = freshTable()
+    LakeTable.append(spark, t, df(0 until 10))
+    // simulate a crash: data staged, no commit written
+    df(0 until 99).write.parquet(s"$t/stage-crashed0000")
+    assert(LakeTable.snapshot(spark, t).count() == 10,
+      "uncommitted files must not be readable")
+    val deleted = LakeTable.vacuum(t, retainFrom = 1L)
+    assert(deleted.exists(_.startsWith("stage-crashed0000/")),
+      "vacuum must collect the orphans")
+    assert(LakeTable.snapshot(spark, t).count() == 10)
+  }
+
+  test("vacuum drops pre-retention files but keeps retained versions readable") {
+    val t = freshTable()
+    LakeTable.append(spark, t, df(0 until 10))       // v1
+    LakeTable.overwrite(spark, t, df(0 until 4))     // v2: v1 files now dead
+    LakeTable.append(spark, t, df(100 until 102))    // v3
+    val deleted = LakeTable.vacuum(t, retainFrom = 2L)
+    assert(deleted.nonEmpty, "v1's files are unreachable from v2+")
+    assert(LakeTable.snapshot(spark, t, Some(2)).count() == 4)
+    assert(LakeTable.snapshot(spark, t, Some(3)).count() == 6)
+    assert(LakeTable.versions(t) == (1L to 3L), "the log itself is never truncated")
+  }
+
+  test("schema is pinned per commit; empty and missing tables behave") {
+    val t = freshTable()
+    intercept[IllegalArgumentException] { LakeTable.snapshot(spark, t) }
+    LakeTable.append(spark, t, df(0 until 5))
+    LakeTable.overwrite(spark, t, df(0 until 0)) // empty overwrite
+    val s = LakeTable.snapshot(spark, t)
+    assert(s.count() == 0)
+    assert(s.schema.fieldNames.toSeq == Seq("id", "v"),
+      "empty snapshot still carries the committed schema")
+  }
+}
