@@ -42,8 +42,14 @@ object LakeTable {
 
   private val LogDir = "_txlog"
 
+  /** One log entry. `addStats` aligns with `add`: per-file column
+    * min/max in the flat form `col=min:max;col2=...` (numeric columns
+    * only; empty string = no stats) — the data-skipping index. `txn` is
+    * an optional idempotence token `appId:version` for exactly-once
+    * streaming appends (Delta's txnAppId/txnVersion pattern). */
   final case class Commit(version: Long, op: String, add: Seq[String],
-      remove: Seq[String], schemaJson: String)
+      remove: Seq[String], schemaJson: String,
+      addStats: Seq[String] = Seq.empty, txn: String = "")
 
   // ---- log encoding (hand-rolled, no deps beyond the JDK) -------------
 
@@ -76,7 +82,7 @@ object LakeTable {
 
   private def encode(c: Commit): String = {
     def arr(xs: Seq[String]) = xs.map(x => "\"" + esc(x) + "\"").mkString("[", ",", "]")
-    s"""{"version":${c.version},"op":"${c.op}","add":${arr(c.add)},"remove":${arr(c.remove)},"schema":"${esc(c.schemaJson)}"}"""
+    s"""{"version":${c.version},"op":"${c.op}","add":${arr(c.add)},"remove":${arr(c.remove)},"stats":${arr(c.addStats)},"txn":"${esc(c.txn)}","schema":"${esc(c.schemaJson)}"}"""
   }
 
   /** Parse one commit file. The format is self-authored (see [[encode]]),
@@ -108,12 +114,16 @@ object LakeTable {
       }
       out.result()
     }
+    def opt[A](name: String, f: String => A, default: A): A =
+      if (s.contains("\"" + name + "\":")) f(field(name)) else default
     Commit(
       version = field("version").takeWhile(c => c.isDigit).toLong,
       op = str(field("op")),
       add = strArr(field("add")),
       remove = strArr(field("remove")),
-      schemaJson = str(field("schema")))
+      schemaJson = str(field("schema")),
+      addStats = opt("stats", strArr, Seq.empty),
+      txn = opt("txn", str, ""))
   }
 
   // ---- log primitives --------------------------------------------------
@@ -151,18 +161,27 @@ object LakeTable {
 
   def history(table: String): Seq[Commit] = versions(table).map(readCommit(table, _))
 
-  /** Live file list + schema at `version` (default: latest). */
-  def snapshotFiles(table: String, version: Option[Long] = None): (Seq[String], Option[String]) = {
+  /** Live (file, stats) list + schema at `version` (default: latest). */
+  def snapshotFilesWithStats(table: String, version: Option[Long] = None)
+      : (Seq[(String, String)], Option[String]) = {
     val upTo = version.orElse(latestVersion(table)).getOrElse(0L)
-    val live = scala.collection.mutable.LinkedHashSet[String]()
+    val live = scala.collection.mutable.LinkedHashMap[String, String]()
     var schema: Option[String] = None
     versions(table).takeWhile(_ <= upTo).foreach { v =>
       val c = readCommit(table, v)
       c.remove.foreach(live -= _)
-      live ++= c.add
+      c.add.zipWithIndex.foreach { case (f, i) =>
+        live(f) = c.addStats.lift(i).getOrElse("")
+      }
       schema = Some(c.schemaJson)
     }
     (live.toSeq, schema)
+  }
+
+  /** Live file list + schema at `version` (default: latest). */
+  def snapshotFiles(table: String, version: Option[Long] = None): (Seq[String], Option[String]) = {
+    val (fs, schema) = snapshotFilesWithStats(table, version)
+    (fs.map(_._1), schema)
   }
 
   /** The atomic commit CAS: returns true iff this writer created the
@@ -181,30 +200,63 @@ object LakeTable {
   // ---- write path ------------------------------------------------------
 
   /** Stage `df` as immutable parquet files under a unique subdir and
-    * return their table-relative paths. Distributed write; nothing is
-    * visible until a log entry references it. */
-  private def stage(df: DataFrame, table: String): Seq[String] = {
+    * return their table-relative paths with per-file min/max stats for
+    * every numeric column (`col=min:max;...`) — the data-skipping index,
+    * computed in ONE distributed pass grouped by `input_file_name`.
+    * Distributed write; nothing is visible until a log entry references
+    * it. */
+  private def stage(df: DataFrame, table: String): (Seq[String], Seq[String]) = {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
     val sub = s"stage-${java.util.UUID.randomUUID().toString.take(12)}"
     val dir = Paths.get(table, sub)
     df.write.parquet(dir.toString)
     val it = Files.list(dir)
-    try it.iterator().asScala_()
-      .map(_.getFileName.toString)
-      .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
-      .map(n => s"$sub/$n").toSeq.sorted
-    finally it.close()
+    val files =
+      try it.iterator().asScala_()
+        .map(_.getFileName.toString)
+        .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+        .map(n => s"$sub/$n").toSeq.sorted
+      finally it.close()
+    val numeric = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+        f.name
+    }.toSeq
+    val stats: Map[String, String] =
+      if (files.isEmpty || numeric.isEmpty) Map.empty
+      else {
+        val aggs = numeric.flatMap(n =>
+          Seq(min(col(n)).as(s"mn_$n"), max(col(n)).as(s"mx_$n")))
+        df.sparkSession.read.parquet(dir.toString)
+          .groupBy(input_file_name().as("_f"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+          .map { r =>
+            val name = r.getString(0).split('/').last
+            val s = numeric.zipWithIndex.flatMap { case (n, i) =>
+              // a file of all-null values yields null min/max: no stats
+              // for that column (never pruned), same as missing stats
+              val (mn, mx) = (r.get(1 + 2 * i), r.get(2 + 2 * i))
+              if (mn == null || mx == null) None else Some(s"$n=$mn:$mx")
+            }.mkString(";")
+            s"$sub/$name" -> s
+          }.toMap
+      }
+    (files, files.map(f => stats.getOrElse(f, "")))
   }
 
   private val MaxRetries = 20
 
   private def commitLoop(table: String, op: String, add: Seq[String],
-      removeAt: Seq[Long] => Seq[String], schemaJson: String): Long = {
+      stats: Seq[String], removeAt: Seq[Long] => Seq[String],
+      schemaJson: String, txn: String = "",
+      abortIf: () => Boolean = () => false): Option[Long] = {
     var tries = 0
     while (tries < MaxRetries) {
+      if (abortIf()) return None // e.g. idempotence token already landed
       val base = versions(table)
       val next = base.lastOption.getOrElse(0L) + 1
-      val c = Commit(next, op, add, removeAt(base), schemaJson)
-      if (tryCommit(table, c)) return next
+      val c = Commit(next, op, add, removeAt(base), schemaJson, stats, txn)
+      if (tryCommit(table, c)) return Some(next)
       tries += 1 // lost the race: rebase on the new latest and retry
     }
     throw new IllegalStateException(
@@ -215,8 +267,26 @@ object LakeTable {
     * version race just rebases the version number — no re-staging, no
     * data rewrite, exactly Delta's blind-append behavior. */
   def append(spark: SparkSession, table: String, df: DataFrame): Long = {
-    val add = stage(df, table)
-    commitLoop(table, "append", add, _ => Seq.empty, df.schema.json)
+    val (add, stats) = stage(df, table)
+    commitLoop(table, "append", add, stats, _ => Seq.empty, df.schema.json).get
+  }
+
+  /** Exactly-once append for replayable writers (streaming batches,
+    * retried jobs): the commit carries the token `appId:txnVersion`, and
+    * a replay whose token is already in the log is a no-op (returns
+    * None). The token re-check runs inside the optimistic retry loop, so
+    * two racing replays of the same batch cannot both land: the CAS
+    * serializes them and the loser sees the winner's token on rebase. */
+  def appendIdempotent(spark: SparkSession, table: String, df: DataFrame,
+      appId: String, txnVersion: Long): Option[Long] = {
+    val token = s"$appId:$txnVersion"
+    def landed(): Boolean = history(table).exists(_.txn == token)
+    if (landed()) None
+    else {
+      val (add, stats) = stage(df, table)
+      commitLoop(table, "append", add, stats, _ => Seq.empty,
+        df.schema.json, txn = token, abortIf = () => landed())
+    }
   }
 
   /** Overwrite: logically removes every file live at commit time and
@@ -224,11 +294,11 @@ object LakeTable {
     * winner on each retry (last-writer-wins serialization). Old files
     * stay on disk for time travel until [[vacuum]]. */
   def overwrite(spark: SparkSession, table: String, df: DataFrame): Long = {
-    val add = stage(df, table)
-    commitLoop(table, "overwrite", add,
+    val (add, stats) = stage(df, table)
+    commitLoop(table, "overwrite", add, stats,
       base => base.lastOption.map(v => snapshotFiles(table, Some(v))._1)
         .getOrElse(Seq.empty),
-      df.schema.json)
+      df.schema.json).get
   }
 
   // ---- read path -------------------------------------------------------
@@ -251,6 +321,45 @@ object LakeTable {
           spark.read.schema(schema)
             .parquet(files.map(f => s"$table/$f"): _*)
     }
+  }
+
+  /** Files at `version` whose stats could contain a row with
+    * `column ∈ [lo, hi]` — the data-skipping pruning a Delta reader does
+    * from the log alone, no footer reads. A file with no stats for the
+    * column is conservatively kept. */
+  def prunedFiles(table: String, column: String, lo: Double, hi: Double,
+      version: Option[Long] = None): (Seq[String], Int) = {
+    val (all, _) = snapshotFilesWithStats(table, version)
+    val kept = all.collect {
+      case (f, stats) if {
+        val range = stats.split(';').filter(_.nonEmpty)
+          .map(_.split('=')).collectFirst {
+            case Array(c, mm) if c == column =>
+              val Array(mn, mx) = mm.split(':')
+              (mn.toDouble, mx.toDouble)
+          }
+        range.forall { case (mn, mx) => mn <= hi && lo <= mx }
+      } => f
+    }
+    (kept, all.size)
+  }
+
+  /** Snapshot read restricted by a range predicate, scanning ONLY the
+    * log-pruned files (plus the row-level filter for exactness). */
+  def snapshotWhere(spark: SparkSession, table: String, column: String,
+      lo: Double, hi: Double, version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (files, _) = prunedFiles(table, column, lo, hi, version)
+    val (_, schemaJson) = snapshotFilesWithStats(table, version)
+    val schema = DataType.fromJson(schemaJson.getOrElse(
+      throw new IllegalArgumentException(s"no such table: $table")))
+      .asInstanceOf[StructType]
+    val base =
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(files.map(f => s"$table/$f"): _*)
+    base.filter(col(column) >= lo && col(column) <= hi)
   }
 
   /** Delete data files no snapshot ≥ `retainFrom` can reach, plus

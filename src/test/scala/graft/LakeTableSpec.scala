@@ -105,6 +105,65 @@ class LakeTableSpec extends SparkSpec {
     assert(LakeTable.versions(t) == (1L to 3L), "the log itself is never truncated")
   }
 
+  test("log stats prune files for range reads; results stay exact") {
+    val t = freshTable()
+    // three appends with disjoint id ranges → three file groups whose
+    // log stats partition the id axis
+    LakeTable.append(spark, t, df(0 until 100).coalesce(1))
+    LakeTable.append(spark, t, df(100 until 200).coalesce(1))
+    LakeTable.append(spark, t, df(200 until 300).coalesce(1))
+    val (kept, total) = LakeTable.prunedFiles(t, "id", 120, 180)
+    assert(total == 3 && kept.length == 1,
+      s"stats must skip the non-overlapping files, kept $kept of $total")
+    val rows = LakeTable.snapshotWhere(spark, t, "id", 120, 180)
+    assert(rows.count() == 61) // inclusive range
+    // conservative: a column with no stats (string) never prunes
+    import spark.implicits._
+    val t2 = freshTable()
+    LakeTable.append(spark, t2, Seq("a", "b").toDF("s").coalesce(1))
+    assert(LakeTable.prunedFiles(t2, "missing", 0, 1)._1.nonEmpty)
+  }
+
+  test("idempotent append: a replayed batch token commits exactly once") {
+    val t = freshTable()
+    val v1 = LakeTable.appendIdempotent(spark, t, df(0 until 10), "job-a", 0L)
+    assert(v1.contains(1L))
+    // replay of the same (appId, version): no-op
+    assert(LakeTable.appendIdempotent(spark, t, df(0 until 10), "job-a", 0L).isEmpty)
+    // next batch and a different app both land
+    assert(LakeTable.appendIdempotent(spark, t, df(10 until 15), "job-a", 1L).contains(2L))
+    assert(LakeTable.appendIdempotent(spark, t, df(100 until 101), "job-b", 0L).contains(3L))
+    assert(LakeTable.snapshot(spark, t).count() == 16)
+  }
+
+  test("streaming sink: AvailableNow replay into the table is exactly-once") {
+    val t = freshTable()
+    val src = Files.createTempDirectory("lake_stream_src").toString
+    DatasetCache.registerTempDir(src)
+    df(0 until 40).repartition(4).write.mode("overwrite").parquet(src)
+    val schema = df(0 until 1).schema
+    def run(ckpt: String): Unit = {
+      val q = graft.lake.LakeSink.start(
+        spark.readStream.schema(schema).parquet(src), t, "ingest", ckpt)
+      q.awaitTermination(120000)
+    }
+    val ckpt = Files.createTempDirectory("lake_stream_ckpt").toString
+    DatasetCache.registerTempDir(ckpt)
+    run(ckpt)
+    val afterFirst = LakeTable.snapshot(spark, t).count()
+    assert(afterFirst == 40)
+    // same checkpoint: nothing new to process, nothing duplicated
+    run(ckpt)
+    assert(LakeTable.snapshot(spark, t).count() == 40)
+    // a FRESH checkpoint replays the batches — the txn tokens make the
+    // replay a no-op instead of doubling the table
+    val ckpt2 = Files.createTempDirectory("lake_stream_ckpt2").toString
+    DatasetCache.registerTempDir(ckpt2)
+    run(ckpt2)
+    assert(LakeTable.snapshot(spark, t).count() == 40,
+      "replayed batch ids must hit the idempotence tokens")
+  }
+
   test("schema is pinned per commit; empty and missing tables behave") {
     val t = freshTable()
     intercept[IllegalArgumentException] { LakeTable.snapshot(spark, t) }
