@@ -161,8 +161,52 @@ object LakeTable {
 
   def history(table: String): Seq[Commit] = versions(table).map(readCommit(table, _))
 
-  /** Live (file, stats) list + schema at `version` (default: latest). */
-  def snapshotFilesWithStats(table: String, version: Option[Long] = None)
+  /** Commit interval at which writers leave a checkpoint: a single file
+    * holding the full live (file, stats) snapshot, so readers replay
+    * O(CheckpointEvery) tail commits instead of the whole log — the
+    * log-compaction half of the Delta protocol. At 100 TB the log is
+    * years of commits; without this, snapshot construction is O(n). */
+  val CheckpointEvery: Long = 10
+
+  private def checkpointFile(table: String, v: Long): Path =
+    logDir(table).resolve(f"$v%020d.checkpoint.json")
+
+  /** Latest checkpoint at or below `upTo`, if any. Encoded as a commit
+    * whose add/addStats hold the ENTIRE live set. */
+  private def latestCheckpoint(table: String, upTo: Long): Option[Commit] = {
+    val d = logDir(table)
+    if (!Files.isDirectory(d)) None
+    else {
+      val it = Files.list(d)
+      val vs =
+        try it.iterator().asScala_()
+          .map(_.getFileName.toString)
+          .filter(_.matches("\\d{20}\\.checkpoint\\.json"))
+          .map(_.take(20).toLong).filter(_ <= upTo).toSeq
+        finally it.close()
+      vs.sorted.lastOption.map { v =>
+        decode(new String(Files.readAllBytes(checkpointFile(table, v)), UTF_8))
+      }
+    }
+  }
+
+  /** Write the checkpoint for version `v` (idempotent; best-effort —
+    * a lost checkpoint only costs replay time, never correctness). */
+  private def maybeCheckpoint(table: String, v: Long): Unit =
+    if (v % CheckpointEvery == 0 && !Files.exists(checkpointFile(table, v))) {
+      val (live, schema) = replay(table, Some(v))
+      val c = Commit(v, "checkpoint", live.map(_._1), Seq.empty,
+        schema.getOrElse(""), live.map(_._2))
+      val tmp = logDir(table).resolve(s".tmpck-${java.util.UUID.randomUUID()}")
+      Files.write(tmp, encode(c).getBytes(UTF_8))
+      try Files.move(tmp, checkpointFile(table, v),
+        StandardCopyOption.ATOMIC_MOVE)
+      catch { case NonFatal(_) => () } // raced another writer: identical content
+      finally { Files.deleteIfExists(tmp); () }
+    }
+
+  /** Full-replay reference implementation (also builds checkpoints). */
+  private def replay(table: String, version: Option[Long])
       : (Seq[(String, String)], Option[String]) = {
     val upTo = version.orElse(latestVersion(table)).getOrElse(0L)
     val live = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -176,6 +220,33 @@ object LakeTable {
       schema = Some(c.schemaJson)
     }
     (live.toSeq, schema)
+  }
+
+  /** Live (file, stats) list + schema at `version` (default: latest).
+    * Starts from the newest checkpoint ≤ version and replays only the
+    * tail commits. */
+  def snapshotFilesWithStats(table: String, version: Option[Long] = None)
+      : (Seq[(String, String)], Option[String]) = {
+    val upTo = version.orElse(latestVersion(table)).getOrElse(0L)
+    latestCheckpoint(table, upTo) match {
+      case None => replay(table, Some(upTo))
+      case Some(ck) =>
+        val live = scala.collection.mutable.LinkedHashMap[String, String]()
+        ck.add.zipWithIndex.foreach { case (f, i) =>
+          live(f) = ck.addStats.lift(i).getOrElse("")
+        }
+        var schema: Option[String] =
+          if (ck.schemaJson.nonEmpty) Some(ck.schemaJson) else None
+        versions(table).filter(v => v > ck.version && v <= upTo).foreach { v =>
+          val c = readCommit(table, v)
+          c.remove.foreach(live -= _)
+          c.add.zipWithIndex.foreach { case (f, i) =>
+            live(f) = c.addStats.lift(i).getOrElse("")
+          }
+          schema = Some(c.schemaJson)
+        }
+        (live.toSeq, schema)
+    }
   }
 
   /** Live file list + schema at `version` (default: latest). */
@@ -256,7 +327,7 @@ object LakeTable {
       val base = versions(table)
       val next = base.lastOption.getOrElse(0L) + 1
       val c = Commit(next, op, add, removeAt(base), schemaJson, stats, txn)
-      if (tryCommit(table, c)) return Some(next)
+      if (tryCommit(table, c)) { maybeCheckpoint(table, next); return Some(next) }
       tries += 1 // lost the race: rebase on the new latest and retry
     }
     throw new IllegalStateException(

@@ -164,6 +164,28 @@ class LakeTableSpec extends SparkSpec {
       "replayed batch ids must hit the idempotence tokens")
   }
 
+  test("checkpoint compaction: snapshots replay from the checkpoint, identically") {
+    val t = freshTable()
+    (0 until 23).foreach(i => LakeTable.append(spark, t, df(i * 5 until i * 5 + 5)))
+    LakeTable.overwrite(spark, t, df(0 until 7)) // v24
+    LakeTable.append(spark, t, df(7 until 9))    // v25
+    // checkpoints exist at the interval boundaries
+    val ckpts = Files.list(Paths.get(t, "_txlog")).iterator()
+    val names = new scala.collection.mutable.ArrayBuffer[String]
+    while (ckpts.hasNext) names += ckpts.next().getFileName.toString
+    assert(names.count(_.endsWith(".checkpoint.json")) >= 2)
+    // checkpointed snapshot == full replay at every version (time travel
+    // below, at, and above a checkpoint boundary)
+    Seq(5L, 10L, 19L, 20L, 24L, 25L).foreach { v =>
+      val viaCk = LakeTable.snapshot(spark, t, Some(v)).count()
+      val expected = if (v <= 23) v * 5 else if (v == 24) 7 else 9
+      assert(viaCk == expected, s"version $v: got $viaCk, want $expected")
+    }
+    // pruning still works through the checkpointed stats
+    val (kept, total) = LakeTable.prunedFiles(t, "id", 7.5, 8.5, Some(25L))
+    assert(kept.length < total)
+  }
+
   test("schema is pinned per commit; empty and missing tables behave") {
     val t = freshTable()
     intercept[IllegalArgumentException] { LakeTable.snapshot(spark, t) }
