@@ -92,7 +92,7 @@ object Cli {
           val v =
             if (op == "append") graft.lake.LakeTable.append(spark, table, df)
             else graft.lake.LakeTable.overwrite(spark, table, df)
-          println(s"committed version $v (${df.count()} rows)")
+          println(s"committed version $v")
         case "read" =>
           val version = rest.headOption.map(_.toLong)
           val snap = graft.lake.LakeTable.snapshot(spark, table, version)

@@ -133,24 +133,18 @@ object LakeTable {
   private def versionFile(table: String, v: Long): Path =
     logDir(table).resolve(f"$v%020d.json")
 
+  import scala.jdk.CollectionConverters._
+
   /** All committed versions, ascending. */
   def versions(table: String): Seq[Long] = {
     val d = logDir(table)
     if (!Files.isDirectory(d)) Seq.empty
     else {
       val it = Files.list(d)
-      try it.iterator().asInstanceOf[java.util.Iterator[Path]]
-        .asScala_().filter(_.getFileName.toString.matches("\\d{20}\\.json"))
+      try it.iterator().asScala
+        .filter(_.getFileName.toString.matches("\\d{20}\\.json"))
         .map(_.getFileName.toString.dropRight(5).toLong).toSeq.sorted
       finally it.close()
-    }
-  }
-
-  // tiny shim: avoid importing scala.jdk here and in tests differently
-  private implicit class IterShim[A](it: java.util.Iterator[A]) {
-    def asScala_(): Iterator[A] = new Iterator[A] {
-      def hasNext: Boolean = it.hasNext
-      def next(): A = it.next()
     }
   }
 
@@ -179,7 +173,7 @@ object LakeTable {
     else {
       val it = Files.list(d)
       val vs =
-        try it.iterator().asScala_()
+        try it.iterator().asScala
           .map(_.getFileName.toString)
           .filter(_.matches("\\d{20}\\.checkpoint\\.json"))
           .map(_.take(20).toLong).filter(_ <= upTo).toSeq
@@ -194,9 +188,11 @@ object LakeTable {
     * a lost checkpoint only costs replay time, never correctness). */
   private def maybeCheckpoint(table: String, v: Long): Unit =
     if (v % CheckpointEvery == 0 && !Files.exists(checkpointFile(table, v))) {
-      val (live, schema) = replay(table, Some(v))
+      val r = fullReplayer(table, v)
+      val (live, schema) = r.result
       val c = Commit(v, "checkpoint", live.map(_._1), Seq.empty,
-        schema.getOrElse(""), live.map(_._2))
+        schema.getOrElse(""), live.map(_._2),
+        txn = r.tokens.mkString(","))
       val tmp = logDir(table).resolve(s".tmpck-${java.util.UUID.randomUUID()}")
       Files.write(tmp, encode(c).getBytes(UTF_8))
       try Files.move(tmp, checkpointFile(table, v),
@@ -205,47 +201,57 @@ object LakeTable {
       finally { Files.deleteIfExists(tmp); () }
     }
 
-  /** Full-replay reference implementation (also builds checkpoints). */
-  private def replay(table: String, version: Option[Long])
-      : (Seq[(String, String)], Option[String]) = {
-    val upTo = version.orElse(latestVersion(table)).getOrElse(0L)
+  /** One shared commit-application step — the ONLY place the live-set
+    * merge semantics exist, so the checkpoint path and the full-replay
+    * path cannot diverge (a checkpoint entry is just a pre-merged
+    * commit). */
+  private final class Replayer {
     val live = scala.collection.mutable.LinkedHashMap[String, String]()
+    val tokens = scala.collection.mutable.LinkedHashSet[String]()
     var schema: Option[String] = None
-    versions(table).takeWhile(_ <= upTo).foreach { v =>
-      val c = readCommit(table, v)
+    def apply(c: Commit): Unit = {
       c.remove.foreach(live -= _)
       c.add.zipWithIndex.foreach { case (f, i) =>
         live(f) = c.addStats.lift(i).getOrElse("")
       }
-      schema = Some(c.schemaJson)
+      // a checkpoint entry carries the comma-joined union of all tokens
+      tokens ++= c.txn.split(',').filter(_.nonEmpty)
+      if (c.schemaJson.nonEmpty) schema = Some(c.schemaJson)
     }
-    (live.toSeq, schema)
+    def result: (Seq[(String, String)], Option[String]) = (live.toSeq, schema)
   }
+
+  /** Full-replay reference implementation (also builds checkpoints). */
+  private def fullReplayer(table: String, upTo: Long): Replayer = {
+    val r = new Replayer
+    versions(table).takeWhile(_ <= upTo).foreach(v => r(readCommit(table, v)))
+    r
+  }
+
+  private def replay(table: String, version: Option[Long])
+      : (Seq[(String, String)], Option[String]) =
+    fullReplayer(table,
+      version.orElse(latestVersion(table)).getOrElse(0L)).result
 
   /** Live (file, stats) list + schema at `version` (default: latest).
     * Starts from the newest checkpoint ≤ version and replays only the
-    * tail commits. */
+    * tail commits. Requesting a version that was never committed is an
+    * error (silently serving the latest state as "version 99" would be
+    * wrong data for an audit read). */
   def snapshotFilesWithStats(table: String, version: Option[Long] = None)
       : (Seq[(String, String)], Option[String]) = {
-    val upTo = version.orElse(latestVersion(table)).getOrElse(0L)
+    val latest = latestVersion(table).getOrElse(0L)
+    version.foreach(v => require(v >= 1 && v <= latest,
+      s"version $v does not exist in $table (latest: $latest)"))
+    val upTo = version.getOrElse(latest)
     latestCheckpoint(table, upTo) match {
       case None => replay(table, Some(upTo))
       case Some(ck) =>
-        val live = scala.collection.mutable.LinkedHashMap[String, String]()
-        ck.add.zipWithIndex.foreach { case (f, i) =>
-          live(f) = ck.addStats.lift(i).getOrElse("")
-        }
-        var schema: Option[String] =
-          if (ck.schemaJson.nonEmpty) Some(ck.schemaJson) else None
-        versions(table).filter(v => v > ck.version && v <= upTo).foreach { v =>
-          val c = readCommit(table, v)
-          c.remove.foreach(live -= _)
-          c.add.zipWithIndex.foreach { case (f, i) =>
-            live(f) = c.addStats.lift(i).getOrElse("")
-          }
-          schema = Some(c.schemaJson)
-        }
-        (live.toSeq, schema)
+        val r = new Replayer
+        r(ck)
+        versions(table).filter(v => v > ck.version && v <= upTo)
+          .foreach(v => r(readCommit(table, v)))
+        r.result
     }
   }
 
@@ -283,7 +289,7 @@ object LakeTable {
     df.write.parquet(dir.toString)
     val it = Files.list(dir)
     val files =
-      try it.iterator().asScala_()
+      try it.iterator().asScala
         .map(_.getFileName.toString)
         .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
         .map(n => s"$sub/$n").toSeq.sorted
@@ -304,10 +310,16 @@ object LakeTable {
           .map { r =>
             val name = r.getString(0).split('/').last
             val s = numeric.zipWithIndex.flatMap { case (n, i) =>
-              // a file of all-null values yields null min/max: no stats
-              // for that column (never pruned), same as missing stats
+              // all-null min/max, or a NaN endpoint (Spark's min/max
+              // order NaN above every value), make the range useless:
+              // record no stats for the column → conservatively kept
+              def bad(x: Any): Boolean = x == null || (x match {
+                case d: Double => d.isNaN
+                case f: Float => f.isNaN
+                case _ => false
+              })
               val (mn, mx) = (r.get(1 + 2 * i), r.get(2 + 2 * i))
-              if (mn == null || mx == null) None else Some(s"$n=$mn:$mx")
+              if (bad(mn) || bad(mx)) None else Some(s"$n=$mn:$mx")
             }.mkString(";")
             s"$sub/$name" -> s
           }.toMap
@@ -342,16 +354,36 @@ object LakeTable {
     commitLoop(table, "append", add, stats, _ => Seq.empty, df.schema.json).get
   }
 
+  /** Idempotence tokens visible at the latest version: the newest
+    * checkpoint's token set plus the tail commits' tokens — O(interval)
+    * log reads, not O(history), mirroring the snapshot path. */
+  private def committedTokens(table: String): Set[String] = {
+    val latest = latestVersion(table).getOrElse(0L)
+    val (ckTokens, from) = latestCheckpoint(table, latest) match {
+      case Some(ck) => (ck.txn.split(',').filter(_.nonEmpty).toSet, ck.version)
+      case None => (Set.empty[String], 0L)
+    }
+    ckTokens ++ versions(table).filter(_ > from)
+      .map(readCommit(table, _).txn).filter(_.nonEmpty)
+  }
+
   /** Exactly-once append for replayable writers (streaming batches,
     * retried jobs): the commit carries the token `appId:txnVersion`, and
     * a replay whose token is already in the log is a no-op (returns
     * None). The token re-check runs inside the optimistic retry loop, so
     * two racing replays of the same batch cannot both land: the CAS
-    * serializes them and the loser sees the winner's token on rebase. */
+    * serializes them and the loser sees the winner's token on rebase.
+    *
+    * Correctness precondition (same as Delta's txnAppId/txnVersion):
+    * token equality must mean CONTENT equality — i.e. the writer replays
+    * deterministic batches. A stream restarted from its checkpoint
+    * satisfies this; restarting with a FRESH checkpoint over a source
+    * that has since grown re-numbers different content from batch 0 and
+    * must use a new appId, or the new data is silently skipped. */
   def appendIdempotent(spark: SparkSession, table: String, df: DataFrame,
       appId: String, txnVersion: Long): Option[Long] = {
     val token = s"$appId:$txnVersion"
-    def landed(): Boolean = history(table).exists(_.txn == token)
+    def landed(): Boolean = committedTokens(table)(token)
     if (landed()) None
     else {
       val (add, stats) = stage(df, table)
@@ -394,14 +426,13 @@ object LakeTable {
     }
   }
 
-  /** Files at `version` whose stats could contain a row with
-    * `column ∈ [lo, hi]` — the data-skipping pruning a Delta reader does
-    * from the log alone, no footer reads. A file with no stats for the
-    * column is conservatively kept. */
-  def prunedFiles(table: String, column: String, lo: Double, hi: Double,
-      version: Option[Long] = None): (Seq[String], Int) = {
-    val (all, _) = snapshotFilesWithStats(table, version)
-    val kept = all.collect {
+  /** Prune `(file, stats)` entries down to those whose stats could
+    * contain a row with `column ∈ [lo, hi]`. A file with no stats for
+    * the column — or an unparseable/NaN range — is conservatively
+    * kept. */
+  private def pruneByStats(all: Seq[(String, String)], column: String,
+      lo: Double, hi: Double): Seq[String] =
+    all.collect {
       case (f, stats) if {
         val range = stats.split(';').filter(_.nonEmpty)
           .map(_.split('=')).collectFirst {
@@ -409,19 +440,31 @@ object LakeTable {
               val Array(mn, mx) = mm.split(':')
               (mn.toDouble, mx.toDouble)
           }
-        range.forall { case (mn, mx) => mn <= hi && lo <= mx }
+        range.forall { case (mn, mx) =>
+          // NaN endpoints give a useless range; keep (belt to stage()'s
+          // suspenders — old logs may predate the stage-side guard)
+          mn.isNaN || mx.isNaN || (mn <= hi && lo <= mx)
+        }
       } => f
     }
-    (kept, all.size)
+
+  /** Files at `version` whose stats could contain a row with
+    * `column ∈ [lo, hi]` — the data-skipping pruning a Delta reader does
+    * from the log alone, no footer reads. */
+  def prunedFiles(table: String, column: String, lo: Double, hi: Double,
+      version: Option[Long] = None): (Seq[String], Int) = {
+    val (all, _) = snapshotFilesWithStats(table, version)
+    (pruneByStats(all, column, lo, hi), all.size)
   }
 
   /** Snapshot read restricted by a range predicate, scanning ONLY the
-    * log-pruned files (plus the row-level filter for exactness). */
+    * log-pruned files (plus the row-level filter for exactness). One
+    * log replay serves both the file list and the schema. */
   def snapshotWhere(spark: SparkSession, table: String, column: String,
       lo: Double, hi: Double, version: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val (files, _) = prunedFiles(table, column, lo, hi, version)
-    val (_, schemaJson) = snapshotFilesWithStats(table, version)
+    val (all, schemaJson) = snapshotFilesWithStats(table, version)
+    val files = pruneByStats(all, column, lo, hi)
     val schema = DataType.fromJson(schemaJson.getOrElse(
       throw new IllegalArgumentException(s"no such table: $table")))
       .asInstanceOf[StructType]
@@ -433,26 +476,40 @@ object LakeTable {
     base.filter(col(column) >= lo && col(column) <= hi)
   }
 
+  /** Unreferenced files younger than this are presumed to belong to an
+    * IN-FLIGHT writer (staged, commit not yet written) and are never
+    * vacuumed — the same role as Delta's file-retention threshold.
+    * A crashed writer's orphans become collectible once they age out. */
+  val OrphanMinAgeMs: Long = 15 * 60 * 1000
+
   /** Delete data files no snapshot ≥ `retainFrom` can reach, plus
-    * orphaned stage files a crashed writer left behind. Never touches
-    * the log, so `versions` stays contiguous; time travel BELOW
-    * `retainFrom` becomes unreadable (exactly Delta's VACUUM trade). */
-  def vacuum(table: String, retainFrom: Long): Seq[String] = {
-    val keep = versions(table).filter(_ >= retainFrom)
+    * orphaned stage files a crashed writer left behind (only once they
+    * are older than `orphanMinAgeMs` — a younger unreferenced file may
+    * be a LIVE writer racing us toward its commit). `retainFrom` is
+    * clamped to the latest version, so the current snapshot is always
+    * retained. Never touches the log, so `versions` stays contiguous;
+    * time travel BELOW the clamped `retainFrom` becomes unreadable
+    * (exactly Delta's VACUUM trade). */
+  def vacuum(table: String, retainFrom: Long,
+      orphanMinAgeMs: Long = OrphanMinAgeMs): Seq[String] = {
+    val floor = latestVersion(table).fold(retainFrom)(math.min(retainFrom, _))
+    val keep = versions(table).filter(_ >= floor)
       .flatMap(v => snapshotFiles(table, Some(v))._1).toSet
     val referenced = history(table).flatMap(_.add).toSet
+    val now = System.currentTimeMillis()
     val root = Paths.get(table)
     val deleted = Seq.newBuilder[String]
     val it = Files.list(root)
-    try it.iterator().asScala_()
+    try it.iterator().asScala
       .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("stage-"))
       .foreach { dir =>
         val sub = dir.getFileName.toString
         val files = Files.list(dir)
-        try files.iterator().asScala_().foreach { f =>
+        try files.iterator().asScala.foreach { f =>
           val rel = s"$sub/${f.getFileName}"
           val isData = f.getFileName.toString.endsWith(".parquet")
-          val orphan = isData && !referenced(rel) // crashed writer
+          val aged = now - Files.getLastModifiedTime(f).toMillis >= orphanMinAgeMs
+          val orphan = isData && !referenced(rel) && aged // crashed writer
           val expired = isData && referenced(rel) && !keep(rel)
           if (orphan || expired) { Files.delete(f); deleted += rel }
         } finally files.close()

@@ -87,10 +87,42 @@ class LakeTableSpec extends SparkSpec {
     df(0 until 99).write.parquet(s"$t/stage-crashed0000")
     assert(LakeTable.snapshot(spark, t).count() == 10,
       "uncommitted files must not be readable")
-    val deleted = LakeTable.vacuum(t, retainFrom = 1L)
+    // under the default age guard the fresh unreferenced files are
+    // treated as an IN-FLIGHT writer and left alone...
+    assert(!LakeTable.vacuum(t, retainFrom = 1L)
+      .exists(_.startsWith("stage-crashed0000/")),
+      "young unreferenced files may belong to a live writer")
+    // ...once aged out (age floor forced to 0) they are collected
+    val deleted = LakeTable.vacuum(t, retainFrom = 1L, orphanMinAgeMs = 0L)
     assert(deleted.exists(_.startsWith("stage-crashed0000/")),
-      "vacuum must collect the orphans")
+      "vacuum must collect the aged orphans")
     assert(LakeTable.snapshot(spark, t).count() == 10)
+  }
+
+  test("vacuum clamps retention to the latest version (current state survives)") {
+    val t = freshTable()
+    LakeTable.append(spark, t, df(0 until 10))
+    LakeTable.vacuum(t, retainFrom = 99L) // overshoot must NOT delete v1's files
+    assert(LakeTable.snapshot(spark, t).count() == 10)
+  }
+
+  test("time travel to a nonexistent version fails instead of serving latest") {
+    val t = freshTable()
+    LakeTable.append(spark, t, df(0 until 5))
+    intercept[IllegalArgumentException] {
+      LakeTable.snapshot(spark, t, Some(99L)).count()
+    }
+  }
+
+  test("NaN stats endpoints never prune a file") {
+    import spark.implicits._
+    val t = freshTable()
+    LakeTable.append(spark, t,
+      Seq(0.5, 2.0, Double.NaN).toDF("x").coalesce(1))
+    val (kept, total) = LakeTable.prunedFiles(t, "x", 0.0, 3.0)
+    assert(total == 1 && kept.length == 1,
+      "a NaN max must not make the file invisible to range reads")
+    assert(LakeTable.snapshotWhere(spark, t, "x", 0.0, 3.0).count() == 2)
   }
 
   test("vacuum drops pre-retention files but keeps retained versions readable") {
@@ -98,7 +130,7 @@ class LakeTableSpec extends SparkSpec {
     LakeTable.append(spark, t, df(0 until 10))       // v1
     LakeTable.overwrite(spark, t, df(0 until 4))     // v2: v1 files now dead
     LakeTable.append(spark, t, df(100 until 102))    // v3
-    val deleted = LakeTable.vacuum(t, retainFrom = 2L)
+    val deleted = LakeTable.vacuum(t, retainFrom = 2L, orphanMinAgeMs = 0L)
     assert(deleted.nonEmpty, "v1's files are unreachable from v2+")
     assert(LakeTable.snapshot(spark, t, Some(2)).count() == 4)
     assert(LakeTable.snapshot(spark, t, Some(3)).count() == 6)
@@ -155,8 +187,10 @@ class LakeTableSpec extends SparkSpec {
     // same checkpoint: nothing new to process, nothing duplicated
     run(ckpt)
     assert(LakeTable.snapshot(spark, t).count() == 40)
-    // a FRESH checkpoint replays the batches — the txn tokens make the
-    // replay a no-op instead of doubling the table
+    // a FRESH checkpoint over the UNCHANGED source re-numbers identical
+    // batches — the txn tokens make the replay a no-op instead of
+    // doubling the table. (If the source had grown, the LakeSink
+    // contract requires a new appId — see its scaladoc.)
     val ckpt2 = Files.createTempDirectory("lake_stream_ckpt2").toString
     DatasetCache.registerTempDir(ckpt2)
     run(ckpt2)
