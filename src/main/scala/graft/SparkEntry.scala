@@ -56,6 +56,7 @@ object SparkEntry {
     "doc_fingerprint" -> (TextOps.docFingerprint(_, _)),
     "doc_top_terms" -> (TextOps.topTerms(25)(_, _)),
     "doc_top_terms_salted" -> (TextOps.topTermsSalted(25)(_, _)),
+    "doc_tfidf_top" -> (TextOps.docTfidfTop(50)(_, _)),
     "doc_vocab" -> (TextOps.vocab(_, _)),
     "doc_sample_strat" -> (TextOps.stratifiedSample(_, _)),
     "doc_repetition" -> (TextOps.docRepetition(_, _)),
@@ -149,6 +150,7 @@ object SparkEntry {
     "doc_fingerprint" -> TextOps.docFingerprintSql,
     "doc_top_terms" -> TextOps.topTermsSql(25),
     "doc_top_terms_salted" -> TextOps.topTermsSql(25), // salted == plain, by construction
+    "doc_tfidf_top" -> TextOps.docTfidfTopSql(50),
     "doc_vocab" -> TextOps.vocabSql,
     "doc_sample_strat" -> TextOps.stratifiedSampleSql,
     "doc_repetition" -> TextOps.docRepetitionSql,

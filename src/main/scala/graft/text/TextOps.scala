@@ -551,6 +551,45 @@ object TextOps {
        | FROM (SELECT unnest(string_split(text,' ')) AS term FROM documents)
        | GROUP BY 1 ORDER BY tf DESC, term ASC LIMIT $k""".stripMargin.replace("\n", " ")
 
+  /** Top-k (doc, term) pairs by an integer tf-idf-style salience:
+    * `tf·1e6·N div (df·n_tokens)` — term frequency normalized by
+    * document length, weighted by inverse document frequency, all in
+    * exact int64 (a float `log` idf is not bit-reproducible across
+    * engines; the rational form ranks the same burst-vs-background
+    * signal and hash-matches). The relevance-scoring primitive of a
+    * retrieval/quality pipeline.
+    *
+    * Scale: one (doc_id, term) aggregation; n_tokens rides the same
+    * partitioning via a window; the term→df relation is vocabulary-
+    * sized and broadcast; the corpus count N is a driver literal. */
+  def docTfidfTop(k: Int)(spark: SparkSession, dir: String): DataFrame = {
+    val n = docs(spark, dir).count()
+    val tf = docs(spark, dir)
+      .select(col("doc_id"), explode(words).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val dfRel = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    tf.withColumn("nt", sum(col("tf")).over(byDoc))
+      .join(broadcast(dfRel), "term")
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        expr(s"(tf * 1000000 * ${n}L) div (df * nt)").as("salience_ppm"))
+      .orderBy(col("salience_ppm").desc, col("doc_id").asc, col("term").asc)
+      .limit(k)
+  }
+
+  def docTfidfTopSql(k: Int): String =
+    s"""WITH tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents)
+       |  GROUP BY 1, 2),
+       | nt AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS nt FROM tf GROUP BY 1),
+       | dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       | n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+       | SELECT tf.doc_id, tf.term, tf.tf, dfr.df,
+       |  CAST(tf.tf * 1000000 * n.n // (dfr.df * nt.nt) AS BIGINT) AS salience_ppm
+       | FROM tf JOIN nt USING (doc_id) JOIN dfr USING (term), n
+       | ORDER BY salience_ppm DESC, doc_id ASC, term ASC LIMIT $k""".stripMargin.replace("\n", " ")
+
   /** Skew-proof top-k terms: two-phase salted aggregation. Term
     * frequencies are zipfian, so a single groupBy("term") sends every
     * occurrence of a hot term to one reducer; salting first aggregates

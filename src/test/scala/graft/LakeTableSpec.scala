@@ -220,6 +220,23 @@ class LakeTableSpec extends SparkSpec {
     assert(kept.length < total)
   }
 
+  test("spatial ingest: x-clustered appends give file-level pruning from the log") {
+    // the point-cloud thesis one level up: append the cloud in spatial
+    // slices (what a tiled ingest naturally produces) and range reads
+    // prune WHOLE FILES from log stats before any parquet is opened
+    val t = freshTable()
+    val pts = graft.pc.Points.fromLineitem(spark, sf0001)
+    Seq((0.0, 333.0), (333.0, 666.0), (666.0, 1000.1)).foreach { case (lo, hi) =>
+      LakeTable.append(spark, t,
+        pts.filter(col("x") >= lo && col("x") < hi).coalesce(1))
+    }
+    val (kept, total) = LakeTable.prunedFiles(t, "x", 100.0, 200.0)
+    assert(total == 3 && kept.length == 1,
+      s"one spatial slice should survive pruning, kept ${kept.length}/$total")
+    val expected = pts.filter(col("x") >= 100.0 && col("x") <= 200.0).count()
+    assert(LakeTable.snapshotWhere(spark, t, "x", 100.0, 200.0).count() == expected)
+  }
+
   test("schema is pinned per commit; empty and missing tables behave") {
     val t = freshTable()
     intercept[IllegalArgumentException] { LakeTable.snapshot(spark, t) }
