@@ -106,6 +106,18 @@ object Cli {
             .orElse(graft.lake.LakeTable.latestVersion(table)).getOrElse(1L)
           val gone = graft.lake.LakeTable.vacuum(table, retain)
           println(s"vacuumed ${gone.size} files (retained >= v$retain)")
+        case "merge" =>
+          val (src, key) = (rest.headOption.getOrElse(sys.error("lake merge needs a source")),
+            rest.drop(1).headOption.getOrElse(sys.error("lake merge needs a key column")))
+          val v = graft.lake.LakeTable.merge(spark, table, spark.read.parquet(src), key)
+          println(s"committed version $v")
+        case "delete" =>
+          rest match {
+            case c :: lo :: hi :: Nil =>
+              val v = graft.lake.LakeTable.deleteWhere(spark, table, c, lo.toDouble, hi.toDouble)
+              println(s"committed version $v")
+            case _ => sys.error("lake delete needs <column> <lo> <hi>")
+          }
         case other => sys.error(s"unknown lake op: $other")
       }
       spark.stop()
@@ -115,7 +127,7 @@ object Cli {
         "usage: graft.Cli benchmark | convert <las> <out> [seed] | " +
           "merge <in> <out> [rows] | partition <in> <out> [grid|quadtree|zorder] [sigma|bits] | " +
           "footprint <las> <out-dir> [scale] | experiment [sfDir] [outDir] [runs] | " +
-          "lake append|overwrite|read|history|vacuum <table> [src|version]")
+          "lake append|overwrite|read|history|vacuum|merge|delete <table> [args]")
       sys.exit(2)
   }
 }

@@ -404,6 +404,100 @@ object LakeTable {
       df.schema.json).get
   }
 
+  /** Copy-on-write upsert (MERGE): rows in `updates` replace rows with
+    * the same `key` and new keys are inserted. Only the files that
+    * actually CONTAIN a matched key are rewritten — untouched files are
+    * carried by reference, so the write cost is proportional to the
+    * files hit, not the table (file-granular copy-on-write, Delta's
+    * MERGE execution shape). The rewrite + insert stage as new files
+    * and swap in atomically with the removes in ONE commit.
+    *
+    * Concurrency: merge reads table state to build its rewrite, so a
+    * concurrent commit invalidates it; unlike blind appends it must NOT
+    * rebase silently (the winner may have changed the very rows merged).
+    * A lost race throws `ConcurrentModificationException` — the caller
+    * re-runs against the new snapshot (Delta's serializable behavior). */
+  def merge(spark: SparkSession, table: String, updates: DataFrame,
+      key: String): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col, input_file_name}
+    val baseVersion = latestVersion(table).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $table"))
+    val (all, schemaJson) = snapshotFilesWithStats(table, Some(baseVersion))
+    val schema = DataType.fromJson(schemaJson.get).asInstanceOf[StructType]
+    val absOf = all.map { case (f, _) => s"$table/$f" -> f }.toMap
+    val keys = updates.select(col(key)).distinct()
+    // which files hold a matched key: one semi-join pass over the scan,
+    // grouped by source file
+    val affected: Seq[String] =
+      if (all.isEmpty) Seq.empty
+      else spark.read.schema(schema).parquet(all.map(f => s"$table/${f._1}"): _*)
+        .join(broadcast(keys), Seq(key), "left_semi")
+        .select(input_file_name().as("_f")).distinct()
+        .collect().map(_.getString(0))
+        .map(uri => absOf.collectFirst {
+          case (abs, rel) if uri.endsWith(abs) || uri.contains(rel) => rel
+        }.getOrElse(sys.error(s"unmapped scan file $uri")))
+        .toSeq.distinct.sorted
+    // schema must match the table exactly — carried-by-reference files
+    // keep their types, so silent evolution would commit a mixed-type
+    // table (Delta likewise rejects unless evolution is opted into)
+    val aligned = updates.select(schema.fieldNames.map(col).toSeq: _*)
+    require(
+      aligned.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"merge schema mismatch: table has ${schema.simpleString}, " +
+        s"updates have ${aligned.schema.simpleString}")
+    // rewrite = affected files minus matched rows, plus ALL updates
+    val survivors =
+      if (affected.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema)
+        .parquet(affected.map(f => s"$table/$f"): _*)
+        .join(broadcast(keys), Seq(key), "left_anti")
+    val (add, stats) = stage(survivors.unionByName(aligned), table)
+    val c = Commit(baseVersion + 1, "merge", add, affected,
+      schemaJson.get, stats)
+    if (!tryCommit(table, c))
+      throw new java.util.ConcurrentModificationException(
+        s"merge on $table lost the commit race at version ${baseVersion + 1}; " +
+          "re-run against the new snapshot")
+    maybeCheckpoint(table, c.version)
+    c.version
+  }
+
+  /** Copy-on-write DELETE of rows with `column ∈ [lo, hi]`. The
+    * affected-file search is pure LOG METADATA — the same stats pruning
+    * as [[snapshotWhere]] — so files that cannot contain a matching row
+    * are carried by reference without being opened, and only the pruned
+    * survivors are rewritten without their matching rows. Same
+    * serializable no-rebase contract as [[merge]]. */
+  def deleteWhere(spark: SparkSession, table: String, column: String,
+      lo: Double, hi: Double): Long = {
+    import org.apache.spark.sql.functions.col
+    val baseVersion = latestVersion(table).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $table"))
+    val (all, schemaJson) = snapshotFilesWithStats(table, Some(baseVersion))
+    val schema = DataType.fromJson(schemaJson.get).asInstanceOf[StructType]
+    val affected = pruneByStats(all, column, lo, hi)
+    val survivors =
+      if (affected.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema)
+        .parquet(affected.map(f => s"$table/$f"): _*)
+        .filter(!(col(column) >= lo && col(column) <= hi) || col(column).isNull)
+    val (add, stats) = stage(survivors, table)
+    val c = Commit(baseVersion + 1, "delete", add, affected,
+      schemaJson.get, stats)
+    if (!tryCommit(table, c))
+      throw new java.util.ConcurrentModificationException(
+        s"delete on $table lost the commit race at version ${baseVersion + 1}; " +
+          "re-run against the new snapshot")
+    maybeCheckpoint(table, c.version)
+    c.version
+  }
+
   // ---- read path -------------------------------------------------------
 
   /** Snapshot read, optionally at a historical version. The file list

@@ -22,7 +22,7 @@ class LakeTableSpec extends SparkSpec {
 
   private def df(ids: Range) = {
     import spark.implicits._
-    ids.toDF("id").withColumn("v", col("id") * 2)
+    ids.map(_.toLong).toDF("id").withColumn("v", col("id") * 2)
   }
 
   test("append/overwrite/time travel: every version stays readable") {
@@ -235,6 +235,59 @@ class LakeTableSpec extends SparkSpec {
       s"one spatial slice should survive pruning, kept ${kept.length}/$total")
     val expected = pts.filter(col("x") >= 100.0 && col("x") <= 200.0).count()
     assert(LakeTable.snapshotWhere(spark, t, "x", 100.0, 200.0).count() == expected)
+  }
+
+  test("merge upserts copy-on-write: only files holding matched keys rewrite") {
+    val t = freshTable()
+    // three disjoint single-file appends
+    LakeTable.append(spark, t, df(0 until 100).coalesce(1))
+    LakeTable.append(spark, t, df(100 until 200).coalesce(1))
+    LakeTable.append(spark, t, df(200 until 300).coalesce(1))
+    val before = LakeTable.snapshotFiles(t)._1.toSet
+    // update 2 keys in the middle file + insert 2 new keys
+    import spark.implicits._
+    val updates = Seq((150L, -1L), (160L, -2L), (900L, 9L), (901L, 9L))
+      .toDF("id", "v")
+    val v = LakeTable.merge(spark, t, updates, "id")
+    val after = LakeTable.snapshotFiles(t)._1.toSet
+    // files 1 and 3 are carried by reference, file 2 was replaced
+    assert((before & after).size == 2,
+      s"exactly the un-matched files survive: ${before & after}")
+    val snap = LakeTable.snapshot(spark, t)
+    assert(snap.count() == 302)
+    val got = snap.filter(col("id").isin(150L, 160L, 900L, 901L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(150L -> -1L, 160L -> -2L, 900L -> 9L, 901L -> 9L))
+    // untouched row unchanged; pre-merge state still time-travels
+    assert(snap.filter(col("id") === 151L).head().getLong(1) == 302L)
+    assert(LakeTable.snapshot(spark, t, Some(v - 1))
+      .filter(col("id") === 150L).head().getLong(1) == 300L)
+  }
+
+  test("merge rejects a schema that differs from the table's") {
+    import spark.implicits._
+    val t = freshTable()
+    LakeTable.append(spark, t, df(0 until 5))
+    val wrongType = Seq((1, 2)).toDF("id", "v") // int, table is long
+    intercept[IllegalArgumentException] {
+      LakeTable.merge(spark, t, wrongType, "id")
+    }
+  }
+
+  test("deleteWhere prunes unaffected files from stats and keeps results exact") {
+    val t = freshTable()
+    LakeTable.append(spark, t, df(0 until 100).coalesce(1))
+    LakeTable.append(spark, t, df(100 until 200).coalesce(1))
+    LakeTable.append(spark, t, df(200 until 300).coalesce(1))
+    val before = LakeTable.snapshotFiles(t)._1.toSet
+    LakeTable.deleteWhere(spark, t, "id", 120, 180)
+    val after = LakeTable.snapshotFiles(t)._1.toSet
+    assert((before & after).size == 2,
+      "only the file whose stats overlap the range is rewritten")
+    val snap = LakeTable.snapshot(spark, t)
+    assert(snap.count() == 300 - 61)
+    assert(snap.filter(col("id").between(120, 180)).count() == 0)
+    assert(snap.filter(col("id") === 119L).count() == 1)
   }
 
   test("schema is pinned per commit; empty and missing tables behave") {
