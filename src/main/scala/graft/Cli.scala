@@ -118,6 +118,14 @@ object Cli {
               println(s"committed version $v")
             case _ => sys.error("lake delete needs <column> <lo> <hi>")
           }
+        case "optimize" =>
+          rest match {
+            case cx :: cy :: more =>
+              val files = more.headOption.map(_.toInt).getOrElse(4)
+              val v = graft.lake.LakeTable.optimize(spark, table, cx, cy, files)
+              println(s"committed version $v")
+            case _ => sys.error("lake optimize needs <colX> <colY> [files]")
+          }
         case other => sys.error(s"unknown lake op: $other")
       }
       spark.stop()
@@ -127,7 +135,7 @@ object Cli {
         "usage: graft.Cli benchmark | convert <las> <out> [seed] | " +
           "merge <in> <out> [rows] | partition <in> <out> [grid|quadtree|zorder] [sigma|bits] | " +
           "footprint <las> <out-dir> [scale] | experiment [sfDir] [outDir] [runs] | " +
-          "lake append|overwrite|read|history|vacuum|merge|delete <table> [args]")
+          "lake append|overwrite|read|history|vacuum|merge|delete|optimize <table> [args]")
       sys.exit(2)
   }
 }

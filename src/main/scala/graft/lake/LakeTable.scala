@@ -498,6 +498,50 @@ object LakeTable {
     c.version
   }
 
+  /** OPTIMIZE with Z-ORDER BY: rewrite the live file set compacted into
+    * `targetFiles` files range-partitioned on the Morton interleave of
+    * two columns (reusing the point-cloud layout's codegen'd key). Small
+    * files from incremental appends collapse, and the rewritten files
+    * carry TIGHT per-file min/max on BOTH columns, so the log-stats
+    * pruning of [[snapshotWhere]]/[[deleteWhere]] actually bites on
+    * either dimension afterward — the exact job Delta's
+    * `OPTIMIZE ... ZORDER BY` does, with the same commit semantics:
+    * one atomic swap, old files stay for time travel until vacuum.
+    * Data-identical (a pure re-layout); same no-rebase conflict
+    * contract as [[merge]]. */
+  def optimize(spark: SparkSession, table: String, colX: String,
+      colY: String, targetFiles: Int = 4, bits: Int = 16): Long = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val baseVersion = latestVersion(table).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $table"))
+    val (all, schemaJson) = snapshotFilesWithStats(table, Some(baseVersion))
+    val schema = DataType.fromJson(schemaJson.get).asInstanceOf[StructType]
+    val live = all.map(f => s"$table/${f._1}")
+    if (live.isEmpty) return baseVersion // nothing to lay out
+    val df = spark.read.schema(schema).parquet(live: _*)
+    val b = df.agg(min(col(colX)), max(col(colX)),
+      min(col(colY)), max(col(colY))).head()
+    def d(i: Int): Double = b.get(i) match {
+      case null => 0.0
+      case n: Number => n.doubleValue()
+    }
+    val zkey = graft.pc.Layout.mortonKey(
+      col(colX), col(colY), d(0), d(1), d(2), d(3), bits)
+    val clustered = df.withColumn("_zkey", zkey)
+      .repartitionByRange(targetFiles, col("_zkey"))
+      .sortWithinPartitions("_zkey")
+      .drop("_zkey")
+    val (add, stats) = stage(clustered, table)
+    val c = Commit(baseVersion + 1, "optimize", add,
+      all.map(_._1), schemaJson.get, stats)
+    if (!tryCommit(table, c))
+      throw new java.util.ConcurrentModificationException(
+        s"optimize on $table lost the commit race at version ${baseVersion + 1}; " +
+          "re-run against the new snapshot")
+    maybeCheckpoint(table, c.version)
+    c.version
+  }
+
   // ---- read path -------------------------------------------------------
 
   /** Snapshot read, optionally at a historical version. The file list

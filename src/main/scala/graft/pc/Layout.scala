@@ -98,37 +98,44 @@ object Layout {
     * lakehouse Z-ORDER BY re-expressed as a range shuffle. The
     * interleave is pure shift/and/or column arithmetic — codegen'd, no
     * UDF, so the write-side scan stays whole-stage. */
+  /** Spread the low 32 bits of `c` into the even bit positions of a
+    * long (the classic mask-doubling Morton spread). */
+  private def mortonSpread(c: Column): Column = {
+    def step(x: Column, shift: Int, mask: Long): Column =
+      x.bitwiseOR(shiftleft(x, shift)).bitwiseAND(lit(mask))
+    val s1 = step(c, 16, 0x0000FFFF0000FFFFL)
+    val s2 = step(s1, 8, 0x00FF00FF00FF00FFL)
+    val s3 = step(s2, 4, 0x0F0F0F0F0F0F0F0FL)
+    val s4 = step(s3, 2, 0x3333333333333333L)
+    step(s4, 1, 0x5555555555555555L)
+  }
+
+  private def mortonQuantize(c: Column, lo: Double, hi: Double, bits: Int): Column = {
+    val extent = hi - lo
+    if (extent == 0.0) lit(0L)
+    else // clamp both ends: fp round-up at the max edge, and callers
+      // may pass rows slightly outside the derived bounds
+      greatest(lit(0L), least(
+        floor((c - lo) / extent * (1L << bits)).cast(LongType),
+        lit((1L << bits) - 1L)))
+  }
+
+  /** Generic 2-column Morton key over given bounds — shared by the
+    * point-cloud Z-order layout and the lake's OPTIMIZE clustering.
+    * Pure shift/and/or column arithmetic, codegen'd, no UDF. */
+  def mortonKey(cx: Column, cy: Column, loX: Double, hiX: Double,
+      loY: Double, hiY: Double, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"zorder bits must be in [1,31], got $bits")
+    mortonSpread(mortonQuantize(cx, loX, hiX, bits))
+      .bitwiseOR(shiftleft(mortonSpread(mortonQuantize(cy, loY, hiY, bits)), 1))
+  }
+
   final case class ZorderGeometry(bounds: Aabb, bits: Int) {
     require(bits >= 1 && bits <= 31, s"zorder bits must be in [1,31], got $bits")
 
-    /** Spread the low 32 bits of `c` into the even bit positions of a
-      * long (the classic mask-doubling Morton spread). */
-    private def spread(c: Column): Column = {
-      def step(x: Column, shift: Int, mask: Long): Column =
-        x.bitwiseOR(shiftleft(x, shift)).bitwiseAND(lit(mask))
-      val s1 = step(c, 16, 0x0000FFFF0000FFFFL)
-      val s2 = step(s1, 8, 0x00FF00FF00FF00FFL)
-      val s3 = step(s2, 4, 0x0F0F0F0F0F0F0F0FL)
-      val s4 = step(s3, 2, 0x3333333333333333L)
-      step(s4, 1, 0x5555555555555555L)
-    }
-
-    private def quantize(c: Column, lo: Double, hi: Double): Column = {
-      val extent = hi - lo
-      if (extent == 0.0) lit(0L)
-      else // clamp both ends: fp round-up at the max edge, and callers
-        // may pass rows slightly outside the derived bounds
-        greatest(lit(0L), least(
-          floor((c - lo) / extent * (1L << bits)).cast(LongType),
-          lit((1L << bits) - 1L)))
-    }
-
     /** The Morton key expression over the `x`/`y` columns. */
-    def zCol: Column = {
-      val qx = quantize(col("x"), bounds.lower(0), bounds.upper(0))
-      val qy = quantize(col("y"), bounds.lower(1), bounds.upper(1))
-      spread(qx).bitwiseOR(shiftleft(spread(qy), 1))
-    }
+    def zCol: Column = mortonKey(col("x"), col("y"),
+      bounds.lower(0), bounds.upper(0), bounds.lower(1), bounds.upper(1), bits)
   }
 
   /** Z-order layout write: one bounds pass, then the range shuffle on

@@ -290,6 +290,30 @@ class LakeTableSpec extends SparkSpec {
     assert(snap.filter(col("id") === 119L).count() == 1)
   }
 
+  test("optimize zorder: compaction tightens stats so pruning bites both axes") {
+    val t = freshTable()
+    // 6 appends of (x, y) data that interleave ranges — every file's
+    // stats span nearly the whole domain, so nothing prunes
+    import spark.implicits._
+    val pts = graft.pc.Points.fromLineitem(spark, sf0001).select("pid", "x", "y")
+    (0 until 6).foreach(s =>
+      LakeTable.append(spark, t, pts.filter(col("pid") % 6 === s).coalesce(1)))
+    val rows = LakeTable.snapshot(spark, t).count()
+    val (keptBefore, totalBefore) = LakeTable.prunedFiles(t, "x", 100.0, 200.0)
+    assert(totalBefore == 6 && keptBefore.length == 6,
+      "interleaved appends must be unprunable (that is the problem optimize solves)")
+    val v = LakeTable.optimize(spark, t, "x", "y", targetFiles = 8)
+    // data-identical
+    assert(LakeTable.snapshot(spark, t).count() == rows)
+    val (keptAfter, totalAfter) = LakeTable.prunedFiles(t, "x", 100.0, 200.0)
+    assert(keptAfter.length < totalAfter,
+      s"z-clustered files must prune on x: ${keptAfter.length}/$totalAfter")
+    // exactness through the pruned path, and time travel to pre-optimize
+    val expected = pts.filter(col("x") >= 100.0 && col("x") <= 200.0).count()
+    assert(LakeTable.snapshotWhere(spark, t, "x", 100.0, 200.0).count() == expected)
+    assert(LakeTable.snapshot(spark, t, Some(v - 1)).count() == rows)
+  }
+
   test("schema is pinned per commit; empty and missing tables behave") {
     val t = freshTable()
     intercept[IllegalArgumentException] { LakeTable.snapshot(spark, t) }
