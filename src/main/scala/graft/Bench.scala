@@ -60,7 +60,9 @@ object Bench {
       ("pc_layouts", _.startsWith("pc_"),
         () => graft.pc.PcQueries.prebuildLayouts(spark, sfDir)),
       ("bucket_layout", _.startsWith("rel_order_rev_bucket"),
-        () => graft.rel.RelQueries.prebuildBucketedTables(spark, sfDir)))
+        () => graft.rel.RelQueries.prebuildBucketedTables(spark, sfDir)),
+      ("lake_ingest", _.startsWith("rel_pricing_lake"),
+        () => graft.rel.RelQueries.prebuildLakeTable(spark, sfDir)))
     val indexBuilds: Seq[(String, Double)] = indexDefs
       .filter { case (_, relevant, _) => selected.exists(relevant) }
       .map { case (name, _, build) =>

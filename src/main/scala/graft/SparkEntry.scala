@@ -115,6 +115,7 @@ object SparkEntry {
     "rel_small_qty_rev" -> (RelQueries.smallQtyRevenue("Brand#4")(_, _)),
     "rel_order_rev_bucket" -> (RelQueries.orderRevenueBucket(_, _)),
     "rel_large_orders" -> (RelQueries.largeOrders(300L)(_, _)),
+    "rel_pricing_lake" -> (RelQueries.pricingSummaryLake(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -202,5 +203,7 @@ object SparkEntry {
     // layout is result-invariant: oracle is the flat-parquet SQL
     "rel_order_rev_bucket" -> RelQueries.orderRevenueBucketSql,
     "rel_large_orders" -> RelQueries.largeOrdersSql(300L),
+    // the lake is a layout, not a semantics change: flat SQL is the oracle
+    "rel_pricing_lake" -> RelQueries.pricingSummarySql,
   )
 }

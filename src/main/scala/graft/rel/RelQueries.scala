@@ -215,6 +215,49 @@ object RelQueries {
        |  JOIN big ON o_orderkey = l_orderkey
        | ORDER BY total_cents DESC, o_orderkey ASC LIMIT 100""".stripMargin.replace("\n", " ")
 
+  // ---- ACID-table-backed query (lake read path) -----------------------
+
+  private val lakeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** One-time ingest of lineitem into a [[graft.lake.LakeTable]]
+    * (snapshot-keyed like every other derived layout). */
+  private def lakeLineitem(spark: SparkSession, dir: String): String = {
+    val key = graft.DatasetCache.snapshotKey(spark, dir, "lineitem.parquet")
+    lakeCache.computeIfAbsent(key, { _ =>
+      val path = graft.DatasetCache.registerTempDir(
+        java.nio.file.Files.createTempDirectory("graft_lake_lineitem").toString)
+      graft.lake.LakeTable.append(spark, path, t(spark, dir, "lineitem"))
+      path
+    })
+  }
+
+  /** Force the one-time lake ingest (bench isolation hook). */
+  def prebuildLakeTable(spark: SparkSession, dir: String): Unit = {
+    lakeLineitem(spark, dir)
+    ()
+  }
+
+  /** The Q1-shaped pricing summary read THROUGH the ACID table's
+    * transaction-log snapshot instead of raw parquet — proving the lake
+    * read path is a drop-in table source for the relational surface.
+    * The log resolves the file list; Spark still gets a plain columnar
+    * parquet scan (pushdown and pruning intact), so the plan is the
+    * same as the flat query's. Layout-invariant: the oracle is the
+    * flat-parquet SQL. */
+  def pricingSummaryLake(spark: SparkSession, dir: String): DataFrame = {
+    val snap = graft.lake.LakeTable.snapshot(spark, lakeLineitem(spark, dir))
+    snap.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast(LongType)).as("sum_qty"),
+        sum(cents("l_extendedprice")).as("sum_base_cents"),
+        sum(cents("l_extendedprice") * (lit(100L) - cents("l_discount")))
+          .as("sum_disc_units"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   // ---- bucketed co-located join (persistent shuffle-free layout) ------
 
   /** Buckets for the orders/lineitem layout. Sized so each bucket of the
