@@ -417,53 +417,82 @@ object LakeTable {
     * rebase silently (the winner may have changed the very rows merged).
     * A lost race throws `ConcurrentModificationException` — the caller
     * re-runs against the new snapshot (Delta's serializable behavior). */
+  private def emptyDf(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** Shared tail of the read-modify-write ops (merge/delete/optimize):
+    * these read the state they replace, so a lost race must THROW, never
+    * silently rebase — the winner may have changed the very rows
+    * involved (Delta's serializable behavior). */
+  private def commitOrThrow(table: String, c: Commit, op: String): Long = {
+    if (!tryCommit(table, c))
+      throw new java.util.ConcurrentModificationException(
+        s"$op on $table lost the commit race at version ${c.version}; " +
+          "re-run against the new snapshot")
+    maybeCheckpoint(table, c.version)
+    c.version
+  }
+
+  private def requireNumeric(schema: StructType, column: String, op: String): Unit = {
+    val f = schema.fields.find(_.name == column).getOrElse(
+      throw new IllegalArgumentException(s"$op: no such column `$column`"))
+    require(f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"$op on non-numeric column `$column` (${f.dataType.simpleString}): " +
+        "range semantics would silently misfire on cast-to-null values")
+  }
+
   def merge(spark: SparkSession, table: String, updates: DataFrame,
       key: String): Long = {
-    import org.apache.spark.sql.functions.{broadcast, col, input_file_name}
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit}
     val baseVersion = latestVersion(table).getOrElse(
       throw new IllegalArgumentException(s"no such table: $table"))
     val (all, schemaJson) = snapshotFilesWithStats(table, Some(baseVersion))
     val schema = DataType.fromJson(schemaJson.get).asInstanceOf[StructType]
-    val absOf = all.map { case (f, _) => s"$table/$f" -> f }.toMap
-    val keys = updates.select(col(key)).distinct()
-    // which files hold a matched key: one semi-join pass over the scan,
-    // grouped by source file
-    val affected: Seq[String] =
-      if (all.isEmpty) Seq.empty
-      else spark.read.schema(schema).parquet(all.map(f => s"$table/${f._1}"): _*)
-        .join(broadcast(keys), Seq(key), "left_semi")
-        .select(input_file_name().as("_f")).distinct()
-        .collect().map(_.getString(0))
-        .map(uri => absOf.collectFirst {
-          case (abs, rel) if uri.endsWith(abs) || uri.contains(rel) => rel
-        }.getOrElse(sys.error(s"unmapped scan file $uri")))
-        .toSeq.distinct.sorted
-    // schema must match the table exactly — carried-by-reference files
-    // keep their types, so silent evolution would commit a mixed-type
-    // table (Delta likewise rejects unless evolution is opted into)
+    // validate BEFORE any table scan: both checks are metadata/updates-
+    // sized, and a rejected merge must not first pay a full table read
+    // 1. schema must match the table exactly — carried-by-reference
+    //    files keep their types, so silent evolution would commit a
+    //    mixed-type table (Delta likewise rejects unless opted into)
     val aligned = updates.select(schema.fieldNames.map(col).toSeq: _*)
     require(
       aligned.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
         schema.fields.map(f => (f.name, f.dataType)).toSeq,
       s"merge schema mismatch: table has ${schema.simpleString}, " +
         s"updates have ${aligned.schema.simpleString}")
+    // 2. one update row per key — duplicates would survive the anti-join
+    //    and commit a duplicated table (Delta errors on multi-match too)
+    val dup = aligned.groupBy(col(key)).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"merge updates contain duplicate key ${dup.headOption.map(_.get(0))}: " +
+        "one update row per key required")
+    val absOf = all.map { case (f, _) => s"$table/$f" -> f }.toMap
+    // no broadcast hint: a CDC-sized key set would OOM the driver; AQE
+    // picks broadcast itself when the key relation is actually small
+    val keys = aligned.select(col(key)).distinct()
+    // which files hold a matched key: one semi-join pass over the scan,
+    // grouped by source file
+    val affected: Seq[String] =
+      if (all.isEmpty) Seq.empty
+      else spark.read.schema(schema).parquet(all.map(f => s"$table/${f._1}"): _*)
+        .join(keys, Seq(key), "left_semi")
+        .select(input_file_name().as("_f")).distinct()
+        .collect().map(_.getString(0))
+        .map(uri => absOf.collectFirst {
+          case (abs, rel) if uri.endsWith(abs) || uri.contains(rel) => rel
+        }.getOrElse(sys.error(s"unmapped scan file $uri")))
+        .toSeq.distinct.sorted
     // rewrite = affected files minus matched rows, plus ALL updates
     val survivors =
-      if (affected.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      if (affected.isEmpty) emptyDf(spark, schema)
       else spark.read.schema(schema)
         .parquet(affected.map(f => s"$table/$f"): _*)
-        .join(broadcast(keys), Seq(key), "left_anti")
+        .join(keys, Seq(key), "left_anti")
     val (add, stats) = stage(survivors.unionByName(aligned), table)
-    val c = Commit(baseVersion + 1, "merge", add, affected,
-      schemaJson.get, stats)
-    if (!tryCommit(table, c))
-      throw new java.util.ConcurrentModificationException(
-        s"merge on $table lost the commit race at version ${baseVersion + 1}; " +
-          "re-run against the new snapshot")
-    maybeCheckpoint(table, c.version)
-    c.version
+    commitOrThrow(table,
+      Commit(baseVersion + 1, "merge", add, affected, schemaJson.get, stats),
+      "merge")
   }
 
   /** Copy-on-write DELETE of rows with `column ∈ [lo, hi]`. The
@@ -479,23 +508,19 @@ object LakeTable {
       throw new IllegalArgumentException(s"no such table: $table"))
     val (all, schemaJson) = snapshotFilesWithStats(table, Some(baseVersion))
     val schema = DataType.fromJson(schemaJson.get).asInstanceOf[StructType]
+    // a string column here would cast to null and the NULL-filter chain
+    // would DROP every such row — fail loudly instead
+    requireNumeric(schema, column, "deleteWhere")
     val affected = pruneByStats(all, column, lo, hi)
     val survivors =
-      if (affected.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      if (affected.isEmpty) emptyDf(spark, schema)
       else spark.read.schema(schema)
         .parquet(affected.map(f => s"$table/$f"): _*)
         .filter(!(col(column) >= lo && col(column) <= hi) || col(column).isNull)
     val (add, stats) = stage(survivors, table)
-    val c = Commit(baseVersion + 1, "delete", add, affected,
-      schemaJson.get, stats)
-    if (!tryCommit(table, c))
-      throw new java.util.ConcurrentModificationException(
-        s"delete on $table lost the commit race at version ${baseVersion + 1}; " +
-          "re-run against the new snapshot")
-    maybeCheckpoint(table, c.version)
-    c.version
+    commitOrThrow(table,
+      Commit(baseVersion + 1, "delete", add, affected, schemaJson.get, stats),
+      "delete")
   }
 
   /** OPTIMIZE with Z-ORDER BY: rewrite the live file set compacted into
@@ -516,30 +541,40 @@ object LakeTable {
       throw new IllegalArgumentException(s"no such table: $table"))
     val (all, schemaJson) = snapshotFilesWithStats(table, Some(baseVersion))
     val schema = DataType.fromJson(schemaJson.get).asInstanceOf[StructType]
+    requireNumeric(schema, colX, "optimize")
+    requireNumeric(schema, colY, "optimize")
     val live = all.map(f => s"$table/${f._1}")
     if (live.isEmpty) return baseVersion // nothing to lay out
     val df = spark.read.schema(schema).parquet(live: _*)
-    val b = df.agg(min(col(colX)), max(col(colX)),
-      min(col(colY)), max(col(colY))).head()
-    def d(i: Int): Double = b.get(i) match {
-      case null => 0.0
-      case n: Number => n.doubleValue()
+    // column bounds: fold the LOG's per-file stats (free) — scan only
+    // if some live file lacks stats for one of the cluster columns
+    def foldBounds(column: String): Option[(Double, Double)] = {
+      val ranges = all.map { case (_, s) => statsRange(s, column) }
+      if (ranges.exists(_.isEmpty)) None
+      else Some((ranges.map(_.get._1).min, ranges.map(_.get._2).max))
+    }
+    val (bx, by) = (foldBounds(colX), foldBounds(colY)) match {
+      case (Some(x), Some(y)) => (x, y)
+      case _ =>
+        val b = df.agg(min(col(colX)), max(col(colX)),
+          min(col(colY)), max(col(colY))).head()
+        def d(i: Int): Double = b.get(i) match {
+          case null => 0.0
+          case n: Number => n.doubleValue()
+        }
+        ((d(0), d(1)), (d(2), d(3)))
     }
     val zkey = graft.pc.Layout.mortonKey(
-      col(colX), col(colY), d(0), d(1), d(2), d(3), bits)
+      col(colX), col(colY), bx._1, bx._2, by._1, by._2, bits)
     val clustered = df.withColumn("_zkey", zkey)
       .repartitionByRange(targetFiles, col("_zkey"))
       .sortWithinPartitions("_zkey")
       .drop("_zkey")
     val (add, stats) = stage(clustered, table)
-    val c = Commit(baseVersion + 1, "optimize", add,
-      all.map(_._1), schemaJson.get, stats)
-    if (!tryCommit(table, c))
-      throw new java.util.ConcurrentModificationException(
-        s"optimize on $table lost the commit race at version ${baseVersion + 1}; " +
-          "re-run against the new snapshot")
-    maybeCheckpoint(table, c.version)
-    c.version
+    commitOrThrow(table,
+      Commit(baseVersion + 1, "optimize", add, all.map(_._1),
+        schemaJson.get, stats),
+      "optimize")
   }
 
   // ---- read path -------------------------------------------------------
@@ -555,9 +590,7 @@ object LakeTable {
       case None => throw new IllegalArgumentException(s"no such table: $table")
       case Some(sj) =>
         val schema = DataType.fromJson(sj).asInstanceOf[StructType]
-        if (files.isEmpty)
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        if (files.isEmpty) emptyDf(spark, schema)
         else
           spark.read.schema(schema)
             .parquet(files.map(f => s"$table/$f"): _*)
@@ -568,22 +601,24 @@ object LakeTable {
     * contain a row with `column ∈ [lo, hi]`. A file with no stats for
     * the column — or an unparseable/NaN range — is conservatively
     * kept. */
+  /** Parse one file's flat stats string for a column's (min, max). */
+  private def statsRange(stats: String, column: String): Option[(Double, Double)] =
+    stats.split(';').filter(_.nonEmpty)
+      .map(_.split('=')).collectFirst {
+        case Array(c, mm) if c == column =>
+          val Array(mn, mx) = mm.split(':')
+          (mn.toDouble, mx.toDouble)
+      }.filterNot { case (mn, mx) =>
+        // NaN endpoints give a useless range; treat as no stats (belt to
+        // stage()'s suspenders — old logs may predate the write guard)
+        mn.isNaN || mx.isNaN
+      }
+
   private def pruneByStats(all: Seq[(String, String)], column: String,
       lo: Double, hi: Double): Seq[String] =
     all.collect {
-      case (f, stats) if {
-        val range = stats.split(';').filter(_.nonEmpty)
-          .map(_.split('=')).collectFirst {
-            case Array(c, mm) if c == column =>
-              val Array(mn, mx) = mm.split(':')
-              (mn.toDouble, mx.toDouble)
-          }
-        range.forall { case (mn, mx) =>
-          // NaN endpoints give a useless range; keep (belt to stage()'s
-          // suspenders — old logs may predate the stage-side guard)
-          mn.isNaN || mx.isNaN || (mn <= hi && lo <= mx)
-        }
-      } => f
+      case (f, stats) if statsRange(stats, column)
+        .forall { case (mn, mx) => mn <= hi && lo <= mx } => f
     }
 
   /** Files at `version` whose stats could contain a row with
@@ -607,9 +642,7 @@ object LakeTable {
       throw new IllegalArgumentException(s"no such table: $table")))
       .asInstanceOf[StructType]
     val base =
-      if (files.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      if (files.isEmpty) emptyDf(spark, schema)
       else spark.read.schema(schema).parquet(files.map(f => s"$table/$f"): _*)
     base.filter(col(column) >= lo && col(column) <= hi)
   }

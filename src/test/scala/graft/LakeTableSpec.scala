@@ -274,6 +274,32 @@ class LakeTableSpec extends SparkSpec {
     }
   }
 
+  test("merge rejects duplicate update keys instead of duplicating rows") {
+    import spark.implicits._
+    val t = freshTable()
+    LakeTable.append(spark, t, df(0 until 5))
+    val dup = Seq((1L, -1L), (1L, -2L)).toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      LakeTable.merge(spark, t, dup, "id")
+    }
+    assert(LakeTable.snapshot(spark, t).count() == 5, "nothing committed")
+  }
+
+  test("deleteWhere rejects non-numeric and unknown columns") {
+    import spark.implicits._
+    val t = freshTable()
+    LakeTable.append(spark, t,
+      Seq((1L, "alice"), (2L, "bob")).toDF("id", "name"))
+    // a string column would cast to null and silently delete every row
+    intercept[IllegalArgumentException] {
+      LakeTable.deleteWhere(spark, t, "name", 0.0, 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      LakeTable.deleteWhere(spark, t, "nope", 0.0, 1.0)
+    }
+    assert(LakeTable.snapshot(spark, t).count() == 2)
+  }
+
   test("deleteWhere prunes unaffected files from stats and keeps results exact") {
     val t = freshTable()
     LakeTable.append(spark, t, df(0 until 100).coalesce(1))
