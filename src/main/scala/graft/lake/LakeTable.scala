@@ -647,6 +647,36 @@ object LakeTable {
     base.filter(col(column) >= lo && col(column) <= hi)
   }
 
+  /** Incremental change feed: the rows appended by commits in
+    * `(fromVersion, toVersion]` — how a downstream job consumes a table
+    * fed by [[LakeSink]] without re-reading it (track the last version
+    * you processed, read the delta, repeat). Exact because appended
+    * files ARE the change; commits that rewrite data (merge / delete /
+    * overwrite / optimize) have no row-level delta in the log, so a
+    * range containing one throws rather than returning wrong changes —
+    * the consumer falls back to a snapshot diff or re-sync, exactly
+    * Delta's behavior when CDF is unavailable. */
+  def changesBetween(spark: SparkSession, table: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    val latest = latestVersion(table).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $table"))
+    require(fromVersion >= 0 && toVersion <= latest && fromVersion <= toVersion,
+      s"bad change range ($fromVersion, $toVersion] (latest: $latest)")
+    val commits = versions(table)
+      .filter(v => v > fromVersion && v <= toVersion)
+      .map(readCommit(table, _))
+    commits.find(_.op != "append").foreach(c =>
+      throw new IllegalArgumentException(
+        s"changesBetween: version ${c.version} is a ${c.op}, which has no " +
+          "row-level delta; re-sync from a snapshot instead"))
+    val files = commits.flatMap(_.add)
+    val schemaJson = commits.lastOption.map(_.schemaJson)
+      .orElse(snapshotFilesWithStats(table, Some(toVersion))._2)
+    val schema = DataType.fromJson(schemaJson.get).asInstanceOf[StructType]
+    if (files.isEmpty) emptyDf(spark, schema)
+    else spark.read.schema(schema).parquet(files.map(f => s"$table/$f"): _*)
+  }
+
   /** Unreferenced files younger than this are presumed to belong to an
     * IN-FLIGHT writer (staged, commit not yet written) and are never
     * vacuumed — the same role as Delta's file-retention threshold.

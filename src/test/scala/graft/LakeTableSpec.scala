@@ -340,6 +340,28 @@ class LakeTableSpec extends SparkSpec {
     assert(LakeTable.snapshot(spark, t, Some(v - 1)).count() == rows)
   }
 
+  test("change feed: append ranges are exact deltas; rewrites refuse") {
+    val t = freshTable()
+    LakeTable.append(spark, t, df(0 until 10))   // v1
+    LakeTable.append(spark, t, df(10 until 25))  // v2
+    LakeTable.append(spark, t, df(25 until 30))  // v3
+    // consuming (1, 3] yields exactly the rows of v2+v3
+    val delta = LakeTable.changesBetween(spark, t, 1L, 3L)
+    assert(delta.count() == 20)
+    assert(delta.agg(min("id"), max("id")).head().toSeq == Seq(10L, 29L))
+    // empty range, and a full-history read
+    assert(LakeTable.changesBetween(spark, t, 3L, 3L).count() == 0)
+    assert(LakeTable.changesBetween(spark, t, 0L, 3L).count() == 30)
+    // a rewrite inside the range has no row-level delta: refuse loudly
+    LakeTable.deleteWhere(spark, t, "id", 0, 4) // v4
+    intercept[IllegalArgumentException] {
+      LakeTable.changesBetween(spark, t, 2L, 4L).count()
+    }
+    // ranges past the rewrite work again
+    LakeTable.append(spark, t, df(100 until 103)) // v5
+    assert(LakeTable.changesBetween(spark, t, 4L, 5L).count() == 3)
+  }
+
   test("schema is pinned per commit; empty and missing tables behave") {
     val t = freshTable()
     intercept[IllegalArgumentException] { LakeTable.snapshot(spark, t) }
