@@ -52,6 +52,9 @@ object Bench {
         () => { graft.sim.Ivf.trainCached(spark, sfDir); () }),
       ("pq_codebooks", n => n.startsWith("emb_pq") || n.startsWith("emb_ivfpq"),
         () => graft.sim.Pq.prebuildCodebooks(spark, sfDir)),
+      ("pq_codes_layout", n => n.startsWith("emb_pq_topk") ||
+        n.startsWith("emb_pq_rerank") || n.startsWith("emb_ivfpq"),
+        () => graft.sim.Pq.prebuildCodesLayout(spark, sfDir)),
       // the partitioned-layout build feeds only the `_part` probe arm
       ("ivf_layout", n => n.startsWith("emb_ivf") && !n.startsWith("emb_ivfpq"),
         () => { graft.sim.Ivf.layoutPath(spark, sfDir); () }),

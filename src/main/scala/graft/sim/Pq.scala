@@ -114,6 +114,34 @@ object Pq {
       .select(col("vec_id") +: (0 until M).map(m => col(s"code_$m")): _*)
       .orderBy("vec_id")
 
+  /** Materialized code index: (vec_id, code_0..3) partitioned by the
+    * IVF cell — built once per dataset like the other layouts. This is
+    * what a production store persists: search scans ~1 byte of codes
+    * per vector instead of re-encoding 256 B embeddings per query, and
+    * the `cid` partitioning file-prunes the IVF-PQ probe exactly like
+    * the inverted-list layout. */
+  private val codesLayoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def codesLayoutPath(spark: SparkSession, dir: String): String =
+    codesLayoutCache.computeIfAbsent(
+      graft.DatasetCache.snapshotKey(spark, dir, "embeddings.parquet"), { _ =>
+      val path = graft.DatasetCache.registerTempDir(
+        java.nio.file.Files.createTempDirectory("graft_pq_codes").toString)
+      val withCell = encoded(spark, dir).withColumn("cid",
+        Ivf.nearest(Ivf.trainCached(spark, dir)).getField("cid"))
+      withCell
+        .select(col("vec_id") +: (0 until M).map(m => col(s"code_$m")) :+ col("cid"): _*)
+        .write.mode("overwrite").partitionBy("cid").parquet(path)
+      path
+    })
+
+  /** Force the one-time code-index build (bench isolation hook). */
+  def prebuildCodesLayout(spark: SparkSession, dir: String): Unit = {
+    codesLayoutPath(spark, dir)
+    ()
+  }
+
   /** ADC top-k: integer approximate distances via the query's per-
     * subspace lookup table, smallest first. The LUT indexing is
     * `element_at(lit(lutRow), code+1)` — a literal array probe inside
@@ -121,8 +149,7 @@ object Pq {
     * candidate". */
   def topK(queryId: Long, k: Int)(spark: SparkSession, dir: String): DataFrame = {
     val books = trainCached(spark, dir)
-    val enc = encoded(spark, dir)
-    enc.filter(col("vec_id") === queryId)
+    Ivf.quantized(spark, dir).filter(col("vec_id") === queryId)
       .select("qv").collect().headOption match {
       case None => // unknown id: empty with the right schema, like the oracle
         spark.createDataFrame(
@@ -131,7 +158,10 @@ object Pq {
             org.apache.spark.sql.types.StructField("vec_id", LongType),
             org.apache.spark.sql.types.StructField("adc_dist", LongType))))
       case Some(row) =>
-        enc.filter(col("vec_id") =!= queryId)
+        // ADC over the MATERIALIZED code index: ~1 byte of codes per
+        // vector scanned, embeddings untouched
+        spark.read.parquet(codesLayoutPath(spark, dir))
+          .filter(col("vec_id") =!= queryId)
           .select(col("vec_id"),
             adcColumn(books, row.getSeq[Long](0).toArray).as("adc_dist"))
           .orderBy(col("adc_dist").asc, col("vec_id").asc)
@@ -169,17 +199,17 @@ object Pq {
       spark: SparkSession, dir: String): DataFrame = {
     val centroids = Ivf.trainCached(spark, dir)
     val books = trainCached(spark, dir)
-    val enc = encoded(spark, dir)
-      .withColumn("cid", Ivf.nearest(centroids).getField("cid"))
     val qe = SimOps.embeddings(spark, dir)
       .filter(col("vec_id") === queryId).select(col("embedding").as("qe"))
-    enc.filter(col("vec_id") === queryId)
+    Ivf.quantized(spark, dir).filter(col("vec_id") === queryId)
       .select("qv").collect().headOption match {
       case None => SimOps.emptyTopK(spark) // unknown id: empty, like the oracle
       case Some(row) =>
         val qv = row.getSeq[Long](0).toArray
         val probed = Ivf.probeCells(centroids, qv, nprobe)
-        val short = enc
+        // the cid-partitioned code index file-prunes the non-probed
+        // cells; ADC touches only the probed cells' 1-byte codes
+        val short = spark.read.parquet(codesLayoutPath(spark, dir))
           .filter(col("cid").isin(probed: _*) && col("vec_id") =!= queryId)
           .select(col("vec_id"), adcColumn(books, qv).as("adc_dist"))
           .orderBy(col("adc_dist").asc, col("vec_id").asc)

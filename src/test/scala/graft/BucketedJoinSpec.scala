@@ -14,19 +14,8 @@ import org.apache.spark.sql.functions._
   * while the same join over plain parquet shuffles both. */
 class BucketedJoinSpec extends SparkSpec {
 
-  private def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    var n = 0
-    def go(p: SparkPlan): Unit = p match {
-      case a: AdaptiveSparkPlanExec => go(a.executedPlan)
-      case s: QueryStageExec => go(s.plan) // unwrap; count the exchange itself
-      case e: ShuffleExchangeExec => n += 1; e.children.foreach(go)
-      case other => other.children.foreach(go)
-    }
-    go(finalPlan(df)) // shared AQE peel (also runs the query)
-    n
-  }
+  private def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+    countShuffles(df) // shared helper in SparkSpec
 
   test("join on the bucket key is shuffle-free; plain parquet shuffles") {
     // tables land in the session's default warehouse; DROP cleans them up
@@ -91,6 +80,23 @@ class BucketedJoinSpec extends SparkSpec {
     // the merge-hinted join AND the per-order aggregation both reuse the
     // bucket partitioning: no ShuffleExchange anywhere in the plan
     assert(shuffles(df) == 0, "bucketed query plan must be exchange-free")
+  }
+
+  test("plan budgets: the broadcast-back rel queries never shuffle a fact table") {
+    // Q18 shape: ONE exchange total — the lineitem groupBy. The HAVING
+    // survivors broadcast back through orders and customer, so neither
+    // of those scans feeds an exchange, and the top-k is TakeOrdered.
+    val q18 = graft.rel.RelQueries.largeOrders(300L)(spark, sf0001)
+    assert(countShuffles(q18) <= 1,
+      s"rel_large_orders must shuffle only the lineitem aggregation")
+
+    // Q17 shape: the brand lineitems aggregate per part (1 exchange) and
+    // the final global aggregate gathers a handful of partials (1 tiny
+    // single-partition exchange). The fact table itself never shuffles —
+    // both its passes are map-only against broadcasts.
+    val q17 = graft.rel.RelQueries.smallQtyRevenue("Brand#4")(spark, sf0001)
+    assert(countShuffles(q17) <= 2,
+      s"rel_small_qty_rev budget is the per-part agg + the final gather")
   }
 
   test("bucketed layout is rebuilt when the dataset is rewritten") {

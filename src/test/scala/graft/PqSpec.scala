@@ -82,6 +82,15 @@ class PqSpec extends SparkSpec {
     assert(Pq.rerank(-1L, 50, 10)(spark, sf001).collect().isEmpty)
   }
 
+  test("ivf-pq probe file-prunes the cid-partitioned code index") {
+    val df = Pq.ivfPqTopK(0L, 10, 2, 50)(spark, sf001)
+    df.collect()
+    // the probe filter must reach partition pruning on the code layout,
+    // not run as a post-scan filter over all cells
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cid"), s"no partition pruning:\n$plan")
+  }
+
   test("ivf-pq composition: candidates come only from probed cells") {
     val centroids = Ivf.trainCached(spark, sf001)
     val qv0 = quantizedRows(1).head._2

@@ -38,4 +38,23 @@ trait SparkSpec extends AnyFunSuite {
       case p => p
     }
   }
+
+  /** Count ShuffleExchange nodes in the executed plan (AQE stages
+    * unwrapped) — the plan-budget metric the scale claims assert on.
+    * Broadcast exchanges deliberately do NOT count: they move a
+    * dimension, not the data. */
+  def countShuffles(df: org.apache.spark.sql.DataFrame): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    var n = 0
+    def go(p: SparkPlan): Unit = p match {
+      case a: AdaptiveSparkPlanExec => go(a.executedPlan)
+      case s: QueryStageExec => go(s.plan) // unwrap; count the exchange itself
+      case e: ShuffleExchangeExec => n += 1; e.children.foreach(go)
+      case other => other.children.foreach(go)
+    }
+    go(finalPlan(df))
+    n
+  }
 }
