@@ -362,6 +362,69 @@ class LakeTableSpec extends SparkSpec {
     assert(LakeTable.changesBetween(spark, t, 4L, 5L).count() == 3)
   }
 
+  test("model check: random op sequences match an in-memory reference at every version") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260812L)
+    val t = freshTable()
+    // model: id -> v, tracked after every commit; snapshots stored per
+    // version so time travel can be re-checked at the end
+    var model = Map.empty[Long, Long]
+    val perVersion = scala.collection.mutable.ArrayBuffer[Map[Long, Long]]()
+    def toDf(m: Seq[(Long, Long)]) = m.toDF("id", "v")
+    def freshRows(n: Int): Seq[(Long, Long)] =
+      Seq.fill(n)(rnd.nextLong(1000L) -> rnd.nextLong(100L))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.head._2 }.toSeq
+    LakeTable.append(spark, t, toDf(freshRows(20).map { case (k, v) => (k, v) }))
+    // seed the model from what actually landed
+    model = LakeTable.snapshot(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    perVersion += model
+    (0 until 12).foreach { _ =>
+      val committed = rnd.nextInt(4) match {
+        case 0 => // append fresh ids only (append semantics = multiset add;
+          // keep ids disjoint from the model so the map stays a valid model)
+          val rows = freshRows(rnd.nextInt(8) + 1)
+            .filterNot { case (k, _) => model.contains(k) }
+          LakeTable.append(spark, t, toDf(rows))
+          model = model ++ rows
+          true
+        case 1 => // overwrite with a fresh small state
+          val rows = freshRows(rnd.nextInt(10) + 1)
+          LakeTable.overwrite(spark, t, toDf(rows))
+          model = rows.toMap
+          true
+        case 2 => // merge: update some existing + insert some new
+          val upd = rnd.shuffle(model.keys.toSeq).take(rnd.nextInt(4))
+            .map(k => k -> rnd.nextLong(100L))
+          val ins = freshRows(rnd.nextInt(3) + 1)
+            .filterNot { case (k, _) => model.contains(k) }
+          val rows = (upd ++ ins).toMap.toSeq
+          if (rows.nonEmpty) {
+            LakeTable.merge(spark, t, toDf(rows), "id")
+            model = model ++ rows
+          }
+          rows.nonEmpty
+        case 3 => // range delete on id
+          val lo = rnd.nextLong(900L); val hi = lo + rnd.nextLong(100L)
+          LakeTable.deleteWhere(spark, t, "id", lo.toDouble, hi.toDouble)
+          model = model.filterNot { case (k, _) => k >= lo && k <= hi }
+          true
+      }
+      if (committed) { // keep perVersion aligned with the version counter
+        perVersion += model
+        val got = LakeTable.snapshot(spark, t).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == model, s"diverged at version ${LakeTable.latestVersion(t)}")
+      }
+    }
+    // time travel: every recorded version still matches its model
+    perVersion.zipWithIndex.foreach { case (m, i) =>
+      val got = LakeTable.snapshot(spark, t, Some(i + 1L)).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == m, s"time travel diverged at version ${i + 1}")
+    }
+  }
+
   test("schema is pinned per commit; empty and missing tables behave") {
     val t = freshTable()
     intercept[IllegalArgumentException] { LakeTable.snapshot(spark, t) }
