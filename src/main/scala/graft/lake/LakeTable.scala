@@ -434,12 +434,19 @@ object LakeTable {
     c.version
   }
 
-  private def requireNumeric(schema: StructType, column: String, op: String): Unit = {
-    val f = schema.fields.find(_.name == column).getOrElse(
-      throw new IllegalArgumentException(s"$op: no such column `$column`"))
+  /** Resolve `column` against the schema (exact first, then the
+    * case-insensitive match Spark's own resolution uses), require it
+    * numeric, and return the SCHEMA-cased name — stats keys and filter
+    * expressions must use that spelling. */
+  private def requireNumeric(schema: StructType, column: String, op: String): String = {
+    val f = schema.fields.find(_.name == column)
+      .orElse(schema.fields.find(_.name.equalsIgnoreCase(column)))
+      .getOrElse(
+        throw new IllegalArgumentException(s"$op: no such column `$column`"))
     require(f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"$op on non-numeric column `$column` (${f.dataType.simpleString}): " +
+      s"$op on non-numeric column `${f.name}` (${f.dataType.simpleString}): " +
         "range semantics would silently misfire on cast-to-null values")
+    f.name
   }
 
   def merge(spark: SparkSession, table: String, updates: DataFrame,
@@ -471,17 +478,21 @@ object LakeTable {
     // no broadcast hint: a CDC-sized key set would OOM the driver; AQE
     // picks broadcast itself when the key relation is actually small
     val keys = aligned.select(col(key)).distinct()
-    // which files hold a matched key: one semi-join pass over the scan,
-    // grouped by source file
+    // which files hold a matched key: one semi-join pass, grouped by
+    // source file. input_file_name() is projected BEFORE the join so it
+    // evaluates inside the scan stage — after a shuffle (sort-merge
+    // join for a large key set) the thread-local is unset and every
+    // row would map to "" instead of its file
     val affected: Seq[String] =
       if (all.isEmpty) Seq.empty
       else spark.read.schema(schema).parquet(all.map(f => s"$table/${f._1}"): _*)
+        .select(col(key), input_file_name().as("_f"))
         .join(keys, Seq(key), "left_semi")
-        .select(input_file_name().as("_f")).distinct()
+        .select("_f").distinct()
         .collect().map(_.getString(0))
         .map(uri => absOf.collectFirst {
           case (abs, rel) if uri.endsWith(abs) || uri.contains(rel) => rel
-        }.getOrElse(sys.error(s"unmapped scan file $uri")))
+        }.getOrElse(sys.error(s"unmapped scan file `$uri`")))
         .toSeq.distinct.sorted
     // rewrite = affected files minus matched rows, plus ALL updates
     val survivors =
@@ -510,13 +521,13 @@ object LakeTable {
     val schema = DataType.fromJson(schemaJson.get).asInstanceOf[StructType]
     // a string column here would cast to null and the NULL-filter chain
     // would DROP every such row — fail loudly instead
-    requireNumeric(schema, column, "deleteWhere")
-    val affected = pruneByStats(all, column, lo, hi)
+    val c = requireNumeric(schema, column, "deleteWhere")
+    val affected = pruneByStats(all, c, lo, hi)
     val survivors =
       if (affected.isEmpty) emptyDf(spark, schema)
       else spark.read.schema(schema)
         .parquet(affected.map(f => s"$table/$f"): _*)
-        .filter(!(col(column) >= lo && col(column) <= hi) || col(column).isNull)
+        .filter(!(col(c) >= lo && col(c) <= hi) || col(c).isNull)
     val (add, stats) = stage(survivors, table)
     commitOrThrow(table,
       Commit(baseVersion + 1, "delete", add, affected, schemaJson.get, stats),
@@ -541,8 +552,8 @@ object LakeTable {
       throw new IllegalArgumentException(s"no such table: $table"))
     val (all, schemaJson) = snapshotFilesWithStats(table, Some(baseVersion))
     val schema = DataType.fromJson(schemaJson.get).asInstanceOf[StructType]
-    requireNumeric(schema, colX, "optimize")
-    requireNumeric(schema, colY, "optimize")
+    val cx = requireNumeric(schema, colX, "optimize")
+    val cy = requireNumeric(schema, colY, "optimize")
     val live = all.map(f => s"$table/${f._1}")
     if (live.isEmpty) return baseVersion // nothing to lay out
     val df = spark.read.schema(schema).parquet(live: _*)
@@ -553,11 +564,11 @@ object LakeTable {
       if (ranges.exists(_.isEmpty)) None
       else Some((ranges.map(_.get._1).min, ranges.map(_.get._2).max))
     }
-    val (bx, by) = (foldBounds(colX), foldBounds(colY)) match {
+    val (bx, by) = (foldBounds(cx), foldBounds(cy)) match {
       case (Some(x), Some(y)) => (x, y)
       case _ =>
-        val b = df.agg(min(col(colX)), max(col(colX)),
-          min(col(colY)), max(col(colY))).head()
+        val b = df.agg(min(col(cx)), max(col(cx)),
+          min(col(cy)), max(col(cy))).head()
         def d(i: Int): Double = b.get(i) match {
           case null => 0.0
           case n: Number => n.doubleValue()
@@ -565,7 +576,7 @@ object LakeTable {
         ((d(0), d(1)), (d(2), d(3)))
     }
     val zkey = graft.pc.Layout.mortonKey(
-      col(colX), col(colY), bx._1, bx._2, by._1, by._2, bits)
+      col(cx), col(cy), bx._1, bx._2, by._1, by._2, bits)
     val clustered = df.withColumn("_zkey", zkey)
       .repartitionByRange(targetFiles, col("_zkey"))
       .sortWithinPartitions("_zkey")
@@ -670,8 +681,12 @@ object LakeTable {
         s"changesBetween: version ${c.version} is a ${c.op}, which has no " +
           "row-level delta; re-sync from a snapshot instead"))
     val files = commits.flatMap(_.add)
+    // empty range (e.g. the documented fromVersion == toVersion poll,
+    // including (0, 0]): take the schema from the latest snapshot —
+    // Some(0) would be rejected as a nonexistent version
     val schemaJson = commits.lastOption.map(_.schemaJson)
-      .orElse(snapshotFilesWithStats(table, Some(toVersion))._2)
+      .orElse(snapshotFilesWithStats(table,
+        if (toVersion >= 1) Some(toVersion) else None)._2)
     val schema = DataType.fromJson(schemaJson.get).asInstanceOf[StructType]
     if (files.isEmpty) emptyDf(spark, schema)
     else spark.read.schema(schema).parquet(files.map(f => s"$table/$f"): _*)

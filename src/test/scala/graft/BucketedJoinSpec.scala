@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
 import org.apache.spark.sql.functions._
 
 /** Bucketing: the co-located join pattern for 100 TB scale. Writing both
@@ -14,8 +14,6 @@ import org.apache.spark.sql.functions._
   * while the same join over plain parquet shuffles both. */
 class BucketedJoinSpec extends SparkSpec {
 
-  private def shuffles(df: org.apache.spark.sql.DataFrame): Int =
-    countShuffles(df) // shared helper in SparkSpec
 
   test("join on the bucket key is shuffle-free; plain parquet shuffles") {
     // tables land in the session's default warehouse; DROP cleans them up
@@ -47,8 +45,8 @@ class BucketedJoinSpec extends SparkSpec {
 
       // join-side shuffles: bucketed layout removes both (only the final
       // groupBy may exchange); plain parquet must shuffle both join inputs
-      val sBucketed = shuffles(bucketed)
-      val sPlain = shuffles(plain)
+      val sBucketed = countShuffles(bucketed)
+      val sPlain = countShuffles(plain)
       assert(sBucketed <= 1, s"bucketed join shuffled $sBucketed times")
       assert(sPlain >= 2, s"expected both plain join sides to shuffle, got $sPlain")
     } finally {
@@ -79,7 +77,7 @@ class BucketedJoinSpec extends SparkSpec {
 
     // the merge-hinted join AND the per-order aggregation both reuse the
     // bucket partitioning: no ShuffleExchange anywhere in the plan
-    assert(shuffles(df) == 0, "bucketed query plan must be exchange-free")
+    assert(countShuffles(df) == 0, "bucketed query plan must be exchange-free")
   }
 
   test("plan budgets: the broadcast-back rel queries never shuffle a fact table") {

@@ -274,6 +274,41 @@ class LakeTableSpec extends SparkSpec {
     }
   }
 
+  test("merge maps affected files correctly under a non-broadcast join") {
+    // with broadcast disabled the semi-join runs as a shuffle join —
+    // input_file_name() must still resolve because it is projected in
+    // the scan stage, before the exchange
+    val t = freshTable()
+    LakeTable.append(spark, t, df(0 until 50).coalesce(1))
+    LakeTable.append(spark, t, df(50 until 100).coalesce(1))
+    import spark.implicits._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val v = LakeTable.merge(spark, t, Seq((60L, -1L)).toDF("id", "v"), "id")
+      assert(v == 3L)
+      // only the file containing id=60 was rewritten
+      val c = LakeTable.history(t).last
+      assert(c.remove.length == 1)
+      assert(LakeTable.snapshot(spark, t)
+        .filter(col("id") === 60L).head().getLong(1) == -1L)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("changesBetween (0, 0] on an existing table is the documented empty delta") {
+    val t = freshTable()
+    LakeTable.append(spark, t, df(0 until 5))
+    val d = LakeTable.changesBetween(spark, t, 0L, 0L)
+    assert(d.count() == 0)
+    assert(d.schema.fieldNames.toSeq == Seq("id", "v"))
+  }
+
+  test("deleteWhere resolves columns case-insensitively like Spark does") {
+    val t = freshTable()
+    LakeTable.append(spark, t, df(0 until 10).coalesce(1))
+    LakeTable.deleteWhere(spark, t, "ID", 0.0, 4.0)
+    assert(LakeTable.snapshot(spark, t).count() == 5)
+  }
+
   test("merge rejects duplicate update keys instead of duplicating rows") {
     import spark.implicits._
     val t = freshTable()
