@@ -118,6 +118,14 @@ object Cli {
               println(s"committed version $v")
             case _ => sys.error("lake delete needs <column> <lo> <hi>")
           }
+        case "update" =>
+          rest match {
+            case c :: lo :: hi :: setCol :: value :: Nil =>
+              val v = graft.lake.LakeTable.updateWhere(spark, table, c,
+                lo.toDouble, hi.toDouble, Map(setCol -> value.toDouble))
+              println(s"committed version $v")
+            case _ => sys.error("lake update needs <column> <lo> <hi> <setCol> <value>")
+          }
         case "optimize" =>
           rest match {
             case cx :: cy :: more =>
@@ -135,7 +143,7 @@ object Cli {
         "usage: graft.Cli benchmark | convert <las> <out> [seed] | " +
           "merge <in> <out> [rows] | partition <in> <out> [grid|quadtree|zorder] [sigma|bits] | " +
           "footprint <las> <out-dir> [scale] | experiment [sfDir] [outDir] [runs] | " +
-          "lake append|overwrite|read|history|vacuum|merge|delete|optimize <table> [args]")
+          "lake append|overwrite|read|history|vacuum|merge|delete|update|optimize <table> [args]")
       sys.exit(2)
   }
 }

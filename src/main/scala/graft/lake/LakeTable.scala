@@ -534,6 +534,44 @@ object LakeTable {
       "delete")
   }
 
+  /** Copy-on-write UPDATE: rows with `column ∈ [lo, hi]` get
+    * `assignments` applied (literal new values per column); everything
+    * else is untouched. Affected files come from LOG STATS like
+    * [[deleteWhere]] — files that cannot contain a matching row are
+    * carried by reference unopened — and only those are rewritten with
+    * the conditional projection. Completes the DML verbs
+    * (append/merge/delete/update/optimize/vacuum). Same serializable
+    * no-rebase conflict contract as [[merge]]. */
+  def updateWhere(spark: SparkSession, table: String, column: String,
+      lo: Double, hi: Double, assignments: Map[String, Any]): Long = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val baseVersion = latestVersion(table).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $table"))
+    val (all, schemaJson) = snapshotFilesWithStats(table, Some(baseVersion))
+    val schema = DataType.fromJson(schemaJson.get).asInstanceOf[StructType]
+    val c = requireNumeric(schema, column, "updateWhere")
+    assignments.keys.foreach(a => require(schema.fieldNames.contains(a),
+      s"updateWhere: no such column `$a`"))
+    require(!assignments.contains(c),
+      "updateWhere: assigning the predicate column would make the result " +
+        "order-of-application dependent; use merge for key rewrites")
+    val affected = pruneByStats(all, c, lo, hi)
+    val matched = col(c) >= lo && col(c) <= hi
+    val survivors =
+      if (affected.isEmpty) emptyDf(spark, schema)
+      else assignments.foldLeft(
+        spark.read.schema(schema).parquet(affected.map(f => s"$table/$f"): _*)) {
+        case (df, (name, value)) =>
+          df.withColumn(name,
+            when(matched, lit(value).cast(schema(name).dataType))
+              .otherwise(col(name)))
+      }
+    val (add, stats) = stage(survivors, table)
+    commitOrThrow(table,
+      Commit(baseVersion + 1, "update", add, affected, schemaJson.get, stats),
+      "update")
+  }
+
   /** OPTIMIZE with Z-ORDER BY: rewrite the live file set compacted into
     * `targetFiles` files range-partitioned on the Morton interleave of
     * two columns (reusing the point-cloud layout's codegen'd key). Small

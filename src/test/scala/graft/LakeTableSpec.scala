@@ -335,6 +335,28 @@ class LakeTableSpec extends SparkSpec {
     assert(LakeTable.snapshot(spark, t).count() == 2)
   }
 
+  test("updateWhere rewrites only stats-affected files and applies assignments") {
+    val t = freshTable()
+    LakeTable.append(spark, t, df(0 until 100).coalesce(1))
+    LakeTable.append(spark, t, df(100 until 200).coalesce(1))
+    LakeTable.append(spark, t, df(200 until 300).coalesce(1))
+    val before = LakeTable.snapshotFiles(t)._1.toSet
+    val v = LakeTable.updateWhere(spark, t, "id", 120, 180, Map("v" -> -7L))
+    val after = LakeTable.snapshotFiles(t)._1.toSet
+    assert((before & after).size == 2, "only the overlapping file rewrites")
+    val snap = LakeTable.snapshot(spark, t)
+    assert(snap.count() == 300)
+    assert(snap.filter(col("v") === -7L).count() == 61)
+    assert(snap.filter(col("id") === 119L).head().getLong(1) == 238L,
+      "out-of-range rows in the rewritten file keep their values")
+    // time travel pre-update; predicate-column assignment rejected
+    assert(LakeTable.snapshot(spark, t, Some(v - 1))
+      .filter(col("v") === -7L).count() == 0)
+    intercept[IllegalArgumentException] {
+      LakeTable.updateWhere(spark, t, "id", 0, 1, Map("id" -> 5L))
+    }
+  }
+
   test("deleteWhere prunes unaffected files from stats and keeps results exact") {
     val t = freshTable()
     LakeTable.append(spark, t, df(0 until 100).coalesce(1))
