@@ -102,6 +102,7 @@ object SparkEntry {
     "events_asof_join" -> (EventOps.asOfJoin(_, _)),
     "events_funnel" -> (EventOps.funnel(_, _)),
     "events_retention" -> (EventOps.retention(_, _)),
+    "events_moving_sum" -> (EventOps.movingSum(_, _)),
     // -- relational star-join surface (joins/keyed aggs; broadcast dims)
     "rel_pricing_summary" -> (RelQueries.pricingSummary(_, _)),
     "rel_rollup" -> (RelQueries.rollupSummary(_, _)),
@@ -116,6 +117,7 @@ object SparkEntry {
     "rel_order_rev_bucket" -> (RelQueries.orderRevenueBucket(_, _)),
     "rel_large_orders" -> (RelQueries.largeOrders(300L)(_, _)),
     "rel_pricing_lake" -> (RelQueries.pricingSummaryLake(_, _)),
+    "rel_never_urgent" -> (RelQueries.neverUrgent(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -195,6 +197,7 @@ object SparkEntry {
     "events_asof_join" -> EventOps.asOfJoinSql,
     "events_funnel" -> EventOps.funnelSql,
     "events_retention" -> EventOps.retentionSql,
+    "events_moving_sum" -> EventOps.movingSumSql,
     "rel_pricing_summary" -> RelQueries.pricingSummarySql,
     "rel_rollup" -> RelQueries.rollupSummarySql,
     "rel_top_orders" -> RelQueries.topOrdersSql,
@@ -205,5 +208,6 @@ object SparkEntry {
     "rel_large_orders" -> RelQueries.largeOrdersSql(300L),
     // the lake is a layout, not a semantics change: flat SQL is the oracle
     "rel_pricing_lake" -> RelQueries.pricingSummarySql,
+    "rel_never_urgent" -> RelQueries.neverUrgentSql,
   )
 }

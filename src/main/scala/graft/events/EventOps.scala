@@ -179,6 +179,28 @@ object EventOps {
       | WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.click_us
       | GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")
 
+  /** Per-user moving sum over a 3-row frame (2 preceding + current) in
+    * event-time order — the frame-based window shape (moving averages,
+    * rolling risk scores). One shuffle on user_id, then a linear pass
+    * per partition; integer cents keep the frame sum exact. */
+  def movingSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(expr("ts div 1000"), col("event_id"))
+      .rowsBetween(-2, Window.currentRow)
+    events(spark, dir)
+      .withColumn("cents", round(col("value") * 100).cast(LongType))
+      .select(col("event_id"), col("user_id"), col("cents"),
+        sum(col("cents")).over(w).as("mov3"))
+      .orderBy("event_id")
+  }
+
+  val movingSumSql: String =
+    """SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+      | CAST(sum(CAST(round(value * 100) AS BIGINT))
+      |  OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov3
+      | FROM events ORDER BY event_id""".stripMargin.replace("\n", " ")
+
   val UsPerDay: Long = 86400L * 1000 * 1000
 
   /** Cohort retention: users grouped by their first active day, with

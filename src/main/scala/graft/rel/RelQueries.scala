@@ -215,6 +215,33 @@ object RelQueries {
        |  JOIN big ON o_orderkey = l_orderkey
        | ORDER BY total_cents DESC, o_orderkey ASC LIMIT 100""".stripMargin.replace("\n", " ")
 
+  /** Customers with orders but no urgent order — the NOT-EXISTS shape,
+    * hand-decorrelated the way an optimizer rewrites it: ONE pass over
+    * orders computes per-customer order count AND an "any urgent" flag
+    * as a conditional max, so the anti-semantics costs a single shuffle
+    * on the natural key instead of a second scan + anti-join. The
+    * customer side joins the small survivor aggregate. */
+  def neverUrgent(spark: SparkSession, dir: String): DataFrame = {
+    val byCust = t(spark, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        max(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0))
+          .as("has_urgent"))
+      .filter(col("has_urgent") === 0)
+      .select("o_custkey", "n_orders")
+    t(spark, dir, "customer")
+      .join(broadcast(byCust), col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey"), col("n_orders"))
+      .orderBy("c_custkey")
+  }
+
+  val neverUrgentSql: String =
+    """SELECT c_custkey, CAST(n_orders AS BIGINT) AS n_orders
+      | FROM customer JOIN (
+      |  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1
+      |  HAVING max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) = 0) o
+      | ON o_custkey = c_custkey ORDER BY 1""".stripMargin.replace("\n", " ")
+
   // ---- ACID-table-backed query (lake read path) -----------------------
 
   private val lakeCache =
