@@ -57,6 +57,7 @@ object SparkEntry {
     "doc_top_terms" -> (TextOps.topTerms(25)(_, _)),
     "doc_top_terms_salted" -> (TextOps.topTermsSalted(25)(_, _)),
     "doc_tfidf_top" -> (TextOps.docTfidfTop(50)(_, _)),
+    "doc_len_hist" -> (TextOps.docLenHistogram(_, _)),
     "doc_vocab" -> (TextOps.vocab(_, _)),
     "doc_sample_strat" -> (TextOps.stratifiedSample(_, _)),
     "doc_repetition" -> (TextOps.docRepetition(_, _)),
@@ -118,6 +119,7 @@ object SparkEntry {
     "rel_large_orders" -> (RelQueries.largeOrders(300L)(_, _)),
     "rel_pricing_lake" -> (RelQueries.pricingSummaryLake(_, _)),
     "rel_never_urgent" -> (RelQueries.neverUrgent(_, _)),
+    "rel_priority_share" -> (RelQueries.priorityShare(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -154,6 +156,7 @@ object SparkEntry {
     "doc_top_terms" -> TextOps.topTermsSql(25),
     "doc_top_terms_salted" -> TextOps.topTermsSql(25), // salted == plain, by construction
     "doc_tfidf_top" -> TextOps.docTfidfTopSql(50),
+    "doc_len_hist" -> TextOps.docLenHistogramSql,
     "doc_vocab" -> TextOps.vocabSql,
     "doc_sample_strat" -> TextOps.stratifiedSampleSql,
     "doc_repetition" -> TextOps.docRepetitionSql,
@@ -209,5 +212,6 @@ object SparkEntry {
     // the lake is a layout, not a semantics change: flat SQL is the oracle
     "rel_pricing_lake" -> RelQueries.pricingSummarySql,
     "rel_never_urgent" -> RelQueries.neverUrgentSql,
+    "rel_priority_share" -> RelQueries.prioritySharesSql,
   )
 }

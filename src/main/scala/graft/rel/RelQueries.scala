@@ -242,6 +242,26 @@ object RelQueries {
       |  HAVING max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) = 0) o
       | ON o_custkey = c_custkey ORDER BY 1""".stripMargin.replace("\n", " ")
 
+  /** Order-priority distribution with integer-ppm share of total — the
+    * percent-of-total report shape: one aggregation, then a window over
+    * the (tiny) aggregate result; the fact table is scanned once and
+    * the window runs on grouped rows, not raw data. */
+  def priorityShare(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    t(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(w))
+      .select(col("o_orderpriority"), col("n"),
+        expr("(n * 1000000) div total").as("share_ppm"))
+      .orderBy("o_orderpriority")
+  }
+
+  val prioritySharesSql: String =
+    """SELECT o_orderpriority, count(*) AS n,
+      | CAST(count(*) * 1000000 // sum(count(*)) OVER () AS BIGINT) AS share_ppm
+      | FROM orders GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")
+
   // ---- ACID-table-backed query (lake read path) -----------------------
 
   private val lakeCache =

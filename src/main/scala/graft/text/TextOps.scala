@@ -131,6 +131,22 @@ object TextOps {
       | CAST('0x'||substr(md5(text),1,15) AS BIGINT) AS fp64
       | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
+  /** Token-length histogram: documents bucketed by width-10 length
+    * bins — the distribution-report shape (one aggregation over a
+    * map-side computed bucket key; at 100 TB the shuffle carries one
+    * row per bucket per partition). */
+  def docLenHistogram(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select((size(words).cast(LongType)).as("nt"))
+      .groupBy(expr("(nt div 10) * 10").as("bucket_lo"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("bucket_lo")
+
+  val docLenHistogramSql: String =
+    """SELECT CAST(len(string_split(text,' ')) AS BIGINT) // 10 * 10 AS bucket_lo,
+      | count(*) AS n_docs
+      | FROM documents GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")
+
   // ---- blocklist scrubbing --------------------------------------------
 
   /** Blocklist terms scrubbed with a word-boundary regex — the shape of
