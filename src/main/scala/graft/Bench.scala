@@ -23,7 +23,8 @@ object Bench {
     val spark = LocalSession("32")
     // Warm-up: touch every input table once (schema + footer + codegen).
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
-    Seq("lineitem", "documents", "embeddings", "events").foreach { t =>
+    Seq("lineitem", "documents", "embeddings", "events",
+      "orders", "customer", "supplier", "part", "nation", "region").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => }
     }

@@ -121,8 +121,12 @@ object Cli {
         case "update" =>
           rest match {
             case c :: lo :: hi :: setCol :: value :: Nil =>
+              // parse by shape (long → double → string); updateWhere
+              // validates the literal is lossless for the column type
+              val parsed: Any = value.toLongOption
+                .orElse(value.toDoubleOption).getOrElse(value)
               val v = graft.lake.LakeTable.updateWhere(spark, table, c,
-                lo.toDouble, hi.toDouble, Map(setCol -> value.toDouble))
+                lo.toDouble, hi.toDouble, Map(setCol -> parsed))
               println(s"committed version $v")
             case _ => sys.error("lake update needs <column> <lo> <hi> <setCol> <value>")
           }

@@ -185,21 +185,27 @@ object LakeTable {
   }
 
   /** Write the checkpoint for version `v` (idempotent; best-effort —
-    * a lost checkpoint only costs replay time, never correctness). */
+    * a lost checkpoint only costs replay time, never correctness).
+    * The ENTIRE body is exception-guarded: it runs after tryCommit has
+    * already succeeded, so an IO failure here (disk full, replay error)
+    * must never surface as a failed append/merge — the transaction IS
+    * committed, the checkpoint is only an optimization. */
   private def maybeCheckpoint(table: String, v: Long): Unit =
-    if (v % CheckpointEvery == 0 && !Files.exists(checkpointFile(table, v))) {
-      val r = fullReplayer(table, v)
-      val (live, schema) = r.result
-      val c = Commit(v, "checkpoint", live.map(_._1), Seq.empty,
-        schema.getOrElse(""), live.map(_._2),
-        txn = r.tokens.mkString(","))
-      val tmp = logDir(table).resolve(s".tmpck-${java.util.UUID.randomUUID()}")
-      Files.write(tmp, encode(c).getBytes(UTF_8))
-      try Files.move(tmp, checkpointFile(table, v),
-        StandardCopyOption.ATOMIC_MOVE)
-      catch { case NonFatal(_) => () } // raced another writer: identical content
-      finally { Files.deleteIfExists(tmp); () }
-    }
+    try {
+      if (v % CheckpointEvery == 0 && !Files.exists(checkpointFile(table, v))) {
+        val r = fullReplayer(table, v)
+        val (live, schema) = r.result
+        val c = Commit(v, "checkpoint", live.map(_._1), Seq.empty,
+          schema.getOrElse(""), live.map(_._2),
+          txn = r.tokens.mkString(","))
+        val tmp = logDir(table).resolve(s".tmpck-${java.util.UUID.randomUUID()}")
+        Files.write(tmp, encode(c).getBytes(UTF_8))
+        try Files.move(tmp, checkpointFile(table, v),
+          StandardCopyOption.ATOMIC_MOVE)
+        catch { case NonFatal(_) => () } // raced another writer: identical content
+        finally { Files.deleteIfExists(tmp); () }
+      }
+    } catch { case NonFatal(_) => () }
 
   /** One shared commit-application step — the ONLY place the live-set
     * merge semantics exist, so the checkpoint path and the full-replay
@@ -283,7 +289,6 @@ object LakeTable {
     * Distributed write; nothing is visible until a log entry references
     * it. */
   private def stage(df: DataFrame, table: String): (Seq[String], Seq[String]) = {
-    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
     val sub = s"stage-${java.util.UUID.randomUUID().toString.take(12)}"
     val dir = Paths.get(table, sub)
     df.write.parquet(dir.toString)
@@ -298,33 +303,55 @@ object LakeTable {
       case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
         f.name
     }.toSeq
-    val stats: Map[String, String] =
-      if (files.isEmpty || numeric.isEmpty) Map.empty
-      else {
-        val aggs = numeric.flatMap(n =>
-          Seq(min(col(n)).as(s"mn_$n"), max(col(n)).as(s"mx_$n")))
-        df.sparkSession.read.parquet(dir.toString)
-          .groupBy(input_file_name().as("_f"))
-          .agg(aggs.head, aggs.tail: _*)
-          .collect()
-          .map { r =>
-            val name = r.getString(0).split('/').last
-            val s = numeric.zipWithIndex.flatMap { case (n, i) =>
-              // all-null min/max, or a NaN endpoint (Spark's min/max
-              // order NaN above every value), make the range useless:
-              // record no stats for the column → conservatively kept
-              def bad(x: Any): Boolean = x == null || (x match {
-                case d: Double => d.isNaN
-                case f: Float => f.isNaN
-                case _ => false
-              })
-              val (mn, mx) = (r.get(1 + 2 * i), r.get(2 + 2 * i))
-              if (bad(mn) || bad(mx)) None else Some(s"$n=$mn:$mx")
-            }.mkString(";")
-            s"$sub/$name" -> s
-          }.toMap
-      }
-    (files, files.map(f => stats.getOrElse(f, "")))
+    (files, files.map(f =>
+      footerStats(Paths.get(table, f), numeric)))
+  }
+
+  /** Per-file min/max for `columns` from the parquet FOOTER alone —
+    * driver-side metadata reads (a few KB per file), not a second full
+    * scan of freshly-staged data (which at 100 TB ingest would double
+    * read I/O). Row-group stats fold across the file; a column whose
+    * stats are missing, non-primitive (e.g. decimal), or NaN-tainted is
+    * skipped → the file is conservatively kept by [[pruneByStats]]. */
+  private def footerStats(file: Path, columns: Seq[String]): String = {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.{Path => HPath}
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new HPath(file.toString), new Configuration()))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      columns.flatMap { name =>
+        // fold (min, max) across this file's row groups; every row group
+        // must contribute usable stats or the column gets none at all
+        val perGroup = blocks.map { b =>
+          b.getColumns.asScala
+            .find(_.getPath.toDotString == name)
+            .flatMap { c =>
+              val s = c.getStatistics
+              def ok(x: Any): Boolean = x match {
+                case d: java.lang.Double => !d.isNaN
+                case f: java.lang.Float => !f.isNaN
+                case _: java.lang.Long | _: java.lang.Integer => true
+                case _ => false // binary/int96/etc: not our flat format
+              }
+              if (s == null || !s.hasNonNullValue) None
+              else {
+                val (mn, mx) = (s.genericGetMin, s.genericGetMax)
+                if (ok(mn) && ok(mx))
+                  Some((BigDecimal(mn.toString), BigDecimal(mx.toString)))
+                else None
+              }
+            }
+        }
+        if (perGroup.isEmpty || perGroup.exists(_.isEmpty)) None
+        else {
+          val rs = perGroup.flatten
+          Some(s"$name=${rs.map(_._1).min}:${rs.map(_._2).max}")
+        }
+      }.mkString(";")
+    } finally reader.close()
   }
 
   private val MaxRetries = 20
@@ -382,6 +409,12 @@ object LakeTable {
     * must use a new appId, or the new data is silently skipped. */
   def appendIdempotent(spark: SparkSession, table: String, df: DataFrame,
       appId: String, txnVersion: Long): Option[Long] = {
+    // tokens are ','-joined in checkpoint txn fields and split on ':' —
+    // either character inside appId would fragment the token once a
+    // checkpoint covers it, and a replayed batch would re-commit
+    // (silently duplicating data); reject loudly instead
+    require(!appId.exists(c => c == ',' || c == ':'),
+      s"appendIdempotent: appId `$appId` must not contain ',' or ':'")
     val token = s"$appId:$txnVersion"
     def landed(): Boolean = committedTokens(table)(token)
     if (landed()) None
@@ -542,6 +575,46 @@ object LakeTable {
     * the conditional projection. Completes the DML verbs
     * (append/merge/delete/update/optimize/vacuum). Same serializable
     * no-rebase conflict contract as [[merge]]. */
+  /** Reject assignment literals the `cast(targetType)` would silently
+    * mangle: a non-integral Double into a long column truncates (2.5 →
+    * 2), an out-of-range value wraps under non-ANSI cast, a number into
+    * a string column stringifies — all silent-wrong-data paths. Loud
+    * here, like the predicate-column guards. */
+  private def requireLossless(dt: DataType, value: Any, colName: String): Unit = {
+    import org.apache.spark.sql.types._
+    def numeric(v: Any): Option[BigDecimal] = v match {
+      case d: Double => if (d.isNaN || d.isInfinite) None else Some(BigDecimal(d))
+      case f: Float => if (f.isNaN || f.isInfinite) None else Some(BigDecimal(f.toDouble))
+      case n: Byte => Some(BigDecimal(n.toInt))
+      case n: Short => Some(BigDecimal(n.toInt))
+      case n: Int => Some(BigDecimal(n))
+      case n: Long => Some(BigDecimal(n))
+      case n: BigDecimal => Some(n)
+      case n: java.math.BigDecimal => Some(BigDecimal(n))
+      case _ => None
+    }
+    def fail(why: String): Nothing = throw new IllegalArgumentException(
+      s"updateWhere: assignment `$colName = $value` $why " +
+        s"(column type ${dt.simpleString}); a cast would silently corrupt it")
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        val n = numeric(value).getOrElse(fail("is not numeric"))
+        if (!n.isWhole) fail("is not an integral value")
+        val (lo, hi) = dt match {
+          case ByteType => (BigDecimal(Byte.MinValue.toInt), BigDecimal(Byte.MaxValue.toInt))
+          case ShortType => (BigDecimal(Short.MinValue.toInt), BigDecimal(Short.MaxValue.toInt))
+          case IntegerType => (BigDecimal(Int.MinValue), BigDecimal(Int.MaxValue))
+          case _ => (BigDecimal(Long.MinValue), BigDecimal(Long.MaxValue))
+        }
+        if (n < lo || n > hi) fail("is out of range")
+      case FloatType | DoubleType | _: DecimalType =>
+        numeric(value).getOrElse(fail("is not numeric")); ()
+      case StringType =>
+        if (!value.isInstanceOf[String]) fail("is not a string")
+      case _ => () // other types: let the cast's own resolution error
+    }
+  }
+
   def updateWhere(spark: SparkSession, table: String, column: String,
       lo: Double, hi: Double, assignments: Map[String, Any]): Long = {
     import org.apache.spark.sql.functions.{col, lit, when}
@@ -550,8 +623,10 @@ object LakeTable {
     val (all, schemaJson) = snapshotFilesWithStats(table, Some(baseVersion))
     val schema = DataType.fromJson(schemaJson.get).asInstanceOf[StructType]
     val c = requireNumeric(schema, column, "updateWhere")
-    assignments.keys.foreach(a => require(schema.fieldNames.contains(a),
-      s"updateWhere: no such column `$a`"))
+    assignments.foreach { case (a, v) =>
+      require(schema.fieldNames.contains(a), s"updateWhere: no such column `$a`")
+      requireLossless(schema(a).dataType, v, a)
+    }
     require(!assignments.contains(c),
       "updateWhere: assigning the predicate column would make the result " +
         "order-of-application dependent; use merge for key rewrites")
@@ -598,7 +673,7 @@ object LakeTable {
     // column bounds: fold the LOG's per-file stats (free) — scan only
     // if some live file lacks stats for one of the cluster columns
     def foldBounds(column: String): Option[(Double, Double)] = {
-      val ranges = all.map { case (_, s) => statsRange(s, column) }
+      val ranges = all.map { case (_, s) => statsRangeDouble(s, column) }
       if (ranges.exists(_.isEmpty)) None
       else Some((ranges.map(_.get._1).min, ranges.map(_.get._2).max))
     }
@@ -650,25 +725,44 @@ object LakeTable {
     * contain a row with `column ∈ [lo, hi]`. A file with no stats for
     * the column — or an unparseable/NaN range — is conservatively
     * kept. */
-  /** Parse one file's flat stats string for a column's (min, max). */
-  private def statsRange(stats: String, column: String): Option[(Double, Double)] =
+  /** Parse one file's flat stats string for a column's (min, max).
+    * Parsed as BigDecimal, NOT Double: an int64 value above 2^53 (e.g. a
+    * nanosecond-timestamp long) is not Double-representable, and a lossy
+    * parse could SHRINK the range below the file's true bounds — then
+    * pruneByStats wrongly skips a file whose rows match, a silent-wrong-
+    * result path for snapshotWhere/deleteWhere/updateWhere. BigDecimal
+    * round-trips every decimal literal [[stage]] ever writes exactly. */
+  private def statsRange(stats: String, column: String): Option[(BigDecimal, BigDecimal)] =
     stats.split(';').filter(_.nonEmpty)
       .map(_.split('=')).collectFirst {
-        case Array(c, mm) if c == column =>
-          val Array(mn, mx) = mm.split(':')
-          (mn.toDouble, mx.toDouble)
-      }.filterNot { case (mn, mx) =>
-        // NaN endpoints give a useless range; treat as no stats (belt to
-        // stage()'s suspenders — old logs may predate the write guard)
-        mn.isNaN || mx.isNaN
+        case Array(c, mm) if c == column => mm.split(':')
+      }.flatMap {
+        case Array(mn, mx) =>
+          // NaN/Infinity endpoints (or anything unparseable) give a
+          // useless range; treat as no stats (belt to stage()'s
+          // suspenders — old logs may predate the write guard)
+          try Some((BigDecimal(mn), BigDecimal(mx)))
+          catch { case _: NumberFormatException => None }
+        case _ => None
       }
 
+  /** [[statsRange]] widened to a Double interval that always CONTAINS the
+    * exact range (outward rounding) — for consumers that need primitive
+    * bounds (e.g. Z-order layout) where a superset is safe. */
+  private def statsRangeDouble(stats: String, column: String): Option[(Double, Double)] =
+    statsRange(stats, column).map { case (mn, mx) =>
+      (math.nextDown(mn.toDouble), math.nextUp(mx.toDouble))
+    }
+
   private def pruneByStats(all: Seq[(String, String)], column: String,
-      lo: Double, hi: Double): Seq[String] =
+      lo: Double, hi: Double): Seq[String] = {
+    // Double → BigDecimal is exact (binary fractions are finite decimals)
+    val (blo, bhi) = (BigDecimal(lo), BigDecimal(hi))
     all.collect {
       case (f, stats) if statsRange(stats, column)
-        .forall { case (mn, mx) => mn <= hi && lo <= mx } => f
+        .forall { case (mn, mx) => mn <= bhi && blo <= mx } => f
     }
+  }
 
   /** Files at `version` whose stats could contain a row with
     * `column ∈ [lo, hi]` — the data-skipping pruning a Delta reader does

@@ -195,8 +195,12 @@ object RelQueries {
       .filter(col("sum_qty") > minQty)
     val bigOrders = t(spark, dir, "orders")
       .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+    // no hint on the customer join: bigOrders carries full order rows, so
+    // its size is data-dependent — AQE broadcasts it at test SFs and falls
+    // back to a shuffle join if the survivor set ever grows past the
+    // threshold (a forced broadcast would OOM instead)
     t(spark, dir, "customer")
-      .join(broadcast(bigOrders), col("o_custkey") === col("c_custkey"))
+      .join(bigOrders, col("o_custkey") === col("c_custkey"))
       .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
         datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
           .cast(LongType).as("o_epoch_day"),
@@ -229,8 +233,12 @@ object RelQueries {
           .as("has_urgent"))
       .filter(col("has_urgent") === 0)
       .select("o_custkey", "n_orders")
+    // no broadcast hint: byCust is a per-customer aggregate whose size
+    // grows with customer cardinality (unbounded at 100 TB — a forced
+    // broadcast would OOM the driver); AQE broadcasts it at test SFs and
+    // degrades to sort-merge when the aggregate side is actually large
     t(spark, dir, "customer")
-      .join(broadcast(byCust), col("c_custkey") === col("o_custkey"))
+      .join(byCust, col("c_custkey") === col("o_custkey"))
       .select(col("c_custkey"), col("n_orders"))
       .orderBy("c_custkey")
   }

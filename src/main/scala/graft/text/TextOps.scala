@@ -577,9 +577,14 @@ object TextOps {
     *
     * Scale: one (doc_id, term) aggregation; n_tokens rides the same
     * partitioning via a window; the term→df relation is vocabulary-
-    * sized and broadcast; the corpus count N is a driver literal. */
+    * sized and broadcast; the corpus count N is a 1-row aggregate
+    * cross-joined into the plan (no eager scan at query-build time).
+    * The salience product is computed in DECIMAL(38,0) — exact 128-bit
+    * in both engines — so `tf·1e6·N` cannot silently wrap int64 on a
+    * large corpus; the final quotient is ≤ 1e6·N, back in int64 range
+    * for any corpus below ~9e12 documents. */
   def docTfidfTop(k: Int)(spark: SparkSession, dir: String): DataFrame = {
-    val n = docs(spark, dir).count()
+    val nRel = docs(spark, dir).agg(count(lit(1)).as("nn"))
     val tf = docs(spark, dir)
       .select(col("doc_id"), explode(words).as("term"))
       .groupBy("doc_id", "term")
@@ -588,8 +593,10 @@ object TextOps {
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
     tf.withColumn("nt", sum(col("tf")).over(byDoc))
       .join(broadcast(dfRel), "term")
+      .crossJoin(broadcast(nRel))
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
-        expr(s"(tf * 1000000 * ${n}L) div (df * nt)").as("salience_ppm"))
+        expr("(CAST(tf AS DECIMAL(38,0)) * 1000000 * nn) div (df * nt)")
+          .cast(LongType).as("salience_ppm"))
       .orderBy(col("salience_ppm").desc, col("doc_id").asc, col("term").asc)
       .limit(k)
   }
@@ -602,7 +609,7 @@ object TextOps {
        | dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
        | n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
        | SELECT tf.doc_id, tf.term, tf.tf, dfr.df,
-       |  CAST(tf.tf * 1000000 * n.n // (dfr.df * nt.nt) AS BIGINT) AS salience_ppm
+       |  CAST(CAST(tf.tf AS HUGEINT) * 1000000 * n.n // (dfr.df * nt.nt) AS BIGINT) AS salience_ppm
        | FROM tf JOIN nt USING (doc_id) JOIN dfr USING (term), n
        | ORDER BY salience_ppm DESC, doc_id ASC, term ASC LIMIT $k""".stripMargin.replace("\n", " ")
 
