@@ -732,7 +732,7 @@ object LakeTable {
     * pruneByStats wrongly skips a file whose rows match, a silent-wrong-
     * result path for snapshotWhere/deleteWhere/updateWhere. BigDecimal
     * round-trips every decimal literal [[stage]] ever writes exactly. */
-  private def statsRange(stats: String, column: String): Option[(BigDecimal, BigDecimal)] =
+  private[lake] def statsRange(stats: String, column: String): Option[(BigDecimal, BigDecimal)] =
     stats.split(';').filter(_.nonEmpty)
       .map(_.split('=')).collectFirst {
         case Array(c, mm) if c == column => mm.split(':')

@@ -301,7 +301,10 @@ object RelQueries {
     * same as the flat query's. Layout-invariant: the oracle is the
     * flat-parquet SQL. */
   def pricingSummaryLake(spark: SparkSession, dir: String): DataFrame = {
-    val snap = graft.lake.LakeTable.snapshot(spark, lakeLineitem(spark, dir))
+    // through the DSv2 connector (not the library snapshot() call): the
+    // scan plans via the connector API, with log-stats file pruning
+    // applied from pushed filters inside the scan's file index
+    val snap = spark.read.format("lake").load(lakeLineitem(spark, dir))
     snap.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
