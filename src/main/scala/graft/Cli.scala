@@ -118,6 +118,13 @@ object Cli {
               println(s"committed version $v")
             case _ => sys.error("lake delete needs <column> <lo> <hi>")
           }
+        case "deletedv" => // merge-on-read: deletion-vector sidecar, no rewrite
+          rest match {
+            case c :: lo :: hi :: Nil =>
+              val v = graft.lake.LakeTable.deleteWhereDV(spark, table, c, lo.toDouble, hi.toDouble)
+              println(s"committed version $v")
+            case _ => sys.error("lake deletedv needs <column> <lo> <hi>")
+          }
         case "update" =>
           rest match {
             case c :: lo :: hi :: setCol :: value :: Nil =>

@@ -80,9 +80,17 @@ class LakeV2Table(spark: SparkSession, options: CaseInsensitiveStringMap,
   private val entries: Seq[(String, String)] =
     LakeTable.snapshotFilesWithStats(root, version)._1
 
+  // a deletion-vector entry cannot be expressed as a bare file scan —
+  // reading the data file raw would RESURRECT deleted rows, so refuse
+  // loudly rather than return wrong data
+  require(entries.forall(e => LakeTable.parseEntry(e._1).dv.isEmpty),
+    s"lake: snapshot of $root${version.fold("")(v => s"@v$v")} carries " +
+      "deletion vectors, which the DSv2 scan does not apply; read it via " +
+      "LakeTable.snapshot(...) or compact with LakeTable.optimize(...)")
+
   override def name(): String = s"lake:$root${version.fold("")(v => s"@v$v")}"
 
-  override def formatName(): String = "lake"
+  override def formatName: String = "lake"
 
   override def fallbackFileFormat: Class[_ <: org.apache.spark.sql.execution.datasources.FileFormat] =
     classOf[ParquetFileFormat]

@@ -484,7 +484,7 @@ object LakeTable {
 
   def merge(spark: SparkSession, table: String, updates: DataFrame,
       key: String): Long = {
-    import org.apache.spark.sql.functions.{col, count, input_file_name, lit}
+    import org.apache.spark.sql.functions.{col, count, lit}
     val baseVersion = latestVersion(table).getOrElse(
       throw new IllegalArgumentException(s"no such table: $table"))
     val (all, schemaJson) = snapshotFilesWithStats(table, Some(baseVersion))
@@ -507,31 +507,30 @@ object LakeTable {
     require(dup.isEmpty,
       s"merge updates contain duplicate key ${dup.headOption.map(_.get(0))}: " +
         "one update row per key required")
-    val absOf = all.map { case (f, _) => s"$table/$f" -> f }.toMap
     // no broadcast hint: a CDC-sized key set would OOM the driver; AQE
     // picks broadcast itself when the key relation is actually small
     val keys = aligned.select(col(key)).distinct()
-    // which files hold a matched key: one semi-join pass, grouped by
-    // source file. input_file_name() is projected BEFORE the join so it
-    // evaluates inside the scan stage — after a shuffle (sort-merge
-    // join for a large key set) the thread-local is unset and every
-    // row would map to "" instead of its file
+    // which live ENTRIES hold a matched key: one semi-join pass keyed by
+    // the scan-bound metadata provenance column (stable across the
+    // shuffle a sort-merge join inserts, unlike input_file_name), read
+    // DV-applied so a row already masked by a deletion vector cannot
+    // drag its file into the rewrite
+    val entries = all.map(_._1)
+    val relToEntry = entries.map(e => parseEntry(e).data -> e).toMap
     val affected: Seq[String] =
       if (all.isEmpty) Seq.empty
-      else spark.read.schema(schema).parquet(all.map(f => s"$table/${f._1}"): _*)
-        .select(col(key), input_file_name().as("_f"))
+      else readEntriesWithRel(spark, table, entries, schema)
+        .select(col(key), col(RelCol))
         .join(keys, Seq(key), "left_semi")
-        .select("_f").distinct()
+        .select(RelCol).distinct()
         .collect().map(_.getString(0))
-        .map(uri => absOf.collectFirst {
-          case (abs, rel) if uri.endsWith(abs) || uri.contains(rel) => rel
-        }.getOrElse(sys.error(s"unmapped scan file `$uri`")))
+        .map(rel => relToEntry.getOrElse(rel,
+          sys.error(s"unmapped scan file `$rel`")))
         .toSeq.distinct.sorted
     // rewrite = affected files minus matched rows, plus ALL updates
     val survivors =
       if (affected.isEmpty) emptyDf(spark, schema)
-      else spark.read.schema(schema)
-        .parquet(affected.map(f => s"$table/$f"): _*)
+      else readEntries(spark, table, affected, schema)
         .join(keys, Seq(key), "left_anti")
     val (add, stats) = stage(survivors.unionByName(aligned), table)
     commitOrThrow(table,
@@ -558,8 +557,7 @@ object LakeTable {
     val affected = pruneByStats(all, c, lo, hi)
     val survivors =
       if (affected.isEmpty) emptyDf(spark, schema)
-      else spark.read.schema(schema)
-        .parquet(affected.map(f => s"$table/$f"): _*)
+      else readEntries(spark, table, affected, schema)
         .filter(!(col(c) >= lo && col(c) <= hi) || col(c).isNull)
     val (add, stats) = stage(survivors, table)
     commitOrThrow(table,
@@ -634,8 +632,7 @@ object LakeTable {
     val matched = col(c) >= lo && col(c) <= hi
     val survivors =
       if (affected.isEmpty) emptyDf(spark, schema)
-      else assignments.foldLeft(
-        spark.read.schema(schema).parquet(affected.map(f => s"$table/$f"): _*)) {
+      else assignments.foldLeft(readEntries(spark, table, affected, schema)) {
         case (df, (name, value)) =>
           df.withColumn(name,
             when(matched, lit(value).cast(schema(name).dataType))
@@ -667,9 +664,10 @@ object LakeTable {
     val schema = DataType.fromJson(schemaJson.get).asInstanceOf[StructType]
     val cx = requireNumeric(schema, colX, "optimize")
     val cy = requireNumeric(schema, colY, "optimize")
-    val live = all.map(f => s"$table/${f._1}")
-    if (live.isEmpty) return baseVersion // nothing to lay out
-    val df = spark.read.schema(schema).parquet(live: _*)
+    if (all.isEmpty) return baseVersion // nothing to lay out
+    // DV-applied read: OPTIMIZE is also how deletion vectors get
+    // compacted away — the rewritten files carry only surviving rows
+    val df = readEntries(spark, table, all.map(_._1), schema)
     // column bounds: fold the LOG's per-file stats (free) — scan only
     // if some live file lacks stats for one of the cluster columns
     def foldBounds(column: String): Option[(Double, Double)] = {
@@ -701,12 +699,157 @@ object LakeTable {
       "optimize")
   }
 
+  // ---- deletion vectors (merge-on-read) --------------------------------
+
+  /** A live-set entry is either a bare data file (`stage-x/f.parquet`)
+    * or a data file annotated with its deletion vector
+    * (`stage-x/f.parquet#dv=stage-y/dv.parquet`): the DV is a parquet
+    * sidecar of (rel_file, row_index) rows that are LOGICALLY DELETED
+    * from the data file. Entries are opaque strings to the log/replay
+    * machinery, so checkpoints and time travel need no protocol change
+    * (the annotated entry is Delta's add-with-DV-descriptor, flattened). */
+  private[lake] final case class LiveEntry(data: String, dv: Option[String])
+
+  private val DvSep = "#dv="
+
+  private[lake] def parseEntry(e: String): LiveEntry = {
+    val i = e.indexOf(DvSep)
+    if (i < 0) LiveEntry(e, None)
+    else LiveEntry(e.take(i), Some(e.drop(i + DvSep.length)))
+  }
+
+  /** Hidden column names used by the DV anti-join — double-underscored
+    * to stay clear of any user schema. */
+  private val RelCol = "__lake_rel"
+  private val RiCol = "__lake_ri"
+
+  /** `stage-sub/name` of the file each row came from, via the parquet
+    * metadata column (stable, unlike `input_file_name()`, across joins
+    * and shuffles because it is bound at the scan). */
+  private def relFileCol: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, concat_ws, element_at, split}
+    concat_ws("/",
+      element_at(split(col("_metadata.file_path"), "/"), -2),
+      element_at(split(col("_metadata.file_path"), "/"), -1))
+  }
+
+  /** Read a set of live entries with deletion vectors applied, plus a
+    * `__lake_rel` provenance column (callers that don't need it drop
+    * it). Files WITHOUT a DV take the plain vectorized scan — no join
+    * tax; files WITH one anti-join their (file, row_index) pairs against
+    * the union of referenced sidecars. The anti-join keys on the scan-
+    * bound metadata columns, so it is exact whatever Spark does to the
+    * plan downstream. */
+  private def readEntriesWithRel(spark: SparkSession, table: String,
+      entries: Seq[String], schema: StructType,
+      withRowIndex: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val parsed = entries.map(parseEntry)
+    val extra = if (withRowIndex) Seq(RelCol, RiCol) else Seq(RelCol)
+    val outCols = (schema.fieldNames.toSeq ++ extra).map(col)
+    val (dvd, plain) = parsed.partition(_.dv.isDefined)
+    val plainDf =
+      if (plain.isEmpty) None
+      else Some(spark.read.schema(schema)
+        .parquet(plain.map(e => s"$table/${e.data}"): _*)
+        .withColumn(RelCol, relFileCol)
+        .withColumn(RiCol, col("_metadata.row_index"))
+        .select(outCols: _*))
+    val dvdDf =
+      if (dvd.isEmpty) None
+      else {
+        val dvPaths = dvd.flatMap(_.dv).distinct.map(d => s"$table/$d")
+        val dvRel = spark.read.parquet(dvPaths: _*)
+          .select(col("rel_file").as(RelCol), col("row_index").as(RiCol))
+        Some(spark.read.schema(schema)
+          .parquet(dvd.map(e => s"$table/${e.data}"): _*)
+          .withColumn(RelCol, relFileCol)
+          .withColumn(RiCol, col("_metadata.row_index"))
+          .join(dvRel, Seq(RelCol, RiCol), "left_anti")
+          .select(outCols: _*))
+      }
+    (plainDf, dvdDf) match {
+      case (Some(p), Some(d)) => p.union(d)
+      case (Some(p), None) => p
+      case (None, Some(d)) => d
+      case (None, None) => emptyDf(spark,
+        StructType(schema.fields ++ extra.map(n =>
+          org.apache.spark.sql.types.StructField(n,
+            if (n == RiCol) org.apache.spark.sql.types.LongType
+            else org.apache.spark.sql.types.StringType))))
+    }
+  }
+
+  private def readEntries(spark: SparkSession, table: String,
+      entries: Seq[String], schema: StructType): DataFrame =
+    readEntriesWithRel(spark, table, entries, schema).drop(RelCol)
+
+  /** Merge-on-read DELETE: rows with `column ∈ [lo, hi]` are masked by a
+    * deletion-vector sidecar instead of rewriting the data files — the
+    * industry answer to point deletes at 100 TB, where copy-on-write
+    * ([[deleteWhere]]) would rewrite terabytes to drop kilobytes. The
+    * commit swaps each affected entry for the same data file annotated
+    * with a new DV that holds the union of its old DV (if any) and the
+    * newly matched (file, row_index) pairs; data files are never
+    * rewritten, and [[optimize]] compacts DVs away by re-laying out the
+    * DV-applied rows. Same stats pruning for the affected-file search
+    * and the same serializable no-rebase contract as [[deleteWhere]]. */
+  def deleteWhereDV(spark: SparkSession, table: String, column: String,
+      lo: Double, hi: Double): Long = {
+    import org.apache.spark.sql.functions.col
+    val baseVersion = latestVersion(table).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $table"))
+    val (all, schemaJson) = snapshotFilesWithStats(table, Some(baseVersion))
+    val schema = DataType.fromJson(schemaJson.get).asInstanceOf[StructType]
+    val c = requireNumeric(schema, column, "deleteWhereDV")
+    val affected = pruneByStats(all, c, lo, hi)
+    if (affected.isEmpty)
+      return commitOrThrow(table,
+        Commit(baseVersion + 1, "delete-dv", Seq.empty, Seq.empty,
+          schemaJson.get),
+        "delete-dv")
+    // newly deleted (rel_file, row_index) pairs, read DV-applied so a
+    // row already masked by an older DV is not re-matched
+    val parsed = affected.map(parseEntry)
+    val matchedNow =
+      readEntriesWithRel(spark, table, affected, schema, withRowIndex = true)
+        .filter(col(c) >= lo && col(c) <= hi)
+        .select(col(RelCol).as("rel_file"), col(RiCol).as("row_index"))
+    // carry forward the affected files' existing DV rows (union replace)
+    val oldDvPaths = parsed.flatMap(_.dv).distinct
+    val dataRels = parsed.map(_.data)
+    val carried =
+      if (oldDvPaths.isEmpty) matchedNow
+      else matchedNow.union(
+        spark.read.parquet(oldDvPaths.map(d => s"$table/$d"): _*)
+          .select(col("rel_file"), col("row_index"))
+          .filter(col("rel_file").isin(dataRels: _*)))
+    val dvSub = s"stage-${java.util.UUID.randomUUID().toString.take(12)}"
+    // one sidecar file per DELETE commit (row indexes only — tiny next
+    // to the data); readers union sidecars, so no per-file fan-out
+    carried.coalesce(1).write.parquet(Paths.get(table, dvSub).toString)
+    val dvIt = Files.list(Paths.get(table, dvSub))
+    val dvFile =
+      try dvIt.iterator().asScala.map(_.getFileName.toString)
+        .find(n => n.endsWith(".parquet") && !n.startsWith("."))
+        .map(n => s"$dvSub/$n")
+        .getOrElse(sys.error("deleteWhereDV: sidecar write produced no file"))
+      finally dvIt.close()
+    val statsOf = all.toMap
+    val add = parsed.map(e => s"${e.data}$DvSep$dvFile")
+    commitOrThrow(table,
+      Commit(baseVersion + 1, "delete-dv", add, affected, schemaJson.get,
+        affected.map(statsOf)), // stats carry over: DVs only remove rows
+      "delete-dv")
+  }
+
   // ---- read path -------------------------------------------------------
 
   /** Snapshot read, optionally at a historical version. The file list
     * and schema are pinned at call time: concurrent commits cannot
     * change what this DataFrame reads (immutable files + logical
-    * deletes = snapshot isolation for free). */
+    * deletes = snapshot isolation for free). Deletion-vector entries
+    * are applied as an anti-filter ([[readEntries]]). */
   def snapshot(spark: SparkSession, table: String,
       version: Option[Long] = None): DataFrame = {
     val (files, schemaJson) = snapshotFiles(table, version)
@@ -715,9 +858,7 @@ object LakeTable {
       case Some(sj) =>
         val schema = DataType.fromJson(sj).asInstanceOf[StructType]
         if (files.isEmpty) emptyDf(spark, schema)
-        else
-          spark.read.schema(schema)
-            .parquet(files.map(f => s"$table/$f"): _*)
+        else readEntries(spark, table, files, schema)
     }
   }
 
@@ -786,7 +927,7 @@ object LakeTable {
       .asInstanceOf[StructType]
     val base =
       if (files.isEmpty) emptyDf(spark, schema)
-      else spark.read.schema(schema).parquet(files.map(f => s"$table/$f"): _*)
+      else readEntries(spark, table, files, schema)
     base.filter(col(column) >= lo && col(column) <= hi)
   }
 
@@ -840,10 +981,15 @@ object LakeTable {
     * (exactly Delta's VACUUM trade). */
   def vacuum(table: String, retainFrom: Long,
       orphanMinAgeMs: Long = OrphanMinAgeMs): Seq[String] = {
+    // an entry references its data file AND its DV sidecar (if any) —
+    // both must survive while any retained snapshot can reach them
+    def filesOf(e: String): Seq[String] = {
+      val p = parseEntry(e); p.data +: p.dv.toSeq
+    }
     val floor = latestVersion(table).fold(retainFrom)(math.min(retainFrom, _))
     val keep = versions(table).filter(_ >= floor)
-      .flatMap(v => snapshotFiles(table, Some(v))._1).toSet
-    val referenced = history(table).flatMap(_.add).toSet
+      .flatMap(v => snapshotFiles(table, Some(v))._1).flatMap(filesOf).toSet
+    val referenced = history(table).flatMap(_.add).flatMap(filesOf).toSet
     val now = System.currentTimeMillis()
     val root = Paths.get(table)
     val deleted = Seq.newBuilder[String]

@@ -419,6 +419,81 @@ class LakeTableSpec extends SparkSpec {
     assert(LakeTable.changesBetween(spark, t, 4L, 5L).count() == 3)
   }
 
+  test("deleteWhereDV: merge-on-read delete commits without rewriting any data file") {
+    val t = freshTable()
+    LakeTable.append(spark, t, df(0 until 100)) // v1
+    LakeTable.append(spark, t, df(100 until 200)) // v2
+    val before = LakeTable.snapshotFiles(t)._1.toSet
+    val v = LakeTable.deleteWhereDV(spark, t, "id", 20, 29)
+    val c = LakeTable.history(t).find(_.version == v).get
+    assert(c.op == "delete-dv")
+    // every ADDED entry is an existing data file + a DV annotation — the
+    // proof no data file was rewritten
+    assert(c.add.nonEmpty && c.add.forall(_.contains("#dv=")))
+    assert(c.add.map(_.split("#dv=")(0)).forall(before.contains))
+    assert(LakeTable.snapshot(spark, t).count() == 190)
+    assert(LakeTable.snapshot(spark, t).agg(sum("id")).head.getLong(0) == 19655)
+    // identical to the copy-on-write path on a twin table
+    val cow = freshTable()
+    LakeTable.append(spark, cow, df(0 until 100))
+    LakeTable.append(spark, cow, df(100 until 200))
+    LakeTable.deleteWhere(spark, cow, "id", 20, 29)
+    assert(LakeTable.snapshot(spark, t).collect().map(_.toSeq).toSet ==
+      LakeTable.snapshot(spark, cow).collect().map(_.toSeq).toSet)
+    // time travel still sees the pre-delete state
+    assert(LakeTable.snapshot(spark, t, Some(2)).count() == 200)
+  }
+
+  test("deletion vectors stack, prune-read exactly, and OPTIMIZE compacts them away") {
+    val t = freshTable()
+    LakeTable.append(spark, t, df(0 until 100))
+    LakeTable.append(spark, t, df(100 until 200))
+    LakeTable.deleteWhereDV(spark, t, "id", 20, 29)
+    LakeTable.deleteWhereDV(spark, t, "id", 25, 39) // overlaps the first DV
+    assert(LakeTable.snapshot(spark, t).count() == 180)
+    // the stats-pruned read path applies DVs too
+    assert(LakeTable.snapshotWhere(spark, t, "id", 0, 50).count() == 31)
+    // the DSv2 scan cannot apply DVs: it must refuse, not resurrect rows
+    val e = intercept[Exception] { spark.read.format("lake").load(t) }
+    assert(e.getMessage.contains("deletion vectors"))
+    // merge sees through the mask: a deleted key merges as an INSERT
+    import spark.implicits._
+    LakeTable.merge(spark, t, Seq((25L, -1L)).toDF("id", "v"), "id")
+    assert(LakeTable.snapshot(spark, t).filter(col("id") === 25).collect()
+      .map(_.getLong(1)).toSeq == Seq(-1L))
+    // OPTIMIZE rewrites DV-applied rows: annotations disappear and the
+    // DSv2 read works again
+    LakeTable.optimize(spark, t, "id", "v", targetFiles = 4)
+    assert(LakeTable.snapshotFiles(t)._1.forall(!_.contains("#dv=")))
+    assert(spark.read.format("lake").load(t).count() == 181)
+    // vacuum now collects the superseded DV sidecars (they are .parquet
+    // files under stage dirs like any data file)
+    val dvFiles = LakeTable.history(t).filter(_.op == "delete-dv")
+      .flatMap(_.add).map(_.split("#dv=")(1)).distinct
+    assert(dvFiles.nonEmpty)
+    LakeTable.vacuum(t, retainFrom = LakeTable.latestVersion(t).get,
+      orphanMinAgeMs = 0L)
+    dvFiles.foreach(d => assert(!Files.exists(Paths.get(t, d)),
+      s"superseded DV sidecar $d must be vacuumable"))
+    assert(LakeTable.snapshot(spark, t).count() == 181)
+  }
+
+  test("copy-on-write delete and update on a DV'd table respect the mask") {
+    val t = freshTable()
+    LakeTable.append(spark, t, df(0 until 100))
+    LakeTable.deleteWhereDV(spark, t, "id", 0, 9)
+    // CoW delete of an overlapping range: rewrites survivors DV-applied
+    LakeTable.deleteWhere(spark, t, "id", 5, 14)
+    assert(LakeTable.snapshot(spark, t).count() == 85)
+    assert(LakeTable.snapshot(spark, t).agg(min("id")).head.getLong(0) == 15)
+    // update on the DV'd remainder
+    LakeTable.deleteWhereDV(spark, t, "id", 15, 19)
+    LakeTable.updateWhere(spark, t, "id", 20, 24, Map("v" -> 0L))
+    val s = LakeTable.snapshot(spark, t)
+    assert(s.count() == 80)
+    assert(s.filter(col("v") === 0).count() == 5)
+  }
+
   test("model check: random op sequences match an in-memory reference at every version") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260812L)
@@ -436,8 +511,8 @@ class LakeTableSpec extends SparkSpec {
     model = LakeTable.snapshot(spark, t).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     perVersion += model
-    (0 until 12).foreach { _ =>
-      val committed = rnd.nextInt(4) match {
+    (0 until 14).foreach { _ =>
+      val committed = rnd.nextInt(5) match {
         case 0 => // append fresh ids only (append semantics = multiset add;
           // keep ids disjoint from the model so the map stays a valid model)
           val rows = freshRows(rnd.nextInt(8) + 1)
@@ -461,9 +536,16 @@ class LakeTableSpec extends SparkSpec {
             model = model ++ rows
           }
           rows.nonEmpty
-        case 3 => // range delete on id
+        case 3 => // range delete on id (copy-on-write)
           val lo = rnd.nextLong(900L); val hi = lo + rnd.nextLong(100L)
           LakeTable.deleteWhere(spark, t, "id", lo.toDouble, hi.toDouble)
+          model = model.filterNot { case (k, _) => k >= lo && k <= hi }
+          true
+        case 4 => // range delete on id (merge-on-read deletion vector);
+          // same model semantics as case 3 — the two paths must be
+          // indistinguishable to readers
+          val lo = rnd.nextLong(900L); val hi = lo + rnd.nextLong(100L)
+          LakeTable.deleteWhereDV(spark, t, "id", lo.toDouble, hi.toDouble)
           model = model.filterNot { case (k, _) => k >= lo && k <= hi }
           true
       }
@@ -479,6 +561,15 @@ class LakeTableSpec extends SparkSpec {
       val got = LakeTable.snapshot(spark, t, Some(i + 1L)).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == m, s"time travel diverged at version ${i + 1}")
+    }
+    // a final OPTIMIZE (data-identical, compacts any deletion vectors)
+    // must not change what readers see
+    if (model.nonEmpty) {
+      LakeTable.optimize(spark, t, "id", "v", targetFiles = 2)
+      val got = LakeTable.snapshot(spark, t).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == model, "optimize changed visible data")
+      assert(LakeTable.snapshotFiles(t)._1.forall(!_.contains("#dv=")))
     }
   }
 
