@@ -36,9 +36,27 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * log min/max excludes the range — no footer reads, no file opens —
   * the data-skipping read path a Delta reader gets from its log. */
 class LakeDataSource extends org.apache.spark.sql.connector.catalog.TableProvider
-    with DataSourceRegister {
+    with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSourceProvider {
 
   override def shortName(): String = "lake"
+
+  // -- streaming source (readStream.format("lake")): v1 Source API, the
+  // route Delta's own streaming source takes, so getBatch can serve each
+  // version range through the ordinary vectorized parquet read path
+  override def sourceSchema(sqlContext: org.apache.spark.sql.SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    ("lake", inferSchema(new CaseInsensitiveStringMap(parameters.asJava)))
+
+  override def createSource(sqlContext: org.apache.spark.sql.SQLContext,
+      metadataPath: String, schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
+    val options = new CaseInsensitiveStringMap(parameters.asJava)
+    new LakeStreamSource(sqlContext.sparkSession, tableRoot(options),
+      schema.getOrElse(inferSchema(options)),
+      Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L))
+  }
 
   private def tableRoot(options: CaseInsensitiveStringMap): String = {
     val p = Option(options.get("path")).getOrElse(

@@ -1,0 +1,52 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, GraftSqlShims, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.types.StructType
+
+/** Micro-batch streaming SOURCE over the lake's transaction log — the
+  * pull-based twin of [[LakeSink]]: `spark.readStream.format("lake")
+  * .load(tableDir)` tails the table, emitting the rows each append
+  * commit added, exactly once.
+  *
+  * Offsets ARE log versions: batch (v1, v2] reads precisely the files
+  * the commits in that range added ([[LakeTable.changesBetween]]), so
+  * the engine's offset checkpointing gives exactly-once for free — a
+  * restarted query resumes from its last committed version. Commits
+  * that REWRITE data (overwrite / merge / delete / optimize) have no
+  * row-level delta in the log; a batch range containing one FAILS the
+  * query loudly (the consumer re-syncs from a snapshot and restarts
+  * with `startingVersion`), exactly Delta's behavior when its change
+  * feed is unavailable.
+  *
+  * Options: `startingVersion` (default 0) — emit only commits AFTER
+  * this version; use it to start past historical rewrites or to tail
+  * new data only (`startingVersion` = current version at start). */
+class LakeStreamSource(spark: SparkSession, table: String,
+    override val schema: StructType, startingVersion: Long) extends Source {
+
+  /** The engine replays offsets from its checkpoint as SerializedOffset;
+    * both forms carry the version as their json. */
+  private def versionOf(o: Offset): Long = o.json.trim.toLong
+
+  private final case class LakeVersionOffset(version: Long) extends Offset {
+    override def json: String = version.toString
+  }
+
+  override def getOffset: Option[Offset] =
+    LakeTable.latestVersion(table).filter(_ > startingVersion)
+      .map(LakeVersionOffset(_))
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val fromV = start.map(versionOf).getOrElse(startingVersion)
+    val toV = versionOf(end)
+    // changesBetween refuses rewrite commits in range — the loud-failure
+    // contract — and returns the appended files as one batch read
+    GraftSqlShims.asStreamingDataFrame(
+      LakeTable.changesBetween(spark, table, fromV, toV))
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"LakeStreamSource[$table from v$startingVersion]"
+}

@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryException
+
+import graft.lake.LakeTable
+
+/** The lake as a streaming SOURCE: `readStream.format("lake")` tails the
+  * transaction log, emitting each append commit's rows exactly once
+  * (offsets are log versions, so the engine's checkpoint gives
+  * exactly-once); rewrite commits in a batch range fail the query
+  * loudly; `startingVersion` starts past history. */
+class LakeStreamSpec extends SparkSpec {
+
+  private var n = 0
+  private def fresh(): (String, String, String) = {
+    n += 1
+    val t = Files.createTempDirectory("lake-stream").toString
+    val ck = Files.createTempDirectory("lake-stream-ck").toString
+    DatasetCache.registerTempDir(t)
+    DatasetCache.registerTempDir(ck)
+    (t, ck, s"lake_stream_sink_$n")
+  }
+
+  private def append(t: String, ids: Range): Unit = {
+    import spark.implicits._
+    LakeTable.append(spark, t,
+      ids.map(_.toLong).toDF("id").withColumn("v", col("id") * 10))
+  }
+
+  test("readStream emits exactly the appended rows, once, across batches") {
+    val (t, ck, sink) = fresh()
+    append(t, 0 until 10)
+    append(t, 10 until 25)
+    val q = spark.readStream.format("lake").load(t)
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", ck).start()
+    try {
+      q.processAllAvailable()
+      val got1 = spark.table(sink).select("id").collect().map(_.getLong(0)).sorted
+      assert(got1.toSeq == (0L until 25L), s"first drain wrong: ${got1.length} rows")
+      // appends land while the stream runs → tailed exactly once
+      append(t, 25 until 30)
+      append(t, 30 until 42)
+      q.processAllAvailable()
+      val got2 = spark.table(sink).select("id").collect().map(_.getLong(0)).sorted
+      assert(got2.toSeq == (0L until 42L), s"tail drain wrong: ${got2.length} rows")
+      assert(got2.length == got2.distinct.length, "duplicates — not exactly-once")
+    } finally q.stop()
+  }
+
+  test("a rewrite commit in range fails the stream loudly") {
+    val (t, ck, sink) = fresh()
+    append(t, 0 until 10)
+    val q = spark.readStream.format("lake").load(t)
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", ck).start()
+    try {
+      q.processAllAvailable()
+      LakeTable.deleteWhere(spark, t, "id", 0, 4) // rewrite: no row delta
+      append(t, 10 until 12)
+      val e = intercept[StreamingQueryException] { q.processAllAvailable() }
+      def chain(x: Throwable): Seq[Throwable] =
+        Option(x).toSeq.flatMap(y => y +: chain(y.getCause))
+      assert(chain(e).exists(c =>
+        String.valueOf(c.getMessage).contains("no row-level delta")),
+        s"expected the changesBetween refusal, got: $e")
+    } finally q.stop()
+  }
+
+  test("startingVersion starts past historical rewrites") {
+    val (t, ck, sink) = fresh()
+    append(t, 0 until 10) // v1
+    LakeTable.overwrite(spark, t, // v2: rewrite — must be skippable
+      spark.range(100, 105).select(col("id"), (col("id") * 10).as("v")))
+    append(t, 200 until 203) // v3
+    val q = spark.readStream.format("lake")
+      .option("startingVersion", "2").load(t)
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", ck).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table(sink).select("id").collect().map(_.getLong(0)).sorted
+      assert(got.toSeq == (200L until 203L),
+        s"only post-v2 appends expected, got ${got.mkString(",")}")
+    } finally q.stop()
+  }
+}
