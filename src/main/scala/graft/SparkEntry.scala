@@ -62,6 +62,7 @@ object SparkEntry {
     "doc_sample_strat" -> (TextOps.stratifiedSample(_, _)),
     "doc_repetition" -> (TextOps.docRepetition(_, _)),
     "doc_mix" -> (TextOps.docMix(_, _)),
+    "doc_pack" -> (TextOps.docPack(2048L)(_, _)),
     "doc_contamination" -> (TextOps.contamination(10L)(_, _)),
     "doc_dup_clusters" -> (TextOps.dupClusters(TextOps.DupClusterTau)(_, _)),
     "doc_dedup_keep" -> (TextOps.dedupKeepOne(TextOps.DupClusterTau)(_, _)),
@@ -161,6 +162,7 @@ object SparkEntry {
     "doc_sample_strat" -> TextOps.stratifiedSampleSql,
     "doc_repetition" -> TextOps.docRepetitionSql,
     "doc_mix" -> TextOps.docMixSql,
+    "doc_pack" -> TextOps.docPackSql(2048L),
     "doc_contamination" -> TextOps.contaminationSql(10L),
     "doc_dup_clusters" -> TextOps.dupClustersSql(TextOps.DupClusterTau),
     "doc_dedup_keep" -> TextOps.dedupKeepOneSql(TextOps.DupClusterTau),

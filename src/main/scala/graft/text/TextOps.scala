@@ -642,6 +642,56 @@ object TextOps {
     """SELECT count(DISTINCT term) AS vocab_size, count(*) AS total_tokens
       | FROM (SELECT unnest(string_split(text,' ')) AS term FROM documents)""".stripMargin.replace("\n", " ")
 
+  // ---- sequence packing -----------------------------------------------
+
+  /** Sequence packing: assign each document (in doc_id order) to the
+    * fixed-token-budget training row where its FIRST token lands when
+    * the corpus is concatenated — `pack_id = start_offset div budget` —
+    * the pack-then-chunk stage between dedup and the data loader (docs
+    * straddle row boundaries rather than wasting tail space, the common
+    * LLM-pretraining packing).
+    *
+    * Scale: NO global window (a single-partition running sum over the
+    * corpus would bottleneck one task). The global prefix sum is the
+    * classic two-phase distributed form: docs bucket into contiguous
+    * doc_id ranges (range width from a 1-row max aggregate, kept
+    * in-plan), the per-bucket token totals — a buckets-sized relation —
+    * take a tiny window pass to become per-bucket offsets, and the
+    * within-bucket exclusive cumsum runs under `partitionBy(bucket)`,
+    * fully parallel. Only bucket-count-sized data ever sees a
+    * single-partition window. */
+  def docPack(budget: Long, buckets: Int = 64)(
+      spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nt = docs(spark, dir)
+      .select(col("doc_id"), size(words).cast(LongType).as("nt"))
+    val mx = nt.agg(max(col("doc_id")).as("mx"))
+    val bucketed = nt.crossJoin(broadcast(mx))
+      .withColumn("g", expr(s"doc_id div ((mx div $buckets) + 1)"))
+      .drop("mx")
+    val totals = bucketed.groupBy("g").agg(sum(col("nt")).as("gtot"))
+    val exclusive = Window.orderBy("g")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("goff", coalesce(sum(col("gtot")).over(exclusive), lit(0L)))
+      .select("g", "goff")
+    val inBucket = Window.partitionBy("g").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.join(broadcast(offsets), "g")
+      .withColumn("start",
+        col("goff") + coalesce(sum(col("nt")).over(inBucket), lit(0L)))
+      .select(col("doc_id"), col("nt"),
+        expr(s"start div ${budget}L").as("pack_id"))
+      .orderBy("doc_id")
+  }
+
+  def docPackSql(budget: Long): String =
+    s"""SELECT doc_id, nt, CAST((cum - nt) // $budget AS BIGINT) AS pack_id
+       | FROM (SELECT doc_id, nt,
+       |   CAST(sum(nt) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents))
+       | ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
   // ---- mixture rebalancing: deterministic stratified sampling ---------
 
   /** Per-language sampling rates in permille — the training-mixture
