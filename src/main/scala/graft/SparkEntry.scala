@@ -63,6 +63,9 @@ object SparkEntry {
     "doc_repetition" -> (TextOps.docRepetition(_, _)),
     "doc_mix" -> (TextOps.docMix(_, _)),
     "doc_pack" -> (TextOps.docPack(2048L)(_, _)),
+    "doc_chunk" -> (TextOps.docChunk(32)(_, _)),
+    "doc_train_order" -> (TextOps.docTrainOrder()(_, _)),
+    "doc_bigram_top" -> (TextOps.docBigramTop(25)(_, _)),
     "doc_contamination" -> (TextOps.contamination(10L)(_, _)),
     "doc_dup_clusters" -> (TextOps.dupClusters(TextOps.DupClusterTau)(_, _)),
     "doc_dedup_keep" -> (TextOps.dedupKeepOne(TextOps.DupClusterTau)(_, _)),
@@ -163,6 +166,9 @@ object SparkEntry {
     "doc_repetition" -> TextOps.docRepetitionSql,
     "doc_mix" -> TextOps.docMixSql,
     "doc_pack" -> TextOps.docPackSql(2048L),
+    "doc_chunk" -> TextOps.docChunkSql(32),
+    "doc_train_order" -> TextOps.docTrainOrderSql(),
+    "doc_bigram_top" -> TextOps.docBigramTopSql(25),
     "doc_contamination" -> TextOps.contaminationSql(10L),
     "doc_dup_clusters" -> TextOps.dupClustersSql(TextOps.DupClusterTau),
     "doc_dedup_keep" -> TextOps.dedupKeepOneSql(TextOps.DupClusterTau),

@@ -763,6 +763,117 @@ object TextOps {
        |   // len(string_split(text,' ')) AS BIGINT) AS rep_ppm
        | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
+  // ---- deterministic global training order ----------------------------
+
+  /** Seeded global shuffle for the data loader: every document gets a
+    * reproducible (shard, pos) — shard by a 60-bit md5 of (seed, doc_id),
+    * position = rank within the shard by that hash. The hash (not
+    * `rand()`) makes the training order stable across re-runs, partition
+    * layouts and engines; ties break on doc_id so the order is total.
+    *
+    * Scale: position is a rank within a shard, but NO shard-sized
+    * window runs anywhere — the uniform hash splits each shard into
+    * `buckets` contiguous hash ranges, per-(shard,bucket) counts (a
+    * shards*buckets-row relation) take one tiny window to become bucket
+    * offsets, and ranking runs inside (shard,bucket) partitions — the
+    * same two-phase prefix form as [[docPack]], ~corpus/(shards*buckets)
+    * rows per task. */
+  def docTrainOrder(shards: Int = 16, seed: Int = 7, buckets: Int = 64)(
+      spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5(concat(lit(s"$seed:"), col("doc_id").cast("string"))), 1, 15),
+      16, 10).cast(LongType)
+    val hashed = docs(spark, dir)
+      .select(col("doc_id"), h.as("h"))
+      .withColumn("shard", col("h") % shards)
+      // 60-bit hash space divided into `buckets` contiguous ranges
+      .withColumn("g", expr(s"h div ${(1L << 60) / buckets}L"))
+    val counts = hashed.groupBy("shard", "g").agg(count(lit(1)).as("n"))
+    val exclusive = Window.partitionBy("shard").orderBy("g")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("off", coalesce(sum(col("n")).over(exclusive), lit(0L)))
+      .select("shard", "g", "off")
+    val inBucket = Window.partitionBy("shard", "g").orderBy("h", "doc_id")
+    hashed.join(broadcast(offsets), Seq("shard", "g"))
+      .withColumn("pos", col("off") + row_number().over(inBucket) - 1)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy("doc_id")
+  }
+
+  def docTrainOrderSql(shards: Int = 16, seed: Int = 7): String =
+    s"""SELECT doc_id, shard,
+       | CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+       | FROM (SELECT doc_id,
+       |   CAST('0x'||substr(md5('$seed:'||CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) AS h,
+       |   CAST('0x'||substr(md5('$seed:'||CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) % $shards AS shard
+       |  FROM documents)
+       | ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
+  // ---- adjacent-pair counting (the BPE merge-step shape) ---------------
+
+  /** Top adjacent token pairs — the counting step inside BPE vocabulary
+    * induction (and a phrase-mining primitive). Map-side zip of each
+    * token list with its own tail, one exploded count aggregation;
+    * map-side combine keeps the shuffle at distinct-pair width, and the
+    * unigram df-cap/salting treatments compose if pair skew ever bites. */
+  def docBigramTop(k: Int)(spark: SparkSession, dir: String): DataFrame = {
+    val w = words
+    val pairs = zip_with(
+      slice(w, lit(1), greatest(size(w) - 1, lit(0))),
+      slice(w, lit(2), greatest(size(w) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    docs(spark, dir)
+      .select(explode(pairs).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(k)
+  }
+
+  def docBigramTopSql(k: Int): String =
+    s"""SELECT pair, count(*) AS n FROM (
+       |  SELECT unnest(list_transform(range(1, len(string_split(text,' '))),
+       |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS pair
+       |  FROM documents)
+       | GROUP BY pair ORDER BY n DESC, pair ASC LIMIT $k""".stripMargin.replace("\n", " ")
+
+  // ---- context-length chunking ----------------------------------------
+
+  /** Fixed-token-window chunking: each document becomes
+    * ceil(n_tokens/width) rows, chunk i carrying tokens
+    * [i*width, (i+1)*width) with a content fingerprint — the
+    * context-length split feeding tokenization (complement of
+    * [[docPack]], which packs SHORT docs; this splits LONG ones). Pure
+    * map-side explode: no shuffle at any scale, output rows stream
+    * straight to the sink. */
+  def docChunk(width: Int = 32)(spark: SparkSession, dir: String): DataFrame = {
+    val w = words
+    val chunks = transform(
+      // `div`, not Column./ (float): the chunk count must be exact integer
+      sequence(lit(0L), expr(s"CAST((size(split(text, ' ')) - 1) div $width AS BIGINT)")),
+      i => {
+        val slc = slice(w, (i * width + 1).cast("int"), lit(width))
+        struct(
+          i.as("chunk_id"),
+          size(slc).cast(LongType).as("n_chunk_tokens"),
+          md5(array_join(slc, " ")).as("chunk_fp"))
+      })
+    docs(spark, dir)
+      .select(col("doc_id"), explode(chunks).as("c"))
+      .select(col("doc_id"), col("c.chunk_id"), col("c.n_chunk_tokens"),
+        col("c.chunk_fp"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  def docChunkSql(width: Int = 32): String =
+    s"""SELECT doc_id, chunk_id,
+       | CAST(len(w[(chunk_id*$width+1):(chunk_id*$width+$width)]) AS BIGINT) AS n_chunk_tokens,
+       | md5(array_to_string(w[(chunk_id*$width+1):(chunk_id*$width+$width)], ' ')) AS chunk_fp
+       | FROM (SELECT doc_id, string_split(text,' ') AS w,
+       |   unnest(range(0, (len(string_split(text,' ')) + $width - 1) // $width)) AS chunk_id
+       |  FROM documents)
+       | ORDER BY doc_id, chunk_id""".stripMargin.replace("\n", " ")
+
   // ---- corpus mixture accounting --------------------------------------
 
   /** (source, lang) mixture: counts + share of corpus in ppm. The share
