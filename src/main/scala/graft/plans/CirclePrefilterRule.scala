@@ -62,15 +62,21 @@ object CirclePrefilterRule extends Rule[LogicalPlan] {
     }
   }
 
-  /** The circle conjunct: d²(x) + d²(y) < r². */
+  /** The circle conjunct: d²(x) + d²(y) < r² (or ≤ — the bbox implied by
+    * the closed disc is the same, and both spellings occur in user SQL). */
   private object Circle {
-    def unapply(e: Expression): Option[(Attribute, Double, Attribute, Double, Double)] =
-      e match {
-        case LessThan(Add(SquaredDist(ax, cx), SquaredDist(ay, cy), _), Lit(r2))
-            if r2 > 0 && !ax.semanticEquals(ay) =>
-          Some((ax, cx, ay, cy, math.sqrt(r2)))
+    def unapply(e: Expression): Option[(Attribute, Double, Attribute, Double, Double)] = {
+      val sumAndR2 = e match {
+        case LessThan(add: Add, Lit(r2)) => Some((add, r2))
+        case LessThanOrEqual(add: Add, Lit(r2)) => Some((add, r2))
         case _ => None
       }
+      sumAndR2.collect {
+        case (Add(SquaredDist(ax, cx), SquaredDist(ay, cy), _), r2)
+            if r2 > 0 && !ax.semanticEquals(ay) =>
+          (ax, cx, ay, cy, math.sqrt(r2))
+      }
+    }
   }
 
   /** Derived bounds must be a SUPERSET of the circle under floating-point
@@ -107,17 +113,37 @@ object CirclePrefilterRule extends Rule[LogicalPlan] {
   }
 }
 
-/** `SparkSessionExtensions` entry point:
-  * `--conf spark.sql.extensions=graft.plans.GraftExtensions`. */
+/** `SparkSessionExtensions` entry point — the whole library surface a
+  * SQL-only user needs, wired through the public extension API:
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions` gives every
+  * session the circle-prefilter optimizer rule AND the `fvec_dot`
+  * codegen'd vector primitive as a SQL function, with no library calls. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => CirclePrefilterRule)
+    e.injectFunction(GraftExtensions.fvecDotDescriptor)
+  }
 }
 
 object GraftExtensions {
-  /** Attach the rule to an already-built session (tests / notebooks). */
-  def install(spark: SparkSession): Unit =
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+  /** (name, info, builder) triple for the extension injector — shared
+    * with the per-session fallback registration in
+    * [[graft.sim.FloatVecDot.register]]. */
+  private[graft] val fvecDotDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("fvec_dot"),
+    new ExpressionInfo(classOf[graft.sim.FloatVecDot].getName, "fvec_dot"),
+    (exprs: Seq[Expression]) => graft.sim.FloatVecDot(exprs.head, exprs(1)))
+
+  /** Attach the rule + function to an already-built session
+    * (tests / notebooks without the conf). */
+  def install(spark: SparkSession): Unit = {
     if (!spark.experimental.extraOptimizations.contains(CirclePrefilterRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ CirclePrefilterRule
+    graft.sim.FloatVecDot.register(spark)
+  }
 }
