@@ -373,12 +373,67 @@ object LakeTable {
       s"$op on $table failed after $MaxRetries optimistic retries")
   }
 
+  /** Validate `df`'s schema against the table's and return the schema
+    * JSON the commit should carry — Delta's write-compatibility rules:
+    *
+    *  - a column present in both must have the SAME type (a silent type
+    *    change would commit a mixed-type table: carried-by-reference
+    *    files keep their physical types);
+    *  - `df` may OMIT nullable table columns (the files simply lack
+    *    them; the read path's explicit-schema parquet scan null-fills);
+    *  - `df` may ADD columns only when `mergeSchema=true` (Delta's
+    *    `mergeSchema` option) — the committed schema becomes the table
+    *    schema plus the new fields, nullable (old files null-fill);
+    *  - names colliding only by case are rejected (the lake resolves
+    *    columns case-insensitively, so `price`/`Price` would alias).
+    *
+    * First write (no table yet) commits `df`'s schema as-is. Validation
+    * reads the schema at call time; like Delta, a racing schema change
+    * between validation and commit is the concurrent writer's
+    * responsibility (appends never rewrite carried files, so the losing
+    * order still reads correctly — both schemas' columns null-fill). */
+  private def evolvedSchemaJson(table: String, df: DataFrame,
+      mergeSchema: Boolean, op: String): String = {
+    val current = latestVersion(table).flatMap(v =>
+      snapshotFiles(table, Some(v))._2)
+    current match {
+      case None => df.schema.json
+      case Some(sj) =>
+        val cur = DataType.fromJson(sj).asInstanceOf[StructType]
+        val curByLower = cur.fields.map(f => f.name.toLowerCase -> f).toMap
+        val dupes = df.schema.fieldNames.groupBy(_.toLowerCase).filter(_._2.length > 1)
+        require(dupes.isEmpty,
+          s"$op: column names collide case-insensitively: ${dupes.keys.mkString(", ")}")
+        val fresh = df.schema.fields.filter(f =>
+          !curByLower.contains(f.name.toLowerCase))
+        df.schema.fields.foreach { f =>
+          curByLower.get(f.name.toLowerCase).foreach { tf =>
+            require(tf.name == f.name,
+              s"$op: column `${f.name}` differs from table spelling `${tf.name}` " +
+                "only by case; use the table spelling")
+            require(tf.dataType == f.dataType,
+              s"$op: column `${f.name}` type ${f.dataType.simpleString} does not " +
+                s"match table type ${tf.dataType.simpleString}")
+          }
+        }
+        if (fresh.nonEmpty && !mergeSchema)
+          throw new IllegalArgumentException(
+            s"$op: columns ${fresh.map(_.name).mkString(", ")} not in table " +
+              s"schema ${cur.simpleString}; pass mergeSchema=true to evolve")
+        StructType(cur.fields ++ fresh.map(_.copy(nullable = true))).json
+    }
+  }
+
   /** Append: stages files, then commits. Appends commute, so losing the
     * version race just rebases the version number — no re-staging, no
-    * data rewrite, exactly Delta's blind-append behavior. */
-  def append(spark: SparkSession, table: String, df: DataFrame): Long = {
+    * data rewrite, exactly Delta's blind-append behavior. Schema is
+    * validated against the table ([[evolvedSchemaJson]]); pass
+    * `mergeSchema=true` to add new columns (old rows read as null). */
+  def append(spark: SparkSession, table: String, df: DataFrame,
+      mergeSchema: Boolean = false): Long = {
+    val schemaJson = evolvedSchemaJson(table, df, mergeSchema, "append")
     val (add, stats) = stage(df, table)
-    commitLoop(table, "append", add, stats, _ => Seq.empty, df.schema.json).get
+    commitLoop(table, "append", add, stats, _ => Seq.empty, schemaJson).get
   }
 
   /** Idempotence tokens visible at the latest version: the newest
@@ -419,9 +474,11 @@ object LakeTable {
     def landed(): Boolean = committedTokens(table)(token)
     if (landed()) None
     else {
+      val schemaJson = evolvedSchemaJson(table, df, mergeSchema = false,
+        "appendIdempotent")
       val (add, stats) = stage(df, table)
       commitLoop(table, "append", add, stats, _ => Seq.empty,
-        df.schema.json, txn = token, abortIf = () => landed())
+        schemaJson, txn = token, abortIf = () => landed())
     }
   }
 

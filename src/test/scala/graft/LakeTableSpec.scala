@@ -583,4 +583,81 @@ class LakeTableSpec extends SparkSpec {
     assert(s.schema.fieldNames.toSeq == Seq("id", "v"),
       "empty snapshot still carries the committed schema")
   }
+
+  // ---- schema evolution -----------------------------------------------
+
+  test("schema evolution: mergeSchema append adds a column, old rows null-fill") {
+    import spark.implicits._
+    val t = freshTable()
+    LakeTable.append(spark, t, df(0 until 5))
+    // un-opted new column is rejected loudly (no silent clobber)
+    val widened = Seq((100L, 200L, "x")).toDF("id", "v", "tag")
+    val e = intercept[IllegalArgumentException] {
+      LakeTable.append(spark, t, widened)
+    }
+    assert(e.getMessage.contains("mergeSchema"))
+    // opted-in evolution commits the union schema
+    LakeTable.append(spark, t, widened, mergeSchema = true)
+    val s = LakeTable.snapshot(spark, t)
+    assert(s.schema.fieldNames.toSeq == Seq("id", "v", "tag"))
+    assert(s.count() == 6)
+    val byId = s.collect().map(r => r.getLong(0) ->
+      Option(r.getAs[String]("tag"))).toMap
+    assert(byId(100L).contains("x"))
+    assert((0L until 5L).forall(byId(_).isEmpty),
+      "pre-evolution rows must read the new column as null")
+    // time travel still sees the narrow schema
+    assert(LakeTable.snapshot(spark, t, Some(1)).schema.fieldNames.toSeq ==
+      Seq("id", "v"))
+  }
+
+  test("schema evolution: writers may omit nullable columns (null-filled)") {
+    import spark.implicits._
+    val t = freshTable()
+    LakeTable.append(spark, t,
+      Seq((1L, 2L, "a")).toDF("id", "v", "tag"))
+    // a narrower writer omits `tag`; the table schema must NOT shrink
+    LakeTable.append(spark, t, df(10 until 12))
+    val s = LakeTable.snapshot(spark, t)
+    assert(s.schema.fieldNames.toSeq == Seq("id", "v", "tag"))
+    assert(s.count() == 3)
+    assert(s.filter(col("tag").isNull).count() == 2)
+  }
+
+  test("schema evolution: type changes and case collisions fail loudly") {
+    import spark.implicits._
+    val t = freshTable()
+    LakeTable.append(spark, t, df(0 until 3))
+    val retyped = Seq((1L, "not-a-long")).toDF("id", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      LakeTable.append(spark, t, retyped, mergeSchema = true)
+    }
+    assert(e1.getMessage.contains("type"))
+    val cased = Seq((1L, 2L)).toDF("id", "V")
+    val e2 = intercept[IllegalArgumentException] {
+      LakeTable.append(spark, t, cased, mergeSchema = true)
+    }
+    assert(e2.getMessage.contains("case"))
+    // the failed writes must not have committed anything
+    assert(LakeTable.history(t).size == 1)
+  }
+
+  test("schema evolution: stats pruning still works across schema versions") {
+    import spark.implicits._
+    val t = freshTable()
+    LakeTable.append(spark, t, df(0 until 100))
+    LakeTable.append(spark, t,
+      (1000 until 1100).map(i => (i.toLong, i.toLong * 2, i.toLong * 10))
+        .toDF("id", "v", "w"), mergeSchema = true)
+    // pruning on the evolved column: pre-evolution files have no `w`
+    // stats and must be KEPT conservatively (their rows are null => never
+    // match, but skipping must be provably safe, not assumed)
+    val (pruned, total) = LakeTable.prunedFiles(t, "w", 10000.0, 10500.0)
+    assert(total > pruned.size, "files outside the w-range must prune")
+    val got = LakeTable.snapshotWhere(spark, t, "w", 10000.0, 10500.0)
+    assert(got.count() == 51) // w in [10000,10500] <=> id in [1000,1050]
+    // pruning on the original column spans both schema generations
+    assert(LakeTable.snapshotWhere(spark, t, "id", 90.0, 1005.0).count() ==
+      10 + 6)
+  }
 }
