@@ -115,6 +115,7 @@ object SparkEntry {
     // driver records the weaker rows-only check, spec bounds the error
     "events_approx" -> (EventOps.approxStats(_, _)),
     "events_hll" -> (EventOps.hllUsers(_, _)),
+    "events_hll_agg" -> (EventOps.hllUsersAgg(_, _)),
     "events_quantiles" -> (EventOps.quantiles(_, _)),
     "rel_top_orders" -> (RelQueries.topOrders(_, _)),
     "rel_nation_revenue" -> (RelQueries.nationRevenue(_, _)),
@@ -204,6 +205,7 @@ object SparkEntry {
     "events_json_rollup" -> EventOps.jsonRollupSql,
     "events_top_by_type" -> EventOps.topByTypeSql,
     "events_hll" -> EventOps.hllUsersSql,
+    "events_hll_agg" -> EventOps.hllUsersSql, // same math, native aggregate
     "events_quantiles" -> EventOps.quantilesSql,
     "events_asof_join" -> EventOps.asOfJoinSql,
     "events_funnel" -> EventOps.funnelSql,

@@ -310,6 +310,26 @@ object EventOps {
        | GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " ")
   }
 
+  /** [[hllUsers]] through the native [[graft.functions.HllSketchAgg]]
+    * aggregate instead of the two-level groupBy: ONE exchange, 64 bytes
+    * of shuffled state per (partition, group). Identical output — the
+    * SAME oracle SQL gates both spellings, which is itself the proof
+    * that the native aggregate's register algebra matches the published
+    * formulation. */
+  def hllUsersAgg(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.HllSketchAgg.register(spark)
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 7), 16, 10)
+      .cast(LongType)
+    events(spark, dir)
+      .select(col("event_type"), h.as("h"))
+      .groupBy("event_type")
+      .agg(call_function("hll_sketch", col("h")).as("sk"))
+      .select(col("event_type"),
+        col("sk.used_buckets").as("used_buckets"),
+        col("sk.harmonic_scaled").as("harmonic_scaled"))
+      .orderBy("event_type")
+  }
+
   /** The float HLL estimate from the sketch's integer state (driver/spec
     * side — deliberately outside the hash-compared surface). */
   def hllEstimate(usedBuckets: Long, harmonicScaled: Long): Double = {

@@ -122,6 +122,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => CirclePrefilterRule)
     e.injectFunction(GraftExtensions.fvecDotDescriptor)
+    e.injectFunction(GraftExtensions.hllSketchDescriptor)
   }
 }
 
@@ -138,12 +139,19 @@ object GraftExtensions {
     new ExpressionInfo(classOf[graft.sim.FloatVecDot].getName, "fvec_dot"),
     (exprs: Seq[Expression]) => graft.sim.FloatVecDot(exprs.head, exprs(1)))
 
-  /** Attach the rule + function to an already-built session
+  private[graft] val hllSketchDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("hll_sketch"),
+    new ExpressionInfo(classOf[graft.functions.HllSketchAgg].getName, "hll_sketch"),
+    (exprs: Seq[Expression]) => graft.functions.HllSketchAgg(exprs.head))
+
+  /** Attach the rule + functions to an already-built session
     * (tests / notebooks without the conf). */
   def install(spark: SparkSession): Unit = {
     if (!spark.experimental.extraOptimizations.contains(CirclePrefilterRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ CirclePrefilterRule
     graft.sim.FloatVecDot.register(spark)
+    graft.functions.HllSketchAgg.register(spark)
   }
 }
