@@ -82,9 +82,17 @@ class LakeDataSource extends org.apache.spark.sql.connector.catalog.TableProvide
     val root = tableRoot(options)
     // pin the CONCRETE version now: every later read of this table object
     // (schema, file list, stats) replays the same snapshot even if
-    // writers keep committing — snapshot isolation at the table level
+    // writers keep committing — snapshot isolation at the table level.
+    // The schema is re-derived FROM the pinned version rather than taken
+    // from the earlier inferSchema call: a commit racing between the two
+    // would otherwise pair version-N+1 files with the version-N schema
+    // (silent null-fill after an overwrite that changed columns)
     val version = versionOf(options).orElse(LakeTable.latestVersion(root))
-    new LakeV2Table(SparkSession.active, options, root, version, schema)
+    val pinnedSchema = DataType.fromJson(
+      LakeTable.snapshotFiles(root, version)._2.getOrElse(
+        throw new IllegalArgumentException(s"no such lake table: $root")))
+      .asInstanceOf[StructType]
+    new LakeV2Table(SparkSession.active, options, root, version, pinnedSchema)
   }
 
   override def supportsExternalMetadata(): Boolean = false
@@ -98,13 +106,19 @@ class LakeV2Table(spark: SparkSession, options: CaseInsensitiveStringMap,
   private val entries: Seq[(String, String)] =
     LakeTable.snapshotFilesWithStats(root, version)._1
 
-  // a deletion-vector entry cannot be expressed as a bare file scan —
-  // reading the data file raw would RESURRECT deleted rows, so refuse
-  // loudly rather than return wrong data
-  require(entries.forall(e => LakeTable.parseEntry(e._1).dv.isEmpty),
-    s"lake: snapshot of $root${version.fold("")(v => s"@v$v")} carries " +
-      "deletion vectors, which the DSv2 scan does not apply; read it via " +
-      "LakeTable.snapshot(...) or compact with LakeTable.optimize(...)")
+  /** A deletion-vector entry cannot be expressed as a bare file scan —
+    * reading the data file raw would RESURRECT deleted rows, so the
+    * BATCH scan refuses loudly rather than return wrong data. Checked in
+    * [[newScanBuilder]], NOT the constructor: `readStream` probes the
+    * TableProvider (constructing this table) before falling back to the
+    * v1 streaming source, and the stream serves append commits only — a
+    * constructor check would kill legitimate streams over DV-carrying
+    * tables. */
+  private def requireNoDvEntries(): Unit =
+    require(entries.forall(e => LakeTable.parseEntry(e._1).dv.isEmpty),
+      s"lake: snapshot of $root${version.fold("")(v => s"@v$v")} carries " +
+        "deletion vectors, which the DSv2 scan does not apply; read it via " +
+        "LakeTable.snapshot(...) or compact with LakeTable.optimize(...)")
 
   override def name(): String = s"lake:$root${version.fold("")(v => s"@v$v")}"
 
@@ -119,8 +133,10 @@ class LakeV2Table(spark: SparkSession, options: CaseInsensitiveStringMap,
   override lazy val fileIndex: PartitioningAwareFileIndex =
     new LakeFileIndex(spark, root, entries, tableSchema)
 
-  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
+    requireNoDvEntries()
     ParquetScanBuilder(spark, fileIndex, schema, dataSchema, mergedOptions(o))
+  }
 
   /** Writes go through the transactional API ([[LakeTable.append]] /
     * [[LakeSink]]) — a bare file write could not be atomic. */

@@ -299,12 +299,28 @@ object LakeTable {
         .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
         .map(n => s"$sub/$n").toSeq.sorted
       finally it.close()
+    // stats cover the PLAIN numeric types only — NOT DecimalType: parquet
+    // footers store decimals as UNSCALED int32/int64 (precision<=18), so
+    // recording genericGetMin verbatim would log e.g. 1234 for 12.34 and
+    // pruneByStats would silently skip matching files (wrong results);
+    // decimal columns simply carry no stats and are conservatively kept
     val numeric = df.schema.fields.collect {
-      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
-        f.name
+      case f if plainNumeric(f.dataType) => f.name
     }.toSeq
-    (files, files.map(f =>
-      footerStats(Paths.get(table, f), numeric)))
+    if (numeric.isEmpty) (files, files.map(_ => ""))
+    else {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      (files, files.map(f => footerStats(Paths.get(table, f), numeric, conf)))
+    }
+  }
+
+  private def plainNumeric(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType => true
+      case _ => false // DecimalType: unscaled footer ints — see stage()
+    }
   }
 
   /** Per-file min/max for `columns` from the parquet FOOTER alone —
@@ -313,13 +329,13 @@ object LakeTable {
     * read I/O). Row-group stats fold across the file; a column whose
     * stats are missing, non-primitive (e.g. decimal), or NaN-tainted is
     * skipped → the file is conservatively kept by [[pruneByStats]]. */
-  private def footerStats(file: Path, columns: Seq[String]): String = {
-    import org.apache.hadoop.conf.Configuration
+  private def footerStats(file: Path, columns: Seq[String],
+      conf: org.apache.hadoop.conf.Configuration): String = {
     import org.apache.hadoop.fs.{Path => HPath}
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val reader = ParquetFileReader.open(
-      HadoopInputFile.fromPath(new HPath(file.toString), new Configuration()))
+      HadoopInputFile.fromPath(new HPath(file.toString), conf))
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
       columns.flatMap { name =>
@@ -330,9 +346,12 @@ object LakeTable {
             .find(_.getPath.toDotString == name)
             .flatMap { c =>
               val s = c.getStatistics
+              // reject NaN AND infinities: BigDecimal("Infinity") throws,
+              // which would fail the whole append for data that is
+              // perfectly writable — no stats means conservatively kept
               def ok(x: Any): Boolean = x match {
-                case d: java.lang.Double => !d.isNaN
-                case f: java.lang.Float => !f.isNaN
+                case d: java.lang.Double => !d.isNaN && !d.isInfinite
+                case f: java.lang.Float => !f.isNaN && !f.isInfinite
                 case _: java.lang.Long | _: java.lang.Integer => true
                 case _ => false // binary/int96/etc: not our flat format
               }
@@ -420,6 +439,15 @@ object LakeTable {
           throw new IllegalArgumentException(
             s"$op: columns ${fresh.map(_.name).mkString(", ")} not in table " +
               s"schema ${cur.simpleString}; pass mergeSchema=true to evolve")
+        // the omission rule is nullable-only: a file lacking a NON-null
+        // column would read as null in a field the schema promises
+        // non-null — impossible data for schema-trusting consumers
+        val provided = df.schema.fieldNames.map(_.toLowerCase).toSet
+        val omittedNonNull = cur.fields.filter(tf =>
+          !provided.contains(tf.name.toLowerCase) && !tf.nullable)
+        require(omittedNonNull.isEmpty,
+          s"$op: non-nullable columns ${omittedNonNull.map(_.name).mkString(", ")} " +
+            "missing from the write; provide them (null-filling would violate the schema)")
         StructType(cur.fields ++ fresh.map(_.copy(nullable = true))).json
     }
   }
@@ -652,6 +680,7 @@ object LakeTable {
       s"updateWhere: assignment `$colName = $value` $why " +
         s"(column type ${dt.simpleString}); a cast would silently corrupt it")
     dt match {
+      case _ if value == null => () // SET col = NULL: exact for every type
       case ByteType | ShortType | IntegerType | LongType =>
         val n = numeric(value).getOrElse(fail("is not numeric"))
         if (!n.isWhole) fail("is not an integral value")
@@ -662,8 +691,33 @@ object LakeTable {
           case _ => (BigDecimal(Long.MinValue), BigDecimal(Long.MaxValue))
         }
         if (n < lo || n > hi) fail("is out of range")
-      case FloatType | DoubleType | _: DecimalType =>
-        numeric(value).getOrElse(fail("is not numeric")); ()
+      case FloatType =>
+        value match {
+          case _: Float => () // identity (incl. NaN/infinities)
+          case d: Double if d.isNaN || d.isInfinite => () // NaN/inf map exactly
+          case _ =>
+            val n = numeric(value).getOrElse(fail("is not numeric"))
+            val f = n.toFloat
+            if (f.isInfinite || BigDecimal(f.toDouble) != n)
+              fail("is not exactly representable as float")
+        }
+      case DoubleType =>
+        value match {
+          case _: Double => () // identity (incl. NaN/infinities)
+          case _: Float => () // float->double widening is exact
+          case _ =>
+            val n = numeric(value).getOrElse(fail("is not numeric"))
+            val d = n.toDouble
+            if (d.isInfinite || BigDecimal(d) != n)
+              fail("is not exactly representable as double")
+        }
+      case dec: DecimalType =>
+        val n = numeric(value).getOrElse(fail("is not numeric"))
+        val scaled =
+          try n.setScale(dec.scale)
+          catch { case _: ArithmeticException =>
+            fail(s"does not fit scale ${dec.scale} exactly") }
+        if (scaled.precision > dec.precision) fail("exceeds the decimal precision")
       case StringType =>
         if (!value.isInstanceOf[String]) fail("is not a string")
       case _ => () // other types: let the cast's own resolution error

@@ -70,6 +70,31 @@ class LakeStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a DV-carrying table still streams (refusal belongs to the batch scan)") {
+    val (t, ck, sink) = fresh()
+    append(t, 0 until 10) // v1
+    LakeTable.deleteWhereDV(spark, t, "id", 0, 2) // v2: DV entries appear
+    append(t, 100 until 103) // v3
+    // batch DSv2 read must refuse (a bare file scan would resurrect
+    // deleted rows) — but only when a scan is actually built
+    val e = intercept[Exception] {
+      spark.read.format("lake").load(t).count()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("deletion vectors"))
+    // the streaming source serves append commits only and never opens
+    // DV'd entries, so the readStream probe must NOT die in getTable
+    // (startingVersion is exclusive: 2 serves the v3 append)
+    val q = spark.readStream.format("lake")
+      .option("startingVersion", "2").load(t)
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", ck).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table(sink).select("id").collect().map(_.getLong(0)).sorted
+      assert(got.toSeq == (100L until 103L))
+    } finally q.stop()
+  }
+
   test("startingVersion starts past historical rewrites") {
     val (t, ck, sink) = fresh()
     append(t, 0 until 10) // v1

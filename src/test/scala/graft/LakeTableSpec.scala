@@ -453,8 +453,10 @@ class LakeTableSpec extends SparkSpec {
     assert(LakeTable.snapshot(spark, t).count() == 180)
     // the stats-pruned read path applies DVs too
     assert(LakeTable.snapshotWhere(spark, t, "id", 0, 50).count() == 31)
-    // the DSv2 scan cannot apply DVs: it must refuse, not resurrect rows
-    val e = intercept[Exception] { spark.read.format("lake").load(t) }
+    // the DSv2 scan cannot apply DVs: it must refuse AT SCAN BUILD (not
+    // at table construction — readStream probes the provider too), and
+    // never resurrect rows
+    val e = intercept[Exception] { spark.read.format("lake").load(t).count() }
     assert(e.getMessage.contains("deletion vectors"))
     // merge sees through the mask: a deleted key merges as an INSERT
     import spark.implicits._
@@ -640,6 +642,72 @@ class LakeTableSpec extends SparkSpec {
     assert(e2.getMessage.contains("case"))
     // the failed writes must not have committed anything
     assert(LakeTable.history(t).size == 1)
+  }
+
+  // ---- round-4 review fixes -------------------------------------------
+
+  test("decimal columns carry no log stats (unscaled-footer hazard) and never misprune") {
+    import spark.implicits._
+    val t = freshTable()
+    // parquet stores precision<=18 decimals as UNSCALED ints in footer
+    // stats; recording those verbatim would prune wrongly — the contract
+    // is: decimal columns contribute NO stats, files are kept, results
+    // stay exact through the row-level filter
+    def dec(lo: Int, hi: Int) = (lo until hi)
+      .map(i => (i.toLong, BigDecimal(i) / 100))
+      .toDF("id", "price")
+      .select(col("id"), col("price").cast("decimal(10,2)").as("price"))
+    LakeTable.append(spark, t, dec(0, 100).repartition(1))
+    LakeTable.append(spark, t, dec(1000, 1100).repartition(1))
+    val (pruned, total) = LakeTable.prunedFiles(t, "price", 0.0, 0.5)
+    assert(pruned.size == total, "decimal stats must be absent => keep all files")
+    // rows with price in [0.00, 0.50] <=> id in [0, 50]
+    assert(LakeTable.snapshotWhere(spark, t, "price", 0.0, 0.5).count() == 51)
+    // the sibling long column still prunes
+    val (prunedId, totalId) = LakeTable.prunedFiles(t, "id", 0.0, 50.0)
+    assert(prunedId.size < totalId, "plain numeric stats must still prune")
+  }
+
+  test("appends with infinities succeed; the column just loses its stats") {
+    import spark.implicits._
+    val t = freshTable()
+    LakeTable.append(spark, t, Seq(
+      (1L, 1.0), (2L, Double.PositiveInfinity), (3L, Double.NegativeInfinity))
+      .toDF("id", "score"))
+    assert(LakeTable.snapshot(spark, t).count() == 3)
+    val (pruned, total) = LakeTable.prunedFiles(t, "score", 0.0, 2.0)
+    assert(pruned.size == total, "infinite endpoints => no stats => kept")
+    assert(LakeTable.snapshotWhere(spark, t, "score", 0.0, 2.0).count() == 1)
+  }
+
+  test("updateWhere: NULL and NaN assignments are exact; lossy casts still fail") {
+    import spark.implicits._
+    val t = freshTable()
+    LakeTable.append(spark, t, Seq((1L, 1.5, "a"), (2L, 2.5, "b"), (10L, 9.0, "c"))
+      .toDF("id", "score", "tag"))
+    // SET tag = NULL — plain SQL, must commit
+    LakeTable.updateWhere(spark, t, "id", 1, 2, Map("tag" -> null))
+    assert(LakeTable.snapshot(spark, t).filter(col("tag").isNull).count() == 2)
+    // SET score = NaN on a double column is an exact value, not a lossy cast
+    LakeTable.updateWhere(spark, t, "id", 1, 1, Map("score" -> Double.NaN))
+    assert(LakeTable.snapshot(spark, t).filter(isnan(col("score"))).count() == 1)
+    // a long above 2^53 is NOT exactly a double — silent rounding refused
+    val e = intercept[IllegalArgumentException] {
+      LakeTable.updateWhere(spark, t, "id", 10, 10,
+        Map("score" -> 9007199254740993L))
+    }
+    assert(e.getMessage.contains("representable"))
+  }
+
+  test("append omitting a NON-nullable column fails instead of null-filling") {
+    import spark.implicits._
+    val t = freshTable()
+    LakeTable.append(spark, t, df(0 until 5)) // id, v: non-nullable longs
+    val e = intercept[IllegalArgumentException] {
+      LakeTable.append(spark, t, Seq(7L).toDF("id")) // omits non-null v
+    }
+    assert(e.getMessage.contains("non-nullable"))
+    assert(LakeTable.history(t).size == 1, "the rejected write must not commit")
   }
 
   test("schema evolution: stats pruning still works across schema versions") {
