@@ -1,0 +1,116 @@
+package graft.lake
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Lake tables as a Spark SQL **catalog** — the pure-SQL addressing the
+  * DSv2 `format("lake")` path can't give:
+  *
+  * {{{
+  *   spark.sql.catalog.lake      = graft.lake.LakeCatalog
+  *   spark.sql.catalog.lake.root = /data/lakes
+  *
+  *   SELECT * FROM lake.prod.orders                 -- /data/lakes/prod/orders
+  *   SELECT * FROM lake.prod.orders VERSION AS OF 3 -- SQL time travel
+  * }}}
+  *
+  * Identifiers map to directories under `root` (namespace segments are
+  * path segments), and `VERSION AS OF` rides Spark's own time-travel
+  * hook (`loadTable(ident, version)`), pinning the snapshot's file list
+  * AND schema from the same log replay. Reads get everything the DSv2
+  * table has (log-seeded file index, log-stats pruning in
+  * `planInputPartitions`); writes stay with the transactional API
+  * ([[LakeTable.append]]/[[LakeSink]]) — DDL/DML through the catalog is
+  * refused loudly, never silently non-atomic. */
+class LakeCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        s"lake catalog `$name`: set spark.sql.catalog.$name.root=<dir>"))
+  }
+
+  override def name(): String = catalogName
+
+  private def dirOf(ident: Identifier): String =
+    (root +: (ident.namespace.toSeq :+ ident.name)).mkString("/")
+
+  override def tableExists(ident: Identifier): Boolean =
+    LakeTable.latestVersion(dirOf(ident)).isDefined
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val d = Paths.get((root +: namespace.toSeq).mkString("/"))
+    if (!Files.isDirectory(d)) throw new NoSuchNamespaceException(namespace)
+    val it = Files.list(d)
+    try it.iterator().asScala
+      .filter(p => Files.isDirectory(p) &&
+        LakeTable.latestVersion(p.toString).isDefined)
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+    finally it.close()
+  }
+
+  override def loadTable(ident: Identifier): Table = load(ident, None)
+
+  /** SQL `VERSION AS OF v` lands here (Spark's time-travel hook). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v =
+      try version.toLong
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"lake: VERSION AS OF takes a commit version (long), got `$version`") }
+    load(ident, Some(v))
+  }
+
+  /** `TIMESTAMP AS OF` has no deterministic answer: the log records no
+    * wall-clock (file mtimes are not transactional state). Refuse. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    throw new UnsupportedOperationException(
+      "lake: TIMESTAMP AS OF is not supported (the commit log records no " +
+        "wall-clock); use VERSION AS OF <commit version>")
+
+  private def load(ident: Identifier, version: Option[Long]): Table = {
+    val dir = dirOf(ident)
+    val latest = LakeTable.latestVersion(dir).getOrElse(
+      throw new NoSuchTableException(ident))
+    version.foreach(v => require(v >= 1 && v <= latest,
+      s"lake: ${ident} has versions 1..$latest, not $v"))
+    val pinned = version.orElse(Some(latest))
+    val schema = DataType.fromJson(
+      LakeTable.snapshotFiles(dir, pinned)._2.getOrElse(
+        throw new NoSuchTableException(ident))).asInstanceOf[StructType]
+    val opts = new CaseInsensitiveStringMap(Map("path" -> dir).asJava)
+    new LakeV2Table(SparkSession.active, opts, dir, pinned, schema)
+  }
+
+  private def refuseDdl(what: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"lake catalog: $what is not supported — tables are managed by the " +
+        "transactional API (LakeTable.append/overwrite/merge/delete, LakeSink)")
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    refuseDdl("CREATE TABLE")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    refuseDdl("ALTER TABLE")
+
+  override def dropTable(ident: Identifier): Boolean = refuseDdl("DROP TABLE")
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    refuseDdl("RENAME TABLE")
+}
