@@ -55,7 +55,8 @@ class LakeDataSource extends org.apache.spark.sql.connector.catalog.TableProvide
     val options = new CaseInsensitiveStringMap(parameters.asJava)
     new LakeStreamSource(sqlContext.sparkSession, tableRoot(options),
       schema.getOrElse(inferSchema(options)),
-      Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L))
+      Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L),
+      Option(options.get("maxVersionsPerBatch")).map(_.toLong))
   }
 
   private def tableRoot(options: CaseInsensitiveStringMap): String = {

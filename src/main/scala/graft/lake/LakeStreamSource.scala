@@ -21,9 +21,25 @@ import org.apache.spark.sql.types.StructType
   *
   * Options: `startingVersion` (default 0) — emit only commits AFTER
   * this version; use it to start past historical rewrites or to tail
-  * new data only (`startingVersion` = current version at start). */
+  * new data only (`startingVersion` = current version at start).
+  * `maxVersionsPerBatch` (default unlimited) — admission control: cap
+  * how many commits one micro-batch may cover, so a stream that starts
+  * on a long history (or falls behind a hot writer) catches up in
+  * bounded batches instead of reading every pending version in one
+  * unbounded batch — the `maxFilesPerTrigger` of this source. */
 class LakeStreamSource(spark: SparkSession, table: String,
-    override val schema: StructType, startingVersion: Long) extends Source {
+    override val schema: StructType, startingVersion: Long,
+    maxVersionsPerBatch: Option[Long] = None) extends Source {
+
+  require(maxVersionsPerBatch.forall(_ >= 1),
+    s"maxVersionsPerBatch must be >= 1, got ${maxVersionsPerBatch.get}")
+
+  /** End version of the last batch the engine asked for — the admission
+    * base. MicroBatchExecution is serial (getOffset -> getBatch ->
+    * commit), and on restart it calls getBatch with the checkpointed
+    * range BEFORE the first getOffset, so this is correctly seeded in
+    * both fresh and recovered runs. */
+  @volatile private var lastBatchEnd: Long = startingVersion
 
   /** The engine replays offsets from its checkpoint as SerializedOffset;
     * both forms carry the version as their json. */
@@ -35,11 +51,15 @@ class LakeStreamSource(spark: SparkSession, table: String,
 
   override def getOffset: Option[Offset] =
     LakeTable.latestVersion(table).filter(_ > startingVersion)
-      .map(LakeVersionOffset(_))
+      .map { latest =>
+        LakeVersionOffset(maxVersionsPerBatch
+          .fold(latest)(m => math.min(latest, math.max(lastBatchEnd, startingVersion) + m)))
+      }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val fromV = start.map(versionOf).getOrElse(startingVersion)
     val toV = versionOf(end)
+    if (toV > lastBatchEnd) lastBatchEnd = toV
     // changesBetween refuses rewrite commits in range — the loud-failure
     // contract — and returns the appended files as one batch read
     GraftSqlShims.asStreamingDataFrame(

@@ -95,6 +95,24 @@ class LakeStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maxVersionsPerBatch bounds catch-up batches (admission control)") {
+    val (t, ck, sink) = fresh()
+    (0 until 5).foreach(i => append(t, i * 10 until i * 10 + 10)) // v1..v5
+    val q = spark.readStream.format("lake")
+      .option("maxVersionsPerBatch", "2").load(t)
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", ck).start()
+    try {
+      q.processAllAvailable()
+      // all rows arrive exactly once...
+      val got = spark.table(sink).select("id").collect().map(_.getLong(0)).sorted
+      assert(got.toSeq == (0L until 50L))
+      // ...but across >= ceil(5/2) = 3 bounded batches, not one big one
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      assert(batches >= 3, s"5 versions at cap 2 must take >=3 batches, got $batches")
+    } finally q.stop()
+  }
+
   test("startingVersion starts past historical rewrites") {
     val (t, ck, sink) = fresh()
     append(t, 0 until 10) // v1
