@@ -63,6 +63,7 @@ object SparkEntry {
     "doc_repetition" -> (TextOps.docRepetition(_, _)),
     "doc_mix" -> (TextOps.docMix(_, _)),
     "doc_pack" -> (TextOps.docPack(2048L)(_, _)),
+    "doc_pack_stats" -> (TextOps.docPackStats(2048L)(_, _)),
     "doc_chunk" -> (TextOps.docChunk(32)(_, _)),
     "doc_train_order" -> (TextOps.docTrainOrder()(_, _)),
     "doc_bigram_top" -> (TextOps.docBigramTop(25)(_, _)),
@@ -125,6 +126,7 @@ object SparkEntry {
     "rel_pricing_lake" -> (RelQueries.pricingSummaryLake(_, _)),
     "rel_never_urgent" -> (RelQueries.neverUrgent(_, _)),
     "rel_priority_share" -> (RelQueries.priorityShare(_, _)),
+    "rel_returned_priority" -> (RelQueries.returnedByPriority(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -167,6 +169,7 @@ object SparkEntry {
     "doc_repetition" -> TextOps.docRepetitionSql,
     "doc_mix" -> TextOps.docMixSql,
     "doc_pack" -> TextOps.docPackSql(2048L),
+    "doc_pack_stats" -> TextOps.docPackStatsSql(2048L),
     "doc_chunk" -> TextOps.docChunkSql(32),
     "doc_train_order" -> TextOps.docTrainOrderSql(),
     "doc_bigram_top" -> TextOps.docBigramTopSql(25),
@@ -223,5 +226,6 @@ object SparkEntry {
     "rel_pricing_lake" -> RelQueries.pricingSummarySql,
     "rel_never_urgent" -> RelQueries.neverUrgentSql,
     "rel_priority_share" -> RelQueries.prioritySharesSql,
+    "rel_returned_priority" -> RelQueries.returnedByPrioritySql,
   )
 }

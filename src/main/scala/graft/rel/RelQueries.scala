@@ -270,6 +270,29 @@ object RelQueries {
       | CAST(count(*) * 1000000 // sum(count(*)) OVER () AS BIGINT) AS share_ppm
       | FROM orders GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")
 
+  /** Q4-shaped EXISTS: orders with at least one returned line item,
+    * counted by priority. The correlated EXISTS decorelates to a LEFT
+    * SEMI join on the order key — the probe side carries only the
+    * filtered lineitem's join column (ReadSchema is one column wide),
+    * the semi join short-circuits on first match instead of
+    * aggregating duplicates away, and both sides shuffle on o_orderkey
+    * only once. Complements [[neverUrgent]] (the NOT-EXISTS twin). */
+  def returnedByPriority(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .join(
+        t(spark, dir, "lineitem")
+          .filter(col("l_returnflag") === "R").select("l_orderkey"),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  val returnedByPrioritySql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders FROM orders
+      | WHERE EXISTS (SELECT 1 FROM lineitem
+      |   WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      | GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")
+
   // ---- ACID-table-backed query (lake read path) -----------------------
 
   private val lakeCache =

@@ -692,6 +692,25 @@ object TextOps {
        |  FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents))
        | ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
+  /** Packing-efficiency report over [[docPack]]'s assignment: documents
+    * and STARTING tokens per training row — the fill/waste audit a
+    * packing pipeline ships next to the packer. Same two-phase prefix
+    * plan plus one more tiny keyed aggregation (pack count ≈
+    * corpus_tokens / budget rows). */
+  def docPackStats(budget: Long)(spark: SparkSession, dir: String): DataFrame =
+    docPack(budget)(spark, dir)
+      .groupBy("pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      .orderBy("pack_id")
+
+  def docPackStatsSql(budget: Long): String =
+    s"""SELECT pack_id, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+       | FROM (SELECT doc_id, nt, CAST((cum - nt) // $budget AS BIGINT) AS pack_id
+       |  FROM (SELECT doc_id, nt,
+       |    CAST(sum(nt) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |   FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents)))
+       | GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")
+
   // ---- mixture rebalancing: deterministic stratified sampling ---------
 
   /** Per-language sampling rates in permille — the training-mixture
