@@ -118,6 +118,7 @@ object SparkEntry {
     "events_hll" -> (EventOps.hllUsers(_, _)),
     "events_hll_agg" -> (EventOps.hllUsersAgg(_, _)),
     "events_quantiles" -> (EventOps.quantiles(_, _)),
+    "events_outliers" -> (EventOps.outliers(_, _)),
     "rel_top_orders" -> (RelQueries.topOrders(_, _)),
     "rel_nation_revenue" -> (RelQueries.nationRevenue(_, _)),
     "rel_small_qty_rev" -> (RelQueries.smallQtyRevenue("Brand#4")(_, _)),
@@ -210,6 +211,7 @@ object SparkEntry {
     "events_hll" -> EventOps.hllUsersSql,
     "events_hll_agg" -> EventOps.hllUsersSql, // same math, native aggregate
     "events_quantiles" -> EventOps.quantilesSql,
+    "events_outliers" -> EventOps.outliersSql,
     "events_asof_join" -> EventOps.asOfJoinSql,
     "events_funnel" -> EventOps.funnelSql,
     "events_retention" -> EventOps.retentionSql,

@@ -310,6 +310,43 @@ object EventOps {
        | GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " ")
   }
 
+  /** 3-sigma outlier counts per event type — the anomaly-report shape —
+    * in ALL-INTEGER arithmetic so both engines agree exactly: with
+    * integer cents, `(x - mean)² > 9σ²` rewrites to
+    * `(x·n − sum)² > 9·(n·sumsq − sum²)` (multiply through by n²), every
+    * term an exact integer. The big products run in DECIMAL(38,0)
+    * (Spark) / HUGEINT (DuckDB) — `(x·n − sum)²` reaches ~1e20 at sf0.1,
+    * past int64. Plan: one aggregation for the per-type moments (5 rows,
+    * broadcast back), then a map-side conditional count — two scans of
+    * the fact table and nothing data-sized ever shuffles. */
+  def outliers(spark: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("value") * 100).cast(LongType)
+    val base = events(spark, dir).select(col("event_type"), cents.as("c"))
+    val stats = base.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("ss"))
+    val dev = (col("c") * col("n") - col("s")).cast("decimal(38,0)")
+    val isOut = dev * dev >
+      lit(9) * (col("n").cast("decimal(38,0)") * col("ss") -
+        col("s").cast("decimal(38,0)") * col("s"))
+    base.join(broadcast(stats), "event_type")
+      .groupBy("event_type")
+      .agg(sum(when(isOut, 1L).otherwise(0L)).as("n_outliers"),
+        max(col("n")).as("n_events"))
+      .orderBy("event_type")
+  }
+
+  val outliersSql: String =
+    """WITH c AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events),
+      | st AS (SELECT event_type, count(*) AS n, CAST(sum(c) AS BIGINT) AS s,
+      |   sum(CAST(c AS HUGEINT) * c) AS ss FROM c GROUP BY 1)
+      | SELECT c.event_type,
+      |  CAST(sum(CASE WHEN CAST(c.c * st.n - st.s AS HUGEINT) * (c.c * st.n - st.s)
+      |    > 9 * (CAST(st.n AS HUGEINT) * st.ss - CAST(st.s AS HUGEINT) * st.s)
+      |   THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  CAST(max(st.n) AS BIGINT) AS n_events
+      | FROM c JOIN st USING (event_type) GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")
+
   /** [[hllUsers]] through the native [[graft.functions.HllSketchAgg]]
     * aggregate instead of the two-level groupBy: ONE exchange, 64 bytes
     * of shuffled state per (partition, group). Identical output — the

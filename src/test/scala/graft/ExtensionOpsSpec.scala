@@ -332,6 +332,27 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("3-sigma outlier counts match a driver-side reference") {
+    val rows = EventOps.outliers(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val byType = EventOps.events(spark, sf001)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2) }
+    rows.foreach { r =>
+      val cs = byType(r.getString(0))
+      val n = BigInt(cs.length)
+      val s = cs.map(BigInt(_)).sum
+      val ss = cs.map(c => BigInt(c) * c).sum
+      val expected = cs.count { c =>
+        val dev = BigInt(c) * n - s
+        dev * dev > 9 * (n * ss - s * s)
+      }
+      assert(r.getLong(1) == expected, s"${r.getString(0)}")
+      assert(r.getLong(2) == cs.length)
+    }
+  }
+
   test("language id predicts a language for every document") {
     val rows = TextOps.docLangId(spark, sf001).collect()
     assert(rows.length == 500)
