@@ -45,6 +45,8 @@ object SparkEntry {
     "pc_srect_grid" -> (PcQueries.rectOnGrid(PcQueries.sRect)(_, _)),
     "pc_srect_zorder" -> (PcQueries.rectOnZorder(PcQueries.sRect)(_, _)),
     "pc_dist_join" -> (PcQueries.distJoin(PcQueries.sRect, 5.0)(_, _)),
+    "pc_hausdorff" -> (PcQueries.hausdorff(_, _)),
+    "pc_register" -> (PcQueries.register(_, _)),
     "pc_scirc_rule" -> (PcQueries.circleOnGridNaive(
       PcQueries.sCircle._1, PcQueries.sCircle._2, PcQueries.sCircle._3)(_, _)),
     "pc_sample_quad" -> (PcQueries.sampleOnQuadtree(0.01)(_, _)),
@@ -153,6 +155,8 @@ object SparkEntry {
     "pc_srect_grid" -> PcQueries.rectSql(PcQueries.sRect),
     "pc_srect_zorder" -> PcQueries.rectSql(PcQueries.sRect),
     "pc_dist_join" -> PcQueries.distJoinSql(PcQueries.sRect, 5.0),
+    "pc_hausdorff" -> PcQueries.hausdorffSql,
+    "pc_register" -> PcQueries.registerSql,
     "pc_scirc_rule" -> PcQueries.circleSql( // rule only changes the plan
       PcQueries.sCircle._1, PcQueries.sCircle._2, PcQueries.sCircle._3),
     "pc_sample_quad" -> PcQueries.sampleSql(0.01),

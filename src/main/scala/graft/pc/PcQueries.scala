@@ -335,4 +335,88 @@ object PcQueries {
        |  CAST(coalesce(sum(a.pid + b.pid), 0) AS BIGINT) AS pair_sum
        | FROM p a JOIN p b ON a.pid < b.pid
        |  AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= ${r * r}""".stripMargin.replace("\n", " ")
+
+  // ---- Hausdorff distance + rotation registration ---------------------
+  // Twin of the reference's registration demo
+  // (pc-format/examples/registration.rs:50-118): directed Hausdorff
+  // distance from the scan cloud to a model, and a 1-D rotation sweep
+  // minimizing it. The reference runs it driver-side on 3-point clouds;
+  // here the MODEL side is a literal constant (registration targets are
+  // small by nature), so min-distance is a `least(...)` of K codegen'd
+  // terms evaluated map-side while the 100 TB scan side streams — no
+  // join, no shuffle beyond one partial-aggregated max. The oracle SQL
+  // is generated from the same literals with the same expression shape,
+  // so doubles hash-match bit-for-bit.
+
+  /** 16-point model ring (registration target), a pure constant. */
+  val modelCloud: Seq[(Double, Double)] = (0 until 16).map { k =>
+    val t = k * (2 * math.Pi / 16)
+    (411.0 + 150.0 * math.cos(t), 511.0 + 150.0 * math.sin(t))
+  }
+
+  /** Rotation center for the sweep (domain center). */
+  val rotCenter: (Double, Double) = (500.0, 500.0)
+
+  /** Candidate rotation angles: every 30 degrees. */
+  val registerAngles: Seq[Int] = 0 until 360 by 30
+
+  /** Squared distance from (rx, ry) to the nearest model point. */
+  private def minDist2(rx: Column, ry: Column): Column =
+    least(modelCloud.map { case (bx, by) =>
+      (rx - lit(bx)) * (rx - lit(bx)) + (ry - lit(by)) * (ry - lit(by))
+    }: _*)
+
+  private def minDist2Sql(rx: String, ry: String): String =
+    modelCloud.map { case (bx, by) =>
+      s"($rx - $bx) * ($rx - $bx) + ($ry - $by) * ($ry - $by)"
+    }.mkString("least(", ", ", ")")
+
+  /** Directed Hausdorff²: max over scan points of squared distance to
+    * the nearest model point. One map-only scan + a 1-row max. */
+  def hausdorff(spark: SparkSession, dir: String): DataFrame =
+    points(spark, dir).agg(
+      count(lit(1)).as("cnt"),
+      max(minDist2(col("x"), col("y"))).as("h2"))
+
+  val hausdorffSql: String =
+    s"""SELECT count(*) AS cnt, max(${minDist2Sql("x", "y")}) AS h2
+       | FROM ($pointsSql)""".stripMargin.replace("\n", " ")
+
+  /** Rotation registration sweep: for each candidate angle, rotate the
+    * scan about [[rotCenter]] and report the directed Hausdorff² to the
+    * model. Per-row work is angles×model literal arithmetic inside
+    * whole-stage codegen; the explode multiplies rows only between the
+    * projection and the partial aggregate, so the exchange carries
+    * |angles| rows per task regardless of scan size. The best angle is
+    * the h2-argmin row. */
+  def register(spark: SparkSession, dir: String): DataFrame =
+    registerSweep(points(spark, dir))
+
+  /** The sweep itself, over any (x, y) relation — spec entry point. */
+  def registerSweep(pts: DataFrame): DataFrame = {
+    val (cx, cy) = rotCenter
+    val perAngle = registerAngles.map { deg =>
+      val c = math.cos(math.toRadians(deg.toDouble))
+      val s = math.sin(math.toRadians(deg.toDouble))
+      val rx = lit(cx) + (col("x") - lit(cx)) * lit(c) - (col("y") - lit(cy)) * lit(s)
+      val ry = lit(cy) + (col("x") - lit(cx)) * lit(s) + (col("y") - lit(cy)) * lit(c)
+      struct(lit(deg.toLong).as("angle"), minDist2(rx, ry).as("d2"))
+    }
+    pts.select(explode(array(perAngle: _*)).as("a"))
+      .groupBy(col("a.angle").as("angle"))
+      .agg(max(col("a.d2")).as("h2"))
+      .orderBy("angle")
+  }
+
+  val registerSql: String = {
+    val (cx, cy) = rotCenter
+    registerAngles.map { deg =>
+      val c = math.cos(math.toRadians(deg.toDouble))
+      val s = math.sin(math.toRadians(deg.toDouble))
+      val rx = s"$cx + (x - $cx) * $c - (y - $cy) * $s"
+      val ry = s"$cy + (x - $cx) * $s + (y - $cy) * $c"
+      s"""SELECT CAST($deg AS BIGINT) AS angle, max(${minDist2Sql("rx", "ry")}) AS h2
+         | FROM (SELECT $rx AS rx, $ry AS ry FROM ($pointsSql))""".stripMargin.replace("\n", " ")
+    }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY angle")
+  }
 }

@@ -88,4 +88,40 @@ class PcQueriesSpec extends SparkSpec {
     assert(got.getLong(1) == want.map(_._2).sum)
     assert(want.nonEmpty, "expected some close pairs in the box")
   }
+
+  test("hausdorff equals a driver-side brute force") {
+    val pts = Points.fromLineitem(spark, sf0001)
+      .select("x", "y").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    val want = pts.map { case (x, y) =>
+      PcQueries.modelCloud.map { case (bx, by) =>
+        (x - bx) * (x - bx) + (y - by) * (y - by)
+      }.min
+    }.max
+    val row = PcQueries.hausdorff(spark, sf0001).head()
+    assert(row.getLong(0) == pts.length.toLong)
+    assert(row.getDouble(1) == want)
+  }
+
+  test("rotation sweep recovers a known rotation of the model cloud") {
+    import org.apache.spark.sql.functions._
+    // scan = model rotated by -60 deg about the rotation center; the
+    // sweep's theta undoes it at +60, where the directed Hausdorff is 0
+    val (cx, cy) = PcQueries.rotCenter
+    val phi = math.toRadians(-60.0)
+    val (c, s) = (math.cos(phi), math.sin(phi))
+    val rotated = PcQueries.modelCloud.map { case (x, y) =>
+      (cx + (x - cx) * c - (y - cy) * s, cy + (x - cx) * s + (y - cy) * c)
+    }
+    val df = spark.createDataFrame(rotated).toDF("x", "y")
+    val sweep = PcQueries.registerSweep(df).collect()
+    assert(sweep.map(_.getLong(0)).toSeq == PcQueries.registerAngles.map(_.toLong))
+    val best = sweep.minBy(_.getDouble(1))
+    assert(best.getLong(0) == 60L, s"argmin angle ${best.getLong(0)}")
+    assert(best.getDouble(1) < 1e-18, s"residual ${best.getDouble(1)}")
+    // every other angle leaves a visibly nonzero residual
+    sweep.filter(_.getLong(0) != 60L).foreach { r =>
+      assert(r.getDouble(1) > 1.0, s"angle ${r.getLong(0)} too close")
+    }
+  }
 }
