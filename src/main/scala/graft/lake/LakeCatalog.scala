@@ -27,9 +27,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * hook (`loadTable(ident, version)`), pinning the snapshot's file list
   * AND schema from the same log replay. Reads get everything the DSv2
   * table has (log-seeded file index, log-stats pruning in
-  * `planInputPartitions`); writes stay with the transactional API
-  * ([[LakeTable.append]]/[[LakeSink]]) — DDL/DML through the catalog is
-  * refused loudly, never silently non-atomic. */
+  * `planInputPartitions`). `DELETE FROM` / `TRUNCATE TABLE` execute as
+  * lake transactions ([[LakeV2Table]]'s `SupportsDeleteV2`); other
+  * writes stay with the transactional API
+  * ([[LakeTable.append]]/[[LakeSink]]) — unsupported DDL/DML through
+  * the catalog is refused loudly, never silently non-atomic. */
 class LakeCatalog extends TableCatalog {
 
   private var catalogName: String = _

@@ -101,7 +101,8 @@ class LakeDataSource extends org.apache.spark.sql.connector.catalog.TableProvide
 
 class LakeV2Table(spark: SparkSession, options: CaseInsensitiveStringMap,
     root: String, version: Option[Long], tableSchema: StructType)
-    extends FileTable(spark, options, Seq.empty, Some(tableSchema)) {
+    extends FileTable(spark, options, Seq.empty, Some(tableSchema))
+    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
 
   /** (relative path, stats) of the pinned snapshot. */
   private val entries: Seq[(String, String)] =
@@ -145,6 +146,156 @@ class LakeV2Table(spark: SparkSession, options: CaseInsensitiveStringMap,
     throw new UnsupportedOperationException(
       "lake: write via LakeTable.append/overwrite or stream via LakeSink " +
         "(a plain file write would bypass the transaction log)")
+
+  // -- SQL DML: `DELETE FROM lake.ns.t WHERE ...` / `TRUNCATE TABLE` ----
+  // (SupportsDeleteV2). The predicate set must translate to ONE numeric
+  // range — the shape [[LakeTable.deleteWhere]] executes transactionally
+  // with log-stats affected-file pruning. Anything else is REFUSED in
+  // canDeleteWhere, which Spark reports loudly — never a partial or
+  // silently-different delete.
+
+  /** DML must target the live table: a commit that raced past our pinned
+    * snapshot (or an explicit `VERSION AS OF`) is stale state. */
+  private def requireCurrent(op: String): Unit = {
+    val latest = LakeTable.latestVersion(root)
+    require(version == latest,
+      s"lake: $op targets snapshot v${version.getOrElse(-1L)} of $root but " +
+        s"the table is at v${latest.getOrElse(-1L)}; re-read the table " +
+        "(DML on a time-travel snapshot cannot be expressed as a commit)")
+  }
+
+  override def canDeleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
+    LakeSqlDelete.translate(predicates, tableSchema).isDefined
+
+  override def deleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    requireCurrent("DELETE")
+    LakeSqlDelete.translate(predicates, tableSchema) match {
+      case Some(LakeSqlDelete.All) => LakeTable.truncate(root)
+      case Some(LakeSqlDelete.Range(column, lo, hi)) =>
+        LakeTable.deleteWhere(spark, root, column, lo, hi)
+      case None => throw new UnsupportedOperationException(
+        s"lake: cannot DELETE with ${predicates.mkString(" AND ")} — " +
+          "supported: one numeric column constrained by =, <, <=, >, >= " +
+          "conjuncts (bounded on both sides for float/double columns)")
+    }
+  }
+
+  /** `TRUNCATE TABLE`: one metadata-only commit, no file I/O. */
+  override def truncateTable(): Boolean = {
+    requireCurrent("TRUNCATE")
+    LakeTable.truncate(root)
+    true
+  }
+}
+
+/** Translation of SQL DELETE predicates into the lake's transactional
+  * range-delete. Conservative by design: only conjunctions of
+  * comparisons between ONE numeric column and exact literals are
+  * accepted; everything else returns None (→ Spark refuses the DELETE
+  * loudly). Guards where engine semantics could diverge silently:
+  * float/double columns require bounds on BOTH sides (Spark orders NaN
+  * above +Inf, so an unbounded side would disagree with the row filter
+  * on NaN rows), integral-column literals must be exact in a Double
+  * (|v| ≤ 2⁵³ — the row filter compares through DoubleType), and
+  * NaN/infinite literals are refused. */
+object LakeSqlDelete {
+  import org.apache.spark.sql.connector.expressions.{Expression => VExpr, Literal => VLit, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.{AlwaysTrue, And => VAnd, Predicate => VPred}
+  import org.apache.spark.sql.types._
+
+  sealed trait Target
+  /** Every row (SQL `DELETE FROM t` / `WHERE true`) → truncate. */
+  case object All extends Target
+  final case class Range(column: String, lo: Double, hi: Double) extends Target
+
+  private val maxExactLong = 1L << 53
+
+  def translate(predicates: Array[VPred], schema: StructType): Option[Target] = {
+    val conjuncts = predicates.toSeq.flatMap(flatten)
+    if (conjuncts.exists(_.isEmpty)) return None // an untranslatable leaf
+    val leaves = conjuncts.flatten
+    if (leaves.isEmpty) return Some(All)
+    val byCol = leaves.groupBy(_._1)
+    if (byCol.size != 1) return None // deleteWhere is one-column ranges
+    val (name, bounds) = byCol.head
+    val field = schema.fields.find(_.name == name)
+      .orElse(schema.fields.find(_.name.equalsIgnoreCase(name)))
+      .getOrElse(return None)
+    val integral = field.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case FloatType | DoubleType => false
+      case _ => return None // non-numeric: deleteWhere would refuse anyway
+    }
+    val lo = bounds.flatMap(_._2).foldLeft(Double.NegativeInfinity)(math.max)
+    val hi = bounds.flatMap(_._3).foldLeft(Double.PositiveInfinity)(math.min)
+    // float/double columns: both sides must be explicit (NaN totality)
+    if (!integral && (lo.isNegInfinity || hi.isPosInfinity)) return None
+    if (integral && bounds.flatMap(b => b._2.toSeq ++ b._3.toSeq)
+      .exists(v => math.abs(v) > maxExactLong.toDouble)) return None
+    Some(Range(field.name, lo, hi))
+  }
+
+  /** One predicate → its comparison leaves as (col, lo?, hi?), or
+    * Seq(None) marking an untranslatable leaf. */
+  private def flatten(p: VPred): Seq[Option[(String, Option[Double], Option[Double])]] =
+    p match {
+      case _: AlwaysTrue => Seq.empty
+      case a: VAnd => flatten(a.left()) ++ flatten(a.right())
+      case cmp => Seq(leaf(cmp))
+    }
+
+  private def leaf(p: VPred): Option[(String, Option[Double], Option[Double])] = {
+    val kids = p.children()
+    if (kids.length != 2) return None
+    def colOf(e: VExpr): Option[String] = e match {
+      case n: NamedReference if n.fieldNames.length == 1 => Some(n.fieldNames()(0))
+      case _ => None
+    }
+    def litOf(e: VExpr): Option[Double] = e match {
+      case l: VLit[_] => l.value match {
+        case null => None
+        case b: Byte => Some(b.toDouble)
+        case s: Short => Some(s.toDouble)
+        case i: Int => Some(i.toDouble)
+        case l2: Long =>
+          if (math.abs(l2) > maxExactLong) None else Some(l2.toDouble)
+        case f: Float =>
+          if (f.isNaN || f.isInfinite) None else Some(f.toDouble)
+        case d: Double => if (d.isNaN || d.isInfinite) None else Some(d)
+        case d: Decimal =>
+          val bd = d.toBigDecimal
+          val asD = bd.toDouble
+          if (!asD.isInfinite && BigDecimal(asD) == bd) Some(asD) else None
+        case _ => None
+      }
+      case _ => None
+    }
+    // normalize to column-on-the-left; a flipped operand order flips ops
+    val parsed = (colOf(kids(0)), litOf(kids(1)), colOf(kids(1)), litOf(kids(0))) match {
+      case (Some(c), Some(v), _, _) => Some((c, v, false))
+      case (_, _, Some(c), Some(v)) => Some((c, v, true))
+      case _ => None
+    }
+    parsed.flatMap { case (c, v, flipped) =>
+      val op = p.name() match {
+        case ">" if flipped => "<"
+        case "<" if flipped => ">"
+        case ">=" if flipped => "<="
+        case "<=" if flipped => ">="
+        case other => other
+      }
+      op match {
+        case "=" => Some((c, Some(v), Some(v)))
+        case ">=" => Some((c, Some(v), None))
+        case ">" => Some((c, Some(Math.nextUp(v)), None))
+        case "<=" => Some((c, None, Some(v)))
+        case "<" => Some((c, None, Some(Math.nextDown(v))))
+        case _ => None
+      }
+    }
+  }
 }
 
 /** File index seeded from the lake log snapshot. `listFiles` receives

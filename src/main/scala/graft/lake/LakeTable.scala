@@ -650,6 +650,21 @@ object LakeTable {
       "delete")
   }
 
+  /** TRUNCATE: remove every live row in one METADATA-ONLY commit — no
+    * file is read, rewritten, or physically deleted (old versions stay
+    * time-travelable until [[vacuum]]). Reads its base snapshot's file
+    * list, so it takes the same serializable no-rebase contract as the
+    * other read-modify-write verbs. */
+  def truncate(table: String): Long = {
+    val baseVersion = latestVersion(table).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $table"))
+    val (all, schemaJson) = snapshotFilesWithStats(table, Some(baseVersion))
+    commitOrThrow(table,
+      Commit(baseVersion + 1, "truncate", Seq.empty, all.map(_._1),
+        schemaJson.get),
+      "truncate")
+  }
+
   /** Copy-on-write UPDATE: rows with `column ∈ [lo, hi]` get
     * `assignments` applied (literal new values per column); everything
     * else is untouched. Affected files come from LOG STATS like
@@ -1008,11 +1023,14 @@ object LakeTable {
 
   private def pruneByStats(all: Seq[(String, String)], column: String,
       lo: Double, hi: Double): Seq[String] = {
-    // Double → BigDecimal is exact (binary fractions are finite decimals)
-    val (blo, bhi) = (BigDecimal(lo), BigDecimal(hi))
+    // Double → BigDecimal is exact (binary fractions are finite decimals);
+    // an infinite endpoint is an unbounded side — no constraint from it
+    val blo = if (lo.isNegInfinity) None else Some(BigDecimal(lo))
+    val bhi = if (hi.isPosInfinity) None else Some(BigDecimal(hi))
     all.collect {
       case (f, stats) if statsRange(stats, column)
-        .forall { case (mn, mx) => mn <= bhi && blo <= mx } => f
+        .forall { case (mn, mx) =>
+          bhi.forall(mn <= _) && blo.forall(_ <= mx) } => f
     }
   }
 

@@ -80,4 +80,81 @@ class LakeCatalogSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("transactional API"))
   }
+
+  /** A separate table per DML test — the shared `root` table is read by
+    * the other cases and version counts must stay predictable. */
+  private def dmlTable(name: String): String = {
+    val t = s"$root/dml/$name"
+    LakeTable.append(spark, t,
+      spark.range(0, 100).select(col("id"), (col("id") * 2).as("v")))
+    LakeTable.append(spark, t,
+      spark.range(100, 250).select(col("id"), (col("id") * 2).as("v")))
+    t
+  }
+
+  test("SQL DELETE executes as a lake transaction with range semantics") {
+    val t = dmlTable("del")
+    spark.sql("DELETE FROM graftlake.dml.del WHERE id >= 40 AND id < 120")
+    // a fresh catalog read sees the new commit
+    assert(spark.sql("SELECT count(*) AS n FROM graftlake.dml.del")
+      .head().getLong(0) == 170)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graftlake.dml.del WHERE id BETWEEN 40 AND 119")
+      .head().getLong(0) == 0)
+    // it is a commit: version advanced and the old snapshot still reads
+    assert(LakeTable.latestVersion(t).contains(3L))
+    assert(spark.sql("SELECT count(*) AS n FROM graftlake.dml.del VERSION AS OF 2")
+      .head().getLong(0) == 250)
+    // strict bound excluded 120 but kept it
+    assert(spark.sql("SELECT count(*) AS n FROM graftlake.dml.del WHERE id = 120")
+      .head().getLong(0) == 1)
+  }
+
+  test("SQL DELETE refuses untranslatable predicates loudly") {
+    dmlTable("delrefuse")
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM graftlake.dml.delrefuse WHERE id % 2 = 0")
+    }
+    assert(e.getMessage.toLowerCase.contains("delete"),
+      s"unexpected refusal message: ${e.getMessage}")
+    // two different columns can't be one range either
+    val e2 = intercept[Exception] {
+      spark.sql("DELETE FROM graftlake.dml.delrefuse WHERE id >= 1 AND v <= 4")
+    }
+    assert(e2.getMessage.toLowerCase.contains("delete"))
+    // nothing committed by either refusal
+    assert(spark.sql("SELECT count(*) AS n FROM graftlake.dml.delrefuse")
+      .head().getLong(0) == 250)
+  }
+
+  test("TRUNCATE TABLE is a metadata-only commit; time travel survives") {
+    val t = dmlTable("trunc")
+    val dataFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(t))
+      .filter(_.toString.endsWith(".parquet")).count()
+    spark.sql("TRUNCATE TABLE graftlake.dml.trunc")
+    assert(spark.sql("SELECT count(*) AS n FROM graftlake.dml.trunc")
+      .head().getLong(0) == 0)
+    // no data file was written or removed — pure log metadata
+    val after = java.nio.file.Files.walk(java.nio.file.Paths.get(t))
+      .filter(_.toString.endsWith(".parquet")).count()
+    assert(after == dataFiles, s"truncate touched data files: $dataFiles -> $after")
+    assert(spark.sql("SELECT count(*) AS n FROM graftlake.dml.trunc VERSION AS OF 2")
+      .head().getLong(0) == 250)
+    // appends keep working after a truncate
+    LakeTable.append(spark, t, spark.range(0, 7)
+      .select(col("id"), (col("id") * 2).as("v")))
+    assert(spark.sql("SELECT count(*) AS n FROM graftlake.dml.trunc")
+      .head().getLong(0) == 7)
+  }
+
+  test("DELETE FROM a VERSION AS OF snapshot is refused") {
+    dmlTable("deltravel")
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM graftlake.dml.deltravel VERSION AS OF 1 WHERE id <= 5")
+    }
+    // Spark may refuse time-travel DML in analysis; if it reaches the
+    // table, our own guard throws — either way it must not commit
+    assert(LakeTable.latestVersion(s"$root/dml/deltravel").contains(2L))
+    assert(e != null)
+  }
 }
