@@ -145,6 +145,14 @@ object Cli {
               println(s"committed version $v")
             case _ => sys.error("lake optimize needs <colX> <colY> [files]")
           }
+        case "restore" =>
+          val to = rest.headOption.map(_.toLong)
+            .getOrElse(sys.error("lake restore needs <version>"))
+          val v = graft.lake.LakeTable.restoreTo(table, to)
+          println(s"committed version $v (state of v$to)")
+        case "truncate" =>
+          val v = graft.lake.LakeTable.truncate(table)
+          println(s"committed version $v")
         case other => sys.error(s"unknown lake op: $other")
       }
       spark.stop()
@@ -154,7 +162,7 @@ object Cli {
         "usage: graft.Cli benchmark | convert <las> <out> [seed] | " +
           "merge <in> <out> [rows] | partition <in> <out> [grid|quadtree|zorder] [sigma|bits] | " +
           "footprint <las> <out-dir> [scale] | experiment [sfDir] [outDir] [runs] | " +
-          "lake append|overwrite|read|history|vacuum|merge|delete|update|optimize <table> [args]")
+          "lake append|overwrite|read|history|vacuum|merge|delete|update|optimize|restore|truncate <table> [args]")
       sys.exit(2)
   }
 }

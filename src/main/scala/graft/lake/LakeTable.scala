@@ -665,6 +665,38 @@ object LakeTable {
       "truncate")
   }
 
+  /** RESTORE the table to its state at `version`, as a NEW commit
+    * (Delta's RESTORE verb): pure log metadata — the target snapshot's
+    * file list is re-pointed, nothing is read or rewritten, and history
+    * is preserved (the restore itself is version latest+1, so the undone
+    * versions stay time-travelable until [[vacuum]]). Files live only in
+    * the target snapshot must still exist physically — a vacuum may have
+    * reclaimed them, in which case the restore refuses loudly instead of
+    * committing dangling references. Same serializable no-rebase
+    * contract as the other read-modify-write verbs. */
+  def restoreTo(table: String, version: Long): Long = {
+    val baseVersion = latestVersion(table).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $table"))
+    val (target, targetSchema) = snapshotFilesWithStats(table, Some(version))
+    val (current, _) = snapshotFilesWithStats(table, Some(baseVersion))
+    val cur = current.map(_._1).toSet
+    val tgt = target.map(_._1).toSet
+    val add = target.filterNot(e => cur(e._1))
+    val remove = current.map(_._1).filterNot(tgt)
+    add.foreach { case (entry, _) =>
+      val live = parseEntry(entry)
+      (live.data +: live.dv.toSeq).foreach { rel =>
+        require(Files.exists(Paths.get(table, rel)),
+          s"restore: `$rel` of snapshot v$version was vacuumed away; " +
+            "the table cannot be restored past that vacuum")
+      }
+    }
+    commitOrThrow(table,
+      Commit(baseVersion + 1, "restore", add.map(_._1), remove,
+        targetSchema.get, add.map(_._2)),
+      "restore")
+  }
+
   /** Copy-on-write UPDATE: rows with `column ∈ [lo, hi]` get
     * `assignments` applied (literal new values per column); everything
     * else is untouched. Affected files come from LOG STATS like

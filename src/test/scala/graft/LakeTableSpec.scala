@@ -514,7 +514,7 @@ class LakeTableSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     perVersion += model
     (0 until 14).foreach { _ =>
-      val committed = rnd.nextInt(5) match {
+      val committed = rnd.nextInt(7) match {
         case 0 => // append fresh ids only (append semantics = multiset add;
           // keep ids disjoint from the model so the map stays a valid model)
           val rows = freshRows(rnd.nextInt(8) + 1)
@@ -550,6 +550,15 @@ class LakeTableSpec extends SparkSpec {
           LakeTable.deleteWhereDV(spark, t, "id", lo.toDouble, hi.toDouble)
           model = model.filterNot { case (k, _) => k >= lo && k <= hi }
           true
+        case 5 => // restore to a random recorded version
+          val target = rnd.nextInt(perVersion.size) + 1
+          LakeTable.restoreTo(t, target.toLong)
+          model = perVersion(target - 1)
+          true
+        case 6 => // truncate (metadata-only remove-all)
+          LakeTable.truncate(t)
+          model = Map.empty
+          true
       }
       if (committed) { // keep perVersion aligned with the version counter
         perVersion += model
@@ -573,6 +582,46 @@ class LakeTableSpec extends SparkSpec {
       assert(got == model, "optimize changed visible data")
       assert(LakeTable.snapshotFiles(t)._1.forall(!_.contains("#dv=")))
     }
+  }
+
+  test("restore re-points an old snapshot metadata-only; history is preserved") {
+    val t = freshTable()
+    LakeTable.append(spark, t, df(0 until 100))             // v1
+    LakeTable.append(spark, t, df(100 until 250))           // v2
+    LakeTable.deleteWhere(spark, t, "id", 0.0, 199.0)       // v3
+    val parquets = Files.walk(Paths.get(t)).filter(_.toString.endsWith(".parquet")).count()
+    val v = LakeTable.restoreTo(t, 2L)                      // v4 = state of v2
+    assert(v == 4L)
+    // no data file written or removed — pure log metadata
+    val after = Files.walk(Paths.get(t)).filter(_.toString.endsWith(".parquet")).count()
+    assert(after == parquets, s"restore touched data files: $parquets -> $after")
+    assert(LakeTable.snapshot(spark, t).count() == 250)
+    // the undone delete stays time-travelable (history preserved)
+    assert(LakeTable.snapshot(spark, t, Some(3L)).count() == 50)
+    assert(LakeTable.history(t).map(_.op) ==
+      Seq("append", "append", "delete", "restore"))
+    // restore works on DV'd snapshots too: DV delete, then undo it
+    LakeTable.deleteWhereDV(spark, t, "id", 0.0, 9.0)       // v5
+    assert(LakeTable.snapshot(spark, t).count() == 240)
+    LakeTable.restoreTo(t, 4L)                              // v6
+    assert(LakeTable.snapshot(spark, t).count() == 250)
+    // and restoring FORWARD to the DV'd state re-applies the mask
+    LakeTable.restoreTo(t, 5L)                              // v7
+    assert(LakeTable.snapshot(spark, t).count() == 240)
+  }
+
+  test("restore refuses when vacuum already reclaimed the target's files") {
+    val t = freshTable()
+    LakeTable.append(spark, t, df(0 until 50))              // v1
+    LakeTable.overwrite(spark, t, df(50 until 60))          // v2 (v1 files dead)
+    LakeTable.vacuum(t, retainFrom = 2L)                    // v1's files reclaimed
+    val e = intercept[IllegalArgumentException] {
+      LakeTable.restoreTo(t, 1L)
+    }
+    assert(e.getMessage.contains("vacuum"), e.getMessage)
+    // nothing committed; current state intact
+    assert(LakeTable.latestVersion(t).contains(2L))
+    assert(LakeTable.snapshot(spark, t).count() == 10)
   }
 
   test("schema is pinned per commit; empty and missing tables behave") {
