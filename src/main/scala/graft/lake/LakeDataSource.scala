@@ -46,17 +46,32 @@ class LakeDataSource extends org.apache.spark.sql.connector.catalog.TableProvide
   // version range through the ordinary vectorized parquet read path
   override def sourceSchema(sqlContext: org.apache.spark.sql.SQLContext,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): (String, StructType) =
-    ("lake", inferSchema(new CaseInsensitiveStringMap(parameters.asJava)))
+      parameters: Map[String, String]): (String, StructType) = {
+    val options = new CaseInsensitiveStringMap(parameters.asJava)
+    ("lake", streamSchema(options))
+  }
+
+  /** With `readChangeFeed=true` the stream's rows carry the feed's two
+    * metadata columns on top of the data schema. */
+  private def streamSchema(options: CaseInsensitiveStringMap): StructType = {
+    val base = inferSchema(options)
+    if (!options.getBoolean("readChangeFeed", false)) base
+    else StructType(base.fields ++ Seq(
+      org.apache.spark.sql.types.StructField(LakeTable.CdcTypeCol,
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField(LakeTable.CdcVersionCol,
+        org.apache.spark.sql.types.LongType, nullable = false)))
+  }
 
   override def createSource(sqlContext: org.apache.spark.sql.SQLContext,
       metadataPath: String, schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
     val options = new CaseInsensitiveStringMap(parameters.asJava)
     new LakeStreamSource(sqlContext.sparkSession, tableRoot(options),
-      schema.getOrElse(inferSchema(options)),
+      schema.getOrElse(streamSchema(options)),
       Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L),
-      Option(options.get("maxVersionsPerBatch")).map(_.toLong))
+      Option(options.get("maxVersionsPerBatch")).map(_.toLong),
+      options.getBoolean("readChangeFeed", false))
   }
 
   private def tableRoot(options: CaseInsensitiveStringMap): String = {

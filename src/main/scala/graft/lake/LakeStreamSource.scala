@@ -26,10 +26,16 @@ import org.apache.spark.sql.types.StructType
   * how many commits one micro-batch may cover, so a stream that starts
   * on a long history (or falls behind a hot writer) catches up in
   * bounded batches instead of reading every pending version in one
-  * unbounded batch — the `maxFilesPerTrigger` of this source. */
+  * unbounded batch — the `maxFilesPerTrigger` of this source.
+  * `readChangeFeed` (default false) — serve [[LakeTable.changeFeed]]
+  * instead of plain inserts: rows carry `_change_type` /
+  * `_commit_version`, and DML commits (delete / update / merge) STREAM
+  * their staged change files rather than failing the query; only
+  * whole-table rewrites still refuse. */
 class LakeStreamSource(spark: SparkSession, table: String,
     override val schema: StructType, startingVersion: Long,
-    maxVersionsPerBatch: Option[Long] = None) extends Source {
+    maxVersionsPerBatch: Option[Long] = None,
+    readChangeFeed: Boolean = false) extends Source {
 
   require(maxVersionsPerBatch.forall(_ >= 1),
     s"maxVersionsPerBatch must be >= 1, got ${maxVersionsPerBatch.get}")
@@ -60,10 +66,11 @@ class LakeStreamSource(spark: SparkSession, table: String,
     val fromV = start.map(versionOf).getOrElse(startingVersion)
     val toV = versionOf(end)
     if (toV > lastBatchEnd) lastBatchEnd = toV
-    // changesBetween refuses rewrite commits in range — the loud-failure
-    // contract — and returns the appended files as one batch read
+    // both readers refuse commits they cannot express as a row delta —
+    // the loud-failure contract — and serve the range as one batch read
     GraftSqlShims.asStreamingDataFrame(
-      LakeTable.changesBetween(spark, table, fromV, toV))
+      if (readChangeFeed) LakeTable.changeFeed(spark, table, fromV, toV)
+      else LakeTable.changesBetween(spark, table, fromV, toV))
   }
 
   override def stop(): Unit = ()

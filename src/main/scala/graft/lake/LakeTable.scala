@@ -47,9 +47,16 @@ object LakeTable {
     * only; empty string = no stats) — the data-skipping index. `txn` is
     * an optional idempotence token `appId:version` for exactly-once
     * streaming appends (Delta's txnAppId/txnVersion pattern). */
+  /** `cdc`: table-relative parquet files holding this commit's row-level
+    * change feed (data columns + `_change_type`), staged by the DML
+    * verbs and read by [[changeFeed]]. Never part of any snapshot —
+    * the replayer ignores them — but vacuum-retained alongside the
+    * versions that reference them. Commits written before the field
+    * existed decode to empty (no feed available → loud refusal). */
   final case class Commit(version: Long, op: String, add: Seq[String],
       remove: Seq[String], schemaJson: String,
-      addStats: Seq[String] = Seq.empty, txn: String = "")
+      addStats: Seq[String] = Seq.empty, txn: String = "",
+      cdc: Seq[String] = Seq.empty)
 
   // ---- log encoding (hand-rolled, no deps beyond the JDK) -------------
 
@@ -82,7 +89,7 @@ object LakeTable {
 
   private def encode(c: Commit): String = {
     def arr(xs: Seq[String]) = xs.map(x => "\"" + esc(x) + "\"").mkString("[", ",", "]")
-    s"""{"version":${c.version},"op":"${c.op}","add":${arr(c.add)},"remove":${arr(c.remove)},"stats":${arr(c.addStats)},"txn":"${esc(c.txn)}","schema":"${esc(c.schemaJson)}"}"""
+    s"""{"version":${c.version},"op":"${c.op}","add":${arr(c.add)},"remove":${arr(c.remove)},"stats":${arr(c.addStats)},"txn":"${esc(c.txn)}","cdc":${arr(c.cdc)},"schema":"${esc(c.schemaJson)}"}"""
   }
 
   /** Parse one commit file. The format is self-authored (see [[encode]]),
@@ -123,7 +130,8 @@ object LakeTable {
       remove = strArr(field("remove")),
       schemaJson = str(field("schema")),
       addStats = opt("stats", strArr, Seq.empty),
-      txn = opt("txn", str, ""))
+      txn = opt("txn", str, ""),
+      cdc = opt("cdc", strArr, Seq.empty))
   }
 
   // ---- log primitives --------------------------------------------------
@@ -617,9 +625,25 @@ object LakeTable {
       if (affected.isEmpty) emptyDf(spark, schema)
       else readEntries(spark, table, affected, schema)
         .join(keys, Seq(key), "left_anti")
+    // change feed: replaced rows (pre), their replacements (post), and
+    // the genuinely new keys (insert). Matched keys live only in
+    // affected files, so the pre-image read is already file-pruned.
+    val cdc = {
+      val pre =
+        if (affected.isEmpty) emptyDf(spark, schema)
+        else readEntries(spark, table, affected, schema)
+          .join(keys, Seq(key), "left_semi")
+      val matchedKeys = pre.select(col(key)).distinct()
+      stageCdc(pre, "update_preimage", table) ++
+        stageCdc(aligned.join(matchedKeys, Seq(key), "left_semi"),
+          "update_postimage", table) ++
+        stageCdc(aligned.join(matchedKeys, Seq(key), "left_anti"),
+          "insert", table)
+    }
     val (add, stats) = stage(survivors.unionByName(aligned), table)
     commitOrThrow(table,
-      Commit(baseVersion + 1, "merge", add, affected, schemaJson.get, stats),
+      Commit(baseVersion + 1, "merge", add, affected, schemaJson.get, stats,
+        cdc = cdc),
       "merge")
   }
 
@@ -644,9 +668,15 @@ object LakeTable {
       if (affected.isEmpty) emptyDf(spark, schema)
       else readEntries(spark, table, affected, schema)
         .filter(!(col(c) >= lo && col(c) <= hi) || col(c).isNull)
+    // change feed: the matched rows, tagged, staged with this commit
+    val cdc =
+      if (affected.isEmpty) Seq.empty[String]
+      else stageCdc(readEntries(spark, table, affected, schema)
+        .filter(col(c) >= lo && col(c) <= hi), "delete", table)
     val (add, stats) = stage(survivors, table)
     commitOrThrow(table,
-      Commit(baseVersion + 1, "delete", add, affected, schemaJson.get, stats),
+      Commit(baseVersion + 1, "delete", add, affected, schemaJson.get, stats,
+        cdc = cdc),
       "delete")
   }
 
@@ -796,9 +826,21 @@ object LakeTable {
             when(matched, lit(value).cast(schema(name).dataType))
               .otherwise(col(name)))
       }
+    // change feed: matched rows before and after the assignments
+    val cdc =
+      if (affected.isEmpty) Seq.empty[String]
+      else {
+        def pre = readEntries(spark, table, affected, schema).filter(matched)
+        val post = assignments.foldLeft(pre) { case (df, (name, value)) =>
+          df.withColumn(name, lit(value).cast(schema(name).dataType))
+        }
+        stageCdc(pre, "update_preimage", table) ++
+          stageCdc(post, "update_postimage", table)
+      }
     val (add, stats) = stage(survivors, table)
     commitOrThrow(table,
-      Commit(baseVersion + 1, "update", add, affected, schemaJson.get, stats),
+      Commit(baseVersion + 1, "update", add, affected, schemaJson.get, stats,
+        cdc = cdc),
       "update")
   }
 
@@ -969,10 +1011,13 @@ object LakeTable {
     // newly deleted (rel_file, row_index) pairs, read DV-applied so a
     // row already masked by an older DV is not re-matched
     val parsed = affected.map(parseEntry)
-    val matchedNow =
+    def matchedRows =
       readEntriesWithRel(spark, table, affected, schema, withRowIndex = true)
         .filter(col(c) >= lo && col(c) <= hi)
-        .select(col(RelCol).as("rel_file"), col(RiCol).as("row_index"))
+    val matchedNow = matchedRows
+      .select(col(RelCol).as("rel_file"), col(RiCol).as("row_index"))
+    // change feed: the same matched rows, as data (no row pointers)
+    val cdc = stageCdc(matchedRows.drop(RelCol, RiCol), "delete", table)
     // carry forward the affected files' existing DV rows (union replace)
     val oldDvPaths = parsed.flatMap(_.dv).distinct
     val dataRels = parsed.map(_.data)
@@ -997,7 +1042,8 @@ object LakeTable {
     val add = parsed.map(e => s"${e.data}$DvSep$dvFile")
     commitOrThrow(table,
       Commit(baseVersion + 1, "delete-dv", add, affected, schemaJson.get,
-        affected.map(statsOf)), // stats carry over: DVs only remove rows
+        affected.map(statsOf), // stats carry over: DVs only remove rows
+        cdc = cdc),
       "delete-dv")
   }
 
@@ -1126,6 +1172,89 @@ object LakeTable {
     else spark.read.schema(schema).parquet(files.map(f => s"$table/$f"): _*)
   }
 
+  // ---- change data feed ------------------------------------------------
+
+  /** Column naming of the change feed (Delta's CDF convention). */
+  val CdcTypeCol = "_change_type"
+  val CdcVersionCol = "_commit_version"
+
+  /** Stage `rows` tagged `changeType` as this commit's change-feed
+    * files. Same unique-stage-dir isolation as data files (a lost
+    * commit race leaves only an unreferenced orphan for vacuum — never
+    * a file another writer's commit could accidentally reference), but
+    * WITHOUT footer stats: CDC files never join a snapshot, so nothing
+    * ever prunes on them. */
+  private def stageCdc(rows: DataFrame, changeType: String,
+      table: String): Seq[String] = {
+    import org.apache.spark.sql.functions.lit
+    val sub = s"stage-${java.util.UUID.randomUUID().toString.take(12)}"
+    val dir = Paths.get(table, sub)
+    rows.withColumn(CdcTypeCol, lit(changeType)).write.parquet(dir.toString)
+    val it = Files.list(dir)
+    try it.iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+      .map(n => s"$sub/$n").toSeq.sorted
+    finally it.close()
+  }
+
+  /** Row-level CHANGE FEED over `(fromVersion, toVersion]`: every row
+    * change in the range with `_change_type` (`insert`, `delete`,
+    * `update_preimage`, `update_postimage`) and `_commit_version` —
+    * Delta's `readChangeFeed` surface. Appends synthesize `insert` rows
+    * straight from their data files (no extra storage); the DML verbs
+    * (delete / delete-dv / update / merge) read the change files they
+    * staged at write time; `optimize` and empty DML commits contribute
+    * nothing (data-identical). Whole-table rewrites (`overwrite` /
+    * `truncate` / `restore`) and pre-CDF DML commits have no row-level
+    * delta — those REFUSE loudly (re-sync from a snapshot), exactly the
+    * plain [[changesBetween]] contract. A schema change inside the
+    * range likewise refuses: one feed, one schema. */
+  def changeFeed(spark: SparkSession, table: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val latest = latestVersion(table).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $table"))
+    require(fromVersion >= 0 && toVersion <= latest && fromVersion <= toVersion,
+      s"bad change range ($fromVersion, $toVersion] (latest: $latest)")
+    val commits = versions(table)
+      .filter(v => v > fromVersion && v <= toVersion)
+      .map(readCommit(table, _))
+    commits.find(c => c.op match {
+      case "append" | "optimize" => false
+      case _ => c.cdc.isEmpty && (c.add.nonEmpty || c.remove.nonEmpty)
+    }).foreach(c => throw new IllegalArgumentException(
+      s"changeFeed: version ${c.version} is a ${c.op} with no change " +
+        "files (whole-table rewrite, or committed before the change " +
+        "feed existed); re-sync from a snapshot instead"))
+    val schemaJson = commits.lastOption.map(_.schemaJson)
+      .orElse(snapshotFilesWithStats(table,
+        if (toVersion >= 1) Some(toVersion) else None)._2)
+    require(commits.map(_.schemaJson).distinct.size <= 1,
+      s"changeFeed: schema changed inside ($fromVersion, $toVersion]; " +
+        "read up to the evolution commit, re-sync, then continue")
+    val schema = DataType.fromJson(schemaJson.get).asInstanceOf[StructType]
+    val cdcSchema = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField(CdcTypeCol,
+        org.apache.spark.sql.types.StringType, nullable = false))
+    val parts = commits.flatMap { c =>
+      val rows =
+        if (c.cdc.nonEmpty)
+          Some(spark.read.schema(cdcSchema)
+            .parquet(c.cdc.map(f => s"$table/$f"): _*))
+        else if (c.op == "append" && c.add.nonEmpty)
+          Some(spark.read.schema(schema)
+            .parquet(c.add.map(f => s"$table/$f"): _*)
+            .withColumn(CdcTypeCol, lit("insert")))
+        else None // optimize / empty commits: no row-level change
+      rows.map(_.withColumn(CdcVersionCol, lit(c.version)))
+    }
+    parts.reduceOption(_.unionByName(_)).getOrElse(
+      emptyDf(spark, StructType(cdcSchema.fields :+
+        org.apache.spark.sql.types.StructField(CdcVersionCol,
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
   /** Unreferenced files younger than this are presumed to belong to an
     * IN-FLIGHT writer (staged, commit not yet written) and are never
     * vacuumed — the same role as Delta's file-retention threshold.
@@ -1148,9 +1277,14 @@ object LakeTable {
       val p = parseEntry(e); p.data +: p.dv.toSeq
     }
     val floor = latestVersion(table).fold(retainFrom)(math.min(retainFrom, _))
+    val commits = history(table)
+    // change-feed files live and die with the versions that wrote them:
+    // retained alongside time travel ≥ floor, reclaimed below it
     val keep = versions(table).filter(_ >= floor)
-      .flatMap(v => snapshotFiles(table, Some(v))._1).flatMap(filesOf).toSet
-    val referenced = history(table).flatMap(_.add).flatMap(filesOf).toSet
+      .flatMap(v => snapshotFiles(table, Some(v))._1).flatMap(filesOf).toSet ++
+      commits.filter(_.version >= floor).flatMap(_.cdc)
+    val referenced = commits.flatMap(_.add).flatMap(filesOf).toSet ++
+      commits.flatMap(_.cdc)
     val now = System.currentTimeMillis()
     val root = Paths.get(table)
     val deleted = Seq.newBuilder[String]

@@ -113,6 +113,30 @@ class LakeStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("readChangeFeed streams typed DML changes instead of failing") {
+    val (t, ck, sink) = fresh()
+    append(t, 0 until 10) // v1
+    val q = spark.readStream.format("lake")
+      .option("readChangeFeed", "true").load(t)
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", ck).start()
+    try {
+      q.processAllAvailable()
+      // a DML commit lands mid-stream: the plain source would fail the
+      // query here; the change-feed source serves it as typed rows
+      LakeTable.deleteWhere(spark, t, "id", 0, 3) // v2
+      append(t, 10 until 12) // v3
+      q.processAllAvailable()
+      val got = spark.table(sink)
+        .select("id", "_change_type", "_commit_version").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+      val want = ((0L until 10L).map(i => (i, "insert", 1L)) ++
+        (0L until 4L).map(i => (i, "delete", 2L)) ++
+        (10L until 12L).map(i => (i, "insert", 3L))).sorted
+      assert(got == want, s"change-feed stream diverged:\n$got")
+    } finally q.stop()
+  }
+
   test("startingVersion starts past historical rewrites") {
     val (t, ck, sink) = fresh()
     append(t, 0 until 10) // v1

@@ -584,6 +584,79 @@ class LakeTableSpec extends SparkSpec {
     }
   }
 
+  test("change feed: typed row changes for append/delete/update/merge") {
+    import spark.implicits._
+    val t = freshTable()
+    LakeTable.append(spark, t, df(0 until 10))                        // v1
+    LakeTable.deleteWhere(spark, t, "id", 3.0, 5.0)                   // v2
+    LakeTable.updateWhere(spark, t, "id", 0.0, 1.0, Map("v" -> 999L)) // v3
+    LakeTable.merge(spark, t,                                         // v4
+      Seq((8L, 123L), (100L, 456L)).toDF("id", "v"), "id")
+    val feed = LakeTable.changeFeed(spark, t, 0L, 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2), r.getLong(3))).toSeq
+    def of(v: Long, tpe: String) =
+      feed.filter(r => r._4 == v && r._3 == tpe).map(r => (r._1, r._2)).sorted
+    assert(of(1, "insert") == (0L until 10L).map(i => (i, i * 2)))
+    assert(of(2, "delete") == Seq((3L, 6L), (4L, 8L), (5L, 10L)))
+    assert(of(3, "update_preimage") == Seq((0L, 0L), (1L, 2L)))
+    assert(of(3, "update_postimage") == Seq((0L, 999L), (1L, 999L)))
+    assert(of(4, "update_preimage") == Seq((8L, 16L)))
+    assert(of(4, "update_postimage") == Seq((8L, 123L)))
+    assert(of(4, "insert") == Seq((100L, 456L)))
+    assert(feed.size == 10 + 3 + 4 + 3, s"unexpected extra rows: $feed")
+    // a sub-range carries only its own commits
+    val sub = LakeTable.changeFeed(spark, t, 2L, 3L).collect()
+    assert(sub.forall(_.getLong(3) == 3L) && sub.length == 4)
+    // replaying the feed against the v1 state reproduces the v4 snapshot
+    val replayed = feed.filter(r => r._4 >= 2)
+      .sortBy(_._4)
+      .foldLeft((0L until 10L).map(i => i -> (i * 2)).toMap) {
+        case (m, (id, v, "delete", _)) => m - id
+        case (m, (id, _, "update_preimage", _)) => m
+        case (m, (id, v, "update_postimage", _)) => m + (id -> v)
+        case (m, (id, v, "insert", _)) => m + (id -> v)
+      }
+    val snap = LakeTable.snapshot(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(replayed == snap, "feed replay diverged from the snapshot")
+  }
+
+  test("change feed: DV delete emits the same rows as copy-on-write") {
+    val (t1, t2) = (freshTable(), freshTable())
+    Seq(t1, t2).foreach(t => LakeTable.append(spark, t, df(0 until 50)))
+    LakeTable.deleteWhere(spark, t1, "id", 10.0, 19.0)
+    LakeTable.deleteWhereDV(spark, t2, "id", 10.0, 19.0)
+    def rows(t: String) = LakeTable.changeFeed(spark, t, 1L, 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(rows(t1) == rows(t2), "CoW and DV deletes must be feed-identical")
+    assert(rows(t1).forall(_._3 == "delete") && rows(t1).size == 10)
+  }
+
+  test("change feed: rewrites refuse; optimize is silent; vacuum respects retention") {
+    val t = freshTable()
+    LakeTable.append(spark, t, df(0 until 30))           // v1
+    LakeTable.deleteWhere(spark, t, "id", 0.0, 4.0)      // v2 (cdc staged)
+    LakeTable.overwrite(spark, t, df(100 until 130))     // v3 (whole-table)
+    val e = intercept[IllegalArgumentException] {
+      LakeTable.changeFeed(spark, t, 2L, 3L)
+    }
+    assert(e.getMessage.contains("no change files"), e.getMessage)
+    // ranges before the rewrite still serve
+    assert(LakeTable.changeFeed(spark, t, 1L, 2L).count() == 5)
+    LakeTable.optimize(spark, t, "id", "v", targetFiles = 1) // v4
+    assert(LakeTable.changeFeed(spark, t, 3L, 4L).count() == 0)
+    // vacuum to the latest version reclaims v2's change files...
+    val cdcFiles = LakeTable.history(t).flatMap(_.cdc)
+    assert(cdcFiles.nonEmpty)
+    LakeTable.vacuum(t, retainFrom = Long.MaxValue, orphanMinAgeMs = 0L)
+    assert(cdcFiles.forall(f => !Files.exists(Paths.get(t, f))),
+      "expired change files must be vacuumed")
+    // ...while a DML after the vacuum keeps its feed readable
+    LakeTable.deleteWhere(spark, t, "id", 100.0, 101.0)  // v5
+    assert(LakeTable.changeFeed(spark, t, 4L, 5L).count() == 2)
+  }
+
   test("restore re-points an old snapshot metadata-only; history is preserved") {
     val t = freshTable()
     LakeTable.append(spark, t, df(0 until 100))             // v1
