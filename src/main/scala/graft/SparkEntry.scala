@@ -54,6 +54,7 @@ object SparkEntry {
     // -- text analysis (training-data pipeline extension surface)
     "doc_stats" -> (TextOps.docStats(_, _)),
     "doc_quality" -> (TextOps.docQuality(_, _)),
+    "doc_gopher" -> (TextOps.docGopher(_, _)),
     "doc_langid" -> (TextOps.docLangId(_, _)),
     "doc_fingerprint" -> (TextOps.docFingerprint(_, _)),
     "doc_top_terms" -> (TextOps.topTerms(25)(_, _)),
@@ -163,6 +164,7 @@ object SparkEntry {
     "pc_knn_grid" -> PcQueries.knnSql(1000, 250.0),
     "doc_stats" -> TextOps.docStatsSql,
     "doc_quality" -> TextOps.docQualitySql,
+    "doc_gopher" -> TextOps.docGopherSql,
     "doc_langid" -> TextOps.docLangIdSql,
     "doc_fingerprint" -> TextOps.docFingerprintSql,
     "doc_top_terms" -> TextOps.topTermsSql(25),

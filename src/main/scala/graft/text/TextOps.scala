@@ -177,6 +177,47 @@ object TextOps {
        | md5(regexp_replace(text, '$ScrubPattern', '', 'g')) AS scrub_md5
        | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
+  /** Gopher/C4-style quality-rule filter (Rae et al. 2021 §A1.1 shapes):
+    * per-document pass/fail for each cheap heuristic — word-count range,
+    * mean-word-length range, minimum stopword evidence, lexical
+    * diversity — plus the conjunctive keep bit. ALL-INTEGER tests (the
+    * mean-length band `4 ≤ sw/nt ≤ 10` is written `4·nt ≤ sw ≤ 10·nt`)
+    * so both engines agree exactly. Map-side projection, no shuffle
+    * beyond the presentation sort: filtering a 100 TB crawl with these
+    * rules is one streaming pass. */
+  def docGopher(spark: SparkSession, dir: String): DataFrame = {
+    val nt = size(words).cast(LongType)
+    val sw = aggregate(words, lit(0L), (a, w) => a + length(w))
+    val ns = size(filter(words, w => w.isin(Stopwords: _*))).cast(LongType)
+    val nd = size(array_distinct(words)).cast(LongType)
+    docs(spark, dir)
+      .select(col("doc_id"), nt.as("nt"), sw.as("sw"), ns.as("ns"), nd.as("nd"))
+      .select(col("doc_id"),
+        when(col("nt") >= 20 && col("nt") <= 80, 1L).otherwise(0L).as("r_len"),
+        when(col("sw") >= col("nt") * 4 && col("sw") <= col("nt") * 10, 1L)
+          .otherwise(0L).as("r_mean"),
+        when(col("ns") >= 2, 1L).otherwise(0L).as("r_stop"),
+        when(col("nd") * 2 >= col("nt"), 1L).otherwise(0L).as("r_div"))
+      .withColumn("keep",
+        col("r_len") * col("r_mean") * col("r_stop") * col("r_div"))
+      .orderBy("doc_id")
+  }
+
+  val docGopherSql: String =
+    s"""SELECT doc_id, r_len, r_mean, r_stop, r_div,
+       | r_len * r_mean * r_stop * r_div AS keep FROM (
+       | SELECT doc_id,
+       |  CAST(CASE WHEN nt >= 20 AND nt <= 80 THEN 1 ELSE 0 END AS BIGINT) AS r_len,
+       |  CAST(CASE WHEN sw >= nt * 4 AND sw <= nt * 10 THEN 1 ELSE 0 END AS BIGINT) AS r_mean,
+       |  CAST(CASE WHEN ns >= 2 THEN 1 ELSE 0 END AS BIGINT) AS r_stop,
+       |  CAST(CASE WHEN nd * 2 >= nt THEN 1 ELSE 0 END AS BIGINT) AS r_div
+       | FROM (SELECT doc_id,
+       |  CAST(len(string_split(text,' ')) AS BIGINT) AS nt,
+       |  CAST(list_sum(list_transform(string_split(text,' '), w -> length(w))) AS BIGINT) AS sw,
+       |  CAST(len(list_filter(string_split(text,' '), w -> w IN (${Stopwords.map(s => s"'$s'").mkString(",")}))) AS BIGINT) AS ns,
+       |  CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS nd
+       | FROM documents)) ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
   // ---- exact deduplication --------------------------------------------
 
   /** Exact dedup by content key: hash-groupBy on a normalized key (here

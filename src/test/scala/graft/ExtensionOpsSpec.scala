@@ -353,6 +353,34 @@ class ExtensionOpsSpec extends SparkSpec {
     }
   }
 
+  test("gopher quality rules match a driver-side reference and have variance") {
+    val got = TextOps.docGopher(spark, sf001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    val texts = TextOps.docs(spark, sf001).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(texts.length == got.size)
+    texts.foreach { case (id, text) =>
+      val ws = text.split(" ", -1)
+      val nt = ws.length.toLong
+      val sw = ws.map(_.length.toLong).sum
+      val ns = ws.count(TextOps.Stopwords.contains).toLong
+      val nd = ws.distinct.length.toLong
+      val rLen = if (nt >= 20 && nt <= 80) 1L else 0L
+      val rMean = if (sw >= nt * 4 && sw <= nt * 10) 1L else 0L
+      val rStop = if (ns >= 2) 1L else 0L
+      val rDiv = if (nd * 2 >= nt) 1L else 0L
+      assert(got(id) == ((rLen, rMean, rStop, rDiv, rLen * rMean * rStop * rDiv)),
+        s"doc $id diverged")
+    }
+    // every rule must actually separate the corpus (both pass and fail)
+    Seq[((Long, Long, Long, Long, Long)) => Long](_._1, _._2, _._3, _._4, _._5)
+      .zip(Seq("r_len", "r_mean", "r_stop", "r_div", "keep")).foreach { case (f, n) =>
+        val vs = got.values.map(f).toSet
+        assert(vs == Set(0L, 1L), s"rule $n has no variance: $vs")
+      }
+  }
+
   test("language id predicts a language for every document") {
     val rows = TextOps.docLangId(spark, sf001).collect()
     assert(rows.length == 500)
