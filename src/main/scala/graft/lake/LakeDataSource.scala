@@ -137,6 +137,18 @@ class LakeV2Table(spark: SparkSession, options: CaseInsensitiveStringMap,
         "deletion vectors, which the DSv2 scan does not apply; read it via " +
         "LakeTable.snapshot(...) or compact with LakeTable.optimize(...)")
 
+  /** EXACT snapshot row count from LOG STATS alone — None when any
+    * entry predates recorded counts or carries a deletion vector (the
+    * masked-row count is not in the log). Feeds the metadata-only
+    * `count(*)` rewrite ([[graft.plans.LakeCountStarRule]]). */
+  def logRowCount: Option[Long] = {
+    val counts = entries.map { case (rel, stats) =>
+      if (LakeTable.parseEntry(rel).dv.nonEmpty) None
+      else LakeTable.rowCountFromStats(stats)
+    }
+    if (counts.forall(_.isDefined)) Some(counts.flatMap(x => x).sum) else None
+  }
+
   override def name(): String = s"lake:$root${version.fold("")(v => s"@v$v")}"
 
   override def formatName: String = "lake"

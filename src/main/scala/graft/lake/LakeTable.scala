@@ -315,11 +315,8 @@ object LakeTable {
     val numeric = df.schema.fields.collect {
       case f if plainNumeric(f.dataType) => f.name
     }.toSeq
-    if (numeric.isEmpty) (files, files.map(_ => ""))
-    else {
-      val conf = new org.apache.hadoop.conf.Configuration()
-      (files, files.map(f => footerStats(Paths.get(table, f), numeric, conf)))
-    }
+    val conf = new org.apache.hadoop.conf.Configuration()
+    (files, files.map(f => footerStats(Paths.get(table, f), numeric, conf)))
   }
 
   private def plainNumeric(dt: org.apache.spark.sql.types.DataType): Boolean = {
@@ -346,7 +343,14 @@ object LakeTable {
       HadoopInputFile.fromPath(new HPath(file.toString), conf))
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
-      columns.flatMap { name =>
+      // reserved entry first: the file's EXACT row count (block counts)
+      // — serves metadata-only `count(*)` ([[LakeV2Table.logRowCount]]).
+      // Skipped if a real column shades the reserved name, so pruning
+      // can never read a row count as a value range.
+      val rows =
+        if (columns.contains(RowsKey)) Seq.empty
+        else Seq(s"$RowsKey=${blocks.map(_.getRowCount).sum}")
+      val colStats = columns.flatMap { name =>
         // fold (min, max) across this file's row groups; every row group
         // must contribute usable stats or the column gets none at all
         val perGroup = blocks.map { b =>
@@ -377,9 +381,18 @@ object LakeTable {
           val rs = perGroup.flatten
           Some(s"$name=${rs.map(_._1).min}:${rs.map(_._2).max}")
         }
-      }.mkString(";")
+      }
+      (rows ++ colStats).mkString(";")
     } finally reader.close()
   }
+
+  private[lake] val RowsKey = "#rows"
+
+  private[lake] def rowCountFromStats(stats: String): Option[Long] =
+    stats.split(';').collectFirst {
+      case s if s.startsWith(RowsKey + "=") =>
+        s.drop(RowsKey.length + 1).toLong
+    }
 
   private val MaxRetries = 20
 

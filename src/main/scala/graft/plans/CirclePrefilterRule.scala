@@ -121,6 +121,7 @@ object CirclePrefilterRule extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => CirclePrefilterRule)
+    e.injectOptimizerRule(_ => LakeCountStarRule)
     e.injectFunction(GraftExtensions.fvecDotDescriptor)
     e.injectFunction(GraftExtensions.hllSketchDescriptor)
   }
@@ -148,9 +149,11 @@ object GraftExtensions {
   /** Attach the rule + functions to an already-built session
     * (tests / notebooks without the conf). */
   def install(spark: SparkSession): Unit = {
-    if (!spark.experimental.extraOptimizations.contains(CirclePrefilterRule))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ CirclePrefilterRule
+    Seq(CirclePrefilterRule, LakeCountStarRule).foreach { r =>
+      if (!spark.experimental.extraOptimizations.contains(r))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ r
+    }
     graft.sim.FloatVecDot.register(spark)
     graft.functions.HllSketchAgg.register(spark)
   }

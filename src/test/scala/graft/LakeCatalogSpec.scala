@@ -147,6 +147,33 @@ class LakeCatalogSpec extends SparkSpec {
       .head().getLong(0) == 7)
   }
 
+  test("count(*) folds to log metadata: no scan, exact under time travel and DML") {
+    val t = dmlTable("countstar")
+    graft.plans.GraftExtensions.install(spark)
+    def planOf(sql: String) = {
+      val df = spark.sql(sql)
+      (df.head().getLong(0), df.queryExecution.optimizedPlan.toString)
+    }
+    val (n, plan) = planOf("SELECT count(*) AS n FROM graftlake.dml.countstar")
+    assert(n == 250)
+    assert(plan.contains("LocalRelation") && !plan.contains("RelationV2"),
+      s"count(*) must fold to metadata, got:\n$plan")
+    // time travel folds against the pinned snapshot
+    val (n1, plan1) = planOf(
+      "SELECT count(*) AS n FROM graftlake.dml.countstar VERSION AS OF 1")
+    assert(n1 == 100 && plan1.contains("LocalRelation"))
+    // a copy-on-write DELETE updates the folded count (new files, new stats)
+    spark.sql("DELETE FROM graftlake.dml.countstar WHERE id < 30")
+    val (n2, plan2) = planOf("SELECT count(*) AS n FROM graftlake.dml.countstar")
+    assert(n2 == 220 && plan2.contains("LocalRelation"))
+    // grouped/filtered counts must NOT fold — they need the scan
+    val grouped = spark.sql(
+      "SELECT count(*) AS n FROM graftlake.dml.countstar WHERE id >= 100")
+    assert(grouped.head().getLong(0) == 150)
+    assert(grouped.queryExecution.optimizedPlan.toString.contains("RelationV2"),
+      "a filtered count must keep the scan")
+  }
+
   test("DELETE FROM a VERSION AS OF snapshot is refused") {
     dmlTable("deltravel")
     val e = intercept[Exception] {
