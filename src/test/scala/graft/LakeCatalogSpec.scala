@@ -174,6 +174,29 @@ class LakeCatalogSpec extends SparkSpec {
       "a filtered count must keep the scan")
   }
 
+  test("SQL DELETE guards: flipped literals work, unbounded float ranges refuse") {
+    import org.apache.spark.sql.functions.col
+    // a float-valued column alongside the longs
+    val t = s"$root/dml/delguards"
+    LakeTable.append(spark, t, spark.range(0, 100)
+      .select(col("id"), (col("id").cast("double") / 4.0).as("score")))
+    // literal-on-the-left comparison: `30 > id` == `id < 30`
+    spark.sql("DELETE FROM graftlake.dml.delguards WHERE 30 > id")
+    assert(spark.sql("SELECT count(*) AS n FROM graftlake.dml.delguards")
+      .head().getLong(0) == 70)
+    // double column, one-sided range: Spark orders NaN above +Inf, so an
+    // unbounded side could silently disagree with the row filter — refuse
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM graftlake.dml.delguards WHERE score >= 20.0")
+    }
+    assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
+    // bounded on both sides: fine ([20, 24.75] = ids 80..99)
+    spark.sql(
+      "DELETE FROM graftlake.dml.delguards WHERE score >= 20.0 AND score <= 24.75")
+    assert(spark.sql("SELECT count(*) AS n FROM graftlake.dml.delguards")
+      .head().getLong(0) == 50)
+  }
+
   test("DELETE FROM a VERSION AS OF snapshot is refused") {
     dmlTable("deltravel")
     val e = intercept[Exception] {

@@ -657,6 +657,22 @@ class LakeTableSpec extends SparkSpec {
     assert(LakeTable.changeFeed(spark, t, 4L, 5L).count() == 2)
   }
 
+  test("change feed refuses a range spanning a schema evolution") {
+    import spark.implicits._
+    val t = freshTable()
+    LakeTable.append(spark, t, df(0 until 5))                       // v1
+    LakeTable.append(spark, t,                                      // v2: +w
+      df(5 until 8).withColumn("w", col("id") + 100L),
+      mergeSchema = true)
+    val e = intercept[IllegalArgumentException] {
+      LakeTable.changeFeed(spark, t, 0L, 2L)
+    }
+    assert(e.getMessage.contains("schema changed"), e.getMessage)
+    // each side of the evolution reads fine on its own
+    assert(LakeTable.changeFeed(spark, t, 0L, 1L).count() == 5)
+    assert(LakeTable.changeFeed(spark, t, 1L, 2L).count() == 3)
+  }
+
   test("restore re-points an old snapshot metadata-only; history is preserved") {
     val t = freshTable()
     LakeTable.append(spark, t, df(0 until 100))             // v1
