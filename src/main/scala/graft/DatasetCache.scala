@@ -52,4 +52,16 @@ object DatasetCache {
     tempDirs.add(path)
     path
   }
+
+  /** Spread a CPU-heavy map stage when the input has fewer splits than
+    * the cluster has cores (small files, single-row-group parquet — a
+    * 1-row-group file is always 1 task no matter how wide the cluster).
+    * Identity whenever splits already cover the cores, so at real scale
+    * (input splits >> cores) no shuffle is added; the guard reads only
+    * plan metadata, it runs no job. Callers pass a PROJECTED frame so
+    * the spread moves only the columns the stage consumes. */
+  def spread(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }

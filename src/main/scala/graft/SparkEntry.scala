@@ -131,6 +131,15 @@ object SparkEntry {
     "rel_never_urgent" -> (RelQueries.neverUrgent(_, _)),
     "rel_priority_share" -> (RelQueries.priorityShare(_, _)),
     "rel_returned_priority" -> (RelQueries.returnedByPriority(_, _)),
+    "rel_nation_pairs" -> (RelQueries.nationPairs(_, _)),
+    "rel_promo_share" -> (RelQueries.promoShare(_, _)),
+    "rel_top_returned" -> (RelQueries.topReturned(_, _)),
+    "rel_top_supplier" -> (RelQueries.topSupplier(_, _)),
+    "rel_order_count_hist" -> (RelQueries.orderCountHist(_, _)),
+    "rel_part_bands" -> (RelQueries.partBands(_, _)),
+    "events_cube" -> (EventOps.cubeByHour(_, _)),
+    "doc_top_per_source" -> (TextOps.docTopPerSource(3)(_, _)),
+    "doc_winnow" -> (TextOps.docWinnow(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -235,5 +244,14 @@ object SparkEntry {
     "rel_never_urgent" -> RelQueries.neverUrgentSql,
     "rel_priority_share" -> RelQueries.prioritySharesSql,
     "rel_returned_priority" -> RelQueries.returnedByPrioritySql,
+    "rel_nation_pairs" -> RelQueries.nationPairsSql,
+    "rel_promo_share" -> RelQueries.promoShareSql,
+    "rel_top_returned" -> RelQueries.topReturnedSql,
+    "rel_top_supplier" -> RelQueries.topSupplierSql,
+    "rel_order_count_hist" -> RelQueries.orderCountHistSql,
+    "rel_part_bands" -> RelQueries.partBandsSql,
+    "events_cube" -> EventOps.cubeByHourSql,
+    "doc_top_per_source" -> TextOps.docTopPerSourceSql(3),
+    "doc_winnow" -> TextOps.docWinnowSql,
   )
 }

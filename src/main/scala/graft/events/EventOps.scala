@@ -43,6 +43,36 @@ object EventOps {
        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
        | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " ")
 
+  /** CUBE report over (event type × hour-of-day): all four grouping
+    * sets — the full cross-tab, row margins, column margins, grand
+    * total — in ONE pass over the fact table (Spark expands the cube
+    * after the partial aggregation, so the scan and the map-side
+    * combine are shared across all four). `grouping_id` disambiguates;
+    * keys coalesce to sentinels so the result is null-free for stable
+    * hashing. Complements [[graft.rel.RelQueries.rollupSummary]]
+    * (hierarchical sets) with the full-lattice variant. */
+  def cubeByHour(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("hour_of_day", expr(s"(ts div $NsPerHour) % 24"))
+      .cube("event_type", "hour_of_day")
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("cnt"),
+        sum(round(col("value") * 100).cast(LongType)).as("cents"))
+      .select(
+        coalesce(col("event_type"), lit("(all)")).as("etype"),
+        coalesce(col("hour_of_day"), lit(-1L)).as("hod"),
+        col("gid"), col("cnt"), col("cents"))
+      .orderBy("gid", "etype", "hod")
+
+  val cubeByHourSql: String =
+    s"""SELECT coalesce(event_type, '(all)') AS etype,
+       | coalesce(hour_of_day, -1) AS hod,
+       | CAST(GROUPING(event_type, hour_of_day) AS BIGINT) AS gid,
+       | count(*) AS cnt,
+       | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+       | FROM (SELECT event_type, epoch_ns(ts) // $NsPerHour % 24 AS hour_of_day, value FROM events)
+       | GROUP BY CUBE(event_type, hour_of_day) ORDER BY gid, etype, hod""".stripMargin.replace("\n", " ")
+
   /** Sessionization: per-user sessions split at >30 min gaps, via
     * lag + running sum — one shuffle on user_id, then linear per-user
     * work. Output: per-user session count and longest session. */

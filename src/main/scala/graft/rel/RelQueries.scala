@@ -293,6 +293,218 @@ object RelQueries {
       |   WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
       | GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")
 
+  /** TPC-H Q7-shaped nation-pair trade flows: revenue shipped between
+    * every (supplier nation, customer nation) pair per ship year.
+    *
+    * Scale design: the supplier→nation and customer→nation mappings are
+    * key→name projections of dimension tables — both broadcast (nation is
+    * 25 rows; supplier/customer are dimension-sized), so lineitem picks
+    * up BOTH nation names map-side and the only shuffle pair is the
+    * lineitem⋈orders fact join. The output is at most
+    * |nations|² × |years| rows, so the final aggregation is tiny. */
+  def nationPairs(spark: SparkSession, dir: String): DataFrame = {
+    val nation = t(spark, dir, "nation")
+    val suppNation = t(spark, dir, "supplier")
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val custNation = t(spark, dir, "customer")
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast(LongType).as("ship_year"))
+      .agg(sum(cents("l_extendedprice") * (lit(100L) - cents("l_discount")))
+        .as("revenue_units"), count(lit(1)).as("cnt"))
+      .orderBy("supp_nation", "cust_nation", "ship_year")
+  }
+
+  val nationPairsSql: String =
+    """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      | CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+      | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_units,
+      | count(*) AS cnt
+      | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+      | WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      | GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin.replace("\n", " ")
+
+  /** TPC-H Q14-shaped promo revenue share: the conditional-sum ratio
+    * report. One broadcast of the part dimension's (key, is-promo) bit,
+    * then numerator and denominator come out of ONE map-side combinable
+    * aggregation over a month of lineitem — no second scan, no division
+    * until the 1-row result (integer ppm, exact in both engines). */
+  def promoShare(spark: SparkSession, dir: String): DataFrame = {
+    val parts = t(spark, dir, "part")
+      .select(col("p_partkey"),
+        (col("p_type") === "PROMO").cast("int").as("is_promo"))
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-06-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("is_promo") === 1,
+          cents("l_extendedprice") * (lit(100L) - cents("l_discount")))
+          .otherwise(0L)).as("promo_units"),
+        sum(cents("l_extendedprice") * (lit(100L) - cents("l_discount")))
+          .as("total_units"))
+      .select(col("promo_units"), col("total_units"),
+        expr("(promo_units * 1000000) div total_units").as("promo_ppm"))
+  }
+
+  val promoShareSql: String =
+    """SELECT promo_units, total_units,
+      | CAST(promo_units * 1000000 // total_units AS BIGINT) AS promo_ppm
+      | FROM (SELECT
+      |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT)) ELSE 0 END) AS BIGINT) AS promo_units,
+      |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS total_units
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1997-06-01' AND l_shipdate < TIMESTAMP '1997-07-01')""".stripMargin.replace("\n", " ")
+
+  /** TPC-H Q10-shaped returned-revenue customers: top 20 customers by
+    * revenue of returned line items in a quarter.
+    *
+    * Scale design: the revenue aggregate groups on o_custkey BEFORE any
+    * dimension join (one fact shuffle), the top-20 is
+    * TakeOrderedAndProject (no global sort), and only THEN do the 20
+    * survivor rows broadcast against customer and nation — at 100 TB the
+    * alternative (join customer first, then aggregate) would shuffle
+    * customer-width rows through the aggregation. */
+  def topReturned(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = t(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .join(t(spark, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum(cents("l_extendedprice") * (lit(100L) - cents("l_discount")))
+        .as("revenue_units"))
+      .orderBy(col("revenue_units").desc, col("o_custkey").asc)
+      .limit(20)
+    t(spark, dir, "customer")
+      .join(broadcast(perCust), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(t(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        cents("c_acctbal").as("acctbal_cents"), col("revenue_units"))
+      .orderBy(col("revenue_units").desc, col("c_custkey").asc)
+  }
+
+  val topReturnedSql: String =
+    """WITH pc AS (SELECT o_custkey,
+      |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_units
+      | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      | WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+      | GROUP BY 1 ORDER BY revenue_units DESC, o_custkey ASC LIMIT 20)
+      | SELECT c_custkey, c_name, n_name,
+      |  CAST(round(c_acctbal*100) AS BIGINT) AS acctbal_cents, revenue_units
+      | FROM customer JOIN pc ON c_custkey = o_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      | ORDER BY revenue_units DESC, c_custkey ASC""".stripMargin.replace("\n", " ")
+
+  /** TPC-H Q15-shaped top supplier(s): suppliers whose period revenue
+    * equals the maximum — the argmax-with-ties shape. The per-supplier
+    * aggregate shuffles once; its 1-row max cross-joins back (broadcast
+    * scalar, the [[graft.text.TextOps.docMix]] pattern), and the
+    * survivor set (≥1 row, ties kept) broadcasts into the supplier
+    * dimension join. No window over the full aggregate, no second scan. */
+  def topSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(sum(cents("l_extendedprice") * (lit(100L) - cents("l_discount")))
+        .as("revenue_units"))
+    val maxRev = rev.agg(max(col("revenue_units")).as("max_units"))
+    val winners = rev.crossJoin(broadcast(maxRev))
+      .filter(col("revenue_units") === col("max_units"))
+    t(spark, dir, "supplier")
+      .join(broadcast(winners), col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("revenue_units"))
+      .orderBy("s_suppkey")
+  }
+
+  val topSupplierSql: String =
+    """WITH rev AS (SELECT l_suppkey,
+      |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_units
+      | FROM lineitem
+      | WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+      | GROUP BY 1)
+      | SELECT s_suppkey, s_name, revenue_units
+      | FROM supplier JOIN rev ON s_suppkey = l_suppkey
+      | WHERE revenue_units = (SELECT max(revenue_units) FROM rev)
+      | ORDER BY s_suppkey""".stripMargin.replace("\n", " ")
+
+  /** TPC-H Q13-shaped customer order-count distribution: how many
+    * customers placed k orders, INCLUDING k = 0 — the
+    * left-join-preserving double aggregation.
+    *
+    * Scale design: orders pre-aggregates to (custkey, count) FIRST — one
+    * map-side-combinable shuffle of 8-byte pairs instead of left-joining
+    * raw orders against customer — then customer LEFT JOINs the count
+    * relation (same key, AQE picks the join) and the second aggregation
+    * groups a histogram-sized relation. */
+  def orderCountHist(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = t(spark, dir, "orders")
+      .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+    t(spark, dir, "customer")
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(coalesce(col("n"), lit(0L)).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("n_cust"))
+      .orderBy(col("c_count").desc)
+  }
+
+  val orderCountHistSql: String =
+    """SELECT c_count, count(*) AS n_cust FROM (
+      | SELECT coalesce(n, 0) AS c_count
+      | FROM customer LEFT JOIN (
+      |  SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1) pc
+      | ON c_custkey = o_custkey)
+      | GROUP BY 1 ORDER BY c_count DESC""".stripMargin.replace("\n", " ")
+
+  /** TPC-H Q19-shaped disjunctive band predicate: revenue from three
+    * OR'd (brand, size band, quantity band) windows — the classic
+    * can't-push-one-conjunct filter. The part dimension broadcasts with
+    * only the 3 predicate columns; the disjunction evaluates map-side
+    * after the hash join and everything stays in one whole-stage-codegen
+    * pass (the quantity half of each disjunct is pushed to the lineitem
+    * scan as `l_quantity BETWEEN min(bands)` residual by Catalyst). */
+  def partBands(spark: SparkSession, dir: String): DataFrame = {
+    val parts = t(spark, dir, "part")
+      .select("p_partkey", "p_brand", "p_size")
+    val q = col("l_quantity")
+    val band1 = col("p_brand") === "Brand#1" &&
+      col("p_size").between(1, 15) && q.between(1, 15)
+    val band2 = col("p_brand") === "Brand#2" &&
+      col("p_size").between(1, 25) && q.between(10, 25)
+    val band3 = col("p_brand") === "Brand#3" &&
+      col("p_size").between(1, 50) && q.between(25, 40)
+    t(spark, dir, "lineitem")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .filter(band1 || band2 || band3)
+      .agg(count(lit(1)).as("cnt"),
+        coalesce(sum(cents("l_extendedprice") * (lit(100L) - cents("l_discount"))),
+          lit(0L)).as("revenue_units"))
+  }
+
+  val partBandsSql: String =
+    """SELECT count(*) AS cnt,
+      | CAST(coalesce(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))), 0) AS BIGINT) AS revenue_units
+      | FROM lineitem JOIN part ON l_partkey = p_partkey
+      | WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 15)
+      |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 25)
+      |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50 AND l_quantity BETWEEN 25 AND 40)""".stripMargin.replace("\n", " ")
+
   // ---- ACID-table-backed query (lake read path) -----------------------
 
   private val lakeCache =

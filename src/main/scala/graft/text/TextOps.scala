@@ -243,8 +243,12 @@ object TextOps {
     * identically in the oracle). */
   private[text] def shingles(spark: SparkSession, dir: String): DataFrame = {
     val w = words
-    docs(spark, dir)
+    // spread: the shingle explode + per-shingle md5 downstream is the
+    // most CPU-heavy map stage in the text surface; a single-row-group
+    // corpus file would otherwise run it on one core
+    graft.DatasetCache.spread(docs(spark, dir)
       .filter(size(w) >= 3)
+      .select(col("doc_id"), col("text")))
       .select(col("doc_id"), explode(array_distinct(
         transform(sequence(lit(0), size(w) - 3),
           i => concat_ws(" ", slice(w, i + lit(1), lit(3)))))).as("s"))
@@ -955,4 +959,98 @@ object TextOps {
       | (SELECT source, lang, count(*) AS n_docs FROM documents GROUP BY 1, 2),
       | (SELECT count(*) AS total FROM documents)
       | ORDER BY source, lang""".stripMargin.replace("\n", " ")
+
+  // ---- per-group top-k (window rank) ----------------------------------
+
+  /** Top-k longest documents per source — the windowed-rank shape every
+    * curation pipeline uses for per-bucket exemplar selection.
+    *
+    * Scale design: `row_number` + `rk <= k` triggers Spark's
+    * WindowGroupLimit pushdown, which keeps a size-k heap PER INPUT
+    * PARTITION before the shuffle — the exchange carries at most
+    * k × partitions rows, not the corpus (the same partial-top-k trick
+    * TakeOrderedAndProject does globally, applied per key). Ties break
+    * on doc_id so both engines pick identical rows. */
+  def docTopPerSource(k: Int)(spark: SparkSession, dir: String): DataFrame = {
+    val byScore = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("n_chars").desc, col("doc_id").asc)
+    docs(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("rk", row_number().over(byScore).cast(LongType))
+      .filter(col("rk") <= k)
+      .orderBy("source", "rk")
+  }
+
+  def docTopPerSourceSql(k: Int): String =
+    s"""SELECT source, doc_id, n_chars, rk FROM (
+       | SELECT source, doc_id, n_chars,
+       |  CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rk
+       | FROM documents)
+       | WHERE rk <= $k ORDER BY source, rk""".stripMargin.replace("\n", " ")
+
+  // ---- winnowing fingerprints -----------------------------------------
+
+  /** Winnowing token k-grams. */
+  val WinnowK = 4
+
+  /** Winnowing window width (w consecutive k-gram hashes). */
+  val WinnowW = 5
+
+  /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03): hash every token k-gram, slide a w-wide window over the
+    * hash sequence, keep each window's minimum — the guarantee is that
+    * any shared run of w+k-1 tokens between two documents yields at
+    * least one shared fingerprint, at ~2/(w+1) the density of full
+    * shingling. Output: the distinct selected hash values per document
+    * with how many windows picked each (the document sketch
+    * [[docFingerprint]] and [[Sketches.minhashSignatures]] sample
+    * uniformly; winnowing samples with a locality guarantee).
+    *
+    * Scale design: winnowing is per-document, so there is no reason to
+    * pay a window-function sort over the exploded k-gram stream (the
+    * first formulation here did, and it was the slowest query in the
+    * bench). Instead the hash sequence AND its per-window minima are
+    * computed WITHIN the row by array expressions — pure map work — and
+    * the only exchange is a map-side-combinable groupBy on
+    * (doc_id, fp), whose input the partial aggregation collapses to the
+    * distinct fingerprint count per task. 60-bit md5-prefix hashes as
+    * everywhere. The oracle states the same semantics in the
+    * window-function formulation (per-window trailing min). */
+  def docWinnow(spark: SparkSession, dir: String): DataFrame = {
+    val w = words
+    val kgramHash = transform(sequence(lit(0), size(w) - WinnowK), i =>
+      conv(substring(md5(concat_ws(" ", slice(w, i + lit(1), lit(WinnowK)))), 1, 15),
+        16, 10).cast(LongType))
+    // window ending at 0-based hash index p covers hs[p-w+1 .. p]
+    // = slice(hs, p-w+2, w) 1-based; p ranges over complete windows only
+    val wmins = transform(
+      sequence(lit(WinnowW - 1), size(col("hs")) - 1),
+      p => array_min(slice(col("hs"), p - lit(WinnowW - 2), lit(WinnowW))))
+    graft.DatasetCache.spread(docs(spark, dir)
+      // need at least one complete window: m = n-k+1 hashes, m >= w
+      // (docs below the bar emit no rows in the oracle either — its
+      // `p >= w-1` filter leaves nothing when m < w)
+      .filter(size(w) >= WinnowK + WinnowW - 1)
+      .select(col("doc_id"), col("text")))
+      .select(col("doc_id"), kgramHash.as("hs"))
+      .select(col("doc_id"), explode(wmins).as("fp"))
+      .groupBy("doc_id", "fp")
+      .agg(count(lit(1)).as("n_windows"))
+      .orderBy("doc_id", "fp")
+  }
+
+  val docWinnowSql: String = {
+    val k = WinnowK; val ww = WinnowW
+    s"""SELECT doc_id, wmin AS fp, count(*) AS n_windows FROM (
+       | SELECT doc_id, p,
+       |  min(h) OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN ${ww - 1} PRECEDING AND CURRENT ROW) AS wmin
+       | FROM (
+       |  SELECT doc_id, p,
+       |   CAST('0x'||substr(md5(array_to_string(ws[(p+1):(p+$k)],' ')),1,15) AS BIGINT) AS h
+       |  FROM (SELECT doc_id, string_split(text,' ') AS ws,
+       |    unnest(range(0, len(string_split(text,' ')) - ${k - 1})) AS p
+       |   FROM documents WHERE len(string_split(text,' ')) >= $k)))
+       | WHERE p >= ${ww - 1}
+       | GROUP BY 1, 2 ORDER BY doc_id, fp""".stripMargin.replace("\n", " ")
+  }
 }

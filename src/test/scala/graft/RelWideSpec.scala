@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.rel.RelQueries
+import graft.events.EventOps
+import graft.text.TextOps
+
+/** Semantic + plan-shape checks for the round-4 wide relational surface
+  * (Q7/Q10/Q13/Q14/Q15/Q19 twins, CUBE, window top-k, winnowing).
+  * Cross-engine value equality is the oracle's job; these specs pin the
+  * invariants the oracle can't see (internal consistency, plan shape). */
+class RelWideSpec extends SparkSpec {
+
+  test("nationPairs covers only the filtered ship years and real nations") {
+    val rows = RelQueries.nationPairs(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val years = rows.map(_.getLong(2)).toSet
+    assert(years.subsetOf(Set(1996L, 1997L)))
+    val nations = spark.read.parquet(s"$sf0001/nation.parquet")
+      .select("n_name").collect().map(_.getString(0)).toSet
+    assert(rows.map(_.getString(0)).toSet.subsetOf(nations))
+    assert(rows.map(_.getString(1)).toSet.subsetOf(nations))
+    // revenue splits exactly: pair totals sum to the unpaired total
+    val total = RelQueries.nationPairs(spark, sf0001)
+      .agg(sum("revenue_units")).collect()(0).getLong(0)
+    val direct = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100).cast("long"))))
+      .collect()(0).getLong(0)
+    assert(total == direct)
+  }
+
+  test("topReturned returns exactly k rows in descending revenue order") {
+    val rows = RelQueries.topReturned(spark, sf001).collect()
+    assert(rows.length == 20)
+    val revs = rows.map(_.getLong(4))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("topSupplier returns the true argmax (ties included)") {
+    val df = RelQueries.topSupplier(spark, sf0001)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val winners = rows.map(_.getLong(2)).toSet
+    assert(winners.size == 1) // all returned rows carry the max revenue
+    // recompute the max independently
+    val expected = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("r"))
+      .agg(max("r")).collect()(0).getLong(0)
+    assert(winners.head == expected)
+  }
+
+  test("orderCountHist conserves customers and counts the zero-order bucket") {
+    val hist = RelQueries.orderCountHist(spark, sf0001).collect()
+    val nCust = spark.read.parquet(s"$sf0001/customer.parquet").count()
+    assert(hist.map(_.getLong(1)).sum == nCust)
+    val zeroBucket = hist.find(_.getLong(0) == 0L).map(_.getLong(1)).getOrElse(0L)
+    val custWithOrders = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select("o_custkey").distinct().count()
+    assert(zeroBucket == nCust - custWithOrders)
+  }
+
+  test("partBands equals the sum of its three disjoint conjunctive bands") {
+    def band(brand: String, sizeHi: Int, qLo: Int, qHi: Int): Long = {
+      val parts = spark.read.parquet(s"$sf0001/part.parquet")
+        .filter(col("p_brand") === brand && col("p_size").between(1, sizeHi))
+        .select("p_partkey")
+      spark.read.parquet(s"$sf0001/lineitem.parquet")
+        .filter(col("l_quantity").between(qLo, qHi))
+        .join(parts, col("l_partkey") === col("p_partkey"), "left_semi")
+        .count()
+    }
+    val cnt = RelQueries.partBands(spark, sf0001).collect()(0).getLong(0)
+    assert(cnt == band("Brand#1", 15, 1, 15) + band("Brand#2", 25, 10, 25) +
+      band("Brand#3", 50, 25, 40))
+  }
+
+  test("promoShare ppm is a true integer share") {
+    val r = RelQueries.promoShare(spark, sf001).collect()(0)
+    val (promo, total, ppm) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(promo >= 0 && promo <= total)
+    assert(ppm == promo * 1000000L / total)
+  }
+
+  test("events cube margins are consistent with the grand total") {
+    val rows = EventOps.cubeByHour(spark, sf0001).collect()
+    val grand = rows.filter(_.getLong(2) == 3L)
+    assert(grand.length == 1)
+    val total = grand(0).getLong(3)
+    // each grouping set's counts sum to the grand total
+    for (gid <- Seq(0L, 1L, 2L))
+      assert(rows.filter(_.getLong(2) == gid).map(_.getLong(3)).sum == total)
+  }
+
+  test("docTopPerSource keeps at most k per source and pushes a group limit") {
+    val df = TextOps.docTopPerSource(3)(spark, sf001)
+    val rows = df.collect()
+    val bySource = rows.groupBy(_.getString(0))
+    assert(bySource.values.forall(_.length <= 3))
+    assert(rows.forall(_.getLong(3) <= 3L))
+    // scale shape: the rank filter must run as WindowGroupLimit (a per-
+    // partition top-k heap BEFORE the shuffle), not a post-window filter
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
+  }
+
+  test("docWinnow fingerprints are exactly the set of window minima") {
+    // recompute on the driver for a handful of documents
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").orderBy("doc_id").limit(5).collect()
+    val got = TextOps.docWinnow(spark, sf0001)
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(r => (r.getLong(1), r.getLong(2))).toMap).toMap
+    for (r <- docs) {
+      val (id, text) = (r.getLong(0), r.getString(1))
+      val toks = text.split(" ", -1)
+      val hs = (0 to toks.length - TextOps.WinnowK).map { i =>
+        val g = toks.slice(i, i + TextOps.WinnowK).mkString(" ")
+        val md5hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(md5hex.take(15), 16)
+      }
+      val mins = hs.sliding(TextOps.WinnowW).map(_.min).toSeq
+      val expected = mins.groupBy(identity).map { case (h, picks) => (h, picks.size.toLong) }
+      assert(got.getOrElse(id, Map.empty) == expected, s"doc $id")
+    }
+  }
+}
