@@ -138,6 +138,9 @@ object SparkEntry {
     "rel_order_count_hist" -> (RelQueries.orderCountHist(_, _)),
     "rel_part_bands" -> (RelQueries.partBands(_, _)),
     "events_cube" -> (EventOps.cubeByHour(_, _)),
+    "events_pivot" -> (EventOps.pivotByType(_, _)),
+    "events_unpivot" -> (EventOps.unpivotByType(_, _)),
+    "events_deciles" -> (EventOps.valueDeciles(_, _)),
     "doc_top_per_source" -> (TextOps.docTopPerSource(3)(_, _)),
     "doc_winnow" -> (TextOps.docWinnow(_, _)),
   )
@@ -251,6 +254,9 @@ object SparkEntry {
     "rel_order_count_hist" -> RelQueries.orderCountHistSql,
     "rel_part_bands" -> RelQueries.partBandsSql,
     "events_cube" -> EventOps.cubeByHourSql,
+    "events_pivot" -> EventOps.pivotByTypeSql,
+    "events_unpivot" -> EventOps.unpivotByTypeSql,
+    "events_deciles" -> EventOps.valueDecilesSql,
     "doc_top_per_source" -> TextOps.docTopPerSourceSql(3),
     "doc_winnow" -> TextOps.docWinnowSql,
   )

@@ -73,6 +73,81 @@ object EventOps {
        | FROM (SELECT event_type, epoch_ns(ts) // $NsPerHour % 24 AS hour_of_day, value FROM events)
        | GROUP BY CUBE(event_type, hour_of_day) ORDER BY gid, etype, hod""".stripMargin.replace("\n", " ")
 
+  /** The event-type vocabulary, pinned so [[pivotByType]]'s output
+    * schema is static (a dynamic pivot would run an extra distinct job
+    * AND make the result schema data-dependent — both wrong for a
+    * production report at scale). */
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Hour × event-type counts PIVOTED wide — the crosstab report. The
+    * explicit value list keeps it one aggregation pass (pivot with
+    * known values compiles to conditional counts — no distinct job, no
+    * second shuffle) with a static schema; absent combinations surface
+    * as 0, not null, for stable hashing. */
+  def pivotByType(spark: SparkSession, dir: String): DataFrame = {
+    val pivoted = events(spark, dir)
+      .groupBy(expr(s"ts div $NsPerHour").as("hour_id"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+    pivoted.select(col("hour_id") +:
+      EventTypes.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+      .orderBy("hour_id")
+  }
+
+  val pivotByTypeSql: String = {
+    val cols = EventTypes.map(t =>
+      s"count(*) FILTER (WHERE event_type = '$t') AS n_$t").mkString(", ")
+    s"""SELECT epoch_ns(ts) // $NsPerHour AS hour_id, $cols
+       | FROM events GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")
+  }
+
+  /** The inverse: UNPIVOT the wide crosstab back to long (hour_id,
+    * event_type, cnt) — Spark's `unpivot` operator (melt). Zero counts
+    * are dropped so the round trip reproduces exactly the observed
+    * (hour, type) pairs of [[hourlyRollup]]; the unpivot itself is a
+    * zero-shuffle row-local expansion. */
+  def unpivotByType(spark: SparkSession, dir: String): DataFrame =
+    pivotByType(spark, dir)
+      .unpivot(Array(col("hour_id")),
+        EventTypes.map(t => col(s"n_$t")).toArray, "etype_col", "cnt")
+      .filter(col("cnt") > 0)
+      .select(col("hour_id"),
+        expr("substring(etype_col, 3)").as("event_type"), col("cnt"))
+      .orderBy("hour_id", "event_type")
+
+  val unpivotByTypeSql: String =
+    s"""SELECT epoch_ns(ts) // $NsPerHour AS hour_id, event_type, count(*) AS cnt
+       | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " ")
+
+  /** Per-type value deciles via NTILE: every event ranked into 10
+    * equal-frequency buckets within its type, reported as per-bucket
+    * counts and exact integer-cent bounds — the equi-depth histogram
+    * shape. The window partitions by event_type (bounded cardinality;
+    * each partition sorts in parallel). Cents (exact int64) as
+    * everywhere, with (cents, event_id) as the total tiebreak order so
+    * both engines assign identical bucket boundaries. */
+  def valueDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val byType = Window.partitionBy("event_type")
+      .orderBy(col("cents"), col("event_id"))
+    events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast(LongType).as("cents"))
+      .withColumn("decile", ntile(10).over(byType).cast(LongType))
+      .groupBy("event_type", "decile")
+      .agg(count(lit(1)).as("cnt"),
+        min(col("cents")).as("lo_cents"), max(col("cents")).as("hi_cents"))
+      .orderBy("event_type", "decile")
+  }
+
+  val valueDecilesSql: String =
+    """SELECT event_type, decile, count(*) AS cnt,
+      | min(cents) AS lo_cents, max(cents) AS hi_cents FROM (
+      | SELECT event_type, CAST(round(value*100) AS BIGINT) AS cents,
+      |  CAST(ntile(10) OVER (PARTITION BY event_type
+      |    ORDER BY CAST(round(value*100) AS BIGINT), event_id) AS BIGINT) AS decile
+      | FROM events)
+      | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " ")
+
   /** Sessionization: per-user sessions split at >30 min gaps, via
     * lag + running sum — one shuffle on user_id, then linear per-user
     * work. Output: per-user session count and longest session. */

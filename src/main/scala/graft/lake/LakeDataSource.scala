@@ -149,6 +149,38 @@ class LakeV2Table(spark: SparkSession, options: CaseInsensitiveStringMap,
     if (counts.forall(_.isDefined)) Some(counts.flatMap(x => x).sum) else None
   }
 
+  /** EXACT snapshot (min, max) of an INTEGRAL column from log stats
+    * alone — the `min(x)`/`max(x)` twin of [[logRowCount]]. None unless
+    * every live entry is DV-free (a deletion vector could mask exactly
+    * the extreme row) and carries a stats range for the column
+    * (all-null files and pre-upgrade files have none; parquet stats
+    * cover non-null values only, which matches SQL min/max's
+    * null-ignoring semantics). Restricted to integral column types on
+    * purpose: parquet float/double footer stats silently EXCLUDE NaN,
+    * but Spark's max() orders NaN above +Infinity — a folded float max
+    * could differ from the scan's. */
+  def logColumnRange(column: String): Option[(Long, Long)] = {
+    import org.apache.spark.sql.types._
+    val integral = tableSchema.fields.find(_.name == column)
+      .exists(_.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      })
+    if (!integral || entries.isEmpty) None
+    else {
+      val rs = entries.map { case (rel, stats) =>
+        if (LakeTable.parseEntry(rel).dv.nonEmpty) None
+        else LakeTable.statsRange(stats, column)
+      }
+      if (!rs.forall(_.isDefined)) None
+      else {
+        val v = rs.flatMap(x => x)
+        try Some((v.map(_._1).min.toLongExact, v.map(_._2).max.toLongExact))
+        catch { case _: ArithmeticException => None } // non-integral stats
+      }
+    }
+  }
+
   override def name(): String = s"lake:$root${version.fold("")(v => s"@v$v")}"
 
   override def formatName: String = "lake"

@@ -174,6 +174,70 @@ class LakeCatalogSpec extends SparkSpec {
       "a filtered count must keep the scan")
   }
 
+  test("min/max fold to log metadata for integral columns only") {
+    val t = dmlTable("minmax")
+    graft.plans.GraftExtensions.install(spark)
+    // add a double column table-mate via schema evolution-free route:
+    // the base table has (id: long, v: long); query both aggregates
+    def run(sql: String) = {
+      val df = spark.sql(sql)
+      (df.head(), df.queryExecution.optimizedPlan.toString)
+    }
+    val (r, plan) = run(
+      "SELECT count(*) AS n, min(id) AS mn, max(v) AS mx FROM graftlake.dml.minmax")
+    assert(r.getLong(0) == 250 && r.getLong(1) == 0 && r.getLong(2) == 498)
+    assert(plan.contains("LocalRelation") && !plan.contains("RelationV2"),
+      s"count/min/max must fold to metadata, got:\n$plan")
+    // time travel folds against the pinned snapshot (version 1 = 0..99)
+    val (r1, plan1) = run(
+      "SELECT min(id) AS mn, max(id) AS mx FROM graftlake.dml.minmax VERSION AS OF 1")
+    assert(r1.getLong(0) == 0 && r1.getLong(1) == 99 && plan1.contains("LocalRelation"))
+    // a copy-on-write DELETE narrows the folded range (new files, new stats)
+    spark.sql("DELETE FROM graftlake.dml.minmax WHERE id < 30")
+    val (r2, plan2) = run(
+      "SELECT min(id) AS mn FROM graftlake.dml.minmax")
+    assert(r2.getLong(0) == 30 && plan2.contains("LocalRelation"))
+    // filtered / grouped / expression aggregates must keep the scan
+    val filtered = spark.sql(
+      "SELECT min(id) AS mn FROM graftlake.dml.minmax WHERE id >= 100")
+    assert(filtered.head().getLong(0) == 100)
+    assert(filtered.queryExecution.optimizedPlan.toString.contains("RelationV2"),
+      "a filtered min must keep the scan")
+    val computed = spark.sql(
+      "SELECT min(id + 1) AS mn FROM graftlake.dml.minmax")
+    assert(computed.head().getLong(0) == 31)
+    assert(computed.queryExecution.optimizedPlan.toString.contains("RelationV2"),
+      "min over an expression must keep the scan")
+  }
+
+  test("min/max fold refuses double columns and deletion-vector snapshots") {
+    val t = s"$root/dml/minmaxguards"
+    LakeTable.append(spark, t, spark.range(0, 100)
+      .select(col("id"), (col("id").cast("double") / 4.0).as("score")))
+    graft.plans.GraftExtensions.install(spark)
+    // double column: stats exist for pruning, but the fold must refuse
+    // (parquet stats exclude NaN; Spark's max orders NaN above +Inf)
+    val d = spark.sql("SELECT max(score) AS mx FROM graftlake.dml.minmaxguards")
+    assert(math.abs(d.head().getDouble(0) - 24.75) < 1e-9)
+    assert(d.queryExecution.optimizedPlan.toString.contains("RelationV2"),
+      "float max must keep the scan")
+    // integral column on the same table folds
+    val i = spark.sql("SELECT max(id) AS mx FROM graftlake.dml.minmaxguards")
+    assert(i.head().getLong(0) == 99)
+    assert(i.queryExecution.optimizedPlan.toString.contains("LocalRelation"))
+    // a DV delete poisons the metadata path (the masked row could be the
+    // max, and its count is not in the log): logRowCount/logColumnRange
+    // return None, so the rule leaves the plan alone — and the DSv2
+    // scan-builder then refuses the DV snapshot AT PLAN TIME, loudly,
+    // instead of resurrecting deleted rows. A wrong fold would have
+    // returned 100 silently; the throw proves the fold did not happen.
+    LakeTable.deleteWhereDV(spark, t, "id", 99.0, 100.0)
+    val e = intercept[Exception] {
+      spark.sql("SELECT count(*) AS n FROM graftlake.dml.minmaxguards").head()
+    }
+    assert(e.getMessage.contains("deletion vectors"), e.getMessage)
+  }
+
   test("SQL DELETE guards: flipped literals work, unbounded float ranges refuse") {
     import org.apache.spark.sql.functions.col
     // a float-valued column alongside the longs

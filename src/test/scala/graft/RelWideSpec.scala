@@ -110,6 +110,31 @@ class RelWideSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
   }
 
+  test("pivot/unpivot round-trips to the hourly rollup") {
+    val back = EventOps.unpivotByType(spark, sf0001)
+      .select("hour_id", "event_type", "cnt")
+    val rollup = EventOps.hourlyRollup(spark, sf0001)
+      .select("hour_id", "event_type", "cnt")
+    assert(back.exceptAll(rollup).isEmpty && rollup.exceptAll(back).isEmpty)
+  }
+
+  test("value deciles are equi-depth with monotone bounds") {
+    val rows = EventOps.valueDeciles(spark, sf0001).collect()
+    for ((_, rs) <- rows.groupBy(_.getString(0))) {
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to 10L))
+      val counts = sorted.map(_.getLong(2))
+      assert(counts.max - counts.min <= 1, s"not equi-depth: ${counts.toSeq}")
+      // bounds are internally ordered and monotone across buckets
+      // (ties can share a boundary value, so <= not <)
+      sorted.foreach(r => assert(r.getLong(3) <= r.getLong(4)))
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(a.getLong(3) <= b.getLong(3) && a.getLong(4) <= b.getLong(4))
+      case _ => ()
+      }
+    }
+  }
+
   test("docWinnow fingerprints are exactly the set of window minima") {
     // recompute on the driver for a handful of documents
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
