@@ -137,6 +137,7 @@ object SparkEntry {
     "rel_top_supplier" -> (RelQueries.topSupplier(_, _)),
     "rel_order_count_hist" -> (RelQueries.orderCountHist(_, _)),
     "rel_part_bands" -> (RelQueries.partBands(_, _)),
+    "rel_cheapest_supplier" -> (RelQueries.cheapestSupplier("Brand#5")(_, _)),
     "events_cube" -> (EventOps.cubeByHour(_, _)),
     "events_pivot" -> (EventOps.pivotByType(_, _)),
     "events_unpivot" -> (EventOps.unpivotByType(_, _)),
@@ -253,6 +254,7 @@ object SparkEntry {
     "rel_top_supplier" -> RelQueries.topSupplierSql,
     "rel_order_count_hist" -> RelQueries.orderCountHistSql,
     "rel_part_bands" -> RelQueries.partBandsSql,
+    "rel_cheapest_supplier" -> RelQueries.cheapestSupplierSql("Brand#5"),
     "events_cube" -> EventOps.cubeByHourSql,
     "events_pivot" -> EventOps.pivotByTypeSql,
     "events_unpivot" -> EventOps.unpivotByTypeSql,

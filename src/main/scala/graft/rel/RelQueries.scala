@@ -505,6 +505,42 @@ object RelQueries {
       |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 25)
       |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50 AND l_quantity BETWEEN 25 AND 40)""".stripMargin.replace("\n", " ")
 
+  /** TPC-H Q2-shaped cheapest supplier per part: for each part of one
+    * brand, the supplier shipping it cheapest — the argmin-per-group
+    * shape (min_by with a defined tie order).
+    *
+    * Scale design: the brand's part list broadcasts and semi-filters
+    * lineitem map-side, so the rank window sees ~1/|brands| of the
+    * table; the rank-1 filter compiles to WindowGroupLimit (per-
+    * partition top-1 heap BEFORE the shuffle on l_partkey). min_by /
+    * arg_min aggregates leave ties engine-defined — the explicit
+    * (price, suppkey) lexicographic rank is what makes the answer
+    * deterministic on both engines. */
+  def cheapestSupplier(brand: String)(spark: SparkSession, dir: String): DataFrame = {
+    val parts = broadcast(t(spark, dir, "part")
+      .filter(col("p_brand") === brand).select("p_partkey"))
+    val byPart = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_partkey")
+      .orderBy(col("price_cents").asc, col("l_suppkey").asc)
+    t(spark, dir, "lineitem")
+      .join(parts, col("l_partkey") === col("p_partkey"), "left_semi")
+      .select(col("l_partkey"), col("l_suppkey"),
+        cents("l_extendedprice").as("price_cents"))
+      .withColumn("rk", row_number().over(byPart))
+      .filter(col("rk") === 1)
+      .select(col("l_partkey"), col("l_suppkey"), col("price_cents"))
+      .orderBy("l_partkey")
+  }
+
+  def cheapestSupplierSql(brand: String): String =
+    s"""SELECT l_partkey, l_suppkey, price_cents FROM (
+       | SELECT l_partkey, l_suppkey,
+       |  CAST(round(l_extendedprice*100) AS BIGINT) AS price_cents,
+       |  row_number() OVER (PARTITION BY l_partkey
+       |   ORDER BY CAST(round(l_extendedprice*100) AS BIGINT) ASC, l_suppkey ASC) AS rk
+       | FROM lineitem SEMI JOIN part ON l_partkey = p_partkey AND p_brand = '$brand')
+       | WHERE rk = 1 ORDER BY l_partkey""".stripMargin.replace("\n", " ")
+
   // ---- ACID-table-backed query (lake read path) -----------------------
 
   private val lakeCache =

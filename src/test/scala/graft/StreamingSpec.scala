@@ -42,6 +42,28 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-static dimension enrichment equals the batch join") {
+    // the standard streaming-ETL shape: a stream joined to a static
+    // dimension. Spark plans the static side fresh per micro-batch
+    // (broadcast at this size) — no streaming state, no watermark needed
+    val dim = spark.createDataFrame(Seq(
+      ("click", "ui"), ("view", "ui"), ("purchase", "commerce"),
+      ("signup", "commerce"), ("error", "ops"))).toDF("event_type", "category")
+    def enrich(df: org.apache.spark.sql.DataFrame) =
+      df.join(dim, "event_type")
+        .groupBy("category")
+        .agg(count(lit(1)).as("cnt"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+    runStream(enrich, "dim_sink")
+    val streamed = spark.table("dim_sink").orderBy("category").collect()
+    val batch = enrich(eventsBatch).orderBy("category").collect()
+    assert(streamed.length == batch.length && streamed.length == 3)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getString(0) == b.getString(0) && s.getLong(1) == b.getLong(1)
+        && s.getLong(2) == b.getLong(2), s"stream row $s != batch row $b")
+    }
+  }
+
   test("streaming session windows cover every event exactly once") {
     runStream(df => EventStream.sessions(df), "session_sink")
     val total = spark.table("session_sink").agg(sum("n_events")).head().getLong(0)
