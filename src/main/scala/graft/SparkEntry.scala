@@ -142,6 +142,10 @@ object SparkEntry {
     "events_pivot" -> (EventOps.pivotByType(_, _)),
     "events_unpivot" -> (EventOps.unpivotByType(_, _)),
     "events_deciles" -> (EventOps.valueDeciles(_, _)),
+    "events_dense_hourly" -> (EventOps.denseHourly(_, _)),
+    "events_feed_reconcile" -> (EventOps.purchaseVsErrorHourly(_, _)),
+    "doc_vocab_overlap" -> (TextOps.vocabOverlap("en", "de")(_, _)),
+    "events_click_no_buy" -> (EventOps.clickNoBuyDays(_, _)),
     "doc_top_per_source" -> (TextOps.docTopPerSource(3)(_, _)),
     "doc_winnow" -> (TextOps.docWinnow(_, _)),
   )
@@ -259,6 +263,10 @@ object SparkEntry {
     "events_pivot" -> EventOps.pivotByTypeSql,
     "events_unpivot" -> EventOps.unpivotByTypeSql,
     "events_deciles" -> EventOps.valueDecilesSql,
+    "events_dense_hourly" -> EventOps.denseHourlySql,
+    "events_feed_reconcile" -> EventOps.purchaseVsErrorHourlySql,
+    "doc_vocab_overlap" -> TextOps.vocabOverlapSql("en", "de"),
+    "events_click_no_buy" -> EventOps.clickNoBuyDaysSql,
     "doc_top_per_source" -> TextOps.docTopPerSourceSql(3),
     "doc_winnow" -> TextOps.docWinnowSql,
   )

@@ -148,6 +148,95 @@ object EventOps {
       | FROM events)
       | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " ")
 
+  /** Gap-filled (dense) hourly series: every (hour, type) cell between
+    * the observed min and max hour, zero-filled — the resample /
+    * gap-fill shape every time-series consumer needs before
+    * differencing or charting.
+    *
+    * Scale design: the dense grid is |hours| × |types| — TIME-bounded
+    * metadata, independent of event volume — generated from a 1-row
+    * bounds aggregate (`sequence` + explode, no driver loop); the only
+    * data-sized work is the counts aggregation (one shuffle), and the
+    * grid⋈counts join runs between two aggregate-sized relations (AQE
+    * broadcasts). */
+  def denseHourly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(expr(s"ts div $NsPerHour").as("hour_id"), col("event_type"))
+    val counts = ev.groupBy("hour_id", "event_type")
+      .agg(count(lit(1)).as("n"))
+    val hours = ev.agg(min("hour_id").as("mn"), max("hour_id").as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"))).as("hour_id"))
+    val types = ev.select("event_type").distinct()
+    hours.crossJoin(types)
+      .join(counts, Seq("hour_id", "event_type"), "left_outer")
+      .select(col("hour_id"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("cnt"))
+      .orderBy("hour_id", "event_type")
+  }
+
+  val denseHourlySql: String =
+    s"""WITH ev AS (SELECT epoch_ns(ts) // $NsPerHour AS hour_id, event_type FROM events),
+       | c AS (SELECT hour_id, event_type, count(*) AS n FROM ev GROUP BY 1, 2),
+       | h AS (SELECT unnest(generate_series((SELECT min(hour_id) FROM ev), (SELECT max(hour_id) FROM ev))) AS hour_id),
+       | t AS (SELECT DISTINCT event_type FROM ev)
+       | SELECT h.hour_id, t.event_type, coalesce(c.n, 0) AS cnt
+       | FROM h CROSS JOIN t LEFT JOIN c ON c.hour_id = h.hour_id AND c.event_type = t.event_type
+       | ORDER BY 1, 2""".stripMargin.replace("\n", " ")
+
+  /** Purchases vs errors per hour via FULL OUTER join — the
+    * reconcile-two-feeds shape, where either side can have hours the
+    * other lacks. Both inputs are hour-grained aggregates (one fact
+    * shuffle each, map-side combinable), so the full-outer join runs on
+    * two time-bounded relations; the USING key coalesces across sides
+    * and missing counts surface as 0 for stable hashing. */
+  def purchaseVsErrorHourly(spark: SparkSession, dir: String): DataFrame = {
+    def hourly(etype: String, as: String) = events(spark, dir)
+      .filter(col("event_type") === etype)
+      .groupBy(expr(s"ts div $NsPerHour").as("hour_id"))
+      .agg(count(lit(1)).as(as))
+    hourly("purchase", "n_purchase")
+      .join(hourly("error", "n_error"), Seq("hour_id"), "full_outer")
+      .select(col("hour_id"),
+        coalesce(col("n_purchase"), lit(0L)).as("n_purchase"),
+        coalesce(col("n_error"), lit(0L)).as("n_error"))
+      .orderBy("hour_id")
+  }
+
+  val purchaseVsErrorHourlySql: String =
+    s"""WITH p AS (SELECT epoch_ns(ts) // $NsPerHour AS hour_id, count(*) AS n_purchase
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       | e AS (SELECT epoch_ns(ts) // $NsPerHour AS hour_id, count(*) AS n_error
+       |  FROM events WHERE event_type = 'error' GROUP BY 1)
+       | SELECT hour_id, coalesce(n_purchase, 0) AS n_purchase,
+       |  coalesce(n_error, 0) AS n_error
+       | FROM p FULL JOIN e USING (hour_id) ORDER BY hour_id""".stripMargin.replace("\n", " ")
+
+  val NsPerDay: Long = 24L * NsPerHour
+
+  /** (user, day) pairs with engagement but no conversion — EXCEPT, the
+    * set-difference operator (the anti-join twin of
+    * [[graft.text.TextOps.vocabOverlap]]'s INTERSECT). Spark compiles
+    * EXCEPT to a left-anti join over two pre-distinct sides; both sides
+    * here are (user, day)-compressed BEFORE they meet — the same
+    * distinct-first discipline the retention query uses, so the anti
+    * join never sees raw event volume. */
+  def clickNoBuyDays(spark: SparkSession, dir: String): DataFrame = {
+    def userDays(etype: String) = events(spark, dir)
+      .filter(col("event_type") === etype)
+      .select(col("user_id"), expr(s"ts div $NsPerDay").as("day_id"))
+      .distinct()
+    userDays("click").except(userDays("purchase"))
+      .orderBy("user_id", "day_id")
+  }
+
+  val clickNoBuyDaysSql: String =
+    s"""SELECT DISTINCT user_id, epoch_ns(ts) // $NsPerDay AS day_id
+       | FROM events WHERE event_type = 'click'
+       | EXCEPT
+       | SELECT DISTINCT user_id, epoch_ns(ts) // $NsPerDay AS day_id
+       | FROM events WHERE event_type = 'purchase'
+       | ORDER BY user_id, day_id""".stripMargin.replace("\n", " ")
+
   /** Sessionization: per-user sessions split at >30 min gaps, via
     * lag + running sum — one shuffle on user_id, then linear per-user
     * work. Output: per-user session count and longest session. */

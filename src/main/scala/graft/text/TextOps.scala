@@ -960,6 +960,31 @@ object TextOps {
       | (SELECT count(*) AS total FROM documents)
       | ORDER BY source, lang""".stripMargin.replace("\n", " ")
 
+  // ---- set operations across corpus slices ----------------------------
+
+  /** Distinct vocabulary of one language slice. */
+  private def langVocab(spark: SparkSession, dir: String, lang: String): DataFrame =
+    docs(spark, dir).filter(col("lang") === lang)
+      .select(explode(array_distinct(words)).as("term")).distinct()
+
+  /** Terms shared between two language slices — INTERSECT, the set
+    * operator. Spark compiles it to a left-semi join over two
+    * pre-distinct sides (each a map-side-combinable aggregate on the
+    * term); at 100 TB both sides are vocabulary-sized, not
+    * corpus-sized, before they ever meet. */
+  def vocabOverlap(langA: String, langB: String)(
+      spark: SparkSession, dir: String): DataFrame =
+    langVocab(spark, dir, langA).intersect(langVocab(spark, dir, langB))
+      .orderBy("term")
+
+  def vocabOverlapSql(langA: String, langB: String): String =
+    s"""SELECT DISTINCT unnest(list_distinct(string_split(text,' '))) AS term
+       | FROM documents WHERE lang = '$langA'
+       | INTERSECT
+       | SELECT DISTINCT unnest(list_distinct(string_split(text,' '))) AS term
+       | FROM documents WHERE lang = '$langB'
+       | ORDER BY term""".stripMargin.replace("\n", " ")
+
   // ---- per-group top-k (window rank) ----------------------------------
 
   /** Top-k longest documents per source — the windowed-rank shape every

@@ -135,6 +135,45 @@ class RelWideSpec extends SparkSpec {
     }
   }
 
+  test("dense hourly grid is complete and conserves event counts") {
+    val rows = EventOps.denseHourly(spark, sf0001).collect()
+    val hours = rows.map(_.getLong(0)).distinct.sorted
+    val types = rows.map(_.getString(1)).distinct
+    assert(rows.length == hours.length * types.length, "grid has holes")
+    assert(hours.zip(hours.tail).forall { case (a, b) => b == a + 1 },
+      "hour axis is not dense")
+    val total = spark.read.parquet(s"$sf0001/events.parquet").count()
+    assert(rows.map(_.getLong(2)).sum == total)
+  }
+
+  test("feed reconcile (full outer) conserves both sides") {
+    val rows = EventOps.purchaseVsErrorHourly(spark, sf0001).collect()
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+    assert(rows.map(_.getLong(1)).sum ==
+      ev.filter(col("event_type") === "purchase").count())
+    assert(rows.map(_.getLong(2)).sum ==
+      ev.filter(col("event_type") === "error").count())
+    // full-outer actually matters: some hours are one-sided
+    assert(rows.exists(r => r.getLong(1) == 0L || r.getLong(2) == 0L))
+  }
+
+  test("set ops: overlap terms appear in both slices, except days have no purchase") {
+    val overlap = TextOps.vocabOverlap("en", "de")(spark, sf0001)
+      .collect().map(_.getString(0)).toSet
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    def vocab(l: String) = docs.filter(col("lang") === l)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .collect().map(_.getString(0)).toSet
+    assert(overlap.nonEmpty && overlap.subsetOf(vocab("en") intersect vocab("de")))
+    val noBuy = EventOps.clickNoBuyDays(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val buyDays = spark.read.parquet(s"$sf0001/events.parquet")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr(s"ts div ${EventOps.NsPerDay}").as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(noBuy.nonEmpty && noBuy.intersect(buyDays).isEmpty)
+  }
+
   test("docWinnow fingerprints are exactly the set of window minima") {
     // recompute on the driver for a handful of documents
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
