@@ -17,6 +17,10 @@ object LocalSession {
       .config("spark.ui.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS); read as int64 nanoseconds
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the library's SQL surface (optimizer rules, SQL functions, and
+      // the UPDATE rewrite — the latter needs a RESOLUTION hook, which
+      // only the extensions API offers)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -213,6 +213,47 @@ object EventOps {
 
   val NsPerDay: Long = 24L * NsPerHour
 
+  /** Time-weighted value integral per event type: each event's value
+    * holds until the next event of the same type — the step-function
+    * integral behind time-weighted averages (billing, exposure, TWAP).
+    *
+    * Exactness discipline: weights are whole SECONDS via integer
+    * division (µs would overflow int64 on the sum at scale; seconds
+    * keep the per-type total ≤ cents·observation-window ≈ 10¹⁰ —
+    * int64-safe by eight orders), time is µs (DuckDB truncates ns), and
+    * the final open-ended interval drops identically in both engines
+    * (lead IS NULL). One shuffle on event_type for the lead window,
+    * then a map-side-combinable aggregate in the same partitioning. */
+  def timeWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val byType = Window.partitionBy("event_type")
+      .orderBy(col("ts_us"), col("event_id"))
+    events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        expr("ts div 1000").as("ts_us"),
+        round(col("value") * 100).cast(LongType).as("cents"))
+      .withColumn("next_us", lead(col("ts_us"), 1).over(byType))
+      .filter(col("next_us").isNotNull)
+      .withColumn("dur_s", expr("(next_us - ts_us) div 1000000"))
+      .groupBy("event_type")
+      .agg(sum(col("cents") * col("dur_s")).as("cent_seconds"),
+        sum(col("dur_s")).as("dur_s_total"),
+        count(lit(1)).as("n_intervals"))
+      .orderBy("event_type")
+  }
+
+  val timeWeightedSql: String =
+    """SELECT event_type,
+      | CAST(sum(cents * dur_s) AS BIGINT) AS cent_seconds,
+      | CAST(sum(dur_s) AS BIGINT) AS dur_s_total,
+      | count(*) AS n_intervals
+      | FROM (
+      |  SELECT event_type, cents,
+      |   (lead(ts_us) OVER (PARTITION BY event_type ORDER BY ts_us, event_id) - ts_us) // 1000000 AS dur_s
+      |  FROM (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+      |    CAST(round(value * 100) AS BIGINT) AS cents FROM events))
+      | WHERE dur_s IS NOT NULL
+      | GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")
+
   /** (user, day) pairs with engagement but no conversion — EXCEPT, the
     * set-difference operator (the anti-join twin of
     * [[graft.text.TextOps.vocabOverlap]]'s INTERSECT). Spark compiles

@@ -213,6 +213,11 @@ class LakeV2Table(spark: SparkSession, options: CaseInsensitiveStringMap,
   // canDeleteWhere, which Spark reports loudly — never a partial or
   // silently-different delete.
 
+  /** Table root + pinned version for the SQL UPDATE rewrite
+    * ([[LakeSqlUpdate]]), which executes through [[LakeTable]] by path. */
+  private[lake] def tableRoot: String = root
+  private[lake] def requireCurrentFor(op: String): Unit = requireCurrent(op)
+
   /** DML must target the live table: a commit that raced past our pinned
     * snapshot (or an explicit `VERSION AS OF`) is stale state. */
   private def requireCurrent(op: String): Unit = {
@@ -369,6 +374,12 @@ class LakeFileIndex(spark: SparkSession, root: String,
       entries.map { case (rel, _) => new Path(s"$root/$rel") },
       Map.empty[String, String],
       Some(schema)) {
+
+  /** Root path for the SQL INSERT rewrite ([[LakeSqlInsert]]): the V1
+    * fallback path erases the [[LakeV2Table]] identity, leaving this
+    * index as the only marker that a LogicalRelation is a lake
+    * snapshot. */
+  private[lake] def tableRoot: String = root
 
   /** Stats keyed the way the log stores files: `stage-sub/name`. */
   private val statsByRel: Map[String, String] = entries.toMap

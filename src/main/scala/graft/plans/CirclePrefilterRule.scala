@@ -122,6 +122,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => CirclePrefilterRule)
     e.injectOptimizerRule(_ => LakeCountStarRule)
+    // UPDATE must rewrite during RESOLUTION: Spark eagerly plans Command
+    // nodes straight from the analyzed plan, so an optimizer-batch rule
+    // never sees UpdateTable
+    e.injectPostHocResolutionRule(_ => graft.lake.LakeSqlUpdate)
+    // INSERT must rewrite inside the MAIN resolution batch: the built-in
+    // DataSourceAnalysis post-hoc rule rejects the multi-path V1
+    // fallback relation before custom post-hoc rules run
+    e.injectResolutionRule(_ => graft.lake.LakeSqlInsert)
+    e.injectPostHocResolutionRule(_ => graft.lake.LakeSqlMerge)
     e.injectFunction(GraftExtensions.fvecDotDescriptor)
     e.injectFunction(GraftExtensions.hllSketchDescriptor)
   }

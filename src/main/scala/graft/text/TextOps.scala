@@ -1064,7 +1064,9 @@ object TextOps {
       .orderBy("doc_id", "fp")
   }
 
-  val docWinnowSql: String = {
+  /** The winnow fingerprint relation as a SQL fragment (no ORDER BY) —
+    * shared by [[docWinnowSql]] and [[docWinnowPairsSql]]. */
+  private val winnowCoreSql: String = {
     val k = WinnowK; val ww = WinnowW
     s"""SELECT doc_id, wmin AS fp, count(*) AS n_windows FROM (
        | SELECT doc_id, p,
@@ -1076,6 +1078,40 @@ object TextOps {
        |    unnest(range(0, len(string_split(text,' ')) - ${k - 1})) AS p
        |   FROM documents WHERE len(string_split(text,' ')) >= $k)))
        | WHERE p >= ${ww - 1}
-       | GROUP BY 1, 2 ORDER BY doc_id, fp""".stripMargin.replace("\n", " ")
+       | GROUP BY 1, 2""".stripMargin.replace("\n", " ")
   }
+
+  val docWinnowSql: String =
+    s"SELECT doc_id, fp, n_windows FROM ($winnowCoreSql) ORDER BY doc_id, fp"
+
+  /** Near-duplicate candidate pairs from shared winnowing fingerprints —
+    * the fingerprint family's answer to [[ngramJaccardPairs]]: the
+    * winnowing guarantee (any shared w+k-1-token run yields a shared
+    * fingerprint) makes this a RECALL-bounded candidate generator at
+    * ~2/(w+1) the index size of full shingling.
+    *
+    * Scale design: identical to the shingle self-join — equi-join on the
+    * 60-bit fingerprint (8-byte shuffle keys), hot fingerprints df-capped
+    * via the shared broadcast anti-join guard, map-side combinable pair
+    * counting, no O(n²) enumeration anywhere. */
+  def docWinnowPairs(minShared: Int, dfCap: Int = ShingleDfCap)(
+      spark: SparkSession, dir: String): DataFrame = {
+    val w = dfCapped(
+      docWinnow(spark, dir).select(col("doc_id"), col("fp")), Seq("fp"), dfCap)
+    w.as("a").join(w.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("d1", "d2")
+  }
+
+  def docWinnowPairsSql(minShared: Int, dfCap: Int = ShingleDfCap): String =
+    s"""WITH w0 AS (SELECT doc_id, fp FROM ($winnowCoreSql)),
+       | hot AS (SELECT fp FROM w0 GROUP BY 1 HAVING count(*) > $dfCap),
+       | w AS (SELECT * FROM w0 ANTI JOIN hot USING (fp))
+       | SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+       | FROM w a JOIN w b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       | GROUP BY 1, 2 HAVING count(*) >= $minShared
+       | ORDER BY d1, d2""".stripMargin.replace("\n", " ")
 }

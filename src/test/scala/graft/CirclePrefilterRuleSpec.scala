@@ -48,16 +48,18 @@ class CirclePrefilterRuleSpec extends SparkSpec {
   }
 
   test("rule injects a pushable bbox; results identical; plan is idempotent") {
-    // other suites may have installed the rule on the shared session
-    // (circleOnGridNaive does); start from a clean slate
-    spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations
-        .filterNot(_ == graft.plans.CirclePrefilterRule)
-    // without the rule: nothing pushable in the naive predicate
-    val before = pushedFilters(circleDf())
-    assert(!before.contains("GreaterThanOrEqual(x"),
-      s"expected no pushable range without the rule, got: $before")
-    val expected = circleDf().count()
+    // baseline in a NO-extensions session (the shared session carries
+    // the rule by default now): nothing pushable in the naive predicate
+    val expected = withPlainSession { plain =>
+      val (cx, cy, r) = (400.0, 400.0, 60.0)
+      val d2 = (col("x") - cx) * (col("x") - cx) +
+        (col("y") - cy) * (col("y") - cy)
+      val df = plain.read.parquet(layoutDir).filter(d2 < r * r)
+      val before = pushedFilters(df)
+      assert(!before.contains("GreaterThanOrEqual(x"),
+        s"expected no pushable range without the rule, got: $before")
+      df.count()
+    }
 
     GraftExtensions.install(spark)
     try {
@@ -79,14 +81,16 @@ class CirclePrefilterRuleSpec extends SparkSpec {
   }
 
   test("pow(x-c, 2) spelling gets the same bbox as the multiply form") {
-    spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations
-        .filterNot(_ == graft.plans.CirclePrefilterRule)
     val (cx, cy, r) = (400.0, 400.0, 60.0)
     def powDf(): DataFrame = spark.read.parquet(layoutDir)
       .filter(pow(col("x") - cx, 2) + pow(col("y") - cy, 2) < r * r)
     val expected = powDf().count()
-    assert(boundCount(powDf(), "x") == 0, "no rule installed yet")
+    // baseline without the rule needs a no-extensions session
+    withPlainSession { plain =>
+      val df = plain.read.parquet(layoutDir)
+        .filter(pow(col("x") - cx, 2) + pow(col("y") - cy, 2) < r * r)
+      assert(boundCount(df, "x") == 0, "no rule installed yet")
+    }
 
     GraftExtensions.install(spark)
     try {

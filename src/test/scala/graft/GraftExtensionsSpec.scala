@@ -75,12 +75,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
   }
 
   test("fvec_dot is absent without the conf (the injection is really doing it)") {
-    val plain = SparkSpec.spark
-    // the shared session never installs the temp function under this name
-    // unless a sim query ran first in this JVM; a newSession() has a fresh
-    // temp-function registry either way
-    val fresh = plain.newSession()
-    assert(!fresh.sessionState.functionRegistry.functionExists(
-      org.apache.spark.sql.catalyst.FunctionIdentifier("fvec_dot")))
+    // the shared session (and any newSession() on its context) now
+    // carries spark.sql.extensions by default, so the no-extensions
+    // baseline must opt out explicitly with an empty conf override
+    val prev = SparkSpec.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val fresh = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.extensions", "")
+        .getOrCreate()
+      assert(!fresh.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("fvec_dot")))
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setActiveSession(prev)
+      SparkSession.setDefaultSession(prev)
+    }
   }
 }

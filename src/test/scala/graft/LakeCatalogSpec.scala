@@ -238,6 +238,121 @@ class LakeCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("deletion vectors"), e.getMessage)
   }
 
+  test("SQL UPDATE executes as a lake transaction with lossless guards") {
+    val t = dmlTable("upd")
+    graft.plans.GraftExtensions.install(spark)
+    spark.sql("UPDATE graftlake.dml.upd SET v = 7 WHERE id >= 40 AND id < 120")
+    val after = spark.sql(
+      "SELECT sum(v) AS s, count(*) AS n FROM graftlake.dml.upd WHERE v = 7")
+      .head()
+    assert(after.getLong(1) == 80, s"expected 80 updated rows, got $after")
+    // untouched rows keep their values
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graftlake.dml.upd WHERE v = 2 * id").head()
+      .getLong(0) == 170)
+    // time travel still sees the pre-update table
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graftlake.dml.upd VERSION AS OF 2 WHERE v = 7")
+      .head().getLong(0) == 0)
+    // flipped literal comparison: `130 > id` == `id < 130`
+    spark.sql("UPDATE graftlake.dml.upd SET v = 9 WHERE 130 > id AND id >= 120")
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graftlake.dml.upd WHERE v = 9").head()
+      .getLong(0) == 10)
+    // lossy literal: Cast(2.5 AS BIGINT) would silently fold to 2 — the
+    // rule hands the RAW literal to the lossless validation, which throws
+    val lossy = intercept[Exception] {
+      spark.sql("UPDATE graftlake.dml.upd SET v = 2.5 WHERE id < 10")
+    }
+    assert(lossy.getMessage.contains("not an integral value"), lossy.getMessage)
+    // computed update: refused (merge covers it)
+    val computed = intercept[Exception] {
+      spark.sql("UPDATE graftlake.dml.upd SET v = v + 1 WHERE id < 10")
+    }
+    assert(computed.getMessage.contains("non-literal"), computed.getMessage)
+    // full-table update: refused (no predicate column to scope the txn)
+    val full = intercept[Exception] {
+      spark.sql("UPDATE graftlake.dml.upd SET v = 1")
+    }
+    assert(full.getMessage.contains("WHERE"), full.getMessage)
+    // predicate-column assignment: refused by updateWhere
+    val self = intercept[Exception] {
+      spark.sql("UPDATE graftlake.dml.upd SET id = 1 WHERE id < 10")
+    }
+    assert(self.getMessage.contains("predicate column"), self.getMessage)
+  }
+
+  test("SQL INSERT INTO appends as a lake transaction") {
+    val t = dmlTable("ins")
+    graft.plans.GraftExtensions.install(spark)
+    spark.sql(
+      "INSERT INTO graftlake.dml.ins SELECT id, id * 3 AS v FROM range(250, 300)")
+    assert(spark.sql("SELECT count(*) AS n FROM graftlake.dml.ins")
+      .head().getLong(0) == 300)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graftlake.dml.ins WHERE v = 3 * id AND id >= 250")
+      .head().getLong(0) == 50)
+    // the append is a commit: time travel sees the pre-insert table
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graftlake.dml.ins VERSION AS OF 2")
+      .head().getLong(0) == 250)
+    // INSERT OVERWRITE refuses loudly
+    val ow = intercept[Exception] {
+      spark.sql("INSERT OVERWRITE graftlake.dml.ins SELECT id, id AS v FROM range(5)")
+    }
+    assert(ow.getMessage.contains("INSERT OVERWRITE"), ow.getMessage)
+  }
+
+  test("SQL MERGE INTO upserts as a lake transaction; non-upsert shapes refuse") {
+    val t = dmlTable("mrg")
+    graft.plans.GraftExtensions.install(spark)
+    // update rows 0..9, insert rows 500..504
+    spark.sql(
+      """MERGE INTO graftlake.dml.mrg t
+        | USING (SELECT id, CAST(999 AS BIGINT) AS v FROM range(0, 10)
+        |        UNION ALL SELECT id, CAST(1000 AS BIGINT) AS v FROM range(500, 505)) s
+        | ON t.id = s.id
+        | WHEN MATCHED THEN UPDATE SET *
+        | WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql("SELECT count(*) AS n FROM graftlake.dml.mrg")
+      .head().getLong(0) == 255)
+    assert(spark.sql("SELECT count(*) AS n FROM graftlake.dml.mrg WHERE v = 999")
+      .head().getLong(0) == 10)
+    assert(spark.sql("SELECT count(*) AS n FROM graftlake.dml.mrg WHERE v = 1000")
+      .head().getLong(0) == 5)
+    // untouched rows intact
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graftlake.dml.mrg WHERE v = 2 * id AND id >= 10 AND id < 250")
+      .head().getLong(0) == 240)
+    // a conditional matched action refuses (would change upsert semantics)
+    val typedSrc = "(SELECT CAST(1 AS BIGINT) AS id, CAST(2 AS BIGINT) AS v) s"
+    val cond = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO graftlake.dml.mrg t USING $typedSrc
+           | ON t.id = s.id
+           | WHEN MATCHED AND s.v > 0 THEN UPDATE SET *""".stripMargin)
+    }
+    assert(cond.getMessage.contains("WHEN MATCHED"), cond.getMessage)
+    // a DELETE action refuses
+    val del = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO graftlake.dml.mrg t USING $typedSrc
+           | ON t.id = s.id WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    assert(del.getMessage.contains("WHEN MATCHED"), del.getMessage)
+    // duplicate source keys refuse inside the transaction (merge guard)
+    val dup = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO graftlake.dml.mrg t
+          | USING (SELECT CAST(1 AS BIGINT) AS id, CAST(2 AS BIGINT) AS v
+          |        UNION ALL SELECT CAST(1 AS BIGINT) AS id, CAST(3 AS BIGINT) AS v) s
+          | ON t.id = s.id
+          | WHEN MATCHED THEN UPDATE SET *
+          | WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(dup.getMessage.contains("duplicate key"), dup.getMessage)
+  }
+
   test("SQL DELETE guards: flipped literals work, unbounded float ranges refuse") {
     import org.apache.spark.sql.functions.col
     // a float-valued column alongside the longs

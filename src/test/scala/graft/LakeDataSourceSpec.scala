@@ -91,17 +91,35 @@ class LakeDataSourceSpec extends SparkSpec {
     assert(v2.filter(col("v") % 2 === 0).count() === 300)
   }
 
-  test("DSv2 scan sees merge/delete results and the write path is refused") {
+  test("DSv2 scan sees merge/delete results; DataFrame append commits transactionally") {
     val dir = mkTable()
     LakeTable.deleteWhere(spark, dir, "id", 0, 49)
     assert(spark.read.format("lake").load(dir).count() === 250)
-    val e = intercept[Exception] {
-      spark.range(5).write.format("lake").mode("append").save(dir)
+    // df.write.format("lake").mode("append") routes through the SQL
+    // INSERT rewrite into LakeTable.append — ONE log commit, not a bare
+    // file write. Columns resolve BY NAME (the analyzer reorders before
+    // the rewrite sees the plan), so a reversed column order must land
+    // values in the right fields.
+    val before = LakeTable.latestVersion(dir).get
+    spark.range(500, 505)
+      .select((col("id") * 2).as("v"), col("id")) // deliberately reversed
+      .write.format("lake").mode("append").save(dir)
+    assert(LakeTable.latestVersion(dir).get === before + 1,
+      "append must be exactly one log commit")
+    val appended = spark.read.format("lake").load(dir)
+      .filter(col("id") >= 500).orderBy("id").collect()
+    assert(appended.length === 5)
+    appended.foreach(r => assert(r.getLong(1) === 2 * r.getLong(0),
+      s"by-name write mislabeled columns: $r"))
+    // time travel still sees the pre-append table
+    assert(spark.read.format("lake").option("versionAsOf", before.toString)
+      .load(dir).count() === 250)
+    // overwrite mode is NOT a lake verb — refused loudly, nothing committed
+    val ow = intercept[Exception] {
+      spark.range(5).select(col("id"), col("id").as("v"))
+        .write.format("lake").mode("overwrite").save(dir)
     }
-    def chain(t: Throwable): Seq[Throwable] =
-      Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
-    assert(chain(e).exists(_.getMessage != null) &&
-      chain(e).map(String.valueOf(_)).mkString.contains("transaction log"),
-      s"write must point at the transactional API, got: $e")
+    assert(String.valueOf(ow.getMessage).contains("INSERT OVERWRITE"), s"$ow")
+    assert(LakeTable.latestVersion(dir).get === before + 1)
   }
 }

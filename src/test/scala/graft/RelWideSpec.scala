@@ -174,6 +174,38 @@ class RelWideSpec extends SparkSpec {
     assert(noBuy.nonEmpty && noBuy.intersect(buyDays).isEmpty)
   }
 
+  test("winnow pairs recall the ngram near-duplicate pairs") {
+    // the winnowing guarantee: any shared run of w+k-1 tokens yields a
+    // shared fingerprint — so at minShared=1 every high-jaccard shingle
+    // pair must surface as a winnow candidate. minShared=2 (the
+    // registered query's precision knob) holds NO such guarantee: a doc
+    // short enough to carry a single fingerprint can share only one.
+    val winnow = TextOps.docWinnowPairs(1)(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ngram = TextOps.ngramJaccardPairs(0.8)(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ngram.nonEmpty)
+    val missed = ngram -- winnow
+    assert(missed.isEmpty, s"winnow candidates missed near-dup pairs: $missed")
+    // and the precision knob only ever removes candidates
+    val strict = TextOps.docWinnowPairs(2)(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict.subsetOf(winnow))
+  }
+
+  test("time-weighted integral covers every within-type interval") {
+    val rows = EventOps.timeWeighted(spark, sf0001).collect()
+    val counts = spark.read.parquet(s"$sf0001/events.parquet")
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) == counts(r.getString(0)) - 1,
+        s"intervals != events-1 for ${r.getString(0)}")
+      assert(r.getLong(1) >= 0 && r.getLong(2) >= 0)
+    }
+  }
+
   test("docWinnow fingerprints are exactly the set of window minima") {
     // recompute on the driver for a handful of documents
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")

@@ -20,6 +20,14 @@ object SparkSpec {
     // Set here (like LocalSession does for the mains) so no query builder
     // has to mutate shared-session conf at call time.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // full library SQL surface, incl. the DML resolution rewrites
+    // (which install() cannot retrofit — resolution rules have no
+    // post-construction injection path). withExtensions, NOT the
+    // spark.sql.extensions conf: the conf is STATIC, so it would land in
+    // the SparkContext conf and force the extensions onto every session
+    // of this context — the no-extensions baseline tests could never
+    // opt out again.
+    .withExtensions(new graft.plans.GraftExtensions())
     .getOrCreate()
 }
 
@@ -27,6 +35,32 @@ trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.spark
   val sf0001 = "/root/testdata/sf0.001"
   val sf001 = "/root/testdata/sf0.01"
+
+  /** A session on the shared context WITHOUT the graft extensions (the
+    * shared session has them on by default — `spark.sql.extensions`
+    * propagates through the SparkContext conf to every new session, so
+    * opting out needs an explicit empty override). Baseline for tests
+    * that prove an injection is really doing the work. */
+  def withPlainSession[A](f: SparkSession => A): A = {
+    val prev = SparkSpec.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.extensions", "")
+        .config("spark.sql.shuffle.partitions", "4")
+        .getOrCreate()
+      try f(s)
+      finally {
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+      }
+    } finally {
+      SparkSession.setActiveSession(prev)
+      SparkSession.setDefaultSession(prev)
+    }
+  }
 
   /** Executed plan with AQE wrappers peeled — shared by every suite that
     * walks plans (scan partitions, shuffle counts, output rows). */
