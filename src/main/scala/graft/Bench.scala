@@ -45,6 +45,8 @@ object Bench {
     val indexDefs: Seq[(String, String => Boolean, () => Unit)] = Seq(
       ("shingle_index", n => n.startsWith("doc_") || n.startsWith("dedup_"),
         () => graft.text.TextOps.prebuildShingleIndex(spark, sfDir)),
+      ("winnow_index", _.startsWith("doc_winnow"),
+        () => graft.text.TextOps.prebuildWinnowIndex(spark, sfDir)),
       ("pair_index", n => n.startsWith("doc_dup_clusters") || n.startsWith("doc_dedup_keep"),
         () => graft.text.TextOps.prebuildPairIndex(graft.text.TextOps.DupClusterTau)(spark, sfDir)),
       ("label_index", _.startsWith("doc_dedup_keep"),

@@ -667,4 +667,163 @@ object RelQueries {
       | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       | WHERE o_orderpriority = '1-URGENT'
       | GROUP BY 1 ORDER BY revenue_units DESC, o_orderkey ASC LIMIT 10""".stripMargin.replace("\n", " ")
+
+  /** TPC-H Q8-shaped market share: per order-year, the ppm share of
+    * revenue delivered by suppliers of ONE nation among all suppliers of
+    * that nation's region (reference query: `pc-cli` has no Q8 twin —
+    * this is the engine-surface extension, supplier-nation flavored
+    * because lineitem carries l_suppkey directly).
+    *
+    * Scale design: nation⋈region fold to a tiny key list driver-free
+    * (broadcast); the supplier dimension joins WITHOUT a forced
+    * broadcast hint — AQE broadcasts it at test SF and degrades to
+    * shuffle when supplier outgrows the threshold (the round-3 verdict's
+    * rule for unbounded dimensions). The year comes from the
+    * orders⋈lineitem equi-join (the one unavoidable fact shuffle); both
+    * shares are conditional sums in ONE aggregate pass, and the ppm
+    * ratio multiplies in DECIMAL(38,0) (HUGEINT on the oracle side) —
+    * exact 128-bit in both engines, so `nation_units * 1e6` cannot
+    * silently wrap int64 on a large fact table (the [[graft.text
+    * .TextOps.docTfidfTop]] discipline); the quotient is ≤ 1e6, always
+    * back in int64 range. */
+  def mktShare(nation: String, region: String)(
+      spark: SparkSession, dir: String): DataFrame = {
+    val regionNations = broadcast(t(spark, dir, "nation")
+      .join(broadcast(t(spark, dir, "region")
+        .filter(col("r_name") === region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name")))
+    val supp = t(spark, dir, "supplier")
+      .join(regionNations, col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), (col("n_name") === nation).cast("int").as("is_target"))
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sum(when(col("is_target") === 1,
+          cents("l_extendedprice") * (lit(100L) - cents("l_discount")))
+          .otherwise(0L)).as("nation_units"),
+        sum(cents("l_extendedprice") * (lit(100L) - cents("l_discount")))
+          .as("region_units"))
+      .select(col("o_year"), col("nation_units"), col("region_units"),
+        expr("(CAST(nation_units AS DECIMAL(38,0)) * 1000000) div region_units")
+          .cast(LongType).as("share_ppm"))
+      .orderBy("o_year")
+  }
+
+  def mktShareSql(nation: String, region: String): String =
+    s"""SELECT o_year, nation_units, region_units,
+       | CAST(CAST(nation_units AS HUGEINT) * 1000000 // region_units AS BIGINT) AS share_ppm
+       | FROM (SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       |  CAST(sum(CASE WHEN n_name = '$nation' THEN CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT)) ELSE 0 END) AS BIGINT) AS nation_units,
+       |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS region_units
+       | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey
+       | WHERE r_name = '$region'
+       | GROUP BY 1) ORDER BY o_year""".stripMargin.replace("\n", " ")
+
+  /** TPC-H Q9-shaped profit rollup: revenue by (supplier nation, order
+    * year). Same fact core as [[mktShare]] — one orders⋈lineitem
+    * shuffle for the year column, supplier dimension unforced (AQE
+    * broadcast at test SF, shuffle at scale), nation broadcast onto the
+    * supplier side so the big join carries an 8-byte nation key, and
+    * the final (nation, year) aggregate is map-side combinable. */
+  def supplierYearRev(spark: SparkSession, dir: String): DataFrame = {
+    val supp = t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(cents("l_extendedprice") * (lit(100L) - cents("l_discount")))
+        .as("revenue_units"), count(lit(1)).as("nli"))
+      .orderBy("nation", "o_year")
+  }
+
+  val supplierYearRevSql: String =
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+      | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_units,
+      | count(*) AS nli
+      | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      | GROUP BY 1, 2 ORDER BY nation, o_year""".stripMargin.replace("\n", " ")
+
+  /** TPC-H Q16-shaped supplier diversity: distinct suppliers observed
+    * shipping each (brand, size) part family, excluding one brand.
+    *
+    * Scale design: lineitem first distinct-compresses to its observed
+    * (partkey, suppkey) pairs — a map-side-combinable dedup that
+    * replaces the fact table with its key-pair projection (the
+    * partsupp relation Q16 reads, derived since the dataset has none) —
+    * then the part dimension joins (AQE-chosen) and the
+    * count(DISTINCT) groups by the small (brand, size) lattice. */
+  def partSuppliers(excludeBrand: String)(
+      spark: SparkSession, dir: String): DataFrame = {
+    val pairs = t(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    pairs.join(t(spark, dir, "part")
+        .filter(col("p_brand") =!= excludeBrand),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand").asc, col("p_size").asc)
+  }
+
+  def partSuppliersSql(excludeBrand: String): String =
+    s"""SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+       | FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+       |  JOIN part ON l_partkey = p_partkey
+       | WHERE p_brand <> '$excludeBrand'
+       | GROUP BY 1, 2
+       | ORDER BY supplier_cnt DESC, p_brand ASC, p_size ASC""".stripMargin.replace("\n", " ")
+
+  /** TPC-H Q22-shaped idle rich customers: customers with
+    * above-average positive balance and NO orders on/after a cutoff
+    * date, counted per market segment. (Q22 proper anti-joins on
+    * "never ordered"; this dataset's generator gives every customer at
+    * least one order, so the non-vacuous form is "idle since cutoff" —
+    * same anti-join shape with a pushed date predicate.)
+    *
+    * Scale design: the balance threshold is a 1-row aggregate broadcast
+    * back as a cross-join scalar (never a driver-side collect); orders
+    * prunes on the pushed o_orderdate predicate at the scan, THEN
+    * distinct-compresses to its customer-key set BEFORE the LEFT ANTI
+    * join, so the anti join shuffles customer-cardinality keys, not
+    * order-cardinality rows. Exact cents arithmetic throughout: the
+    * average test `bal * n > sum` multiplies instead of dividing. */
+  def idleCustomers(cutoff: String)(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        cents("c_acctbal").as("bal_cents"))
+    val thresh = cust.filter(col("bal_cents") > 0L)
+      .agg(sum(col("bal_cents")).as("bal_sum"), count(lit(1)).as("bal_n"))
+    val recentBuyers = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit(cutoff).cast("timestamp"))
+      .select(col("o_custkey")).distinct()
+    cust.crossJoin(broadcast(thresh))
+      .filter(col("bal_cents") * col("bal_n") > col("bal_sum"))
+      .join(recentBuyers, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("idle_cnt"), sum(col("bal_cents")).as("idle_bal_cents"))
+      .orderBy("c_mktsegment")
+  }
+
+  def idleCustomersSql(cutoff: String): String =
+    s"""WITH cust AS (SELECT c_custkey, c_mktsegment,
+       |  CAST(round(c_acctbal*100) AS BIGINT) AS bal_cents FROM customer),
+       | thresh AS (SELECT CAST(sum(bal_cents) AS BIGINT) AS bal_sum,
+       |  count(*) AS bal_n FROM cust WHERE bal_cents > 0)
+       | SELECT c_mktsegment, count(*) AS idle_cnt,
+       |  CAST(sum(bal_cents) AS BIGINT) AS idle_bal_cents
+       | FROM cust, thresh
+       | WHERE bal_cents * bal_n > bal_sum
+       |  AND c_custkey NOT IN
+       |   (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '$cutoff')
+       | GROUP BY 1 ORDER BY c_mktsegment""".stripMargin.replace("\n", " ")
 }

@@ -227,4 +227,74 @@ class RelWideSpec extends SparkSpec {
       assert(got.getOrElse(id, Map.empty) == expected, s"doc $id")
     }
   }
+
+  test("mktShare ppm is a true sub-share of region revenue per year") {
+    val rows = RelQueries.mktShare("NATION_2", "ASIA")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nat, reg, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nat >= 0 && nat <= reg, s"nation units outside region: $r")
+      assert(ppm == nat * BigInt(1000000) / reg, s"ppm not the exact ratio: $r")
+    }
+    // all five region nations together own the whole region's revenue
+    val all = spark.read.parquet(s"$sf0001/nation.parquet")
+      .join(spark.read.parquet(s"$sf0001/region.parquet")
+        .filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_name").collect().map(_.getString(0))
+    val perNation = all.map(n =>
+      RelQueries.mktShare(n, "ASIA")(spark, sf0001).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap)
+    val regionByYear = rows.map(r => r.getInt(0) -> r.getLong(2)).toMap
+    regionByYear.foreach { case (y, reg) =>
+      assert(perNation.map(_.getOrElse(y, 0L)).sum == reg,
+        s"year $y nation shares do not sum to the region total")
+    }
+  }
+
+  test("supplierYearRev conserves total revenue and line count") {
+    val rows = RelQueries.supplierYearRev(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    assert(rows.map(_.getLong(3)).sum == li.count(),
+      "every lineitem must land in exactly one (nation, year) cell")
+    val direct = li
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100).cast("long"))))
+      .collect()(0).getLong(0)
+    assert(rows.map(_.getLong(2)).sum == direct)
+  }
+
+  test("partSuppliers counts real suppliers and excludes the brand") {
+    val rows = RelQueries.partSuppliers("Brand#1")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(!rows.exists(_.getString(0) == "Brand#1"))
+    val nSupp = spark.read.parquet(s"$sf0001/supplier.parquet").count()
+    rows.foreach(r => assert(r.getLong(2) >= 1 && r.getLong(2) <= nSupp))
+    // descending by count with deterministic tiebreak
+    val counts = rows.map(_.getLong(2))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("idleCustomers matches a driver-side recomputation") {
+    val cutoff = "2000-01-01"
+    val rows = RelQueries.idleCustomers(cutoff)(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows.nonEmpty, "cutoff must leave a non-empty idle set at sf0.001")
+    val cust = spark.read.parquet(s"$sf0001/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long").as("bal"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val pos = cust.map(_._3).filter(_ > 0L)
+    val (s, n) = (pos.sum, pos.length.toLong)
+    val recentBuyers = spark.read.parquet(s"$sf0001/orders.parquet")
+      .filter(col("o_orderdate") >= lit(cutoff).cast("timestamp"))
+      .select("o_custkey").collect().map(_.getLong(0)).toSet
+    val expected = cust
+      .filter(c => c._3 * n > s && !recentBuyers.contains(c._1))
+      .groupBy(_._2).map { case (seg, cs) =>
+        (seg, cs.length.toLong, cs.map(_._3).sum)
+      }.toSet
+    assert(rows == expected)
+  }
 }
