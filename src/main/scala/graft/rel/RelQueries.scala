@@ -826,4 +826,166 @@ object RelQueries {
        |  AND c_custkey NOT IN
        |   (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '$cutoff')
        | GROUP BY 1 ORDER BY c_mktsegment""".stripMargin.replace("\n", " ")
+
+  /** TPC-H Q4-shaped priority checking: orders in a window with at least
+    * one LATE lineitem, counted by priority. (Q4 proper tests
+    * l_commitdate < l_receiptdate; those columns don't exist in this
+    * dataset, so "late" is l_shipdate > o_orderdate + 90 days — the same
+    * correlated-EXISTS shape with the correlation running through BOTH
+    * sides of the semi-join condition.)
+    *
+    * Scale design: orders prunes on the pushed date window first, then
+    * ONE left-semi shuffle join on the order key decides existence —
+    * lineitem never aggregates and duplicate matches never inflate
+    * counts. The join condition references both sides (shipdate vs
+    * orderdate), which Spark evaluates as a post-shuffle residual on the
+    * sort-merge semi join — still one exchange pair. */
+  def lateOrders(fromDate: String, toDate: String)(
+      spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit(fromDate).cast("timestamp") &&
+        col("o_orderdate") < lit(toDate).cast("timestamp"))
+    val li = t(spark, dir, "lineitem").select("l_orderkey", "l_shipdate")
+    ord.join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  def lateOrdersSql(fromDate: String, toDate: String): String =
+    s"""SELECT o_orderpriority, count(*) AS n_orders
+       | FROM orders
+       | WHERE o_orderdate >= TIMESTAMP '$fromDate'
+       |  AND o_orderdate < TIMESTAMP '$toDate'
+       |  AND EXISTS (SELECT 1 FROM lineitem
+       |   WHERE l_orderkey = o_orderkey
+       |    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+       | GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")
+
+  /** TPC-H Q6-shaped forecast revenue change: one scan, one row — the
+    * discount-band × quantity filter and the would-be revenue had the
+    * discount been dropped. Revenue is exact integer 1e-6 currency units
+    * (cents × discount-cents), so the sum hash-matches across engines
+    * in any order.
+    *
+    * Scale design: the canonical map-only aggregate — every predicate
+    * pushes to the parquet scan (shipdate min/max prune row groups) and
+    * the single-row global agg is a partial-combine then a 1-row
+    * exchange. No join, no wide shuffle. */
+  def forecastRevenue(year: Int, discLoCents: Long, discHiCents: Long,
+      maxQty: Long)(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit(f"$year-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit(f"${year + 1}-01-01").cast("timestamp") &&
+        cents("l_discount").between(discLoCents, discHiCents) &&
+        col("l_quantity") < maxQty.toDouble)
+      .agg(sum(cents("l_extendedprice") * cents("l_discount"))
+          .as("revenue_e6"),
+        count(lit(1)).as("n_lines"))
+
+  def forecastRevenueSql(year: Int, discLoCents: Long, discHiCents: Long,
+      maxQty: Long): String =
+    s"""SELECT CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+       |   * CAST(round(l_discount*100) AS BIGINT)) AS BIGINT) AS revenue_e6,
+       | count(*) AS n_lines
+       | FROM lineitem
+       | WHERE l_shipdate >= TIMESTAMP '$year-01-01'
+       |  AND l_shipdate < TIMESTAMP '${year + 1}-01-01'
+       |  AND CAST(round(l_discount*100) AS BIGINT) BETWEEN $discLoCents AND $discHiCents
+       |  AND l_quantity < $maxQty""".stripMargin.replace("\n", " ")
+
+  /** TPC-H Q12-shaped shipping-status priority split: per line status,
+    * how many lines belong to critical- vs ordinary-priority orders.
+    * (Q12 proper groups by l_shipmode and windows on l_receiptdate;
+    * neither column exists here, so the group key is l_linestatus and
+    * the window is on l_shipdate — the same join + conditional-count
+    * shape.)
+    *
+    * Scale design: lineitem prunes on the pushed shipdate window, the
+    * orders join shuffles both sides on the order key once, and the two
+    * CASE sums fold map-side. The priority test is a broadcast-free
+    * per-row expression. */
+  def shipStatusPriority(year: Int)(spark: SparkSession, dir: String): DataFrame = {
+    val crit = col("o_orderpriority") === "1-URGENT" ||
+      col("o_orderpriority") === "2-HIGH"
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit(f"$year-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit(f"${year + 1}-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_linestatus")
+      .join(t(spark, dir, "orders").select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_linestatus")
+      .agg(sum(when(crit, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(crit, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  def shipStatusPrioritySql(year: Int): String =
+    s"""SELECT l_linestatus,
+       | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+       |   THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+       |   THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+       | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       | WHERE l_shipdate >= TIMESTAMP '$year-01-01'
+       |  AND l_shipdate < TIMESTAMP '${year + 1}-01-01'
+       | GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")
+
+  /** TPC-H Q21-shaped waiting-supplier ranking: for finished ('F')
+    * multi-supplier orders whose shipping was staggered, the suppliers
+    * whose lineitem shipped LAST — i.e. the supplier every other
+    * participant waited on — ranked by how many orders they delayed.
+    * (Q21 proper uses receipt-vs-commit lateness plus EXISTS/NOT-EXISTS
+    * self-joins; with only l_shipdate the "blame" test is ship-last,
+    * which keeps the two correlated self-join probes — another supplier
+    * exists, no other supplier shipped as late.)
+    *
+    * Scale design: per-order extremes come from ONE aggregation on the
+    * order key; the join back to lineitem reuses that same key (one
+    * exchange family, AQE-coalesced), orders semi-filters on status
+    * before joining, and the supplier dimension broadcasts. count
+    * (DISTINCT l_orderkey) guards against a supplier shipping two lines
+    * at the max timestamp inflating its wait count. Top-20 is
+    * TakeOrderedAndProject with a deterministic (numwait DESC, s_name)
+    * tiebreak. */
+  def waitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val perOrder = t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("mo_orderkey"))
+      .agg(max(col("l_shipdate")).as("max_ship"),
+        min(col("l_shipdate")).as("min_ship"),
+        countDistinct(col("l_suppkey")).as("n_supp"))
+      .filter(col("n_supp") >= 2 && col("max_ship") > col("min_ship"))
+    val finished = t(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F").select("o_orderkey")
+    t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(perOrder, col("l_orderkey") === col("mo_orderkey") &&
+        col("l_shipdate") === col("max_ship"))
+      .join(finished, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .join(broadcast(t(spark, dir, "supplier")
+        .select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(countDistinct(col("l_orderkey")).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  val waitingSuppliersSql: String =
+    """WITH per_order AS (
+      |  SELECT l_orderkey AS mo_orderkey, max(l_shipdate) AS max_ship,
+      |   min(l_shipdate) AS min_ship, count(DISTINCT l_suppkey) AS n_supp
+      |  FROM lineitem GROUP BY 1)
+      | SELECT s_name, CAST(count(DISTINCT l.l_orderkey) AS BIGINT) AS numwait
+      | FROM lineitem l
+      |  JOIN per_order ON l.l_orderkey = mo_orderkey
+      |   AND l.l_shipdate = max_ship AND n_supp >= 2 AND max_ship > min_ship
+      |  JOIN supplier ON l.l_suppkey = s_suppkey
+      | WHERE EXISTS (SELECT 1 FROM orders
+      |  WHERE o_orderkey = l.l_orderkey AND o_orderstatus = 'F')
+      | GROUP BY s_name
+      | ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin.replace("\n", " ")
 }

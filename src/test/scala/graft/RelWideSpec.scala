@@ -276,6 +276,85 @@ class RelWideSpec extends SparkSpec {
     assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
   }
 
+  test("lateOrders counts orders once however many lineitems are late") {
+    val rows = RelQueries.lateOrders("1996-01-01", "1997-01-01")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty)
+    val ord = spark.read.parquet(s"$sf0001/orders.parquet")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), unix_millis(col("o_orderdate").cast("timestamp_ltz")),
+        col("o_orderpriority"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val lateKeys = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_orderkey"), unix_millis(col("l_shipdate").cast("timestamp_ltz")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val ninetyDaysMs = 90L * 24 * 3600 * 1000
+    val expected = ord
+      .filter { case (k, od, _) =>
+        lateKeys.get(k).exists(_ > od + ninetyDaysMs) }
+      .groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    assert(rows == expected)
+  }
+
+  test("forecastRevenue is the exact integer sum over the band") {
+    val r = RelQueries.forecastRevenue(1996, 5L, 7L, 24L)(spark, sf0001)
+      .collect()(0)
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select(round(col("l_extendedprice") * 100).cast("long").as("ep"),
+        round(col("l_discount") * 100).cast("long").as("dc"),
+        col("l_quantity"))
+      .collect()
+      .filter(x => x.getLong(1) >= 5 && x.getLong(1) <= 7 && x.getDouble(2) < 24)
+    assert(r.getLong(1) == li.length.toLong)
+    assert(r.getLong(0) == li.map(x => x.getLong(0) * x.getLong(1)).sum)
+    assert(r.getLong(1) > 0, "band must be non-empty at sf0.001")
+  }
+
+  test("shipStatusPriority splits every joined line exactly once") {
+    val rows = RelQueries.shipStatusPriority(1996)(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val joined = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(spark.read.parquet(s"$sf0001/orders.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum == joined.count())
+    val high = joined.filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH")).count()
+    assert(rows.map(_.getLong(1)).sum == high)
+  }
+
+  test("waitingSuppliers blames only last-shippers of staggered F orders") {
+    val rows = RelQueries.waitingSuppliers(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        unix_millis(col("l_shipdate").cast("timestamp_ltz")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val fOrders = spark.read.parquet(s"$sf0001/orders.parquet")
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val byOrder = li.groupBy(_._1)
+    val blamed = byOrder.toSeq.flatMap { case (k, ls) =>
+      val supps = ls.map(_._2).distinct
+      val (mx, mn) = (ls.map(_._3).max, ls.map(_._3).min)
+      if (supps.length >= 2 && mx > mn && fOrders(k))
+        ls.filter(_._3 == mx).map(_._2).distinct.map(s => (s, k))
+      else Seq.empty
+    }
+    val names = spark.read.parquet(s"$sf0001/supplier.parquet")
+      .select("s_suppkey", "s_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = blamed.groupBy(b => names(b._1)).view
+      .mapValues(_.map(_._2).distinct.length.toLong).toMap
+    // the query returns the top 20 by (numwait desc, name asc)
+    val top = expected.toSeq.sortBy { case (n, w) => (-w, n) }.take(20).toMap
+    assert(rows.map(r => r.getString(0) -> r.getLong(1)).toMap == top)
+  }
+
   test("idleCustomers matches a driver-side recomputation") {
     val cutoff = "2000-01-01"
     val rows = RelQueries.idleCustomers(cutoff)(spark, sf0001).collect()
