@@ -401,34 +401,68 @@ class LakeFileIndex(spark: SparkSession, root: String,
 
 /** Catalyst-predicate → per-column interval extraction for log-stats
   * pruning. Deliberately conservative: only simple `col <op> literal`
-  * conjuncts on numeric columns contribute bounds (each element of
-  * `dataFilters` is one conjunct, so collecting across the Seq is an
-  * AND); anything unrecognized contributes nothing and the file is
-  * kept. Strict bounds are widened to inclusive — pruning may keep a
-  * borderline file, never drop a matching one. */
+  * conjuncts contribute bounds (each element of `dataFilters` is one
+  * conjunct, so collecting across the Seq is an AND); anything
+  * unrecognized contributes nothing and the file is kept. Strict bounds
+  * are treated as inclusive — pruning may keep a borderline file, never
+  * drop a matching one.
+  *
+  * Typed bounds: numeric / timestamp / date columns compare as exact
+  * decimals (timestamp literals carry MICROS and date literals DAYS —
+  * the same units [[LakeTable.stage]] records); string columns compare
+  * as UNSIGNED UTF-8 bytes against the `str$` stats namespace (the order
+  * parquet binary stats and UTF8String share). A `Cast` on the column is
+  * accepted ONLY when it is a value-preserving numeric widening —
+  * anything else (date casts of timestamps, narrowing, string casts)
+  * changes value space and must not prune. */
 object LakeStatsPruning {
 
-  /** (column, lower, upper) — None = unbounded on that side. */
-  type Bound = (String, Option[BigDecimal], Option[BigDecimal])
+  sealed trait Bound { def column: String }
+  /** Numeric value-space interval; None = unbounded on that side. */
+  final case class NumBound(column: String, lo: Option[BigDecimal],
+      hi: Option[BigDecimal]) extends Bound
+  /** Unsigned-byte interval on a string column. */
+  final case class StrBound(column: String, lo: Option[Array[Byte]],
+      hi: Option[Array[Byte]]) extends Bound
 
-  private def attrName(e: Expression): Option[String] = e match {
-    case a: Attribute => Some(a.name)
-    case Cast(a: Attribute, _, _, _) => Some(a.name)
+  import org.apache.spark.sql.types._
+
+  /** Value-preserving numeric widenings (every source value maps to
+    * exactly itself in the target type). int→float and long→double are
+    * NOT here: their mantissas round large values, and a rounded column
+    * could satisfy a predicate its exact stats exclude. */
+  private def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (ByteType, ShortType | IntegerType | LongType | FloatType | DoubleType) => true
+    case (ShortType, IntegerType | LongType | FloatType | DoubleType) => true
+    case (IntegerType, LongType | DoubleType) => true
+    case (FloatType, DoubleType) => true
+    case _ => false
+  }
+
+  private def attrOf(e: Expression): Option[Attribute] = e match {
+    case a: Attribute => Some(a)
+    case Cast(a: Attribute, t, _, _) if widens(a.dataType, t) => Some(a)
     case _ => None
   }
 
-  private def litValue(e: Expression): Option[BigDecimal] = e match {
+  private def numLit(e: Expression): Option[BigDecimal] = e match {
     case Literal(v, _) => v match {
       case null => None
       case b: Byte => Some(BigDecimal(b.toInt))
       case s: Short => Some(BigDecimal(s.toInt))
-      case i: Int => Some(BigDecimal(i))
-      case l: Long => Some(BigDecimal(l))
+      case i: Int => Some(BigDecimal(i)) // also DateType (days)
+      case l: Long => Some(BigDecimal(l)) // also Timestamp[NTZ] (micros)
       case f: Float => if (f.isNaN || f.isInfinite) None else Some(BigDecimal(f.toDouble))
       case d: Double => if (d.isNaN || d.isInfinite) None else Some(BigDecimal(d))
       case d: org.apache.spark.sql.types.Decimal => Some(d.toBigDecimal)
       case _ => None
     }
+    case _ => None
+  }
+
+  private def strLit(e: Expression): Option[Array[Byte]] = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+      Some(v.getBytes)
     case _ => None
   }
 
@@ -446,22 +480,43 @@ object LakeStatsPruning {
     case _ => Seq.empty
   }
 
-  /** Normalize `attr op lit` / `lit op attr` into a one-sided bound. */
-  private def bound(l: Expression, r: Expression, lower: Boolean): Seq[Bound] =
-    (attrName(l), litValue(r), attrName(r), litValue(l)) match {
-      case (Some(a), Some(v), _, _) =>
-        Seq(if (lower) (a, Some(v), None) else (a, None, Some(v)))
-      case (_, _, Some(a), Some(v)) => // literal on the left: flip the side
-        Seq(if (lower) (a, None, Some(v)) else (a, Some(v), None))
+  /** Normalize `attr op lit` / `lit op attr` into a one-sided bound.
+    * The literal type must match the column family: a string literal
+    * bounds only a string column (an implicit-cast comparison would
+    * compare in a different value space). */
+  private def bound(l: Expression, r: Expression, lower: Boolean): Seq[Bound] = {
+    def mk(a: Attribute, flipped: Boolean): Seq[Bound] = {
+      val lowerSide = lower != flipped
+      (a.dataType, if (flipped) Seq(l) else Seq(r)) match {
+        case (StringType, Seq(lit)) =>
+          strLit(lit).map(v =>
+            if (lowerSide) StrBound(a.name, Some(v), None)
+            else StrBound(a.name, None, Some(v))).toSeq
+        case (_, Seq(lit)) =>
+          numLit(lit).map(v =>
+            if (lowerSide) NumBound(a.name, Some(v), None)
+            else NumBound(a.name, None, Some(v))).toSeq
+      }
+    }
+    (attrOf(l), attrOf(r)) match {
+      case (Some(a), None) => mk(a, flipped = false)
+      case (None, Some(a)) => mk(a, flipped = true)
       case _ => Seq.empty
     }
+  }
 
   /** Can a file with `stats` contain a row satisfying ALL bounds?
     * A column with no usable stats never prunes. */
   def mayMatch(bounds: Seq[Bound], stats: String): Boolean =
-    bounds.forall { case (column, lo, hi) =>
-      LakeTable.statsRange(stats, column).forall { case (mn, mx) =>
-        hi.forall(mn <= _) && lo.forall(_ <= mx)
-      }
+    bounds.forall {
+      case NumBound(column, lo, hi) =>
+        LakeTable.statsRange(stats, column).forall { case (mn, mx) =>
+          hi.forall(mn <= _) && lo.forall(_ <= mx)
+        }
+      case StrBound(column, lo, hi) =>
+        LakeTable.statsRangeStr(stats, column).forall { case (mn, mx) =>
+          hi.forall(h => LakeTable.unsignedCompare(mn, h) <= 0) &&
+            lo.forall(l => LakeTable.unsignedCompare(l, mx) <= 0)
+        }
     }
 }

@@ -307,24 +307,53 @@ object LakeTable {
         .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
         .map(n => s"$sub/$n").toSeq.sorted
       finally it.close()
-    // stats cover the PLAIN numeric types only — NOT DecimalType: parquet
-    // footers store decimals as UNSCALED int32/int64 (precision<=18), so
-    // recording genericGetMin verbatim would log e.g. 1234 for 12.34 and
-    // pruneByStats would silently skip matching files (wrong results);
-    // decimal columns simply carry no stats and are conservatively kept
-    val numeric = df.schema.fields.collect {
-      case f if plainNumeric(f.dataType) => f.name
-    }.toSeq
+    // stats cover plain numerics, timestamps (as integer micros), dates
+    // (as integer days) and strings (escaped byte bounds) — NOT
+    // DecimalType: parquet footers store decimals as UNSCALED int32/int64
+    // (precision<=18), so recording genericGetMin verbatim would log e.g.
+    // 1234 for 12.34 and pruneByStats would silently skip matching files
+    // (wrong results); decimal columns simply carry no stats and are
+    // conservatively kept
+    val statCols = df.schema.fields.flatMap(f =>
+      statKind(f.dataType).map(k => (f.name, k))).toSeq
     val conf = new org.apache.hadoop.conf.Configuration()
-    (files, files.map(f => footerStats(Paths.get(table, f), numeric, conf)))
+    (files, files.map(f => footerStats(Paths.get(table, f), statCols, conf)))
   }
 
-  private def plainNumeric(dt: org.apache.spark.sql.types.DataType): Boolean = {
+  /** How a column's footer stats are recorded in the log, if at all. */
+  private[lake] sealed trait StatKind
+  private[lake] object StatKind {
+    /** int/float family: decimal min/max under the plain `name=` key. */
+    case object Num extends StatKind
+    /** timestamp (LTZ or NTZ): integer MICROS under the plain key —
+      * catalyst timestamp literals carry micros, so pruning compares in
+      * matching units with no conversion at read time. */
+    case object TimeMicros extends StatKind
+    /** date: integer DAYS under the plain key (catalyst date literals
+      * carry days). */
+    case object Days extends StatKind
+    /** string: percent-escaped UTF-8 byte bounds under the `str$` key
+      * ([[StrKeyPrefix]]), compared as UNSIGNED bytes — the order both
+      * parquet binary stats and Spark's UTF8String comparisons use. */
+    case object Str extends StatKind
+  }
+
+  /** Key prefix separating string-typed stats from the numeric namespace
+    * (a numeric parser must never see lexicographic bounds: a string
+    * column holding "100".."99" would otherwise numeric-parse and
+    * mis-prune). Columns whose NAME starts with the marker get no stats
+    * at all — collision-proof by construction. */
+  private[lake] val StrKeyPrefix = "str$"
+
+  private def statKind(dt: org.apache.spark.sql.types.DataType): Option[StatKind] = {
     import org.apache.spark.sql.types._
     dt match {
       case ByteType | ShortType | IntegerType | LongType |
-           FloatType | DoubleType => true
-      case _ => false // DecimalType: unscaled footer ints — see stage()
+           FloatType | DoubleType => Some(StatKind.Num)
+      case TimestampType | TimestampNTZType => Some(StatKind.TimeMicros)
+      case DateType => Some(StatKind.Days)
+      case StringType => Some(StatKind.Str)
+      case _ => None // DecimalType: unscaled footer ints — see stage()
     }
   }
 
@@ -334,11 +363,14 @@ object LakeTable {
     * read I/O). Row-group stats fold across the file; a column whose
     * stats are missing, non-primitive (e.g. decimal), or NaN-tainted is
     * skipped → the file is conservatively kept by [[pruneByStats]]. */
-  private def footerStats(file: Path, columns: Seq[String],
+  private def footerStats(file: Path, columns: Seq[(String, StatKind)],
       conf: org.apache.hadoop.conf.Configuration): String = {
     import org.apache.hadoop.fs.{Path => HPath}
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(new HPath(file.toString), conf))
     try {
@@ -348,42 +380,184 @@ object LakeTable {
       // Skipped if a real column shades the reserved name, so pruning
       // can never read a row count as a value range.
       val rows =
-        if (columns.contains(RowsKey)) Seq.empty
+        if (columns.exists(_._1 == RowsKey)) Seq.empty
         else Seq(s"$RowsKey=${blocks.map(_.getRowCount).sum}")
-      val colStats = columns.flatMap { name =>
-        // fold (min, max) across this file's row groups; every row group
-        // must contribute usable stats or the column gets none at all
-        val perGroup = blocks.map { b =>
-          b.getColumns.asScala
-            .find(_.getPath.toDotString == name)
-            .flatMap { c =>
-              val s = c.getStatistics
-              // reject NaN AND infinities: BigDecimal("Infinity") throws,
-              // which would fail the whole append for data that is
-              // perfectly writable — no stats means conservatively kept
-              def ok(x: Any): Boolean = x match {
-                case d: java.lang.Double => !d.isNaN && !d.isInfinite
-                case f: java.lang.Float => !f.isNaN && !f.isInfinite
-                case _: java.lang.Long | _: java.lang.Integer => true
-                case _ => false // binary/int96/etc: not our flat format
-              }
-              if (s == null || !s.hasNonNullValue) None
-              else {
-                val (mn, mx) = (s.genericGetMin, s.genericGetMax)
-                if (ok(mn) && ok(mx))
-                  Some((BigDecimal(mn.toString), BigDecimal(mx.toString)))
-                else None
-              }
-            }
-        }
-        if (perGroup.isEmpty || perGroup.exists(_.isEmpty)) None
+      val colStats = columns.flatMap { case (name, kind) =>
+        if (name.startsWith(StrKeyPrefix)) None // see [[StrKeyPrefix]]
         else {
-          val rs = perGroup.flatten
-          Some(s"$name=${rs.map(_._1).min}:${rs.map(_._2).max}")
+          // fold (min, max) across this file's row groups; every row
+          // group must contribute usable stats or the column gets none.
+          // Each bound is validated against BOTH the requested kind and
+          // the column's physical/logical parquet type — a mismatch
+          // (INT96 timestamps, nano units, unannotated binary) yields
+          // no stats, never a wrong range.
+          val perGroup = blocks.map { b =>
+            b.getColumns.asScala
+              .find(_.getPath.toDotString == name)
+              .flatMap { c =>
+                val s = c.getStatistics
+                val prim = c.getPrimitiveType
+                if (s == null || !s.hasNonNullValue) None
+                else kind match {
+                  case StatKind.Num =>
+                    // reject NaN AND infinities: BigDecimal("Infinity")
+                    // throws, which would fail the whole append for data
+                    // that is perfectly writable
+                    def ok(x: Any): Boolean = x match {
+                      case d: java.lang.Double => !d.isNaN && !d.isInfinite
+                      case f: java.lang.Float => !f.isNaN && !f.isInfinite
+                      case _: java.lang.Long | _: java.lang.Integer => true
+                      case _ => false // binary/int96/etc: not our format
+                    }
+                    val (mn, mx) = (s.genericGetMin, s.genericGetMax)
+                    if (ok(mn) && ok(mx))
+                      Some(NumRange(BigDecimal(mn.toString), BigDecimal(mx.toString)))
+                    else None
+                  case StatKind.TimeMicros =>
+                    val unit = prim.getLogicalTypeAnnotation match {
+                      case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                        t.getUnit match {
+                          case TimeUnit.MICROS => Some(1L)
+                          case TimeUnit.MILLIS => Some(1000L)
+                          case _ => None // NANOS: lossy to micros — skip
+                        }
+                      case _ => None // INT96 or unannotated: unordered
+                    }
+                    (unit, s.genericGetMin, s.genericGetMax) match {
+                      case (Some(m), mn: java.lang.Long, mx: java.lang.Long) =>
+                        Some(NumRange(BigDecimal(mn * m), BigDecimal(mx * m)))
+                      case _ => None
+                    }
+                  case StatKind.Days =>
+                    val isDate = prim.getLogicalTypeAnnotation
+                      .isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation]
+                    (s.genericGetMin, s.genericGetMax) match {
+                      case (mn: java.lang.Integer, mx: java.lang.Integer) if isDate =>
+                        Some(NumRange(BigDecimal(mn.toInt), BigDecimal(mx.toInt)))
+                      case _ => None
+                    }
+                  case StatKind.Str =>
+                    val isStr = prim.getPrimitiveTypeName == PrimitiveTypeName.BINARY &&
+                      prim.getLogicalTypeAnnotation
+                        .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+                    (s.genericGetMin, s.genericGetMax) match {
+                      case (mn: org.apache.parquet.io.api.Binary,
+                            mx: org.apache.parquet.io.api.Binary) if isStr =>
+                        Some(StrRange(mn.getBytes, mx.getBytes))
+                      case _ => None
+                    }
+                }
+              }
+          }
+          if (perGroup.isEmpty || perGroup.exists(_.isEmpty)) None
+          else perGroup.flatten.reduceLeft[StatRange](_ merge _).entry(name)
         }
       }
       (rows ++ colStats).mkString(";")
     } finally reader.close()
+  }
+
+  /** A foldable per-row-group stats range of one column. */
+  private sealed trait StatRange {
+    def merge(o: StatRange): StatRange
+    /** The `key=min:max` log entry, or None if unencodable. */
+    def entry(name: String): Option[String]
+  }
+  private final case class NumRange(mn: BigDecimal, mx: BigDecimal)
+      extends StatRange {
+    def merge(o: StatRange): StatRange = o match {
+      case NumRange(a, b) => NumRange(mn.min(a), mx.max(b))
+      case _ => this // unreachable: kinds are per-column
+    }
+    def entry(name: String): Option[String] = Some(s"$name=$mn:$mx")
+  }
+  private final case class StrRange(mn: Array[Byte], mx: Array[Byte])
+      extends StatRange {
+    def merge(o: StatRange): StatRange = o match {
+      case StrRange(a, b) =>
+        StrRange(if (unsignedCompare(a, mn) < 0) a else mn,
+          if (unsignedCompare(b, mx) > 0) b else mx)
+      case _ => this
+    }
+    def entry(name: String): Option[String] =
+      for {
+        lo <- Some(truncLower(mn, StrStatsMaxLen))
+        hi <- truncUpper(mx, StrStatsMaxLen) // all-0xFF prefix: no bound
+      } yield s"$StrKeyPrefix$name=${escBytes(lo)}:${escBytes(hi)}"
+  }
+
+  /** Cap on stored string-bound length: long values truncate (lower
+    * bound = prefix; upper bound = prefix with its last byte bumped, the
+    * parquet truncation rule) so a pathological 1 MB key cannot bloat
+    * the log. */
+  private[lake] val StrStatsMaxLen = 64
+
+  private[lake] def unsignedCompare(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  private def truncLower(v: Array[Byte], max: Int): Array[Byte] =
+    if (v.length <= max) v else v.take(max) // prefix <= v: valid lower bound
+
+  /** Truncated UPPER bound: a bare prefix would sort BELOW the value, so
+    * the last non-0xFF byte is incremented and the tail dropped; an
+    * all-0xFF prefix has no finite successor → None (no upper bound). */
+  private def truncUpper(v: Array[Byte], max: Int): Option[Array[Byte]] =
+    if (v.length <= max) Some(v)
+    else {
+      val p = v.take(max)
+      var i = p.length - 1
+      while (i >= 0 && p(i) == 0xff.toByte) i -= 1
+      if (i < 0) None
+      else Some(p.take(i + 1).updated(i, (p(i) + 1).toByte))
+    }
+
+  /** Percent-escape stats-format delimiters (`;` `:` `=` `%`), control
+    * bytes, and non-ASCII so string bounds survive the flat format and
+    * the JSON layer byte-exactly. */
+  private[lake] def escBytes(v: Array[Byte]): String = {
+    val b = new StringBuilder
+    v.foreach { x =>
+      val u = x & 0xff
+      if (u >= 0x20 && u < 0x7f && u != '%' && u != ';' && u != ':' && u != '=')
+        b += u.toChar
+      else b ++= f"%%$u%02x"
+    }
+    b.toString
+  }
+
+  private[lake] def unescBytes(s: String): Array[Byte] = {
+    val out = scala.collection.mutable.ArrayBuffer[Byte]()
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '%' && i + 3 <= s.length) {
+        out += Integer.parseInt(s.substring(i + 1, i + 3), 16).toByte
+        i += 3
+      } else { out += s.charAt(i).toByte; i += 1 }
+    }
+    out.toArray
+  }
+
+  /** String-column stats range (unsigned byte bounds), from the `str$`
+    * namespace. None = no stats → conservatively kept. */
+  private[lake] def statsRangeStr(stats: String, column: String): Option[(Array[Byte], Array[Byte])] = {
+    val key = s"$StrKeyPrefix$column"
+    stats.split(';').filter(_.nonEmpty)
+      .map(_.split('=')).collectFirst {
+        case Array(c, mm) if c == key => mm.split(':')
+      }.flatMap {
+        case Array(mn, mx) =>
+          try Some((unescBytes(mn), unescBytes(mx)))
+          catch { case _: NumberFormatException => None }
+        case _ => None
+      }
   }
 
   private[lake] val RowsKey = "#rows"

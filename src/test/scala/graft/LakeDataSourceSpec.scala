@@ -122,4 +122,94 @@ class LakeDataSourceSpec extends SparkSpec {
     assert(String.valueOf(ow.getMessage).contains("INSERT OVERWRITE"), s"$ow")
     assert(LakeTable.latestVersion(dir).get === before + 1)
   }
+
+  /** Three appends with disjoint day/category/timestamp ranges — the
+    * typed-stats twin of [[mkTable]]. Day d ∈ [0,30) ∪ [30,60) ∪
+    * [60,90), category = f"cat_$d%03d" (zero-padded so lexicographic
+    * order equals numeric order), ts = 2024-01-01 + d days. */
+  private def mkTypedTable(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("lake-typed").toString
+    Seq((0L, 30L), (30L, 60L), (60L, 90L)).foreach { case (lo, hi) =>
+      LakeTable.append(spark, dir,
+        spark.range(lo, hi).repartition(1).select(
+          col("id"),
+          format_string("cat_%03d", col("id")).as("cat"),
+          to_timestamp_ntz(lit("2024-01-01")).+(
+            expr("make_interval(0, 0, 0, CAST(id AS INT), 0, 0, 0)")).as("ts"),
+          to_date(lit("2024-01-01")).+(col("id").cast("int")).as("d")))
+    }
+    dir
+  }
+
+  test("timestamp, date and string predicates prune from typed log stats") {
+    val dir = mkTypedTable()
+    val all = spark.read.format("lake").load(dir)
+    val (fAll) = scannedFiles(all)
+    assert(fAll.size >= 3)
+
+    // timestamp range: only the last file holds days >= 70
+    val ts = all.filter(col("ts") >= lit("2024-03-11").cast("timestamp_ntz"))
+    assert(ts.count() === 20)
+    assert(scannedFiles(ts).size === 1,
+      s"timestamp range should prune to one file, got ${scannedFiles(ts).size}")
+
+    // date equality: one file
+    val de = all.filter(col("d") === lit("2024-02-15").cast("date"))
+    assert(de.count() === 1)
+    assert(scannedFiles(de).size === 1,
+      s"date equality should prune to one file, got ${scannedFiles(de).size}")
+
+    // string equality and range on the zero-padded category
+    val se = all.filter(col("cat") === "cat_045")
+    assert(se.count() === 1)
+    assert(scannedFiles(se).size === 1,
+      s"string equality should prune to one file, got ${scannedFiles(se).size}")
+    val sr = all.filter(col("cat") >= "cat_005" && col("cat") <= "cat_025")
+    assert(sr.count() === 21)
+    assert(scannedFiles(sr).size === 1,
+      s"string range should prune to one file, got ${scannedFiles(sr).size}")
+  }
+
+  test("typed pruning is conservative: casts, boundaries, odd bytes") {
+    val dir = mkTypedTable()
+    val all = spark.read.format("lake").load(dir)
+    // a DATE cast of the timestamp column changes value space — it must
+    // not prune on the timestamp stats, and results stay exact
+    assert(all.filter(col("ts").cast("date") === lit("2024-01-31").cast("date"))
+      .count() === 1)
+    // boundary day lives in the edge file and must survive pruning
+    assert(all.filter(col("d") === lit("2024-01-31").cast("date")).count() === 1)
+    assert(all.filter(col("ts") < lit("2024-01-02").cast("timestamp_ntz"))
+      .count() === 1)
+
+    // strings with format delimiters, percent signs, non-ASCII, and
+    // >64-byte values (truncated upper bounds) round-trip the log and
+    // never lose rows
+    val dir2 = java.nio.file.Files.createTempDirectory("lake-oddstr").toString
+    val odd = Seq("a;b", "c:d=e", "100%", "naïve—ü", "z" + ("y" * 100))
+    import spark.implicits._
+    LakeTable.append(spark, dir2, odd.toDF("s").repartition(1))
+    LakeTable.append(spark, dir2,
+      Seq("m1", "m2").toDF("s").repartition(1))
+    val t2 = spark.read.format("lake").load(dir2)
+    odd.foreach { v =>
+      assert(t2.filter(col("s") === v).count() === 1, s"lost row for `$v`")
+    }
+    // "m1" sits INSIDE the odd file's ["100%", "zyy…"] range — both
+    // files scan, exactly one row returns
+    assert(t2.filter(col("s") === "m1").count() === 1)
+    // a value below every min prunes BOTH files — zero scan
+    val below = t2.filter(col("s") === "0")
+    assert(below.count() === 0)
+    assert(scannedFiles(below).isEmpty,
+      "below-min string predicate should prune every file")
+    // a value above the TRUNCATED upper bound (the >64-byte max stores a
+    // bumped 64-byte prefix) prunes the odd file too
+    val above = t2.filter(col("s") >= "zz")
+    assert(above.count() === 0)
+    assert(scannedFiles(above).isEmpty,
+      "above-truncated-max predicate should prune every file")
+    // prefix query INSIDE the truncated long-string file's range
+    assert(t2.filter(col("s") >= "z").count() === 1)
+  }
 }
