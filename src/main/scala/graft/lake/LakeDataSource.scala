@@ -37,9 +37,41 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * the data-skipping read path a Delta reader gets from its log. */
 class LakeDataSource extends org.apache.spark.sql.connector.catalog.TableProvider
     with DataSourceRegister
-    with org.apache.spark.sql.sources.StreamSourceProvider {
+    with org.apache.spark.sql.sources.StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider {
 
   override def shortName(): String = "lake"
+
+  // -- streaming sink (writeStream.format("lake")): v1 Sink API over
+  // [[LakeTable.appendIdempotent]] — each micro-batch is ONE transactional
+  // commit carrying the (appId, batchId) token, so checkpoint-replayed
+  // batches commit nothing twice (the declarative twin of [[LakeSink]],
+  // which routes the same call through foreachBatch)
+  override def createSink(sqlContext: org.apache.spark.sql.SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(partitionColumns.isEmpty,
+      "lake sink: partitionBy is not supported (cluster with OPTIMIZE instead)")
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"lake sink: only Append output mode is supported, got $outputMode " +
+        "(aggregating streams: write the finalized aggregate via foreachBatch)")
+    val options = new CaseInsensitiveStringMap(parameters.asJava)
+    val table = tableRoot(options)
+    // batch ids are only meaningful relative to ONE checkpoint, so the
+    // default idempotence scope is the checkpoint location itself
+    // (hashed: appIds must avoid ',' and ':'); an explicit appId option
+    // overrides — same contract as [[LakeSink]]
+    val appId = Option(options.get("appId")).getOrElse {
+      val ckpt = Option(options.get("checkpointLocation")).getOrElse(
+        throw new IllegalArgumentException(
+          "lake sink: checkpointLocation (or an explicit appId option) required"))
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(ckpt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+    }
+    new LakeStreamSink(table, appId)
+  }
 
   // -- streaming source (readStream.format("lake")): v1 Source API, the
   // route Delta's own streaming source takes, so getBatch can serve each
@@ -67,6 +99,8 @@ class LakeDataSource extends org.apache.spark.sql.connector.catalog.TableProvide
       metadataPath: String, schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
     val options = new CaseInsensitiveStringMap(parameters.asJava)
+    require(LakeTable.latestVersion(tableRoot(options)).isDefined,
+      s"no such lake table: ${tableRoot(options)}")
     new LakeStreamSource(sqlContext.sparkSession, tableRoot(options),
       schema.getOrElse(streamSchema(options)),
       Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L),
@@ -85,11 +119,16 @@ class LakeDataSource extends org.apache.spark.sql.connector.catalog.TableProvide
   private def versionOf(options: CaseInsensitiveStringMap): Option[Long] =
     Option(options.get("versionAsOf")).map(_.toLong)
 
+  /** Missing table → EMPTY schema, not an exception: the streaming-sink
+    * resolution path constructs the table object before falling back to
+    * [[createSink]], and `writeStream` must be able to target a table
+    * its first batch will create. Reads stay loud — the scan builder
+    * refuses a schema-less table ([[LakeV2Table.newScanBuilder]]). */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val (_, schemaJson) =
       LakeTable.snapshotFiles(tableRoot(options), versionOf(options))
-    DataType.fromJson(schemaJson.getOrElse(throw new IllegalArgumentException(
-      s"no such lake table: ${tableRoot(options)}"))).asInstanceOf[StructType]
+    schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
+      .getOrElse(new StructType())
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -104,24 +143,39 @@ class LakeDataSource extends org.apache.spark.sql.connector.catalog.TableProvide
     // would otherwise pair version-N+1 files with the version-N schema
     // (silent null-fill after an overwrite that changed columns)
     val version = versionOf(options).orElse(LakeTable.latestVersion(root))
-    val pinnedSchema = DataType.fromJson(
-      LakeTable.snapshotFiles(root, version)._2.getOrElse(
-        throw new IllegalArgumentException(s"no such lake table: $root")))
-      .asInstanceOf[StructType]
-    new LakeV2Table(SparkSession.active, options, root, version, pinnedSchema)
+    val pinnedSchema = LakeTable.snapshotFiles(root, version)._2
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+    new LakeV2Table(SparkSession.active, options, root, version,
+      pinnedSchema.getOrElse(new StructType()),
+      exists = pinnedSchema.isDefined)
   }
 
   override def supportsExternalMetadata(): Boolean = false
 }
 
+/** v1 streaming sink: one idempotent lake commit per micro-batch. */
+class LakeStreamSink(table: String, appId: String)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+  override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
+    // the engine hands a streaming-flagged DataFrame; re-tag it over the
+    // same physical plan (no extra pass) so the batch append accepts it
+    val batch = org.apache.spark.sql.GraftSqlShims.asBatchDataFrame(data)
+    LakeTable.appendIdempotent(batch.sparkSession, table, batch, appId, batchId)
+    ()
+  }
+  override def toString: String = s"LakeStreamSink[$table]"
+}
+
 class LakeV2Table(spark: SparkSession, options: CaseInsensitiveStringMap,
-    root: String, version: Option[Long], tableSchema: StructType)
+    root: String, version: Option[Long], tableSchema: StructType,
+    exists: Boolean = true)
     extends FileTable(spark, options, Seq.empty, Some(tableSchema))
     with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
 
   /** (relative path, stats) of the pinned snapshot. */
   private val entries: Seq[(String, String)] =
-    LakeTable.snapshotFilesWithStats(root, version)._1
+    if (!exists) Seq.empty
+    else LakeTable.snapshotFilesWithStats(root, version)._1
 
   /** A deletion-vector entry cannot be expressed as a bare file scan —
     * reading the data file raw would RESURRECT deleted rows, so the
@@ -195,6 +249,8 @@ class LakeV2Table(spark: SparkSession, options: CaseInsensitiveStringMap,
     new LakeFileIndex(spark, root, entries, tableSchema)
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
+    if (!exists)
+      throw new IllegalArgumentException(s"no such lake table: $root")
     requireNoDvEntries()
     ParquetScanBuilder(spark, fileIndex, schema, dataSchema, mergedOptions(o))
   }

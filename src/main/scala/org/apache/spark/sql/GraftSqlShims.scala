@@ -17,4 +17,15 @@ object GraftSqlShims {
     spark.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** The inverse: re-tag the micro-batch DataFrame a v1 `Sink.addBatch`
+    * receives (physically a batch, but flagged streaming, so every
+    * batch write verb refuses it) as a plain batch DataFrame over the
+    * SAME physical plan — no collect, no extra serialization round-trip
+    * (the `createDataFrame(df.rdd, schema)` folk recipe pays one). */
+  def asBatchDataFrame(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }

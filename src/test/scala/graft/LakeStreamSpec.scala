@@ -137,6 +137,57 @@ class LakeStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("writeStream.format(lake) creates the table and commits each batch once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (t, ck, _) = fresh()
+    val mem = MemoryStream[Long]
+    // the table does NOT exist yet — the first batch must create it
+    val q = mem.toDF().select(col("value").as("id"), (col("value") * 10).as("v"))
+      .writeStream.format("lake")
+      .option("checkpointLocation", ck)
+      .start(t)
+    try {
+      mem.addData(0L until 10L: _*)
+      q.processAllAvailable()
+      mem.addData(10L until 25L: _*)
+      q.processAllAvailable()
+      val got = spark.read.format("lake").load(t)
+        .select("id").collect().map(_.getLong(0)).sorted
+      assert(got.toSeq == (0L until 25L), s"sink rows wrong: ${got.length}")
+      // one transactional commit per non-empty batch, tokens recorded
+      val hist = LakeTable.history(t)
+      assert(hist.forall(_.op == "append"))
+      assert(hist.count(_.txn.nonEmpty) == hist.size,
+        "every sink commit must carry an idempotence token")
+      // a second query on the SAME checkpoint replays nothing
+      val q2 = mem.toDF().select(col("value").as("id"), (col("value") * 10).as("v"))
+        .writeStream.format("lake")
+        .option("checkpointLocation", ck)
+        .start(t)
+      try q2.processAllAvailable() finally q2.stop()
+      assert(spark.read.format("lake").load(t).count() === 25,
+        "checkpoint restart must not duplicate rows")
+    } finally q.stop()
+  }
+
+  test("lake sink refuses non-append output modes and missing checkpoint") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (t, ck, _) = fresh()
+    val mem = MemoryStream[Long]
+    val agg = mem.toDF().groupBy(col("value")).count()
+    val e = intercept[Exception] {
+      agg.writeStream.format("lake")
+        .outputMode("complete")
+        .option("checkpointLocation", ck)
+        .start(t)
+    }
+    assert(String.valueOf(e.getMessage).contains("Append"), s"$e")
+  }
+
   test("startingVersion starts past historical rewrites") {
     val (t, ck, sink) = fresh()
     append(t, 0 until 10) // v1
