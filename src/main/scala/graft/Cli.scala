@@ -145,6 +145,14 @@ object Cli {
               println(s"committed version $v")
             case _ => sys.error("lake optimize needs <colX> <colY> [files]")
           }
+        case "compact" => // bin-packing OPTIMIZE: small files + DV absorption
+          val smallMb = rest.headOption.map(_.toLong).getOrElse(32L)
+          val targetMb = rest.drop(1).headOption.map(_.toLong).getOrElse(128L)
+          graft.lake.LakeTable.compact(spark, table,
+            smallMb << 20, targetMb << 20) match {
+            case Some(v) => println(s"committed version $v")
+            case None => println("nothing to compact")
+          }
         case "restore" =>
           val to = rest.headOption.map(_.toLong)
             .getOrElse(sys.error("lake restore needs <version>"))

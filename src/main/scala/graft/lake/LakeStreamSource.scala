@@ -13,11 +13,12 @@ import org.apache.spark.sql.types.StructType
   * the commits in that range added ([[LakeTable.changesBetween]]), so
   * the engine's offset checkpointing gives exactly-once for free — a
   * restarted query resumes from its last committed version. Commits
-  * that REWRITE data (overwrite / merge / delete / optimize) have no
+  * that REWRITE data (overwrite / merge / delete / update) have no
   * row-level delta in the log; a batch range containing one FAILS the
   * query loudly (the consumer re-syncs from a snapshot and restarts
   * with `startingVersion`), exactly Delta's behavior when its change
-  * feed is unavailable.
+  * feed is unavailable. Row-identical re-layouts (`optimize` /
+  * `compact`) pass through silently, like Delta's dataChange=false.
   *
   * Options: `startingVersion` (default 0) — emit only commits AFTER
   * this version; use it to start past historical rewrites or to tail

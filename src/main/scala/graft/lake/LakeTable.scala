@@ -1086,6 +1086,50 @@ object LakeTable {
       "optimize")
   }
 
+  /** Bin-packing COMPACTION — `OPTIMIZE` without `ZORDER BY` (Delta's
+    * default form): rewrite only the live files smaller than
+    * `smallBytes` (plus every deletion-vector-carrying entry, whose
+    * masked rows compaction materializes away) into ~`targetBytes`
+    * outputs, carrying well-sized files by reference untouched. This is
+    * the incremental-maintenance verb for streaming-ingested tables:
+    * a sink committing every few seconds accretes thousands of small
+    * files, and full [[optimize]] (whole-table rewrite) at 100 TB pays
+    * the entire table to fix the newest 0.1%. Cost here is proportional
+    * to the SMALL files only.
+    *
+    * Data-identical by construction (DV-applied rows are re-laid out,
+    * never changed), so the streaming source and [[changesBetween]]
+    * treat a `compact` commit as row-silent. Returns None (no commit)
+    * when there is nothing worth compacting: fewer than `minFiles`
+    * small files and no DVs to absorb. Same serializable no-rebase
+    * contract as [[merge]]. */
+  def compact(spark: SparkSession, table: String,
+      smallBytes: Long = 32L << 20, targetBytes: Long = 128L << 20,
+      minFiles: Int = 2): Option[Long] = {
+    val baseVersion = latestVersion(table).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $table"))
+    val (all, schemaJson) = snapshotFilesWithStats(table, Some(baseVersion))
+    val schema = DataType.fromJson(schemaJson.get).asInstanceOf[StructType]
+    val sized = all.map { case (entry, _) =>
+      val p = parseEntry(entry)
+      (entry, p, Files.size(Paths.get(table, p.data)))
+    }
+    val picked = sized.filter { case (_, p, bytes) =>
+      p.dv.isDefined || bytes < smallBytes
+    }
+    val hasDv = picked.exists(_._2.dv.isDefined)
+    if (!hasDv && picked.size < minFiles) return None
+    val totalBytes = picked.map(_._3).sum
+    val outFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val compacted = readEntries(spark, table, picked.map(_._1), schema)
+      .repartition(outFiles)
+    val (add, stats) = stage(compacted, table)
+    Some(commitOrThrow(table,
+      Commit(baseVersion + 1, "compact", add, picked.map(_._1),
+        schemaJson.get, stats),
+      "compact"))
+  }
+
   // ---- deletion vectors (merge-on-read) --------------------------------
 
   /** A live-set entry is either a bare data file (`stage-x/f.parquet`)
@@ -1334,6 +1378,11 @@ object LakeTable {
     * range containing one throws rather than returning wrong changes —
     * the consumer falls back to a snapshot diff or re-sync, exactly
     * Delta's behavior when CDF is unavailable. */
+  /** Ops whose commits are row-identical re-layouts: their added files
+    * hold only rows earlier commits already carried, so change readers
+    * and streams skip them silently (Delta's dataChange=false). */
+  private val DataIdenticalOps = Set("optimize", "compact")
+
   def changesBetween(spark: SparkSession, table: String,
       fromVersion: Long, toVersion: Long): DataFrame = {
     val latest = latestVersion(table).getOrElse(
@@ -1343,11 +1392,11 @@ object LakeTable {
     val commits = versions(table)
       .filter(v => v > fromVersion && v <= toVersion)
       .map(readCommit(table, _))
-    commits.find(_.op != "append").foreach(c =>
+    commits.find(c => c.op != "append" && !DataIdenticalOps(c.op)).foreach(c =>
       throw new IllegalArgumentException(
         s"changesBetween: version ${c.version} is a ${c.op}, which has no " +
           "row-level delta; re-sync from a snapshot instead"))
-    val files = commits.flatMap(_.add)
+    val files = commits.filter(_.op == "append").flatMap(_.add)
     // empty range (e.g. the documented fromVersion == toVersion poll,
     // including (0, 0]): take the schema from the latest snapshot —
     // Some(0) would be rejected as a nonexistent version
@@ -1408,7 +1457,8 @@ object LakeTable {
       .filter(v => v > fromVersion && v <= toVersion)
       .map(readCommit(table, _))
     commits.find(c => c.op match {
-      case "append" | "optimize" => false
+      case "append" => false
+      case op if DataIdenticalOps(op) => false
       case _ => c.cdc.isEmpty && (c.add.nonEmpty || c.remove.nonEmpty)
     }).foreach(c => throw new IllegalArgumentException(
       s"changeFeed: version ${c.version} is a ${c.op} with no change " +

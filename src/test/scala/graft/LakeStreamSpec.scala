@@ -188,6 +188,24 @@ class LakeStreamSpec extends SparkSpec {
     assert(String.valueOf(e.getMessage).contains("Append"), s"$e")
   }
 
+  test("a compact commit mid-stream is silent: no failure, no duplicates") {
+    val (t, ck, sink) = fresh()
+    (0 until 4).foreach(i => append(t, i * 10 until i * 10 + 10))
+    val q = spark.readStream.format("lake").load(t)
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", ck).start()
+    try {
+      q.processAllAvailable()
+      assert(LakeTable.compact(spark, t, smallBytes = 1L << 20,
+        targetBytes = 1L << 30).isDefined)
+      append(t, 40 until 50)
+      q.processAllAvailable()
+      val got = spark.table(sink).select("id").collect().map(_.getLong(0)).sorted
+      assert(got.toSeq == (0L until 50L),
+        s"stream across compact diverged: ${got.length} rows")
+    } finally q.stop()
+  }
+
   test("startingVersion starts past historical rewrites") {
     val (t, ck, sink) = fresh()
     append(t, 0 until 10) // v1

@@ -397,6 +397,53 @@ class LakeTableSpec extends SparkSpec {
     assert(LakeTable.snapshot(spark, t, Some(v - 1)).count() == rows)
   }
 
+  test("compact bin-packs small files only, carrying well-sized files by reference") {
+    val t = freshTable()
+    // one "big" file (10k rows) + six tiny ones
+    LakeTable.append(spark, t, df(100000 until 110000).repartition(1))
+    (0 until 6).foreach(i =>
+      LakeTable.append(spark, t, df(i * 10 until i * 10 + 10).repartition(1)))
+    val before = LakeTable.snapshotFiles(t)._1
+    assert(before.size == 7)
+    val bigEntry = before.head // v1's file
+    val bigBytes = java.nio.file.Files.size(
+      java.nio.file.Paths.get(t, bigEntry))
+    // threshold below the big file, above the tiny ones
+    val v = LakeTable.compact(spark, t, smallBytes = bigBytes,
+      targetBytes = 1L << 30)
+    assert(v.isDefined)
+    val after = LakeTable.snapshotFiles(t)._1
+    assert(after.contains(bigEntry), "well-sized file must be carried by reference")
+    assert(after.size == 2, s"6 small files should pack into 1, got $after")
+    // row-identical, and time travel to pre-compact still works
+    val ids = LakeTable.snapshot(spark, t).select("id").collect()
+      .map(_.getLong(0)).sorted
+    assert(ids.toSeq == ((0 until 60).map(_.toLong) ++
+      (100000 until 110000).map(_.toLong)).sorted)
+    assert(LakeTable.snapshot(spark, t, Some(v.get - 1)).count() == ids.length)
+    // nothing left to compact: one packed file + one big file
+    assert(LakeTable.compact(spark, t, smallBytes = 1L << 10,
+      targetBytes = 1L << 30).isEmpty, "re-compacting must be a no-op")
+  }
+
+  test("compact absorbs deletion vectors and is silent to change readers") {
+    val t = freshTable()
+    LakeTable.append(spark, t, df(0 until 100).repartition(1)) // v1
+    LakeTable.append(spark, t, df(100 until 200).repartition(1)) // v2
+    LakeTable.deleteWhereDV(spark, t, "id", 0, 9) // v3: DV on file 1
+    assert(LakeTable.snapshotFiles(t)._1.exists(_.contains("#dv=")))
+    val v = LakeTable.compact(spark, t, smallBytes = 2L, // nothing is "small"...
+      targetBytes = 1L << 30)
+    assert(v.isDefined, "...but DV entries always compact")
+    assert(LakeTable.snapshotFiles(t)._1.forall(!_.contains("#dv=")),
+      "compaction must materialize deletion vectors away")
+    assert(LakeTable.snapshot(spark, t).count() === 190)
+    // changesBetween spans the compact commit silently: only the real
+    // appends' rows come back
+    val changed = LakeTable.changesBetween(spark, t, v.get - 1, v.get)
+    assert(changed.count() === 0, "compact must be row-silent to the change reader")
+  }
+
   test("change feed: append ranges are exact deltas; rewrites refuse") {
     val t = freshTable()
     LakeTable.append(spark, t, df(0 until 10))   // v1
@@ -514,7 +561,7 @@ class LakeTableSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     perVersion += model
     (0 until 14).foreach { _ =>
-      val committed = rnd.nextInt(7) match {
+      val committed = rnd.nextInt(8) match {
         case 0 => // append fresh ids only (append semantics = multiset add;
           // keep ids disjoint from the model so the map stays a valid model)
           val rows = freshRows(rnd.nextInt(8) + 1)
@@ -559,6 +606,9 @@ class LakeTableSpec extends SparkSpec {
           LakeTable.truncate(t)
           model = Map.empty
           true
+        case 7 => // bin-packing compaction: row-identical, absorbs DVs
+          LakeTable.compact(spark, t, smallBytes = 1L << 20,
+            targetBytes = 1L << 30).isDefined
       }
       if (committed) { // keep perVersion aligned with the version counter
         perVersion += model
