@@ -738,14 +738,59 @@ object LakeTable {
     * these read the state they replace, so a lost race must THROW, never
     * silently rebase — the winner may have changed the very rows
     * involved (Delta's serializable behavior). */
-  private def commitOrThrow(table: String, c: Commit, op: String): Long = {
-    if (!tryCommit(table, c))
-      throw new java.util.ConcurrentModificationException(
-        s"$op on $table lost the commit race at version ${c.version}; " +
-          "re-run against the new snapshot")
-    maybeCheckpoint(table, c.version)
-    c.version
+  private def commitOrThrow(table: String, c: Commit, op: String): Long =
+    commitWithRebase(table, c, op, _ => false)
+
+  /** Test-only injection point: runs once before the FIRST commit
+    * attempt of a read-modify-write op, so specs can deterministically
+    * lose the race to a concurrent writer. Never set outside tests. */
+  private[lake] var raceHook: String => Unit = _ => ()
+
+  /** Commit a read-modify-write transaction with CONFLICT-AWARE retry
+    * (Delta's WriteSerializable): losing the CAS is fatal only when a
+    * winner actually conflicts. Winners for which `safeAcross` holds —
+    * pure appends whose rows provably cannot affect this transaction's
+    * read set — are rebased over: the commit re-points to the next
+    * version with its add/remove sets unchanged, which is exactly the
+    * state re-running the op against the new snapshot would produce
+    * (the winner's files stay live; ours replace the same inputs).
+    * `safeAcross` receives each winner commit; any non-append, any
+    * remove, or any schema change must return false. */
+  private def commitWithRebase(table: String, c: Commit, op: String,
+      safeAcross: Commit => Boolean): Long = {
+    raceHook(op)
+    var cur = c
+    var tries = 0
+    while (tries < MaxRetries) {
+      if (tryCommit(table, cur)) {
+        maybeCheckpoint(table, cur.version)
+        return cur.version
+      }
+      val latest = versions(table).lastOption.getOrElse(0L)
+      val winners = (cur.version to latest).map(readCommit(table, _))
+      winners.find(w => !(w.op == "append" && w.remove.isEmpty &&
+          w.schemaJson == cur.schemaJson && safeAcross(w))).foreach { w =>
+        throw new java.util.ConcurrentModificationException(
+          s"$op on $table lost the commit race to a ${w.op} at version " +
+            s"${w.version} that may affect its read set; re-run against " +
+            "the new snapshot")
+      }
+      cur = cur.copy(version = latest + 1)
+      tries += 1
+    }
+    throw new IllegalStateException(
+      s"$op on $table failed after $MaxRetries rebase retries")
   }
+
+  /** Can a pure-append winner's files contain a row with
+    * `column ∈ [lo, hi]`? Checked from the COMMIT's own stats — the
+    * same interval test as [[pruneByStats]]; a file without usable
+    * stats conservatively counts as overlapping. */
+  private def appendOverlapsRange(w: Commit, column: String,
+      lo: Double, hi: Double): Boolean =
+    pruneByStats(w.add.zipWithIndex.map { case (f, i) =>
+      (f, w.addStats.lift(i).getOrElse(""))
+    }, column, lo, hi).nonEmpty
 
   /** Resolve `column` against the schema (exact first, then the
     * case-insensitive match Spark's own resolution uses), require it
@@ -828,10 +873,32 @@ object LakeTable {
           "insert", table)
     }
     val (add, stats) = stage(survivors.unionByName(aligned), table)
-    commitOrThrow(table,
+    // rebase policy: a concurrent pure append is safe iff its files
+    // provably hold NO key inside the updates' key hull (log stats of
+    // the key column vs the hull, computed lazily on first race) — the
+    // winner then cannot contain a matched key, so re-running the merge
+    // against the new snapshot would produce exactly the rebased state
+    val keyName = schema.fields.find(_.name == key)
+      .orElse(schema.fields.find(_.name.equalsIgnoreCase(key)))
+      .map(_.name).getOrElse(key)
+    lazy val keyHull: Option[(Double, Double)] =
+      if (!schema(keyName).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]) None
+      else {
+        import org.apache.spark.sql.functions.{max => fmax, min => fmin}
+        val r = aligned.agg(fmin(col(keyName)), fmax(col(keyName))).head()
+        (r.get(0), r.get(1)) match {
+          case (a: Number, b: Number)
+            if !a.doubleValue().isNaN && !b.doubleValue().isNaN =>
+            Some((math.nextDown(a.doubleValue()), math.nextUp(b.doubleValue())))
+          case _ => None
+        }
+      }
+    commitWithRebase(table,
       Commit(baseVersion + 1, "merge", add, affected, schemaJson.get, stats,
         cdc = cdc),
-      "merge")
+      "merge",
+      w => keyHull.exists { case (lo, hi) =>
+        !appendOverlapsRange(w, keyName, lo, hi) })
   }
 
   /** Copy-on-write DELETE of rows with `column ∈ [lo, hi]`. The
@@ -861,10 +928,13 @@ object LakeTable {
       else stageCdc(readEntries(spark, table, affected, schema)
         .filter(col(c) >= lo && col(c) <= hi), "delete", table)
     val (add, stats) = stage(survivors, table)
-    commitOrThrow(table,
+    // a concurrent pure append rebases iff its stats exclude [lo, hi] —
+    // its rows then hold nothing this delete would have removed
+    commitWithRebase(table,
       Commit(baseVersion + 1, "delete", add, affected, schemaJson.get, stats,
         cdc = cdc),
-      "delete")
+      "delete",
+      w => !appendOverlapsRange(w, c, lo, hi))
   }
 
   /** TRUNCATE: remove every live row in one METADATA-ONLY commit — no
@@ -1025,10 +1095,11 @@ object LakeTable {
           stageCdc(post, "update_postimage", table)
       }
     val (add, stats) = stage(survivors, table)
-    commitOrThrow(table,
+    commitWithRebase(table,
       Commit(baseVersion + 1, "update", add, affected, schemaJson.get, stats,
         cdc = cdc),
-      "update")
+      "update",
+      w => !appendOverlapsRange(w, c, lo, hi))
   }
 
   /** OPTIMIZE with Z-ORDER BY: rewrite the live file set compacted into
@@ -1080,10 +1151,13 @@ object LakeTable {
       .sortWithinPartitions("_zkey")
       .drop("_zkey")
     val (add, stats) = stage(clustered, table)
-    commitOrThrow(table,
+    // re-layouts read only the files they replace: ANY pure append is
+    // disjoint from that read set (its files simply stay un-clustered
+    // this round), so it always rebases
+    commitWithRebase(table,
       Commit(baseVersion + 1, "optimize", add, all.map(_._1),
         schemaJson.get, stats),
-      "optimize")
+      "optimize", _ => true)
   }
 
   /** Bin-packing COMPACTION — `OPTIMIZE` without `ZORDER BY` (Delta's
@@ -1124,10 +1198,10 @@ object LakeTable {
     val compacted = readEntries(spark, table, picked.map(_._1), schema)
       .repartition(outFiles)
     val (add, stats) = stage(compacted, table)
-    Some(commitOrThrow(table,
+    Some(commitWithRebase(table,
       Commit(baseVersion + 1, "compact", add, picked.map(_._1),
         schemaJson.get, stats),
-      "compact"))
+      "compact", _ => true))
   }
 
   // ---- deletion vectors (merge-on-read) --------------------------------
@@ -1235,10 +1309,11 @@ object LakeTable {
     val c = requireNumeric(schema, column, "deleteWhereDV")
     val affected = pruneByStats(all, c, lo, hi)
     if (affected.isEmpty)
-      return commitOrThrow(table,
+      return commitWithRebase(table,
         Commit(baseVersion + 1, "delete-dv", Seq.empty, Seq.empty,
           schemaJson.get),
-        "delete-dv")
+        "delete-dv",
+        w => !appendOverlapsRange(w, c, lo, hi))
     // newly deleted (rel_file, row_index) pairs, read DV-applied so a
     // row already masked by an older DV is not re-matched
     val parsed = affected.map(parseEntry)
@@ -1271,11 +1346,12 @@ object LakeTable {
       finally dvIt.close()
     val statsOf = all.toMap
     val add = parsed.map(e => s"${e.data}$DvSep$dvFile")
-    commitOrThrow(table,
+    commitWithRebase(table,
       Commit(baseVersion + 1, "delete-dv", add, affected, schemaJson.get,
         affected.map(statsOf), // stats carry over: DVs only remove rows
         cdc = cdc),
-      "delete-dv")
+      "delete-dv",
+      w => !appendOverlapsRange(w, c, lo, hi))
   }
 
   // ---- read path -------------------------------------------------------

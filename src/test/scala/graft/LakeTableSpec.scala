@@ -397,6 +397,96 @@ class LakeTableSpec extends SparkSpec {
     assert(LakeTable.snapshot(spark, t, Some(v - 1)).count() == rows)
   }
 
+  test("WriteSerializable: a DISJOINT concurrent append rebases DML instead of aborting") {
+    import graft.lake.LakeTestHooks
+    val t = freshTable()
+    LakeTable.append(spark, t, df(0 until 100).repartition(1)) // v1
+    var fired = false
+    LakeTestHooks.withRaceHook { _ =>
+      if (!fired) { fired = true; LakeTable.append(spark, t, df(1000 until 1010).repartition(1)) }
+    } {
+      val v = LakeTable.deleteWhere(spark, t, "id", 0, 49)
+      assert(v === 3, "delete must land AFTER the racing append (v2)")
+    }
+    val ids = LakeTable.snapshot(spark, t).select("id").collect()
+      .map(_.getLong(0)).sorted
+    assert(ids.toSeq == ((50 until 100) ++ (1000 until 1010)).map(_.toLong),
+      "rebased delete must keep the racing append's rows and drop the range")
+  }
+
+  test("WriteSerializable: an OVERLAPPING concurrent append conflicts loudly") {
+    import graft.lake.LakeTestHooks
+    val t = freshTable()
+    LakeTable.append(spark, t, df(0 until 100).repartition(1))
+    var fired = false
+    val e = intercept[java.util.ConcurrentModificationException] {
+      LakeTestHooks.withRaceHook { _ =>
+        if (!fired) { fired = true; LakeTable.append(spark, t, df(40 until 60).repartition(1)) }
+      } {
+        LakeTable.deleteWhere(spark, t, "id", 0, 49)
+      }
+    }
+    assert(e.getMessage.contains("read set"))
+    // nothing committed by the failed delete: rows = both appends
+    assert(LakeTable.snapshot(spark, t).count() === 120)
+  }
+
+  test("WriteSerializable: merge rebases across key-disjoint appends, conflicts on overlap") {
+    import spark.implicits._
+    import graft.lake.LakeTestHooks
+    val t = freshTable()
+    LakeTable.append(spark, t, df(0 until 50).repartition(1))
+    // disjoint keys: append 500.. while merging keys 0..9 → rebase
+    var fired = false
+    LakeTestHooks.withRaceHook { _ =>
+      if (!fired) { fired = true; LakeTable.append(spark, t, df(500 until 510).repartition(1)) }
+    } {
+      LakeTable.merge(spark, t,
+        (0 until 10).map(i => (i.toLong, 777L)).toDF("id", "v"), "id")
+    }
+    val m = LakeTable.snapshot(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0 until 10).forall(i => m(i.toLong) == 777L))
+    assert((500 until 510).forall(i => m.contains(i.toLong)),
+      "racing append's rows must survive the rebased merge")
+    // overlapping keys → loud conflict
+    var fired2 = false
+    intercept[java.util.ConcurrentModificationException] {
+      LakeTestHooks.withRaceHook { _ =>
+        if (!fired2) { fired2 = true; LakeTable.append(spark, t, df(5 until 8).repartition(1)) }
+      } {
+        LakeTable.merge(spark, t, Seq((6L, 1L)).toDF("id", "v"), "id")
+      }
+    }
+  }
+
+  test("WriteSerializable: maintenance (optimize/compact) rebases across ANY append") {
+    import graft.lake.LakeTestHooks
+    val t = freshTable()
+    (0 until 3).foreach(i =>
+      LakeTable.append(spark, t, df(i * 10 until i * 10 + 10).repartition(1)))
+    var fired = false
+    LakeTestHooks.withRaceHook { _ =>
+      if (!fired) { fired = true; LakeTable.append(spark, t, df(100 until 110).repartition(1)) }
+    } {
+      assert(LakeTable.compact(spark, t, smallBytes = 1L << 20,
+        targetBytes = 1L << 30).isDefined)
+    }
+    val ids = LakeTable.snapshot(spark, t).select("id").collect()
+      .map(_.getLong(0)).sorted
+    assert(ids.toSeq == ((0 until 30) ++ (100 until 110)).map(_.toLong),
+      "compact must keep the racing append's rows")
+    // a racing REWRITE still conflicts (remove sets may collide)
+    var fired2 = false
+    intercept[java.util.ConcurrentModificationException] {
+      LakeTestHooks.withRaceHook { _ =>
+        if (!fired2) { fired2 = true; LakeTable.deleteWhere(spark, t, "id", 0, 5) }
+      } {
+        LakeTable.optimize(spark, t, "id", "v", targetFiles = 2)
+      }
+    }
+  }
+
   test("compact bin-packs small files only, carrying well-sized files by reference") {
     val t = freshTable()
     // one "big" file (10k rows) + six tiny ones
