@@ -68,7 +68,9 @@ object Bench {
       ("bucket_layout", _.startsWith("rel_order_rev_bucket"),
         () => graft.rel.RelQueries.prebuildBucketedTables(spark, sfDir)),
       ("lake_ingest", _.startsWith("rel_pricing_lake"),
-        () => graft.rel.RelQueries.prebuildLakeTable(spark, sfDir)))
+        () => graft.rel.RelQueries.prebuildLakeTable(spark, sfDir)),
+      ("mv_build", _.startsWith("rel_pricing_mv"),
+        () => graft.rel.RelQueries.prebuildMv(spark, sfDir)))
     val indexBuilds: Seq[(String, Double)] = indexDefs
       .filter { case (_, relevant, _) => selected.exists(relevant) }
       .map { case (name, _, build) =>

@@ -717,6 +717,43 @@ object LakeTable {
       df.schema.json).get
   }
 
+  /** Idempotent overwrite for replayable MAINTAINERS (e.g. incremental
+    * view refresh, scheduled rebuild jobs). Token semantics are
+    * MONOTONE, Delta's txnAppId/txnVersion rule rather than
+    * [[appendIdempotent]]'s equality rule: the write is skipped when the
+    * log already carries `appId` at a version ≥ `txnVersion`, because an
+    * overwrite is a statement about TABLE STATE, not a batch of new
+    * rows — a state derived from source version v is subsumed by any
+    * state derived from v' ≥ v, while a replayed or stale maintainer
+    * must never clobber a newer state with an older one. The check
+    * re-runs inside the commit retry loop, so two racing maintainers
+    * serialize through the CAS and the stale one aborts (returns None). */
+  def overwriteIdempotent(spark: SparkSession, table: String, df: DataFrame,
+      appId: String, txnVersion: Long): Option[Long] = {
+    require(!appId.exists(c => c == ',' || c == ':'),
+      s"overwriteIdempotent: appId `$appId` must not contain ',' or ':'")
+    def landed(): Boolean = lastTxnVersion(table, appId).exists(_ >= txnVersion)
+    if (landed()) None
+    else {
+      val (add, stats) = stage(df, table)
+      commitLoop(table, "overwrite", add, stats,
+        base => base.lastOption.map(v => snapshotFiles(table, Some(v))._1)
+          .getOrElse(Seq.empty),
+        df.schema.json, txn = s"$appId:$txnVersion", abortIf = () => landed())
+    }
+  }
+
+  /** Highest `txnVersion` the log carries for `appId`, across both
+    * idempotence-token flavors — how a restarted maintainer discovers
+    * where it left off (Delta's `txn.lastWriteVersion`). */
+  def lastTxnVersion(table: String, appId: String): Option[Long] = {
+    val prefix = s"$appId:"
+    val vs = committedTokens(table).toSeq
+      .filter(_.startsWith(prefix))
+      .flatMap(_.drop(prefix.length).toLongOption)
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
   /** Copy-on-write upsert (MERGE): rows in `updates` replace rows with
     * the same `key` and new keys are inserted. Only the files that
     * actually CONTAIN a matched key are rewritten — untouched files are
@@ -1522,6 +1559,29 @@ object LakeTable {
     * delta — those REFUSE loudly (re-sync from a snapshot), exactly the
     * plain [[changesBetween]] contract. A schema change inside the
     * range likewise refuses: one feed, one schema. */
+  /** Does [[changeFeed]] cover `(fromVersion, toVersion]` without
+    * refusing? False when the range contains a whole-table rewrite
+    * (overwrite / truncate / restore), a pre-CDF DML commit, or a
+    * schema change — the cases where an incremental consumer must
+    * re-sync from a snapshot instead. Same checks as [[changeFeed]],
+    * exposed so maintainers can CHOOSE full recompute up front rather
+    * than drive control flow off the exception. */
+  def changeFeedCovers(table: String, fromVersion: Long,
+      toVersion: Long): Boolean = {
+    val latest = latestVersion(table).getOrElse(return false)
+    if (fromVersion < 0 || toVersion > latest || fromVersion > toVersion)
+      return false
+    val commits = versions(table)
+      .filter(v => v > fromVersion && v <= toVersion)
+      .map(readCommit(table, _))
+    val rowLevel = commits.forall(c => c.op match {
+      case "append" => true
+      case op if DataIdenticalOps(op) => true
+      case _ => c.cdc.nonEmpty || (c.add.isEmpty && c.remove.isEmpty)
+    })
+    rowLevel && commits.map(_.schemaJson).distinct.size <= 1
+  }
+
   def changeFeed(spark: SparkSession, table: String,
       fromVersion: Long, toVersion: Long): DataFrame = {
     import org.apache.spark.sql.functions.lit

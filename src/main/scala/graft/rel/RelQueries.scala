@@ -587,6 +587,63 @@ object RelQueries {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  // ---- incrementally-maintained materialized view ---------------------
+
+  private val mvCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** One-time: lineitem ingested into a lake table in TWO appends with a
+    * range-delete at the end, and a pricing materialized view
+    * ([[graft.lake.MaterializedView]]) maintained ACROSS the history —
+    * created after the first append, then incrementally refreshed twice
+    * (append delta, then delete delta via the change feed). The view
+    * state the query reads was therefore never fully recomputed after
+    * creation; matching the flat-SQL oracle proves the delta-multiset
+    * maintenance exact end-to-end. */
+  private def mvPricing(spark: SparkSession, dir: String): String = {
+    val key = graft.DatasetCache.snapshotKey(spark, dir, "lineitem.parquet")
+    mvCache.computeIfAbsent(key, { _ =>
+      val src = graft.DatasetCache.registerTempDir(
+        java.nio.file.Files.createTempDirectory("graft_mv_lineitem").toString)
+      val view = graft.DatasetCache.registerTempDir(
+        java.nio.file.Files.createTempDirectory("graft_mv_pricing").toString)
+      val li = t(spark, dir, "lineitem").select(
+        col("l_orderkey"), col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast(LongType).as("qty"))
+      graft.lake.LakeTable.append(spark, src,
+        li.filter(col("l_orderkey") % 2 === 0))
+      graft.lake.MaterializedView.create(spark, view, src,
+        Seq("l_returnflag", "l_linestatus"), Seq("qty"))
+      graft.lake.LakeTable.append(spark, src,
+        li.filter(col("l_orderkey") % 2 =!= 0))
+      graft.lake.MaterializedView.refresh(spark, view)
+      graft.lake.LakeTable.deleteWhere(spark, src, "l_orderkey", 100, 500)
+      graft.lake.MaterializedView.refresh(spark, view)
+      view
+    })
+  }
+
+  /** Force the one-time MV build (bench isolation hook). */
+  def prebuildMv(spark: SparkSession, dir: String): Unit = {
+    mvPricing(spark, dir)
+    ()
+  }
+
+  /** Pricing summary served FROM the maintained view state — a
+    * view-sized scan (a few rows), no fact-table I/O at query time. The
+    * 100 TB shape: dashboards hit the view; only refresh touches the
+    * fact table, and only its changed rows. */
+  def pricingSummaryMv(spark: SparkSession, dir: String): DataFrame =
+    graft.lake.MaterializedView.read(spark, mvPricing(spark, dir))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  def pricingSummaryMvSql: String =
+    """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt,
+      | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      | FROM lineitem WHERE l_orderkey < 100 OR l_orderkey > 500
+      | GROUP BY l_returnflag, l_linestatus
+      | ORDER BY l_returnflag, l_linestatus""".stripMargin.replace("\n", " ")
+
   // ---- bucketed co-located join (persistent shuffle-free layout) ------
 
   /** Buckets for the orders/lineitem layout. Sized so each bucket of the
