@@ -107,7 +107,17 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val indexTotal = indexBuilds.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"index_build":${jsonMap(indexBuilds)},"index_build_total":$indexTotal,"failed":$failedNames,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"index_build":${jsonMap(indexBuilds)},"index_build_total":$indexTotal,"failed":$failedNames,"sf":"$sfDir"}"""
+    println(line)
+    // the stdout line gets tail-truncated in round artifacts (r4 lost
+    // most per-query timings) — persist the full JSON to a file too so
+    // the numbers are always recoverable and committable
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")), line)
+    catch { case e: Throwable =>
+      System.err.println(s"bench: could not persist bench_last.json: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -12,6 +12,10 @@ object Verify {
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
     val spark = LocalSession("4")
     new java.io.File(outDir).mkdirs()
+    // Failures must be VISIBLE in the artifact dir, not just stderr: a
+    // broken query otherwise shows up as a silent absence in the driver's
+    // correctness diff (exactly how r4's 13 events_* failures hid).
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .foreach { case (name, fn) =>
@@ -19,6 +23,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -36,6 +41,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // always written (possibly {}) so "no errors" is itself an artifact
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    // NOT a nonzero exit: the driver's per-query diff must still run over
+    // the queries that did dump; the artifact carries the failure signal.
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries failed — see _errors.json")
     spark.stop()
   }
 }

@@ -3,15 +3,15 @@ package graft.events
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Event-log operators over the `events` table (event_id, ts
   * nanosecond-timestamp, user_id, event_type, value, props JSON).
   *
-  * The parquet carries TIMESTAMP(NANOS), which Spark 4 only reads via
-  * `spark.sql.legacy.parquet.nanosAsLong` — so all time arithmetic here
-  * is exact int64 nanoseconds (and the DuckDB oracle uses epoch_ns), no
-  * float time anywhere. Money-like doubles aggregate as integer cents.
+  * All time arithmetic here is exact int64 nanoseconds (and the DuckDB
+  * oracle uses epoch_ns), no float time anywhere; [[events]] normalizes
+  * whatever physical timestamp type the parquet carries to that int64-ns
+  * contract. Money-like doubles aggregate as integer cents.
   *
   * These are the batch shapes of the streaming pipeline (windowed rollup,
   * sessionization, JSON extraction); `graft.streaming` runs the same
@@ -23,11 +23,37 @@ object EventOps {
   val SessionGapNs: Long = 1800L * 1000 * 1000 * 1000 // 30 min
   val SessionGapUs: Long = SessionGapNs / 1000
 
-  /** Requires `spark.sql.legacy.parquet.nanosAsLong=true` at session
-    * construction ([[graft.LocalSession]] / the test builder set it);
-    * mutating session conf per query-build was a global side effect. */
+  /** The events table with `ts` guaranteed int64 nanoseconds, whatever
+    * the parquet physically stores — the column's type has drifted across
+    * testdata generations (TIMESTAMP(NANOS), which
+    * `spark.sql.legacy.parquet.nanosAsLong=true` surfaces as LongType;
+    * then TIMESTAMP(MICROS), which arrives as TIMESTAMP_NTZ and silently
+    * ignores that flag). Every downstream operator does integer ns
+    * arithmetic, so the normalization lives HERE, once, not in each
+    * query. See [[normalizeTs]]. */
   def events(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/events.parquet")
+    normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
+
+  /** Normalize a `ts` column to int64 nanoseconds-since-epoch.
+    *
+    *  - LongType: already ns (TIMESTAMP(NANOS) read under `nanosAsLong`,
+    *    or an upstream-normalized frame) — passthrough, no-op plan node.
+    *  - TIMESTAMP / TIMESTAMP_NTZ: `unix_micros * 1000` — exact, since
+    *    both store micros physically (µs-grained data makes the later
+    *    `ts div 1000` in streaming round-trips lossless). The NTZ→TZ cast
+    *    is value-preserving because every session here pins
+    *    `spark.sql.session.timeZone=UTC` ([[graft.LocalSession]] and the
+    *    test builder), matching DuckDB's naive-as-UTC `epoch_ns`.
+    *
+    * Anything else is a schema regression worth failing loudly on. */
+  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType => df
+    case TimestampType | TimestampNTZType =>
+      df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+    case other =>
+      throw new IllegalArgumentException(
+        s"events.ts: expected int64 ns or a timestamp type, got $other")
+  }
 
   /** Hourly windowed rollup per event type: the canonical streaming
     * aggregation run as a batch. Count + exact integer-cent sum. */

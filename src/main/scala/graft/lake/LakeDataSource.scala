@@ -263,11 +263,13 @@ class LakeV2Table(spark: SparkSession, options: CaseInsensitiveStringMap,
         "(a plain file write would bypass the transaction log)")
 
   // -- SQL DML: `DELETE FROM lake.ns.t WHERE ...` / `TRUNCATE TABLE` ----
-  // (SupportsDeleteV2). The predicate set must translate to ONE numeric
-  // range — the shape [[LakeTable.deleteWhere]] executes transactionally
-  // with log-stats affected-file pruning. Anything else is REFUSED in
-  // canDeleteWhere, which Spark reports loudly — never a partial or
-  // silently-different delete.
+  // (SupportsDeleteV2). The predicate set must translate to a
+  // CONJUNCTION of per-column numeric ranges — the shape
+  // [[LakeTable.deleteWhereRanges]] executes transactionally with
+  // log-stats affected-file pruning (files pruned against EVERY
+  // conjunct's interval). Anything else is REFUSED in canDeleteWhere,
+  // which Spark reports loudly — never a partial or silently-different
+  // delete.
 
   /** Table root + pinned version for the SQL UPDATE rewrite
     * ([[LakeSqlUpdate]]), which executes through [[LakeTable]] by path. */
@@ -293,12 +295,13 @@ class LakeV2Table(spark: SparkSession, options: CaseInsensitiveStringMap,
     requireCurrent("DELETE")
     LakeSqlDelete.translate(predicates, tableSchema) match {
       case Some(LakeSqlDelete.All) => LakeTable.truncate(root)
-      case Some(LakeSqlDelete.Range(column, lo, hi)) =>
-        LakeTable.deleteWhere(spark, root, column, lo, hi)
+      case Some(LakeSqlDelete.Ranges(ranges)) =>
+        LakeTable.deleteWhereRanges(spark, root, ranges)
       case None => throw new UnsupportedOperationException(
         s"lake: cannot DELETE with ${predicates.mkString(" AND ")} — " +
-          "supported: one numeric column constrained by =, <, <=, >, >= " +
-          "conjuncts (bounded on both sides for float/double columns)")
+          "supported: conjunctions of =, <, <=, >, >= between numeric " +
+          "columns and literals (bounded on both sides for float/double " +
+          "columns); disjunctions and expressions refuse")
     }
   }
 
@@ -328,7 +331,10 @@ object LakeSqlDelete {
   sealed trait Target
   /** Every row (SQL `DELETE FROM t` / `WHERE true`) → truncate. */
   case object All extends Target
-  final case class Range(column: String, lo: Double, hi: Double) extends Target
+  /** Conjunction of per-column ranges (one range per distinct column,
+    * multiple conjuncts on the same column intersect). A single-column
+    * WHERE is the one-element case. */
+  final case class Ranges(ranges: Seq[(String, Double, Double)]) extends Target
 
   private val maxExactLong = 1L << 53
 
@@ -337,24 +343,27 @@ object LakeSqlDelete {
     if (conjuncts.exists(_.isEmpty)) return None // an untranslatable leaf
     val leaves = conjuncts.flatten
     if (leaves.isEmpty) return Some(All)
-    val byCol = leaves.groupBy(_._1)
-    if (byCol.size != 1) return None // deleteWhere is one-column ranges
-    val (name, bounds) = byCol.head
-    val field = schema.fields.find(_.name == name)
-      .orElse(schema.fields.find(_.name.equalsIgnoreCase(name)))
-      .getOrElse(return None)
-    val integral = field.dataType match {
-      case ByteType | ShortType | IntegerType | LongType => true
-      case FloatType | DoubleType => false
-      case _ => return None // non-numeric: deleteWhere would refuse anyway
+    // one interval per distinct column — the same per-column guards as
+    // the single-column form, applied to each; sorted for determinism
+    val ranges = leaves.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (name, bounds) =>
+        val field = schema.fields.find(_.name == name)
+          .orElse(schema.fields.find(_.name.equalsIgnoreCase(name)))
+          .getOrElse(return None)
+        val integral = field.dataType match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case FloatType | DoubleType => false
+          case _ => return None // non-numeric: deleteWhere would refuse anyway
+        }
+        val lo = bounds.flatMap(_._2).foldLeft(Double.NegativeInfinity)(math.max)
+        val hi = bounds.flatMap(_._3).foldLeft(Double.PositiveInfinity)(math.min)
+        // float/double columns: both sides must be explicit (NaN totality)
+        if (!integral && (lo.isNegInfinity || hi.isPosInfinity)) return None
+        if (integral && bounds.flatMap(b => b._2.toSeq ++ b._3.toSeq)
+          .exists(v => math.abs(v) > maxExactLong.toDouble)) return None
+        (field.name, lo, hi)
     }
-    val lo = bounds.flatMap(_._2).foldLeft(Double.NegativeInfinity)(math.max)
-    val hi = bounds.flatMap(_._3).foldLeft(Double.PositiveInfinity)(math.min)
-    // float/double columns: both sides must be explicit (NaN totality)
-    if (!integral && (lo.isNegInfinity || hi.isPosInfinity)) return None
-    if (integral && bounds.flatMap(b => b._2.toSeq ++ b._3.toSeq)
-      .exists(v => math.abs(v) > maxExactLong.toDouble)) return None
-    Some(Range(field.name, lo, hi))
+    Some(Ranges(ranges))
   }
 
   /** One predicate → its comparison leaves as (col, lo?, hi?), or

@@ -945,33 +945,64 @@ object LakeTable {
     * survivors are rewritten without their matching rows. Same
     * serializable no-rebase contract as [[merge]]. */
   def deleteWhere(spark: SparkSession, table: String, column: String,
-      lo: Double, hi: Double): Long = {
-    import org.apache.spark.sql.functions.col
+      lo: Double, hi: Double): Long =
+    deleteWhereRanges(spark, table, Seq((column, lo, hi)))
+
+  /** Copy-on-write DELETE of rows matching a CONJUNCTION of per-column
+    * ranges (`a ∈ [alo, ahi] AND b ∈ [blo, bhi] AND ...`) — the shape a
+    * multi-column SQL `DELETE WHERE` translates to. Affected files are
+    * pruned against EVERY conjunct's interval (a file escapes the
+    * rewrite if ANY range provably excludes it — intersection pruning,
+    * the same interval logic as [[pruneByStats]] per column), so a
+    * two-column delete touches no more files than the more selective of
+    * its columns alone. Row-level semantics are SQL's: a row deletes iff
+    * the conjunction is TRUE (a NULL in any predicate column keeps the
+    * row). Same serializable no-rebase contract as [[merge]]: a
+    * concurrent pure append is safe iff its log stats provably exclude
+    * at least one conjunct's range — then no appended row can match the
+    * whole conjunction. */
+  def deleteWhereRanges(spark: SparkSession, table: String,
+      ranges: Seq[(String, Double, Double)]): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    require(ranges.nonEmpty, "deleteWhereRanges: no predicate ranges")
     val baseVersion = latestVersion(table).getOrElse(
       throw new IllegalArgumentException(s"no such table: $table"))
     val (all, schemaJson) = snapshotFilesWithStats(table, Some(baseVersion))
     val schema = DataType.fromJson(schemaJson.get).asInstanceOf[StructType]
     // a string column here would cast to null and the NULL-filter chain
     // would DROP every such row — fail loudly instead
-    val c = requireNumeric(schema, column, "deleteWhere")
-    val affected = pruneByStats(all, c, lo, hi)
+    val resolved = ranges.map { case (c0, lo, hi) =>
+      (requireNumeric(schema, c0, "deleteWhere"), lo, hi)
+    }
+    require(resolved.map(_._1).distinct.size == resolved.size,
+      s"deleteWhere: duplicate predicate column in ${resolved.map(_._1)}")
+    // intersection pruning: keep a file only while every range could hit
+    val affected = resolved.foldLeft(all) { case (rem, (c, lo, hi)) =>
+      val keep = pruneByStats(rem, c, lo, hi).toSet
+      rem.filter(e => keep(e._1))
+    }.map(_._1)
+    val matched = resolved.map { case (c, lo, hi) =>
+      col(c) >= lo && col(c) <= hi
+    }.reduce(_ && _)
     val survivors =
       if (affected.isEmpty) emptyDf(spark, schema)
       else readEntries(spark, table, affected, schema)
-        .filter(!(col(c) >= lo && col(c) <= hi) || col(c).isNull)
+        // three-valued logic: NULL-matched rows survive
+        .filter(not(coalesce(matched, lit(false))))
     // change feed: the matched rows, tagged, staged with this commit
     val cdc =
       if (affected.isEmpty) Seq.empty[String]
       else stageCdc(readEntries(spark, table, affected, schema)
-        .filter(col(c) >= lo && col(c) <= hi), "delete", table)
+        .filter(matched), "delete", table)
     val (add, stats) = stage(survivors, table)
-    // a concurrent pure append rebases iff its stats exclude [lo, hi] —
-    // its rows then hold nothing this delete would have removed
+    // a concurrent pure append rebases iff its stats exclude at least
+    // one range — its rows then hold nothing this delete would remove
     commitWithRebase(table,
       Commit(baseVersion + 1, "delete", add, affected, schemaJson.get, stats,
         cdc = cdc),
       "delete",
-      w => !appendOverlapsRange(w, c, lo, hi))
+      w => resolved.exists { case (c, lo, hi) =>
+        !appendOverlapsRange(w, c, lo, hi) })
   }
 
   /** TRUNCATE: remove every live row in one METADATA-ONLY commit — no

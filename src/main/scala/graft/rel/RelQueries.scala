@@ -474,14 +474,23 @@ object RelQueries {
 
   /** TPC-H Q19-shaped disjunctive band predicate: revenue from three
     * OR'd (brand, size band, quantity band) windows — the classic
-    * can't-push-one-conjunct filter. The part dimension broadcasts with
-    * only the 3 predicate columns; the disjunction evaluates map-side
-    * after the hash join and everything stays in one whole-stage-codegen
-    * pass (the quantity half of each disjunct is pushed to the lineitem
-    * scan as `l_quantity BETWEEN min(bands)` residual by Catalyst). */
+    * can't-push-one-conjunct filter. The OR-of-conjunctions DOES imply
+    * one pushable residual per side: every disjunct pins `p_brand` to one
+    * of three values (and `p_size >= 1`), so the broadcast side is
+    * pre-filtered to those brands — at TPC-H sf100 that is the difference
+    * between shipping all ~20M parts under a forced broadcast hint (past
+    * safe broadcast size, and a hint can't degrade) and ~3/|brands| of
+    * them. The join then semi-reduces lineitem before the full
+    * disjunction evaluates map-side; everything after the broadcast stays
+    * in one whole-stage-codegen pass (the quantity envelope
+    * `l_quantity BETWEEN 1 AND 40` is likewise pushed to the lineitem
+    * scan). */
   def partBands(spark: SparkSession, dir: String): DataFrame = {
     val parts = t(spark, dir, "part")
       .select("p_partkey", "p_brand", "p_size")
+      // the disjunction's implied residual, pushed below the broadcast
+      .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") &&
+        col("p_size") >= 1)
     val q = col("l_quantity")
     val band1 = col("p_brand") === "Brand#1" &&
       col("p_size").between(1, 15) && q.between(1, 15)
@@ -490,6 +499,9 @@ object RelQueries {
     val band3 = col("p_brand") === "Brand#3" &&
       col("p_size").between(1, 50) && q.between(25, 40)
     t(spark, dir, "lineitem")
+      // quantity envelope of the three bands — explicit so it reaches the
+      // parquet scan as a pushed filter regardless of CNF-extraction
+      .filter(q.between(1, 40))
       .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
       .filter(band1 || band2 || band3)
       .agg(count(lit(1)).as("cnt"),
@@ -735,8 +747,12 @@ object RelQueries {
     * (broadcast); the supplier dimension joins WITHOUT a forced
     * broadcast hint — AQE broadcasts it at test SF and degrades to
     * shuffle when supplier outgrows the threshold (the round-3 verdict's
-    * rule for unbounded dimensions). The year comes from the
-    * orders⋈lineitem equi-join (the one unavoidable fact shuffle); both
+    * rule for unbounded dimensions). Join ORDER is the load-bearing
+    * choice: the region-filtered supplier set joins into lineitem FIRST
+    * (the selective dimension semi-reduces the fact to ~1/|regions| of
+    * its rows), and only then does the orders⋈lineitem equi-join run —
+    * so the one unavoidable fact-fact shuffle on orderkey carries the
+    * reduced lineitem, not the full table. Both
     * shares are conditional sums in ONE aggregate pass, and the ppm
     * ratio multiplies in DECIMAL(38,0) (HUGEINT on the oracle side) —
     * exact 128-bit in both engines, so `nation_units * 1e6` cannot
@@ -754,8 +770,8 @@ object RelQueries {
       .join(regionNations, col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), (col("n_name") === nation).cast("int").as("is_target"))
     t(spark, dir, "lineitem")
-      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
       .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
       .groupBy(year(col("o_orderdate")).as("o_year"))
       .agg(
         sum(when(col("is_target") === 1,

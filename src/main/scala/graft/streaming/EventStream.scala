@@ -18,9 +18,14 @@ import org.apache.spark.sql.types.LongType
   */
 object EventStream {
 
-  /** int64-ns `ts` → proper event-time column (micros precision). */
+  /** int64-ns `ts` → proper event-time column (micros precision).
+    * Type-adaptive like the batch side: a source whose `ts` arrives as a
+    * timestamp type (testdata drift, see [[graft.events.EventOps.normalizeTs]])
+    * is normalized to int64 ns first, so batch and stream keep one
+    * contract. */
   def withEventTime(events: DataFrame): DataFrame =
-    events.withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    graft.events.EventOps.normalizeTs(events)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
 
   /** Incremental hourly rollup per event type: tumbling window + count
     * and exact integer-cent sum; watermark bounds the open-window state. */

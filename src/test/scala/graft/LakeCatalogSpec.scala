@@ -117,14 +117,45 @@ class LakeCatalogSpec extends SparkSpec {
     }
     assert(e.getMessage.toLowerCase.contains("delete"),
       s"unexpected refusal message: ${e.getMessage}")
-    // two different columns can't be one range either
+    // disjunctions stay refused — only conjunctions of ranges translate
     val e2 = intercept[Exception] {
-      spark.sql("DELETE FROM graftlake.dml.delrefuse WHERE id >= 1 AND v <= 4")
+      spark.sql("DELETE FROM graftlake.dml.delrefuse WHERE id < 5 OR v > 400")
     }
     assert(e2.getMessage.toLowerCase.contains("delete"))
     // nothing committed by either refusal
     assert(spark.sql("SELECT count(*) AS n FROM graftlake.dml.delrefuse")
       .head().getLong(0) == 250)
+  }
+
+  test("SQL DELETE with a two-column conjunction commits the minimal rewrite set") {
+    val t = dmlTable("delconj") // v = id * 2; files: [0,100) and [100,250)
+    // id >= 40 AND v < 300 ≡ id in [40, 149]: matches rows in BOTH files
+    spark.sql("DELETE FROM graftlake.dml.delconj WHERE id >= 40 AND v < 300")
+    assert(spark.sql("SELECT count(*) AS n FROM graftlake.dml.delconj")
+      .head().getLong(0) == 250 - 110)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graftlake.dml.delconj WHERE id BETWEEN 40 AND 149")
+      .head().getLong(0) == 0)
+    // survivors on both flanks intact
+    assert(spark.sql(
+      "SELECT min(id) AS a, max(id) AS b FROM graftlake.dml.delconj")
+      .head().toSeq == Seq(0L, 249L))
+    // intersection pruning, on a fresh table with known file boundaries:
+    // the v conjunct must prune files the id conjunct alone cannot
+    val t2 = dmlTable("delconj2")
+    val before = LakeTable.snapshotFiles(t2, None)._1.size
+    assert(before > 1)
+    val v0 = LakeTable.latestVersion(t2).get
+    // id >= 0 spans EVERY file; v < 30 (≡ id < 15) prunes to the first —
+    // a single-column translation could not have skipped any file here
+    spark.sql("DELETE FROM graftlake.dml.delconj2 WHERE id >= 0 AND v < 30")
+    val commit = LakeTable.history(t2).find(_.version == v0 + 1).get
+    assert(commit.remove.size < before,
+      s"conjunction pruning rewrote all $before files: ${commit.remove}")
+    assert(spark.sql("SELECT count(*) AS n FROM graftlake.dml.delconj2")
+      .head().getLong(0) == 250 - 15)
+    assert(spark.sql("SELECT count(*) AS n FROM graftlake.dml.delconj2 WHERE id < 15")
+      .head().getLong(0) == 0)
   }
 
   test("TRUNCATE TABLE is a metadata-only commit; time travel survives") {

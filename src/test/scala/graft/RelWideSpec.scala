@@ -167,7 +167,7 @@ class RelWideSpec extends SparkSpec {
     assert(overlap.nonEmpty && overlap.subsetOf(vocab("en") intersect vocab("de")))
     val noBuy = EventOps.clickNoBuyDays(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val buyDays = spark.read.parquet(s"$sf0001/events.parquet")
+    val buyDays = EventOps.events(spark, sf0001)
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), expr(s"ts div ${EventOps.NsPerDay}").as("d"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
