@@ -22,10 +22,12 @@ import org.apache.spark.sql.types._
   *
   * Conservative by design, mirroring [[LakeSqlDelete]]'s guards — an
   * untranslatable UPDATE throws loudly and commits nothing:
-  *  - the predicate must be a conjunction of comparisons between ONE
-  *    numeric column and exact literals (float/double columns bounded
-  *    on both sides — Spark orders NaN above +Inf, so an unbounded side
-  *    would silently disagree with the row filter);
+  *  - the predicate must be a conjunction of comparisons between
+  *    numeric columns and exact literals — one interval per distinct
+  *    column, same as the DELETE translation (float/double columns
+  *    bounded on both sides — Spark orders NaN above +Inf, so an
+  *    unbounded side would silently disagree with the row filter);
+  *    disjunctions and expressions refuse;
   *  - assignment values must be foldable literals, inspected BENEATH
   *    any analyzer-inserted cast: a non-ANSI `Cast(2.5 AS BIGINT)`
   *    folds to 2 silently, so the rule unwraps the cast and hands the
@@ -46,11 +48,11 @@ object LakeSqlUpdate extends Rule[LogicalPlan] {
         case Some(t) =>
           t.requireCurrentFor("UPDATE")
           val schema = rel.schema
-          val range = condition.map(boundsOf(_, schema)).getOrElse(refuse(
+          val ranges = condition.map(boundsOf(_, schema)).getOrElse(refuse(
             "has no WHERE clause; a full-table UPDATE has no predicate " +
               "column to scope the transaction"))
           val sets = assignments.map(assignmentOf(_, schema)).toMap
-          LakeUpdateCommand(t.tableRoot, range._1, range._2, range._3, sets)
+          LakeUpdateCommand(t.tableRoot, ranges, sets)
       }
   }
 
@@ -73,35 +75,35 @@ object LakeSqlUpdate extends Rule[LogicalPlan] {
 
   // ---- predicate translation (mirror of LakeSqlDelete, catalyst side) --
 
+  /** Conjunction of comparisons → one interval per distinct column
+    * (multiple conjuncts on one column intersect), the multi-column
+    * widening that matches [[LakeSqlDelete]]'s DELETE translation. */
   private def boundsOf(cond: Expression,
-      schema: StructType): (String, Double, Double) = {
+      schema: StructType): Seq[(String, Double, Double)] = {
     val leaves = flatten(cond)
     if (leaves.isEmpty)
       refuse("has a trivially-true WHERE; a full-table UPDATE has no " +
         "predicate column to scope the transaction")
     if (leaves.exists(_.isEmpty))
       refuse("contains a predicate that does not translate to a " +
-        "one-column literal range")
-    val byCol = leaves.flatten.groupBy(_._1)
-    if (byCol.size != 1)
-      refuse("constrains more than one column; updateWhere is a " +
-        "one-column range")
-    val (name, bs) = byCol.head
-    val field = schema.fields.find(_.name == name).getOrElse(
-      refuse(s"references unknown column `$name`"))
-    val integral = field.dataType match {
-      case ByteType | ShortType | IntegerType | LongType => true
-      case FloatType | DoubleType => false
-      case other => refuse(s"filters non-numeric column `$name` " +
-        s"(${other.simpleString})")
+        "per-column literal range conjunction")
+    leaves.flatten.groupBy(_._1).toSeq.sortBy(_._1).map { case (name, bs) =>
+      val field = schema.fields.find(_.name == name).getOrElse(
+        refuse(s"references unknown column `$name`"))
+      val integral = field.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case FloatType | DoubleType => false
+        case other => refuse(s"filters non-numeric column `$name` " +
+          s"(${other.simpleString})")
+      }
+      val lo = bs.flatMap(_._2).foldLeft(Double.NegativeInfinity)(math.max)
+      val hi = bs.flatMap(_._3).foldLeft(Double.PositiveInfinity)(math.min)
+      if (!integral && (lo.isNegInfinity || hi.isPosInfinity))
+        refuse(s"leaves float column `$name` unbounded on one side (Spark " +
+          "orders NaN above +Infinity, so the range and the row filter " +
+          "could silently disagree)")
+      (field.name, lo, hi)
     }
-    val lo = bs.flatMap(_._2).foldLeft(Double.NegativeInfinity)(math.max)
-    val hi = bs.flatMap(_._3).foldLeft(Double.PositiveInfinity)(math.min)
-    if (!integral && (lo.isNegInfinity || hi.isPosInfinity))
-      refuse(s"leaves float column `$name` unbounded on one side (Spark " +
-        "orders NaN above +Infinity, so the range and the row filter " +
-        "could silently disagree)")
-    (field.name, lo, hi)
   }
 
   private def flatten(e: Expression): Seq[Option[(String, Option[Double], Option[Double])]] =
@@ -192,10 +194,11 @@ object LakeSqlUpdate extends Rule[LogicalPlan] {
 }
 
 /** Runnable side of [[LakeSqlUpdate]]: one lake transaction. */
-case class LakeUpdateCommand(root: String, column: String, lo: Double,
-    hi: Double, assignments: Map[String, Any]) extends LeafRunnableCommand {
+case class LakeUpdateCommand(root: String,
+    ranges: Seq[(String, Double, Double)],
+    assignments: Map[String, Any]) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    LakeTable.updateWhere(spark, root, column, lo, hi, assignments)
+    LakeTable.updateWhereRanges(spark, root, ranges, assignments)
     Seq.empty
   }
 }

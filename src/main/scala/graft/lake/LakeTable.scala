@@ -1127,22 +1127,45 @@ object LakeTable {
   }
 
   def updateWhere(spark: SparkSession, table: String, column: String,
-      lo: Double, hi: Double, assignments: Map[String, Any]): Long = {
-    import org.apache.spark.sql.functions.{col, lit, when}
+      lo: Double, hi: Double, assignments: Map[String, Any]): Long =
+    updateWhereRanges(spark, table, Seq((column, lo, hi)), assignments)
+
+  /** Copy-on-write UPDATE scoped by a CONJUNCTION of per-column ranges —
+    * the multi-column twin of [[deleteWhereRanges]], with the same
+    * intersection file pruning (a file escapes the rewrite if ANY
+    * conjunct's interval provably excludes it), SQL three-valued match
+    * semantics (NULL in a predicate column → row untouched), and
+    * no-rebase contract (a concurrent append is safe iff its stats
+    * exclude at least one conjunct's range). */
+  def updateWhereRanges(spark: SparkSession, table: String,
+      ranges: Seq[(String, Double, Double)],
+      assignments: Map[String, Any]): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    require(ranges.nonEmpty, "updateWhereRanges: no predicate ranges")
     val baseVersion = latestVersion(table).getOrElse(
       throw new IllegalArgumentException(s"no such table: $table"))
     val (all, schemaJson) = snapshotFilesWithStats(table, Some(baseVersion))
     val schema = DataType.fromJson(schemaJson.get).asInstanceOf[StructType]
-    val c = requireNumeric(schema, column, "updateWhere")
+    val resolved = ranges.map { case (c0, lo, hi) =>
+      (requireNumeric(schema, c0, "updateWhere"), lo, hi)
+    }
+    require(resolved.map(_._1).distinct.size == resolved.size,
+      s"updateWhere: duplicate predicate column in ${resolved.map(_._1)}")
     assignments.foreach { case (a, v) =>
       require(schema.fieldNames.contains(a), s"updateWhere: no such column `$a`")
       requireLossless(schema(a).dataType, v, a)
     }
-    require(!assignments.contains(c),
+    resolved.map(_._1).foreach(c => require(!assignments.contains(c),
       "updateWhere: assigning the predicate column would make the result " +
-        "order-of-application dependent; use merge for key rewrites")
-    val affected = pruneByStats(all, c, lo, hi)
-    val matched = col(c) >= lo && col(c) <= hi
+        "order-of-application dependent; use merge for key rewrites"))
+    val affected = resolved.foldLeft(all) { case (rem, (c, lo, hi)) =>
+      val keep = pruneByStats(rem, c, lo, hi).toSet
+      rem.filter(e => keep(e._1))
+    }.map(_._1)
+    // three-valued logic: a NULL conjunct means NOT matched
+    val matched = coalesce(resolved.map { case (c, lo, hi) =>
+      col(c) >= lo && col(c) <= hi
+    }.reduce(_ && _), lit(false))
     val survivors =
       if (affected.isEmpty) emptyDf(spark, schema)
       else assignments.foldLeft(readEntries(spark, table, affected, schema)) {
@@ -1167,7 +1190,8 @@ object LakeTable {
       Commit(baseVersion + 1, "update", add, affected, schemaJson.get, stats,
         cdc = cdc),
       "update",
-      w => !appendOverlapsRange(w, c, lo, hi))
+      w => resolved.exists { case (c, lo, hi) =>
+        !appendOverlapsRange(w, c, lo, hi) })
   }
 
   /** OPTIMIZE with Z-ORDER BY: rewrite the live file set compacted into

@@ -127,6 +127,31 @@ class LakeCatalogSpec extends SparkSpec {
       .head().getLong(0) == 250)
   }
 
+  test("SQL UPDATE with a two-column conjunction scopes the transaction") {
+    val t = s"$root/dml/updconj"
+    LakeTable.append(spark, t,
+      spark.range(0, 100).select(col("id"), (col("id") * 2).as("v"),
+        lit(0L).as("flag")))
+    LakeTable.append(spark, t,
+      spark.range(100, 250).select(col("id"), (col("id") * 2).as("v"),
+        lit(0L).as("flag")))
+    // id >= 40 AND v < 300 ≡ id in [40, 149]
+    spark.sql(
+      "UPDATE graftlake.dml.updconj SET flag = 1 WHERE id >= 40 AND v < 300")
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graftlake.dml.updconj WHERE flag = 1")
+      .head().getLong(0) == 110)
+    assert(spark.sql(
+      """SELECT count(*) AS n FROM graftlake.dml.updconj
+        | WHERE flag = 1 AND (id < 40 OR id > 149)""".stripMargin)
+      .head().getLong(0) == 0)
+    // assigning one of the predicate columns still refuses
+    val e = intercept[Exception] {
+      spark.sql("UPDATE graftlake.dml.updconj SET v = 0 WHERE id >= 0 AND v < 10")
+    }
+    assert(e.getMessage.contains("predicate column"))
+  }
+
   test("SQL DELETE with a two-column conjunction commits the minimal rewrite set") {
     val t = dmlTable("delconj") // v = id * 2; files: [0,100) and [100,250)
     // id >= 40 AND v < 300 ≡ id in [40, 149]: matches rows in BOTH files

@@ -145,6 +145,51 @@ class LazGolden14Spec extends AnyFunSuite {
     assert(!d.next())
   }
 
+  // -- case C: format 8 (POINT14 + RGB14 + NIR), color change + channel
+  // switch — pins the color/NIR layers' per-channel banks and the
+  // 11-layer framing of the widest extended format.
+  private def pc(x: Int, y: Int, r: Int, g: Int, b: Int, nir: Int,
+      ch: Int = 0): LazPoint = {
+    val p = p14(x, y, 50, gps = t0, extFlags = ch << 4)
+    p.red = r; p.green = g; p.blue = b; p.nir = nir
+    p
+  }
+
+  private val ptsC = IndexedSeq(
+    pc(1000, 2000, 300, 200, 100, 500),
+    pc(1001, 2000, 300, 200, 100, 500),
+    pc(1003, 2001, 305, 201, 99, 505),
+    pc(1004, 2001, 305, 201, 99, 505, ch = 1))
+  private val goldenC =
+    "e8030000d0070000320000000700110002000000010000000000000059402c01c8006400f401" + // anchor (+rgb+nir)
+      "04000000" + // u32 point count
+      "0b00000007000000070000000600000006000000040000000700000004000000040000000900000005000000" + // sizes [11,7,7,6,6,4,7,4,4,9,5]
+      "0007be12beca091b000000" + // XY (incl. channel switch)
+      "347a2760000000" + "020200ff000000" + // Z, Cls
+      "000001000000" + "387aa9000000" + // Flags, Intens
+      "01000000" + "00000001000000" + // ScanAngle (empty), UserData
+      "01000000" + "01000000" + // PointSource (empty), Gps (empty)
+      "815382edf504000000" + "1050000000" // RGB14, NIR
+
+  test("format-8 layered chunk (case C) encodes to the derived golden bytes") {
+    assert(hex(LazFormat.encodeChunk(ptsC, 8)) == goldenC.replace(" ", ""))
+  }
+
+  test("case C golden bytes decode colors and NIR through the channel banks") {
+    val bytes = unhex(goldenC)
+    val d = new LazFormat.ChunkDecoder14(bytes, 0, bytes.length, 8, 4L,
+      (0 until 24).toArray)
+    ptsC.foreach { p =>
+      assert(d.next())
+      assert(d.point.x == p.x && d.point.y == p.y && d.point.z == p.z)
+      assert(d.point.red == p.red && d.point.green == p.green &&
+        d.point.blue == p.blue, "rgb")
+      assert(d.point.nir == p.nir, "nir")
+      assert(((d.point.extFlags >>> 4) & 3) == ((p.extFlags >>> 4) & 3))
+    }
+    assert(!d.next())
+  }
+
   test("projection-skipping decode of the golden bytes: XY only") {
     // the layered framing's point: decoding only x/y must still track
     // contexts (XY layer) while never touching the other layers' bytes
