@@ -170,6 +170,145 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // ---- PII redaction ---------------------------------------------------
+
+  /** PII patterns kept to syntax Java regex (Spark) and RE2 (DuckDB)
+    * treat identically: no backreferences, no lookaround, explicit
+    * classes. Email, dotted-quad IP, NNN-NNNN phone. */
+  val PiiEmail: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiIp: String = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PiiPhone: String = "\\b[0-9]{3}-[0-9]{4}\\b"
+
+  /** The synthetic corpus carries no PII, so the fixture is CONSTRUCTED
+    * deterministically from doc_id inside the query — both engines build
+    * the identical string, redact it, and must agree byte-for-byte. */
+  private def piiText: Column = concat(
+    col("text"), lit(" contact user"), col("doc_id"),
+    lit("@example.com from 10.2."), col("doc_id") % 256,
+    lit("."), col("doc_id") % 100,
+    lit(" call 555-"), lpad((col("doc_id") * 7 % 10000).cast("string"), 4, "0"))
+
+  private val piiTextSql: String =
+    "text || ' contact user' || doc_id || '@example.com from 10.2.' || " +
+      "(doc_id % 256) || '.' || (doc_id % 100) || ' call 555-' || " +
+      "lpad(CAST(doc_id * 7 % 10000 AS VARCHAR), 4, '0')"
+
+  /** PII redaction: the pattern-masking stage every training pipeline
+    * runs before anything ships. Per-document hit counts by type, plus
+    * length and md5 of the redacted text proving both engines produced
+    * the IDENTICAL masked string. Redaction order is load-bearing
+    * (email first — its local part may contain digits; then IP, whose
+    * dotted quad would otherwise partially match the phone tail; then
+    * phone). Pure map-side projection: at 100 TB this is a single scan,
+    * no shuffle beyond the presentation sort. */
+  def docPiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val t = piiText
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, PiiEmail, "<EMAIL>"),
+          PiiIp, "<IP>"),
+        PiiPhone, "<PHONE>")
+    docs(spark, dir).select(
+      col("doc_id"),
+      regexp_count(t, lit(PiiEmail)).cast(LongType).as("n_email"),
+      regexp_count(t, lit(PiiIp)).cast(LongType).as("n_ip"),
+      regexp_count(t, lit(PiiPhone)).cast(LongType).as("n_phone"),
+      length(redacted).cast(LongType).as("len_after"),
+      md5(redacted).as("red_md5"))
+      .orderBy("doc_id")
+  }
+
+  val docPiiScrubSql: String = {
+    val t = piiTextSql
+    s"""SELECT doc_id,
+       | CAST(len(regexp_extract_all($t, '$PiiEmail')) AS BIGINT) AS n_email,
+       | CAST(len(regexp_extract_all($t, '$PiiIp')) AS BIGINT) AS n_ip,
+       | CAST(len(regexp_extract_all($t, '$PiiPhone')) AS BIGINT) AS n_phone,
+       | CAST(length(regexp_replace(regexp_replace(regexp_replace($t,
+       |   '$PiiEmail', '<EMAIL>', 'g'), '$PiiIp', '<IP>', 'g'),
+       |   '$PiiPhone', '<PHONE>', 'g')) AS BIGINT) AS len_after,
+       | md5(regexp_replace(regexp_replace(regexp_replace($t,
+       |   '$PiiEmail', '<EMAIL>', 'g'), '$PiiIp', '<IP>', 'g'),
+       |   '$PiiPhone', '<PHONE>', 'g')) AS red_md5
+       | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")
+  }
+
+  // ---- cross-document line dedup (C4-style) ----------------------------
+
+  /** The synthetic docs are single-line, so lines are CONSTRUCTED by
+    * breaking after every 8th token — both engines apply the identical
+    * regex rewrite, so the line sets agree exactly. */
+  private val LineBreakPattern = "((\\S+ ){7}\\S+) "
+
+  /** Cross-document line-level dedup, the C4/RefinedWeb preprocessing
+    * step: a line occurring in several documents is kept ONLY at its
+    * first occurrence (lowest doc_id, then lowest position) and removed
+    * everywhere else; each document is rebuilt from its surviving lines.
+    *
+    * Scale design: lines are exploded with their position, the keeper
+    * per distinct line is one groupBy on md5(line) (map-side
+    * combinable min of an int64-encoded (doc_id, pos) key — never the
+    * line text itself on the wire twice), kept lines are an equi-join
+    * on the hash, and the rebuild is one groupBy(doc_id) with an
+    * in-row array_sort — 3 keyed shuffles total, no windows, no
+    * driver-side state, exactly the shape that survives 100 TB.
+    * Output: per-doc line counts before/after and md5 of the rebuilt
+    * text, hash-compared against the oracle. */
+  def docLineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val lined = docs(spark, dir).select(col("doc_id"),
+      regexp_replace(col("text"), LineBreakPattern, "$1\n").as("lt"))
+    val lines = lined.select(col("doc_id"),
+      posexplode(split(col("lt"), "\n")).as(Seq("pos", "line")))
+    // int64 (doc_id, pos) encoding: pos is bounded by line count per doc
+    val withKey = lines.withColumn("okey",
+      col("doc_id") * 1000000L + col("pos"))
+    val keepers = withKey.groupBy(md5(col("line")).as("lh"))
+      .agg(min(col("okey")).as("keep_key"))
+    val kept = withKey
+      .join(keepers, md5(col("line")) === col("lh"))
+      .filter(col("okey") === col("keep_key"))
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        concat_ws("\n", expr("transform(array_sort(collect_list(struct(pos, line))), x -> x.line)"))
+          .as("rebuilt"))
+    lined.select(col("doc_id"),
+        (size(split(col("lt"), "\n"))).cast(LongType).as("n_lines"),
+        col("lt"))
+      .join(rebuilt, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        md5(coalesce(col("rebuilt"), lit(""))).as("kept_md5"))
+      .orderBy("doc_id")
+  }
+
+  val docLineDedupSql: String =
+    """WITH lined AS (
+      | SELECT doc_id,
+      |  regexp_replace(text, '((\S+ ){7}\S+) ', '\1' || chr(10), 'g') AS lt
+      | FROM documents),
+      |lines AS (
+      | SELECT t.doc_id, g.i - 1 AS pos, t.parts[g.i] AS line,
+      |  t.doc_id * 1000000 + g.i - 1 AS okey
+      | FROM (SELECT doc_id, string_split(lt, chr(10)) AS parts FROM lined) t,
+      |  LATERAL (SELECT unnest(generate_series(1, len(t.parts))) AS i) g),
+      |keepers AS (
+      | SELECT md5(line) AS lh, min(okey) AS keep_key FROM lines GROUP BY 1),
+      |kept AS (
+      | SELECT l.doc_id, l.pos, l.line FROM lines l
+      |  JOIN keepers k ON md5(l.line) = k.lh AND l.okey = k.keep_key),
+      |rebuilt AS (
+      | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |  string_agg(line, chr(10) ORDER BY pos) AS rebuilt
+      | FROM kept GROUP BY 1)
+      |SELECT l.doc_id,
+      | CAST(len(string_split(l.lt, chr(10))) AS BIGINT) AS n_lines,
+      | CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+      | md5(coalesce(r.rebuilt, '')) AS kept_md5
+      |FROM lined l LEFT JOIN rebuilt r ON l.doc_id = r.doc_id
+      |ORDER BY l.doc_id""".stripMargin.replace("\n", " ")
+
   val docScrubSql: String =
     s"""SELECT doc_id,
        | CAST(len(regexp_extract_all(text, '$ScrubPattern')) AS BIGINT) AS n_hits,

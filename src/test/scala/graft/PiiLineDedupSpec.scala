@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+
+/** Semantics of the two r5 pipeline additions: PII redaction and
+  * C4-style cross-document line dedup. */
+class PiiLineDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("PII patterns mask crafted strings exactly, in the load-bearing order") {
+    val df = Seq(
+      (1L, "mail me at jane.doe+x@sub.example.org today"),
+      (2L, "server 10.2.33.4 answered"),
+      (3L, "call 555-0134 now"),
+      (4L, "all three: a@b.co 1.2.3.4 555-9999"),
+      (5L, "no pii here at all")).toDF("id", "t")
+    val red = df.select(col("id"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("t"), TextOps.PiiEmail, "<EMAIL>"),
+          TextOps.PiiIp, "<IP>"),
+        TextOps.PiiPhone, "<PHONE>").as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(red(1L) == "mail me at <EMAIL> today")
+    assert(red(2L) == "server <IP> answered")
+    assert(red(3L) == "call <PHONE> now")
+    assert(red(4L) == "all three: <EMAIL> <IP> <PHONE>")
+    assert(red(5L) == "no pii here at all")
+  }
+
+  test("docPiiScrub finds exactly the injected PII in every document") {
+    val rows = TextOps.docPiiScrub(spark, sf0001).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 1L, s"email count off for doc ${r.getLong(0)}")
+      assert(r.getLong(2) == 1L, s"ip count off for doc ${r.getLong(0)}")
+      assert(r.getLong(3) == 1L, s"phone count off for doc ${r.getLong(0)}")
+    }
+  }
+
+  test("docLineDedup keeps a shared line only at its first occurrence") {
+    val rows = TextOps.docLineDedup(spark, sf0001).collect()
+    assert(rows.length == 500)
+    val totalLines = rows.map(_.getLong(1)).sum
+    val totalKept = rows.map(_.getLong(2)).sum
+    // the synthetic corpus repeats 8-token runs across documents, so the
+    // dedup must actually remove something — and never add
+    assert(totalKept < totalLines, "no cross-document duplicate line removed")
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+    // doc 0 can lose lines only to ITSELF (first doc in keeper order):
+    // any line it loses must duplicate an earlier line of doc 0
+    val d0 = rows.find(_.getLong(0) == 0L).get
+    val d0Lines = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("doc_id") === 0L)
+      .select(regexp_replace(col("text"), "((\\S+ ){7}\\S+) ", "$1\n").as("lt"))
+      .head().getString(0).split("\n")
+    assert(d0.getLong(2) == d0Lines.distinct.length.toLong,
+      "doc 0 must keep exactly its distinct lines")
+  }
+
+  test("docLineDedup n_kept matches an independent window-rank recomputation") {
+    // independent implementation of the same semantics: rank every
+    // (line, doc_id, pos) occurrence by (doc_id, pos) per line with a
+    // WINDOW (the op itself uses groupBy-min + join — different plan,
+    // same answer), keep rank 1, count per doc
+    val lines = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"),
+        posexplode(split(
+          regexp_replace(col("text"), "((\\S+ ){7}\\S+) ", "$1\n"), "\n"))
+          .as(Seq("pos", "line")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("line").orderBy("doc_id", "pos")
+    val indep = lines.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = TextOps.docLineDedup(spark, sf0001).collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) == indep.getOrElse(r.getLong(0), 0L),
+        s"n_kept mismatch for doc ${r.getLong(0)}")
+    }
+  }
+}
