@@ -190,6 +190,47 @@ class LazGolden14Spec extends AnyFunSuite {
     assert(!d.next())
   }
 
+  // -- case D: format 6 + 2 extra bytes (BYTE14: one layer PER BYTE
+  // position, per-channel banks) — pins the extra-bytes layering and
+  // that the channel switch seeds the new bank from the donor's state.
+  private def pe(x: Int, y: Int, e1: Int, e2: Int, ch: Int = 0): LazPoint = {
+    val p = p14(x, y, 50, gps = t0, extFlags = ch << 4)
+    p.extra = Array(e1.toByte, e2.toByte)
+    p
+  }
+
+  private val ptsD = IndexedSeq(
+    pe(1000, 2000, 10, 200),
+    pe(1001, 2000, 10, 200),
+    pe(1003, 2001, 11, 199),
+    pe(1004, 2001, 11, 199, ch = 1))
+  private val goldenD =
+    "e8030000d0070000320000000700110002000000010000000000000059400ac8" + // anchor + raw extra [10, 200]
+      "04000000" + // u32 point count
+      "0b00000007000000070000000600000006000000040000000700000004000000040000000700000007000000" + // sizes [11,7,7,6,6,4,7,4,4,7,7]
+      "0007be12beca091b000000" + // XY
+      "347a2760000000" + "020200ff000000" + // Z, Cls
+      "000001000000" + "387aa9000000" + // Flags, Intens
+      "01000000" + "00000001000000" + // ScanAngle (empty), UserData
+      "01000000" + "01000000" + // PointSource (empty), Gps (empty)
+      "00010000000000" + "00feff81000000" // extra byte 0, extra byte 1
+
+  test("format-6 + extra-bytes chunk (case D) encodes to the derived golden bytes") {
+    assert(hex(LazFormat.encodeChunk(ptsD, 6)) == goldenD.replace(" ", ""))
+  }
+
+  test("case D golden bytes decode the extra bytes through the channel banks") {
+    val bytes = unhex(goldenD)
+    val d = new LazFormat.ChunkDecoder14(bytes, 0, bytes.length, 6, 4L,
+      (0 until 24).toArray, extraCount = 2)
+    ptsD.foreach { p =>
+      assert(d.next())
+      assert(d.point.x == p.x && d.point.y == p.y)
+      assert(d.point.extra.toSeq == p.extra.toSeq, "extra bytes")
+    }
+    assert(!d.next())
+  }
+
   test("projection-skipping decode of the golden bytes: XY only") {
     // the layered framing's point: decoding only x/y must still track
     // contexts (XY layer) while never touching the other layers' bytes
