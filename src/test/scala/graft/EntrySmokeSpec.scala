@@ -1,0 +1,23 @@
+package graft
+
+/** The driver's own smoke check, as a spec: `SparkEntry.entry` must
+  * return rows on sf0.001. Bench's warm-up swallows entry() exceptions
+  * (by design — warm-up must not kill the run), so without this spec a
+  * broken flagship would surface only in the driver's round report. */
+class EntrySmokeSpec extends SparkSpec {
+  test("SparkEntry.entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query has either an oracle or a documented exemption") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // events_approx: engine-specific sketch estimates, rows-only by
+    // design (SparkEntry doc); anything else missing is a gate hole
+    assert(noOracle == Set("events_approx"), s"queries without oracle: $noOracle")
+  }
+
+  test("oracle entries never reference unregistered queries") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+}

@@ -59,6 +59,16 @@ class PiiLineDedupSpec extends SparkSpec {
       "doc 0 must keep exactly its distinct lines")
   }
 
+  test("plan budget: pii scrub is scan+sort; line dedup stays at 4 keyed shuffles") {
+    // pii: pure map-side projection — the only exchange is the
+    // presentation sort's range partitioning
+    assert(countShuffles(TextOps.docPiiScrub(spark, sf0001)) <= 1)
+    // line dedup: keeper groupBy, join probe, per-doc rebuild, final
+    // sort — anything beyond that means a plan regression (e.g. a
+    // window sneaking in a global sort)
+    assert(countShuffles(TextOps.docLineDedup(spark, sf0001)) <= 5)
+  }
+
   test("docLineDedup n_kept matches an independent window-rank recomputation") {
     // independent implementation of the same semantics: rank every
     // (line, doc_id, pos) occurrence by (doc_id, pos) per line with a
