@@ -247,26 +247,30 @@ object TextOps {
     * everywhere else; each document is rebuilt from its surviving lines.
     *
     * Scale design: lines are exploded with their position, the keeper
-    * per distinct line is one groupBy on md5(line) (map-side
-    * combinable min of an int64-encoded (doc_id, pos) key — never the
-    * line text itself on the wire twice), kept lines are an equi-join
-    * on the hash, and the rebuild is one groupBy(doc_id) with an
-    * in-row array_sort — 3 keyed shuffles total, no windows, no
-    * driver-side state, exactly the shape that survives 100 TB.
-    * Output: per-doc line counts before/after and md5 of the rebuilt
-    * text, hash-compared against the oracle. */
+    * per distinct line is one groupBy on a 60-bit md5-prefix hash of
+    * the line (8-byte shuffle keys, the [[shingleIndex]] discipline —
+    * never the line text on the wire twice; the oracle computes the
+    * IDENTICAL hash, so even a collision merges the same lines in both
+    * engines) with a map-side combinable min of an int64-encoded
+    * (doc_id, pos) key; kept lines are an equi-join on that hash, and
+    * the rebuild is one groupBy(doc_id) with an in-row array_sort —
+    * 3 keyed shuffles total, no windows, no driver-side state, exactly
+    * the shape that survives 100 TB. Output: per-doc line counts
+    * before/after and md5 of the rebuilt text, hash-compared against
+    * the oracle. */
   def docLineDedup(spark: SparkSession, dir: String): DataFrame = {
     val lined = docs(spark, dir).select(col("doc_id"),
       regexp_replace(col("text"), LineBreakPattern, "$1\n").as("lt"))
     val lines = lined.select(col("doc_id"),
       posexplode(split(col("lt"), "\n")).as(Seq("pos", "line")))
     // int64 (doc_id, pos) encoding: pos is bounded by line count per doc
-    val withKey = lines.withColumn("okey",
-      col("doc_id") * 1000000L + col("pos"))
-    val keepers = withKey.groupBy(md5(col("line")).as("lh"))
+    val withKey = lines.select(col("doc_id"), col("pos"), col("line"),
+      (col("doc_id") * 1000000L + col("pos")).as("okey"),
+      conv(substring(md5(col("line")), 1, 15), 16, 10).cast(LongType).as("lh"))
+    val keepers = withKey.groupBy("lh")
       .agg(min(col("okey")).as("keep_key"))
     val kept = withKey
-      .join(keepers, md5(col("line")) === col("lh"))
+      .join(keepers, Seq("lh"))
       .filter(col("okey") === col("keep_key"))
     val rebuilt = kept.groupBy(col("doc_id"))
       .agg(
@@ -294,10 +298,13 @@ object TextOps {
       | FROM (SELECT doc_id, string_split(lt, chr(10)) AS parts FROM lined) t,
       |  LATERAL (SELECT unnest(generate_series(1, len(t.parts))) AS i) g),
       |keepers AS (
-      | SELECT md5(line) AS lh, min(okey) AS keep_key FROM lines GROUP BY 1),
+      | SELECT CAST('0x'||substr(md5(line),1,15) AS BIGINT) AS lh,
+      |  min(okey) AS keep_key FROM lines GROUP BY 1),
       |kept AS (
       | SELECT l.doc_id, l.pos, l.line FROM lines l
-      |  JOIN keepers k ON md5(l.line) = k.lh AND l.okey = k.keep_key),
+      |  JOIN keepers k
+      |  ON CAST('0x'||substr(md5(l.line),1,15) AS BIGINT) = k.lh
+      |   AND l.okey = k.keep_key),
       |rebuilt AS (
       | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
       |  string_agg(line, chr(10) ORDER BY pos) AS rebuilt
