@@ -20,6 +20,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   *   SELECT * FROM lake.prod.orders                 -- /data/lakes/prod/orders
   *   SELECT * FROM lake.prod.orders VERSION AS OF 3 -- SQL time travel
+  *   SELECT * FROM lake.prod.orders TIMESTAMP AS OF '2026-08-13 10:00:00'
   * }}}
   *
   * Identifiers map to directories under `root` (namespace segments are
@@ -77,12 +78,17 @@ class LakeCatalog extends TableCatalog {
     load(ident, Some(v))
   }
 
-  /** `TIMESTAMP AS OF` has no deterministic answer: the log records no
-    * wall-clock (file mtimes are not transactional state). Refuse. */
-  override def loadTable(ident: Identifier, timestamp: Long): Table =
-    throw new UnsupportedOperationException(
-      "lake: TIMESTAMP AS OF is not supported (the commit log records no " +
-        "wall-clock); use VERSION AS OF <commit version>")
+  /** SQL `TIMESTAMP AS OF t` (Spark passes epoch MICROseconds): resolve
+    * to the latest commit at or before `t` from the wall-clock recorded
+    * IN the commit records ([[LakeTable.versionAtTimestamp]] — log
+    * state, not file mtime, and monotonized against writer clock skew).
+    * Tables whose logs predate recorded timestamps refuse rather than
+    * guess. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val v = LakeTable.versionAtTimestamp(dirOf(ident),
+      Math.floorDiv(timestamp, 1000L))
+    load(ident, Some(v))
+  }
 
   private def load(ident: Identifier, version: Option[Long]): Table = {
     val dir = dirOf(ident)

@@ -53,10 +53,15 @@ object LakeTable {
     * the replayer ignores them — but vacuum-retained alongside the
     * versions that reference them. Commits written before the field
     * existed decode to empty (no feed available → loud refusal). */
+  /** `ts` is the commit wall-clock (epoch millis), stamped at CAS time —
+    * transactional state in the log record itself, NOT file mtime (which
+    * copies/restores would silently rewrite). 0 marks a commit from
+    * before timestamps were recorded; timestamp-based time travel
+    * refuses on such logs instead of guessing. */
   final case class Commit(version: Long, op: String, add: Seq[String],
       remove: Seq[String], schemaJson: String,
       addStats: Seq[String] = Seq.empty, txn: String = "",
-      cdc: Seq[String] = Seq.empty)
+      cdc: Seq[String] = Seq.empty, ts: Long = 0L)
 
   // ---- log encoding (hand-rolled, no deps beyond the JDK) -------------
 
@@ -89,7 +94,7 @@ object LakeTable {
 
   private def encode(c: Commit): String = {
     def arr(xs: Seq[String]) = xs.map(x => "\"" + esc(x) + "\"").mkString("[", ",", "]")
-    s"""{"version":${c.version},"op":"${c.op}","add":${arr(c.add)},"remove":${arr(c.remove)},"stats":${arr(c.addStats)},"txn":"${esc(c.txn)}","cdc":${arr(c.cdc)},"schema":"${esc(c.schemaJson)}"}"""
+    s"""{"version":${c.version},"op":"${c.op}","ts":${c.ts},"add":${arr(c.add)},"remove":${arr(c.remove)},"stats":${arr(c.addStats)},"txn":"${esc(c.txn)}","cdc":${arr(c.cdc)},"schema":"${esc(c.schemaJson)}"}"""
   }
 
   /** Parse one commit file. The format is self-authored (see [[encode]]),
@@ -131,7 +136,8 @@ object LakeTable {
       schemaJson = str(field("schema")),
       addStats = opt("stats", strArr, Seq.empty),
       txn = opt("txn", str, ""),
-      cdc = opt("cdc", strArr, Seq.empty))
+      cdc = opt("cdc", strArr, Seq.empty),
+      ts = opt("ts", _.takeWhile(_.isDigit).toLong, 0L))
   }
 
   // ---- log primitives --------------------------------------------------
@@ -162,6 +168,33 @@ object LakeTable {
     decode(new String(Files.readAllBytes(versionFile(table, v)), UTF_8))
 
   def history(table: String): Seq[Commit] = versions(table).map(readCommit(table, _))
+
+  /** The snapshot version in effect at wall-clock `tsMillis` — Delta's
+    * `TIMESTAMP AS OF` semantics: the LATEST commit whose recorded time
+    * is at or before the asked instant. Commit times are monotonized
+    * with a running max during resolution, so clock skew between racing
+    * writers can never make a later version resolve before an earlier
+    * one. Refuses (rather than guesses) when the log predates recorded
+    * timestamps or the instant is earlier than the first commit. */
+  def versionAtTimestamp(table: String, tsMillis: Long): Long = {
+    val commits = history(table)
+    require(commits.nonEmpty, s"no such table: $table")
+    if (commits.exists(_.ts == 0L))
+      throw new UnsupportedOperationException(
+        s"lake: $table has commits from before timestamps were recorded; " +
+          "TIMESTAMP AS OF cannot answer deterministically — use " +
+          "VERSION AS OF <commit version>")
+    var eff = 0L
+    var found = -1L
+    commits.foreach { c =>
+      eff = math.max(eff, c.ts) // monotonized commit time
+      if (eff <= tsMillis) found = c.version
+    }
+    require(found >= 0,
+      s"lake: $table's first commit is at epoch-ms ${commits.head.ts}, " +
+        s"after the asked instant $tsMillis; nothing existed yet")
+    found
+  }
 
   /** Commit interval at which writers leave a checkpoint: a single file
     * holding the full live (file, stats) snapshot, so readers replay
@@ -282,7 +315,10 @@ object LakeTable {
   private def tryCommit(table: String, c: Commit): Boolean = {
     Files.createDirectories(logDir(table))
     val tmp = logDir(table).resolve(s".tmp-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, encode(c).getBytes(UTF_8))
+    // stamp the commit wall-clock at CAS time, so rebased retries carry
+    // the time they actually committed
+    Files.write(tmp,
+      encode(c.copy(ts = System.currentTimeMillis())).getBytes(UTF_8))
     try { Files.createLink(versionFile(table, c.version), tmp); true }
     catch { case NonFatal(_) => false }
     finally Files.deleteIfExists(tmp)

@@ -39,12 +39,14 @@ class LakeCatalogSpec extends SparkSpec {
       spark.sql("SELECT * FROM graftlake.prod.orders VERSION AS OF 99").collect()
     }
     assert(e.getMessage.contains("versions 1..2"))
+    // a pre-first-commit instant errors loudly (full TIMESTAMP AS OF
+    // behavior has its own tests below)
     val e2 = intercept[Exception] {
       spark.sql("SELECT * FROM graftlake.prod.orders TIMESTAMP AS OF '2026-01-01'")
         .collect()
     }
-    assert(e2.getMessage.contains("VERSION AS OF"),
-      s"timestamp travel must point at version travel, got: ${e2.getMessage}")
+    assert(e2.getMessage.contains("nothing existed yet"),
+      s"pre-epoch timestamp travel must refuse, got: ${e2.getMessage}")
   }
 
   test("log-stats pruning works through the catalog path") {
@@ -430,6 +432,63 @@ class LakeCatalogSpec extends SparkSpec {
       "DELETE FROM graftlake.dml.delguards WHERE score >= 20.0 AND score <= 24.75")
     assert(spark.sql("SELECT count(*) AS n FROM graftlake.dml.delguards")
       .head().getLong(0) == 50)
+  }
+
+  test("TIMESTAMP AS OF resolves to the version in effect at that instant") {
+    val t = s"$root/dml/traveltime"
+    LakeTable.append(spark, t,
+      spark.range(0, 10).select(col("id"), (col("id") * 2).as("v")))
+    Thread.sleep(10) // commit clock is millis-grained
+    LakeTable.append(spark, t,
+      spark.range(10, 30).select(col("id"), (col("id") * 2).as("v")))
+    val hist = LakeTable.history(t)
+    assert(hist.forall(_.ts > 0L), "commits must record wall-clock")
+    val Seq(t1, t2) = hist.map(_.ts)
+    assert(t2 > t1)
+    def fmt(ms: Long): String =
+      java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochMilli(ms))
+    // at v1's instant: only the first append is visible
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graftlake.dml.traveltime TIMESTAMP AS OF '${fmt(t1)}'")
+      .head().getLong(0) == 10)
+    // at v2's instant (and later): the full table
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graftlake.dml.traveltime TIMESTAMP AS OF '${fmt(t2)}'")
+      .head().getLong(0) == 30)
+    // before the first commit: loud error, not an empty table
+    val e = intercept[Exception] {
+      spark.sql(
+        s"SELECT count(*) AS n FROM graftlake.dml.traveltime TIMESTAMP AS OF '${fmt(t1 - 1)}'")
+        .collect()
+    }
+    assert(e.getMessage.contains("nothing existed yet"),
+      s"unexpected: ${e.getMessage}")
+  }
+
+  test("TIMESTAMP AS OF refuses logs from before timestamps were recorded") {
+    val t = s"$root/dml/travelold"
+    LakeTable.append(spark, t,
+      spark.range(0, 5).select(col("id"), (col("id") * 2).as("v")))
+    // simulate a pre-timestamp-era commit: strip the ts field from v1
+    val logFile = java.nio.file.Paths.get(t, "_txlog",
+      f"${1L}%020d.json")
+    val json = new String(java.nio.file.Files.readAllBytes(logFile))
+    assert(json.contains("\"ts\":"))
+    java.nio.file.Files.write(logFile,
+      json.replaceAll("\"ts\":\\d+,", "").getBytes)
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT * FROM graftlake.dml.travelold TIMESTAMP AS OF '2030-01-01 00:00:00'")
+        .collect()
+    }
+    assert(e.getMessage.contains("before timestamps were recorded"))
+    // VERSION AS OF still works on the same table
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graftlake.dml.travelold VERSION AS OF 1")
+      .head().getLong(0) == 5)
   }
 
   test("DELETE FROM a VERSION AS OF snapshot is refused") {
