@@ -101,12 +101,34 @@ class LakeDataSource extends org.apache.spark.sql.connector.catalog.TableProvide
     val options = new CaseInsensitiveStringMap(parameters.asJava)
     require(LakeTable.latestVersion(tableRoot(options)).isDefined,
       s"no such lake table: ${tableRoot(options)}")
+    val fromVersion = Option(options.get("startingVersion")).map(_.toLong)
+    val fromTs = Option(options.get("startingTimestamp"))
+      .map(parseInstantMillis)
+    require(fromVersion.isEmpty || fromTs.isEmpty,
+      "lake source: startingVersion and startingTimestamp are mutually " +
+        "exclusive")
     new LakeStreamSource(sqlContext.sparkSession, tableRoot(options),
       schema.getOrElse(streamSchema(options)),
-      Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L),
+      fromTs.map(LakeTable.streamStartVersionAt(tableRoot(options), _))
+        .orElse(fromVersion).getOrElse(0L),
       Option(options.get("maxVersionsPerBatch")).map(_.toLong),
       options.getBoolean("readChangeFeed", false))
   }
+
+  /** `startingTimestamp` accepts an ISO-8601 instant (`...Z`) or the
+    * SQL `yyyy-MM-dd HH:mm:ss[.SSS]` form read as UTC (every session
+    * here pins UTC — [[graft.LocalSession]]). */
+  private def parseInstantMillis(s: String): Long =
+    try java.time.Instant.parse(s).toEpochMilli
+    catch { case _: java.time.format.DateTimeParseException =>
+      try java.sql.Timestamp.valueOf(s).toLocalDateTime
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      catch { case _: IllegalArgumentException =>
+        throw new IllegalArgumentException(
+          s"lake source: cannot parse startingTimestamp `$s` (use ISO-8601 " +
+            "or yyyy-MM-dd HH:mm:ss[.SSS], read as UTC)")
+      }
+    }
 
   private def tableRoot(options: CaseInsensitiveStringMap): String = {
     val p = Option(options.get("path")).getOrElse(

@@ -23,6 +23,9 @@ import org.apache.spark.sql.types.StructType
   * Options: `startingVersion` (default 0) — emit only commits AFTER
   * this version; use it to start past historical rewrites or to tail
   * new data only (`startingVersion` = current version at start).
+  * `startingTimestamp` (exclusive with `startingVersion`) — start at
+  * the first commit at or after the instant, resolved from the commit
+  * wall-clock the log records ([[LakeTable.streamStartVersionAt]]).
   * `maxVersionsPerBatch` (default unlimited) — admission control: cap
   * how many commits one micro-batch may cover, so a stream that starts
   * on a long history (or falls behind a hot writer) catches up in

@@ -196,6 +196,28 @@ object LakeTable {
     found
   }
 
+  /** Stream start boundary for `startingTimestamp`: the last version
+    * STRICTLY BEFORE the instant (0 if none) — a stream starting
+    * "after" this version serves every commit whose monotonized time is
+    * at or after the instant, Delta's startingTimestamp contract. Same
+    * refusal on pre-timestamp-era logs as [[versionAtTimestamp]]. */
+  def streamStartVersionAt(table: String, tsMillis: Long): Long = {
+    val commits = history(table)
+    require(commits.nonEmpty, s"no such table: $table")
+    if (commits.exists(_.ts == 0L))
+      throw new UnsupportedOperationException(
+        s"lake: $table has commits from before timestamps were recorded; " +
+          "startingTimestamp cannot answer deterministically — use " +
+          "startingVersion")
+    var eff = 0L
+    var found = 0L
+    commits.foreach { c =>
+      eff = math.max(eff, c.ts)
+      if (eff < tsMillis) found = c.version
+    }
+    found
+  }
+
   /** Commit interval at which writers leave a checkpoint: a single file
     * holding the full live (file, stats) snapshot, so readers replay
     * O(CheckpointEvery) tail commits instead of the whole log — the

@@ -51,6 +51,50 @@ class LakeStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("startingTimestamp begins the stream at the first commit at/after the instant") {
+    val (t, ck, sink) = fresh()
+    append(t, 0 until 10) // v1
+    Thread.sleep(10)
+    append(t, 10 until 25) // v2
+    val t2 = LakeTable.history(t).last.ts
+    assert(t2 > 0L)
+    val iso = java.time.Instant.ofEpochMilli(t2).toString
+    val q = spark.readStream.format("lake")
+      .option("startingTimestamp", iso).load(t)
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", ck).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table(sink).select("id").collect().map(_.getLong(0)).sorted
+      assert(got.toSeq == (10L until 25L), s"expected only v2 rows, got ${got.toSeq}")
+    } finally q.stop()
+    // an instant before the first commit serves everything
+    val (t3, ck3, sink3) = fresh()
+    append(t3, 0 until 5)
+    val q2 = spark.readStream.format("lake")
+      .option("startingTimestamp", "1999-01-01 00:00:00").load(t3)
+      .writeStream.format("memory").queryName(sink3)
+      .option("checkpointLocation", ck3).start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table(sink3).count() == 5)
+    } finally q2.stop()
+    // both boundary options at once refuse
+    val e = intercept[Exception] {
+      spark.readStream.format("lake")
+        .option("startingVersion", "1")
+        .option("startingTimestamp", iso).load(t)
+        .writeStream.format("memory").queryName(s"${sink}_both")
+        .option("checkpointLocation",
+          Files.createTempDirectory("ck-both").toString)
+        .start().processAllAvailable()
+    }
+    def chain(x: Throwable): Seq[Throwable] =
+      Option(x).toSeq.flatMap(y => y +: chain(y.getCause))
+    assert(chain(e).exists(c =>
+      String.valueOf(c.getMessage).contains("mutually exclusive")), s"got: $e")
+  }
+
   test("a rewrite commit in range fails the stream loudly") {
     val (t, ck, sink) = fresh()
     append(t, 0 until 10)
