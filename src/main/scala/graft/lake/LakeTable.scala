@@ -1755,6 +1755,37 @@ object LakeTable {
     * retained. Never touches the log, so `versions` stays contiguous;
     * time travel BELOW the clamped `retainFrom` becomes unreadable
     * (exactly Delta's VACUUM trade). */
+  /** Time-based retention (Delta's `VACUUM ... RETAIN n HOURS`): keep
+    * every snapshot whose commit time falls inside the window, reclaim
+    * below it. The floor version resolves from the commit wall-clock in
+    * the log (monotonized, like all timestamp resolution here); when
+    * every commit is older than the window, only the current snapshot
+    * is retained. Pre-timestamp-era logs refuse — use version-based
+    * [[vacuum]]. */
+  def vacuumRetainMillis(table: String, retainMs: Long,
+      orphanMinAgeMs: Long = OrphanMinAgeMs): Seq[String] = {
+    val commits = history(table)
+    require(commits.nonEmpty, s"no such table: $table")
+    if (commits.exists(_.ts == 0L))
+      throw new UnsupportedOperationException(
+        s"lake: $table has commits from before timestamps were recorded; " +
+          "use version-based vacuum(table, retainFrom)")
+    val cutoff = System.currentTimeMillis() - retainMs
+    var eff = 0L
+    var floor = commits.last.version
+    var found = false
+    commits.foreach { c =>
+      eff = math.max(eff, c.ts)
+      if (!found && eff >= cutoff) { floor = c.version; found = true }
+    }
+    vacuum(table, floor, orphanMinAgeMs)
+  }
+
+  /** RESTORE to the state at a wall-clock instant — [[restoreTo]] with
+    * the version [[versionAtTimestamp]] resolves. */
+  def restoreToTimestamp(table: String, tsMillis: Long): Long =
+    restoreTo(table, versionAtTimestamp(table, tsMillis))
+
   def vacuum(table: String, retainFrom: Long,
       orphanMinAgeMs: Long = OrphanMinAgeMs): Seq[String] = {
     // an entry references its data file AND its DV sidecar (if any) —

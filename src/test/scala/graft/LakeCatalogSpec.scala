@@ -491,6 +491,29 @@ class LakeCatalogSpec extends SparkSpec {
       .head().getLong(0) == 5)
   }
 
+  test("time-based restore and vacuum resolve through commit wall-clock") {
+    val t = s"$root/dml/timeverbs"
+    LakeTable.append(spark, t,
+      spark.range(0, 10).select(col("id"), (col("id") * 2).as("v")))
+    Thread.sleep(10)
+    LakeTable.append(spark, t,
+      spark.range(10, 30).select(col("id"), (col("id") * 2).as("v")))
+    val t1 = LakeTable.history(t).head.ts
+    // restore to the instant of v1 → table back to 10 rows, as v3
+    LakeTable.restoreToTimestamp(t, t1)
+    assert(LakeTable.latestVersion(t).contains(3L))
+    assert(spark.sql("SELECT count(*) AS n FROM graftlake.dml.timeverbs")
+      .head().getLong(0) == 10)
+    // a huge retention window reclaims nothing
+    assert(LakeTable.vacuumRetainMillis(t, 24L * 3600 * 1000).isEmpty)
+    // zero retention keeps only the current snapshot: v2's extra file
+    // (unreachable from the restored state) is reclaimed
+    val dropped = LakeTable.vacuumRetainMillis(t, 0L)
+    assert(dropped.nonEmpty)
+    assert(spark.sql("SELECT count(*) AS n FROM graftlake.dml.timeverbs")
+      .head().getLong(0) == 10)
+  }
+
   test("DELETE FROM a VERSION AS OF snapshot is refused") {
     dmlTable("deltravel")
     val e = intercept[Exception] {
