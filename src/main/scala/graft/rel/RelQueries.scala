@@ -1016,28 +1016,33 @@ object RelQueries {
     * which keeps the two correlated self-join probes — another supplier
     * exists, no other supplier shipped as late.)
     *
-    * Scale design: per-order extremes come from ONE aggregation on the
-    * order key; the join back to lineitem reuses that same key (one
-    * exchange family, AQE-coalesced), orders semi-filters on status
-    * before joining, and the supplier dimension broadcasts. count
+    * Scale design: the finished-status semi-join is pushed BELOW the
+    * per-order aggregation — filtering by ORDER key never drops lines
+    * within a kept order, so per-order extremes are unchanged while the
+    * heavy countDistinct aggregation (and the max-ship probe) see only
+    * the ~half of lineitem belonging to 'F' orders. Both uses of the
+    * filtered lineitem are the IDENTICAL subplan, so the orderkey
+    * exchange is planned once and reused (one exchange family,
+    * AQE-coalesced); the supplier dimension broadcasts. count
     * (DISTINCT l_orderkey) guards against a supplier shipping two lines
     * at the max timestamp inflating its wait count. Top-20 is
     * TakeOrderedAndProject with a deterministic (numwait DESC, s_name)
     * tiebreak. */
   def waitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
-    val perOrder = t(spark, dir, "lineitem")
+    val finished = t(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F").select("o_orderkey")
+    val flines = t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(finished, col("l_orderkey") === col("o_orderkey"), "left_semi")
+    val perOrder = flines
       .groupBy(col("l_orderkey").as("mo_orderkey"))
       .agg(max(col("l_shipdate")).as("max_ship"),
         min(col("l_shipdate")).as("min_ship"),
         countDistinct(col("l_suppkey")).as("n_supp"))
       .filter(col("n_supp") >= 2 && col("max_ship") > col("min_ship"))
-    val finished = t(spark, dir, "orders")
-      .filter(col("o_orderstatus") === "F").select("o_orderkey")
-    t(spark, dir, "lineitem")
-      .select("l_orderkey", "l_suppkey", "l_shipdate")
+    flines
       .join(perOrder, col("l_orderkey") === col("mo_orderkey") &&
         col("l_shipdate") === col("max_ship"))
-      .join(finished, col("l_orderkey") === col("o_orderkey"), "left_semi")
       .join(broadcast(t(spark, dir, "supplier")
         .select("s_suppkey", "s_name")),
         col("l_suppkey") === col("s_suppkey"))
