@@ -99,13 +99,22 @@ object Cli {
           println(s"rows=${snap.count()} version=${version.getOrElse(
             graft.lake.LakeTable.latestVersion(table).getOrElse(0L))}")
         case "history" =>
-          graft.lake.LakeTable.history(table).foreach(c =>
-            println(s"v${c.version} ${c.op} +${c.add.size} -${c.remove.size}"))
+          graft.lake.LakeTable.history(table).foreach { c =>
+            val at = if (c.ts == 0L) "" else " " +
+              java.time.Instant.ofEpochMilli(c.ts).toString
+            println(s"v${c.version} ${c.op} +${c.add.size} -${c.remove.size}$at")
+          }
         case "vacuum" =>
           val retain = rest.headOption.map(_.toLong)
             .orElse(graft.lake.LakeTable.latestVersion(table)).getOrElse(1L)
           val gone = graft.lake.LakeTable.vacuum(table, retain)
           println(s"vacuumed ${gone.size} files (retained >= v$retain)")
+        case "vacuum-hours" => // Delta's RETAIN n HOURS
+          val hours = rest.headOption.map(_.toDouble)
+            .getOrElse(sys.error("lake vacuum-hours needs <hours>"))
+          val gone = graft.lake.LakeTable.vacuumRetainMillis(table,
+            (hours * 3600 * 1000).toLong)
+          println(s"vacuumed ${gone.size} files (retained last $hours h)")
         case "merge" =>
           val (src, key) = (rest.headOption.getOrElse(sys.error("lake merge needs a source")),
             rest.drop(1).headOption.getOrElse(sys.error("lake merge needs a key column")))
@@ -154,10 +163,15 @@ object Cli {
             case None => println("nothing to compact")
           }
         case "restore" =>
-          val to = rest.headOption.map(_.toLong)
-            .getOrElse(sys.error("lake restore needs <version>"))
-          val v = graft.lake.LakeTable.restoreTo(table, to)
-          println(s"committed version $v (state of v$to)")
+          // a bare long is a version; anything else parses as an instant
+          val arg = rest.headOption
+            .getOrElse(sys.error("lake restore needs <version | instant>"))
+          val v = arg.toLongOption match {
+            case Some(ver) => graft.lake.LakeTable.restoreTo(table, ver)
+            case None => graft.lake.LakeTable.restoreToTimestamp(table,
+              java.time.Instant.parse(arg).toEpochMilli)
+          }
+          println(s"committed version $v (state of $arg)")
         case "truncate" =>
           val v = graft.lake.LakeTable.truncate(table)
           println(s"committed version $v")
@@ -170,7 +184,7 @@ object Cli {
         "usage: graft.Cli benchmark | convert <las> <out> [seed] | " +
           "merge <in> <out> [rows] | partition <in> <out> [grid|quadtree|zorder] [sigma|bits] | " +
           "footprint <las> <out-dir> [scale] | experiment [sfDir] [outDir] [runs] | " +
-          "lake append|overwrite|read|history|vacuum|merge|delete|update|optimize|restore|truncate <table> [args]")
+          "lake append|overwrite|read|history|vacuum|vacuum-hours|merge|delete|update|optimize|restore|truncate <table> [args]")
       sys.exit(2)
   }
 }
