@@ -316,6 +316,75 @@ object TextOps {
       |FROM lined l LEFT JOIN rebuilt r ON l.doc_id = r.doc_id
       |ORDER BY l.doc_id""".stripMargin.replace("\n", " ")
 
+  // ---- duplicate-span coverage (exact-substring dedup signal) ----------
+
+  /** Per-document duplicated-span coverage — the exact-substring dedup
+    * signal of Lee et al. ("Deduplicating Training Data Makes Language
+    * Models Better"), at 8-token granularity: an 8-gram occurring more
+    * than once ANYWHERE in the corpus marks its 8 token positions as
+    * duplicated; a document's coverage is the fraction of its tokens
+    * inside such spans (ppm, integer-exact). High coverage → the doc is
+    * mostly boilerplate/copy even when no single whole-doc near-dup
+    * exists — the case shingle-Jaccard misses.
+    *
+    * Scale design: one groupBy on a 60-bit gram hash (map-combinable
+    * count), a semi-join back on the same 8-byte key, and a bounded ×8
+    * explode of ONLY the duplicated grams before the per-doc distinct
+    * count — no all-pairs joins, no windows. */
+  def docDupSpanCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir).select(col("doc_id"),
+      split(col("text"), " ").as("ws"))
+    // Spark's sequence(1, n) DESCENDS for n < 1 — short docs must not
+    // reach it (DuckDB's generate_series is empty there; plans agree
+    // because the base table below still carries every doc)
+    val grams = toks.filter(size(col("ws")) >= 8)
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(1, size(ws) - 7),
+          |  i -> conv(substring(md5(array_join(slice(ws, i, 8), ' ')), 1, 15), 16, 10))"""
+          .stripMargin)).as(Seq("p0", "ghs")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"),
+        col("ghs").cast(LongType).as("gh"))
+    val dup = grams.groupBy("gh").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).select("gh")
+    val covered = grams.join(dup, Seq("gh"), "left_semi")
+      .select(col("doc_id"), col("pos"),
+        explode(sequence(col("pos"), col("pos") + 7)).as("cp"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("cp")).as("covered_tokens"),
+        countDistinct(col("pos")).as("n_dup_grams"))
+    toks.select(col("doc_id"), size(col("ws")).cast(LongType).as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        expr("coalesce(covered_tokens, 0L) * 1000000 div n_tokens")
+          .as("coverage_ppm"))
+      .orderBy("doc_id")
+  }
+
+  val docDupSpanCoverageSql: String =
+    """WITH toks AS (
+      | SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |grams AS (
+      | SELECT t.doc_id, g.i AS pos,
+      |  CAST('0x'||substr(md5(array_to_string(t.ws[g.i:g.i+7], ' ')),1,15) AS BIGINT) AS gh
+      | FROM toks t,
+      |  LATERAL (SELECT unnest(generate_series(1, len(t.ws) - 7)) AS i) g),
+      |dup AS (
+      | SELECT gh FROM grams GROUP BY gh HAVING count(*) > 1),
+      |covered AS (
+      | SELECT g.doc_id, CAST(count(DISTINCT g.pos + o.j) AS BIGINT) AS covered_tokens,
+      |  CAST(count(DISTINCT g.pos) AS BIGINT) AS n_dup_grams
+      | FROM (SELECT grams.* FROM grams SEMI JOIN dup USING (gh)) g,
+      |  LATERAL (SELECT unnest(generate_series(0, 7)) AS j) o
+      | GROUP BY 1)
+      |SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_tokens,
+      | CAST(coalesce(c.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+      | CAST(coalesce(c.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+      | CAST(coalesce(c.covered_tokens, 0) * 1000000 // len(t.ws) AS BIGINT) AS coverage_ppm
+      |FROM toks t LEFT JOIN covered c ON t.doc_id = c.doc_id
+      |ORDER BY t.doc_id""".stripMargin.replace("\n", " ")
+
   val docScrubSql: String =
     s"""SELECT doc_id,
        | CAST(len(regexp_extract_all(text, '$ScrubPattern')) AS BIGINT) AS n_hits,

@@ -69,6 +69,41 @@ class PiiLineDedupSpec extends SparkSpec {
     assert(countShuffles(TextOps.docLineDedup(spark, sf0001)) <= 5)
   }
 
+  test("docDupSpanCoverage: verbatim duplicate docs are fully covered, bounds hold") {
+    val rows = TextOps.docDupSpanCoverage(spark, sf0001).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (nt, ng, cov, ppm) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(cov <= nt && ng <= math.max(nt - 7, 0L) && ppm <= 1000000L,
+        s"bounds broken for doc ${r.getLong(0)}")
+      assert(ppm == cov * 1000000L / nt)
+    }
+    // full independent recomputation over the RAW STRINGS (no hashing,
+    // no Spark) at this test SF: global 8-gram counts, then per-doc
+    // covered-position union — every ppm must agree exactly
+    val texts = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    val gramCount = scala.collection.mutable.Map[Seq[String], Int]()
+    texts.foreach { case (_, ws) =>
+      ws.sliding(8).filter(_.size == 8).foreach(g =>
+        gramCount(g) = gramCount.getOrElse(g, 0) + 1)
+    }
+    val expected = texts.map { case (d, ws) =>
+      val covered = scala.collection.mutable.Set[Int]()
+      ws.sliding(8).filter(_.size == 8).zipWithIndex.foreach { case (g, i) =>
+        if (gramCount(g) > 1) (i until i + 8).foreach(covered += _)
+      }
+      d -> covered.size.toLong * 1000000L / ws.size
+    }.toMap
+    rows.foreach(r => assert(r.getLong(4) == expected(r.getLong(0)),
+      s"coverage_ppm mismatch for doc ${r.getLong(0)}"))
+    // the signal must actually fire somewhere on this corpus
+    assert(rows.exists(_.getLong(4) == 1000000L), "no fully-covered doc")
+    assert(rows.exists(_.getLong(4) == 0L), "no clean doc")
+  }
+
   test("docLineDedup n_kept matches an independent window-rank recomputation") {
     // independent implementation of the same semantics: rank every
     // (line, doc_id, pos) occurrence by (doc_id, pos) per line with a
