@@ -316,6 +316,37 @@ object TextOps {
       |FROM lined l LEFT JOIN rebuilt r ON l.doc_id = r.doc_id
       |ORDER BY l.doc_id""".stripMargin.replace("\n", " ")
 
+  // ---- deterministic dataset split -------------------------------------
+
+  /** Deterministic train/valid/test assignment by content-independent
+    * doc_id hash (80/10/10): the split every training pipeline needs to
+    * be REPRODUCIBLE — same doc, same split, on any engine, any run,
+    * any partitioning, with no RNG state to ship. Reported per
+    * (split, lang) with doc and char totals so leakage-sensitive strata
+    * are auditable. Pure map-side projection + one combinable groupBy. */
+  def docSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast(LongType) % 100
+    docs(spark, dir).select(
+      when(bucket < 80, "train").when(bucket < 90, "valid")
+        .otherwise("test").as("split"),
+      col("lang"), col("n_chars"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast(LongType).as("n_chars_total"))
+      .orderBy("split", "lang")
+  }
+
+  val docSplitSql: String =
+    """SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid'
+      |  ELSE 'test' END AS split, lang,
+      | count(*) AS n_docs,
+      | CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+      |FROM (SELECT lang, n_chars,
+      |  CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,4) AS BIGINT) % 100 AS b
+      | FROM documents)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " ")
+
   // ---- duplicate-span coverage (exact-substring dedup signal) ----------
 
   /** Per-document duplicated-span coverage — the exact-substring dedup

@@ -104,6 +104,18 @@ class PiiLineDedupSpec extends SparkSpec {
     assert(rows.exists(_.getLong(4) == 0L), "no clean doc")
   }
 
+  test("docSplit: deterministic, exhaustive, roughly 80/10/10") {
+    val a = TextOps.docSplit(spark, sf0001).collect()
+    val b = TextOps.docSplit(spark, sf0001).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq, "not deterministic")
+    val bySplit = a.groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(bySplit.values.sum == 500)
+    assert(bySplit("train") > 350 && bySplit("train") < 450)
+    assert(bySplit("valid") > 20 && bySplit("valid") < 80)
+    assert(bySplit("test") > 20 && bySplit("test") < 80)
+  }
+
   test("docLineDedup n_kept matches an independent window-rank recomputation") {
     // independent implementation of the same semantics: rank every
     // (line, doc_id, pos) occurrence by (doc_id, pos) per line with a
