@@ -464,6 +464,72 @@ object TextOps {
        |  CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS nd
        | FROM documents)) ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
+  // ---- composed pipeline decision --------------------------------------
+
+  /** The training pipeline's END PRODUCT: one keep/drop decision per
+    * document composing the independent signals — Gopher quality rules,
+    * exact-dedup canonical-keeper status, duplicate-span coverage below
+    * 50%, and an identified language — plus the FIRST failing rule as a
+    * drop reason (fixed priority, so the audit column is deterministic).
+    * This is the query a data curator actually ships; each signal also
+    * stays independently queryable ([[docGopher]], [[exactDedup]],
+    * [[docDupSpanCoverage]], [[docLangId]]).
+    *
+    * Scale: the quality and language legs are map-side; the dedup leg is
+    * the one-shuffle keeper aggregation; the spans leg is the bounded
+    * gram pipeline — the composition joins them on doc_id, each join
+    * side already keyed, nothing quadratic anywhere. */
+  def docPipelineKeep(spark: SparkSession, dir: String): DataFrame = {
+    val quality = docGopher(spark, dir).select(col("doc_id"),
+      col("keep").as("q_quality"))
+    val keepers = exactDedup(spark, dir).select(col("keep_id"))
+    val spans = docDupSpanCoverage(spark, dir).select(col("doc_id"),
+      col("coverage_ppm"))
+    val lang = docLangId(spark, dir).select(col("doc_id"), col("pred_lang"))
+    quality
+      .join(spans, Seq("doc_id"))
+      .join(lang, Seq("doc_id"))
+      // keep_id values are unique (one per dedup group), so this
+      // left join can never fan out
+      .join(keepers, col("doc_id") === col("keep_id"), "left_outer")
+      .select(col("doc_id"),
+        col("q_quality"),
+        when(col("keep_id").isNotNull, 1L).otherwise(0L).as("q_dedup"),
+        when(col("coverage_ppm") < 500000L, 1L).otherwise(0L).as("q_spans"),
+        when(col("pred_lang") =!= "und", 1L).otherwise(0L).as("q_lang"))
+      .withColumn("keep",
+        col("q_quality") * col("q_dedup") * col("q_spans") * col("q_lang"))
+      .withColumn("drop_reason",
+        when(col("q_quality") === 0L, "quality")
+          .when(col("q_dedup") === 0L, "duplicate")
+          .when(col("q_spans") === 0L, "dup_spans")
+          .when(col("q_lang") === 0L, "language")
+          .otherwise(""))
+      .orderBy("doc_id")
+  }
+
+  // lazy: exactDedupSql is declared later in this object, and a strict
+  // val here would capture it as null at initialization time
+  lazy val docPipelineKeepSql: String =
+    s"""SELECT g.doc_id, g.keep AS q_quality,
+       | CAST(CASE WHEN k.keep_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS q_dedup,
+       | CAST(CASE WHEN s.coverage_ppm < 500000 THEN 1 ELSE 0 END AS BIGINT) AS q_spans,
+       | CAST(CASE WHEN l.pred_lang <> 'und' THEN 1 ELSE 0 END AS BIGINT) AS q_lang,
+       | g.keep
+       |  * (CASE WHEN k.keep_id IS NOT NULL THEN 1 ELSE 0 END)
+       |  * (CASE WHEN s.coverage_ppm < 500000 THEN 1 ELSE 0 END)
+       |  * (CASE WHEN l.pred_lang <> 'und' THEN 1 ELSE 0 END) AS keep,
+       | CASE WHEN g.keep = 0 THEN 'quality'
+       |  WHEN k.keep_id IS NULL THEN 'duplicate'
+       |  WHEN s.coverage_ppm >= 500000 THEN 'dup_spans'
+       |  WHEN l.pred_lang = 'und' THEN 'language'
+       |  ELSE '' END AS drop_reason
+       |FROM ($docGopherSql) g
+       |JOIN ($docDupSpanCoverageSql) s ON g.doc_id = s.doc_id
+       |JOIN ($docLangIdSql) l ON g.doc_id = l.doc_id
+       |LEFT JOIN (SELECT keep_id FROM ($exactDedupSql)) k ON g.doc_id = k.keep_id
+       |ORDER BY g.doc_id""".stripMargin.replace("\n", " ")
+
   // ---- exact deduplication --------------------------------------------
 
   /** Exact dedup by content key: hash-groupBy on a normalized key (here

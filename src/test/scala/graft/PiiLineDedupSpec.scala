@@ -116,6 +116,29 @@ class PiiLineDedupSpec extends SparkSpec {
     assert(bySplit("test") > 20 && bySplit("test") < 80)
   }
 
+  test("docPipelineKeep composes the signals with a deterministic drop reason") {
+    val rows = TextOps.docPipelineKeep(spark, sf0001).collect()
+    assert(rows.length == 500)
+    val reasonOf = Seq(1 -> "quality", 2 -> "duplicate", 3 -> "dup_spans",
+      4 -> "language")
+    rows.foreach { r =>
+      val bits = (1 to 4).map(r.getLong)
+      assert(r.getLong(5) == bits.product, s"keep != product for ${r.getLong(0)}")
+      val expected = reasonOf.find { case (i, _) => r.getLong(i) == 0L }
+        .map(_._2).getOrElse("")
+      assert(r.getString(6) == expected,
+        s"drop_reason for doc ${r.getLong(0)}: got ${r.getString(6)}, want $expected")
+    }
+    // q_dedup must agree with the exact-dedup surface it composes
+    val keepers = TextOps.exactDedup(spark, sf0001).collect()
+      .map(_.getLong(2)).toSet
+    rows.foreach(r => assert((r.getLong(2) == 1L) == keepers(r.getLong(0))))
+    // every signal must fire somewhere, and some docs survive
+    assert(rows.exists(_.getLong(5) == 1L))
+    (1 to 4).foreach(i => assert(rows.exists(_.getLong(i) == 0L) ||
+      i == 4, s"signal $i never fires")) // language may be all-identified
+  }
+
   test("docLineDedup n_kept matches an independent window-rank recomputation") {
     // independent implementation of the same semantics: rank every
     // (line, doc_id, pos) occurrence by (doc_id, pos) per line with a
