@@ -9,9 +9,14 @@ import org.apache.spark.sql.types.LongType
   * workload is spatial filters) but a complete engine must have.
   *
   * Scale design:
-  *  - dimension tables (`region`, `nation`, and at these SFs `customer`)
-  *    are explicitly `broadcast()` — no shuffle of the fact table for
-  *    dimension joins, the classic 100 TB star-join plan;
+  *  - ONLY fixed-cardinality relations (`region` = 5 rows, `nation` = 25
+  *    rows at every SF, post-LIMIT survivor sets, 1-row scalar
+  *    aggregates) carry explicit `broadcast()` hints. Every
+  *    SF-proportional relation — customer, supplier, part, brand/segment
+  *    slices of them, per-key aggregates — joins WITHOUT a hint: AQE
+  *    broadcasts it at test SFs (same plan, no perf loss) and degrades
+  *    to a keyed shuffle past the threshold, where a forced hint would
+  *    OOM the driver at 100 TB (a hint cannot degrade);
   *  - the `lineitem`→`orders` join is the only genuine shuffle pair, and
   *    both sides shuffle on the join key once (AQE handles skew);
   *  - money math is exact: cents = round(price*100) as BIGINT, revenue in
@@ -73,9 +78,14 @@ object RelQueries {
       | FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
       | ORDER BY gid, rf, ls""".stripMargin.replace("\n", " ")
 
-  /** TPC-H Q3-shaped shipping priority: broadcast the filtered customer
-    * dimension, shuffle-join orders⋈lineitem, top-10 revenue orders
-    * (TakeOrderedAndProject — no global sort). */
+  /** TPC-H Q3-shaped shipping priority: the filtered customer dimension
+    * joins orders, then orders⋈lineitem shuffle, top-10 revenue orders
+    * (TakeOrderedAndProject — no global sort).
+    *
+    * Scale design: customer is SF-proportional (~1/5 survives the
+    * segment filter — still unbounded), so it carries NO broadcast hint:
+    * AQE broadcasts it at test SFs and degrades to a shuffled join past
+    * the threshold, where a forced hint would OOM the driver. */
   def topOrders(spark: SparkSession, dir: String): DataFrame = {
     val cust = t(spark, dir, "customer")
       .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
@@ -83,7 +93,7 @@ object RelQueries {
       .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
     val li = t(spark, dir, "lineitem")
       .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
-    ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    ord.join(cust, col("o_custkey") === col("c_custkey"))
       .join(li, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderkey"),
         datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
@@ -105,8 +115,13 @@ object RelQueries {
       | GROUP BY 1, 2 ORDER BY revenue_units DESC, o_orderkey ASC LIMIT 10""".stripMargin.replace("\n", " ")
 
   /** TPC-H Q5-shaped revenue by nation: the full star — region and
-    * nation broadcast (tiny), customer broadcast (small), one
-    * orders⋈lineitem shuffle. */
+    * nation broadcast (FIXED-cardinality: 5 and 25 rows at every SF, the
+    * only relations a forced hint is legitimate for), one
+    * orders⋈lineitem shuffle.
+    *
+    * Scale design: customer is SF-proportional (~15 B rows at 100 TB),
+    * so its join carries NO hint — AQE broadcasts at test SFs and
+    * degrades to shuffle past the threshold. */
   def nationRevenue(spark: SparkSession, dir: String): DataFrame = {
     val region = t(spark, dir, "region").filter(col("r_name") === "ASIA")
     val nation = t(spark, dir, "nation")
@@ -116,7 +131,7 @@ object RelQueries {
         col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
     val li = t(spark, dir, "lineitem")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy("n_name")
@@ -142,18 +157,21 @@ object RelQueries {
     * classic correlated scalar subquery, DECORRELATED by hand into an
     * aggregate-then-join (the plan every optimizer rewrites Q17 into).
     *
-    * Scale design: the brand part list broadcasts, semi-filtering
-    * lineitem map-side FIRST, so the per-part average aggregates only
-    * the brand's lineitems (~1/|brands| of the table) — and that tiny
-    * part-keyed aggregate broadcasts back, so the fact table is never
-    * shuffled at all: two map-only passes + one small agg.
+    * Scale design: the brand's part list semi-filters lineitem FIRST,
+    * so the per-part average aggregates only the brand's lineitems
+    * (~1/|brands| of the table) — and that part-keyed aggregate joins
+    * back. Neither side carries a hint: a brand slice of part and a
+    * per-part aggregate are both SF-proportional (~1/|brands| of 20 B
+    * parts at 100 TB), so AQE broadcasts them at test SFs (two map-only
+    * passes + one small agg, same plan a hint would force) and degrades
+    * both joins to partkey shuffles at scale instead of OOMing.
     *
     * `l_quantity < 0.2 * avg(q)` is evaluated as the integer cross
     * product `q * 5 * cnt < sum_q` — exact in both engines, no float
     * division. */
   def smallQtyRevenue(brand: String)(spark: SparkSession, dir: String): DataFrame = {
-    val parts = broadcast(t(spark, dir, "part")
-      .filter(col("p_brand") === brand).select("p_partkey"))
+    val parts = t(spark, dir, "part")
+      .filter(col("p_brand") === brand).select("p_partkey")
     val liBrand = t(spark, dir, "lineitem")
       .join(parts, col("l_partkey") === col("p_partkey"), "left_semi")
       .select(col("l_partkey"),
@@ -161,7 +179,7 @@ object RelQueries {
         cents("l_extendedprice").as("price_cents"))
     val perPart = liBrand.groupBy("l_partkey")
       .agg(sum(col("q")).as("sum_qty"), count(lit(1)).as("cnt_qty"))
-    liBrand.join(broadcast(perPart), "l_partkey")
+    liBrand.join(perPart, "l_partkey")
       .filter(col("q") * 5 * col("cnt_qty") < col("sum_qty"))
       .agg(count(lit(1)).as("cnt"),
         coalesce(sum(col("price_cents")), lit(0L)).as("rev_cents"))
@@ -296,30 +314,34 @@ object RelQueries {
   /** TPC-H Q7-shaped nation-pair trade flows: revenue shipped between
     * every (supplier nation, customer nation) pair per ship year.
     *
-    * Scale design: the supplier→nation and customer→nation mappings are
-    * key→name projections of dimension tables — both broadcast (nation is
-    * 25 rows; supplier/customer are dimension-sized), so lineitem picks
-    * up BOTH nation names map-side and the only shuffle pair is the
-    * lineitem⋈orders fact join. The output is at most
-    * |nations|² × |years| rows, so the final aggregation is tiny. */
+    * Scale design: the supplier→nationkey and customer→nationkey
+    * projections are SF-proportional (supplier- and customer-sized), so
+    * those joins carry NO hint — AQE broadcasts them at test SFs and
+    * degrades to keyed shuffles at scale. The aggregation groups on the
+    * raw NATIONKEY pair (not the names), so its output is at most
+    * |nations|² × |years| rows, and only THEN does the 25-row nation
+    * table broadcast in — twice, once per side — to resolve names on the
+    * tiny aggregate instead of widening every fact row with two strings
+    * before the shuffle. */
   def nationPairs(spark: SparkSession, dir: String): DataFrame = {
     val nation = t(spark, dir, "nation")
-    val suppNation = t(spark, dir, "supplier")
-      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
-      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
-    val custNation = t(spark, dir, "customer")
-      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
-      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val supp = t(spark, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val cust = t(spark, dir, "customer").select("c_custkey", "c_nationkey")
     t(spark, dir, "lineitem")
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
       .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
-      .groupBy(col("supp_nation"), col("cust_nation"),
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("s_nationkey"), col("c_nationkey"),
         year(col("l_shipdate")).cast(LongType).as("ship_year"))
       .agg(sum(cents("l_extendedprice") * (lit(100L) - cents("l_discount")))
         .as("revenue_units"), count(lit(1)).as("cnt"))
+      .join(broadcast(nation.select(col("n_nationkey").as("snk"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("snk"))
+      .join(broadcast(nation.select(col("n_nationkey").as("cnk"),
+        col("n_name").as("cust_nation"))), col("c_nationkey") === col("cnk"))
+      .select("supp_nation", "cust_nation", "ship_year", "revenue_units", "cnt")
       .orderBy("supp_nation", "cust_nation", "ship_year")
   }
 
@@ -337,10 +359,14 @@ object RelQueries {
       | GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin.replace("\n", " ")
 
   /** TPC-H Q14-shaped promo revenue share: the conditional-sum ratio
-    * report. One broadcast of the part dimension's (key, is-promo) bit,
-    * then numerator and denominator come out of ONE map-side combinable
-    * aggregation over a month of lineitem — no second scan, no division
-    * until the 1-row result (integer ppm, exact in both engines). */
+    * report. Part's (key, is-promo) projection joins a month of
+    * lineitem, then numerator and denominator come out of ONE map-side
+    * combinable aggregation — no second scan, no division until the
+    * 1-row result (integer ppm, exact in both engines).
+    *
+    * Scale design: part is SF-proportional, so the join carries NO
+    * hint — AQE broadcasts the 2-column projection at test SFs and
+    * degrades to a partkey shuffle at scale. */
   def promoShare(spark: SparkSession, dir: String): DataFrame = {
     val parts = t(spark, dir, "part")
       .select(col("p_partkey"),
@@ -348,7 +374,7 @@ object RelQueries {
     t(spark, dir, "lineitem")
       .filter(col("l_shipdate") >= lit("1997-06-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
-      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(parts, col("l_partkey") === col("p_partkey"))
       .agg(
         sum(when(col("is_promo") === 1,
           cents("l_extendedprice") * (lit(100L) - cents("l_discount")))
@@ -476,15 +502,15 @@ object RelQueries {
     * OR'd (brand, size band, quantity band) windows — the classic
     * can't-push-one-conjunct filter. The OR-of-conjunctions DOES imply
     * one pushable residual per side: every disjunct pins `p_brand` to one
-    * of three values (and `p_size >= 1`), so the broadcast side is
+    * of three values (and `p_size >= 1`), so the part side is
     * pre-filtered to those brands — at TPC-H sf100 that is the difference
-    * between shipping all ~20M parts under a forced broadcast hint (past
-    * safe broadcast size, and a hint can't degrade) and ~3/|brands| of
-    * them. The join then semi-reduces lineitem before the full
-    * disjunction evaluates map-side; everything after the broadcast stays
-    * in one whole-stage-codegen pass (the quantity envelope
-    * `l_quantity BETWEEN 1 AND 40` is likewise pushed to the lineitem
-    * scan). */
+    * between shipping all ~20M parts and ~3/|brands| of them. The slice
+    * is still SF-proportional, so the join carries NO hint (AQE
+    * broadcasts at test SFs, shuffles at scale). The join semi-reduces
+    * lineitem before the full disjunction evaluates map-side; everything
+    * after it stays in one whole-stage-codegen pass (the quantity
+    * envelope `l_quantity BETWEEN 1 AND 40` is likewise pushed to the
+    * lineitem scan). */
   def partBands(spark: SparkSession, dir: String): DataFrame = {
     val parts = t(spark, dir, "part")
       .select("p_partkey", "p_brand", "p_size")
@@ -502,7 +528,7 @@ object RelQueries {
       // quantity envelope of the three bands — explicit so it reaches the
       // parquet scan as a pushed filter regardless of CNF-extraction
       .filter(q.between(1, 40))
-      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(parts, col("l_partkey") === col("p_partkey"))
       .filter(band1 || band2 || band3)
       .agg(count(lit(1)).as("cnt"),
         coalesce(sum(cents("l_extendedprice") * (lit(100L) - cents("l_discount"))),
@@ -521,16 +547,18 @@ object RelQueries {
     * brand, the supplier shipping it cheapest — the argmin-per-group
     * shape (min_by with a defined tie order).
     *
-    * Scale design: the brand's part list broadcasts and semi-filters
-    * lineitem map-side, so the rank window sees ~1/|brands| of the
-    * table; the rank-1 filter compiles to WindowGroupLimit (per-
+    * Scale design: the brand's part list semi-filters lineitem (no
+    * hint — a brand slice of part is SF-proportional, so AQE broadcasts
+    * at test SFs and shuffles at scale), so the rank window sees
+    * ~1/|brands| of the table; the rank-1 filter compiles to
+    * WindowGroupLimit (per-
     * partition top-1 heap BEFORE the shuffle on l_partkey). min_by /
     * arg_min aggregates leave ties engine-defined — the explicit
     * (price, suppkey) lexicographic rank is what makes the answer
     * deterministic on both engines. */
   def cheapestSupplier(brand: String)(spark: SparkSession, dir: String): DataFrame = {
-    val parts = broadcast(t(spark, dir, "part")
-      .filter(col("p_brand") === brand).select("p_partkey"))
+    val parts = t(spark, dir, "part")
+      .filter(col("p_brand") === brand).select("p_partkey")
     val byPart = org.apache.spark.sql.expressions.Window
       .partitionBy("l_partkey")
       .orderBy(col("price_cents").asc, col("l_suppkey").asc)
@@ -1023,7 +1051,10 @@ object RelQueries {
     * the ~half of lineitem belonging to 'F' orders. Both uses of the
     * filtered lineitem are the IDENTICAL subplan, so the orderkey
     * exchange is planned once and reused (one exchange family,
-    * AQE-coalesced); the supplier dimension broadcasts. count
+    * AQE-coalesced); the SF-proportional supplier dimension joins
+    * WITHOUT a hint (AQE broadcasts at test SFs, shuffles at scale —
+    * and by then the max-ship survivor side is already ≤1 row per
+    * multi-supplier order, far smaller than lineitem). count
     * (DISTINCT l_orderkey) guards against a supplier shipping two lines
     * at the max timestamp inflating its wait count. Top-20 is
     * TakeOrderedAndProject with a deterministic (numwait DESC, s_name)
@@ -1043,8 +1074,7 @@ object RelQueries {
     flines
       .join(perOrder, col("l_orderkey") === col("mo_orderkey") &&
         col("l_shipdate") === col("max_ship"))
-      .join(broadcast(t(spark, dir, "supplier")
-        .select("s_suppkey", "s_name")),
+      .join(t(spark, dir, "supplier").select("s_suppkey", "s_name"),
         col("l_suppkey") === col("s_suppkey"))
       .groupBy("s_name")
       .agg(countDistinct(col("l_orderkey")).as("numwait"))
