@@ -169,7 +169,7 @@ object Cli {
           val v = arg.toLongOption match {
             case Some(ver) => graft.lake.LakeTable.restoreTo(table, ver)
             case None => graft.lake.LakeTable.restoreToTimestamp(table,
-              java.time.Instant.parse(arg).toEpochMilli)
+              graft.lake.LakeTable.parseInstantMillis(arg, "lake restore"))
           }
           println(s"committed version $v (state of $arg)")
         case "truncate" =>

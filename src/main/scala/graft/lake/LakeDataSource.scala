@@ -115,20 +115,11 @@ class LakeDataSource extends org.apache.spark.sql.connector.catalog.TableProvide
       options.getBoolean("readChangeFeed", false))
   }
 
-  /** `startingTimestamp` accepts an ISO-8601 instant (`...Z`) or the
-    * SQL `yyyy-MM-dd HH:mm:ss[.SSS]` form read as UTC (every session
-    * here pins UTC — [[graft.LocalSession]]). */
+  /** `startingTimestamp` accepts what every timestamp entry point here
+    * accepts — [[LakeTable.parseInstantMillis]] (ISO-8601 or SQL form,
+    * UTC). */
   private def parseInstantMillis(s: String): Long =
-    try java.time.Instant.parse(s).toEpochMilli
-    catch { case _: java.time.format.DateTimeParseException =>
-      try java.sql.Timestamp.valueOf(s).toLocalDateTime
-        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
-      catch { case _: IllegalArgumentException =>
-        throw new IllegalArgumentException(
-          s"lake source: cannot parse startingTimestamp `$s` (use ISO-8601 " +
-            "or yyyy-MM-dd HH:mm:ss[.SSS], read as UTC)")
-      }
-    }
+    LakeTable.parseInstantMillis(s, "lake source: startingTimestamp")
 
   private def tableRoot(options: CaseInsensitiveStringMap): String = {
     val p = Option(options.get("path")).getOrElse(
@@ -365,13 +356,20 @@ object LakeSqlDelete {
     if (conjuncts.exists(_.isEmpty)) return None // an untranslatable leaf
     val leaves = conjuncts.flatten
     if (leaves.isEmpty) return Some(All)
-    // one interval per distinct column — the same per-column guards as
-    // the single-column form, applied to each; sorted for determinism
-    val ranges = leaves.groupBy(_._1).toSeq.sortBy(_._1).map {
-      case (name, bounds) =>
-        val field = schema.fields.find(_.name == name)
-          .orElse(schema.fields.find(_.name.equalsIgnoreCase(name)))
-          .getOrElse(return None)
+    // resolve each leaf to its schema field FIRST (case-insensitive,
+    // like Spark's analyzer), THEN build one interval per RESOLVED
+    // column — so `ID >= 1 AND id <= 5` intersects into one range
+    // instead of two same-field ranges that only fail at execution time
+    // (ADVICE r5); sorted for determinism
+    val resolved = leaves.map { case (name, lo, hi) =>
+      val field = schema.fields.find(_.name == name)
+        .orElse(schema.fields.find(_.name.equalsIgnoreCase(name)))
+        .getOrElse(return None)
+      (field, lo, hi)
+    }
+    val ranges = resolved.groupBy(_._1.name).toSeq.sortBy(_._1).map {
+      case (_, bounds) =>
+        val field = bounds.head._1
         val integral = field.dataType match {
           case ByteType | ShortType | IntegerType | LongType => true
           case FloatType | DoubleType => false

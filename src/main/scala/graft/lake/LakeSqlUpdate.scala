@@ -87,9 +87,19 @@ object LakeSqlUpdate extends Rule[LogicalPlan] {
     if (leaves.exists(_.isEmpty))
       refuse("contains a predicate that does not translate to a " +
         "per-column literal range conjunction")
-    leaves.flatten.groupBy(_._1).toSeq.sortBy(_._1).map { case (name, bs) =>
-      val field = schema.fields.find(_.name == name).getOrElse(
-        refuse(s"references unknown column `$name`"))
+    // resolve to schema fields FIRST (case-insensitive, like the
+    // analyzer), then group by the RESOLVED name — same-column conjuncts
+    // in different case spellings intersect into one range instead of
+    // producing duplicate-column ranges (ADVICE r5; mirrors
+    // [[LakeSqlDelete.translate]])
+    val resolved = leaves.flatten.map { case (name, lo, hi) =>
+      val field = schema.fields.find(_.name == name)
+        .orElse(schema.fields.find(_.name.equalsIgnoreCase(name)))
+        .getOrElse(refuse(s"references unknown column `$name`"))
+      (field, lo, hi)
+    }
+    resolved.groupBy(_._1.name).toSeq.sortBy(_._1).map { case (name, bs) =>
+      val field = bs.head._1
       val integral = field.dataType match {
         case ByteType | ShortType | IntegerType | LongType => true
         case FloatType | DoubleType => false

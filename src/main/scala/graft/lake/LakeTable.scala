@@ -1756,11 +1756,18 @@ object LakeTable {
     * time travel BELOW the clamped `retainFrom` becomes unreadable
     * (exactly Delta's VACUUM trade). */
   /** Time-based retention (Delta's `VACUUM ... RETAIN n HOURS`): keep
-    * every snapshot whose commit time falls inside the window, reclaim
-    * below it. The floor version resolves from the commit wall-clock in
-    * the log (monotonized, like all timestamp resolution here); when
-    * every commit is older than the window, only the current snapshot
-    * is retained. Pre-timestamp-era logs refuse — use version-based
+    * every snapshot reachable from any instant INSIDE the window,
+    * reclaim below. The floor is the snapshot in effect AT the window
+    * start — the same version [[versionAtTimestamp]](cutoff) resolves —
+    * NOT the first commit after it: files removed BY that first commit
+    * belong to the floor snapshot, and reclaiming them would break
+    * `TIMESTAMP AS OF` / [[restoreToTimestamp]] for instants in
+    * [cutoff, first-commit-after-cutoff), making the two timestamp
+    * features mutually inconsistent at the boundary (Delta retains
+    * files invalidated within the window for exactly this reason).
+    * A cutoff that predates the log retains everything; when every
+    * commit is older than the window, only the current snapshot is
+    * retained. Pre-timestamp-era logs refuse — use version-based
     * [[vacuum]]. */
   def vacuumRetainMillis(table: String, retainMs: Long,
       orphanMinAgeMs: Long = OrphanMinAgeMs): Seq[String] = {
@@ -1772,19 +1779,39 @@ object LakeTable {
           "use version-based vacuum(table, retainFrom)")
     val cutoff = System.currentTimeMillis() - retainMs
     var eff = 0L
-    var floor = commits.last.version
-    var found = false
+    var floor = -1L
     commits.foreach { c =>
-      eff = math.max(eff, c.ts)
-      if (!found && eff >= cutoff) { floor = c.version; found = true }
+      eff = math.max(eff, c.ts) // monotonized commit time
+      if (eff <= cutoff) floor = c.version
     }
-    vacuum(table, floor, orphanMinAgeMs)
+    // floor < 0 ⇔ the cutoff predates the first commit: nothing existed
+    // at the window start, so every version is inside the window
+    vacuum(table, if (floor < 0) commits.head.version else floor,
+      orphanMinAgeMs)
   }
 
   /** RESTORE to the state at a wall-clock instant — [[restoreTo]] with
     * the version [[versionAtTimestamp]] resolves. */
   def restoreToTimestamp(table: String, tsMillis: Long): Long =
     restoreTo(table, versionAtTimestamp(table, tsMillis))
+
+  /** Shared instant parsing for every string-typed timestamp entry
+    * point (stream `startingTimestamp`, CLI `lake restore`): strict
+    * ISO-8601 (`...Z`) or the SQL `yyyy-MM-dd HH:mm:ss[.SSS]` form read
+    * as UTC (every session here pins UTC — [[graft.LocalSession]]).
+    * One parser so all entry points accept the same formats and fail
+    * with the same message (ADVICE r5). */
+  def parseInstantMillis(s: String, what: String): Long =
+    try java.time.Instant.parse(s).toEpochMilli
+    catch { case _: java.time.format.DateTimeParseException =>
+      try java.sql.Timestamp.valueOf(s).toLocalDateTime
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      catch { case _: IllegalArgumentException =>
+        throw new IllegalArgumentException(
+          s"$what: cannot parse instant `$s` (use ISO-8601 " +
+            "or yyyy-MM-dd HH:mm:ss[.SSS], read as UTC)")
+      }
+    }
 
   def vacuum(table: String, retainFrom: Long,
       orphanMinAgeMs: Long = OrphanMinAgeMs): Seq[String] = {

@@ -241,6 +241,12 @@ object TextOps {
     * regex rewrite, so the line sets agree exactly. */
   private val LineBreakPattern = "((\\S+ ){7}\\S+) "
 
+  /** Line-position capacity of the int64 keeper key in [[docLineDedup]]:
+    * pos occupies the low 22 bits (4,194,304 lines per document,
+    * guarded at runtime), doc_id the remaining high bits (up to 2^41
+    * documents). */
+  private val MaxLinePos: Long = 1L << 22
+
   /** Cross-document line-level dedup, the C4/RefinedWeb preprocessing
     * step: a line occurring in several documents is kept ONLY at its
     * first occurrence (lowest doc_id, then lowest position) and removed
@@ -263,9 +269,20 @@ object TextOps {
       regexp_replace(col("text"), LineBreakPattern, "$1\n").as("lt"))
     val lines = lined.select(col("doc_id"),
       posexplode(split(col("lt"), "\n")).as(Seq("pos", "line")))
-    // int64 (doc_id, pos) encoding: pos is bounded by line count per doc
+    // int64 (doc_id, pos) keeper key in DISJOINT bit ranges: doc_id in
+    // the high 41 bits, pos in the low 22 (≤4M lines/doc) — and the
+    // bound is ENFORCED, not assumed: assert_true makes a ≥2^22-line
+    // document fail loudly instead of bleeding pos into the doc_id part
+    // and silently picking the wrong canonical occurrence (ADVICE r5).
+    // assert_true yields NULL when the check passes, so the coalesce
+    // keeps the guard inside the okey expression where the optimizer
+    // cannot prune it.
     val withKey = lines.select(col("doc_id"), col("pos"), col("line"),
-      (col("doc_id") * 1000000L + col("pos")).as("okey"),
+      (col("doc_id") * MaxLinePos + col("pos") +
+        coalesce(assert_true(col("pos") < MaxLinePos,
+          lit(s"docLineDedup: a document has >= $MaxLinePos lines; " +
+            "the int64 (doc_id, pos) keeper key would overflow"))
+          .cast(LongType), lit(0L))).as("okey"),
       conv(substring(md5(col("line")), 1, 15), 16, 10).cast(LongType).as("lh"))
     val keepers = withKey.groupBy("lh")
       .agg(min(col("okey")).as("keep_key"))
@@ -294,7 +311,7 @@ object TextOps {
       | FROM documents),
       |lines AS (
       | SELECT t.doc_id, g.i - 1 AS pos, t.parts[g.i] AS line,
-      |  t.doc_id * 1000000 + g.i - 1 AS okey
+      |  t.doc_id * 4194304 + g.i - 1 AS okey
       | FROM (SELECT doc_id, string_split(lt, chr(10)) AS parts FROM lined) t,
       |  LATERAL (SELECT unnest(generate_series(1, len(t.parts))) AS i) g),
       |keepers AS (

@@ -185,6 +185,25 @@ class LakeCatalogSpec extends SparkSpec {
       .head().getLong(0) == 0)
   }
 
+  test("DML conjuncts on one column in different case spellings intersect") {
+    // ADVICE r5: `ID >= a AND id <= b` used to build two ranges that
+    // both resolved to `id`, passing canDeleteWhere and then throwing
+    // at execution; the ranges must intersect into ONE instead
+    dmlTable("delcase")
+    spark.sql("DELETE FROM graftlake.dml.delcase WHERE ID >= 40 AND id <= 149")
+    assert(spark.sql("SELECT count(*) AS n FROM graftlake.dml.delcase")
+      .head().getLong(0) == 250 - 110)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graftlake.dml.delcase WHERE id BETWEEN 40 AND 149")
+      .head().getLong(0) == 0)
+    // same through the UPDATE translation (LakeSqlUpdate shares the fix)
+    dmlTable("updcase")
+    spark.sql("UPDATE graftlake.dml.updcase SET v = 0 WHERE ID >= 10 AND id <= 19")
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graftlake.dml.updcase WHERE v = 0 AND id >= 10")
+      .head().getLong(0) == 10)
+  }
+
   test("TRUNCATE TABLE is a metadata-only commit; time travel survives") {
     val t = dmlTable("trunc")
     val dataFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(t))
@@ -512,6 +531,38 @@ class LakeCatalogSpec extends SparkSpec {
     assert(dropped.nonEmpty)
     assert(spark.sql("SELECT count(*) AS n FROM graftlake.dml.timeverbs")
       .head().getLong(0) == 10)
+  }
+
+  test("vacuum retention floor is the snapshot in effect at the window start") {
+    val t = s"$root/dml/vacfloor"
+    LakeTable.append(spark, t,
+      spark.range(0, 5).select(col("id"), (col("id") * 2).as("v"))) // v1
+    Thread.sleep(150)
+    // v2 REMOVES v1's files — the ADVICE r5 boundary case: an instant in
+    // (t1, t2) resolves to v1, so a window starting there must keep v1
+    LakeTable.overwrite(spark, t,
+      spark.range(0, 7).select(col("id"), (col("id") * 2).as("v")))
+    val hist = LakeTable.history(t)
+    val (c1, c2) = (hist.head, hist(1))
+    val cutoff = (c1.ts + c2.ts) / 2
+    assert(LakeTable.versionAtTimestamp(t, cutoff) == c1.version)
+    // retention window starting strictly between the commits: v2 is
+    // inside the window, but v1 is the snapshot IN EFFECT at the window
+    // start — nothing may be reclaimed (the old floor — first commit
+    // at/after the cutoff — would have reclaimed v1's files here and
+    // broken TIMESTAMP AS OF inside the window)
+    val dropped =
+      LakeTable.vacuumRetainMillis(t, System.currentTimeMillis() - cutoff)
+    assert(dropped.isEmpty,
+      s"window-start snapshot's files were reclaimed: $dropped")
+    // every instant inside the window stays time-travelable
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graftlake.dml.vacfloor VERSION AS OF ${c1.version}")
+      .head().getLong(0) == 5)
+    // zero retention: now only the current snapshot must survive
+    assert(LakeTable.vacuumRetainMillis(t, 0L).nonEmpty)
+    assert(spark.sql("SELECT count(*) AS n FROM graftlake.dml.vacfloor")
+      .head().getLong(0) == 7)
   }
 
   test("DELETE FROM a VERSION AS OF snapshot is refused") {
