@@ -88,10 +88,14 @@ object PcQueries {
   // of the query definition (the reference derives it from an assumed
   // density; we pin it so the oracle is static). ----
 
-  def knn(k: Int, r: Double)(spark: SparkSession, dir: String): DataFrame = {
-    val (cx, cy) = knnAt
+  /** The shared k-NN plan: bbox prefilter (pushes to the scan) + top-k
+    * on exact squared distance (TakeOrderedAndProject — per-partition
+    * heaps, no global sort) with a deterministic pid tiebreak. */
+  private[graft] def knnOn(pts: DataFrame, k: Int, r: Double,
+      at: (Double, Double)): DataFrame = {
+    val (cx, cy) = at
     val bbox = Aabb.xy(cx - r, cy - r, cx + r, cy + r)
-    points(spark, dir)
+    pts
       .filter(boxPredicate(bbox))
       .withColumn("d2",
         (col("x") - cx) * (col("x") - cx) + (col("y") - cy) * (col("y") - cy))
@@ -100,11 +104,58 @@ object PcQueries {
       .limit(k)
   }
 
+  def knn(k: Int, r: Double)(spark: SparkSession, dir: String): DataFrame =
+    knnOn(points(spark, dir), k, r, knnAt)
+
+  /** Density-derived k-NN search radius — the reference's heuristic
+    * (pc-cli/src/benchmark.rs:223-264) with the density MEASURED from
+    * the cloud instead of assumed: the pinned radii above bake in the
+    * testdata's density, and on a fixture 100× sparser the same box
+    * would silently return fewer than k rows. A circle of radius r in a
+    * cloud of uniform density ρ = n/area holds ~ρ·π·r² points; solving
+    * for `safety`·k expected points gives r = √(safety·k / (π·ρ)). The
+    * bounds+count aggregate is ONE 1-row collect (metadata-sized, the
+    * codebook-seed class — never row data). */
+  def knnRadius(pts: DataFrame, k: Int, safety: Double = 4.0): Double = {
+    val row = pts.agg(min(col("x")), max(col("x")), min(col("y")),
+      max(col("y")), count(lit(1))).head()
+    require(row.getLong(4) > 0, "knnRadius: empty cloud")
+    val area = (row.getDouble(1) - row.getDouble(0)) *
+      (row.getDouble(3) - row.getDouble(2))
+    require(area > 0, "knnRadius: degenerate (zero-area) cloud bounds")
+    math.sqrt(safety * k / (math.Pi * (row.getLong(4) / area)))
+  }
+
+  /** k-NN with the search radius derived from the cloud's own density —
+    * correct on fixtures of any density, unlike the pinned-radius
+    * variants. Same plan as [[knn]] once r is resolved. */
+  def knnAuto(k: Int, safety: Double = 4.0)(
+      spark: SparkSession, dir: String): DataFrame = {
+    val pts = points(spark, dir)
+    knnOn(pts, k, knnRadius(pts, k, safety), knnAt)
+  }
+
   def knnSql(k: Int, r: Double): String = {
     val (cx, cy) = knnAt
     val bbox = Aabb.xy(cx - r, cy - r, cx + r, cy + r)
     s"""SELECT pid, (x - $cx) * (x - $cx) + (y - $cy) * (y - $cy) AS d2
        | FROM ($pointsSql) WHERE ${boxPredicateSql(bbox)}
+       | ORDER BY d2 ASC, pid ASC LIMIT $k""".stripMargin.replace("\n", " ")
+  }
+
+  /** Oracle for [[knnAuto]]: the radius formula evaluated in SQL over
+    * the SAME bounds/count aggregate, operation-for-operation (IEEE
+    * doubles make the identical expression tree bit-identical in both
+    * engines; safety·k is pre-folded in Scala so neither engine
+    * reassociates it). */
+  def knnAutoSql(k: Int, safety: Double = 4.0): String = {
+    val (cx, cy) = knnAt
+    s"""WITH s AS (SELECT count(*) AS n,
+       |  (max(x) - min(x)) * (max(y) - min(y)) AS area FROM ($pointsSql)),
+       | rr AS (SELECT sqrt(${safety * k} / (pi() * (n / area))) AS r FROM s)
+       | SELECT pid, (x - $cx) * (x - $cx) + (y - $cy) * (y - $cy) AS d2
+       | FROM ($pointsSql), rr
+       | WHERE x >= $cx - r AND x < $cx + r AND y >= $cy - r AND y < $cy + r
        | ORDER BY d2 ASC, pid ASC LIMIT $k""".stripMargin.replace("\n", " ")
   }
 

@@ -124,4 +124,36 @@ class PcQueriesSpec extends SparkSpec {
       assert(r.getDouble(1) > 1.0, s"angle ${r.getLong(0)} too close")
     }
   }
+
+  test("knnRadius adapts to density: a 100x sparser cloud still yields the true k nearest") {
+    // deterministic pseudo-uniform cloud, 600 points over [0,1000)^2 —
+    // two orders of magnitude sparser than the testdata-derived cloud.
+    // The PINNED radii (100/250, sized for the testdata density) find
+    // almost nothing here; the measured-density radius must still
+    // produce exactly the k nearest (reference behavior to match:
+    // pc-cli/src/benchmark.rs:223-264 derives its box from density).
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val pts = spark.range(0, 600).select(col("id").as("pid"),
+      (pmod(col("id") * 2654435761L, lit(1000000L)) / 1000.0).as("x"),
+      (pmod(col("id") * 2246822519L + 123456L, lit(1000000L)) / 1000.0).as("y"))
+    val k = 50
+    val rAuto = PcQueries.knnRadius(pts, k)
+    // the pinned-density radius really is wrong on this fixture
+    val pinnedRows = PcQueries.knnOn(pts, k, 100.0, PcQueries.knnAt).count()
+    assert(pinnedRows < k,
+      s"fixture not sparse enough to discriminate: pinned radius found $pinnedRows")
+    val auto = PcQueries.knnOn(pts, k, rAuto, PcQueries.knnAt).collect()
+    assert(auto.length == k,
+      s"density-derived box contained only ${auto.length} < $k points (r=$rAuto)")
+    // and it is the TRUE top-k: identical to the un-bboxed brute force
+    val (cx, cy) = PcQueries.knnAt
+    val brute = pts
+      .withColumn("d2",
+        (col("x") - cx) * (col("x") - cx) + (col("y") - cy) * (col("y") - cy))
+      .select("pid", "d2")
+      .orderBy(col("d2").asc, col("pid").asc)
+      .limit(k).collect()
+    assert(auto.toSeq == brute.toSeq,
+      "density-derived bbox clipped away part of the true k nearest")
+  }
 }
