@@ -82,9 +82,16 @@ object Bench {
       }
 
     // min of 3 runs per query: steady-state (plans cached, JIT warm, all
-    // shared indexes built); min discards shared-machine noise spikes
+    // shared indexes built); min discards shared-machine noise spikes.
+    // The System.gc() barrier drains garbage accumulated by PRECEDING
+    // queries before each timing loop — without it a query adjacent to a
+    // heap-hungry one pays its predecessors' collection debt in all 3
+    // runs, which min-of-N cannot remove (the r5 rel_nation_* 3-5×
+    // in-suite-vs-isolated swing). ~10-50 ms of untimed wall-clock per
+    // query on the 8g bench heap.
     val results = queries.map { case (name, fn) =>
       var failed = false
+      System.gc()
       val times = (0 until 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
@@ -97,8 +104,14 @@ object Bench {
       // -1 sentinel: a throwing query must not report as a fast success
       name -> (if (failed) -1.0 else times.min)
     }
+    // millisecond precision: enough for any consumer, and it keeps the
+    // stdout line (tail-truncated to its last ~2000 chars in round
+    // artifacts) as small as the name contract allows
+    def fmt(v: Double): String =
+      if (v < 0) "-1.0"
+      else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def jsonMap(kvs: Seq[(String, Double)]): String =
-      kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      kvs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     // failed index builds belong in `failed` too: a gate watching
     // failed==[] must notice the isolation silently degrading (the first
     // consumer query would re-run the build inside its timed loop)
@@ -107,16 +120,36 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val indexTotal = indexBuilds.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"index_build":${jsonMap(indexBuilds)},"index_build_total":$indexTotal,"failed":$failedNames,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonMap(results)},"index_build":${jsonMap(indexBuilds)},"index_build_total":${fmt(indexTotal)},"failed":$failedNames,"sf":"$sfDir"}"""
     println(line)
-    // the stdout line gets tail-truncated in round artifacts (r4 lost
-    // most per-query timings) — persist the full JSON to a file too so
-    // the numbers are always recoverable and committable
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")), line)
-    catch { case e: Throwable =>
-      System.err.println(s"bench: could not persist bench_last.json: ${e.getMessage}")
+    // The stdout line gets tail-truncated to its last ~2000 chars in
+    // round artifacts (r4 lost most per-query timings; r5's driver
+    // artifact had parsed:null), and the full queries map cannot fit
+    // that window (the 128 query names alone are ~1800 chars). So the
+    // full JSON is ALWAYS persisted as a file, in BOTH candidate
+    // locations: the invoker-chosen path (env override / CWD), and the
+    // checkout that owns the running classes — resolved from the code
+    // source so a driver invoking sbt from any working directory still
+    // leaves bench_last.json inside the repo it benchmarked.
+    val outPaths = {
+      val chosen = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json"))
+        .toAbsolutePath.normalize
+      val fromClasses =
+        try {
+          var p = java.nio.file.Paths.get(
+            Bench.getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
+          while (p != null && !java.nio.file.Files.exists(p.resolve("build.sbt")))
+            p = p.getParent
+          Option(p).map(_.resolve("bench_last.json").toAbsolutePath.normalize)
+        } catch { case _: Throwable => None }
+      (Seq(chosen) ++ fromClasses).distinct
+    }
+    outPaths.foreach { p =>
+      try java.nio.file.Files.writeString(p, line)
+      catch { case e: Throwable =>
+        System.err.println(s"bench: could not persist $p: ${e.getMessage}")
+      }
     }
     spark.stop()
   }
