@@ -89,9 +89,12 @@ object Bench {
     // runs, which min-of-N cannot remove (the r5 rel_nation_* 3-5×
     // in-suite-vs-isolated swing). ~10-50 ms of untimed wall-clock per
     // query on the 8g bench heap.
+    // SPARK_GRAFT_BENCH_GC=0 disables the barrier — the A/B knob the
+    // variance root-cause experiment uses; default ON
+    val gcBarrier = sys.env.get("SPARK_GRAFT_BENCH_GC").forall(_ != "0")
     val results = queries.map { case (name, fn) =>
       var failed = false
-      System.gc()
+      if (gcBarrier) System.gc()
       val times = (0 until 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
@@ -135,8 +138,12 @@ object Bench {
       val chosen = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json"))
         .toAbsolutePath.normalize
+      // only a FULL run may claim the repo's canonical bench_last.json —
+      // a filtered experiment would silently shadow the committed
+      // full-suite artifact with a 2-query fragment
       val fromClasses =
-        try {
+        if (filter.nonEmpty) None
+        else try {
           var p = java.nio.file.Paths.get(
             Bench.getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
           while (p != null && !java.nio.file.Files.exists(p.resolve("build.sbt")))
