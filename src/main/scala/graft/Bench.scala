@@ -47,7 +47,8 @@ object Bench {
         () => graft.text.TextOps.prebuildShingleIndex(spark, sfDir)),
       ("winnow_index", _.startsWith("doc_winnow"),
         () => graft.text.TextOps.prebuildWinnowIndex(spark, sfDir)),
-      ("pair_index", n => n.startsWith("doc_dup_clusters") || n.startsWith("doc_dedup_keep"),
+      ("pair_index", n => n.startsWith("doc_dup_clusters") ||
+        n.startsWith("doc_dedup_keep") || n.startsWith("doc_ngram_pairs"),
         () => graft.text.TextOps.prebuildPairIndex(graft.text.TextOps.DupClusterTau)(spark, sfDir)),
       ("label_index", _.startsWith("doc_dedup_keep"),
         () => graft.text.TextOps.prebuildLabelIndex(graft.text.TextOps.DupClusterTau)(spark, sfDir)),

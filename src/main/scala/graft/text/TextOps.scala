@@ -736,6 +736,15 @@ object TextOps {
     spark.read.parquet(path)
   }
 
+  /** The registered near-dup pair QUERY, served from the materialized
+    * [[pairIndex]] — the same relation [[dupClusters]] and the keep-one
+    * report already consume ([[ngramJaccardPairs]] is deterministic, so
+    * the index IS the query result; the pair-generation shingle join
+    * runs once per (dataset, tau), not once per consumer). Only the
+    * output ordering is re-applied after the parquet round-trip. */
+  def ngramPairsIndexed(tau: Double)(spark: SparkSession, dir: String): DataFrame =
+    pairIndex(spark, dir, tau).orderBy("d1", "d2")
+
   def dupClusters(tau: Double)(spark: SparkSession, dir: String): DataFrame = {
     val edges = pairIndex(spark, dir, tau).select(col("d1"), col("d2"))
     val labels = connectedComponents(edges)._1
