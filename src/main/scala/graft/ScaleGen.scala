@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Deterministic scale-up fixture generator for scale-stress runs:
+  * materializes N key-shifted copies of a base SF directory's
+  * relational tables (`ScaleGen <srcDir> <outDir> [copies=10]`).
+  *
+  * Every join key is shifted by `copy * 10_000_000`, so the copies are
+  * disjoint universes with IDENTICAL per-key distributions — exactly
+  * what stressing join/aggregation plans one order of magnitude up
+  * needs: table cardinalities, join fan-outs and group counts all
+  * scale by N while per-key skew, date ranges, and categorical mixes
+  * (brands, segments, statuses) stay bit-identical to the base SF.
+  * The fixed-cardinality dimensions (`nation`, `region`) are copied
+  * unshifted — they do not grow with SF, which is precisely the
+  * property the broadcast-hint policy in [[graft.rel.RelQueries]]
+  * keys on.
+  */
+object ScaleGen {
+  private val Off = 10000000L
+
+  def main(args: Array[String]): Unit = {
+    val (src, out) = (args(0), args(1))
+    val copies = args.drop(2).headOption.map(_.toInt).getOrElse(10)
+    require(copies >= 1 && copies * Off < (1L << 40), s"bad copies: $copies")
+    val spark = LocalSession("32")
+
+    def shifted(t: String, keyCols: Seq[String]): Unit = {
+      val df = spark.read.parquet(s"$src/$t.parquet")
+      val fan = spark.range(copies).select(col("id").as("_copy"))
+      val wide = keyCols.foldLeft(df.crossJoin(fan)) { (d, k) =>
+        d.withColumn(k, col(k) + col("_copy") * Off)
+      }.drop("_copy")
+      wide.write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"scalegen: $t x$copies")
+    }
+    def copied(t: String): Unit = {
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"scalegen: $t (fixed cardinality, unshifted)")
+    }
+
+    shifted("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    shifted("orders", Seq("o_orderkey", "o_custkey"))
+    shifted("customer", Seq("c_custkey"))
+    shifted("supplier", Seq("s_suppkey"))
+    shifted("part", Seq("p_partkey"))
+    copied("nation")
+    copied("region")
+    spark.stop()
+  }
+}
