@@ -724,6 +724,102 @@ class LakeTableSpec extends SparkSpec {
     }
   }
 
+  test("model check: timestamp verbs resolve through recorded wall-clock at every instant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    val t = freshTable()
+    def toDf(m: Seq[(Long, Long)]) = m.toDF("id", "v")
+    def freshRows(n: Int, taken: Set[Long]): Seq[(Long, Long)] =
+      Seq.fill(n)(rnd.nextLong(1000L) -> rnd.nextLong(100L))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.head._2 }.toSeq
+        .filterNot { case (k, _) => taken(k) }
+    def state(v: Long): Map[Long, Long] =
+      LakeTable.snapshot(spark, t, Some(v)).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var model = Map.empty[Long, Long]
+    // per committed version: an instant strictly between this commit and
+    // the next, plus the state in effect then (the 30 ms margins keep
+    // the probe outside any commit's own wall-clock millisecond and
+    // leave room for the cutoff re-read inside vacuumRetainMillis)
+    val probes = scala.collection.mutable.ArrayBuffer[(Long, Map[Long, Long])]()
+    def probe(): Unit = {
+      Thread.sleep(30)
+      probes += ((System.currentTimeMillis(), model))
+      Thread.sleep(30)
+    }
+    LakeTable.append(spark, t, toDf(freshRows(10, Set.empty)))
+    model = state(LakeTable.latestVersion(t).get)
+    probe()
+    (0 until 10).foreach { _ =>
+      rnd.nextInt(4) match {
+        case 0 =>
+          val rows = freshRows(rnd.nextInt(6) + 1, model.keySet)
+          LakeTable.append(spark, t, toDf(rows)); model = model ++ rows
+        case 1 =>
+          val rows = freshRows(rnd.nextInt(6) + 1, Set.empty)
+          LakeTable.overwrite(spark, t, toDf(rows)); model = rows.toMap
+        case 2 =>
+          val lo = rnd.nextLong(900L); val hi = lo + rnd.nextLong(150L)
+          LakeTable.deleteWhere(spark, t, "id", lo.toDouble, hi.toDouble)
+          model = model.filterNot { case (k, _) => k >= lo && k <= hi }
+        case 3 => // RESTORE to a recorded instant — state snaps back
+          val (ts, m) = probes(rnd.nextInt(probes.size))
+          LakeTable.restoreToTimestamp(t, ts); model = m
+      }
+      probe()
+    }
+    // 1) TIMESTAMP AS OF: every recorded instant resolves to the state
+    //    in effect at that instant
+    probes.foreach { case (ts, m) =>
+      assert(state(LakeTable.versionAtTimestamp(t, ts)) == m,
+        s"TIMESTAMP AS OF $ts diverged")
+    }
+    // resolution is monotone in the instant (clock skew can never make
+    // a later instant resolve to an earlier version)
+    val resolved = probes.map { case (ts, _) => LakeTable.versionAtTimestamp(t, ts) }
+    assert(resolved == resolved.sorted, s"non-monotone resolution: $resolved")
+    // before the first commit: loud refusal, not an empty table
+    intercept[IllegalArgumentException] {
+      LakeTable.versionAtTimestamp(t, probes.head._1 - 1000000L)
+    }
+    // 2) time-windowed vacuum to a mid-history instant keeps EVERY
+    //    in-window instant time-travelable (the r5-ADVICE boundary)
+    val cutIdx = probes.size / 2
+    LakeTable.vacuumRetainMillis(t,
+      System.currentTimeMillis() - probes(cutIdx)._1)
+    probes.drop(cutIdx).foreach { case (ts, m) =>
+      assert(state(LakeTable.versionAtTimestamp(t, ts)) == m,
+        s"vacuum broke TIMESTAMP AS OF $ts inside the retention window")
+    }
+    // 3) clock-skew edge: rewrite a mid-log commit's recorded ts ~1 s
+    //    BACKWARDS (a racing writer with a slow clock). Monotonization
+    //    absorbs the skewed commit into its predecessor's effective
+    //    time: the probe that used to resolve to the predecessor now
+    //    sees the skewed commit too, and resolution stays monotone.
+    val vs = LakeTable.versions(t)
+    val skewV = vs(vs.size / 2)
+    val origTs = LakeTable.history(t).find(_.version == skewV).get.ts
+    val prevTs = LakeTable.history(t).find(_.version == skewV - 1).get.ts
+    val logFile = java.nio.file.Paths.get(t, "_txlog", f"$skewV%020d.json")
+    val json = new String(java.nio.file.Files.readAllBytes(logFile), "UTF-8")
+    val skewed = json.replaceAll("\"ts\":\\d+", s""""ts":${prevTs - 1000}""")
+    java.nio.file.Files.write(logFile, skewed.getBytes("UTF-8"))
+    val resolvedAfter = probes.map { case (ts, _) => LakeTable.versionAtTimestamp(t, ts) }
+    assert(resolvedAfter == resolvedAfter.sorted,
+      s"skew broke monotone resolution: $resolvedAfter")
+    // an instant inside [prevTs, origTs) used to see skewV-1; with the
+    // skewed commit's effective time collapsed onto prevTs it must now
+    // see skewV exactly (not past it — later commits keep later times)
+    assert(LakeTable.versionAtTimestamp(t, origTs - 1) == skewV,
+      "skewed commit did not collapse onto its predecessor's instant")
+    // every probe OUTSIDE that window resolves exactly as before
+    probes.zip(resolved).foreach { case ((ts, _), was) =>
+      if (ts < prevTs || ts >= origTs)
+        assert(LakeTable.versionAtTimestamp(t, ts) == was,
+          s"skew changed resolution of an unrelated instant $ts")
+    }
+  }
+
   test("change feed: typed row changes for append/delete/update/merge") {
     import spark.implicits._
     val t = freshTable()
