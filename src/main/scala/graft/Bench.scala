@@ -48,9 +48,11 @@ object Bench {
       ("winnow_index", _.startsWith("doc_winnow"),
         () => graft.text.TextOps.prebuildWinnowIndex(spark, sfDir)),
       ("pair_index", n => n.startsWith("doc_dup_clusters") ||
-        n.startsWith("doc_dedup_keep") || n.startsWith("doc_ngram_pairs"),
+        n.startsWith("doc_dedup_keep") || n.startsWith("doc_ngram_pairs") ||
+        n.startsWith("doc_split_safe"),
         () => graft.text.TextOps.prebuildPairIndex(graft.text.TextOps.DupClusterTau)(spark, sfDir)),
-      ("label_index", _.startsWith("doc_dedup_keep"),
+      ("label_index", n => n.startsWith("doc_dedup_keep") ||
+        n.startsWith("doc_split_safe"),
         () => graft.text.TextOps.prebuildLabelIndex(graft.text.TextOps.DupClusterTau)(spark, sfDir)),
       ("ivf_codebook", _.startsWith("emb_ivf"),
         () => { graft.sim.Ivf.trainCached(spark, sfDir); () }),

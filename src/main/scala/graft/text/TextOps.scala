@@ -887,6 +887,51 @@ object TextOps {
     ()
   }
 
+  /** Leakage-safe train/valid/test split: the split key is the NEAR-DUP
+    * CLUSTER label, not the document id, so a cluster of near-duplicate
+    * documents can never straddle splits — train/test contamination
+    * through near-duplicates is exactly the leakage mode plain per-doc
+    * hashing ([[docSplit]]) cannot prevent. Docs outside every cluster
+    * key on their own id (singleton cluster); the hash and 80/10/10
+    * bands match [[docSplit]], so the two reports differ only where a
+    * multi-doc cluster's members were re-keyed. The no-straddle
+    * invariant has its own spec (`TrainPipelineOpsSpec`).
+    *
+    * Scale design: the label relation holds only near-dup members
+    * (tiny vs the corpus) → broadcast left join onto the corpus scan;
+    * the split decision is a map-side hash; the only shuffle is the
+    * final aggregation on the (split, lang) lattice. */
+  def docSplitSafe(tau: Double)(spark: SparkSession, dir: String): DataFrame = {
+    val labels = labelIndex(spark, dir, tau) // (doc_id, lbl)
+    val bucket = conv(substring(md5(col("skey").cast("string")), 1, 4), 16, 10)
+      .cast(LongType) % 100
+    docs(spark, dir)
+      .join(broadcast(labels), Seq("doc_id"), "left_outer")
+      .select(col("lang"), col("n_chars"),
+        coalesce(col("lbl"), col("doc_id")).as("skey"))
+      .select(
+        when(bucket < 80, "train").when(bucket < 90, "valid")
+          .otherwise("test").as("split"),
+        col("lang"), col("n_chars"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast(LongType).as("n_chars_total"))
+      .orderBy("split", "lang")
+  }
+
+  def docSplitSafeSql(tau: Double): String =
+    s"""WITH RECURSIVE
+       | ${componentClosureCte(tau)},
+       | lab AS (SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS lbl FROM reach GROUP BY a),
+       | keyed AS (SELECT lang, n_chars, coalesce(lbl, doc_id) AS skey
+       |  FROM documents LEFT JOIN lab USING (doc_id)),
+       | bk AS (SELECT lang, n_chars,
+       |  CAST('0x'||substr(md5(CAST(skey AS VARCHAR)),1,4) AS BIGINT) % 100 AS b FROM keyed)
+       | SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid'
+       |  ELSE 'test' END AS split, lang,
+       | count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+       | FROM bk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " ")
+
   def dedupKeepOne(tau: Double)(spark: SparkSession, dir: String): DataFrame = {
     val losers = labelIndex(spark, dir, tau)
       .filter(col("doc_id") =!= col("lbl")).select(col("doc_id"))

@@ -92,4 +92,35 @@ class TrainPipelineOpsSpec extends SparkSpec {
       s"top-k must not global-sort:\n$plan")
     assert(countShuffles(df) <= 1, "bigram counting is one exchange")
   }
+
+  test("docSplitSafe: no near-dup cluster straddles train/valid/test") {
+    import org.apache.spark.sql.functions._
+    val tau = graft.text.TextOps.DupClusterTau
+    // recompute the per-doc split assignment the report aggregates, and
+    // join it against the converged cluster labels: every multi-doc
+    // cluster must land in exactly ONE split
+    val labels = graft.text.TextOps.dupClusters(tau)(spark, sf001)
+      .select(col("doc_id"), col("cluster"), col("cluster_size"))
+    val bucket = conv(substring(md5(col("cluster").cast("string")), 1, 4), 16, 10)
+      .cast("long") % 100
+    val assigned = labels.filter(col("cluster_size") > 1)
+      .select(col("cluster"),
+        when(bucket < 80, "train").when(bucket < 90, "valid")
+          .otherwise("test").as("split"))
+    val straddlers = assigned.groupBy("cluster")
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .filter(col("n_splits") > 1)
+    assert(straddlers.count() == 0, "a near-dup cluster straddles splits")
+    // the report itself: totals match the plain per-doc split's corpus
+    // totals (re-keying moves docs between splits, never loses them)
+    val safe = graft.text.TextOps.docSplitSafe(tau)(spark, sf001)
+    val plain = graft.text.TextOps.docSplit(spark, sf001)
+    def totals(df: org.apache.spark.sql.DataFrame) =
+      df.agg(sum("n_docs"), sum("n_chars_total")).head().toSeq
+    assert(totals(safe) == totals(plain))
+    // and it differs from the plain split somewhere (the fixture HAS
+    // near-dup clusters, so re-keying must move at least one doc)
+    assert(safe.collect().toSeq != plain.collect().toSeq,
+      "cluster re-keying changed nothing — fixture has no straddling dups?")
+  }
 }
