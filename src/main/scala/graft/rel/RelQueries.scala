@@ -441,8 +441,10 @@ object RelQueries {
     * equals the maximum — the argmax-with-ties shape. The per-supplier
     * aggregate shuffles once; its 1-row max cross-joins back (broadcast
     * scalar, the [[graft.text.TextOps.docMix]] pattern), and the
-    * survivor set (≥1 row, ties kept) broadcasts into the supplier
-    * dimension join. No window over the full aggregate, no second scan. */
+    * survivor set (≥1 row, ties kept — usually one but unbounded if
+    * every supplier ties, so NO hint: AQE broadcasts the real size)
+    * joins the supplier dimension. No window over the full aggregate,
+    * no second scan. */
   def topSupplier(spark: SparkSession, dir: String): DataFrame = {
     val rev = t(spark, dir, "lineitem")
       .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
@@ -454,7 +456,7 @@ object RelQueries {
     val winners = rev.crossJoin(broadcast(maxRev))
       .filter(col("revenue_units") === col("max_units"))
     t(spark, dir, "supplier")
-      .join(broadcast(winners), col("s_suppkey") === col("l_suppkey"))
+      .join(winners, col("s_suppkey") === col("l_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("revenue_units"))
       .orderBy("s_suppkey")
   }
