@@ -665,9 +665,14 @@ object TextOps {
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("inter"))
+    // NO hint on the per-doc count joins: n is CORPUS-sized (one row
+    // per doc — unbounded at 100 TB, where a forced broadcast OOMs),
+    // while `inter` holds only candidate pairs. AQE broadcasts the
+    // smaller side at any scale and degrades to keyed shuffles past
+    // the threshold.
     inter
-      .join(broadcast(n.as("na")), col("d1") === col("na.doc_id"))
-      .join(broadcast(n.as("nb")), col("d2") === col("nb.doc_id"))
+      .join(n.as("na"), col("d1") === col("na.doc_id"))
+      .join(n.as("nb"), col("d2") === col("nb.doc_id"))
       // ALL-INTEGER jaccard (ppm): round(inter/union, 6) is the exact
       // float-round pattern already proven engine-divergent on
       // small-denominator rationals (the sf0.1 doc_quality incident) —
@@ -748,8 +753,10 @@ object TextOps {
   def dupClusters(tau: Double)(spark: SparkSession, dir: String): DataFrame = {
     val edges = pairIndex(spark, dir, tau).select(col("d1"), col("d2"))
     val labels = connectedComponents(edges)._1
+    // sizes has one row per CLUSTER — unbounded at corpus scale, so no
+    // forced broadcast; AQE picks by real size
     val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
-    labels.join(broadcast(sizes), "lbl")
+    labels.join(sizes, "lbl")
       .select(col("doc_id"), col("lbl").as("cluster"), col("cluster_size"))
       .orderBy("doc_id")
   }
@@ -855,10 +862,12 @@ object TextOps {
     * actually ships: resolve near-dup clusters, keep ONE representative
     * per cluster (the smallest doc_id, the same order-free fixpoint the
     * cluster labels converge to), drop the rest. The "loser" list
-    * (cluster members that are not their cluster's minimum) is tiny
-    * relative to the corpus — only near-dups appear in it — so it
-    * broadcasts and the corpus side streams through a map-only
-    * LEFT ANTI join: at 100 TB the full-corpus scan never shuffles. */
+    * (cluster members that are not their cluster's minimum) holds only
+    * near-dups — usually tiny relative to the corpus, so AQE broadcasts
+    * it and the corpus side streams through a map-only LEFT ANTI join;
+    * on a heavily-duplicated corpus, where the list is itself
+    * corpus-sized, the unhinted join degrades to a keyed shuffle
+    * instead of OOMing (a forced broadcast hint could not). */
   private val labelIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -906,7 +915,9 @@ object TextOps {
     val bucket = conv(substring(md5(col("skey").cast("string")), 1, 4), 16, 10)
       .cast(LongType) % 100
     docs(spark, dir)
-      .join(broadcast(labels), Seq("doc_id"), "left_outer")
+      // no hint: labels is near-dup-sized (unbounded on a
+      // heavily-duplicated corpus); AQE broadcasts when it fits
+      .join(labels, Seq("doc_id"), "left_outer")
       .select(col("lang"), col("n_chars"),
         coalesce(col("lbl"), col("doc_id")).as("skey"))
       .select(
@@ -936,7 +947,10 @@ object TextOps {
     val losers = labelIndex(spark, dir, tau)
       .filter(col("doc_id") =!= col("lbl")).select(col("doc_id"))
     docs(spark, dir)
-      .join(broadcast(losers), Seq("doc_id"), "left_anti")
+      // no hint: losers is near-dup-sized — usually small, but a
+      // heavily-duplicated corpus makes it corpus-sized, and a forced
+      // broadcast cannot degrade; AQE broadcasts when it really fits
+      .join(losers, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("source"), col("n_chars"))
       .orderBy("doc_id")
   }
@@ -1020,7 +1034,8 @@ object TextOps {
     val dfRel = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
     tf.withColumn("nt", sum(col("tf")).over(byDoc))
-      .join(broadcast(dfRel), "term")
+      // no hint: dfRel is vocabulary-sized (grows with the corpus)
+      .join(dfRel, "term")
       .crossJoin(broadcast(nRel))
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         expr("(CAST(tf AS DECIMAL(38,0)) * 1000000 * nn) div (df * nt)")
