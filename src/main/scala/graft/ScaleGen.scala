@@ -48,6 +48,34 @@ object ScaleGen {
     shifted("part", Seq("p_partkey"))
     copied("nation")
     copied("region")
+
+    // documents: shift doc_id AND tag every token with the copy id —
+    // the text twin of key-shifting. Within a copy the dup/shingle/line
+    // structure is bit-identical to the base SF; across copies the
+    // token universes are DISJOINT, so no cross-copy exact/near-dup
+    // pairs exist and the candidate-pair workload scales linearly with
+    // the data like a real N×-bigger corpus (naively duplicating the
+    // text instead would grow pair counts quadratically in N — a skew
+    // test, not a scale test).
+    locally {
+      val docs = spark.read.parquet(s"$src/documents.parquet")
+      val fan = spark.range(copies).select(col("id").as("_copy"))
+      docs.crossJoin(fan)
+        .withColumn("text",
+          expr("array_join(transform(split(text, ' '), w -> concat(w, '_', _copy)), ' ')"))
+        .withColumn("doc_id", col("doc_id") + col("_copy") * Off)
+        .withColumn("n_chars", length(col("text")))
+        .drop("_copy")
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      println(s"scalegen: documents x$copies (copy-tagged tokens)")
+    }
+    // embeddings: vec_id shift only — identical vectors across copies
+    // cost top-k searches linearly (k is fixed), and codebook training
+    // sees the same distribution
+    shifted("embeddings", Seq("vec_id"))
+    // events: disjoint user universes per copy; the time range stays the
+    // base SF's, so windows/sessions see 10x events, not a longer span
+    shifted("events", Seq("event_id", "user_id"))
     spark.stop()
   }
 }
