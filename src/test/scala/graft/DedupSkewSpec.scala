@@ -15,6 +15,38 @@ import graft.text.{Sketches, TextOps}
   * all-pairs count when it doesn't. */
 class DedupSkewSpec extends SparkSpec {
 
+  test("unhinted dedup joins degrade to shuffles with identical results when broadcast is off") {
+    // the r6 policy: per-doc counts / labels / losers are corpus- or
+    // near-dup-sized, so their joins carry NO broadcast hint — with
+    // broadcasting disabled entirely they must still run (as keyed
+    // shuffles, the 100 TB fallback a forced hint forbids) and return
+    // bit-identical results
+    val tau = TextOps.DupClusterTau
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val base = Seq(
+      rows(TextOps.ngramJaccardPairs(tau)(spark, sf001)),
+      rows(TextOps.dupClusters(tau)(spark, sf001)),
+      rows(TextOps.dedupKeepOne(tau)(spark, sf001)),
+      rows(TextOps.docSplitSafe(tau)(spark, sf001)))
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val degraded = Seq(
+        rows(TextOps.ngramJaccardPairs(tau)(spark, sf001)),
+        rows(TextOps.dupClusters(tau)(spark, sf001)),
+        rows(TextOps.dedupKeepOne(tau)(spark, sf001)),
+        rows(TextOps.docSplitSafe(tau)(spark, sf001)))
+      assert(degraded == base, "results changed with broadcasting disabled")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   private def writeDocs(texts: Seq[String]): String = {
     val dir = Files.createTempDirectory("dedup_skew").toString
     val s: SparkSession = spark
