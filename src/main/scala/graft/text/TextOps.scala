@@ -1009,6 +1009,39 @@ object TextOps {
        | FROM (SELECT unnest(string_split(text,' ')) AS term FROM documents)
        | GROUP BY 1 ORDER BY tf DESC, term ASC LIMIT $k""".stripMargin.replace("\n", " ")
 
+  /** EXACT corpus heavy hitters (every term with frequency > n/denom)
+    * via the classic two-pass sketch plan: pass 1 is ONE exchange of
+    * [[graft.functions.MgSketchAgg]] Misra-Gries summaries — at most
+    * 2·denom counters per partition regardless of vocabulary size,
+    * where [[topTerms]]' exact formulation shuffles the full per-term
+    * count relation — whose candidate set PROVABLY contains every
+    * over-threshold term (mergeable-summaries guarantee, sketch width
+    * 2× the needed 1/denom for slack); pass 2 exactly counts only the
+    * ≤2·denom candidates (map-side IN-set filter, candidate-sized
+    * aggregation) and applies the exact threshold. The sketch can only
+    * ADD false candidates, which pass 2 removes, so the result is
+    * exact and the DuckDB oracle is a plain GROUP BY/HAVING. The
+    * candidate collect is k-bounded (metadata-sized). */
+  def docHeavyHitters(denom: Int)(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.MgSketchAgg.register(spark)
+    val toks = docs(spark, dir).select(explode(words).as("term"))
+    val sk = toks
+      .agg(call_function("mg_sketch", col("term"), lit(2 * denom)).as("sk"))
+      .select(col("sk.n").as("n"), col("sk.terms").as("terms")).head()
+    val n = sk.getLong(0)
+    val cands = sk.getSeq[String](1)
+    toks.filter(col("term").isin(cands: _*))
+      .groupBy("term").agg(count(lit(1)).as("tf"))
+      .filter(col("tf") * denom > n)
+      .orderBy(col("tf").desc, col("term").asc)
+  }
+
+  def docHeavyHittersSql(denom: Int): String =
+    s"""WITH t AS (SELECT unnest(string_split(text,' ')) AS term FROM documents)
+       | SELECT term, count(*) AS tf FROM t GROUP BY 1
+       | HAVING count(*) * $denom > (SELECT count(*) FROM t)
+       | ORDER BY tf DESC, term ASC""".stripMargin.replace("\n", " ")
+
   /** Top-k (doc, term) pairs by an integer tf-idf-style salience:
     * `tf·1e6·N div (df·n_tokens)` — term frequency normalized by
     * document length, weighted by inverse document frequency, all in
