@@ -608,6 +608,47 @@ object EventOps {
       |  CAST(max(st.n) AS BIGINT) AS n_events
       | FROM c JOIN st USING (event_type) GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")
 
+  /** EXACT per-type heavy users (every user with more than n_type/denom
+    * of their type's events) — the GROUPED form of the two-pass
+    * Misra-Gries plan ([[graft.text.TextOps.docHeavyHitters]] is the
+    * global form): pass 1 is ONE exchange carrying ≤2·denom counters
+    * per (partition, event_type) regardless of user cardinality, whose
+    * per-type candidate sets provably contain every over-threshold
+    * user; pass 2 exactly counts ONLY candidates (broadcast semi-join
+    * of the bounded |types|·2·denom candidate list, candidate-sized
+    * aggregation) and applies the exact per-type threshold. The sketch
+    * only ever ADDS false candidates — pass 2 removes them — so the
+    * oracle is a plain per-type GROUP BY/HAVING. */
+  def heavyUsers(denom: Int)(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.MgSketchAgg.register(spark)
+    val ev = events(spark, dir)
+      .select(col("event_type"), col("user_id").cast("string").as("u"))
+    val sk = ev.groupBy("event_type")
+      .agg(call_function("mg_sketch", col("u"), lit(2 * denom)).as("sk"))
+      .select(col("event_type"), col("sk.n").as("n"),
+        explode(col("sk.terms")).as("u"))
+    // bounded: |event types| × 2·denom rows → broadcast both ways
+    val cands = sk.select("event_type", "u")
+    val totals = sk.select("event_type", "n").distinct()
+    ev.join(broadcast(cands), Seq("event_type", "u"), "left_semi")
+      .groupBy("event_type", "u")
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(totals), "event_type")
+      .filter(col("cnt") * denom > col("n"))
+      .select(col("event_type"), col("u").cast(LongType).as("user_id"),
+        col("cnt"))
+      .orderBy(col("event_type"), col("cnt").desc, col("user_id"))
+  }
+
+  def heavyUsersSql(denom: Int): String =
+    s"""WITH e AS (SELECT event_type, user_id FROM events),
+       | n AS (SELECT event_type, count(*) AS n FROM e GROUP BY 1)
+       | SELECT e.event_type, user_id, count(*) AS cnt
+       | FROM e JOIN n USING (event_type)
+       | GROUP BY e.event_type, user_id, n.n
+       | HAVING count(*) * $denom > n.n
+       | ORDER BY event_type, cnt DESC, user_id""".stripMargin.replace("\n", " ")
+
   /** [[hllUsers]] through the native [[graft.functions.HllSketchAgg]]
     * aggregate instead of the two-level groupBy: ONE exchange, 64 bytes
     * of shuffled state per (partition, group). Identical output — the

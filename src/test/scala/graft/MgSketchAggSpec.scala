@@ -44,6 +44,22 @@ class MgSketchAggSpec extends SparkSpec {
     assert(countShuffles(agg) == 1, "grouped sketch must be ONE exchange")
   }
 
+  test("grouped form (events heavy users) is exact per group") {
+    val hh = graft.events.EventOps.heavyUsers(200)(spark, sf001).collect()
+    val ev = spark.read.parquet(s"$sf001/events.parquet")
+      .select(col("event_type"), col("user_id"))
+    val n = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val brute = ev.groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("cnt"))
+      .join(n, "event_type")
+      .filter(col("cnt") * 200 > col("n"))
+      .select(col("event_type"), col("user_id"), col("cnt"))
+      .orderBy(col("event_type"), col("cnt").desc, col("user_id"))
+      .collect()
+    assert(hh.nonEmpty && hh.toSeq == brute.toSeq,
+      s"grouped two-pass diverged (${hh.length} vs ${brute.length})")
+  }
+
   test("docHeavyHitters is exact: matches the brute-force recount") {
     val hh = TextOps.docHeavyHitters(50)(spark, sf001).collect()
     // brute force: full groupBy, same threshold
