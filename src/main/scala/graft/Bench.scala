@@ -49,7 +49,7 @@ object Bench {
         () => graft.text.TextOps.prebuildWinnowIndex(spark, sfDir)),
       ("pair_index", n => n.startsWith("doc_dup_clusters") ||
         n.startsWith("doc_dedup_keep") || n.startsWith("doc_ngram_pairs") ||
-        n.startsWith("doc_split_safe"),
+        n.startsWith("doc_split_safe") || n.startsWith("doc_neardup_lookup"),
         () => graft.text.TextOps.prebuildPairIndex(graft.text.TextOps.DupClusterTau)(spark, sfDir)),
       ("label_index", n => n.startsWith("doc_dedup_keep") ||
         n.startsWith("doc_split_safe"),

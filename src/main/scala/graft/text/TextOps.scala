@@ -741,6 +741,51 @@ object TextOps {
     spark.read.parquet(path)
   }
 
+  /** Near-dup retrieval for ONE query document — the dedup-at-ingest /
+    * serving path: the query doc's shingle set (bounded by a single
+    * document's length → a legitimate broadcast) probes the corpus
+    * shingle relation map-side, candidates aggregate to intersection
+    * counts, and exact Jaccard filters at tau. This is the point-query
+    * twin of the batch [[ngramJaccardPairs]]: same capped shingle
+    * universe, same integer-ppm arithmetic, so the two agree exactly.
+    * The query doc is chosen deterministically (the smallest doc id
+    * with any near-dup) so the oracle can recompute the choice; a real
+    * deployment passes its own document. Scale: one map-side probe +
+    * one candidate-sized aggregation; the per-doc count join carries
+    * NO hint (corpus-sized side). */
+  def nearDupLookup(tau: Double)(spark: SparkSession, dir: String): DataFrame = {
+    val sh = cappedShingles(spark, dir, ShingleDfCap)
+    // deterministic query doc: the first doc that has a near-dup
+    val qd = pairIndex(spark, dir, tau).agg(min(col("d1"))).head().getLong(0)
+    val q = sh.filter(col("doc_id") === qd).select("h")
+    val qn = q.count() // one document's shingle count — metadata-sized
+    val cands = sh.filter(col("doc_id") =!= qd)
+      .join(broadcast(q), "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("inter"))
+    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    cands.join(n, "doc_id")
+      .select(col("doc_id"), col("inter"),
+        expr(s"(inter * 1000000) div (n + $qn - inter)").as("jaccard_ppm"))
+      .filter(col("jaccard_ppm") >= math.round(tau * 1e6))
+      .orderBy("doc_id")
+  }
+
+  def nearDupLookupSql(tau: Double, dfCap: Int = ShingleDfCap): String =
+    s"""WITH sh0 AS (SELECT doc_id, CAST('0x'||substr(md5(s),1,15) AS BIGINT) AS h FROM ($shinglesSql)),
+       | hot AS (SELECT h FROM sh0 GROUP BY h HAVING count(*) > $dfCap),
+       | sh AS (SELECT sh0.* FROM sh0 ANTI JOIN hot USING (h)),
+       | qd AS (SELECT min(d1) AS qd FROM (${ngramJaccardPairsSql(tau)}) p),
+       | q AS (SELECT h FROM sh, qd WHERE doc_id = qd.qd),
+       | qn AS (SELECT count(*) AS qn FROM q),
+       | cand AS (SELECT doc_id, count(*) AS inter FROM sh JOIN q USING (h), qd
+       |   WHERE doc_id <> qd.qd GROUP BY 1),
+       | n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+       | SELECT cand.doc_id, inter,
+       |  CAST(inter * 1000000 // (n.n + qn.qn - inter) AS BIGINT) AS jaccard_ppm
+       | FROM cand JOIN n USING (doc_id), qn
+       | WHERE inter * 1000000 // (n.n + qn.qn - inter) >= ${math.round(tau * 1e6)}
+       | ORDER BY 1""".stripMargin.replace("\n", " ")
+
   /** The registered near-dup pair QUERY, served from the materialized
     * [[pairIndex]] — the same relation [[dupClusters]] and the keep-one
     * report already consume ([[ngramJaccardPairs]] is deterministic, so
