@@ -593,9 +593,12 @@ object TextOps {
   private val shingleIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Force the one-time shingle-index build (bench isolation hook). */
+  /** Force the one-time shingle-index build (bench isolation hook);
+    * includes the derived hot-key list and capped relation at the
+    * default cap. */
   def prebuildShingleIndex(spark: SparkSession, dir: String): Unit = {
     shingleIndex(spark, dir)
+    cappedShingles(spark, dir, ShingleDfCap)
     ()
   }
 
@@ -640,10 +643,51 @@ object TextOps {
     rows.join(broadcast(hot), keys, "left_anti")
   }
 
-  /** Frequency-capped shingle relation. */
-  private def cappedShingles(spark: SparkSession, dir: String, dfCap: Int): DataFrame =
-    dfCapped(shingleIndex(spark, dir).select(col("doc_id"), col("h60").as("h")),
-      Seq("h"), dfCap)
+  private val hotIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Materialized over-cap shingle keys for `(dataset, dfCap)` — tiny
+    * by construction (≤ rows/cap keys), but deriving it is a FULL-index
+    * aggregation, and a query whose plan mentions the capped relation
+    * k times would otherwise pay that aggregation k times (the
+    * `doc_neardup_lookup` profile: 3 subtree occurrences → 3 corpus
+    * aggregations). Snapshot-keyed like every other index artifact. */
+  private def hotShingleKeys(spark: SparkSession, dir: String, dfCap: Int): DataFrame = {
+    val key =
+      s"${graft.DatasetCache.snapshotKey(spark, dir, "documents.parquet")}#hot$dfCap"
+    val path = hotIndexCache.computeIfAbsent(key, { _ =>
+      val p = graft.DatasetCache.registerTempDir(
+        java.nio.file.Files.createTempDirectory("graft_hot_idx").toString)
+      shingleIndex(spark, dir).select(col("h60").as("h"))
+        .groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") > dfCap).select("h")
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    spark.read.parquet(path)
+  }
+
+  private val cappedIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Frequency-capped shingle relation, MATERIALIZED per
+    * `(dataset, dfCap)` — plans that mention it k times (the pair join
+    * uses it 3×, the lookup 3×) read a plain parquet scan k times
+    * instead of re-running the anti-join against the hot list k times.
+    * The build itself reads the hot list (one tiny broadcast). */
+  private def cappedShingles(spark: SparkSession, dir: String, dfCap: Int): DataFrame = {
+    val key =
+      s"${graft.DatasetCache.snapshotKey(spark, dir, "documents.parquet")}#capped$dfCap"
+    val path = cappedIndexCache.computeIfAbsent(key, { _ =>
+      val p = graft.DatasetCache.registerTempDir(
+        java.nio.file.Files.createTempDirectory("graft_capped_idx").toString)
+      shingleIndex(spark, dir).select(col("doc_id"), col("h60").as("h"))
+        .join(broadcast(hotShingleKeys(spark, dir, dfCap)), Seq("h"), "left_anti")
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    spark.read.parquet(path)
+  }
 
   /** Near-duplicate pairs with shingle-set Jaccard >= tau. The join is an
     * equi-join on the shingle (shuffle on shingle hash, combiner-friendly
@@ -755,17 +799,29 @@ object TextOps {
     * NO hint (corpus-sized side). */
   def nearDupLookup(tau: Double)(spark: SparkSession, dir: String): DataFrame = {
     val sh = cappedShingles(spark, dir, ShingleDfCap)
-    // deterministic query doc: the first doc that has a near-dup
-    val qd = pairIndex(spark, dir, tau).agg(min(col("d1"))).head().getLong(0)
-    val q = sh.filter(col("doc_id") === qd).select("h")
-    val qn = q.count() // one document's shingle count — metadata-sized
-    val cands = sh.filter(col("doc_id") =!= qd)
-      .join(broadcast(q), "h")
-      .groupBy("doc_id").agg(count(lit(1)).as("inter"))
-    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    cands.join(n, "doc_id")
+    // deterministic query doc (the first doc that has a near-dup) as a
+    // 1-ROW RELATION, not a collected literal — the whole lookup is one
+    // job, no driver round-trips between phases
+    val qdRel = pairIndex(spark, dir, tau).agg(min(col("d1")).as("qd"))
+    val q = sh.join(broadcast(qdRel), col("doc_id") === col("qd")).select("h")
+    val qn = q.agg(count(lit(1)).as("qn")) // one doc's shingle count, 1 row
+    // ONE pass: mark each corpus shingle as in/out of the query set
+    // (left join against the broadcast query set — per-doc shingles are
+    // distinct, so no fanout), then a single map-side-combined
+    // aggregation yields BOTH the intersection size and the candidate's
+    // total. The shuffled state is one (inter, n) pair per doc — the
+    // doc_exact_dedup class of keyed aggregation.
+    val perDoc = sh.join(broadcast(qdRel), col("doc_id") =!= col("qd"))
+      .select(col("doc_id"), col("h"))
+      .join(broadcast(q.withColumn("in_q", lit(1L))), Seq("h"), "left_outer")
+      .groupBy("doc_id")
+      .agg(sum(coalesce(col("in_q"), lit(0L))).as("inter"),
+        count(lit(1)).as("n"))
+      .filter(col("inter") > 0)
+    perDoc
+      .crossJoin(broadcast(qn))
       .select(col("doc_id"), col("inter"),
-        expr(s"(inter * 1000000) div (n + $qn - inter)").as("jaccard_ppm"))
+        expr("(inter * 1000000) div (n + qn - inter)").as("jaccard_ppm"))
       .filter(col("jaccard_ppm") >= math.round(tau * 1e6))
       .orderBy("doc_id")
   }
