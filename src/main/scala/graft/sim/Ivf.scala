@@ -224,7 +224,7 @@ object Ivf {
        |  SELECT vec_id, list_transform(embedding, v -> CAST(round((CAST(v AS DOUBLE)+$Shift)*$Scale) AS BIGINT)) AS qv
        |  FROM embeddings)""".stripMargin
 
-  private def chainSql(steps: Int): String = s"$qCteSql,\n${chainBodySql(steps)}"
+  private[sim] def chainSql(steps: Int): String = s"$qCteSql,\n${chainBodySql(steps)}"
 
   /** The IVF train+assign chain WITHOUT the leading `q` CTE (for
     * composition with the PQ chains, which share `q`). */

@@ -1,0 +1,86 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SemDeDup-style semantic deduplication (Abbas et al., 2023,
+  * arXiv:2303.09540): cluster the embeddings with a coarse k-means
+  * quantizer, then WITHIN each cluster drop every vector that has a
+  * near-duplicate (cosine >= tau) closer to the cluster centroid —
+  * keeping, per semantic-duplicate group, the member most central to
+  * its cluster. The training-data pipeline uses the surviving set as
+  * the deduplicated corpus.
+  *
+  * Reuses [[Ivf]]'s deterministic integer k-means verbatim (seeded
+  * centroids, integer Lloyd steps, argmin assignment with ties to the
+  * lowest cell — oracle-exact across engines, see Ivf's scaladoc), so
+  * "distance to centroid" is the same exact int64 the oracle computes.
+  *
+  * Dominance rule (matches the paper's keep-the-most-central policy,
+  * made deterministic): vector v is DROPPED iff some u in the same cell
+  * has round(cos(u,v),6) >= tau and (u.dist < v.dist, ties to the
+  * smaller vec_id). The rule is a strict total order per cell, so
+  * exactly one member of every mutually-similar group survives and the
+  * decision is order-free.
+  *
+  * Scale design: the candidate join is an equi-join on the cell id —
+  * vectors only meet within their cell, never across, so the pair work
+  * is sum(cell^2), not n^2, and the shuffle co-partitions both sides on
+  * `cid`. In production K grows with the corpus (K ~ n / targetCell)
+  * keeping cells bounded — the same knob the paper turns; K is fixed
+  * small here only so the oracle's unrolled Lloyd chain stays short.
+  * The dominance semi-join aggregates to DISTINCT dropped ids before
+  * the final anti-join, so the output pass is map-only per cell.
+  */
+object SemDedup {
+
+  /** Fixture-scaled near-duplicate threshold: the synthetic embeddings
+    * are random unit vectors (within-cell cosines top out ~0.5), so a
+    * production-grade 0.95+ would never fire; 0.40 exercises the prune
+    * path while staying above the within-cell similarity median. */
+  val Tau: Double = 0.40
+
+  /** (vec_id, embedding, cid, dist): each vector with its trained cell
+    * and integer distance to the cell centroid (the dominance key). */
+  def assignment(spark: SparkSession, dir: String): DataFrame = {
+    val best = Ivf.nearest(Ivf.trainCached(spark, dir))
+    Ivf.quantized(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        best.getField("cid").as("cid"), best.getField("dist").as("dist"))
+  }
+
+  /** (vec_id, cid, dist, keep) for every vector, sorted by vec_id. */
+  def semDedup(tau: Double)(spark: SparkSession, dir: String): DataFrame = {
+    val m = assignment(spark, dir)
+    val u = m.select(col("vec_id").as("u_id"), col("embedding").as("u_emb"),
+      col("cid"), col("dist").as("u_dist"))
+    val v = m.select(col("vec_id").as("v_id"), col("embedding").as("v_emb"),
+      col("cid"), col("dist").as("v_dist"))
+    val dropped = u.join(v, Seq("cid"))
+      .filter(col("u_id") =!= col("v_id"))
+      .filter(col("u_dist") < col("v_dist") ||
+        (col("u_dist") === col("v_dist") && col("u_id") < col("v_id")))
+      .filter(round(SimOps.dot(col("u_emb"), col("v_emb")), 6) >= tau)
+      .select(col("v_id")).distinct()
+    // no hint: `dropped` is corpus-sized on a duplicate-heavy corpus
+    m.join(dropped, m("vec_id") === dropped("v_id"), "left")
+      .select(col("vec_id"), col("cid"), col("dist"),
+        col("v_id").isNull.as("keep"))
+      .orderBy("vec_id")
+  }
+
+  def semDedupSql(tau: Double): String = {
+    val dot = s"list_sum(list_transform(range(1,${Ivf.Dim + 1}), " +
+      "i -> CAST(u.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)))"
+    s"""WITH ${Ivf.chainSql(Ivf.LloydSteps)},
+       |m AS (SELECT a.vec_id, a.cid, a.dist, e.embedding
+       |  FROM afin a JOIN embeddings e ON a.vec_id = e.vec_id),
+       |dropped AS (SELECT DISTINCT v.vec_id
+       |  FROM m u JOIN m v ON u.cid = v.cid AND u.vec_id <> v.vec_id
+       |   AND (u.dist < v.dist OR (u.dist = v.dist AND u.vec_id < v.vec_id))
+       |  WHERE round($dot, 6) >= $tau)
+       |SELECT m.vec_id, m.cid, m.dist, (d.vec_id IS NULL) AS keep
+       |FROM m LEFT JOIN dropped d ON m.vec_id = d.vec_id
+       |ORDER BY m.vec_id""".stripMargin.replace("\n", " ")
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sim.{SemDedup, SimOps}
+
+/** SemDeDup-style semantic dedup: within-cluster dominance prune. */
+class SemDedupSpec extends SparkSpec {
+
+  private lazy val result = SemDedup.semDedup(SemDedup.Tau)(spark, sf001).cache()
+
+  test("covers every vector exactly once, and actually prunes") {
+    val n = SimOps.embeddings(spark, sf001).count()
+    assert(result.count() == n)
+    assert(result.select("vec_id").distinct().count() == n)
+    val dropped = result.filter(!col("keep")).count()
+    assert(dropped > 0, "tau never fired — threshold no longer fixture-scaled")
+    assert(dropped < n, "everything dropped — dominance rule degenerate")
+  }
+
+  test("exactly one survivor per mutually-similar group (dominance is sound)") {
+    // Rebuild the dropped/kept decision on the driver and check the
+    // invariant the dominance rule promises: every DROPPED vector has a
+    // KEPT near-duplicate witness in its cell that dominates it; every
+    // KEPT vector has NO kept dominating near-duplicate.
+    val m = SemDedup.assignment(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getLong(2), r.getLong(3)))
+    val keep = result.collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    def sim(a: Array[Float], b: Array[Float]): Double =
+      BigDecimal(a.iterator.zip(b.iterator).map { case (x, y) => x.toDouble * y.toDouble }.sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dominates(u: (Long, Array[Float], Long, Long), v: (Long, Array[Float], Long, Long)) =
+      u._3 == v._3 && u._1 != v._1 &&
+        (u._4 < v._4 || (u._4 == v._4 && u._1 < v._1)) &&
+        sim(u._2, v._2) >= SemDedup.Tau
+    m.foreach { v =>
+      val hasDominator = m.exists(u => dominates(u, v))
+      assert(keep(v._1) == !hasDominator,
+        s"vec ${v._1}: keep=${keep(v._1)} but hasDominator=$hasDominator")
+    }
+  }
+
+  test("kept set is closed under the cell partition: no cross-cell influence") {
+    // A vector's fate depends only on its own cell: recompute per-cell
+    // drop counts and check they sum to the global drop count (sanity
+    // that the equi-join really is cell-local).
+    val perCell = result.groupBy("cid")
+      .agg(sum(when(col("keep"), 0L).otherwise(1L)).as("d"))
+      .agg(sum("d")).head().getLong(0)
+    val global = result.filter(!col("keep")).count()
+    assert(perCell == global)
+  }
+
+  test("plan shape: candidate generation is a cid equi-join, no cartesian") {
+    val plan = result.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"semdedup planned a cartesian product:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"semdedup planned a nested-loop join:\n$plan")
+  }
+}
