@@ -1,0 +1,121 @@
+package graft.events
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the event log: the per-user event-type
+  * transition graph (a Markov chain of user behavior) and PageRank
+  * over it — the "which state dominates the behavior graph" rollup a
+  * product-analytics pipeline derives from raw clickstreams.
+  *
+  * Scale design:
+  *  - the sequence step is a `lead()` window partitioned by `user_id` —
+  *    per-user partitions are bounded by session length, so the shuffle
+  *    is even and no partition outgrows an executor;
+  *  - everything after the first aggregation lives on the (src, dst)
+  *    transition relation, bounded by |event_type|^2 — a few hundred
+  *    rows regardless of corpus size (event types are schema-bounded
+  *    categoricals, the one relation class the broadcast policy allows);
+  *  - PageRank iterations therefore join tiny bounded relations — the
+  *    100 TB cost is the ONE windowed pass over the fact table.
+  *
+  * Determinism contract (oracle-exact): probabilities are integer ppm
+  * (`cnt * 1e6 div out_weight`), ranks are integer ppb, and every
+  * iteration uses only int64 `+ * div` — order-free, so Spark and
+  * DuckDB agree bit-for-bit. Per-edge contributions truncate at ppm
+  * precision BEFORE multiplying by the rank (`r * p_ppm div 1e6`),
+  * which also bounds intermediates to ~1e15 — no int64 overflow even
+  * with petabyte-scale edge counts.
+  */
+object GraphOps {
+
+  /** Rank scale: parts-per-billion. */
+  val Scale: Long = 1000000000L
+  /** Damping factor as a percentage (the classic 0.85). */
+  val DampPct: Long = 85L
+  val Iters: Int = 3
+
+  /** The shared (src, dst, cnt) adjacent-transition relation. */
+  private def transitionCounts(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    EventOps.events(spark, dir)
+      .withColumn("nxt", lead("event_type", 1).over(byUser))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("src"), col("nxt").as("dst"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  private val transitionCountsSql: String =
+    """seq AS (SELECT event_type, lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt FROM events),
+      |tr AS (SELECT event_type AS src, nxt AS dst, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2)""".stripMargin
+
+  /** Markov transition matrix of user behavior: for each (src, dst)
+    * event-type pair, the adjacent-transition count and the conditional
+    * probability in ppm. */
+  def transitions(spark: SparkSession, dir: String): DataFrame = {
+    val bySrc = Window.partitionBy("src")
+    transitionCounts(spark, dir)
+      .withColumn("tot", sum("cnt").over(bySrc))
+      .select(col("src"), col("dst"), col("cnt"),
+        expr("cnt * 1000000L div tot").as("p_ppm"))
+      .orderBy("src", "dst")
+  }
+
+  val transitionsSql: String =
+    s"""WITH $transitionCountsSql
+       |SELECT src, dst, cnt,
+       |  cnt * 1000000 // CAST(sum(cnt) OVER (PARTITION BY src) AS BIGINT) AS p_ppm
+       |FROM tr ORDER BY src, dst""".stripMargin.replace("\n", " ")
+
+  /** PageRank over the transition graph, `Iters` damped power
+    * iterations in exact integer ppb arithmetic. Dangling nodes (no
+    * outgoing transitions) leak their mass, the standard simplification
+    * when ranks are only compared, not summed. */
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val ev = EventOps.events(spark, dir)
+    val nodes = ev.select(col("event_type").as("v")).distinct()
+    // |event_type| is schema-bounded: a metadata-sized action, like the
+    // IVF codebook collect
+    val n = nodes.count()
+    val bySrc = Window.partitionBy("src")
+    val edges = transitionCounts(spark, dir)
+      .withColumn("tot", sum("cnt").over(bySrc))
+      .select(col("src"), col("dst"), expr("cnt * 1000000L div tot").as("p_ppm"))
+    val base = (100L - DampPct) * Scale / (100L * n)
+    val r0 = nodes.select(col("v"), lit(Scale / n).as("r"))
+    val rFinal = (1 to Iters).foldLeft(r0) { (r, _) =>
+      val contrib = edges.join(r, edges("src") === r("v"))
+        .select(col("dst"), expr("r * p_ppm div 1000000L").as("c"))
+        .groupBy("dst").agg(sum("c").as("s"))
+      nodes.join(contrib, nodes("v") === contrib("dst"), "left")
+        .select(col("v"),
+          (lit(base) + expr(s"$DampPct * coalesce(s, 0L) div 100")).as("r"))
+    }
+    rFinal.select(col("v"), col("r").as("rank_ppb"))
+      .orderBy(col("rank_ppb").desc, col("v").asc)
+  }
+
+  val pagerankSql: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH $transitionCountsSql,
+       |w AS (SELECT src, CAST(sum(cnt) AS BIGINT) AS tot FROM tr GROUP BY 1),
+       |e AS (SELECT tr.src, tr.dst, tr.cnt * 1000000 // w.tot AS p_ppm FROM tr JOIN w USING (src)),
+       |nodes AS (SELECT DISTINCT event_type AS v FROM events),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |r0 AS (SELECT v, $Scale // n AS r FROM nodes, nn)""".stripMargin
+    (1 to Iters).foreach { k =>
+      sb ++= s""",
+       |s$k AS (SELECT e.dst, CAST(sum(r.r * e.p_ppm // 1000000) AS BIGINT) AS s
+       |  FROM e JOIN r${k - 1} r ON e.src = r.v GROUP BY 1),
+       |r$k AS (SELECT nodes.v,
+       |    (100 - $DampPct) * CAST($Scale AS BIGINT) // (100 * nn.n) + $DampPct * COALESCE(s$k.s, 0) // 100 AS r
+       |  FROM nodes LEFT JOIN s$k ON nodes.v = s$k.dst, nn)""".stripMargin
+    }
+    sb ++= s"""
+       |SELECT v, CAST(r AS BIGINT) AS rank_ppb FROM r$Iters
+       |ORDER BY rank_ppb DESC, v ASC""".stripMargin
+    sb.toString.replace("\n", " ")
+  }
+}
