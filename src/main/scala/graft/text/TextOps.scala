@@ -1433,6 +1433,56 @@ object TextOps {
        |  FROM documents)
        | GROUP BY pair ORDER BY n DESC, pair ASC LIMIT $k""".stripMargin.replace("\n", " ")
 
+  /** Bigram language-model fluency score: train corpus bigram
+    * conditional frequencies, then score every document by the mean
+    * conditional probability of its own adjacent pairs — the classic
+    * KenLM-style "does this read like the corpus" quality signal
+    * (CCNet/RedPajama filter on exactly this shape), with the LM and
+    * the scoring pass over the same corpus.
+    *
+    * Determinism: probabilities are integer ppm
+    * (`bigram_count * 1e6 div prefix_count`), the doc score is the
+    * integer mean — order-free, oracle-exact. Documents with fewer than
+    * two tokens have no pairs and are excluded (no LM evidence).
+    *
+    * Scale: pair explosion is map-side; the model is two keyed
+    * aggregations (bigram counts, prefix counts) with map-side partial
+    * combine; scoring re-joins the corpus pair relation on those keys —
+    * vocabulary-sized relations, so NO broadcast hints (the policy) —
+    * and the final per-document mean is one more keyed aggregation. */
+  def docLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val w = words
+    val prs = zip_with(
+      slice(w, lit(1), greatest(size(w) - 1, lit(0))),
+      slice(w, lit(2), greatest(size(w) - 1, lit(0))),
+      (a, b) => struct(a.as("pre"), concat(a, lit(" "), b).as("pair")))
+    val pr = docs(spark, dir)
+      .select(col("doc_id"), explode(prs).as("p"))
+      .select(col("doc_id"), col("p.pre").as("pre"), col("p.pair").as("pair"))
+    val bn = pr.groupBy("pair").agg(count(lit(1)).as("bn"))
+    val un = pr.groupBy("pre").agg(count(lit(1)).as("un"))
+    pr.join(bn, "pair").join(un, "pre")
+      .select(col("doc_id"), expr("bn * 1000000L div un").as("ppm"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"), sum("ppm").as("s"))
+      .select(col("doc_id"), col("n_pairs"),
+        expr("s div n_pairs").as("lm_ppm"))
+      .orderBy("doc_id")
+  }
+
+  val docLmScoreSql: String =
+    """WITH pr AS (
+      |  SELECT doc_id, string_split(text,' ')[i] AS pre,
+      |    string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] AS pair
+      |  FROM (SELECT doc_id, text, unnest(range(1, len(string_split(text,' ')))) AS i FROM documents)),
+      | bn AS (SELECT pair, CAST(count(*) AS BIGINT) AS bn FROM pr GROUP BY 1),
+      | un AS (SELECT pre, CAST(count(*) AS BIGINT) AS un FROM pr GROUP BY 1),
+      | sc AS (SELECT pr.doc_id, bn.bn * 1000000 // un.un AS ppm
+      |   FROM pr JOIN bn USING (pair) JOIN un USING (pre))
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(sum(ppm) // count(*) AS BIGINT) AS lm_ppm
+      |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
   // ---- context-length chunking ----------------------------------------
 
   /** Fixed-token-window chunking: each document becomes

@@ -123,4 +123,32 @@ class TrainPipelineOpsSpec extends SparkSpec {
     assert(safe.collect().toSeq != plain.collect().toSeq,
       "cluster re-keying changed nothing — fixture has no straddling dups?")
   }
+
+  test("docLmScore matches a driver-side bigram LM recomputation (sf0.001)") {
+    val texts = TextOps.docs(spark, sf0001).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val pairs = texts.flatMap { case (id, ws) =>
+      ws.sliding(2).collect { case Seq(a, b) => (id, a, a + " " + b) }
+    }
+    val bn = pairs.groupBy(_._3).map { case (k, v) => k -> v.size.toLong }
+    val un = pairs.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val expected = pairs.groupBy(_._1).map { case (id, ps) =>
+      val ppms = ps.map(p => bn(p._3) * 1000000L / un(p._2))
+      id -> (ps.size.toLong, ppms.sum / ps.size)
+    }
+    val got = TextOps.docLmScore(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected)
+  }
+
+  test("docLmScore: scores bounded by construction, single-token docs excluded") {
+    val scored = TextOps.docLmScore(spark, sf001).cache()
+    assert(scored.filter(col("lm_ppm") <= 0 || col("lm_ppm") > 1000000L).count() == 0,
+      "conditional ppm must land in (0, 1e6]")
+    val eligible = TextOps.docs(spark, sf001)
+      .filter(size(split(col("text"), " ")) >= 2).count()
+    assert(scored.count() == eligible,
+      "every document with >=2 tokens gets a score, shorter ones none")
+    scored.unpersist()
+  }
 }
