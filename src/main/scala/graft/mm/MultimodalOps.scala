@@ -89,6 +89,62 @@ object MultimodalOps {
        |   FROM ($mediaMetaSql))
        | ORDER BY media_id, chunk_idx""".stripMargin.replace("\n", " ")
 
+  /** Blob-level near-duplicate pairs by chunk-hash Jaccard — the
+    * storage-dedup / dataset-dedup move for opaque media: two assets
+    * are near-duplicates when their fixed-size chunk fingerprint SETS
+    * overlap, which catches exact copies (jaccard = 1e6) and
+    * append/truncate variants (high overlap) without ever decoding the
+    * bytes. The same shape CDC (content-defined chunking) dedup uses;
+    * chunk boundaries here are fixed-offset, the alignment-sensitive
+    * variant, which keeps the oracle exact.
+    *
+    * Scale: candidates come from an equi-join on `chunk_md5` — never
+    * all-pairs. Chunk hashes with corpus-wide document frequency above
+    * `dfCap` (zero blocks, shared headers — the classic hot keys) are
+    * excluded from the *universe* (both the intersection AND the set
+    * sizes, so the measure stays a true Jaccard over the capped
+    * universe), bounding any hash bucket's pair fan-out at dfCap^2 —
+    * the same df-cap policy the text shingle joins use. Jaccard is
+    * integer ppm, oracle-exact. */
+  def mmNearDupPairs(tauPpm: Long, dfCap: Long = 64L)(
+      spark: SparkSession, dir: String): DataFrame = {
+    val ch = chunkHashRelation(spark, dir)
+      .select("media_id", "chunk_md5").distinct()
+    // no hint: the hash-frequency relation is corpus-sized
+    val hot = ch.groupBy("chunk_md5").agg(count(lit(1)).as("df"))
+    val kept = ch.join(hot.filter(col("df") <= dfCap), "chunk_md5")
+      .select("media_id", "chunk_md5")
+    val sizes = kept.groupBy("media_id").agg(count(lit(1)).as("n"))
+    val shared = kept.as("a")
+      .join(kept.as("b"), col("a.chunk_md5") === col("b.chunk_md5") &&
+        col("a.media_id") < col("b.media_id"))
+      .groupBy(col("a.media_id").as("m1"), col("b.media_id").as("m2"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("media_id").as("m1"), col("n").as("n1")), "m1")
+      .join(sizes.select(col("media_id").as("m2"), col("n").as("n2")), "m2")
+      .select(col("m1"), col("m2"), col("shared"),
+        expr("shared * 1000000L div (n1 + n2 - shared)").as("jaccard_ppm"))
+      .filter(col("jaccard_ppm") >= tauPpm)
+      .orderBy("m1", "m2")
+  }
+
+  def mmNearDupPairsSql(tauPpm: Long, dfCap: Long = 64L): String =
+    s"""WITH ch AS (
+       |  SELECT DISTINCT media_id, md5(substr(text, ci * $ChunkBytes + 1, $ChunkBytes)) AS chunk_md5
+       |  FROM (SELECT media_id, text, unnest(range(0, CAST(ceil(length(text) / $ChunkBytes.0) AS BIGINT))) AS ci
+       |    FROM ($mediaMetaSql))),
+       | kept AS (SELECT media_id, chunk_md5 FROM ch
+       |   WHERE chunk_md5 IN (SELECT chunk_md5 FROM ch GROUP BY 1 HAVING count(*) <= $dfCap)),
+       | sizes AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n FROM kept GROUP BY 1),
+       | shared AS (SELECT a.media_id AS m1, b.media_id AS m2, CAST(count(*) AS BIGINT) AS shared
+       |   FROM kept a JOIN kept b ON a.chunk_md5 = b.chunk_md5 AND a.media_id < b.media_id
+       |   GROUP BY 1, 2)
+       |SELECT m1, m2, shared, shared * 1000000 // (s1.n + s2.n - shared) AS jaccard_ppm
+       |FROM shared JOIN sizes s1 ON m1 = s1.media_id JOIN sizes s2 ON m2 = s2.media_id
+       |WHERE shared * 1000000 // (s1.n + s2.n - shared) >= $tauPpm
+       |ORDER BY m1, m2""".stripMargin.replace("\n", " ")
+
   /** Deterministic stand-in "feature extraction": 4 doubles in [0,1)
     * derived from md5 prefixes of the blob — the operator shape (binary
     * in, fixed-width float features out, pure projection) matches a real

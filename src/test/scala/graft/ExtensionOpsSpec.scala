@@ -386,4 +386,46 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(rows.length == 500)
     assert(rows.forall(r => r.getString(2).nonEmpty))
   }
+
+  test("mmNearDupPairs matches a driver-side chunk-set jaccard recomputation") {
+    val pairs = MultimodalOps.mmNearDupPairs(500000L)(spark, sf001).collect()
+    assert(pairs.nonEmpty, "fixture's duplicate documents must surface as blob pairs")
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)), "pairs must be m1 < m2")
+    assert(pairs.forall(r => r.getLong(3) >= 500000L && r.getLong(3) <= 1000000L))
+    // recompute every reported pair's jaccard from the raw bytes on the
+    // driver: chunk the blob at 64B, md5 each chunk, df-cap at 64, set
+    // jaccard in integer ppm — must agree exactly
+    val media = MultimodalOps.media(spark, sf001)
+      .select("media_id", "media").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    def chunkSet(b: Array[Byte]): Set[String] =
+      b.grouped(MultimodalOps.ChunkBytes).map { c =>
+        java.security.MessageDigest.getInstance("MD5").digest(c)
+          .map("%02x".format(_)).mkString
+      }.toSet
+    val sets = media.view.mapValues(chunkSet).toMap
+    val df = sets.values.toSeq.flatten.groupBy(identity)
+      .map { case (k, v) => k -> v.size }
+    val capped = sets.view.mapValues(_.filter(df(_) <= 64)).toMap
+    pairs.foreach { r =>
+      val (m1, m2) = (r.getLong(0), r.getLong(1))
+      val (s1, s2) = (capped(m1), capped(m2))
+      val shared = (s1 & s2).size.toLong
+      val jac = shared * 1000000L / (s1.size + s2.size - shared)
+      assert(r.getLong(2) == shared && r.getLong(3) == jac,
+        s"pair ($m1,$m2): got (${r.getLong(2)},${r.getLong(3)}), bytes say ($shared,$jac)")
+    }
+    // an exact-copy pair (present at sf0.1, not required here) must mean
+    // identical capped chunk sets
+    pairs.filter(_.getLong(3) == 1000000L).foreach { r =>
+      assert(capped(r.getLong(0)) == capped(r.getLong(1)))
+    }
+  }
+
+  test("mmNearDupPairs plan: candidates via chunk-hash equi-join, no cartesian") {
+    val plan = MultimodalOps.mmNearDupPairs(500000L)(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"all-pairs plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop plan:\n$plan")
+  }
 }
