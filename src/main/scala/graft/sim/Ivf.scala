@@ -87,9 +87,10 @@ object Ivf {
     * assignment + one groupBy(cid) shuffle collecting K×dim longs; the
     * order-free integer arithmetic keeps every step oracle-exact.
     * Returns (cid, centroid) sorted by cid. */
-  def train(q: DataFrame, steps: Int = LloydSteps): Seq[(Long, Array[Long])] = {
+  def train(q: DataFrame, steps: Int = LloydSteps,
+      k: Int = K): Seq[(Long, Array[Long])] = {
     val seeds: Seq[(Long, Array[Long])] =
-      q.orderBy("vec_id").limit(K).select("qv").collect()
+      q.orderBy("vec_id").limit(k).select("qv").collect()
         .zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Long](0).toArray) }.toSeq
     (1 to steps).foldLeft(seeds)((c, _) => lloydStep(q, c))
   }

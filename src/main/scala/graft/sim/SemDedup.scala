@@ -41,17 +41,25 @@ object SemDedup {
   val Tau: Double = 0.40
 
   /** (vec_id, embedding, cid, dist): each vector with its trained cell
-    * and integer distance to the cell centroid (the dominance key). */
-  def assignment(spark: SparkSession, dir: String): DataFrame = {
-    val best = Ivf.nearest(Ivf.trainCached(spark, dir))
+    * and integer distance to the cell centroid (the dominance key).
+    * `k` is the quantizer size — the SCALE KNOB: production runs pick
+    * k ~ corpusSize / targetCellSize so per-cell pair work stays
+    * bounded as the corpus grows (the oracle-gated query keeps the
+    * default k, whose unrolled Lloyd chain the oracle replays). */
+  def assignment(spark: SparkSession, dir: String, k: Int = Ivf.K): DataFrame = {
+    val centroids =
+      if (k == Ivf.K) Ivf.trainCached(spark, dir)
+      else Ivf.train(Ivf.quantized(spark, dir), k = k)
+    val best = Ivf.nearest(centroids)
     Ivf.quantized(spark, dir)
       .select(col("vec_id"), col("embedding"),
         best.getField("cid").as("cid"), best.getField("dist").as("dist"))
   }
 
   /** (vec_id, cid, dist, keep) for every vector, sorted by vec_id. */
-  def semDedup(tau: Double)(spark: SparkSession, dir: String): DataFrame = {
-    val m = assignment(spark, dir)
+  def semDedup(tau: Double, k: Int = Ivf.K)(
+      spark: SparkSession, dir: String): DataFrame = {
+    val m = assignment(spark, dir, k)
     val u = m.select(col("vec_id").as("u_id"), col("embedding").as("u_emb"),
       col("cid"), col("dist").as("u_dist"))
     val v = m.select(col("vec_id").as("v_id"), col("embedding").as("v_emb"),

@@ -51,6 +51,21 @@ class SemDedupSpec extends SparkSpec {
     assert(perCell == global)
   }
 
+  test("scale knob: larger k shrinks cells and bounds the pair work") {
+    // Production sizing is k ~ n/targetCell; verify the knob actually
+    // cuts the quadratic term: sum(cell^2) with k=32 must be well under
+    // the k=8 default on the same data.
+    def pairWork(k: Int): Long =
+      graft.sim.SemDedup.assignment(spark, sf001, k)
+        .groupBy("cid").count().collect()
+        .map(r => r.getLong(1) * r.getLong(1)).sum
+    val (w8, w32) = (pairWork(8), pairWork(32))
+    assert(w32 < w8 / 2, s"k=32 pair work $w32 !< half of k=8's $w8")
+    // and the dedup result at k=32 is still a total partition with drops
+    val r32 = graft.sim.SemDedup.semDedup(SemDedup.Tau, 32)(spark, sf001)
+    assert(r32.count() == SimOps.embeddings(spark, sf001).count())
+  }
+
   test("plan shape: candidate generation is a cid equi-join, no cartesian") {
     val plan = result.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"),
