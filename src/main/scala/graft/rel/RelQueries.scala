@@ -1098,4 +1098,107 @@ object RelQueries {
       |  WHERE o_orderkey = l.l_orderkey AND o_orderstatus = 'F')
       | GROUP BY s_name
       | ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin.replace("\n", " ")
+
+  /** TPC-H Q11-shaped value concentration: per-part shipped value from
+    * one nation's suppliers, keeping parts whose value exceeds `mult`×
+    * the MEAN part value (Q11 proper reads partsupp and keeps parts
+    * above `0.0001/SF` of the total — the SF division exists exactly
+    * because a fixed fraction of the total goes vacuous as part count
+    * grows; thresholding on the mean is the scale-invariant spelling
+    * of the same concentration test. Value derives from the observed
+    * lineitem flows since the dataset has no partsupp).
+    *
+    * Scale design: the nation filter reaches the supplier scan
+    * (pushed predicate), lineitem semi-joins the ~1/25 supplier slice
+    * with NO hint (SF-proportional — AQE broadcasts at test SF,
+    * shuffles at scale); the per-part aggregation is map-side
+    * combined; the threshold is a 1-row aggregate broadcast back as a
+    * scalar, never a driver collect. Exact cents;
+    * `value * n_parts > mult * total` multiplies instead of dividing. */
+  def partsuppValue(nation: String, mult: Long)(
+      spark: SparkSession, dir: String): DataFrame = {
+    val supp = t(spark, dir, "supplier")
+      .join(t(spark, dir, "nation").filter(col("n_name") === nation),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val ps = t(spark, dir, "lineitem")
+      .join(supp, col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey").as("partkey"))
+      .agg(sum(cents("l_extendedprice")).as("value_cents"))
+    val tot = ps.agg(sum(col("value_cents")).as("total"),
+      count(lit(1)).as("n_parts"))
+    ps.crossJoin(broadcast(tot))
+      .filter(col("value_cents") * col("n_parts") > lit(mult) * col("total"))
+      .select("partkey", "value_cents")
+      .orderBy(col("value_cents").desc, col("partkey").asc)
+  }
+
+  def partsuppValueSql(nation: String, mult: Long): String =
+    s"""WITH ps AS (
+       |  SELECT l_partkey AS partkey,
+       |   CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS value_cents
+       |  FROM lineitem
+       |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+       |    JOIN nation ON s_nationkey = n_nationkey WHERE n_name = '$nation')
+       |  GROUP BY 1),
+       | tot AS (SELECT CAST(sum(value_cents) AS BIGINT) AS total,
+       |   count(*) AS n_parts FROM ps)
+       | SELECT partkey, value_cents FROM ps, tot
+       | WHERE value_cents * n_parts > $mult * total
+       | ORDER BY value_cents DESC, partkey ASC""".stripMargin.replace("\n", " ")
+
+  /** TPC-H Q20-shaped dominant suppliers: for a brand family's parts
+    * shipped in a date window, the suppliers who shipped MORE THAN HALF
+    * of a part's total quantity — ranked by how many parts they
+    * dominate. (Q20 proper compares ps_availqty to half the shipped
+    * quantity; without partsupp the non-vacuous form compares each
+    * supplier's shipped share to the same half-of-total bar — the
+    * identical per-part agg → per-(part,supplier) agg → threshold
+    * semi-join chain.)
+    *
+    * Scale design: date + brand predicates push to the scans; the
+    * part slice is SF-proportional so its join carries NO hint; the
+    * two aggregations reuse one exchange family (per-(part,supp) then
+    * per-part on the same key prefix); quantities are integral doubles
+    * cast to exact BIGINT. The supplier name join happens AFTER the
+    * dominance filter, on the ≤|parts| surviving rows. */
+  def dominantSuppliers(brandPrefix: String, from: String, until: String)(
+      spark: SparkSession, dir: String): DataFrame = {
+    val flow = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .join(t(spark, dir, "part")
+          .filter(col("p_brand").startsWith(brandPrefix)).select("p_partkey"),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast(LongType).as("qty"))
+    val perSupp = flow.groupBy("l_partkey", "l_suppkey")
+      .agg(sum("qty").as("sq"))
+    val perPart = perSupp.groupBy(col("l_partkey").as("pk"))
+      .agg(sum("sq").as("tq"))
+    perSupp.join(perPart, col("l_partkey") === col("pk"))
+      .filter(col("sq") * 2 > col("tq"))
+      .groupBy("l_suppkey")
+      .agg(countDistinct(col("l_partkey")).as("dom_parts"))
+      .join(t(spark, dir, "supplier").select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("dom_parts"))
+      .orderBy(col("dom_parts").desc, col("s_name").asc)
+  }
+
+  def dominantSuppliersSql(brandPrefix: String, from: String, until: String): String =
+    s"""WITH flow AS (
+       |  SELECT l_partkey, l_suppkey, CAST(l_quantity AS BIGINT) AS qty
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '$from' AND l_shipdate < TIMESTAMP '$until'
+       |   AND l_partkey IN (SELECT p_partkey FROM part WHERE p_brand LIKE '$brandPrefix%')),
+       | per_supp AS (SELECT l_partkey, l_suppkey, CAST(sum(qty) AS BIGINT) AS sq
+       |  FROM flow GROUP BY 1, 2),
+       | per_part AS (SELECT l_partkey AS pk, CAST(sum(sq) AS BIGINT) AS tq
+       |  FROM per_supp GROUP BY 1)
+       | SELECT s_name, count(DISTINCT l_partkey) AS dom_parts
+       | FROM per_supp JOIN per_part ON l_partkey = pk
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       | WHERE sq * 2 > tq
+       | GROUP BY 1 ORDER BY dom_parts DESC, s_name ASC""".stripMargin.replace("\n", " ")
 }

@@ -44,12 +44,25 @@ class RelNoForcedBroadcastSpec extends SparkSpec {
       ("rel_waiting_supp", RelQueries.waitingSuppliers(s, sf001), 0),
       ("rel_small_qty_rev", RelQueries.smallQtyRevenue("Brand#4")(s, sf001), 0),
       ("rel_cheapest_supplier", RelQueries.cheapestSupplier("Brand#5")(s, sf001), 0),
-      ("rel_part_bands", RelQueries.partBands(s, sf001), 0))
+      ("rel_part_bands", RelQueries.partBands(s, sf001), 0),
+      ("rel_partsupp_value",
+        RelQueries.partsuppValue("NATION_7", 3L)(s, sf001), 1), // 1-row scalar
+      ("rel_dominant_supp", RelQueries.dominantSuppliers(
+        "Brand#2", "1996-01-01", "1998-01-01")(s, sf001), 0))
   }
 
-  /** Paths of SF-proportional parquet scans under ResolvedHint nodes. */
+  /** Paths of SF-proportional parquet scans under ResolvedHint nodes.
+    * A hint whose immediate child is an UNGROUPED aggregate is exempt:
+    * the broadcast side is a 1-row scalar regardless of what its
+    * subtree scans (the `crossJoin(broadcast(globalAgg))` threshold
+    * pattern) — bounded by construction, not by table cardinality. */
   private def hintedSfScans(df: DataFrame): Seq[String] =
-    df.queryExecution.analyzed.collect { case h: ResolvedHint =>
+    df.queryExecution.analyzed.collect {
+      case h: ResolvedHint if !(h.child match {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+          a.groupingExpressions.isEmpty
+        case _ => false
+      }) =>
       h.child.collect { case l: LogicalRelation =>
         l.relation match {
           case fs: HadoopFsRelation =>
@@ -113,7 +126,11 @@ class RelNoForcedBroadcastSpec extends SparkSpec {
         ("rel_waiting_supp", RelQueries.waitingSuppliers(spark, sf001), 0),
         ("rel_small_qty_rev", RelQueries.smallQtyRevenue("Brand#4")(spark, sf001), 0),
         ("rel_cheapest_supplier", RelQueries.cheapestSupplier("Brand#5")(spark, sf001), 0),
-        ("rel_part_bands", RelQueries.partBands(spark, sf001), 0))
+        ("rel_part_bands", RelQueries.partBands(spark, sf001), 0),
+        ("rel_partsupp_value",
+          RelQueries.partsuppValue("NATION_7", 3L)(spark, sf001), 1),
+        ("rel_dominant_supp", RelQueries.dominantSuppliers(
+          "Brand#2", "1996-01-01", "1998-01-01")(spark, sf001), 0))
       for ((name, df, boundedHints) <- rebuilt) {
         val (bhj, smj) = joinNodes(finalPlan(df))
         assert(smj.nonEmpty,
