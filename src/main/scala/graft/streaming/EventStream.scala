@@ -97,6 +97,41 @@ object EventStream {
     * for feature backfills and online counters. */
   final case class UserTotals(user_id: Long, n_events: Long, cents: Long)
 
+  /** Streaming twin of [[graft.events.GraphOps.transitions]]' sequence
+    * step: per-user adjacent event-type transitions across micro-batch
+    * boundaries via flatMapGroupsWithState. State per user is ONLY the
+    * last seen event (ts, event_id, type) — O(users) state, no event
+    * buffering. Within a batch the group's rows sort by (ts, event_id)
+    * like the batch window; ACROSS batches the log-replay contract
+    * applies (a user's events do not time-travel between batches —
+    * the same in-order ingest assumption the sessionizer makes).
+    * Downstream, the emitted transitions feed the same bounded
+    * (src, dst) count aggregation as the batch path. */
+  final case class Transition(user_id: Long, src: String, dst: String)
+  final case class LastEvent(ts: Long, event_id: Long, event_type: String)
+
+  def streamingTransitions(events: DataFrame): Dataset[Transition] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    graft.events.EventOps.normalizeTs(events)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[LastEvent, Transition](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[LastEvent]) =>
+          val batch = rows.toSeq.sortBy(r => (r._2, r._3))
+            .map(r => (r._2, r._3, r._4))
+          val seq = state.getOption
+            .map(p => (p.ts, p.event_id, p.event_type)).toSeq ++ batch
+          seq.lastOption.foreach { last =>
+            state.update(LastEvent(last._1, last._2, last._3))
+          }
+          seq.sliding(2).collect { case Seq(a, b) => Transition(uid, a._3, b._3) }
+      }
+  }
+
   def runningUserTotals(events: DataFrame): Dataset[UserTotals] = {
     val spark = events.sparkSession
     import spark.implicits._

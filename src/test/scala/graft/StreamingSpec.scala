@@ -184,4 +184,36 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(finalTotals == batch)
   }
+
+  test("streaming transitions across batch boundaries equal the batch window") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // replay the log IN ORDER (the ingest contract) in 3 micro-batches,
+    // split mid-stream so many users straddle a batch boundary — the
+    // cross-batch state path must stitch those pairs
+    val rows = eventsBatch
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(r => (r._2, r._1))
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type")
+    val ckpt = Files.createTempDirectory("evt_ckpt3").toString
+    val q = EventStream.streamingTransitions(df).writeStream
+      .format("memory").queryName("trans_sink").outputMode("append")
+      .option("checkpointLocation", ckpt).start()
+    rows.grouped(rows.length / 3 + 1).foreach { chunk =>
+      mem.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("trans_sink")
+      .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = graft.events.GraphOps.transitions(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch,
+      s"stream/batch transition counts diverge: ${streamed.size} vs ${batch.size} keys")
+  }
 }
