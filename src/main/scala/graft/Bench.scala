@@ -58,6 +58,8 @@ object Bench {
         () => { graft.sim.Ivf.trainCached(spark, sfDir); () }),
       ("pq_codebooks", n => n.startsWith("emb_pq") || n.startsWith("emb_ivfpq"),
         () => graft.sim.Pq.prebuildCodebooks(spark, sfDir)),
+      ("sq8_ranges", _.startsWith("emb_sq8"),
+        () => graft.sim.Sq8.prebuildRanges(spark, sfDir)),
       ("pq_codes_layout", n => n.startsWith("emb_pq_topk") ||
         n.startsWith("emb_pq_rerank") || n.startsWith("emb_ivfpq"),
         () => graft.sim.Pq.prebuildCodesLayout(spark, sfDir)),

@@ -1106,7 +1106,12 @@ object RelQueries {
     * because a fixed fraction of the total goes vacuous as part count
     * grows; thresholding on the mean is the scale-invariant spelling
     * of the same concentration test. Value derives from the observed
-    * lineitem flows since the dataset has no partsupp).
+    * lineitem flows since the dataset has no partsupp. `mult = 1` —
+    * above-mean parts — is the registered setting: the synthetic
+    * corpus prices are near-uniform, so at small SFs a nation's parts
+    * mostly carry one lineitem each and no part reaches 2× the mean —
+    * higher multiples are vacuous at sf0.001/sf0.01, the same
+    * degeneracy Q11's own SF-scaled threshold exists to dodge).
     *
     * Scale design: the nation filter reaches the supplier scan
     * (pushed predicate), lineitem semi-joins the ~1/25 supplier slice

@@ -1085,6 +1085,67 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Register Spark's internal bloom-filter expressions (the pair the
+    * runtime-filter optimizer injects) as session SQL functions —
+    * idempotent, same registry pattern as
+    * [[graft.functions.HllSketchAgg.register]]. */
+  private def registerBloomFns(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(FunctionIdentifier("graft_bloom_agg")))
+      registry.createOrReplaceTempFunction("graft_bloom_agg",
+        (es: Seq[Expression]) => new BloomFilterAggregate(es.head), "internal")
+    if (!registry.functionExists(FunctionIdentifier("graft_might_contain")))
+      registry.createOrReplaceTempFunction("graft_might_contain",
+        (es: Seq[Expression]) => BloomFilterMightContain(es.head, es(1)),
+        "internal")
+  }
+
+  private val bloomCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+
+  /** Bloom-prescreened decontamination — the same result as
+    * [[contamination]], via the plan a 100 TB pipeline actually runs:
+    * the eval set's shingles aggregate into ONE Bloom filter (a scalar
+    * — kilobytes), the corpus side drops non-overlapping shingles with
+    * a map-side `might_contain` probe (no join, no shuffle for the
+    * overwhelming non-contaminated majority), and only the tiny
+    * surviving candidate set pays the exact semi-join that removes
+    * Bloom false positives. Bloom filters have NO false negatives, so
+    * prescreen + exact-verify is exactly the exact join — the query
+    * shares [[contaminationSql]] as its oracle.
+    *
+    * Uses Spark's own `BloomFilterAggregate`/`BloomFilterMightContain`
+    * (the codegen'd pair the runtime-filter rule injects), registered
+    * as session functions. The filter is sized for the eval-shingle
+    * cardinality; eval sets are bounded by definition, so the scalar
+    * subquery broadcast is policy-compliant. */
+  def contaminationBloom(evalDocs: Long)(spark: SparkSession, dir: String): DataFrame = {
+    registerBloomFns(spark)
+    val sh = shingleIndex(spark, dir).select(col("doc_id"), col("h60").as("h"))
+    val evalSh = sh.filter(col("doc_id") < evalDocs)
+      .select(col("h")).distinct()
+    // might_contain requires a CONSTANT (or scalar-subquery) filter arg,
+    // so the KB-sized sketch collects to the driver and rides as a
+    // literal — a codebook-sized collect, like the IVF/PQ training
+    // results (the filter is sized to the bounded eval set, never to
+    // the corpus). Cached per (dataset snapshot, eval set) like every
+    // trained artifact.
+    val bf = bloomCache.computeIfAbsent(
+      graft.DatasetCache.snapshotKey(spark, dir, "documents.parquet") + s":$evalDocs",
+      _ => evalSh
+        .agg(call_function("graft_bloom_agg", xxhash64(col("h"))).as("bf"))
+        .head.getAs[Array[Byte]]("bf"))
+    sh.filter(col("doc_id") >= evalDocs)
+      .filter(call_function("graft_might_contain", lit(bf), xxhash64(col("h"))))
+      .join(broadcast(evalSh), "h") // exact verify on candidates only
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .orderBy("doc_id")
+  }
+
   def contaminationSql(evalDocs: Long): String =
     s"""WITH sh AS (SELECT doc_id, CAST('0x'||substr(md5(s),1,15) AS BIGINT) AS h FROM ($shinglesSql)),
        | ev AS (SELECT DISTINCT h FROM sh WHERE doc_id < $evalDocs)
@@ -1450,7 +1511,9 @@ object TextOps {
     * combine; scoring re-joins the corpus pair relation on those keys —
     * vocabulary-sized relations, so NO broadcast hints (the policy) —
     * and the final per-document mean is one more keyed aggregation. */
-  def docLmScore(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-document LM relation (doc_id, n_pairs, lm_ppm), unordered —
+    * shared by [[docLmScore]] and [[docCcnetBucket]]. */
+  private def lmScores(spark: SparkSession, dir: String): DataFrame = {
     val w = words
     val prs = zip_with(
       slice(w, lit(1), greatest(size(w) - 1, lit(0))),
@@ -1467,21 +1530,80 @@ object TextOps {
       .agg(count(lit(1)).as("n_pairs"), sum("ppm").as("s"))
       .select(col("doc_id"), col("n_pairs"),
         expr("s div n_pairs").as("lm_ppm"))
-      .orderBy("doc_id")
   }
 
-  val docLmScoreSql: String =
-    """WITH pr AS (
+  def docLmScore(spark: SparkSession, dir: String): DataFrame =
+    lmScores(spark, dir).orderBy("doc_id")
+
+  /** The lm-score chain as oracle CTEs ending in
+    * `lmsc(doc_id, n_pairs, lm_ppm)` — shared by the doc_lm_score and
+    * doc_ccnet_bucket oracles. */
+  private val lmScoresCte: String =
+    """pr AS (
       |  SELECT doc_id, string_split(text,' ')[i] AS pre,
       |    string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] AS pair
       |  FROM (SELECT doc_id, text, unnest(range(1, len(string_split(text,' ')))) AS i FROM documents)),
       | bn AS (SELECT pair, CAST(count(*) AS BIGINT) AS bn FROM pr GROUP BY 1),
       | un AS (SELECT pre, CAST(count(*) AS BIGINT) AS un FROM pr GROUP BY 1),
       | sc AS (SELECT pr.doc_id, bn.bn * 1000000 // un.un AS ppm
-      |   FROM pr JOIN bn USING (pair) JOIN un USING (pre))
-      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+      |   FROM pr JOIN bn USING (pair) JOIN un USING (pre)),
+      | lmsc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
       |  CAST(sum(ppm) // count(*) AS BIGINT) AS lm_ppm
-      |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin.replace("\n", " ")
+      |  FROM sc GROUP BY 1)""".stripMargin
+
+  val docLmScoreSql: String =
+    s"""WITH $lmScoresCte
+       |SELECT doc_id, n_pairs, lm_ppm FROM lmsc ORDER BY doc_id"""
+      .stripMargin.replace("\n", " ")
+
+  /** CCNet-style per-language perplexity bucketing: split each
+    * language's documents into head/middle/tail thirds by LM fluency
+    * (CCNet buckets on exactly this signal — wikipedia-LM perplexity —
+    * and trains on the head). Bucket 1 = most fluent third.
+    *
+    * Scale design: a naive per-language NTILE is a single sort of the
+    * WHOLE language partition — a straight scale-killer with few
+    * languages. Instead the tercile boundaries come from the per-
+    * language score HISTOGRAM: lm_ppm has a bounded codomain (integer
+    * ppm ∈ [0, 1e6]), so `groupBy(lang, lm_ppm)` is at most ~1M rows
+    * per language REGARDLESS of corpus size, the cumulative window
+    * runs over that bounded relation, and bucket assignment joins back
+    * on (lang, lm_ppm) — map-side under AQE at test SF, a bounded
+    * shuffle at 100 TB. Ties share a score group and land in one
+    * bucket (`bucket = (docs_before_this_score * 3) div n + 1`), so
+    * the result is order-free and oracle-exact. */
+  def docCcnetBucket(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lm = lmScores(spark, dir)
+      .join(docs(spark, dir).select("doc_id", "lang"), "doc_id")
+      .select("doc_id", "lang", "lm_ppm")
+    val h = lm.groupBy("lang", "lm_ppm").agg(count(lit(1)).as("nv"))
+    val hb = h
+      .withColumn("cum",
+        sum("nv").over(Window.partitionBy("lang").orderBy(col("lm_ppm").desc)))
+      .withColumn("total", sum("nv").over(Window.partitionBy("lang")))
+      .select(col("lang"), col("lm_ppm"),
+        expr("((cum - nv) * 3) div total + 1").as("bucket"))
+    lm.join(hb, Seq("lang", "lm_ppm"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min("lm_ppm").as("min_ppm"), max("lm_ppm").as("max_ppm"))
+      .orderBy("lang", "bucket")
+  }
+
+  val docCcnetBucketSql: String =
+    s"""WITH $lmScoresCte,
+       | lm AS (SELECT l.doc_id, d.lang, l.lm_ppm
+       |   FROM lmsc l JOIN documents d USING (doc_id)),
+       | h AS (SELECT lang, lm_ppm, count(*) AS nv FROM lm GROUP BY 1, 2),
+       | hb AS (SELECT lang, lm_ppm,
+       |   CAST(((sum(nv) OVER (PARTITION BY lang ORDER BY lm_ppm DESC) - nv) * 3)
+       |     // (sum(nv) OVER (PARTITION BY lang)) + 1 AS BIGINT) AS bucket
+       |  FROM h)
+       |SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       | min(lm_ppm) AS min_ppm, max(lm_ppm) AS max_ppm
+       |FROM lm JOIN hb USING (lang, lm_ppm)
+       |GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin.replace("\n", " ")
 
   // ---- context-length chunking ----------------------------------------
 
