@@ -1642,6 +1642,95 @@ object TextOps {
        |  FROM documents)
        | ORDER BY doc_id, chunk_id""".stripMargin.replace("\n", " ")
 
+  // ---- BPE merge-table training ---------------------------------------
+
+  /** Distributed BPE vocabulary training — the first `steps` merges of
+    * byte-pair encoding over the corpus, exactly the loop every
+    * tokenizer trainer runs ([[docBigramTop]] is one merge-step's
+    * counting; this iterates, APPLYING each merge before the next
+    * count). Output: the merge table (step, p1, p2, cnt).
+    *
+    * Scale design (the standard word-count formulation, e.g.
+    * SentencePiece/HF trainers): the corpus is read ONCE into the
+    * (word, freq) vocabulary — after that every merge step runs on the
+    * vocabulary relation, whose size is corpus-sublinear and cached.
+    * Each step is one map-side-combined pair aggregation plus a 1-row
+    * argmax collect (the chosen pair — a literal for the next step's
+    * map-only rewrite), so `steps` iterations cost `steps` vocab-sized
+    * aggregations, never another corpus pass.
+    *
+    * Determinism / oracle-exactness: counts are integer sums; the
+    * argmax tiebreak is (cnt DESC, p1 ASC, p2 ASC); merge application
+    * uses `replace`'s left-to-right non-overlapping scan — the exact
+    * greedy BPE application rule — over the `|p1||p2|`-delimited
+    * symbol encoding (double separators make matches symbol-aligned
+    * AND keep the boundary shared by back-to-back matches, so runs
+    * like `a a a a` merge greedily to `aa aa`; a single-separator
+    * encoding gets both wrong). The DuckDB oracle replays the whole
+    * chain as CTEs with the same `replace` semantics. */
+  def docBpeMerges(steps: Int)(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // '|' is the symbol delimiter; the guard keeps the encoding sound
+    // on any corpus (the synthetic one is alphanumeric)
+    val vocab0 = docs(spark, dir)
+      .select(explode(words).as("w"))
+      .filter(col("w") =!= "" && !col("w").contains("|"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(regexp_replace(col("w"), "(.)", "|$1|").as("seq"), col("freq"))
+      .cache()
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var v = vocab0
+    var s = 1
+    while (s <= steps) {
+      val syms = split(trim(col("seq"), "|"), "\\|\\|")
+      val prs = zip_with(
+        slice(syms, lit(1), greatest(size(syms) - 1, lit(0))),
+        slice(syms, lit(2), greatest(size(syms) - 1, lit(0))),
+        (a, b) => struct(a.as("p1"), b.as("p2")))
+      val best = v.select(explode(prs).as("p"), col("freq"))
+        .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("p1").asc, col("p2").asc)
+        .limit(1).collect()
+      if (best.isEmpty) { s = steps + 1 } // vocabulary fully merged
+      else {
+        val (p1, p2, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((s.toLong, p1, p2, cnt))
+        v = v.select(
+          replace(col("seq"), lit(s"|$p1||$p2|"), lit(s"|$p1$p2|")).as("seq"),
+          col("freq"))
+        s += 1
+      }
+    }
+    vocab0.unpersist()
+    merges.toSeq.toDF("step", "p1", "p2", "cnt").orderBy("step")
+  }
+
+  def docBpeMergesSql(steps: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH v0 AS (
+      |  SELECT regexp_replace(w, '(.)', '|\1|', 'g') AS seq, CAST(count(*) AS BIGINT) AS freq
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE w != '' AND w NOT LIKE '%|%' GROUP BY w)""".stripMargin
+    (1 to steps).foreach { s =>
+      sb ++= s""",
+      | ps$s AS (
+      |  SELECT sy[i] AS p1, sy[i+1] AS p2, CAST(sum(freq) AS BIGINT) AS cnt
+      |  FROM (SELECT string_split(trim(seq, '|'), '||') AS sy, freq,
+      |        unnest(range(1, len(string_split(trim(seq, '|'), '||')))) AS i
+      |     FROM v${s - 1})
+      |  GROUP BY 1, 2),
+      | m$s AS (SELECT p1, p2, cnt FROM ps$s ORDER BY cnt DESC, p1, p2 LIMIT 1),
+      | v$s AS (SELECT replace(seq, '|'||p1||'||'||p2||'|', '|'||p1||p2||'|') AS seq, freq
+      |   FROM v${s - 1}, m$s)""".stripMargin
+    }
+    sb ++= (1 to steps)
+      .map(s => s" SELECT CAST($s AS BIGINT) AS step, p1, p2, cnt FROM m$s")
+      .mkString("", " UNION ALL", " ORDER BY step")
+    sb.toString.replace("\n", " ")
+  }
+
   // ---- corpus mixture accounting --------------------------------------
 
   /** (source, lang) mixture: counts + share of corpus in ppm. The share

@@ -47,6 +47,41 @@ class PipelineOps6Spec extends SparkSpec {
     assert(bloom == exact)
   }
 
+  // ---- BPE merge training ---------------------------------------------
+
+  test("bpe merge counts are non-increasing across steps") {
+    // any pair surviving (or created by) a merge occurred at most as
+    // often as the step's winning pair did — so the maxima decrease
+    val cnts = TextOps.docBpeMerges(6)(spark, sf001)
+      .orderBy("step").collect().map(_.getLong(3))
+    assert(cnts.length == 6)
+    cnts.sliding(2).foreach { case Array(a, b) =>
+      assert(a >= b, s"merge counts rose: $a -> $b")
+    }
+  }
+
+  test("bpe applies merges greedily left-to-right and iterates on merged symbols") {
+    val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpe_fix").toString
+    // 'aaaa' x3: step 1 must pick (a,a) with count 3*3=9 pairs... no:
+    // 'aaaa' has pairs (a,a) x3 per word -> cnt 9. Applying greedily
+    // gives 'aa aa' (not 'aa a a'), so step 2 sees (aa,aa) x3 = 3
+    // and NOT (aa,a). 'bc' x5 contributes (b,c) x5 between them.
+    Seq.fill(3)("aaaa").zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .++(Seq.fill(5)("bc").zipWithIndex.map { case (t, i) => (100L + i, t) })
+      .toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val m = TextOps.docBpeMerges(3)(spark, dir)
+      .orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m(0) == ((1L, "a", "a", 9L)), s"step1 was ${m(0)}")
+    assert(m(1) == ((2L, "b", "c", 5L)), s"step2 was ${m(1)}")
+    // greedy application left 'aa aa' per word -> (aa,aa) x3; a
+    // non-greedy fold would have left (aa,a) and picked it here
+    assert(m(2) == ((3L, "aa", "aa", 3L)), s"step3 was ${m(2)}")
+  }
+
   // ---- CCNet buckets --------------------------------------------------
 
   private lazy val buckets = TextOps.docCcnetBucket(spark, sf001).collect()
