@@ -58,6 +58,10 @@ object Bench {
         () => { graft.sim.Ivf.trainCached(spark, sfDir); () }),
       ("pq_codebooks", n => n.startsWith("emb_pq") || n.startsWith("emb_ivfpq"),
         () => graft.sim.Pq.prebuildCodebooks(spark, sfDir)),
+      ("lm_index", n => n.startsWith("doc_lm_score") || n.startsWith("doc_ccnet"),
+        () => graft.text.TextOps.prebuildLmIndex(spark, sfDir)),
+      ("bpe_merges", _.startsWith("doc_bpe"),
+        () => graft.text.TextOps.prebuildBpeMerges(6)(spark, sfDir)),
       ("sq8_ranges", _.startsWith("emb_sq8"),
         () => graft.sim.Sq8.prebuildRanges(spark, sfDir)),
       ("pq_codes_layout", n => n.startsWith("emb_pq_topk") ||
