@@ -597,6 +597,51 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Time-series spike detection: per (type, day, hour-of-day) event
+    * counts tested against that (type, hour-of-day)'s OWN cross-day
+    * baseline — the monitoring query that catches "payments spiked at
+    * 14:00 Tuesday" without flagging types that are always busy at
+    * 14:00. Spike test = the all-integer 3-sigma form of [[outliers]]
+    * (`(c·n − s)² > 9·(n·ss − s²)` in DECIMAL(38,0)/HUGEINT), one-sided
+    * (`c·n − s > 0`: spikes, not droughts).
+    *
+    * Scale: one map-side-combined aggregation compresses the corpus to
+    * (type × day × 24) cells; the baseline relation is (type × 24) —
+    * bounded categorical, so its broadcast is policy-compliant. */
+  def anomalyCells(spark: SparkSession, dir: String): DataFrame = {
+    val nsPerDay = NsPerHour * 24
+    val cells = events(spark, dir)
+      .groupBy(col("event_type"),
+        expr(s"ts div $nsPerDay").as("day_id"),
+        expr(s"(ts % $nsPerDay) div $NsPerHour").as("hod"))
+      .agg(count(lit(1)).as("c"))
+    val stats = cells.groupBy("event_type", "hod")
+      .agg(count(lit(1)).as("n"), sum("c").as("s"),
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("ss"))
+    val dev = (col("c") * col("n") - col("s")).cast("decimal(38,0)")
+    cells.join(broadcast(stats), Seq("event_type", "hod"))
+      .filter(col("c") * col("n") - col("s") > 0 &&
+        dev * dev > lit(9) * (col("n").cast("decimal(38,0)") * col("ss") -
+          col("s").cast("decimal(38,0)") * col("s")))
+      .select(col("event_type"), col("day_id"), col("hod"), col("c").as("cnt"))
+      .orderBy("event_type", "day_id", "hod")
+  }
+
+  val anomalyCellsSql: String = {
+    val nsPerDay = NsPerHour * 24
+    s"""WITH cells AS (
+       |  SELECT event_type, epoch_ns(ts) // $nsPerDay AS day_id,
+       |   (epoch_ns(ts) % $nsPerDay) // $NsPerHour AS hod, count(*) AS c
+       |  FROM events GROUP BY 1, 2, 3),
+       | st AS (SELECT event_type, hod, count(*) AS n, CAST(sum(c) AS BIGINT) AS s,
+       |   sum(CAST(c AS HUGEINT) * c) AS ss FROM cells GROUP BY 1, 2)
+       |SELECT cells.event_type, day_id, hod, CAST(c AS BIGINT) AS cnt
+       |FROM cells JOIN st USING (event_type, hod)
+       |WHERE c * n - s > 0 AND CAST(c * n - s AS HUGEINT) * (c * n - s)
+       |  > 9 * (CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s)
+       |ORDER BY event_type, day_id, hod""".stripMargin.replace("\n", " ")
+  }
+
   val outliersSql: String =
     """WITH c AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events),
       | st AS (SELECT event_type, count(*) AS n, CAST(sum(c) AS BIGINT) AS s,

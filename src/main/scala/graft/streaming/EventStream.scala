@@ -132,6 +132,28 @@ object EventStream {
       }
   }
 
+  /** Streaming Misra-Gries pass 1: per-type heavy-user CANDIDATE
+    * sketches maintained incrementally by the engine's streaming
+    * aggregation state — the native
+    * [[graft.functions.MgSketchAgg]] buffer lives in the state store
+    * and each micro-batch's partials merge into it, so the final
+    * sketch is a merge of per-batch sketches in arrival order.
+    * Mergeable-summaries guarantee (`MgSketchAggSpec`): ANY merge
+    * order yields a candidate superset of the true over-threshold
+    * keys, so the streaming candidates feed the same exact pass 2 as
+    * the batch plan ([[graft.events.EventOps.heavyUsers]]). State per
+    * (type) is ≤cap counters — bounded regardless of user cardinality
+    * or stream length. Update output mode: each batch re-emits the
+    * types it touched. */
+  def typeHeavyCandidates(events: DataFrame, cap: Int): DataFrame = {
+    graft.functions.MgSketchAgg.register(events.sparkSession)
+    events.select(col("event_type"), col("user_id").cast("string").as("u"))
+      .groupBy("event_type")
+      .agg(call_function("mg_sketch", col("u"), lit(cap)).as("sk"))
+      .select(col("event_type"), col("sk.n").as("n"),
+        col("sk.terms").as("terms"))
+  }
+
   def runningUserTotals(events: DataFrame): Dataset[UserTotals] = {
     val spark = events.sparkSession
     import spark.implicits._

@@ -64,10 +64,9 @@ class PipelineOps6Spec extends SparkSpec {
     val s: org.apache.spark.sql.SparkSession = spark
     import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("bpe_fix").toString
-    // 'aaaa' x3: step 1 must pick (a,a) with count 3*3=9 pairs... no:
-    // 'aaaa' has pairs (a,a) x3 per word -> cnt 9. Applying greedily
-    // gives 'aa aa' (not 'aa a a'), so step 2 sees (aa,aa) x3 = 3
-    // and NOT (aa,a). 'bc' x5 contributes (b,c) x5 between them.
+    // 'aaaa' x3 docs: 3 (a,a) pairs per word x freq 3 = 9. Greedy
+    // application yields 'aa aa' (not 'aa a a'), so step 3 must see
+    // (aa,aa) x3 and NOT (aa,a). 'bc' x5 contributes (b,c) x5.
     Seq.fill(3)("aaaa").zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .++(Seq.fill(5)("bc").zipWithIndex.map { case (t, i) => (100L + i, t) })
       .toDF("doc_id", "text")
@@ -80,6 +79,34 @@ class PipelineOps6Spec extends SparkSpec {
     // greedy application left 'aa aa' per word -> (aa,aa) x3; a
     // non-greedy fold would have left (aa,a) and picked it here
     assert(m(2) == ((3L, "aa", "aa", 3L)), s"step3 was ${m(2)}")
+  }
+
+  // ---- anomaly cells --------------------------------------------------
+
+  test("events_anomaly flags a planted hour spike and only spikes (one-sided)") {
+    val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("anom_fix").toString
+    val nsH = graft.events.EventOps.NsPerHour
+    // type 'a': hour 3 of each of 12 days has 5 events — except day 7,
+    // where it has 50 (the spike); hour 5 is constant (never flagged).
+    // 12 days, not 10: a single spike among constants sits at exactly
+    // (n-1)/9 of the 3-sigma bar, so n must exceed 10 to clear it
+    val rows = (0 until 12).flatMap { day =>
+      val base = (0 until (if (day == 7) 50 else 5)).map { i =>
+        (day * 1000L + i, (day * 24 + 3) * nsH + i, 1L, "a", 1.0, "{}")
+      }
+      val const = (0 until 5).map { i =>
+        (day * 1000L + 500 + i, (day * 24 + 5) * nsH + i, 1L, "a", 1.0, "{}")
+      }
+      base ++ const
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val out = graft.events.EventOps.anomalyCells(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(("a", 7L, 3L, 50L)),
+      s"expected exactly the planted day-7 hour-3 spike, got ${out.toSeq}")
   }
 
   // ---- CCNet buckets --------------------------------------------------

@@ -216,4 +216,45 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch,
       s"stream/batch transition counts diverge: ${streamed.size} vs ${batch.size} keys")
   }
+
+  test("streaming MG sketch state: exact totals + candidate superset across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val denom = 20
+    val rows = eventsBatch.select(col("user_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("user_id", "event_type")
+    val ckpt = Files.createTempDirectory("mg_ckpt").toString
+    val q = EventStream.typeHeavyCandidates(df, 2 * denom).writeStream
+      .format("memory").queryName("mg_sink").outputMode("update")
+      .option("checkpointLocation", ckpt).start()
+    // 4 micro-batches: the sketch buffer must survive the state store
+    // round-trip and merge per-batch partials
+    rows.grouped(rows.length / 4 + 1).foreach { chunk =>
+      mem.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    // last update per type is the final sketch
+    val fin = spark.table("mg_sink").collect()
+      .zipWithIndex
+      .groupBy(_._1.getString(0)).map { case (t, rs) => t -> rs.maxBy(_._2)._1 }
+    val batchCnt = eventsBatch.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // (a) the sketch's exact item total matches the batch count
+    assert(fin.view.mapValues(_.getLong(1)).toMap == batchCnt)
+    // (b) candidates ⊇ every true over-threshold user (the MG guarantee,
+    // here proven through the streaming state path)
+    val heavy = eventsBatch.groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("cnt"))
+      .join(eventsBatch.groupBy("event_type").agg(count(lit(1)).as("n")), "event_type")
+      .filter(col("cnt") * denom > col("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1).toString))
+    heavy.foreach { case (t, u) =>
+      assert(fin(t).getSeq[String](2).contains(u),
+        s"true heavy user $u of $t missing from streaming candidates")
+    }
+  }
 }
