@@ -606,20 +606,24 @@ object EventOps {
     * (`c·n − s > 0`: spikes, not droughts).
     *
     * Scale: one map-side-combined aggregation compresses the corpus to
-    * (type × day × 24) cells; the baseline relation is (type × 24) —
-    * bounded categorical, so its broadcast is policy-compliant. */
+    * (type × day × 24) cells — the fact table's ONLY pass — and the
+    * baseline moments are whole-partition window aggregates over that
+    * bounded relation ((type × 24) partitions of ≤days rows), so
+    * nothing rescans events and nothing joins. */
   def anomalyCells(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val nsPerDay = NsPerHour * 24
     val cells = events(spark, dir)
       .groupBy(col("event_type"),
         expr(s"ts div $nsPerDay").as("day_id"),
         expr(s"(ts % $nsPerDay) div $NsPerHour").as("hod"))
       .agg(count(lit(1)).as("c"))
-    val stats = cells.groupBy("event_type", "hod")
-      .agg(count(lit(1)).as("n"), sum("c").as("s"),
-        sum(col("c").cast("decimal(38,0)") * col("c")).as("ss"))
+    val w = Window.partitionBy("event_type", "hod")
     val dev = (col("c") * col("n") - col("s")).cast("decimal(38,0)")
-    cells.join(broadcast(stats), Seq("event_type", "hod"))
+    cells
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum("c").over(w))
+      .withColumn("ss", sum(col("c").cast("decimal(38,0)") * col("c")).over(w))
       .filter(col("c") * col("n") - col("s") > 0 &&
         dev * dev > lit(9) * (col("n").cast("decimal(38,0)") * col("ss") -
           col("s").cast("decimal(38,0)") * col("s")))

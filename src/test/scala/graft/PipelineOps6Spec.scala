@@ -109,6 +109,14 @@ class PipelineOps6Spec extends SparkSpec {
       s"expected exactly the planted day-7 hour-3 spike, got ${out.toSeq}")
   }
 
+  test("events_anomaly scans the fact table exactly once (window baseline, no self-join)") {
+    val plan = graft.events.EventOps.anomalyCells(spark, sf001)
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected 1 events scan, got $scans:\n$plan")
+    assert(!plan.contains("Join"), s"baseline must be a window, not a join:\n$plan")
+  }
+
   // ---- CCNet buckets --------------------------------------------------
 
   private lazy val buckets = TextOps.docCcnetBucket(spark, sf001).collect()
