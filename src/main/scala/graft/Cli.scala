@@ -175,6 +175,18 @@ object Cli {
         case "truncate" =>
           val v = graft.lake.LakeTable.truncate(table)
           println(s"committed version $v")
+        case "constrain" => // ALTER TABLE ADD CONSTRAINT <name> CHECK (<sql>)
+          val (name, sql) = rest match {
+            case n :: s :: Nil => (n, s)
+            case _ => sys.error("lake constrain needs <name> <boolean-sql>")
+          }
+          val v = graft.lake.LakeTable.addConstraint(spark, table, name, sql)
+          println(s"committed version $v (CHECK $name: $sql)")
+        case "unconstrain" =>
+          val name = rest.headOption
+            .getOrElse(sys.error("lake unconstrain needs <name>"))
+          val v = graft.lake.LakeTable.dropConstraint(spark, table, name)
+          println(s"committed version $v (dropped $name)")
         case other => sys.error(s"unknown lake op: $other")
       }
       spark.stop()
@@ -184,7 +196,7 @@ object Cli {
         "usage: graft.Cli benchmark | convert <las> <out> [seed] | " +
           "merge <in> <out> [rows] | partition <in> <out> [grid|quadtree|zorder] [sigma|bits] | " +
           "footprint <las> <out-dir> [scale] | experiment [sfDir] [outDir] [runs] | " +
-          "lake append|overwrite|read|history|vacuum|vacuum-hours|merge|delete|update|optimize|restore|truncate <table> [args]")
+          "lake append|overwrite|read|history|vacuum|vacuum-hours|merge|delete|update|optimize|restore|truncate|constrain|unconstrain <table> [args]")
       sys.exit(2)
   }
 }

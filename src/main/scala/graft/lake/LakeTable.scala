@@ -58,10 +58,15 @@ object LakeTable {
     * copies/restores would silently rewrite). 0 marks a commit from
     * before timestamps were recorded; timestamp-based time travel
     * refuses on such logs instead of guessing. */
+  /** `props` carries table-level metadata every commit re-asserts
+    * (currently CHECK constraints as `name=sql` entries) — the Delta
+    * pattern where the newest commit's metadata IS the table's
+    * metadata. Absent in pre-props logs → decodes empty. */
   final case class Commit(version: Long, op: String, add: Seq[String],
       remove: Seq[String], schemaJson: String,
       addStats: Seq[String] = Seq.empty, txn: String = "",
-      cdc: Seq[String] = Seq.empty, ts: Long = 0L)
+      cdc: Seq[String] = Seq.empty, ts: Long = 0L,
+      props: Seq[String] = Seq.empty)
 
   // ---- log encoding (hand-rolled, no deps beyond the JDK) -------------
 
@@ -94,7 +99,7 @@ object LakeTable {
 
   private def encode(c: Commit): String = {
     def arr(xs: Seq[String]) = xs.map(x => "\"" + esc(x) + "\"").mkString("[", ",", "]")
-    s"""{"version":${c.version},"op":"${c.op}","ts":${c.ts},"add":${arr(c.add)},"remove":${arr(c.remove)},"stats":${arr(c.addStats)},"txn":"${esc(c.txn)}","cdc":${arr(c.cdc)},"schema":"${esc(c.schemaJson)}"}"""
+    s"""{"version":${c.version},"op":"${c.op}","ts":${c.ts},"add":${arr(c.add)},"remove":${arr(c.remove)},"stats":${arr(c.addStats)},"txn":"${esc(c.txn)}","cdc":${arr(c.cdc)},"props":${arr(c.props)},"schema":"${esc(c.schemaJson)}"}"""
   }
 
   /** Parse one commit file. The format is self-authored (see [[encode]]),
@@ -137,7 +142,8 @@ object LakeTable {
       addStats = opt("stats", strArr, Seq.empty),
       txn = opt("txn", str, ""),
       cdc = opt("cdc", strArr, Seq.empty),
-      ts = opt("ts", _.takeWhile(_.isDigit).toLong, 0L))
+      ts = opt("ts", _.takeWhile(_.isDigit).toLong, 0L),
+      props = opt("props", strArr, Seq.empty))
   }
 
   // ---- log primitives --------------------------------------------------
@@ -336,17 +342,110 @@ object LakeTable {
     * syscall that fails if the target exists). */
   private def tryCommit(table: String, c: Commit): Boolean = {
     Files.createDirectories(logDir(table))
+    // every commit re-asserts the table props (constraints): only the
+    // constraint-editing ops carry an explicit set; everything else —
+    // whatever code path built the Commit — inherits the predecessor's.
+    // The predecessor is immutable and (versions are contiguous) exists
+    // whenever version > 1, so the inherit read is race-free.
+    val props =
+      if (c.op == "addconstraint" || c.op == "dropconstraint") c.props
+      else if (c.version > 1) readCommit(table, c.version - 1).props
+      else c.props
     val tmp = logDir(table).resolve(s".tmp-${java.util.UUID.randomUUID()}")
     // stamp the commit wall-clock at CAS time, so rebased retries carry
     // the time they actually committed
     Files.write(tmp,
-      encode(c.copy(ts = System.currentTimeMillis())).getBytes(UTF_8))
+      encode(c.copy(ts = System.currentTimeMillis(), props = props))
+        .getBytes(UTF_8))
     try { Files.createLink(versionFile(table, c.version), tmp); true }
     catch { case NonFatal(_) => false }
     finally Files.deleteIfExists(tmp)
   }
 
   // ---- write path ------------------------------------------------------
+
+  // ---- CHECK constraints (Delta-style table invariants) ---------------
+
+  /** Active CHECK constraints (name → boolean SQL expression) from the
+    * newest commit's props — every commit re-asserts the full set, so
+    * the latest commit IS the table metadata (the Delta pattern). */
+  def constraints(table: String): Map[String, String] =
+    latestVersion(table).map(readCommit(table, _).props).getOrElse(Seq.empty)
+      .flatMap { p =>
+        val i = p.indexOf('=')
+        if (i <= 0) None else Some(p.take(i) -> p.drop(i + 1))
+      }.toMap
+
+  /** SQL-standard CHECK semantics: a row violates only when the
+    * expression is strictly FALSE — NULL (unknown) passes. */
+  private def constraintHolds(sql: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit}
+    coalesce(expr(sql).cast("boolean"), lit(true))
+  }
+
+  /** Fused write-path enforcement: each staged row flows through an
+    * `assert_true` filter per active constraint — evaluated DURING the
+    * staging scan (no second pass; Delta's invariant-check operator).
+    * A violation fails the write loudly BEFORE any commit exists; the
+    * crashed-writer contract already makes the partial staging
+    * invisible. Nullable table columns the write omits evaluate as
+    * NULL (they read back as null), so constraints over them apply
+    * SQL unknown-passes semantics via literal-null substitution —
+    * which the optimizer folds away when the constraint then passes
+    * trivially. */
+  private def enforceConstraints(df: DataFrame, table: String): DataFrame = {
+    import org.apache.spark.sql.functions.{assert_true, isnull, lit}
+    val cs = constraints(table)
+    if (cs.isEmpty) return df
+    val have = df.schema.fieldNames.map(_.toLowerCase).toSet
+    val tableSchema = latestVersion(table).flatMap(v =>
+      snapshotFiles(table, Some(v))._2)
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+    val missing = tableSchema.map(_.fields.toSeq).getOrElse(Seq.empty)
+      .filter(f => !have.contains(f.name.toLowerCase))
+    val extended = missing.foldLeft(df)((d, f) =>
+      d.withColumn(f.name, lit(null).cast(f.dataType)))
+    val checked = cs.foldLeft(extended) { case (d, (name, sql)) =>
+      d.where(isnull(assert_true(constraintHolds(sql),
+        lit(s"CHECK constraint `$name` violated: $sql"))))
+    }
+    checked.select(df.columns.map(org.apache.spark.sql.functions.col).toSeq: _*)
+  }
+
+  /** ADD CONSTRAINT: validates the name and expression, proves the
+    * EXISTING data satisfies it (Delta scans on ADD too — a constraint
+    * must never be born broken), then lands a metadata-only commit
+    * whose props carry the extended set. Concurrent writers carry
+    * props forward on rebase, so the constraint survives races.
+    * Like Delta, [[restoreTo]] does NOT re-validate: restoring to a
+    * pre-constraint version can resurrect violating rows — the
+    * restore verb is an explicit time-travel escape hatch. */
+  def addConstraint(spark: SparkSession, table: String,
+      name: String, sql: String): Long = {
+    require(name.matches("[A-Za-z0-9_]+"), s"constraint name `$name` invalid")
+    val cur = constraints(table)
+    require(!cur.contains(name), s"constraint `$name` already exists")
+    val (_, schemaJson) = snapshotFiles(table,
+      Some(latestVersion(table).getOrElse(
+        throw new IllegalArgumentException(s"no such table: $table"))))
+    val violations = snapshot(spark, table)
+      .where(!constraintHolds(sql)).limit(1).count()
+    require(violations == 0L,
+      s"cannot add CHECK constraint `$name`: existing rows violate $sql")
+    val props = (cur + (name -> sql)).map { case (n, s) => s"$n=$s" }.toSeq.sorted
+    commitLoop(table, "addconstraint", Seq.empty, Seq.empty, _ => Seq.empty,
+      schemaJson.getOrElse(""), propsOverride = Some(props)).get
+  }
+
+  /** DROP CONSTRAINT: metadata-only commit with the shrunk set. */
+  def dropConstraint(spark: SparkSession, table: String, name: String): Long = {
+    val cur = constraints(table)
+    require(cur.contains(name), s"no such constraint: $name")
+    val (_, schemaJson) = snapshotFiles(table, latestVersion(table))
+    val props = (cur - name).map { case (n, s) => s"$n=$s" }.toSeq.sorted
+    commitLoop(table, "dropconstraint", Seq.empty, Seq.empty, _ => Seq.empty,
+      schemaJson.getOrElse(""), propsOverride = Some(props)).get
+  }
 
   /** Stage `df` as immutable parquet files under a unique subdir and
     * return their table-relative paths with per-file min/max stats for
@@ -357,7 +456,7 @@ object LakeTable {
   private def stage(df: DataFrame, table: String): (Seq[String], Seq[String]) = {
     val sub = s"stage-${java.util.UUID.randomUUID().toString.take(12)}"
     val dir = Paths.get(table, sub)
-    df.write.parquet(dir.toString)
+    enforceConstraints(df, table).write.parquet(dir.toString)
     val it = Files.list(dir)
     val files =
       try it.iterator().asScala
@@ -631,13 +730,17 @@ object LakeTable {
   private def commitLoop(table: String, op: String, add: Seq[String],
       stats: Seq[String], removeAt: Seq[Long] => Seq[String],
       schemaJson: String, txn: String = "",
-      abortIf: () => Boolean = () => false): Option[Long] = {
+      abortIf: () => Boolean = () => false,
+      propsOverride: Option[Seq[String]] = None): Option[Long] = {
     var tries = 0
     while (tries < MaxRetries) {
       if (abortIf()) return None // e.g. idempotence token already landed
       val base = versions(table)
       val next = base.lastOption.getOrElse(0L) + 1
-      val c = Commit(next, op, add, removeAt(base), schemaJson, stats, txn)
+      // props resolution happens in tryCommit (constraint-editing ops
+      // carry an explicit set, everything else inherits)
+      val c = Commit(next, op, add, removeAt(base), schemaJson, stats, txn,
+        props = propsOverride.getOrElse(Seq.empty))
       if (tryCommit(table, c)) { maybeCheckpoint(table, next); return Some(next) }
       tries += 1 // lost the race: rebase on the new latest and retry
     }

@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.lake.LakeTable
+
+/** Delta-style CHECK constraints on the lake write path: born-valid
+  * (ADD scans existing data), enforced FUSED into every staging scan,
+  * SQL unknown-passes null semantics, carried forward by every commit. */
+class LakeConstraintSpec extends SparkSpec {
+
+  private def freshTable(): String = {
+    val d = Files.createTempDirectory("graft_lake_ck").toString
+    DatasetCache.registerTempDir(d)
+    d
+  }
+
+  private def df(ids: Range) = {
+    import spark.implicits._
+    ids.map(_.toLong).toDF("id").withColumn("v", col("id") * 2)
+  }
+
+  test("add constraint refuses when existing rows violate it") {
+    val t = freshTable()
+    LakeTable.append(spark, t, df(0 until 10))
+    val e = intercept[IllegalArgumentException] {
+      LakeTable.addConstraint(spark, t, "small_id", "id < 5")
+    }
+    assert(e.getMessage.contains("existing rows violate"))
+    assert(LakeTable.constraints(t).isEmpty)
+  }
+
+  test("violating append fails loudly and commits NOTHING; table stays readable") {
+    val t = freshTable()
+    LakeTable.append(spark, t, df(0 until 10))
+    LakeTable.addConstraint(spark, t, "id_bound", "id < 100")
+    val before = LakeTable.latestVersion(t)
+    val e = intercept[Exception] { LakeTable.append(spark, t, df(95 until 105)) }
+    assert(e.getMessage.contains("id_bound") ||
+      String.valueOf(e.getCause).contains("id_bound"))
+    assert(LakeTable.latestVersion(t) == before, "a failed write left a commit")
+    assert(LakeTable.snapshot(spark, t).count() == 10)
+    // a satisfying append still lands, and the constraint survives it
+    LakeTable.append(spark, t, df(10 until 20))
+    assert(LakeTable.snapshot(spark, t).count() == 20)
+    assert(LakeTable.constraints(t) == Map("id_bound" -> "id < 100"))
+  }
+
+  test("NULL passes (SQL unknown-passes), including omitted nullable columns") {
+    import spark.implicits._
+    val t = freshTable()
+    LakeTable.append(spark, t,
+      Seq((0L, Some(1L)), (1L, None)).toDF("id", "v"))
+    LakeTable.addConstraint(spark, t, "v_pos", "v > 0") // null v passes
+    LakeTable.append(spark, t, Seq((2L, Option.empty[Long])).toDF("id", "v"))
+    // a write omitting v entirely: v reads back null -> unknown -> passes
+    LakeTable.append(spark, t, Seq(3L).toDF("id"))
+    assert(LakeTable.snapshot(spark, t).count() == 4)
+    val e = intercept[Exception] {
+      LakeTable.append(spark, t, Seq((4L, Some(-1L))).toDF("id", "v"))
+    }
+    assert(e.getMessage.contains("v_pos") ||
+      String.valueOf(e.getCause).contains("v_pos"))
+  }
+
+  test("updateWhere assignments are constrained; drop lifts enforcement") {
+    val t = freshTable()
+    LakeTable.append(spark, t, df(0 until 10))
+    LakeTable.addConstraint(spark, t, "v_small", "v < 1000")
+    intercept[Exception] {
+      LakeTable.updateWhere(spark, t, "id", 0.0, 5.0, Map("v" -> 5000L))
+    }
+    assert(LakeTable.snapshot(spark, t).filter(col("v") === 5000L).count() == 0)
+    LakeTable.dropConstraint(spark, t, "v_small")
+    assert(LakeTable.constraints(t).isEmpty)
+    LakeTable.updateWhere(spark, t, "id", 0.0, 5.0, Map("v" -> 5000L))
+    assert(LakeTable.snapshot(spark, t).filter(col("v") === 5000L).count() > 0)
+  }
+
+  test("constraints survive unrelated DML, optimize and a concurrent-writer rebase") {
+    val t = freshTable()
+    LakeTable.append(spark, t, df(0 until 50))
+    LakeTable.addConstraint(spark, t, "id_nonneg", "id >= 0")
+    LakeTable.deleteWhere(spark, t, "id", 40.0, 49.0)
+    LakeTable.optimize(spark, t, "id", "v")
+    assert(LakeTable.constraints(t) == Map("id_nonneg" -> "id >= 0"))
+    // racing appenders: every surviving commit must still carry props
+    val threads = (0 until 4).map { i =>
+      new Thread(() => LakeTable.append(spark, t, df(100 + i * 10 until 100 + i * 10 + 5)))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(LakeTable.constraints(t) == Map("id_nonneg" -> "id >= 0"))
+  }
+}
