@@ -62,13 +62,15 @@ object Bench {
         () => graft.text.TextOps.prebuildLmIndex(spark, sfDir)),
       ("bpe_merges", _.startsWith("doc_bpe"),
         () => graft.text.TextOps.prebuildBpeMerges(6)(spark, sfDir)),
-      ("sq8_ranges", _.startsWith("emb_sq8"),
+      ("sq8_ranges", n => n.startsWith("emb_sq8") || n.startsWith("emb_ivfsq8"),
         () => graft.sim.Sq8.prebuildRanges(spark, sfDir)),
+      ("sq8_codes_layout", _.startsWith("emb_ivfsq8"),
+        () => graft.sim.Sq8.prebuildCodesLayout(spark, sfDir)),
       ("pq_codes_layout", n => n.startsWith("emb_pq_topk") ||
         n.startsWith("emb_pq_rerank") || n.startsWith("emb_ivfpq"),
         () => graft.sim.Pq.prebuildCodesLayout(spark, sfDir)),
       // the partitioned-layout build feeds only the `_part` probe arm
-      ("ivf_layout", n => n.startsWith("emb_ivf") && !n.startsWith("emb_ivfpq"),
+      ("ivf_layout", n => n.startsWith("emb_ivf") && !n.startsWith("emb_ivfpq") && !n.startsWith("emb_ivfsq8"),
         () => { graft.sim.Ivf.layoutPath(spark, sfDir); () }),
       ("ann_layout", _.startsWith("emb_lsh"),
         () => graft.sim.SimOps.prebuildAnnLayout(spark, sfDir)),

@@ -98,11 +98,11 @@ object Sq8 {
       .limit(k)
   }
 
-  /** Oracle: recompute ranges + codes + integer ADC in SQL, then the
-    * exact rerank tail — the same three stages. */
-  def topKSql(queryId: Long, shortlist: Int, k: Int): String =
-    s"""WITH ${Ivf.qCteSql},
-       |st AS (
+  /** The range-training + encoding chain as oracle CTEs: `st` (per-dim
+    * min/rng), `sa` (as lists incl. weights), `cds` (codes), `qc` (the
+    * query's codes). */
+  private def chainCtesSql(queryId: Long): String =
+    s"""st AS (
        |  SELECT i, min(qv[i]) AS mn, greatest(max(qv[i]) - min(qv[i]), 1) AS rng
        |  FROM q, (SELECT unnest(range(1, ${Dim + 1})) AS i) GROUP BY i),
        |sa AS (
@@ -113,18 +113,120 @@ object Sq8 {
        |  SELECT vec_id, list_transform(range(1, ${Dim + 1}),
        |    i -> least((qv[i] - mns[i]) * 255 // rngs[i], 255)) AS cd
        |  FROM q, sa),
-       |qc AS (SELECT cd AS qcd FROM cds WHERE vec_id = $queryId),
-       |short AS (
-       |  SELECT c.vec_id FROM cds c, qc, sa
-       |  WHERE c.vec_id != $queryId
+       |qc AS (SELECT cd AS qcd FROM cds WHERE vec_id = $queryId)""".stripMargin
+
+  /** Integer-ADC shortlist CTE over `cds`; `extraFrom`/`extraWhere`
+    * let the IVF composition restrict to probed cells. */
+  private def shortCteSql(queryId: Long, n: Int,
+      extraFrom: String = "", extraWhere: String = ""): String =
+    s"""short AS (
+       |  SELECT c.vec_id FROM cds c, qc, sa $extraFrom
+       |  WHERE c.vec_id != $queryId $extraWhere
        |  ORDER BY CAST(list_sum(list_transform(range(1, ${Dim + 1}),
        |    i -> ((c.cd[i] - qcd[i]) * ws[i]) * ((c.cd[i] - qcd[i]) * ws[i]))) AS BIGINT) ASC,
        |    c.vec_id ASC
-       |  LIMIT $shortlist)
-       |SELECT e.vec_id,
+       |  LIMIT $n)""".stripMargin
+
+  private def rerankTailSql(queryId: Long, k: Int): String =
+    s"""SELECT e.vec_id,
        |  round(list_sum(list_transform(range(1, ${Dim + 1}), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qe.embedding[i] AS DOUBLE))), 6) AS sim
        |FROM embeddings e
        |JOIN short ON e.vec_id = short.vec_id
        |JOIN (SELECT embedding FROM embeddings WHERE vec_id = $queryId) AS qe ON TRUE
-       |ORDER BY sim DESC, e.vec_id ASC LIMIT $k""".stripMargin.replace("\n", " ")
+       |ORDER BY sim DESC, e.vec_id ASC LIMIT $k""".stripMargin
+
+  /** Oracle: recompute ranges + codes + integer ADC in SQL, then the
+    * exact rerank tail — the same three stages. */
+  def topKSql(queryId: Long, shortlist: Int, k: Int): String =
+    s"""WITH ${Ivf.qCteSql},
+       |${chainCtesSql(queryId)},
+       |${shortCteSql(queryId, shortlist)}
+       |${rerankTailSql(queryId, k)}""".stripMargin.replace("\n", " ")
+
+  // ---- IVF-SQ8: cells route → bytes rank → floats re-score ------------
+
+  private val layoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** cid-partitioned SQ8 code index — what Faiss persists as
+    * `IVF<K>,SQ8`, its most common on-disk index: the inverted-list
+    * layout holds 64 B codes per vector, so a probe reads
+    * ~nprobe/K of the corpus at 1/4 float width, file-pruned by the
+    * partition column. Built once per dataset like [[Pq.codesLayoutPath]]. */
+  def codesLayoutPath(spark: SparkSession, dir: String): String =
+    layoutCache.computeIfAbsent(
+      graft.DatasetCache.snapshotKey(spark, dir, "embeddings.parquet"), { _ =>
+        val path = graft.DatasetCache.registerTempDir(
+          java.nio.file.Files.createTempDirectory("graft_sq8_codes").toString)
+        val (mns, rngs, _) = trainCached(spark, dir)
+        Ivf.quantized(spark, dir).select(col("vec_id"),
+            expr(s"zip_with(zip_with(qv, ${litArr(mns)}, (x, mn) -> x - mn), " +
+              s"${litArr(rngs)}, (d, rng) -> least(d * 255L div rng, 255L))").as("cd"),
+            Ivf.nearest(Ivf.trainCached(spark, dir)).getField("cid").as("cid"))
+          .write.mode("overwrite").partitionBy("cid").parquet(path)
+        path
+      })
+
+  /** Force the one-time code-index build (bench isolation hook). */
+  def prebuildCodesLayout(spark: SparkSession, dir: String): Unit = {
+    codesLayoutPath(spark, dir)
+    ()
+  }
+
+  /** The same encoding, driver-side, for the query vector. */
+  private def encodeQuery(qv: Array[Long], mns: Array[Long],
+      rngs: Array[Long]): Array[Long] =
+    Array.tabulate(Dim)(i => math.min((qv(i) - mns(i)) * 255L / rngs(i), 255L))
+
+  /** IVF-SQ8 top-k: probe `nprobe` cells (file-pruned partitions of
+    * the code index), rank their 64 B codes by integer ADC, exact-
+    * rerank the shortlist — each stage cuts what the next reads
+    * (cells → bytes → floats). */
+  def ivfSq8TopK(queryId: Long, k: Int, nprobe: Int, shortlist: Int)(
+      spark: SparkSession, dir: String): DataFrame = {
+    val centroids = Ivf.trainCached(spark, dir)
+    val (mns, rngs, ws) = trainCached(spark, dir)
+    val qe = SimOps.embeddings(spark, dir)
+      .filter(col("vec_id") === queryId).select(col("embedding").as("qe"))
+    Ivf.quantized(spark, dir).filter(col("vec_id") === queryId)
+      .select("qv").collect().headOption match {
+      case None => SimOps.emptyTopK(spark) // unknown id: empty, like the oracle
+      case Some(row) =>
+        val qv = row.getSeq[Long](0).toArray
+        val probed = Ivf.probeCells(centroids, qv, nprobe)
+        val qcd = encodeQuery(qv, mns, rngs)
+        val short = spark.read.parquet(codesLayoutPath(spark, dir))
+          .filter(col("cid").isin(probed: _*) && col("vec_id") =!= queryId)
+          .select(col("vec_id"),
+            expr(s"aggregate(zip_with(zip_with(cd, ${litArr(qcd)}, (a, b) -> a - b), " +
+              s"${litArr(ws)}, (d, w) -> (d * w) * (d * w)), 0L, (acc, v) -> acc + v)")
+              .as("ad"))
+          .orderBy(col("ad").asc, col("vec_id").asc)
+          .limit(shortlist)
+          .select("vec_id")
+        SimOps.embeddings(spark, dir)
+          .join(broadcast(short), "vec_id")
+          .crossJoin(broadcast(qe))
+          .select(col("vec_id"),
+            round(SimOps.dot(col("embedding"), col("qe")), 6).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id").asc)
+          .limit(k)
+    }
+  }
+
+  /** IVF-SQ8 oracle: the IVF chain (assignment + probes) and the SQ8
+    * chain share one quantize CTE; the ADC shortlist is restricted to
+    * probed cells, then exact-reranked. */
+  def ivfSq8TopKSql(queryId: Long, k: Int, nprobe: Int, shortlist: Int): String =
+    s"""WITH ${Ivf.qCteSql},
+       |${Ivf.chainBodySql(Ivf.LloydSteps)},
+       |${chainCtesSql(queryId)},
+       |probes AS (
+       |  SELECT c.cid FROM c${Ivf.LloydSteps} c, (SELECT qv FROM q WHERE vec_id = $queryId) AS qq
+       |  ORDER BY CAST(list_sum(list_transform(range(1,${Dim + 1}), i -> (qq.qv[i]-c.cv[i])*(qq.qv[i]-c.cv[i]))) AS BIGINT), c.cid
+       |  LIMIT $nprobe),
+       |${shortCteSql(queryId, shortlist,
+          extraFrom = ", afin",
+          extraWhere = s"AND afin.vec_id = c.vec_id AND afin.cid IN (SELECT cid FROM probes)")}
+       |${rerankTailSql(queryId, k)}""".stripMargin.replace("\n", " ")
 }

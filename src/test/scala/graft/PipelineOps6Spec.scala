@@ -39,6 +39,23 @@ class PipelineOps6Spec extends SparkSpec {
     assert(sq8 >= pq, s"sq8 $sq8 < pq-rerank $pq at shortlist 50")
   }
 
+  test("ivf-sq8 recall@10 >= ivf recall (same probes; byte codes + rerank lose nothing)") {
+    val exact = ids(SimOps.topK(0L, 10)(spark, sf001))
+    val ivf = (ids(graft.sim.Ivf.topK(0L, 10, 2)(spark, sf001)) & exact).size
+    val ivfsq8 = (ids(Sq8.ivfSq8TopK(0L, 10, 2, 50)(spark, sf001)) & exact).size
+    info(s"ivf-sq8 recall@10 = $ivfsq8/10 (ivf exact-scan arm: $ivf/10)")
+    // both arms see the same 2 probed cells; SQ8's 50-deep shortlist +
+    // exact rerank must retrieve everything the exact cell scan does
+    assert(ivfsq8 >= ivf, s"ivf-sq8 $ivfsq8 < ivf $ivf at the same nprobe")
+  }
+
+  test("ivf-sq8 probe is file-pruned: PartitionFilters restrict to the probed cells") {
+    val plan = Sq8.ivfSq8TopK(0L, 10, 2, 50)(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cid"),
+      s"code-index scan is not partition-pruned:\n${plan.take(2000)}")
+  }
+
   // ---- Bloom decontamination ------------------------------------------
 
   test("bloom-prescreened contamination is row-identical to the exact join") {
