@@ -190,18 +190,19 @@ object MgSketchAgg {
 
   /** Register `mg_sketch(term, k)` (k a foldable int literal) in the
     * session registry — same pattern as [[HllSketchAgg.register]]. */
+  /** Expression-list builder shared by [[register]] and the
+    * [[graft.plans.GraftExtensions]] SQL-only injection. */
+  def build(exprs: Seq[Expression]): MgSketchAgg = {
+    require(exprs.length == 2 && exprs(1).foldable,
+      "mg_sketch(term, k): k must be a literal")
+    MgSketchAgg(exprs.head,
+      exprs(1).eval(null).asInstanceOf[Number].intValue())
+  }
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     val id = org.apache.spark.sql.catalyst.FunctionIdentifier("mg_sketch")
     if (!registry.functionExists(id))
-      registry.createOrReplaceTempFunction(
-        "mg_sketch",
-        (exprs: Seq[Expression]) => {
-          require(exprs.length == 2 && exprs(1).foldable,
-            "mg_sketch(term, k): k must be a literal")
-          MgSketchAgg(exprs.head,
-            exprs(1).eval(null).asInstanceOf[Number].intValue())
-        },
-        "internal")
+      registry.createOrReplaceTempFunction("mg_sketch", build, "internal")
   }
 }

@@ -133,6 +133,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectPostHocResolutionRule(_ => graft.lake.LakeSqlMerge)
     e.injectFunction(GraftExtensions.fvecDotDescriptor)
     e.injectFunction(GraftExtensions.hllSketchDescriptor)
+    e.injectFunction(GraftExtensions.mgSketchDescriptor)
   }
 }
 
@@ -154,6 +155,12 @@ object GraftExtensions {
     FunctionIdentifier("hll_sketch"),
     new ExpressionInfo(classOf[graft.functions.HllSketchAgg].getName, "hll_sketch"),
     (exprs: Seq[Expression]) => graft.functions.HllSketchAgg(exprs.head))
+
+  private[graft] val mgSketchDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("mg_sketch"),
+    new ExpressionInfo(classOf[graft.functions.MgSketchAgg].getName, "mg_sketch"),
+    (exprs: Seq[Expression]) => graft.functions.MgSketchAgg.build(exprs))
 
   /** Attach the rule + functions to an already-built session
     * (tests / notebooks without the conf). */

@@ -52,6 +52,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("mg_sketch resolves and sketches in pure SQL via the extensions conf") {
+    withExtensionSession { s =>
+      val r = s.sql(
+        """SELECT sk.n AS n, sk.terms AS terms FROM (
+          |  SELECT mg_sketch(t, 4) AS sk FROM (
+          |    SELECT explode(array('a','a','a','b','c')) AS t))
+          |""".stripMargin).head()
+      assert(r.getLong(0) == 5L)
+      assert(r.getSeq[String](1).contains("a"))
+    }
+  }
+
   test("circle-prefilter rule is active in the extension session's optimizer") {
     withExtensionSession { s =>
       import s.implicits._

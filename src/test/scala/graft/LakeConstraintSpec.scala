@@ -79,6 +79,23 @@ class LakeConstraintSpec extends SparkSpec {
     assert(LakeTable.snapshot(spark, t).filter(col("v") === 5000L).count() > 0)
   }
 
+  test("SQL INSERT INTO a constrained table is enforced (the rewrite hits the same append)") {
+    val r = Files.createTempDirectory("lake_ck_sql").toString
+    DatasetCache.registerTempDir(r)
+    LakeTable.append(spark, s"$r/ns/t", df(0 until 10))
+    LakeTable.addConstraint(spark, s"$r/ns/t", "id_cap", "id < 100")
+    spark.conf.set("spark.sql.catalog.cklake", classOf[graft.lake.LakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cklake.root", r)
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO cklake.ns.t SELECT id, id * 2 AS v FROM range(95, 105)")
+    }
+    assert(e.getMessage.contains("id_cap") ||
+      String.valueOf(e.getCause).contains("id_cap"))
+    assert(LakeTable.snapshot(spark, s"$r/ns/t").count() == 10)
+    spark.sql("INSERT INTO cklake.ns.t SELECT id, id * 2 AS v FROM range(10, 20)")
+    assert(LakeTable.snapshot(spark, s"$r/ns/t").count() == 20)
+  }
+
   test("constraints survive unrelated DML, optimize and a concurrent-writer rebase") {
     val t = freshTable()
     LakeTable.append(spark, t, df(0 until 50))

@@ -98,6 +98,20 @@ class PipelineOps6Spec extends SparkSpec {
     assert(m(2) == ((3L, "aa", "aa", 3L)), s"step3 was ${m(2)}")
   }
 
+  test("bpe stops early on a pair-free corpus; tokenize is then the identity") {
+    val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpe_edge").toString
+    // single-char words only: no adjacent pairs exist, 0 merges happen
+    Seq((0L, "a b c"), (1L, "b c a")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    assert(TextOps.docBpeMerges(6)(spark, dir).count() == 0)
+    val t = TextOps.docBpeTokenize(6)(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(t.toSeq == Seq((0L, 3L, 3L), (1L, 3L, 3L)),
+      s"single-char words must tokenize to themselves, got ${t.toSeq}")
+  }
+
   // ---- anomaly cells --------------------------------------------------
 
   test("events_anomaly flags a planted hour spike and only spikes (one-sided)") {
