@@ -727,6 +727,69 @@ object TextOps {
       .orderBy("d1", "d2")
   }
 
+  /** Incremental batch dedup — the production shape: a NEW crawl batch
+    * (the last 1/`den` of doc ids) dedups against the STANDING corpus
+    * and against earlier docs in its own batch, greedily keep-first
+    * (a new doc matching ANY earlier doc at jaccard ≥ tau drops; the
+    * blamed doc is the smallest matching earlier id). Output: one
+    * decision row per new doc.
+    *
+    * Scale design: the candidate join is new-side × earlier-side on
+    * the capped shingle hash — `b.doc_id < a.doc_id` with `a` bound to
+    * the batch, so the standing corpus' old×old pairs are NEVER
+    * recomputed per batch (the whole point of incremental dedup: work
+    * is |batch|-proportional, not |corpus|²). Same df-capped index,
+    * integer-ppm jaccard, and unhinted count joins as
+    * [[ngramJaccardPairs]]. The batch boundary is a plan-time scalar
+    * (one max(doc_id) read — 8 bytes). */
+  def dedupIncremental(den: Long, tau: Double, dfCap: Int = ShingleDfCap)(
+      spark: SparkSession, dir: String): DataFrame = {
+    val maxId = docs(spark, dir).agg(max("doc_id")).head.getLong(0)
+    val split = maxId * (den - 1) / den + 1
+    val sh = cappedShingles(spark, dir, dfCap)
+    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val newSh = sh.filter(col("doc_id") >= split)
+    val matches = newSh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("b.doc_id") < col("a.doc_id"))
+      .groupBy(col("a.doc_id").as("d_new"), col("b.doc_id").as("d_prev"))
+      .agg(count(lit(1)).as("inter"))
+      .join(n.as("na"), col("d_new") === col("na.doc_id"))
+      .join(n.as("nb"), col("d_prev") === col("nb.doc_id"))
+      .select(col("d_new"), col("d_prev"),
+        expr("(inter * 1000000) div (na.n + nb.n - inter)").as("jaccard_ppm"))
+      .filter(col("jaccard_ppm") >= math.round(tau * 1e6))
+      .groupBy(col("d_new"))
+      .agg(min("d_prev").as("matched_prev"), count(lit(1)).as("n_matches"))
+    docs(spark, dir).filter(col("doc_id") >= split).select("doc_id")
+      .join(matches, col("doc_id") === col("d_new"), "left")
+      .select(col("doc_id"),
+        col("matched_prev").isNull.as("keep"),
+        col("matched_prev"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"))
+      .orderBy("doc_id")
+  }
+
+  def dedupIncrementalSql(den: Long, tau: Double,
+      dfCap: Int = ShingleDfCap): String =
+    s"""WITH sh0 AS (SELECT doc_id, CAST('0x'||substr(md5(s),1,15) AS BIGINT) AS h FROM ($shinglesSql)),
+       | hot AS (SELECT h FROM sh0 GROUP BY h HAVING count(*) > $dfCap),
+       | sh AS (SELECT sh0.* FROM sh0 ANTI JOIN hot USING (h)),
+       | n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       | sp AS (SELECT max(doc_id) * ($den - 1) // $den + 1 AS split FROM documents),
+       | m AS (
+       |  SELECT d_new, min(d_prev) AS matched_prev, count(*) AS n_matches FROM (
+       |   SELECT a.doc_id AS d_new, b.doc_id AS d_prev, count(*) AS inter
+       |   FROM sh a JOIN sh b ON a.h = b.h AND b.doc_id < a.doc_id, sp
+       |   WHERE a.doc_id >= sp.split GROUP BY 1, 2) p
+       |  JOIN n na ON na.doc_id = d_new JOIN n nb ON nb.doc_id = d_prev
+       |  WHERE inter * 1000000 // (na.n + nb.n - inter) >= ${math.round(tau * 1e6)}
+       |  GROUP BY d_new)
+       | SELECT d.doc_id, m.matched_prev IS NULL AS keep, m.matched_prev,
+       |  COALESCE(m.n_matches, 0) AS n_matches
+       | FROM (SELECT doc_id FROM documents, sp WHERE doc_id >= sp.split) d
+       | LEFT JOIN m ON d.doc_id = m.d_new
+       | ORDER BY d.doc_id""".stripMargin.replace("\n", " ")
+
   def ngramJaccardPairsSql(tau: Double, dfCap: Int = ShingleDfCap): String =
     s"""WITH sh0 AS (SELECT doc_id, CAST('0x'||substr(md5(s),1,15) AS BIGINT) AS h FROM ($shinglesSql)),
        | hot AS (SELECT h FROM sh0 GROUP BY h HAVING count(*) > $dfCap),

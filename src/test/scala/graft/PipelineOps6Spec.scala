@@ -64,6 +64,22 @@ class PipelineOps6Spec extends SparkSpec {
     assert(bloom == exact)
   }
 
+  test("incremental dedup decisions agree with the full pair relation") {
+    val split = {
+      val m = TextOps.docs(spark, sf001).agg(max("doc_id")).head.getLong(0)
+      m * 4 / 5 + 1
+    }
+    val dropped = TextOps.dedupIncremental(5L, TextOps.DupClusterTau)(spark, sf001)
+      .filter(!col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    // ground truth: a new doc drops iff the FULL pair relation holds a
+    // tau-pair linking it to any earlier doc (d1 < d2 in pairs output)
+    val fromPairs = TextOps.ngramJaccardPairs(TextOps.DupClusterTau)(spark, sf001)
+      .filter(col("d2") >= split)
+      .select("d2").collect().map(_.getLong(0)).toSet
+    assert(dropped == fromPairs,
+      s"incremental drops $dropped != pair-relation drops $fromPairs")
+  }
+
   // ---- BPE merge training ---------------------------------------------
 
   test("bpe merge counts are non-increasing across steps") {
