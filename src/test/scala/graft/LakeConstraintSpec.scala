@@ -96,6 +96,25 @@ class LakeConstraintSpec extends SparkSpec {
     assert(LakeTable.snapshot(spark, s"$r/ns/t").count() == 20)
   }
 
+  test("streaming sink enforces constraints: a violating micro-batch fails, nothing lands") {
+    val t = freshTable()
+    LakeTable.append(spark, t, df(0 until 10))
+    LakeTable.addConstraint(spark, t, "id_cap", "id < 1000")
+    val src = Files.createTempDirectory("lake_ck_src").toString
+    DatasetCache.registerTempDir(src)
+    df(995 until 1005).coalesce(1).write.mode("overwrite").parquet(src)
+    val ckpt = Files.createTempDirectory("lake_ck_ckpt").toString
+    DatasetCache.registerTempDir(ckpt)
+    val q = graft.lake.LakeSink.start(
+      spark.readStream.schema(df(0 until 1).schema).parquet(src),
+      t, "ck_ingest", ckpt)
+    val e = intercept[Exception] { q.awaitTermination(120000) }
+    assert(String.valueOf(e.getMessage).contains("id_cap") ||
+      String.valueOf(e.getCause).contains("id_cap"))
+    assert(LakeTable.snapshot(spark, t).count() == 10,
+      "a violating micro-batch must commit nothing")
+  }
+
   test("constraints survive unrelated DML, optimize and a concurrent-writer rebase") {
     val t = freshTable()
     LakeTable.append(spark, t, df(0 until 50))
