@@ -188,9 +188,8 @@ object MgSketchAgg {
       minStored = if (counts.isEmpty) Long.MaxValue else counts.values.min
   }
 
-  /** Register `mg_sketch(term, k)` (k a foldable int literal) in the
-    * session registry — same pattern as [[HllSketchAgg.register]]. */
-  /** Expression-list builder shared by [[register]] and the
+  /** `mg_sketch(term, k)` expression builder (k a foldable int
+    * literal) — shared by [[register]] and the
     * [[graft.plans.GraftExtensions]] SQL-only injection. */
   def build(exprs: Seq[Expression]): MgSketchAgg = {
     require(exprs.length == 2 && exprs(1).foldable,
@@ -199,6 +198,8 @@ object MgSketchAgg {
       exprs(1).eval(null).asInstanceOf[Number].intValue())
   }
 
+  /** Register `mg_sketch` in the session registry — same pattern as
+    * [[HllSketchAgg.register]]. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     val id = org.apache.spark.sql.catalyst.FunctionIdentifier("mg_sketch")

@@ -376,11 +376,40 @@ object LakeTable {
         if (i <= 0) None else Some(p.take(i) -> p.drop(i + 1))
       }.toMap
 
+  /** The raw prop entries of the newest commit (currently: constraint
+    * definitions) — what every data commit must re-assert. */
+  private def currentProps(table: String): Seq[String] =
+    latestVersion(table).map(readCommit(table, _).props).getOrElse(Seq.empty)
+
   /** SQL-standard CHECK semantics: a row violates only when the
     * expression is strictly FALSE — NULL (unknown) passes. */
   private def constraintHolds(sql: String): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit}
     coalesce(expr(sql).cast("boolean"), lit(true))
+  }
+
+  /** Column names a constraint expression references (unresolved). */
+  private def constraintRefs(sql: String): Seq[String] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(sql)
+      .collect { case ua: UnresolvedAttribute => ua.name }
+  }
+
+  /** Refuse a schema-replacing write that drops a column an active
+    * CHECK constraint references — otherwise the constraint passes the
+    * replacing batch via null-substitution and then every later write
+    * dies in analysis ('cannot resolve ...') until the constraint is
+    * dropped by hand. Delta refuses the metadata change the same way. */
+  private def requireConstraintColumns(table: String,
+      newSchema: StructType, op: String): Unit = {
+    val have = newSchema.fieldNames.map(_.toLowerCase).toSet
+    constraints(table).foreach { case (name, sql) =>
+      val missing = constraintRefs(sql).filterNot(r => have(r.toLowerCase))
+      require(missing.isEmpty,
+        s"$op on $table drops column(s) ${missing.mkString(", ")} referenced " +
+          s"by CHECK constraint `$name` ($sql); drop the constraint first")
+    }
   }
 
   /** Fused write-path enforcement: each staged row flows through an
@@ -422,19 +451,41 @@ object LakeTable {
     * restore verb is an explicit time-travel escape hatch. */
   def addConstraint(spark: SparkSession, table: String,
       name: String, sql: String): Long = {
+    import org.apache.spark.sql.functions.expr
     require(name.matches("[A-Za-z0-9_]+"), s"constraint name `$name` invalid")
-    val cur = constraints(table)
-    require(!cur.contains(name), s"constraint `$name` already exists")
-    val (_, schemaJson) = snapshotFiles(table,
-      Some(latestVersion(table).getOrElse(
-        throw new IllegalArgumentException(s"no such table: $table"))))
-    val violations = snapshot(spark, table)
-      .where(!constraintHolds(sql)).limit(1).count()
-    require(violations == 0L,
-      s"cannot add CHECK constraint `$name`: existing rows violate $sql")
-    val props = (cur + (name -> sql)).map { case (n, s) => s"$n=$s" }.toSeq.sorted
-    commitLoop(table, "addconstraint", Seq.empty, Seq.empty, _ => Seq.empty,
-      schemaJson.getOrElse(""), propsOverride = Some(props)).get
+    // the expression must RESOLVE to boolean against the table: a
+    // string-typed (or typo'd) expression would cast to NULL per row,
+    // 'unknown passes', and the constraint would be accepted yet
+    // enforce nothing, forever — Delta rejects non-boolean CHECKs too
+    val dt = snapshot(spark, table).select(expr(sql)).schema.head.dataType
+    require(dt == org.apache.spark.sql.types.BooleanType,
+      s"CHECK constraint `$name` must be a boolean expression; " +
+        s"`$sql` has type ${dt.simpleString}")
+    // validate-then-commit is pinned: the commit only lands at exactly
+    // the version the validation scan saw, so a write sneaking in
+    // between scan and commit forces a re-validation pass (otherwise a
+    // racing violating append would be committed UNDER the constraint,
+    // breaking born-valid)
+    var tries = 0
+    while (tries < MaxRetries) {
+      val cur = constraints(table)
+      require(!cur.contains(name), s"constraint `$name` already exists")
+      val v0 = latestVersion(table).getOrElse(
+        throw new IllegalArgumentException(s"no such table: $table"))
+      val (_, schemaJson) = snapshotFiles(table, Some(v0))
+      val violations = snapshot(spark, table, Some(v0))
+        .where(!constraintHolds(sql)).limit(1).count()
+      require(violations == 0L,
+        s"cannot add CHECK constraint `$name`: existing rows violate $sql")
+      raceHook("addconstraint") // test seam: a writer lands post-validation
+      val props = (cur + (name -> sql)).map { case (n, s) => s"$n=$s" }.toSeq.sorted
+      val c = Commit(v0 + 1, "addconstraint", Seq.empty, Seq.empty,
+        schemaJson.getOrElse(""), props = props)
+      if (tryCommit(table, c)) { maybeCheckpoint(table, v0 + 1); return v0 + 1 }
+      tries += 1 // someone committed after the scan: re-validate at the new tip
+    }
+    throw new IllegalStateException(
+      s"addConstraint on $table failed after $MaxRetries validate-commit retries")
   }
 
   /** DROP CONSTRAINT: metadata-only commit with the shrunk set. */
@@ -731,11 +782,27 @@ object LakeTable {
       stats: Seq[String], removeAt: Seq[Long] => Seq[String],
       schemaJson: String, txn: String = "",
       abortIf: () => Boolean = () => false,
-      propsOverride: Option[Seq[String]] = None): Option[Long] = {
+      propsOverride: Option[Seq[String]] = None,
+      enforcedProps: Option[Seq[String]] = None): Option[Long] = {
+    raceHook(op)
     var tries = 0
     while (tries < MaxRetries) {
       if (abortIf()) return None // e.g. idempotence token already landed
       val base = versions(table)
+      // blind appends rebase over ANYTHING — so a constraint that landed
+      // after this write's rows were staged (and therefore checked
+      // against the OLD set) would otherwise be committed around:
+      // refuse loudly instead (the write re-runs and re-stages under
+      // the new set). The rewrite verbs don't need this — their
+      // commitWithRebase already throws on any non-append winner.
+      enforcedProps.foreach { enforced =>
+        val current = base.lastOption
+          .map(readCommit(table, _).props).getOrElse(Seq.empty)
+        if (current != enforced)
+          throw new java.util.ConcurrentModificationException(
+            s"$op on $table: table constraints changed while this write " +
+              "was staging (checked against a stale set); re-run the write")
+      }
       val next = base.lastOption.getOrElse(0L) + 1
       // props resolution happens in tryCommit (constraint-editing ops
       // carry an explicit set, everything else inherits)
@@ -815,9 +882,11 @@ object LakeTable {
     * `mergeSchema=true` to add new columns (old rows read as null). */
   def append(spark: SparkSession, table: String, df: DataFrame,
       mergeSchema: Boolean = false): Long = {
+    val cs0 = currentProps(table)
     val schemaJson = evolvedSchemaJson(table, df, mergeSchema, "append")
     val (add, stats) = stage(df, table)
-    commitLoop(table, "append", add, stats, _ => Seq.empty, schemaJson).get
+    commitLoop(table, "append", add, stats, _ => Seq.empty, schemaJson,
+      enforcedProps = Some(cs0)).get
   }
 
   /** Idempotence tokens visible at the latest version: the newest
@@ -858,11 +927,13 @@ object LakeTable {
     def landed(): Boolean = committedTokens(table)(token)
     if (landed()) None
     else {
+      val cs0 = currentProps(table)
       val schemaJson = evolvedSchemaJson(table, df, mergeSchema = false,
         "appendIdempotent")
       val (add, stats) = stage(df, table)
       commitLoop(table, "append", add, stats, _ => Seq.empty,
-        schemaJson, txn = token, abortIf = () => landed())
+        schemaJson, txn = token, abortIf = () => landed(),
+        enforcedProps = Some(cs0))
     }
   }
 
@@ -871,11 +942,13 @@ object LakeTable {
     * winner on each retry (last-writer-wins serialization). Old files
     * stay on disk for time travel until [[vacuum]]. */
   def overwrite(spark: SparkSession, table: String, df: DataFrame): Long = {
+    val cs0 = currentProps(table)
+    requireConstraintColumns(table, df.schema, "overwrite")
     val (add, stats) = stage(df, table)
     commitLoop(table, "overwrite", add, stats,
       base => base.lastOption.map(v => snapshotFiles(table, Some(v))._1)
         .getOrElse(Seq.empty),
-      df.schema.json).get
+      df.schema.json, enforcedProps = Some(cs0)).get
   }
 
   /** Idempotent overwrite for replayable MAINTAINERS (e.g. incremental
@@ -896,11 +969,14 @@ object LakeTable {
     def landed(): Boolean = lastTxnVersion(table, appId).exists(_ >= txnVersion)
     if (landed()) None
     else {
+      val cs0 = currentProps(table)
+      requireConstraintColumns(table, df.schema, "overwriteIdempotent")
       val (add, stats) = stage(df, table)
       commitLoop(table, "overwrite", add, stats,
         base => base.lastOption.map(v => snapshotFiles(table, Some(v))._1)
           .getOrElse(Seq.empty),
-        df.schema.json, txn = s"$appId:$txnVersion", abortIf = () => landed())
+        df.schema.json, txn = s"$appId:$txnVersion", abortIf = () => landed(),
+        enforcedProps = Some(cs0))
     }
   }
 

@@ -61,14 +61,19 @@ object Sq8 {
   private def litArr(a: Array[Long]): String =
     a.mkString("array(", "L,", "L)")
 
+  /** The encoding expression over the `qv` column — the ONE definition
+    * both the flat codes relation and the partitioned layout use (a
+    * fork here would silently desynchronize them from the oracle). */
+  private def cdExpr(mns: Array[Long], rngs: Array[Long]): org.apache.spark.sql.Column =
+    expr(s"zip_with(zip_with(qv, ${litArr(mns)}, (x, mn) -> x - mn), " +
+      s"${litArr(rngs)}, (d, rng) -> least(d * 255L div rng, 255L))")
+
   /** Map-only SQ8 encoding: (vec_id, cd) with `cd: array<bigint>` of
     * values in [0, 255]. Mins/ranges ride as literal arrays inside one
     * codegen'd expression. */
   def codes(spark: SparkSession, dir: String): DataFrame = {
     val (mns, rngs, _) = trainCached(spark, dir)
-    Ivf.quantized(spark, dir).select(col("vec_id"),
-      expr(s"zip_with(zip_with(qv, ${litArr(mns)}, (x, mn) -> x - mn), " +
-        s"${litArr(rngs)}, (d, rng) -> least(d * 255L div rng, 255L))").as("cd"))
+    Ivf.quantized(spark, dir).select(col("vec_id"), cdExpr(mns, rngs).as("cd"))
   }
 
   /** SQ8 top-k: integer approximate distances over the code relation,
@@ -160,8 +165,7 @@ object Sq8 {
           java.nio.file.Files.createTempDirectory("graft_sq8_codes").toString)
         val (mns, rngs, _) = trainCached(spark, dir)
         Ivf.quantized(spark, dir).select(col("vec_id"),
-            expr(s"zip_with(zip_with(qv, ${litArr(mns)}, (x, mn) -> x - mn), " +
-              s"${litArr(rngs)}, (d, rng) -> least(d * 255L div rng, 255L))").as("cd"),
+            cdExpr(mns, rngs).as("cd"),
             Ivf.nearest(Ivf.trainCached(spark, dir)).getField("cid").as("cid"))
           .write.mode("overwrite").partitionBy("cid").parquet(path)
         path

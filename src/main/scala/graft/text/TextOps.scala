@@ -1855,7 +1855,12 @@ object TextOps {
   }
 
   /** The BPE CTE chain `v0..v{steps}` + `m1..m{steps}`; `v` carries
-    * (w, seq, freq) so the tokenize oracle can join back to the corpus. */
+    * (w, seq, freq) so the tokenize oracle can join back to the corpus.
+    * Each `v$s` applies its merge via LEFT JOIN ON TRUE: when merges
+    * exhaust before `steps` (tiny vocabularies), `m$s` is empty and a
+    * plain cross join would annihilate the vocabulary — the LEFT JOIN
+    * carries `seq` through unchanged, matching the Scala side's early
+    * stop, and the empty `m$s` contributes no row to the merge table. */
   private def bpeChainSql(steps: Int): String = {
     val sb = new StringBuilder
     sb ++= """v0 AS (
@@ -1871,8 +1876,11 @@ object TextOps {
       |     FROM v${s - 1})
       |  GROUP BY 1, 2),
       | m$s AS (SELECT p1, p2, cnt FROM ps$s ORDER BY cnt DESC, p1, p2 LIMIT 1),
-      | v$s AS (SELECT w, replace(seq, '|'||p1||'||'||p2||'|', '|'||p1||p2||'|') AS seq, freq
-      |   FROM v${s - 1}, m$s)""".stripMargin
+      | v$s AS (SELECT w,
+      |   CASE WHEN m.p1 IS NULL THEN seq
+      |    ELSE replace(seq, '|'||m.p1||'||'||m.p2||'|', '|'||m.p1||m.p2||'|') END AS seq,
+      |   freq
+      |   FROM v${s - 1} LEFT JOIN m$s m ON TRUE)""".stripMargin
     }
     sb.toString
   }

@@ -96,6 +96,73 @@ class LakeConstraintSpec extends SparkSpec {
     assert(LakeTable.snapshot(spark, s"$r/ns/t").count() == 20)
   }
 
+  test("non-boolean constraint expressions are refused at ADD (never silently vacuous)") {
+    val t = freshTable()
+    LakeTable.append(spark, t, df(0 until 5))
+    val e = intercept[IllegalArgumentException] {
+      LakeTable.addConstraint(spark, t, "oops", "'abc'")
+    }
+    assert(e.getMessage.contains("boolean"))
+    assert(LakeTable.constraints(t).isEmpty)
+    // unresolvable columns fail loudly too
+    intercept[Exception] { LakeTable.addConstraint(spark, t, "oops2", "nope > 0") }
+    assert(LakeTable.constraints(t).isEmpty)
+  }
+
+  test("overwrite cannot drop a column a CHECK constraint references") {
+    import spark.implicits._
+    val t = freshTable()
+    LakeTable.append(spark, t, df(1 until 6))
+    LakeTable.addConstraint(spark, t, "v_pos", "v > 0")
+    val e = intercept[IllegalArgumentException] {
+      LakeTable.overwrite(spark, t, Seq(9L).toDF("id"))
+    }
+    assert(e.getMessage.contains("v_pos"))
+    assert(LakeTable.snapshot(spark, t).count() == 5)
+    // a schema-keeping overwrite still works, and stays enforced
+    LakeTable.overwrite(spark, t, df(10 until 12))
+    assert(LakeTable.snapshot(spark, t).count() == 2)
+  }
+
+  test("addConstraint re-validates when a write lands between its scan and its commit") {
+    val t = freshTable()
+    LakeTable.append(spark, t, df(0 until 5))
+    // deterministically lose the race: a violating append commits right
+    // after the validation scan would have passed
+    val e = intercept[Exception] {
+      graft.lake.LakeTestHooks.withRaceHook(op =>
+        if (op == "addconstraint") {
+          graft.lake.LakeTestHooks.withRaceHook(_ => ())(
+            LakeTable.append(spark, t, df(500 until 505)))
+        }) {
+        LakeTable.addConstraint(spark, t, "id_cap", "id < 100")
+      }
+    }
+    assert(e.getMessage.contains("existing rows violate"),
+      s"constraint must re-validate at the new tip, got: ${e.getMessage}")
+    assert(LakeTable.constraints(t).isEmpty)
+  }
+
+  test("a staged write refuses to commit under a constraint added meanwhile") {
+    val t = freshTable()
+    LakeTable.append(spark, t, df(0 until 5))
+    // the violating append stages while the table is unconstrained; the
+    // constraint lands before its commit -> the append must refuse, not
+    // commit around the check
+    val e = intercept[java.util.ConcurrentModificationException] {
+      graft.lake.LakeTestHooks.withRaceHook(op =>
+        if (op == "append") {
+          graft.lake.LakeTestHooks.withRaceHook(_ => ())(
+            LakeTable.addConstraint(spark, t, "id_cap", "id < 100"))
+        }) {
+        LakeTable.append(spark, t, df(500 until 505))
+      }
+    }
+    assert(e.getMessage.contains("constraints changed"))
+    assert(LakeTable.snapshot(spark, t).count() == 5)
+    assert(LakeTable.constraints(t) == Map("id_cap" -> "id < 100"))
+  }
+
   test("streaming sink enforces constraints: a violating micro-batch fails, nothing lands") {
     val t = freshTable()
     LakeTable.append(spark, t, df(0 until 10))
