@@ -612,7 +612,7 @@ object EventOps {
     * nothing rescans events and nothing joins. */
   def anomalyCells(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val nsPerDay = NsPerHour * 24
+    val nsPerDay = NsPerDay
     val cells = events(spark, dir)
       .groupBy(col("event_type"),
         expr(s"ts div $nsPerDay").as("day_id"),
@@ -632,7 +632,7 @@ object EventOps {
   }
 
   val anomalyCellsSql: String = {
-    val nsPerDay = NsPerHour * 24
+    val nsPerDay = NsPerDay
     s"""WITH cells AS (
        |  SELECT event_type, epoch_ns(ts) // $nsPerDay AS day_id,
        |   (epoch_ns(ts) % $nsPerDay) // $NsPerHour AS hod, count(*) AS c

@@ -488,14 +488,28 @@ object LakeTable {
       s"addConstraint on $table failed after $MaxRetries validate-commit retries")
   }
 
-  /** DROP CONSTRAINT: metadata-only commit with the shrunk set. */
+  /** DROP CONSTRAINT: metadata-only commit with the shrunk set —
+    * PINNED like [[addConstraint]]: the shrunk set derives from the
+    * exact version the commit replaces, so a concurrent constraint
+    * edit makes the CAS lose and the drop recompute from the winner's
+    * set instead of silently erasing it on rebase. */
   def dropConstraint(spark: SparkSession, table: String, name: String): Long = {
-    val cur = constraints(table)
-    require(cur.contains(name), s"no such constraint: $name")
-    val (_, schemaJson) = snapshotFiles(table, latestVersion(table))
-    val props = (cur - name).map { case (n, s) => s"$n=$s" }.toSeq.sorted
-    commitLoop(table, "dropconstraint", Seq.empty, Seq.empty, _ => Seq.empty,
-      schemaJson.getOrElse(""), propsOverride = Some(props)).get
+    var tries = 0
+    while (tries < MaxRetries) {
+      val cur = constraints(table)
+      require(cur.contains(name), s"no such constraint: $name")
+      val v0 = latestVersion(table).getOrElse(
+        throw new IllegalArgumentException(s"no such table: $table"))
+      val (_, schemaJson) = snapshotFiles(table, Some(v0))
+      raceHook("dropconstraint") // test seam: a constraint edit lands here
+      val props = (cur - name).map { case (n, s) => s"$n=$s" }.toSeq.sorted
+      val c = Commit(v0 + 1, "dropconstraint", Seq.empty, Seq.empty,
+        schemaJson.getOrElse(""), props = props)
+      if (tryCommit(table, c)) { maybeCheckpoint(table, v0 + 1); return v0 + 1 }
+      tries += 1 // re-derive the shrunk set from the winner's props
+    }
+    throw new IllegalStateException(
+      s"dropConstraint on $table failed after $MaxRetries retries")
   }
 
   /** Stage `df` as immutable parquet files under a unique subdir and
@@ -1282,6 +1296,14 @@ object LakeTable {
           s"restore: `$rel` of snapshot v$version was vacuumed away; " +
             "the table cannot be restored past that vacuum")
       }
+    }
+    // restore resurrects the TARGET's schema but carries the CURRENT
+    // constraints forward (props inherit) — refuse when that schema
+    // lacks a column an active CHECK references, or every later write
+    // would die in analysis (same guard as overwrite)
+    targetSchema.foreach { sj =>
+      requireConstraintColumns(table,
+        DataType.fromJson(sj).asInstanceOf[StructType], "restore")
     }
     commitOrThrow(table,
       Commit(baseVersion + 1, "restore", add.map(_._1), remove,

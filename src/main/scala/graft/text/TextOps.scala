@@ -1582,8 +1582,9 @@ object TextOps {
     * combine; scoring re-joins the corpus pair relation on those keys —
     * vocabulary-sized relations, so NO broadcast hints (the policy) —
     * and the final per-document mean is one more keyed aggregation. */
-  /** Per-document LM relation (doc_id, lang, n_pairs, lm_ppm),
-    * unordered — shared by [[docLmScore]] and [[docCcnetBucket]]. */
+  /** Per-document LM relation (doc_id, n_pairs, lm_ppm), unordered —
+    * shared by [[docLmScore]] and [[docCcnetBucket]] (which joins
+    * `documents` itself for lang). */
   private def lmScoresRaw(spark: SparkSession, dir: String): DataFrame = {
     val w = words
     val prs = zip_with(

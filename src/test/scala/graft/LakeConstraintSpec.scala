@@ -163,6 +163,40 @@ class LakeConstraintSpec extends SparkSpec {
     assert(LakeTable.constraints(t) == Map("id_cap" -> "id < 100"))
   }
 
+  test("dropConstraint raced by addConstraint keeps the winner's constraint") {
+    val t = freshTable()
+    LakeTable.append(spark, t, df(0 until 5))
+    LakeTable.addConstraint(spark, t, "a_ck", "id >= 0")
+    var injected = false
+    graft.lake.LakeTestHooks.withRaceHook(op =>
+      if (op == "dropconstraint" && !injected) {
+        injected = true
+        graft.lake.LakeTestHooks.withRaceHook(_ => ())(
+          LakeTable.addConstraint(spark, t, "b_ck", "v >= 0"))
+      }) {
+      LakeTable.dropConstraint(spark, t, "a_ck")
+    }
+    // the retry must re-derive from the winner's set: b_ck survives
+    assert(LakeTable.constraints(t) == Map("b_ck" -> "v >= 0"),
+      s"concurrent addConstraint was erased: ${LakeTable.constraints(t)}")
+  }
+
+  test("restore refuses to resurrect a schema lacking a CHECK-referenced column") {
+    val t = freshTable()
+    import spark.implicits._
+    LakeTable.append(spark, t, Seq(1L, 2L).toDF("id")) // v1: id only
+    LakeTable.append(spark, t, df(3 until 6), mergeSchema = true) // v2: + v
+    LakeTable.addConstraint(spark, t, "v_ok", "v >= 0") // v3
+    val e = intercept[IllegalArgumentException] {
+      LakeTable.restoreTo(t, 1L)
+    }
+    assert(e.getMessage.contains("v_ok"))
+    // restoring to a version whose schema keeps the column still works
+    LakeTable.restoreTo(t, 2L)
+    assert(LakeTable.constraints(t) == Map("v_ok" -> "v >= 0"))
+    LakeTable.append(spark, t, df(10 until 12)) // writes still analyzable
+  }
+
   test("streaming sink enforces constraints: a violating micro-batch fails, nothing lands") {
     val t = freshTable()
     LakeTable.append(spark, t, df(0 until 10))
