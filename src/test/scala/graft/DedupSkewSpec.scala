@@ -24,22 +24,24 @@ class DedupSkewSpec extends SparkSpec {
     val tau = TextOps.DupClusterTau
     def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
       df.collect().map(_.toString).sorted.toSeq
-    val base = Seq(
+    def all() = Seq(
       rows(TextOps.ngramJaccardPairs(tau)(spark, sf001)),
       rows(TextOps.dupClusters(tau)(spark, sf001)),
       rows(TextOps.dedupKeepOne(tau)(spark, sf001)),
-      rows(TextOps.docSplitSafe(tau)(spark, sf001)))
+      rows(TextOps.docSplitSafe(tau)(spark, sf001)),
+      // round-6 third-session unhinted joins: incremental dedup's
+      // count joins, bpe tokenize's vocab join, ccnet's lang join
+      rows(TextOps.dedupIncremental(5L, tau)(spark, sf001)),
+      rows(TextOps.docBpeTokenize(6)(spark, sf001)),
+      rows(TextOps.docCcnetBucket(spark, sf001)))
+    val base = all()
     val confs = Seq(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
     val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
-      val degraded = Seq(
-        rows(TextOps.ngramJaccardPairs(tau)(spark, sf001)),
-        rows(TextOps.dupClusters(tau)(spark, sf001)),
-        rows(TextOps.dedupKeepOne(tau)(spark, sf001)),
-        rows(TextOps.docSplitSafe(tau)(spark, sf001)))
+      val degraded = all()
       assert(degraded == base, "results changed with broadcasting disabled")
     } finally saved.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
