@@ -1455,6 +1455,41 @@ object TextOps {
        | WHERE h < (CASE $cases ELSE 0 END) ORDER BY doc_id""".stripMargin.replace("\n", " ")
   }
 
+  /** Data-DERIVED mixture rebalance: downsample every language to the
+    * rarest language's document count ([[stratifiedSample]] applies
+    * fixed curated rates; this computes them from the observed mixture
+    * — `rate_ppm(lang) = min_count·1e6 div count(lang)` — the
+    * "uniform over languages" target a multilingual run starts from).
+    * Same deterministic hash gate, so the sample is reproducible and
+    * shuffle-free; the rate table is one bounded-categorical aggregate
+    * (|langs| rows) broadcast back. Output: the per-language summary
+    * (count, applied rate, kept count). */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val counts = docs(spark, dir).groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val minCnt = counts.agg(min("n_docs").as("mn"))
+    val rates = counts.crossJoin(broadcast(minCnt))
+      .select(col("lang"), col("n_docs"),
+        expr("(mn * 1000000L) div n_docs").as("rate_ppm"))
+    docs(spark, dir).select("doc_id", "lang")
+      .withColumn("h",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
+          .cast(LongType) % 1000000L)
+      .join(broadcast(rates), "lang") // |langs| rows: bounded categorical
+      .groupBy("lang")
+      .agg(max("n_docs").as("n_docs"), max("rate_ppm").as("rate_ppm"),
+        sum(when(col("h") < col("rate_ppm"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("lang")
+  }
+
+  val weightedSampleSql: String =
+    """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+      | mn AS (SELECT min(n_docs) AS mn FROM c),
+      | r AS (SELECT lang, n_docs, CAST(mn * 1000000 // n_docs AS BIGINT) AS rate_ppm FROM c, mn),
+      | d AS (SELECT lang, CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,7) AS BIGINT) % 1000000 AS h FROM documents)
+      |SELECT r.lang, r.n_docs, r.rate_ppm,
+      | CAST(sum(CASE WHEN d.h < r.rate_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM d JOIN r ON d.lang = r.lang GROUP BY r.lang, r.n_docs, r.rate_ppm ORDER BY r.lang""".stripMargin.replace("\n", " ")
+
   // ---- repetition ratio (boilerplate/spam signal) ---------------------
 
   /** Max unigram frequency per document, absolute and in ppm of the

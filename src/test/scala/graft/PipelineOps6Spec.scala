@@ -192,6 +192,39 @@ class PipelineOps6Spec extends SparkSpec {
     }
   }
 
+  test("ccnet tie-collapse: a language whose docs all score identically lands in ONE bucket") {
+    val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ccnet_tie").toString
+    // same text -> same bigram profile -> identical lm_ppm for all six
+    val rows = (0L until 6L).map(i => (i, "the fast cat ran", "xx", "s", 16L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val out = TextOps.docCcnetBucket(spark, dir).collect()
+    assert(out.length == 1, s"ties must land whole-group: ${out.toSeq}")
+    assert(out(0).getLong(1) == 1L && out(0).getLong(2) == 6L,
+      s"all six docs belong to bucket 1: ${out(0)}")
+  }
+
+  test("sq8 handles constant dimensions (rng floored at 1) on a planted fixture") {
+    val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sq8_const").toString
+    // dim 0 constant across vectors; remaining dims vary; unit-ish floats
+    val vecs = (0L until 30L).map { i =>
+      (i, Array.tabulate(64)(d =>
+        if (d == 0) 0.5f else ((i * 31 + d * 7) % 13 - 6).toFloat / 10f), 0)
+    }
+    vecs.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val codes = Sq8.codes(spark, dir)
+      .select(explode(col("cd")).as("c"))
+      .agg(min("c"), max("c")).head()
+    assert(codes.getLong(0) >= 0 && codes.getLong(1) <= 255)
+    val top = Sq8.topK(0L, 10, 5)(spark, dir).collect()
+    assert(top.length == 5, s"expected 5 results, got ${top.length}")
+  }
+
   test("ccnet buckets are near-terciles: each within one tie-group of n/3") {
     buckets.groupBy(_.getString(0)).foreach { case (lang, rows) =>
       val n = rows.map(_.getLong(2)).sum
