@@ -28,6 +28,16 @@ object ScaleGen {
 
     def shifted(t: String, keyCols: Seq[String]): Unit = {
       val df = spark.read.parquet(s"$src/$t.parquet")
+      // the disjoint-universe promise requires every base key < Off —
+      // a larger base (≳ TPC-H sf10) would silently collide keys
+      // across copies, corrupting every scale-stress conclusion
+      val maxes = df.agg(max(keyCols.head),
+        keyCols.tail.map(k => max(col(k))): _*).head()
+      keyCols.zipWithIndex.foreach { case (k, i) =>
+        require(maxes.getLong(i) < Off,
+          s"scalegen: $t.$k max ${maxes.getLong(i)} >= shift $Off — " +
+            "copies would collide; raise Off for this base size")
+      }
       val fan = spark.range(copies).select(col("id").as("_copy"))
       val wide = keyCols.foldLeft(df.crossJoin(fan)) { (d, k) =>
         d.withColumn(k, col(k) + col("_copy") * Off)
@@ -59,6 +69,10 @@ object ScaleGen {
     // test, not a scale test).
     locally {
       val docs = spark.read.parquet(s"$src/documents.parquet")
+      val maxDoc = docs.agg(max("doc_id")).head.getLong(0)
+      require(maxDoc < Off,
+        s"scalegen: documents.doc_id max $maxDoc >= shift $Off — " +
+          "copies would collide; raise Off for this base size")
       val fan = spark.range(copies).select(col("id").as("_copy"))
       docs.crossJoin(fan)
         .withColumn("text",

@@ -74,9 +74,11 @@ case class MgSketchAgg(
       val stored = buf.counts.getOrElse(key, Long.MinValue)
       if (stored != Long.MinValue) {
         buf.counts(key) = stored + 1
+        buf.levelDec(stored)
+        buf.levelInc(stored + 1)
       } else if (buf.counts.size < k) {
         buf.counts(key) = buf.base + 1
-        if (buf.base + 1 < buf.minStored) buf.minStored = buf.base + 1
+        buf.levelInc(buf.base + 1)
       } else {
         // miss on a full table: logical decrement-all (new item's
         // logical count would be 0 → dropped, classic Misra-Gries)
@@ -99,13 +101,14 @@ case class MgSketchAgg(
     }
     // over-capacity after the union: subtract the (k+1)-th largest
     // logical count from everything (the mergeable-summaries reduction)
+    a.rebuildLevels()
     if (a.counts.size > k) {
       val logicals = a.counts.values.map(_ - a.base).toArray
       java.util.Arrays.sort(logicals)
       val cut = logicals(logicals.length - k - 1) // (k+1)-th largest
       a.base += cut
       a.compact()
-    } else a.recomputeMin()
+    }
     a
   }
 
@@ -149,9 +152,9 @@ case class MgSketchAgg(
       in.readFully(arr)
       val c = in.readLong()
       buf.counts(new String(arr, java.nio.charset.StandardCharsets.UTF_8)) = c
-      if (c < buf.minStored) buf.minStored = c
       i += 1
     }
+    buf.rebuildLevels()
     buf
   }
 
@@ -167,25 +170,53 @@ case class MgSketchAgg(
 
 object MgSketchAgg {
 
-  /** n processed, stored counts (logical = stored - base), and the
-    * smallest stored count (eviction watermark). */
+  /** n processed, stored counts (logical = stored - base), and an
+    * EXACT stored-count histogram (`levels`: stored → #entries). The
+    * histogram makes the eviction watermark exact under increments —
+    * a plain min-tracker goes stale-low when the unique minimum entry
+    * is incremented, and an adversarial hit-min/miss interleaving then
+    * triggers an O(k) compaction every two updates that evicts
+    * nothing; with exact levels, compaction fires ONLY when ≥1 entry
+    * is truly evictable, restoring the amortized-O(1) contract (each
+    * compaction's scan is charged to the entries it evicts). */
   final class Buffer {
     var n: Long = 0L
     var base: Long = 0L
-    var minStored: Long = Long.MaxValue
     val counts: mutable.HashMap[String, Long] = mutable.HashMap.empty
+    val levels: java.util.TreeMap[java.lang.Long, Integer] =
+      new java.util.TreeMap()
+    /** Compactions run — the amortization contract's test hook. */
+    private[graft] var compactions: Long = 0L
 
-    /** Evict entries whose logical count fell to ≤0; recompute the
-      * watermark. Runs only when `base` has reached the watermark, so
-      * it evicts at least one entry — O(k) amortized over ≥1 miss per
-      * evicted slot. */
-    def compact(): Unit = {
-      counts.filterInPlace { case (_, stored) => stored > base }
-      recomputeMin()
+    def minStored: Long =
+      if (levels.isEmpty) Long.MaxValue else levels.firstKey
+
+    def levelInc(s: Long): Unit = {
+      val c = levels.get(s)
+      levels.put(s, if (c == null) 1 else c + 1)
+      ()
     }
 
-    def recomputeMin(): Unit =
-      minStored = if (counts.isEmpty) Long.MaxValue else counts.values.min
+    def levelDec(s: Long): Unit = {
+      val c = levels.get(s)
+      if (c == 1) levels.remove(s) else levels.put(s, c - 1)
+      ()
+    }
+
+    def rebuildLevels(): Unit = {
+      levels.clear()
+      counts.valuesIterator.foreach(levelInc)
+    }
+
+    /** Evict entries whose logical count fell to ≤0. Runs only when
+      * `base` has reached the exact watermark, so it evicts at least
+      * one entry. */
+    def compact(): Unit = {
+      compactions += 1
+      counts.filterInPlace { case (_, stored) => stored > base }
+      while (!levels.isEmpty && levels.firstKey <= base)
+        levels.remove(levels.firstKey)
+    }
   }
 
   /** `mg_sketch(term, k)` expression builder (k a foldable int

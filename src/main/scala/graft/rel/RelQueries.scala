@@ -1133,7 +1133,12 @@ object RelQueries {
     val tot = ps.agg(sum(col("value_cents")).as("total"),
       count(lit(1)).as("n_parts"))
     ps.crossJoin(broadcast(tot))
-      .filter(col("value_cents") * col("n_parts") > lit(mult) * col("total"))
+      // DECIMAL(38,0): value_cents·n_parts overflows int64 once cents
+      // reach ~1e10 over ~1e9 parts (the 100 TB regime) — and the two
+      // engines disagree on overflow (Spark wraps, DuckDB errors), the
+      // exact hazard the outliers/tfidf queries already guard against
+      .filter(col("value_cents").cast("decimal(38,0)") * col("n_parts") >
+        lit(mult) * col("total").cast("decimal(38,0)"))
       .select("partkey", "value_cents")
       .orderBy(col("value_cents").desc, col("partkey").asc)
   }
@@ -1149,7 +1154,7 @@ object RelQueries {
        | tot AS (SELECT CAST(sum(value_cents) AS BIGINT) AS total,
        |   count(*) AS n_parts FROM ps)
        | SELECT partkey, value_cents FROM ps, tot
-       | WHERE value_cents * n_parts > $mult * total
+       | WHERE CAST(value_cents AS HUGEINT) * n_parts > $mult * CAST(total AS HUGEINT)
        | ORDER BY value_cents DESC, partkey ASC""".stripMargin.replace("\n", " ")
 
   /** TPC-H Q20-shaped dominant suppliers: for a brand family's parts

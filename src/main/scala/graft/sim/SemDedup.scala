@@ -16,12 +16,19 @@ import org.apache.spark.sql.functions._
   * lowest cell — oracle-exact across engines, see Ivf's scaladoc), so
   * "distance to centroid" is the same exact int64 the oracle computes.
   *
-  * Dominance rule (matches the paper's keep-the-most-central policy,
-  * made deterministic): vector v is DROPPED iff some u in the same cell
-  * has round(cos(u,v),6) >= tau and (u.dist < v.dist, ties to the
-  * smaller vec_id). The rule is a strict total order per cell, so
-  * exactly one member of every mutually-similar group survives and the
-  * decision is order-free.
+  * Dominance rule (the paper's released algorithm, made deterministic):
+  * vector v is DROPPED iff some u in the same cell has
+  * round(cos(u,v),6) >= tau and u precedes v in the per-cell total
+  * order (u.dist < v.dist, ties to the smaller vec_id). The witness u
+  * need NOT itself survive — this is exactly SemDeDup's
+  * upper-triangular-similarity test over the centrality-sorted cell,
+  * where earlier-dropped items still disqualify later ones. Because
+  * cosine similarity is not transitive, a chain a~b, b~c with a!~c can
+  * therefore drop BOTH b and c while keeping only a: the dedup rate is
+  * the paper's, slightly more aggressive than a kept-witness greedy
+  * scan (which would need an inherently sequential per-cell pass; the
+  * order-free rule here is what makes the decision one equi-join). The
+  * per-cell MINIMUM always survives, so no cell is ever emptied.
   *
   * Scale design: the candidate join is an equi-join on the cell id —
   * vectors only meet within their cell, never across, so the pair work

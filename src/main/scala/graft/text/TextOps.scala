@@ -637,11 +637,15 @@ object TextOps {
     * LSH bands, simhash halves). The hot list is tiny by construction
     * (at most |rows| / cap keys) => broadcast anti-join, no extra
     * shuffle on the big side. */
-  private[text] def dfCapped(rows: DataFrame, keys: Seq[String], dfCap: Int): DataFrame = {
-    val hot = rows.groupBy(keys.map(col): _*).agg(count(lit(1)).as("df"))
+  /** The over-cap key relation: ONE definition of the df-cap policy
+    * (count rows per key, keep keys above the cap) for both the inline
+    * capped joins and the materialized shingle artifact. */
+  private[text] def hotKeys(rows: DataFrame, keys: Seq[String], dfCap: Int): DataFrame =
+    rows.groupBy(keys.map(col): _*).agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select(keys.map(col): _*)
-    rows.join(broadcast(hot), keys, "left_anti")
-  }
+
+  private[text] def dfCapped(rows: DataFrame, keys: Seq[String], dfCap: Int): DataFrame =
+    rows.join(broadcast(hotKeys(rows, keys, dfCap)), keys, "left_anti")
 
   private val hotIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -658,9 +662,8 @@ object TextOps {
     val path = hotIndexCache.computeIfAbsent(key, { _ =>
       val p = graft.DatasetCache.registerTempDir(
         java.nio.file.Files.createTempDirectory("graft_hot_idx").toString)
-      shingleIndex(spark, dir).select(col("h60").as("h"))
-        .groupBy("h").agg(count(lit(1)).as("df"))
-        .filter(col("df") > dfCap).select("h")
+      hotKeys(shingleIndex(spark, dir).select(col("h60").as("h")),
+          Seq("h"), dfCap)
         .write.mode("overwrite").parquet(p)
       p
     })

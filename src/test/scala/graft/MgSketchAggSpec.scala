@@ -34,6 +34,31 @@ class MgSketchAggSpec extends SparkSpec {
       s"over-threshold terms missing from $cands")
   }
 
+  test("compaction only fires when it evicts: the hit-min/miss adversary stays O(1)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val agg = MgSketchAgg(BoundReference(0, StringType, nullable = true), 4)
+    val buf = agg.createAggregationBuffer()
+    def feed(t: String): Unit = { agg.update(buf, InternalRow(UTF8String.fromString(t))); () }
+    // fill the table: A at logical 2, B/C/D far above (stored 9)
+    Seq("a", "a").foreach(feed)
+    for (t <- Seq("b", "c", "d"); _ <- 0 until 9) feed(t)
+    assert(buf.compactions == 0L)
+    // the adversary: hit the unique minimum, then miss — with a stale
+    // min-tracker every pair triggered an O(k) compaction that evicted
+    // nothing; the exact level histogram must fire ZERO compactions
+    // here because base (ends at 5) never reaches the true minimum
+    for (_ <- 0 until 5) { feed("a"); feed(s"miss_${buf.base}") }
+    assert(buf.compactions == 0L,
+      s"${buf.compactions} no-op compactions fired — the watermark went stale")
+    // and the summary is still exactly right: logical = stored - base
+    val logical = buf.counts.view.mapValues(_ - buf.base).toMap
+    assert(logical == Map("a" -> 2L, "b" -> 4L, "c" -> 4L, "d" -> 4L),
+      s"unexpected summary state: $logical")
+  }
+
   test("the summary is one exchange of bounded state") {
     // 8 input partitions WITHOUT a repartition shuffle (range is
     // natively partitioned), so the only exchange is the sketch merge

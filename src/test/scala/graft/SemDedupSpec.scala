@@ -17,11 +17,13 @@ class SemDedupSpec extends SparkSpec {
     assert(dropped < n, "everything dropped — dominance rule degenerate")
   }
 
-  test("exactly one survivor per mutually-similar group (dominance is sound)") {
+  test("dominance decisions match the paper's upper-triangular rule exactly") {
     // Rebuild the dropped/kept decision on the driver and check the
-    // invariant the dominance rule promises: every DROPPED vector has a
-    // KEPT near-duplicate witness in its cell that dominates it; every
-    // KEPT vector has NO kept dominating near-duplicate.
+    // rule the implementation (and SemDeDup's released algorithm)
+    // actually promises: v is dropped iff SOME more-central
+    // near-duplicate u precedes it in the cell order — the witness u
+    // need not itself survive (cosine is not transitive, so a chain
+    // a~b, b~c, a!~c drops both b and c; see the scaladoc).
     val m = SemDedup.assignment(spark, sf001)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getLong(2), r.getLong(3)))
