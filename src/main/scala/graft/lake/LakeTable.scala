@@ -423,22 +423,36 @@ object LakeTable {
     * which the optimizer folds away when the constraint then passes
     * trivially. */
   private def enforceConstraints(df: DataFrame, table: String): DataFrame = {
-    import org.apache.spark.sql.functions.{assert_true, isnull, lit}
+    import org.apache.spark.sql.functions.{assert_true, col, isnull, lit}
     val cs = constraints(table)
-    if (cs.isEmpty) return df
     val have = df.schema.fieldNames.map(_.toLowerCase).toSet
     val tableSchema = latestVersion(table).flatMap(v =>
       snapshotFiles(table, Some(v))._2)
       .map(DataType.fromJson(_).asInstanceOf[StructType])
+    // NOT NULL is enforced per ROW like Delta's invariants — the
+    // schema check alone can't do it (Spark frames routinely carry
+    // nullable=true over data that is in fact never null, so refusing
+    // on writer-side nullability would reject legitimate appends,
+    // while accepting it unchecked lets NULLs into a column the
+    // committed schema promises non-null and every schema-trusting
+    // reader then mis-folds IsNotNull)
+    val notNull = tableSchema.map(_.fields.toSeq).getOrElse(Seq.empty)
+      .filter(f => !f.nullable && have.contains(f.name.toLowerCase))
+      .filter(f => df.schema(df.schema.fieldIndex(f.name)).nullable)
+    if (cs.isEmpty && notNull.isEmpty) return df
     val missing = tableSchema.map(_.fields.toSeq).getOrElse(Seq.empty)
       .filter(f => !have.contains(f.name.toLowerCase))
     val extended = missing.foldLeft(df)((d, f) =>
       d.withColumn(f.name, lit(null).cast(f.dataType)))
-    val checked = cs.foldLeft(extended) { case (d, (name, sql)) =>
+    val nnChecked = notNull.foldLeft(extended) { (d, f) =>
+      d.where(isnull(assert_true(col(f.name).isNotNull,
+        lit(s"NOT NULL constraint violated: column `${f.name}`"))))
+    }
+    val checked = cs.foldLeft(nnChecked) { case (d, (name, sql)) =>
       d.where(isnull(assert_true(constraintHolds(sql),
         lit(s"CHECK constraint `$name` violated: $sql"))))
     }
-    checked.select(df.columns.map(org.apache.spark.sql.functions.col).toSeq: _*)
+    checked.select(df.columns.map(col).toSeq: _*)
   }
 
   /** ADD CONSTRAINT: validates the name and expression, proves the
@@ -785,16 +799,19 @@ object LakeTable {
   private[lake] val RowsKey = "#rows"
 
   private[lake] def rowCountFromStats(stats: String): Option[Long] =
+    // toLongOption, not toLong: a real column NAMED `#rows` writes a
+    // `#rows=mn:mx` range entry that must read as "no row count", not
+    // crash the metadata count(*) path with a NumberFormatException
     stats.split(';').collectFirst {
       case s if s.startsWith(RowsKey + "=") =>
-        s.drop(RowsKey.length + 1).toLong
-    }
+        s.drop(RowsKey.length + 1).toLongOption
+    }.flatten
 
   private val MaxRetries = 20
 
   private def commitLoop(table: String, op: String, add: Seq[String],
       stats: Seq[String], removeAt: Seq[Long] => Seq[String],
-      schemaJson: String, txn: String = "",
+      schemaJson: => String, txn: String = "",
       abortIf: () => Boolean = () => false,
       propsOverride: Option[Seq[String]] = None,
       enforcedProps: Option[Seq[String]] = None): Option[Long] = {
@@ -819,7 +836,13 @@ object LakeTable {
       }
       val next = base.lastOption.getOrElse(0L) + 1
       // props resolution happens in tryCommit (constraint-editing ops
-      // carry an explicit set, everything else inherits)
+      // carry an explicit set, everything else inherits).
+      // schemaJson is BY-NAME and re-evaluated per attempt: appends
+      // pass the schema-evolution derivation, so a rebase over a
+      // winner that changed the table schema (mergeSchema append,
+      // overwrite) re-derives against the WINNER's schema instead of
+      // silently reverting it with the pre-race value (the replayer
+      // takes the newest commit's schema as the table schema).
       val c = Commit(next, op, add, removeAt(base), schemaJson, stats, txn,
         props = propsOverride.getOrElse(Seq.empty))
       if (tryCommit(table, c)) { maybeCheckpoint(table, next); return Some(next) }
@@ -848,8 +871,24 @@ object LakeTable {
     * between validation and commit is the concurrent writer's
     * responsibility (appends never rewrite carried files, so the losing
     * order still reads correctly — both schemas' columns null-fill). */
+  /** Column names the engine reserves for its own machinery: the DV
+    * row-index provenance pair and the CDC tagging columns. A user
+    * column with one of these names would be silently overwritten by
+    * the verb that injects it (the `_zkey` failure mode) — refused at
+    * write time instead. */
+  private val ReservedCols = Set("__lake_rel", "__lake_ri",
+    "_change_type", "_commit_version")
+
+  private def requireNoReservedNames(schema: StructType, op: String): Unit = {
+    val bad = schema.fieldNames.filter(n => ReservedCols(n.toLowerCase))
+    require(bad.isEmpty,
+      s"$op: column name(s) ${bad.mkString(", ")} are reserved by the " +
+        "lake engine (deletion-vector / change-feed machinery)")
+  }
+
   private def evolvedSchemaJson(table: String, df: DataFrame,
       mergeSchema: Boolean, op: String): String = {
+    requireNoReservedNames(df.schema, op)
     val current = latestVersion(table).flatMap(v =>
       snapshotFiles(table, Some(v))._2)
     current match {
@@ -897,22 +936,26 @@ object LakeTable {
   def append(spark: SparkSession, table: String, df: DataFrame,
       mergeSchema: Boolean = false): Long = {
     val cs0 = currentProps(table)
-    val schemaJson = evolvedSchemaJson(table, df, mergeSchema, "append")
+    // validate BEFORE staging (fail fast, nothing written), then pass
+    // the derivation by-name so a rebase re-evolves against the winner
+    evolvedSchemaJson(table, df, mergeSchema, "append")
     val (add, stats) = stage(df, table)
-    commitLoop(table, "append", add, stats, _ => Seq.empty, schemaJson,
+    commitLoop(table, "append", add, stats, _ => Seq.empty,
+      evolvedSchemaJson(table, df, mergeSchema, "append"),
       enforcedProps = Some(cs0)).get
   }
 
   /** Idempotence tokens visible at the latest version: the newest
     * checkpoint's token set plus the tail commits' tokens — O(interval)
     * log reads, not O(history), mirroring the snapshot path. */
-  private def committedTokens(table: String): Set[String] = {
-    val latest = latestVersion(table).getOrElse(0L)
+  private def committedTokens(table: String,
+      upTo: Option[Long] = None): Set[String] = {
+    val latest = upTo.orElse(latestVersion(table)).getOrElse(0L)
     val (ckTokens, from) = latestCheckpoint(table, latest) match {
       case Some(ck) => (ck.txn.split(',').filter(_.nonEmpty).toSet, ck.version)
       case None => (Set.empty[String], 0L)
     }
-    ckTokens ++ versions(table).filter(_ > from)
+    ckTokens ++ versions(table).filter(v => v > from && v <= latest)
       .map(readCommit(table, _).txn).filter(_.nonEmpty)
   }
 
@@ -942,11 +985,11 @@ object LakeTable {
     if (landed()) None
     else {
       val cs0 = currentProps(table)
-      val schemaJson = evolvedSchemaJson(table, df, mergeSchema = false,
-        "appendIdempotent")
+      evolvedSchemaJson(table, df, mergeSchema = false, "appendIdempotent")
       val (add, stats) = stage(df, table)
       commitLoop(table, "append", add, stats, _ => Seq.empty,
-        schemaJson, txn = token, abortIf = () => landed(),
+        evolvedSchemaJson(table, df, mergeSchema = false, "appendIdempotent"),
+        txn = token, abortIf = () => landed(),
         enforcedProps = Some(cs0))
     }
   }
@@ -957,6 +1000,7 @@ object LakeTable {
     * stay on disk for time travel until [[vacuum]]. */
   def overwrite(spark: SparkSession, table: String, df: DataFrame): Long = {
     val cs0 = currentProps(table)
+    requireNoReservedNames(df.schema, "overwrite")
     requireConstraintColumns(table, df.schema, "overwrite")
     val (add, stats) = stage(df, table)
     commitLoop(table, "overwrite", add, stats,
@@ -984,6 +1028,7 @@ object LakeTable {
     if (landed()) None
     else {
       val cs0 = currentProps(table)
+      requireNoReservedNames(df.schema, "overwriteIdempotent")
       requireConstraintColumns(table, df.schema, "overwriteIdempotent")
       val (add, stats) = stage(df, table)
       commitLoop(table, "overwrite", add, stats,
@@ -997,9 +1042,10 @@ object LakeTable {
   /** Highest `txnVersion` the log carries for `appId`, across both
     * idempotence-token flavors — how a restarted maintainer discovers
     * where it left off (Delta's `txn.lastWriteVersion`). */
-  def lastTxnVersion(table: String, appId: String): Option[Long] = {
+  def lastTxnVersion(table: String, appId: String,
+      upTo: Option[Long] = None): Option[Long] = {
     val prefix = s"$appId:"
-    val vs = committedTokens(table).toSeq
+    val vs = committedTokens(table, upTo).toSeq
       .filter(_.startsWith(prefix))
       .flatMap(_.drop(prefix.length).toLongOption)
     if (vs.isEmpty) None else Some(vs.max)
@@ -1473,6 +1519,13 @@ object LakeTable {
     val schema = DataType.fromJson(schemaJson.get).asInstanceOf[StructType]
     val cx = requireNumeric(schema, colX, "optimize")
     val cy = requireNumeric(schema, colY, "optimize")
+    // `_zkey` is this verb's scratch column: withColumn would OVERWRITE
+    // a user column of that name and drop() would then remove it, while
+    // the commit keeps the full schema — every later read null-fills
+    // the column table-wide with no error. Refuse loudly instead.
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase("_zkey")),
+      "optimize: the table has a column named `_zkey`, which collides " +
+        "with the clustering scratch column; rename it first")
     if (all.isEmpty) return baseVersion // nothing to lay out
     // DV-applied read: OPTIMIZE is also how deletion vectors get
     // compacted away — the rewritten files carry only surviving rows
@@ -1735,7 +1788,13 @@ object LakeTable {
     * pruneByStats wrongly skips a file whose rows match, a silent-wrong-
     * result path for snapshotWhere/deleteWhere/updateWhere. BigDecimal
     * round-trips every decimal literal [[stage]] ever writes exactly. */
-  private[lake] def statsRange(stats: String, column: String): Option[(BigDecimal, BigDecimal)] =
+  private[lake] def statsRange(stats: String, column: String): Option[(BigDecimal, BigDecimal)] = {
+    // reserved namespaces: `str$x` is STRING column x's byte bounds and
+    // `#rows` is the file row count — a user column that happens to
+    // carry such a name gets NO numeric stats on the write side, so the
+    // read side must not mis-parse the reserved entry as its range
+    // (pruning on it would silently skip matching files)
+    if (column.startsWith(StrKeyPrefix) || column == RowsKey) return None
     stats.split(';').filter(_.nonEmpty)
       .map(_.split('=')).collectFirst {
         case Array(c, mm) if c == column => mm.split(':')
@@ -1748,6 +1807,7 @@ object LakeTable {
           catch { case _: NumberFormatException => None }
         case _ => None
       }
+  }
 
   /** [[statsRange]] widened to a Double interval that always CONTAINS the
     * exact range (outward rounding) — for consumers that need primitive
@@ -1819,7 +1879,12 @@ object LakeTable {
     val commits = versions(table)
       .filter(v => v > fromVersion && v <= toVersion)
       .map(readCommit(table, _))
-    commits.find(c => c.op != "append" && !DataIdenticalOps(c.op)).foreach(c =>
+    // metadata-only commits (addconstraint/dropconstraint, a
+    // deleteWhereDV whose pruning matched nothing, ...) change zero
+    // rows: their delta is exactly empty, so they must NOT wedge a
+    // plain streaming source the way a genuine rewrite does
+    commits.find(c => c.op != "append" && !DataIdenticalOps(c.op) &&
+        !(c.add.isEmpty && c.remove.isEmpty)).foreach(c =>
       throw new IllegalArgumentException(
         s"changesBetween: version ${c.version} is a ${c.op}, which has no " +
           "row-level delta; re-sync from a snapshot instead"))
@@ -1893,7 +1958,19 @@ object LakeTable {
       case op if DataIdenticalOps(op) => true
       case _ => c.cdc.nonEmpty || (c.add.isEmpty && c.remove.isEmpty)
     })
-    rowLevel && commits.map(_.schemaJson).distinct.size <= 1
+    // the log alone is not enough: vacuum reclaims the change files of
+    // versions below its retention floor, and a consumer that trusts a
+    // covers()=true would then throw on every incremental read forever
+    // instead of falling back to a snapshot re-sync — so "covers" also
+    // means "the bytes are still on disk"
+    val readable = commits.forall { c =>
+      val paths =
+        if (c.cdc.nonEmpty) c.cdc
+        else if (c.op == "append") c.add.map(e => parseEntry(e).data)
+        else Seq.empty
+      paths.forall(p => Files.exists(Paths.get(table, p)))
+    }
+    rowLevel && readable && commits.map(_.schemaJson).distinct.size <= 1
   }
 
   def changeFeed(spark: SparkSession, table: String,
@@ -2022,12 +2099,28 @@ object LakeTable {
       val p = parseEntry(e); p.data +: p.dv.toSeq
     }
     val floor = latestVersion(table).fold(retainFrom)(math.min(retainFrom, _))
-    val commits = history(table)
-    // change-feed files live and die with the versions that wrote them:
-    // retained alongside time travel ≥ floor, reclaimed below it
-    val keep = versions(table).filter(_ >= floor)
-      .flatMap(v => snapshotFiles(table, Some(v))._1).flatMap(filesOf).toSet ++
-      commits.filter(_.version >= floor).flatMap(_.cdc)
+    // keep-set computation re-runs until the log is STABLE across it: a
+    // RESTORE committing concurrently can re-point the tip at files
+    // only reachable below the floor — computed against the pre-restore
+    // log those files look expired, and deleting them would break the
+    // CURRENT snapshot. Re-reading until no commit landed mid-compute
+    // closes that direction (the converse — vacuum deleting between
+    // restore's existence check and its commit — remains the operator's
+    // serialization responsibility, as in Delta: don't restore below
+    // the retention window while a vacuum is in flight).
+    var commits = history(table)
+    var keep = Set.empty[String]
+    var stable = false
+    while (!stable) {
+      // change-feed files live and die with the versions that wrote
+      // them: retained alongside time travel ≥ floor, reclaimed below
+      keep = versions(table).filter(_ >= floor)
+        .flatMap(v => snapshotFiles(table, Some(v))._1).flatMap(filesOf).toSet ++
+        commits.filter(_.version >= floor).flatMap(_.cdc)
+      val nowLog = history(table)
+      if (nowLog.map(_.version) == commits.map(_.version)) stable = true
+      else commits = nowLog
+    }
     val referenced = commits.flatMap(_.add).flatMap(filesOf).toSet ++
       commits.flatMap(_.cdc)
     val now = System.currentTimeMillis()

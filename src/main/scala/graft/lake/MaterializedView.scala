@@ -100,14 +100,21 @@ object MaterializedView {
     val sp = readSpec(view)
     val latest = LakeTable.latestVersion(sp.source).getOrElse(
       throw new IllegalArgumentException(s"no such lake table: ${sp.source}"))
-    val from = LakeTable.lastTxnVersion(view, MvApp).getOrElse(0L)
+    // the from-token and the state it describes must come from ONE view
+    // version: reading the token first and the snapshot lazily-latest
+    // would let a concurrent refresh land in between, and the merge
+    // would fold the overlapping change range in twice (the monotone
+    // token check cannot catch it — the racer's token is older)
+    val viewV = LakeTable.latestVersion(view)
+    val from = viewV.flatMap(v =>
+      LakeTable.lastTxnVersion(view, MvApp, Some(v))).getOrElse(0L)
     if (latest <= from) return None
     val state =
       if (from > 0 && LakeTable.changeFeedCovers(sp.source, from, latest)) {
         val feed = LakeTable.changeFeed(spark, sp.source, from, latest)
         val w = when(col(LakeTable.CdcTypeCol)
           .isin("insert", "update_postimage"), 1L).otherwise(-1L)
-        merge(LakeTable.snapshot(spark, view), aggState(feed, sp, w), sp)
+        merge(LakeTable.snapshot(spark, view, viewV), aggState(feed, sp, w), sp)
       } else
         // re-sync: full recompute pinned AT `latest` (a writer racing past
         // it must not leak rows the token doesn't cover)
