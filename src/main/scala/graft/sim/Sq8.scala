@@ -132,7 +132,7 @@ object Sq8 {
        |    c.vec_id ASC
        |  LIMIT $n)""".stripMargin
 
-  private def rerankTailSql(queryId: Long, k: Int): String =
+  private[sim] def rerankTailSql(queryId: Long, k: Int): String =
     s"""SELECT e.vec_id,
        |  round(list_sum(list_transform(range(1, ${Dim + 1}), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qe.embedding[i] AS DOUBLE))), 6) AS sim
        |FROM embeddings e
@@ -147,6 +147,85 @@ object Sq8 {
        |${chainCtesSql(queryId)},
        |${shortCteSql(queryId, shortlist)}
        |${rerankTailSql(queryId, k)}""".stripMargin.replace("\n", " ")
+
+  // ---- threshold (range) search: lossless SQ8 prescreen ---------------
+
+  /** The centering constant of [[Ivf.quantized]]'s shift: `qv - Center`
+    * ≈ the raw component × 2^20, so the centered integer dot product
+    * tracks cosine × 2^40 on these unit vectors. */
+  val Center: Long = (Ivf.Shift * Ivf.Scale).toLong
+
+  /** Threshold similarity search (the radius-query complement of top-k:
+    * "every vector with sim ≥ τ", the shape semantic-dedup and
+    * contamination sweeps run) over the centered quantized dot
+    * `csim = Σ (qv_i−Center)·(qqv_i−Center)` — exact int64, ≈ cosine·2^40.
+    *
+    * The scale path is a PROVABLY LOSSLESS prescreen over the 64 B/vector
+    * SQ8 code relation: each code `c` pins its component to the exact
+    * integer interval `[mn + ⌈c·rng/255⌉, mn + ⌊(c+1)·rng/255⌋]` (from
+    * `c = ⌊(x−mn)·255/rng⌋`), so
+    * `ub = Σ qcv_i·(qcv_i ≥ 0 ? hi_i : lo_i)` — with the branch chosen at
+    * PLAN time because the query components are literals — is an integer
+    * upper bound of csim with NO float slack. Vectors with `ub < τ` drop
+    * map-side reading only codes (4× less IO than floats, same relation
+    * a production system persists anyway for SQ8 top-k); only survivors
+    * — a result-sized, not corpus-sized, set — pay the exact verify join
+    * against the base table. No false negatives, so the result is
+    * row-identical to the exact scan and the DuckDB oracle is the PLAIN
+    * exact filter with no prescreen replay: the correctness gate itself
+    * proves losslessness (`RetrievalOpsSpec` additionally pins the
+    * per-row `ub ≥ csim` invariant and that the prescreen prunes). */
+  def rangeSearch(queryId: Long, tau: Long)(
+      spark: SparkSession, dir: String): DataFrame = {
+    val (mns, rngs, _) = trainCached(spark, dir)
+    Ivf.quantized(spark, dir).filter(col("vec_id") === queryId)
+      .select("qv").collect().headOption match {
+      case None => // unknown id: empty, like the oracle
+        spark.range(0).select(col("id").as("vec_id"), lit(0L).as("csim"))
+      case Some(row) =>
+        val qcv = row.getSeq[Long](0).toArray.map(_ - Center)
+        val surv = codes(spark, dir)
+          .filter(col("vec_id") =!= queryId)
+          .filter(ubCol(qcv, mns, rngs) >= tau)
+          .select("vec_id")
+        // no hint: the survivor set is result-sized (unbounded in τ)
+        Ivf.quantized(spark, dir).join(surv, "vec_id")
+          .select(col("vec_id"),
+            aggregate(
+              zip_with(col("qv"), typedLit(qcv.toSeq),
+                (x, qc) => (x - lit(Center)) * qc),
+              lit(0L), (acc, v) => acc + v).as("csim"))
+          .filter(col("csim") >= tau)
+          .orderBy(col("csim").desc, col("vec_id").asc)
+    }
+  }
+
+  /** The integer upper bound of csim from a code row `cd`: per-dim
+    * interval endpoint picked by the SIGN of the literal query component
+    * (ceil lower / floor upper bounds of the quantization interval). */
+  private def ubCol(qcv: Array[Long], mns: Array[Long],
+      rngs: Array[Long]): org.apache.spark.sql.Column = {
+    val terms = (0 until Dim).map { i =>
+      val base = mns(i) - Center
+      if (qcv(i) >= 0)
+        s"${qcv(i)}L * (${base}L + ((element_at(cd, ${i + 1}) + 1) * ${rngs(i)}L) div 255)"
+      else
+        s"${qcv(i)}L * (${base}L + (element_at(cd, ${i + 1}) * ${rngs(i)}L + 254) div 255)"
+    }
+    expr(terms.mkString("(", ") + (", ")"))
+  }
+
+  /** Oracle: the PLAIN exact threshold scan — deliberately no prescreen
+    * CTEs, so a single false negative in the bound breaks the hash. */
+  def rangeSearchSql(queryId: Long, tau: Long): String =
+    s"""WITH ${Ivf.qCteSql},
+       |qq AS (SELECT qv AS qqv FROM q WHERE vec_id = $queryId)
+       |SELECT vec_id, csim FROM (
+       |  SELECT vec_id, CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+       |    i -> (qv[i] - $Center) * (qqv[i] - $Center))) AS BIGINT) AS csim
+       |  FROM q, qq WHERE vec_id != $queryId)
+       |WHERE csim >= $tau
+       |ORDER BY csim DESC, vec_id ASC""".stripMargin.replace("\n", " ")
 
   // ---- IVF-SQ8: cells route → bytes rank → floats re-score ------------
 

@@ -1325,6 +1325,81 @@ object TextOps {
        | FROM tf JOIN nt USING (doc_id) JOIN dfr USING (term), n
        | ORDER BY salience_ppm DESC, doc_id ASC, term ASC LIMIT $k""".stripMargin.replace("\n", " ")
 
+  /** BM25 retrieval for a literal query — the ranking function every
+    * lexical search / retrieval-augmented pipeline ships (Robertson's
+    * Okapi BM25, k1=1.2, b=0.75): per matching document,
+    * `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` over the
+    * query terms. ALL-INTEGER fixed-point arithmetic (the float `log`
+    * idf is not bit-reproducible across engines): idf uses the rational
+    * Robertson form `(2N−2df+1)/(2df+1)` (the exact argument of the
+    * standard `log((N−df+0.5)/(df+0.5))` — log is monotone, so the
+    * rational form ranks identically per term), the saturation factor
+    * clears denominators exactly — with avgdl = T/N it equals
+    * `44·T·tf / (20·T·tf + 6·T + 18·dl·N)` — and both factors round to
+    * ppm via DECIMAL(38,0) floor division before multiplying, two
+    * rounding stages both engines replay identically. Headroom at the
+    * 100 TB regime (N≈1e10 docs, T≈1e13 tokens, tf≤1e6): the largest
+    * product is tf·T·44e6 ≈ 4.4e26 ≪ 1e38.
+    *
+    * Scale: the query terms are LITERALS, so per-doc term frequencies
+    * are map-side `size(filter(...))` projections — no explode, no
+    * token-relation shuffle, no join against anything corpus-sized. The
+    * corpus totals (N, T) and per-term document frequencies (a
+    * |query|-bounded relation) are 1-row aggregates broadcast back;
+    * non-matching documents drop map-side before any of it. Top-k is
+    * TakeOrderedAndProject. */
+  def docBm25(terms: Seq[String], k: Int)(
+      spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val tots = d.agg(count(lit(1)).cast(LongType).as("n"),
+      sum(size(words).cast(LongType)).as("t"))
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      size(filter(words, w => w === lit(t))).cast(LongType).as(s"tf$i") }
+    val perDoc = d
+      .select(col("doc_id") +: size(words).cast(LongType).as("dl") +: tfCols: _*)
+      .filter(terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
+    val dfAggs = terms.indices.map(i =>
+      sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val dfr = perDoc.agg(dfAggs.head, dfAggs.tail: _*)
+    val termExprs = terms.indices.map { i =>
+      val idf = s"((2 * n - 2 * df$i + 1) * 1000000L) div (2 * df$i + 1)"
+      val sat = s"(CAST(tf$i AS DECIMAL(38,0)) * t * 44000000) div " +
+        s"(20 * CAST(t AS DECIMAL(38,0)) * tf$i + 6 * t + 18 * CAST(dl AS DECIMAL(38,0)) * n)"
+      s"(CAST(($idf) AS DECIMAL(38,0)) * ($sat)) div 1000000"
+    }
+    perDoc.crossJoin(broadcast(tots)).crossJoin(broadcast(dfr))
+      .select(col("doc_id"),
+        expr(termExprs.mkString("(", ") + (", ")")).cast(LongType).as("score_ppm"),
+        terms.indices.map(i => when(col(s"tf$i") > 0, 1L).otherwise(0L))
+          .reduce(_ + _).cast(LongType).as("n_hit"))
+      .orderBy(col("score_ppm").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  def docBm25Sql(terms: Seq[String], k: Int): String = {
+    val tfDefs = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(string_split(text,' '), w -> w = '$t')) AS BIGINT) AS tf$i"
+    }.mkString(", ")
+    val dfDefs = terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i").mkString(", ")
+    val termExprs = terms.indices.map { i =>
+      val idf = s"((2 * n - 2 * df$i + 1) * 1000000) // (2 * df$i + 1)"
+      val sat = s"(CAST(tf$i AS HUGEINT) * t * 44000000) // " +
+        s"(20 * CAST(t AS HUGEINT) * tf$i + 6 * t + 18 * CAST(dl AS HUGEINT) * n)"
+      s"(CAST(($idf) AS HUGEINT) * ($sat)) // 1000000"
+    }
+    val hits = terms.indices.map(i => s"CASE WHEN tf$i > 0 THEN 1 ELSE 0 END").mkString(" + ")
+    val anyHit = terms.indices.map(i => s"tf$i > 0").mkString(" OR ")
+    s"""WITH pd AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS dl, $tfDefs FROM documents),
+       | tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS t FROM pd),
+       | m AS (SELECT * FROM pd WHERE $anyHit),
+       | dfr AS (SELECT $dfDefs FROM m)
+       | SELECT doc_id, CAST(${termExprs.mkString("(", ") + (", ")")} AS BIGINT) AS score_ppm,
+       |  CAST($hits AS BIGINT) AS n_hit
+       | FROM m, tot, dfr
+       | ORDER BY score_ppm DESC, doc_id ASC LIMIT $k""".stripMargin.replace("\n", " ")
+  }
+
   /** Skew-proof top-k terms: two-phase salted aggregation. Term
     * frequencies are zipfian, so a single groupBy("term") sends every
     * occurrence of a hot term to one reducer; salting first aggregates

@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sim.{Ivf, Rproj, SimOps, Sq8}
+import graft.text.TextOps
+
+/** Round-6 fourth-wave retrieval operators: integer BM25, the lossless
+  * SQ8 threshold-search prescreen, and the JL random-projection ANN
+  * tier. */
+class RetrievalOpsSpec extends SparkSpec {
+
+  // ---- BM25 -----------------------------------------------------------
+
+  /** The fixed-point BM25 term score, re-derived independently with
+    * BigInt (vs the library's Spark DECIMAL(38,0) expression chain). */
+  private def bm25Term(tf: Long, dl: Long, df: Long, n: Long, t: Long): BigInt =
+    if (tf == 0) BigInt(0)
+    else {
+      val idf = (BigInt(2 * n - 2 * df + 1) * 1000000) / BigInt(2 * df + 1)
+      val sat = (BigInt(tf) * t * 44000000) /
+        (BigInt(20) * t * tf + BigInt(6) * t + BigInt(18) * dl * n)
+      idf * sat / 1000000
+    }
+
+  test("docBm25 equals an independent BigInt re-derivation on a hand corpus") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("bm25").toString
+    // doc 4 has no query term and must be absent from the result
+    val corpus = Seq(
+      (1L, "x y vector hash vector", "en", "s", 22L),
+      (2L, "vector stream", "en", "s", 13L),
+      (3L, "hash hash hash hash", "en", "s", 19L),
+      (4L, "x y z", "en", "s", 5L))
+    corpus.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val terms = Seq("vector", "stream", "hash")
+    val n = corpus.size.toLong
+    val toks = corpus.map { case (id, tx, _, _, _) => id -> tx.split(" ").toSeq }
+    val t = toks.map(_._2.size.toLong).sum
+    val dfs = terms.map(q => toks.count(_._2.contains(q)).toLong)
+    val expected = toks
+      .map { case (id, ws) =>
+        val score = terms.zip(dfs).map { case (q, df) =>
+          bm25Term(ws.count(_ == q).toLong, ws.size.toLong, df, n, t)
+        }.sum
+        (id, score.toLong, terms.count(ws.contains).toLong)
+      }
+      .filter(_._3 > 0)
+      .sortBy { case (id, s, _) => (-s, id) }
+    val got = TextOps.docBm25(terms, 10)(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected, s"got $got expected $expected")
+  }
+
+  test("docBm25 ranks an on-topic doc above a diluted one (saturation + length norm)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("bm25rank").toString
+    // same tf of 'vector' (2), but doc 2 buries it in a 4x longer text:
+    // the dl/avgdl length normalization must rank doc 1 first
+    Seq(
+      (1L, "vector vector stream", "en", "s", 0L),
+      (2L, "vector vector a a a a a a a a a a", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val got = TextOps.docBm25(Seq("vector"), 10)(spark, tmp)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 2L))
+  }
+
+  test("docBm25 plan: map-side tf (no token explode/shuffle), top-k is TakeOrdered") {
+    val df = TextOps.docBm25(Seq("vector", "stream", "hash"), 15)(spark, sf001)
+    val plan = finalPlan(df).toString
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$plan")
+    // the only exchanges are the two 1-row aggregates (corpus totals +
+    // per-term dfs); the matching-docs relation itself never shuffles
+    assert(countShuffles(df) <= 2, s"expected <=2 exchanges (1-row aggs only):\n$plan")
+    assert(!plan.toLowerCase.contains("generate"), // explode would be a Generate node
+      s"tf must be size(filter(...)), not an exploded token relation:\n$plan")
+  }
+
+  // ---- SQ8 threshold search ------------------------------------------
+
+  test("rangeSearch equals the brute-force exact threshold scan (lossless prescreen)") {
+    val tau = 220000000000L
+    val q = Ivf.quantized(spark, sf001)
+    val qqv = q.filter(col("vec_id") === 0L).select("qv")
+      .head().getSeq[Long](0).toArray.map(_ - Sq8.Center)
+    val exact = q.filter(col("vec_id") =!= 0L)
+      .select(col("vec_id"),
+        aggregate(zip_with(col("qv"), typedLit(qqv.toSeq),
+          (x, qc) => (x - lit(Sq8.Center)) * qc), lit(0L), (a, v) => a + v).as("csim"))
+      .filter(col("csim") >= tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Sq8.rangeSearch(0L, tau)(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exact)
+    assert(got.nonEmpty, "threshold must select a non-trivial result")
+  }
+
+  test("rangeSearch prescreen: ub >= csim on EVERY row, and it actually prunes") {
+    // re-derive the bound the prescreen uses, row by row, against the
+    // exact csim — one violation anywhere would be a potential false
+    // negative at some tau
+    val tau = 220000000000L
+    val (mns, rngs, _) = Sq8.train(Ivf.quantized(spark, sf001))
+    val q = Ivf.quantized(spark, sf001)
+    val qcv = q.filter(col("vec_id") === 0L).select("qv")
+      .head().getSeq[Long](0).toArray.map(_ - Sq8.Center)
+    val rows = Sq8.codes(spark, sf001)
+      .join(q.select("vec_id", "qv"), "vec_id")
+      .filter(col("vec_id") =!= 0L)
+      .collect()
+    var pruned = 0
+    rows.foreach { r =>
+      val cd = r.getSeq[Long](1)
+      val qv = r.getSeq[Long](2)
+      val csim = (0 until Sq8.Dim).map(i => (qv(i) - Sq8.Center) * qcv(i)).sum
+      val ub = (0 until Sq8.Dim).map { i =>
+        val base = mns(i) - Sq8.Center
+        if (qcv(i) >= 0) qcv(i) * (base + ((cd(i) + 1) * rngs(i)) / 255)
+        else qcv(i) * (base + (cd(i) * rngs(i) + 254) / 255)
+      }.sum
+      assert(ub >= csim, s"bound violated for vec ${r.getLong(0)}: ub=$ub csim=$csim")
+      if (ub < tau) pruned += 1
+    }
+    info(s"prescreen prunes $pruned/${rows.length} vectors at tau=$tau")
+    assert(pruned > rows.length / 4,
+      s"prescreen should drop a meaningful fraction map-side ($pruned/${rows.length})")
+  }
+
+  // ---- JL random projection ------------------------------------------
+
+  test("rproj signs: every row is a full-length ±1 vector, rows differ") {
+    assert(Rproj.signs.length == Rproj.RDim)
+    assert(Rproj.signs.forall(r => r.length == Rproj.Dim && r.forall(s => s == 1L || s == -1L)))
+    assert(Rproj.signs.map(_.toSeq).distinct.length == Rproj.RDim)
+  }
+
+  test("rproj recall@10 vs brute force (16-dim projected shortlist 100)") {
+    val exact = SimOps.topK(0L, 10)(spark, sf001)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val got = Rproj.topK(0L, 100, 10)(spark, sf001)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    info(s"rproj recall@10 = ${(exact & got).size}/10")
+    // this corpus is the hardest ANN case (near-random vectors, max
+    // pairwise cosine ~0.5, so neighbor gaps are tiny vs JL distortion
+    // — the same data property AnnRecallSpec documents for LSH); 64->16
+    // dims with a 100-deep shortlist measures 8/10, floor with one-hit
+    // slack
+    assert((exact & got).size >= 7)
+  }
+
+  test("rproj plan: shortlist is TakeOrdered over a map-only projection") {
+    val df = Rproj.topK(0L, 100, 10)(spark, sf001)
+    val plan = finalPlan(df).toString
+    assert(plan.contains("TakeOrderedAndProject"), s"shortlist must not global-sort:\n$plan")
+    assert(countShuffles(df) == 0,
+      s"projection + shortlist + broadcast rerank needs no exchange:\n$plan")
+  }
+}
