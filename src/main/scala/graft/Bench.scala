@@ -54,6 +54,8 @@ object Bench {
       ("label_index", n => n.startsWith("doc_dedup_keep") ||
         n.startsWith("doc_split_safe"),
         () => graft.text.TextOps.prebuildLabelIndex(graft.text.TextOps.DupClusterTau)(spark, sfDir)),
+      ("posting_index", _.startsWith("doc_bm25_indexed"),
+        () => graft.text.TextOps.prebuildPostingIndex(spark, sfDir)),
       ("ivf_codebook", _.startsWith("emb_ivf"),
         () => { graft.sim.Ivf.trainCached(spark, sfDir); () }),
       ("pq_codebooks", n => n.startsWith("emb_pq") || n.startsWith("emb_ivfpq"),

@@ -1361,12 +1361,7 @@ object TextOps {
     val dfAggs = terms.indices.map(i =>
       sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
     val dfr = perDoc.agg(dfAggs.head, dfAggs.tail: _*)
-    val termExprs = terms.indices.map { i =>
-      val idf = s"((2 * n - 2 * df$i + 1) * 1000000L) div (2 * df$i + 1)"
-      val sat = s"(CAST(tf$i AS DECIMAL(38,0)) * t * 44000000) div " +
-        s"(20 * CAST(t AS DECIMAL(38,0)) * tf$i + 6 * t + 18 * CAST(dl AS DECIMAL(38,0)) * n)"
-      s"(CAST(($idf) AS DECIMAL(38,0)) * ($sat)) div 1000000"
-    }
+    val termExprs = terms.indices.map(i => bm25TermExpr(s"tf$i", s"df$i"))
     perDoc.crossJoin(broadcast(tots)).crossJoin(broadcast(dfr))
       .select(col("doc_id"),
         expr(termExprs.mkString("(", ") + (", ")")).cast(LongType).as("score_ppm"),
@@ -1374,6 +1369,17 @@ object TextOps {
           .reduce(_ + _).cast(LongType).as("n_hit"))
       .orderBy(col("score_ppm").desc, col("doc_id").asc)
       .limit(k)
+  }
+
+  /** The fixed-point BM25 term score over columns `$tf`, `$df`, `dl`,
+    * `n`, `t` — the ONE definition [[docBm25]] (per-term columns) and
+    * [[docBm25Indexed]] (posting rows) both inline; a fork here would
+    * silently desynchronize the two arms from the shared oracle. */
+  private def bm25TermExpr(tf: String, df: String): String = {
+    val idf = s"((2 * n - 2 * $df + 1) * 1000000L) div (2 * $df + 1)"
+    val sat = s"(CAST($tf AS DECIMAL(38,0)) * t * 44000000) div " +
+      s"(20 * CAST(t AS DECIMAL(38,0)) * $tf + 6 * t + 18 * CAST(dl AS DECIMAL(38,0)) * n)"
+    s"(CAST(($idf) AS DECIMAL(38,0)) * ($sat)) div 1000000"
   }
 
   def docBm25Sql(terms: Seq[String], k: Int): String = {
@@ -1398,6 +1404,86 @@ object TextOps {
        |  CAST($hits AS BIGINT) AS n_hit
        | FROM m, tot, dfr
        | ORDER BY score_ppm DESC, doc_id ASC LIMIT $k""".stripMargin.replace("\n", " ")
+  }
+
+  /** Term-hash partition count of the posting index: bounded (a layout
+    * constant), not vocabulary-sized — partition pruning needs literal
+    * directory values, and a directory per term would explode the
+    * namespace at a 100 TB vocabulary. */
+  val TermBuckets: Long = 64L
+
+  private def termBucketCol(t: Column): Column =
+    conv(substring(md5(t), 1, 4), 16, 10).cast(LongType) % TermBuckets
+
+  /** The same md5-prefix bucket, driver-side, for literal query terms
+    * (the probe's partition values). */
+  private def termBucket(t: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).take(2).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex, 16) % TermBuckets
+  }
+
+  private val postingCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Materialized inverted index: `postings/` holds (term, doc_id, tf,
+    * dl) partitioned by the term's hash bucket — the distributed
+    * posting-list layout a lexical search system keeps on disk —
+    * plus a 1-row `stats/` relation (N docs, T tokens) so queries never
+    * touch the corpus. Built once per dataset (one explode + one
+    * map-side-combined aggregation), like every index build here. */
+  def postingIndexPath(spark: SparkSession, dir: String): String =
+    postingCache.computeIfAbsent(
+      graft.DatasetCache.snapshotKey(spark, dir, "documents.parquet"), { _ =>
+        val path = graft.DatasetCache.registerTempDir(
+          java.nio.file.Files.createTempDirectory("graft_postings").toString)
+        val d = docs(spark, dir)
+        d.agg(count(lit(1)).cast(LongType).as("n"),
+            sum(size(words).cast(LongType)).as("t"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+        d.select(col("doc_id"), size(words).cast(LongType).as("dl"),
+            explode(words).as("term"))
+          .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+          .withColumn("tb", termBucketCol(col("term")))
+          .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings")
+        path
+      })
+
+  /** Force the one-time posting-index build (bench isolation hook). */
+  def prebuildPostingIndex(spark: SparkSession, dir: String): Unit = {
+    postingIndexPath(spark, dir)
+    ()
+  }
+
+  /** BM25 served from the posting index instead of a corpus scan — the
+    * at-scale retrieval shape: the literal query terms resolve to
+    * literal hash buckets DRIVER-side, so the posting scan is
+    * partition-pruned to ≤|query| directories (plan-visible
+    * `PartitionFilters`, the same probe pattern as [[graft.sim.Ivf]]'s
+    * inverted lists); document frequencies come from the probed
+    * postings themselves (a |query|-bounded broadcast) and corpus
+    * totals from the 1-row stats relation. Per-term scores are the
+    * SAME fixed-point expression as [[docBm25]] — posting rows carry
+    * (tf, dl), the per-doc sum is one keyed aggregation over
+    * match-sized data — so the result is row-identical and shares the
+    * corpus-scan oracle. */
+  def docBm25Indexed(terms: Seq[String], k: Int)(
+      spark: SparkSession, dir: String): DataFrame = {
+    val path = postingIndexPath(spark, dir)
+    val stats = spark.read.parquet(s"$path/stats")
+    val buckets = terms.map(termBucket).distinct
+    val post = spark.read.parquet(s"$path/postings")
+      .filter(col("tb").isin(buckets: _*) && col("term").isin(terms: _*))
+    val dfr = post.groupBy("term").agg(count(lit(1)).as("df"))
+    post.join(broadcast(dfr), "term") // |query|-bounded: hint OK
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        expr(bm25TermExpr("tf", "df")).cast(LongType).as("ts"))
+      .groupBy("doc_id")
+      .agg(sum(col("ts")).as("score_ppm"),
+        count(lit(1)).cast(LongType).as("n_hit"))
+      .orderBy(col("score_ppm").desc, col("doc_id").asc)
+      .limit(k)
   }
 
   /** Skew-proof top-k terms: two-phase salted aggregation. Term

@@ -79,6 +79,22 @@ class RetrievalOpsSpec extends SparkSpec {
       s"tf must be size(filter(...)), not an exploded token relation:\n$plan")
   }
 
+  test("docBm25Indexed is row-identical to the corpus-scan arm") {
+    val terms = Seq("vector", "stream", "hash")
+    val scan = TextOps.docBm25(terms, 15)(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val idx = TextOps.docBm25Indexed(terms, 15)(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(idx == scan)
+  }
+
+  test("docBm25Indexed probe is partition-pruned to the query terms' buckets") {
+    val df = TextOps.docBm25Indexed(Seq("vector", "stream", "hash"), 15)(spark, sf001)
+    val plan = finalPlan(df).toString
+    assert("""PartitionFilters: \[[^\]]*tb""".r.findFirstIn(plan).isDefined,
+      s"posting scan must prune on the term-bucket partition column:\n$plan")
+  }
+
   // ---- SQ8 threshold search ------------------------------------------
 
   test("rangeSearch equals the brute-force exact threshold scan (lossless prescreen)") {
