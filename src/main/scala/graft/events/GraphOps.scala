@@ -36,9 +36,17 @@ object GraphOps {
   val DampPct: Long = 85L
   val Iters: Int = 3
 
-  /** The shared (src, dst, cnt) adjacent-transition relation. */
+  /** The shared (src, dst, cnt) adjacent-transition relation.
+    *
+    * Sequence order is MICROSECOND time (+ event_id tiebreak), the same
+    * discipline as sessionize/asOfJoin: DuckDB truncates TIMESTAMP(NANOS)
+    * to µs, so a raw-ns `ORDER BY ts` here would silently reorder any
+    * same-µs pair against the oracle (the fixture happens to have no
+    * such pair, so the hash gate could never catch the divergence —
+    * `GraphOpsSpec` plants one). */
   private def transitionCounts(spark: SparkSession, dir: String): DataFrame = {
-    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(expr("ts div 1000"), col("event_id"))
     EventOps.events(spark, dir)
       .withColumn("nxt", lead("event_type", 1).over(byUser))
       .filter(col("nxt").isNotNull)

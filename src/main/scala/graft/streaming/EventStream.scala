@@ -121,7 +121,9 @@ object EventStream {
         org.apache.spark.sql.streaming.OutputMode.Append,
         GroupStateTimeout.NoTimeout) {
         case (uid, rows, state: GroupState[LastEvent]) =>
-          val batch = rows.toSeq.sortBy(r => (r._2, r._3))
+          // µs-order like the batch window (ns div 1000, event_id) so
+          // batch ≡ stream holds on same-µs pairs too
+          val batch = rows.toSeq.sortBy(r => (r._2 / 1000, r._3))
             .map(r => (r._2, r._3, r._4))
           val seq = state.getOption
             .map(p => (p.ts, p.event_id, p.event_type)).toSeq ++ batch

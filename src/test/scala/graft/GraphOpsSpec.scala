@@ -8,17 +8,38 @@ class GraphOpsSpec extends SparkSpec {
 
   test("transition rows match a driver-side recomputation (sf0.001)") {
     // Recompute the adjacency from first principles: per user, sort by
-    // (ts, event_id), count adjacent pairs.
+    // (µs, event_id) — the oracle-facing time grain — count adjacent
+    // pairs.
     val ev = EventOps.events(spark, sf0001)
       .select("user_id", "ts", "event_id", "event_type").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
     val expected = ev.groupBy(_._1).values.flatMap { rows =>
-      rows.sortBy(r => (r._2, r._3)).map(_._4).toList.sliding(2)
+      rows.sortBy(r => (r._2 / 1000, r._3)).map(_._4).toList.sliding(2)
         .collect { case List(a, b) => (a, b) }
     }.toSeq.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
     val got = GraphOps.transitions(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(got == expected)
+  }
+
+  test("transition order is µs + event_id: a same-µs ns-reversed pair cannot diverge from the oracle") {
+    import spark.implicits._
+    // user 1: ids 2/5 share µs 1_000_000 with REVERSED ns order — the
+    // µs+id contract must order id 2 first (a DuckDB oracle sees only
+    // µs, so a raw-ns order would silently flip this pair); the real
+    // fixtures happen to have no same-µs pair, which is exactly why
+    // this needs planting
+    val tmp = java.nio.file.Files.createTempDirectory("trns").toString
+    Seq(
+      (2L, 1000000900L, 1L, "a", 0.0, "{}"),
+      (5L, 1000000100L, 1L, "b", 0.0, "{}"),
+      (7L, 2000000000L, 1L, "c", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$tmp/events.parquet")
+    val got = GraphOps.transitions(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("a", "b"), ("b", "c")),
+      s"µs+id order must give a→b→c, got $got")
   }
 
   test("per-source probabilities sum to 1e6 minus truncation slack") {
