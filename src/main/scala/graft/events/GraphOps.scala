@@ -80,28 +80,37 @@ object GraphOps {
   /** PageRank over the transition graph, `Iters` damped power
     * iterations in exact integer ppb arithmetic. Dangling nodes (no
     * outgoing transitions) leak their mass, the standard simplification
-    * when ranks are only compared, not summed. */
+    * when ranks are only compared, not summed.
+    *
+    * The distributed work is the ONE windowed fact-table pass inside
+    * [[transitionCounts]]; the normalized edge matrix it produces is
+    * ≤|event_type|² rows — schema-bounded metadata, like the IVF
+    * codebook — so the power iterations run driver-side on the
+    * collected matrix (the same int64 `+ * div` ops the oracle replays
+    * in SQL) instead of paying 2·Iters tiny join/agg jobs on 5-row
+    * relations. Identical results by construction; at 100 TB the
+    * iteration cost is noise either way, but the job-launch overhead
+    * is not. */
   def pagerank(spark: SparkSession, dir: String): DataFrame = {
-    val ev = EventOps.events(spark, dir)
-    val nodes = ev.select(col("event_type").as("v")).distinct()
-    // |event_type| is schema-bounded: a metadata-sized action, like the
-    // IVF codebook collect
-    val n = nodes.count()
+    import spark.implicits._
+    val nodes = EventOps.events(spark, dir)
+      .select(col("event_type").as("v")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val n = nodes.size.toLong
     val bySrc = Window.partitionBy("src")
     val edges = transitionCounts(spark, dir)
       .withColumn("tot", sum("cnt").over(bySrc))
       .select(col("src"), col("dst"), expr("cnt * 1000000L div tot").as("p_ppm"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val base = (100L - DampPct) * Scale / (100L * n)
-    val r0 = nodes.select(col("v"), lit(Scale / n).as("r"))
-    val rFinal = (1 to Iters).foldLeft(r0) { (r, _) =>
-      val contrib = edges.join(r, edges("src") === r("v"))
-        .select(col("dst"), expr("r * p_ppm div 1000000L").as("c"))
-        .groupBy("dst").agg(sum("c").as("s"))
-      nodes.join(contrib, nodes("v") === contrib("dst"), "left")
-        .select(col("v"),
-          (lit(base) + expr(s"$DampPct * coalesce(s, 0L) div 100")).as("r"))
+    var r = nodes.map(_ -> Scale / n).toMap
+    (1 to Iters).foreach { _ =>
+      val s = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.iterator.map { case (src, _, p) => r(src) * p / 1000000L }.sum
+      }
+      r = nodes.map(v => v -> (base + DampPct * s.getOrElse(v, 0L) / 100L)).toMap
     }
-    rFinal.select(col("v"), col("r").as("rank_ppb"))
+    nodes.map(v => (v, r(v))).toDF("v", "rank_ppb")
       .orderBy(col("rank_ppb").desc, col("v").asc)
   }
 
