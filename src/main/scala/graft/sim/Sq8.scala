@@ -227,6 +227,45 @@ object Sq8 {
        |WHERE csim >= $tau
        |ORDER BY csim DESC, vec_id ASC""".stripMargin.replace("\n", " ")
 
+  /** Hard-negative mining for contrastive training: the top-k vectors
+    * most similar to the query that are NOT near-duplicates of it —
+    * `dupTau ≤ csim` rows are positives/duplicates (what
+    * [[rangeSearch]] returns) and must be excluded, the band just below
+    * is exactly what an embedding-model trainer wants in the batch.
+    * Same centered-quantized integer similarity as [[rangeSearch]]
+    * (deterministic, oracle-exact); one corpus scan, map-side filter,
+    * TakeOrderedAndProject — zero exchanges. */
+  def hardNegatives(queryId: Long, dupTau: Long, k: Int)(
+      spark: SparkSession, dir: String): DataFrame = {
+    Ivf.quantized(spark, dir).filter(col("vec_id") === queryId)
+      .select("qv").collect().headOption match {
+      case None => // unknown id: empty, like the oracle
+        spark.range(0).select(col("id").as("vec_id"), lit(0L).as("csim"))
+      case Some(row) =>
+        val qcv = row.getSeq[Long](0).toArray.map(_ - Center)
+        Ivf.quantized(spark, dir)
+          .filter(col("vec_id") =!= queryId)
+          .select(col("vec_id"),
+            aggregate(
+              zip_with(col("qv"), typedLit(qcv.toSeq),
+                (x, qc) => (x - lit(Center)) * qc),
+              lit(0L), (acc, v) => acc + v).as("csim"))
+          .filter(col("csim") < dupTau)
+          .orderBy(col("csim").desc, col("vec_id").asc)
+          .limit(k)
+    }
+  }
+
+  def hardNegativesSql(queryId: Long, dupTau: Long, k: Int): String =
+    s"""WITH ${Ivf.qCteSql},
+       |qq AS (SELECT qv AS qqv FROM q WHERE vec_id = $queryId)
+       |SELECT vec_id, csim FROM (
+       |  SELECT vec_id, CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+       |    i -> (qv[i] - $Center) * (qqv[i] - $Center))) AS BIGINT) AS csim
+       |  FROM q, qq WHERE vec_id != $queryId)
+       |WHERE csim < $dupTau
+       |ORDER BY csim DESC, vec_id ASC LIMIT $k""".stripMargin.replace("\n", " ")
+
   // ---- IVF-SQ8: cells route → bytes rank → floats re-score ------------
 
   private val layoutCache =

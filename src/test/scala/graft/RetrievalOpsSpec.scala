@@ -145,6 +145,22 @@ class RetrievalOpsSpec extends SparkSpec {
       s"prescreen should drop a meaningful fraction map-side ($pruned/${rows.length})")
   }
 
+  test("hardNegatives sits exactly below the duplicate band, zero-shuffle plan") {
+    val tau = 220000000000L
+    val dups = Sq8.rangeSearch(0L, tau)(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val df = Sq8.hardNegatives(0L, tau, 20)(spark, sf001)
+    val hard = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hard.length == 20)
+    // disjoint from the duplicate set, and strictly below it in csim
+    assert(dups.map(_._1).toSet.intersect(hard.map(_._1).toSet).isEmpty)
+    assert(hard.map(_._2).max < tau)
+    assert(hard.map(_._2).max < dups.map(_._2).min)
+    val plan = finalPlan(df).toString
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$plan")
+    assert(countShuffles(df) == 0, s"one scan + TakeOrdered needs no exchange:\n$plan")
+  }
+
   // ---- JL random projection ------------------------------------------
 
   test("rproj signs: every row is a full-length ±1 vector, rows differ") {
