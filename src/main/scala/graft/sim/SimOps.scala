@@ -114,6 +114,41 @@ object SimOps {
        |  ON a.label = b.label AND a.vec_id < b.vec_id
        | ORDER BY sim DESC, v1 ASC, v2 ASC LIMIT $k""".stripMargin.replace("\n", " ")
 
+  /** Bulk k-NN graph: every vector's k nearest neighbors WITHIN its
+    * coarse cell (`label`) — the corpus-wide neighbor-graph build
+    * behind SemDeDup-style dedup, kNN-LM retrieval and graph-ANN
+    * bootstrapping, as opposed to [[topKMulti]]'s handful of query
+    * vectors. The label equi-join bounds the pair blow-up per cell and
+    * co-partitions both sides; the per-source rank compiles to
+    * WindowGroupLimit (per-partition top-k heaps BEFORE the final
+    * shuffle — plan-asserted), so no cell's full pair list ever
+    * crosses the wire. Ranks compare the ROUNDED sim (what the oracle
+    * hashes) with dst as tiebreak, so bucket boundaries cannot diverge
+    * between engines. */
+  def knnGraphWithinLabel(k: Int)(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings(spark, dir)
+    val scored = e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        round(dot(col("a.embedding"), col("b.embedding")), 6).as("sim"))
+    val w = Window.partitionBy("src")
+      .orderBy(col("sim").desc, col("dst").asc)
+    scored.withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= k)
+      .orderBy("src", "rn")
+  }
+
+  def knnGraphWithinLabelSql(k: Int): String =
+    s"""SELECT src, dst, sim, rn FROM (
+       | SELECT a.vec_id AS src, b.vec_id AS dst,
+       |  round(${dotSql("a.embedding", "b.embedding")}, 6) AS sim,
+       |  CAST(row_number() OVER (PARTITION BY a.vec_id
+       |    ORDER BY round(${dotSql("a.embedding", "b.embedding")}, 6) DESC, b.vec_id ASC) AS BIGINT) AS rn
+       | FROM embeddings a JOIN embeddings b
+       |  ON a.label = b.label AND a.vec_id != b.vec_id)
+       | WHERE rn <= $k ORDER BY src, rn""".stripMargin.replace("\n", " ")
+
   // ---- random-hyperplane LSH ------------------------------------------
 
   val Planes: Int = 8

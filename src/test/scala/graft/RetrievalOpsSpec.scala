@@ -161,6 +161,32 @@ class RetrievalOpsSpec extends SparkSpec {
     assert(countShuffles(df) == 0, s"one scan + TakeOrdered needs no exchange:\n$plan")
   }
 
+  // ---- k-NN graph -----------------------------------------------------
+
+  test("knnGraph: every vector gets k in-cell neighbors, plan uses WindowGroupLimit") {
+    val k = 3
+    val df = SimOps.knnGraphWithinLabel(k)(spark, sf001)
+    val rows = df.collect()
+    val perSrc = rows.groupBy(_.getLong(0))
+    // every vector appears with exactly k neighbors (each label cell in
+    // the fixture has > k members), ranks are 1..k, neighbors share the
+    // source's cell and never self-link
+    val labels = SimOps.embeddings(spark, sf001)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(perSrc.size == labels.size)
+    perSrc.foreach { case (src, ns) =>
+      assert(ns.map(_.getLong(3)).sorted.toSeq == (1L to k))
+      ns.foreach { r =>
+        assert(r.getLong(1) != src)
+        assert(labels(r.getLong(1)) == labels(src))
+      }
+    }
+    val plan = finalPlan(df).toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-source top-k must heap before the shuffle:\n$plan")
+  }
+
   // ---- JL random projection ------------------------------------------
 
   test("rproj signs: every row is a full-length ±1 vector, rows differ") {
