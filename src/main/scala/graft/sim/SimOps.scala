@@ -124,7 +124,15 @@ object SimOps {
     * shuffle — plan-asserted), so no cell's full pair list ever
     * crosses the wire. Ranks compare the ROUNDED sim (what the oracle
     * hashes) with dst as tiebreak, so bucket boundaries cannot diverge
-    * between engines. */
+    * between engines.
+    *
+    * Scale contract: per-cell work is quadratic in CELL SIZE by
+    * definition (like [[topPairsWithinLabel]], the exact arm), so the
+    * deployment knob is cell granularity ∝ corpus — at 100 TB the cell
+    * id comes from the IVF quantizer with K sized to hold cells
+    * constant (the [[graft.sim.SemDedup]] k knob), keeping total work
+    * linear; the fixed-|label| fixture instead grows cells 10× and
+    * pays the documented quadratic (`BENCH_SCALE_r06.json`). */
   def knnGraphWithinLabel(k: Int)(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = embeddings(spark, dir)
