@@ -20,4 +20,11 @@ class EntrySmokeSpec extends SparkSpec {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
+
+  test("oracle SQL is single-line (a stray newline corrupts SQL composed from these strings)") {
+    val multi = SparkEntry.oracleSql.collect {
+      case (k, v) if v.exists(c => c == '\n' || c == '\r') => k
+    }
+    assert(multi.isEmpty, s"multi-line oracle SQL (missing .replace(\"\\n\",\" \")): $multi")
+  }
 }

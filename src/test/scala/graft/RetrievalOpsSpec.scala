@@ -53,6 +53,35 @@ class RetrievalOpsSpec extends SparkSpec {
     assert(got == expected, s"got $got expected $expected")
   }
 
+  test("docBm25 matches the BigInt re-derivation on random corpora (5 seeds)") {
+    import spark.implicits._
+    val vocab = Vector("a", "b", "c", "vector", "stream", "hash", "x", "y")
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val corpus = (1L to (5 + rnd.nextInt(15))).map { id =>
+        val text = Seq.fill(1 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        (id, text, "en", "s", text.length.toLong)
+      }
+      val tmp = java.nio.file.Files.createTempDirectory(s"bm25p$seed").toString
+      corpus.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$tmp/documents.parquet")
+      val terms = Seq("vector", "stream", "hash")
+      val toks = corpus.map { case (id, tx, _, _, _) => id -> tx.split(" ").toSeq }
+      val n = corpus.size.toLong
+      val t = toks.map(_._2.size.toLong).sum
+      val dfs = terms.map(q => toks.count(_._2.contains(q)).toLong)
+      val expected = toks.map { case (id, ws) =>
+        val score = terms.zip(dfs).map { case (q, df) =>
+          bm25Term(ws.count(_ == q).toLong, ws.size.toLong, df, n, t)
+        }.sum
+        (id, score.toLong, terms.count(ws.contains).toLong)
+      }.filter(_._3 > 0).sortBy { case (id, s, _) => (-s, id) }
+      val got = TextOps.docBm25(terms, corpus.size + 1)(spark, tmp)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == expected, s"seed $seed: got $got expected $expected")
+    }
+  }
+
   test("docBm25 ranks an on-topic doc above a diluted one (saturation + length norm)") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("bm25rank").toString
