@@ -190,6 +190,21 @@ class RetrievalOpsSpec extends SparkSpec {
     assert(countShuffles(df) == 0, s"one scan + TakeOrdered needs no exchange:\n$plan")
   }
 
+  test("edge cases: unknown query ids yield empty, absent terms contribute nothing") {
+    // point-lookup arms must behave like their join/oracle formulations
+    // on a missing id: zero rows, not an exception
+    assert(Sq8.rangeSearch(999999L, 1L)(spark, sf001).count() == 0)
+    assert(Sq8.hardNegatives(999999L, 1L, 5)(spark, sf001).count() == 0)
+    assert(Rproj.topK(999999L, 50, 10)(spark, sf001).count() == 0)
+    // a query term absent from the corpus: df=0, tf=0 everywhere — it
+    // must not change scores or membership vs the query without it
+    val withGhost = TextOps.docBm25(Seq("vector", "zzz_not_a_term"), 15)(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val without = TextOps.docBm25(Seq("vector"), 15)(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(withGhost == without)
+  }
+
   // ---- k-NN graph -----------------------------------------------------
 
   test("knnGraph: every vector gets k in-cell neighbors, plan uses WindowGroupLimit") {
