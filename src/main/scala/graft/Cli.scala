@@ -196,7 +196,7 @@ object Cli {
         "usage: graft.Cli benchmark | convert <las> <out> [seed] | " +
           "merge <in> <out> [rows] | partition <in> <out> [grid|quadtree|zorder] [sigma|bits] | " +
           "footprint <las> <out-dir> [scale] | experiment [sfDir] [outDir] [runs] | " +
-          "lake append|overwrite|read|history|vacuum|vacuum-hours|merge|delete|update|optimize|restore|truncate|constrain|unconstrain <table> [args]")
+          "lake append|overwrite|read|history|vacuum|vacuum-hours|merge|delete|deletedv|update|optimize|compact|restore|truncate|constrain|unconstrain <table> [args]")
       sys.exit(2)
   }
 }
