@@ -105,6 +105,17 @@ object Bench {
     // SPARK_GRAFT_BENCH_GC=0 disables the barrier — the A/B knob the
     // variance root-cause experiment uses; default ON
     val gcBarrier = sys.env.get("SPARK_GRAFT_BENCH_GC").forall(_ != "0")
+    // 1-minute load average, sampled at suite start and end: external
+    // load is THE recurring cause of cross-run variance on a shared
+    // machine (r5 verdict item 2, r6 driver-vs-committed deltas), so the
+    // artifact carries the context needed to judge its own numbers
+    // instead of leaving consumers to root-cause it again. -1 when the
+    // platform has no /proc/loadavg.
+    def loadavg(): Double =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadStart = loadavg()
     val results = queries.map { case (name, fn) =>
       var failed = false
       if (gcBarrier) System.gc()
@@ -136,7 +147,7 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val indexTotal = indexBuilds.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonMap(results)},"index_build":${jsonMap(indexBuilds)},"index_build_total":${fmt(indexTotal)},"failed":$failedNames,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonMap(results)},"index_build":${jsonMap(indexBuilds)},"index_build_total":${fmt(indexTotal)},"failed":$failedNames,"load_start":${fmt(loadStart)},"load_end":${fmt(loadavg())},"sf":"$sfDir"}"""
     println(line)
     // The stdout line gets tail-truncated to its last ~2000 chars in
     // round artifacts (r4 lost most per-query timings; r5's driver
