@@ -79,6 +79,11 @@ class RetrievalOpsSpec extends SparkSpec {
       val got = TextOps.docBm25(terms, corpus.size + 1)(spark, tmp)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
       assert(got == expected, s"seed $seed: got $got expected $expected")
+      // the posting-index arm must agree on every random corpus too
+      // (fresh index per temp dir — snapshot-keyed like all layouts)
+      val idx = TextOps.docBm25Indexed(terms, corpus.size + 1)(spark, tmp)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(idx == expected, s"seed $seed (indexed): got $idx expected $expected")
     }
   }
 
