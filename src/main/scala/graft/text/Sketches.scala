@@ -111,10 +111,23 @@ object Sketches {
 
   // ---- SimHash ---------------------------------------------------------
 
-  val SimHashBits: Int = 32
+  /** Sketch width 60 — the full md5-prefix token hash. Width is the
+    * banded join's scale knob: random-collision candidate pairs cost
+    * ~bands·N²/2^(bits/2), so a 32-bit sketch (16-bit halves, 2×65k
+    * buckets) SATURATES its key space once the corpus passes ~10⁵ docs
+    * and the join drifts quadratic — measured on the 100× fixture
+    * (500k docs): 10.9M candidate pairs at 16-bit halves vs 0.48M at
+    * 30-bit (22× fewer; the survivors are the true near-dup structure,
+    * which grows linearly). 30-bit halves push the saturation point out
+    * by 2^14 (≈10⁹ docs before random df ≈ 1) at identical per-row
+    * sketch cost; past that, the knob turns again (wider hash → wider
+    * halves). `BENCH_SCALE_r06.json#hundredx_dedup` has the runs. */
+  val SimHashBits: Int = 60
+  private val HalfBits: Int = SimHashBits / 2
+  private val HalfMask: Long = (1L << HalfBits) - 1
 
-  /** 32-bit SimHash over whitespace tokens (with multiplicity): bit b is
-    * set iff the majority of token-hash bits b vote 1. Implemented as 32
+  /** 60-bit SimHash over whitespace tokens (with multiplicity): bit b is
+    * set iff the majority of token-hash bits b vote 1. Implemented as 60
     * conditional-sum aggregates — map-side combinable, single shuffle. */
   private def simhashRaw(spark: SparkSession, dir: String): DataFrame = {
     val tok = TextOps.docs(spark, dir)
@@ -148,12 +161,13 @@ object Sketches {
   }
 
   /** Document-frequency cap on simhash halves — a half shared by k docs
-    * is a k^2/2 hot key in the candidate join. Above the testdata's max
-    * half df (128 at sf0.1). */
+    * is a k^2/2 hot key in the candidate join. With 30-bit halves a df
+    * this high can only be true mass duplication (the skew case the cap
+    * exists for), never random collision. */
   val HalfDfCap = 1024
 
   /** SimHash near-dup pairs with Hamming distance <= maxDist, found by
-    * the banded trick: split the 32-bit sketch in two 16-bit halves; any
+    * the banded trick: split the 60-bit sketch in two 30-bit halves; any
     * pair within Hamming <= 3 of a half-match shares at least one exact
     * half (pigeonhole only guarantees this for dist <= 1 per half — we
     * use half-match as the candidate filter exactly like production
@@ -164,8 +178,8 @@ object Sketches {
       spark: SparkSession, dir: String): DataFrame = {
     val halves = simhashRaw(spark, dir).select(col("doc_id"), col("simhash"),
         explode(array(
-          struct(lit(0).as("hx"), col("simhash").bitwiseAND(lit(0xFFFFL)).as("hv")),
-          struct(lit(1).as("hx"), shiftright(col("simhash"), 16).as("hv")))).as("bb"))
+          struct(lit(0).as("hx"), col("simhash").bitwiseAND(lit(HalfMask)).as("hv")),
+          struct(lit(1).as("hx"), shiftright(col("simhash"), HalfBits).as("hv")))).as("bb"))
       .select(col("doc_id"), col("simhash"),
         col("bb.hx").as("hx"), col("bb.hv").as("hv"))
       // one shuffle feeds the hot-key aggregation and both join sides
@@ -210,8 +224,8 @@ object Sketches {
 
   def simhashPairsSql(maxDist: Int): String =
     s"""WITH sig AS ($simhashSql),
-       | halves AS (SELECT doc_id, simhash, 0 AS hx, simhash & 65535 AS hv FROM sig
-       |   UNION ALL SELECT doc_id, simhash, 1 AS hx, simhash >> 16 AS hv FROM sig),
+       | halves AS (SELECT doc_id, simhash, 0 AS hx, simhash & $HalfMask AS hv FROM sig
+       |   UNION ALL SELECT doc_id, simhash, 1 AS hx, simhash >> $HalfBits AS hv FROM sig),
        | hot AS (SELECT hx, hv FROM halves GROUP BY 1, 2 HAVING count(*) > $HalfDfCap),
        | keep AS (SELECT halves.* FROM halves ANTI JOIN hot USING (hx, hv)),
        | cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
