@@ -28,7 +28,15 @@ object Sketches {
     (22695477L, 1L), (1103515245L, 54321L))
   val Bands: Int = 4 // 4 bands x 2 rows
 
-  /** 28-bit shingle hash column (from TextOps.shingles' `s`). */
+  /** 28-bit shingle hash column (from TextOps.shingles' `s`). 28 bits is
+    * the no-overflow bound for the `(a·h+b) mod P` family below, not a
+    * join-key width (the candidate JOINS key on band strings of two
+    * 31-bit values — no key-space saturation; contrast the
+    * [[SimHashBits]] note): its only scale cost is estimator quality —
+    * shingles colliding in 2^28 read as identical to MinHash, biasing a
+    * pair's estimated jaccard up by ~|doc shingle set|/2^28 (≈4e-7 at
+    * the ~100-shingle documents here) INDEPENDENT of corpus size, so it
+    * never becomes a scale problem the way a narrow JOIN key does. */
   private def h28 = conv(substring(md5(col("s")), 1, 7), 16, 10).cast(LongType)
 
   private val h28Sql = "CAST('0x'||substr(md5(s),1,7) AS BIGINT)"
