@@ -433,41 +433,76 @@ object PcQueries {
     s"""SELECT count(*) AS cnt, max(${minDist2Sql("x", "y")}) AS h2
        | FROM ($pointsSql)""".stripMargin.replace("\n", " ")
 
-  /** Rotation registration sweep: for each candidate angle, rotate the
-    * scan about [[rotCenter]] and report the directed Hausdorff² to the
-    * model. Per-row work is angles×model literal arithmetic inside
-    * whole-stage codegen; the explode multiplies rows only between the
-    * projection and the partial aggregate, so the exchange carries
-    * |angles| rows per task regardless of scan size. The best angle is
-    * the h2-argmin row. */
+  /** Per-angle model offsets, rotated DRIVER-side: rotating the scan by
+    * θ about the center and measuring to the model is — by isometry,
+    * exactly, not approximately — the same distance as measuring the
+    * UNROTATED scan offset (dx, dy) to the model offsets rotated by −θ.
+    * So the whole trig sweep collapses to |angles|×|model| literal
+    * (u, v) pairs computed once on the driver, and the per-row work is
+    * `least((dx−u)²+(dy−v)², …)` — small, flat expression trees. */
+  private def rotatedModelOffsets(deg: Int): Seq[(Double, Double)] = {
+    val (cx, cy) = rotCenter
+    val c = math.cos(math.toRadians(deg.toDouble))
+    val s = math.sin(math.toRadians(deg.toDouble))
+    modelCloud.map { case (bx, by) =>
+      ((bx - cx) * c + (by - cy) * s, -(bx - cx) * s + (by - cy) * c)
+    }
+  }
+
+  /** Rotation registration sweep: for each candidate angle, the directed
+    * Hausdorff² from the rotated scan to the model. Three plan choices
+    * matter at scale (each measured on the 600k-point sf0.1 cloud with
+    * full output evaluation — `collect()` on a reused Dataset silently
+    * reuses the first run's shuffle files and times ~nothing, which is
+    * how the slow shapes hid):
+    *  - the per-angle maxima are |angles| MAX AGGREGATES in ONE pass —
+    *    the original shape exploded every scan row into |angles| struct
+    *    rows before aggregating (246 s);
+    *  - rotations live in the LITERALS (model rotated by −θ driver-side,
+    *    see [[rotatedModelOffsets]]), by isometry exactly — per-row trig
+    *    re-derivation bloats the expression tree for nothing;
+    *  - the per-angle min-distance is the NATIVE loop expression
+    *    [[MinSqDist2D]], not `least(...)` over 16 unrolled terms: 12
+    *    unrolled columns put ~2300 straight-line ops in one codegen
+    *    method, past HotSpot's JIT limit, and the stage ran as
+    *    interpreted bytecode (23 s); the loop form runs 0.9 s.
+    * The aggregate's exchange carries one 12-column row per task
+    * regardless of scan size; the 1×12 result stacks to (angle, h2)
+    * rows at the end. The best angle is the h2-argmin row. The oracle
+    * SQL embeds the SAME driver-computed (u, v) literals with the
+    * identical per-term IEEE tree (min is order-free without NaN), so
+    * the doubles hash-match bit-for-bit. */
   def register(spark: SparkSession, dir: String): DataFrame =
     registerSweep(points(spark, dir))
 
   /** The sweep itself, over any (x, y) relation — spec entry point. */
   def registerSweep(pts: DataFrame): DataFrame = {
+    MinSqDist2D.register(pts.sparkSession)
     val (cx, cy) = rotCenter
-    val perAngle = registerAngles.map { deg =>
-      val c = math.cos(math.toRadians(deg.toDouble))
-      val s = math.sin(math.toRadians(deg.toDouble))
-      val rx = lit(cx) + (col("x") - lit(cx)) * lit(c) - (col("y") - lit(cy)) * lit(s)
-      val ry = lit(cy) + (col("x") - lit(cx)) * lit(s) + (col("y") - lit(cy)) * lit(c)
-      struct(lit(deg.toLong).as("angle"), minDist2(rx, ry).as("d2"))
+    val dx = col("x") - lit(cx)
+    val dy = col("y") - lit(cy)
+    val d2Cols = registerAngles.map { deg =>
+      val (us, vs) = rotatedModelOffsets(deg).unzip
+      call_function("pc_min_sqdist2", dx, dy,
+        typedLit(us), typedLit(vs)).as(s"d2_$deg")
     }
-    pts.select(explode(array(perAngle: _*)).as("a"))
-      .groupBy(col("a.angle").as("angle"))
-      .agg(max(col("a.d2")).as("h2"))
+    val maxAggs = registerAngles.map(deg => max(col(s"d2_$deg")).as(s"h2_$deg"))
+    pts.select(d2Cols: _*)
+      .agg(maxAggs.head, maxAggs.tail: _*)
+      .select(explode(array(registerAngles.map(deg =>
+        struct(lit(deg.toLong).as("angle"), col(s"h2_$deg").as("h2"))): _*)).as("a"))
+      .select(col("a.angle").as("angle"), col("a.h2").as("h2"))
       .orderBy("angle")
   }
 
   val registerSql: String = {
     val (cx, cy) = rotCenter
     registerAngles.map { deg =>
-      val c = math.cos(math.toRadians(deg.toDouble))
-      val s = math.sin(math.toRadians(deg.toDouble))
-      val rx = s"$cx + (x - $cx) * $c - (y - $cy) * $s"
-      val ry = s"$cy + (x - $cx) * $s + (y - $cy) * $c"
-      s"""SELECT CAST($deg AS BIGINT) AS angle, max(${minDist2Sql("rx", "ry")}) AS h2
-         | FROM (SELECT $rx AS rx, $ry AS ry FROM ($pointsSql))""".stripMargin.replace("\n", " ")
+      val terms = rotatedModelOffsets(deg).map { case (u, v) =>
+        s"((x - $cx) - $u) * ((x - $cx) - $u) + ((y - $cy) - $v) * ((y - $cy) - $v)"
+      }.mkString("least(", ", ", ")")
+      s"""SELECT CAST($deg AS BIGINT) AS angle, max($terms) AS h2
+         | FROM ($pointsSql)""".stripMargin.replace("\n", " ")
     }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY angle")
   }
 }

@@ -210,6 +210,24 @@ class RetrievalOpsSpec extends SparkSpec {
     assert(withGhost == without)
   }
 
+  // ---- native min-sqdist loop expression -------------------------------
+
+  test("pc_min_sqdist2 equals the unrolled least(...) spelling bit-for-bit") {
+    import graft.pc.{MinSqDist2D, PcQueries}
+    MinSqDist2D.register(spark)
+    val (us, vs) = PcQueries.modelCloud.unzip
+    val pts = spark.read.parquet(s"$sf001/lineitem.parquet")
+      .select((col("l_orderkey") % 1000).cast("double").as("x"),
+        (col("l_partkey") % 1000).cast("double").as("y"))
+    val native = call_function("pc_min_sqdist2",
+      col("x"), col("y"), typedLit(us), typedLit(vs))
+    val unrolled = least(us.zip(vs).map { case (u, v) =>
+      (col("x") - lit(u)) * (col("x") - lit(u)) +
+        (col("y") - lit(v)) * (col("y") - lit(v))
+    }: _*)
+    assert(pts.filter(native =!= unrolled).count() == 0)
+  }
+
   // ---- k-NN graph -----------------------------------------------------
 
   test("knnGraph: every vector gets k in-cell neighbors, plan uses WindowGroupLimit") {
