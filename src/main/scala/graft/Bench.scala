@@ -56,6 +56,9 @@ object Bench {
         () => graft.text.TextOps.prebuildLabelIndex(graft.text.TextOps.DupClusterTau)(spark, sfDir)),
       ("posting_index", _.startsWith("doc_bm25_indexed"),
         () => graft.text.TextOps.prebuildPostingIndex(spark, sfDir)),
+      ("span_index", n => n.startsWith("doc_dup_spans") ||
+        n.startsWith("doc_pipeline_keep"),
+        () => graft.text.TextOps.prebuildSpanIndex(spark, sfDir)),
       ("ivf_codebook", _.startsWith("emb_ivf"),
         () => { graft.sim.Ivf.trainCached(spark, sfDir); () }),
       ("pq_codebooks", n => n.startsWith("emb_pq") || n.startsWith("emb_ivfpq"),
