@@ -65,6 +65,8 @@ object Bench {
         () => graft.sim.Pq.prebuildCodebooks(spark, sfDir)),
       ("lm_index", n => n.startsWith("doc_lm_score") || n.startsWith("doc_ccnet"),
         () => graft.text.TextOps.prebuildLmIndex(spark, sfDir)),
+      ("dsir_model", _.startsWith("doc_dsir"),
+        () => graft.text.SelectionOps.prebuildDsirModel(spark, sfDir)),
       ("bpe_merges", _.startsWith("doc_bpe"),
         () => graft.text.TextOps.prebuildBpeMerges(6)(spark, sfDir)),
       ("sq8_ranges", n => n.startsWith("emb_sq8") || n.startsWith("emb_ivfsq8"),

@@ -763,4 +763,56 @@ object EventOps {
       |   CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
       |  FROM events)
       | GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " ")
+
+  /** Touch channels eligible for attribution credit, in the fixture's
+    * event vocabulary (everything except `purchase` and `error`). */
+  val AttributionTouches: Seq[String] = Seq("click", "signup", "view")
+
+  /** Last-touch revenue attribution: every purchase credits its user's
+    * most recent PRECEDING touch event (click/signup/view), `direct`
+    * when the user never touched before buying — the standard marketing
+    * report, and the same carry-forward window shape as [[asOfJoin]]
+    * generalized to a channel vocabulary.
+    *
+    * Time discipline: ordered by (microsecond time, event_id) — DuckDB
+    * only sees µs-truncated timestamps, so ns-resolution order could
+    * silently disagree on same-µs pairs (the [[asOfJoin]]/
+    * [[GraphOps.transitionCounts]] rule). The window includes the
+    * current row, but a purchase row's own `touch` is NULL (purchases
+    * are not touches) so it can never credit itself.
+    *
+    * Scale: one scan, one window shuffle on user_id (the sessionize
+    * exchange), then a groupBy on a BOUNDED categorical key (≤4 rows)
+    * — map-side combined, no second fact shuffle. */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val byUserTime = Window.partitionBy("user_id")
+      .orderBy(expr("ts div 1000"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(spark, dir)
+      .filter(col("event_type").isin(AttributionTouches :+ "purchase": _*))
+      .withColumn("touch",
+        when(col("event_type").isin(AttributionTouches: _*), col("event_type")))
+      .withColumn("channel",
+        coalesce(last(col("touch"), ignoreNulls = true).over(byUserTime),
+          lit("direct")))
+      .filter(col("event_type") === "purchase")
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(round(col("value") * 100).cast(LongType)).as("cents"))
+      .orderBy("channel")
+  }
+
+  val attributionSql: String = {
+    val touches = AttributionTouches.map(t => s"'$t'").mkString(",")
+    s"""SELECT channel, count(*) AS n_purchases,
+       | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+       | FROM (
+       |  SELECT event_type, value,
+       |   coalesce(last(CASE WHEN event_type IN ($touches) THEN event_type END IGNORE NULLS)
+       |    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id ROWS UNBOUNDED PRECEDING),
+       |    'direct') AS channel
+       |  FROM events WHERE event_type IN ($touches, 'purchase'))
+       | WHERE event_type = 'purchase'
+       | GROUP BY channel ORDER BY channel""".stripMargin.replace("\n", " ")
+  }
 }

@@ -211,6 +211,73 @@ object Ivf {
     }
   }
 
+  /** Batch IVF search: top-k for EVERY query in a query set (vec_id <
+    * `nq`), expressed as one distributed JOIN instead of `nq` driver-side
+    * probe loops — the shape that scales to millions of queries (kNN-join
+    * for hard-negative mining, recommendation backfill, eval sweeps).
+    *
+    *  - per-query probe cells: the K literal-centroid distances sort
+    *    IN-ROW (`array_sort` over (dist, cid) structs — ascending struct
+    *    order IS the (dist, cid) tiebreak the single-query
+    *    [[probeCells]]/oracle use), slice nprobe, explode. Map-only.
+    *  - candidates: probes join the cid-partitioned layout ON cid. The
+    *    probe side is broadcast — bounded by the QUERY BATCH (the
+    *    deployment knob, independent of corpus size); a corpus-scale
+    *    batch drops the hint and shuffles both sides on cid.
+    *  - exact rescoring + per-query top-k via row_number (Spark plans
+    *    WindowGroupLimit: per-partition partial top-k before the window
+    *    shuffle, so the exchange carries ≤ k·|batch| survivors, not all
+    *    candidates).
+    *
+    * Same output schema and oracle conventions as [[SimOps.topKMulti]]
+    * (its IVF-indexed twin). */
+  def topKBatch(nq: Long, k: Int, nprobe: Int)(
+      spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = trainCached(spark, dir)
+    val table = spark.read.parquet(layoutPath(spark, dir))
+    val distArr = array(centroids.map { case (cid, cv) =>
+      struct(distTo(cv).as("dist"), lit(cid).as("cid"))
+    }: _*)
+    val probes = quantized(spark, dir).filter(col("vec_id") < nq)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        explode(slice(array_sort(distArr), 1, nprobe)).as("p"))
+      .select(col("qid"), col("qe"), col("p.cid").as("cid"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    table.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(SimOps.dot(col("embedding"), col("qe")), 6).as("sim"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= k)
+      .orderBy("qid", "rn")
+  }
+
+  def topKBatchSql(nq: Long, k: Int, nprobe: Int): String =
+    s"""WITH ${chainSql(LloydSteps)},
+       |qs AS (SELECT vec_id AS qid, qv FROM q WHERE vec_id < $nq),
+       |pd AS (
+       |  SELECT qs.qid, c.cid,
+       |    CAST(list_sum(list_transform(range(1,${Dim + 1}), i -> (qs.qv[i]-c.cv[i])*(qs.qv[i]-c.cv[i]))) AS BIGINT) AS dist
+       |  FROM qs, c$LloydSteps c),
+       |probes AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY dist, cid) AS rn FROM pd)
+       |  WHERE rn <= $nprobe),
+       |cand AS (
+       |  SELECT p.qid, a.vec_id FROM probes p JOIN afin a ON a.cid = p.cid
+       |  WHERE a.vec_id != p.qid),
+       |sc AS (
+       |  SELECT cand.qid, cand.vec_id,
+       |    round(${SimOps.dotSql("e.embedding", "qe.embedding")}, 6) AS sim
+       |  FROM cand
+       |  JOIN embeddings e ON e.vec_id = cand.vec_id
+       |  JOIN embeddings qe ON qe.vec_id = cand.qid)
+       |SELECT qid, vec_id, sim, CAST(rn AS BIGINT) AS rn FROM (
+       |  SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn FROM sc)
+       |WHERE rn <= $k ORDER BY qid, rn""".stripMargin.replace("\n", " ")
+
   // ---- DuckDB oracle: the same training chain in SQL -------------------
 
   /** Mechanically generated CTE chain for `steps` Lloyd iterations:

@@ -42,7 +42,7 @@ object SimOps {
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  private val dotSql: (String, String) => String = (a, b) =>
+  private[sim] val dotSql: (String, String) => String = (a, b) =>
     s"list_sum(list_transform(range(1, ${Dim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
 
   // ---- brute-force cosine top-k ---------------------------------------

@@ -1,0 +1,177 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Data-selection operators for training-set curation: which documents
+  * to keep, and what each shard newly contributes.
+  *
+  * Both operators follow the repo's determinism discipline (all-integer
+  * arithmetic, md5-derived hashes, floor division on positives) so their
+  * DuckDB oracles hash-compare bit-for-bit, and both consume/produce the
+  * shapes a 100 TB pipeline needs: the DSIR model is a fixed 256-long
+  * array that rides as a literal (map-only scoring pass, no join), and
+  * novelty reads the already-materialized shingle index.
+  */
+object SelectionOps {
+
+  /** Hashed-bigram feature-space size. FIXED by construction (a model
+    * hyperparameter, not a data-dependent cardinality), so the trained
+    * weight table is bounded at any corpus size — the property that lets
+    * it ship as a literal. */
+  val DsirBuckets: Int = 256
+
+  /** Target distribution for importance weighting: the high-resource
+    * slice a curation pipeline up-samples toward. */
+  val DsirTargetLang: String = "en"
+
+  private def words: Column = split(col("text"), " ")
+
+  /** Per-document adjacent-pair hash buckets: md5-prefix 28-bit hash of
+    * each bigram, reduced mod [[DsirBuckets]] (positive on both engines:
+    * the 28-bit value is non-negative and `%` agrees on non-negative
+    * operands). Docs with <2 tokens contribute no pairs and drop out of
+    * the scored relation, exactly like the lm-score family. */
+  private def pairBuckets: Column = {
+    val w = words
+    transform(
+      zip_with(
+        slice(w, lit(1), greatest(size(w) - 1, lit(0))),
+        slice(w, lit(2), greatest(size(w) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b)),
+      p => conv(substring(md5(p), 1, 7), 16, 10).cast(LongType) % lit(DsirBuckets.toLong))
+  }
+
+  /** (doc_id, lang, b): one row per bigram occurrence — the map-side
+    * explode every hashed-n-gram model trains and scores on. */
+  private def pairRel(spark: SparkSession, dir: String): DataFrame =
+    TextOps.docs(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(pairBuckets).as("b"))
+
+  /** Trained DSIR weight table cache — 256 longs per dataset snapshot,
+    * the same codebook-sized driver collect as the IVF/PQ training
+    * results. */
+  private val dsirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+
+  /** Force the one-time DSIR model fit (bench isolation hook). */
+  def prebuildDsirModel(spark: SparkSession, dir: String): Unit = {
+    dsirWeights(spark, dir)
+    ()
+  }
+
+  /** Fit the hashed-bigram importance model: bucket counts under the
+    * target distribution (lang = [[DsirTargetLang]]) and under the raw
+    * corpus, add-one smoothed, combined into ONE integer ratio per
+    * bucket:
+    *
+    *   lr_ppm(b) = (t_b+1)·(R+B)·10^6  div  (r_b+1)·(T+B)
+    *
+    * i.e. the smoothed target/raw probability ratio in ppm with a single
+    * floor division (no intermediate per-probability floor, no possible
+    * division by zero: the denominator is ≥ T+B ≥ B). The published DSIR
+    * estimator (Xie et al. 2023) sums LOG ratios; the log is replaced by
+    * the ratio itself because transcendental functions are not exact
+    * across engines (the repo-wide all-integer rule) — the induced
+    * per-document ordering is what the selection step consumes, and the
+    * spec pins that target-language documents outrank the rest.
+    *
+    * Scale: training is ONE keyed aggregation onto ≤256 rows (map-side
+    * combined; the shuffle carries 256 rows per partition), collected to
+    * the driver as 256 longs. The intermediate products are computed in
+    * BigInt (HUGEINT on the oracle side): at the 100 TB regime
+    * (t+1)·(R+B)·10^6 ≈ 10^32 overflows int64 but not 128-bit. */
+  def dsirWeights(spark: SparkSession, dir: String): Array[Long] = {
+    val key = graft.DatasetCache.snapshotKey(spark, dir, "documents.parquet")
+    dsirCache.computeIfAbsent(key, { _ =>
+      val rows = pairRel(spark, dir)
+        .groupBy("b")
+        .agg(count(lit(1)).as("r"),
+          sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("t"))
+        .collect()
+        .map(r => (r.getLong(0).toInt, r.getLong(1), r.getLong(2)))
+      val bB = BigInt(DsirBuckets)
+      val totR = rows.map(r => BigInt(r._2)).sum + bB
+      val totT = rows.map(r => BigInt(r._3)).sum + bB
+      // empty buckets get the smoothed default (t=r=0); they are never
+      // probed by the scoring pass (no pair hashes there) but a total
+      // function keeps the literal well-defined
+      val w = Array.fill(DsirBuckets)(
+        ((totR * 1000000) / totT).toLong)
+      rows.foreach { case (b, r, t) =>
+        w(b) = ((BigInt(t + 1) * totR * 1000000) / (BigInt(r + 1) * totT)).toLong
+      }
+      w
+    })
+  }
+
+  /** Per-document DSIR importance score: the mean bucket importance
+    * ratio over the document's bigrams, in ppm. The 256-long model is a
+    * LITERAL in the plan, so scoring is a map-only pass (explode +
+    * element_at + one keyed aggregation on doc_id) — no join, no model
+    * shuffle, the exact shape DSIR runs at corpus scale. */
+  def docDsir(spark: SparkSession, dir: String): DataFrame = {
+    val w = typedLit(dsirWeights(spark, dir))
+    pairRel(spark, dir)
+      .select(col("doc_id"),
+        element_at(w, (col("b") + 1).cast("int")).as("lr"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"), sum("lr").as("s"))
+      .select(col("doc_id"), col("n_pairs"),
+        expr("s div n_pairs").as("dsir_ppm"))
+      .orderBy("doc_id")
+  }
+
+  val docDsirSql: String =
+    s"""WITH pr AS (
+       |  SELECT doc_id, lang, CAST('0x'||substr(md5(pair),1,7) AS BIGINT) % $DsirBuckets AS b
+       |  FROM (SELECT doc_id, lang, unnest(list_transform(range(1, len(ws)),
+       |          i -> ws[i]||' '||ws[i+1])) AS pair
+       |        FROM (SELECT doc_id, lang, string_split(text,' ') AS ws FROM documents))),
+       | m AS (SELECT b, CAST(count(*) AS BIGINT) AS r,
+       |   CAST(count(*) FILTER (WHERE lang = '$DsirTargetLang') AS BIGINT) AS t
+       |   FROM pr GROUP BY 1),
+       | tot AS (SELECT CAST(sum(r) AS BIGINT) + $DsirBuckets AS rr,
+       |   CAST(sum(t) AS BIGINT) + $DsirBuckets AS tt FROM m),
+       | w AS (SELECT b, CAST((CAST(t+1 AS HUGEINT) * rr * 1000000)
+       |   // (CAST(r+1 AS HUGEINT) * tt) AS BIGINT) AS lr FROM m, tot)
+       | SELECT pr.doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(lr) // count(*) AS BIGINT) AS dsir_ppm
+       | FROM pr JOIN w USING (b) GROUP BY 1 ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
+  /** Per-document content novelty under the corpus's doc_id order: how
+    * many of the document's distinct 3-shingles occur for the FIRST time
+    * in this document (min doc_id over the corpus == this doc). The
+    * shard-contribution metric a curation pipeline tracks while growing
+    * a training set — a high-novelty document adds content, a
+    * zero-novelty one is covered by earlier data.
+    *
+    * Scale: reads the materialized shingle index (built once per
+    * dataset); one groupBy(h60) min-aggregation (map-side combined,
+    * 8-byte keys) and two doc-keyed aggregations/joins. Docs with <3
+    * tokens have no shingles and drop out, identically in the oracle.
+    * `n_novel * 10^6` stays far inside int64 for any single document. */
+  def docNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val sh = TextOps.shingleIndex(spark, dir).select(col("doc_id"), col("h60"))
+    val tot = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val nov = sh.groupBy("h60").agg(min("doc_id").as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+    tot.join(nov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty_ppm", expr("n_novel * 1000000L div n_shingles"))
+      .orderBy("doc_id")
+  }
+
+  val docNoveltySql: String =
+    s"""WITH sh AS (SELECT doc_id, CAST('0x'||substr(md5(s),1,15) AS BIGINT) AS h
+       |   FROM (${TextOps.shinglesSql})),
+       | tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM sh GROUP BY 1),
+       | fo AS (SELECT h, min(doc_id) AS doc_id FROM sh GROUP BY 1),
+       | nov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_novel FROM fo GROUP BY 1)
+       | SELECT t.doc_id, t.n_shingles,
+       |  CAST(coalesce(n.n_novel, 0) AS BIGINT) AS n_novel,
+       |  CAST(coalesce(n.n_novel, 0) * 1000000 // t.n_shingles AS BIGINT) AS novelty_ppm
+       | FROM tot t LEFT JOIN nov n USING (doc_id) ORDER BY t.doc_id""".stripMargin.replace("\n", " ")
+}

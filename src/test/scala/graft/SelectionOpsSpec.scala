@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.SelectionOps
+import graft.events.EventOps
+import graft.sim.Ivf
+
+/** Data-selection wave: DSIR importance weights, shard novelty,
+  * last-touch attribution, batch IVF search. The DuckDB hash gate covers
+  * value equality; these specs pin the SEMANTIC contracts the gate
+  * cannot see (ordering direction, partition/consistency invariants). */
+class SelectionOpsSpec extends SparkSpec {
+
+  test("doc_dsir: target-language docs outrank the rest on average") {
+    val d = SelectionOps.docDsir(spark, sf0001)
+      .join(spark.read.parquet(s"$sf0001/documents.parquet").select("doc_id", "lang"), "doc_id")
+    val byLang = d.groupBy(col("lang") === SelectionOps.DsirTargetLang)
+      .agg(avg("dsir_ppm").as("w")).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    // the importance estimator must up-weight the target slice: its
+    // bigram buckets have higher target/raw ratios by construction
+    assert(byLang(true) > byLang(false),
+      s"target avg ${byLang(true)} should exceed non-target ${byLang(false)}")
+  }
+
+  test("doc_dsir: every scored doc has >=2 tokens; weights are positive") {
+    val d = SelectionOps.docDsir(spark, sf0001).collect()
+    assert(d.nonEmpty)
+    assert(d.forall(_.getLong(1) >= 1), "n_pairs >= 1 for every scored doc")
+    assert(d.forall(_.getLong(2) > 0), "smoothed ratio is strictly positive")
+    // the trained model is exactly the fixed bucket count — the bounded
+    // relation the literal-shipping scale design depends on
+    assert(SelectionOps.dsirWeights(spark, sf0001).length == SelectionOps.DsirBuckets)
+  }
+
+  test("doc_novelty: novelty counts partition the distinct-shingle universe") {
+    val n = SelectionOps.docNovelty(spark, sf0001)
+    // every distinct shingle hash is novel in exactly one doc: the sum of
+    // per-doc novelty equals the corpus's distinct shingle count
+    val novelSum = n.agg(sum("n_novel")).head.getLong(0)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val distinctShingles = docs
+      .select(explode(array_distinct(transform(
+        sequence(lit(0), size(split(col("text"), " ")) - 3),
+        i => concat_ws(" ", slice(split(col("text"), " "), i + lit(1), lit(3)))))).as("s"))
+      .where(size(split(col("text"), " ")) >= 3)
+      .select(countDistinct("s")).head.getLong(0)
+    assert(novelSum == distinctShingles,
+      s"sum(n_novel)=$novelSum != distinct shingles=$distinctShingles")
+    // the first document is all-novel by definition (nothing precedes it)
+    val first = n.orderBy("doc_id").limit(1).head
+    assert(first.getLong(1) == first.getLong(2), "doc 0: n_shingles == n_novel")
+  }
+
+  test("doc_novelty: an exact duplicate of an earlier doc has zero novelty") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta", "en", "s", 22L),
+      (1L, "alpha beta gamma delta", "en", "s", 22L), // exact dup of 0
+      (2L, "zeta eta theta iota", "en", "s", 19L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_nov").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val n = SelectionOps.docNovelty(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(n(0L)._2 == n(0L)._1, "first copy: all shingles novel")
+    assert(n(1L)._2 == 0L, "exact duplicate: zero novelty")
+    assert(n(2L)._2 == n(2L)._1, "disjoint doc: all novel")
+  }
+
+  test("events_attribution: channels partition the purchases; cents conserved") {
+    val a = EventOps.attribution(spark, sf0001).collect()
+    val e = EventOps.events(spark, sf0001)
+    val purchases = e.filter(col("event_type") === "purchase")
+    val total = purchases.count()
+    val cents = purchases
+      .agg(sum(round(col("value") * 100).cast("long"))).head.getLong(0)
+    assert(a.map(_.getLong(1)).sum == total, "every purchase attributed exactly once")
+    assert(a.map(_.getLong(2)).sum == cents, "attributed cents sum to total purchase cents")
+    val channels = a.map(_.getString(0)).toSet
+    assert(channels.subsetOf((EventOps.AttributionTouches :+ "direct").toSet))
+  }
+
+  test("events_attribution: credits the latest preceding touch, not itself") {
+    import spark.implicits._
+    val us = 1000L // ns per us
+    val rows = Seq(
+      // user A: view @1us, click @2us, purchase @3us -> click
+      (1L, 1L * us, "A", "view", 10.0, "{}"),
+      (2L, 2L * us, "A", "click", 0.0, "{}"),
+      (3L, 3L * us, "A", "purchase", 5.0, "{}"),
+      // user B: purchase with no prior touch -> direct
+      (4L, 1L * us, "B", "purchase", 7.0, "{}"),
+      // user B: touch AFTER the purchase must not matter retroactively
+      (5L, 2L * us, "B", "view", 0.0, "{}"),
+      // user C: same-us touch with smaller event_id precedes the purchase
+      (6L, 9L * us, "C", "signup", 0.0, "{}"),
+      (7L, 9L * us, "C", "purchase", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_attr").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventOps.attribution(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("click") == ((1L, 500L)), s"user A credits the LATEST touch: $got")
+    assert(got("direct") == ((1L, 700L)), s"user B is direct: $got")
+    assert(got("signup") == ((1L, 300L)), s"same-us smaller-id touch counts: $got")
+    assert(!got.contains("view"), "view never the last touch here")
+  }
+
+  test("emb_ivf_topk_batch: row-identical to the single-query IVF search per qid") {
+    val k = 5; val nprobe = 2; val nq = 10L
+    val batch = Ivf.topKBatch(nq, k, nprobe)(spark, sf0001)
+      .collect().groupBy(_.getLong(0))
+    assert(batch.keySet == (0L until nq).toSet, "every query answered")
+    (0L until nq).foreach { qid =>
+      val single = Ivf.topK(qid, k, nprobe)(spark, sf0001)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val got = batch(qid).sortBy(_.getLong(3))
+        .map(r => (r.getLong(1), r.getDouble(2)))
+      assert(got.toSeq == single.toSeq, s"qid=$qid: batch != single-query path")
+    }
+  }
+}
