@@ -81,7 +81,14 @@ object SelectionOps {
     * combined; the shuffle carries 256 rows per partition), collected to
     * the driver as 256 longs. The intermediate products are computed in
     * BigInt (HUGEINT on the oracle side): at the 100 TB regime
-    * (t+1)·(R+B)·10^6 ≈ 10^32 overflows int64 but not 128-bit. */
+    * (t+1)·(R+B)·10^6 ≈ 10^32 overflows int64 but not 128-bit.
+    *
+    * Bound on the scored sum: t_b ≤ r_b always (target ⊆ raw), so
+    * lr_ppm ≤ (R+B)/(T+B)·10^6 — the per-document sum stays inside
+    * int64 as long as n_pairs·(R/T) < 9·10^12, i.e. for any document
+    * under ~10^6 bigrams unless the target slice is below ~10^-7 of
+    * the corpus. A deployment weighting toward a slice that thin
+    * should shrink the 10^6 scale factor accordingly. */
   def dsirWeights(spark: SparkSession, dir: String): Array[Long] = {
     val key = graft.DatasetCache.snapshotKey(spark, dir, "documents.parquet")
     dsirCache.computeIfAbsent(key, { _ =>
