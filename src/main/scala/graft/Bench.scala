@@ -65,7 +65,7 @@ object Bench {
         () => graft.sim.Pq.prebuildCodebooks(spark, sfDir)),
       ("lm_index", n => n.startsWith("doc_lm_score") || n.startsWith("doc_ccnet"),
         () => graft.text.TextOps.prebuildLmIndex(spark, sfDir)),
-      ("dsir_model", _.startsWith("doc_dsir"),
+      ("dsir_model", n => n.startsWith("doc_dsir") || n.startsWith("doc_select_budget"),
         () => graft.text.SelectionOps.prebuildDsirModel(spark, sfDir)),
       ("bpe_merges", _.startsWith("doc_bpe"),
         () => graft.text.TextOps.prebuildBpeMerges(6)(spark, sfDir)),

@@ -764,6 +764,40 @@ object EventOps {
       |  FROM events)
       | GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " ")
 
+  val UsPerWeek: Long = 7L * 86400L * 1000 * 1000
+
+  /** Cohort lifetime-value matrix: users cohorted by their FIRST
+    * purchase week; revenue summed per (cohort_week, weeks-since-cohort)
+    * cell — the LTV curve report next to [[retention]]'s activity
+    * counts.
+    *
+    * Scale: first-purchase week is one map-side-combined aggregation on
+    * user_id; the purchase relation joins and re-aggregates — the join
+    * reuses the groupBy's exchange (same key), the final aggregate's
+    * key space is weeks × ages (bounded by the time span squared, tiny),
+    * and the distinct-user count inside it is distinct-compressed by
+    * Spark's planner. All time math in integer µs. */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir).filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr(s"(ts div 1000) div $UsPerWeek").as("week"),
+        round(col("value") * 100).cast(LongType).as("cents"))
+    val cohort = e.groupBy("user_id").agg(min("week").as("cohort_week"))
+    e.join(cohort, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("age_weeks"))
+      .agg(countDistinct("user_id").as("n_users"), sum("cents").as("cents"))
+      .orderBy("cohort_week", "age_weeks")
+  }
+
+  val cohortLtvSql: String =
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) // $UsPerWeek AS week,
+       |   CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM events WHERE event_type = 'purchase'),
+       | c AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1)
+       | SELECT c.cohort_week, e.week - c.cohort_week AS age_weeks,
+       |  count(DISTINCT e.user_id) AS n_users, CAST(sum(e.cents) AS BIGINT) AS cents
+       | FROM e JOIN c USING (user_id)
+       | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " ")
+
   /** Touch channels eligible for attribution credit, in the fixture's
     * event vocabulary (everything except `purchase` and `error`). */
   val AttributionTouches: Seq[String] = Seq("click", "signup", "view")

@@ -145,6 +145,39 @@ object MultimodalOps {
        |WHERE shared * 1000000 // (s1.n + s2.n - shared) >= $tauPpm
        |ORDER BY m1, m2""".stripMargin.replace("\n", " ")
 
+  /** Near-duplicate media CLUSTERS: connected components over the
+    * [[mmNearDupPairs]] candidate edges — the cross-modal twin of
+    * `doc_dup_clusters`, sharing [[graft.text.TextOps.connectedComponents]]
+    * (path-halving, O(log diameter) rounds, label = smallest media_id in
+    * the component — the order-free fixpoint the recursive-closure
+    * oracle lands on too). Only media with at least one near-dup pair
+    * appear, identically in the oracle. Cluster-size relation is
+    * near-dup-sized (unbounded on a duplicate-heavy corpus): no forced
+    * broadcast, AQE picks. */
+  def mmDupClusters(tauPpm: Long)(spark: SparkSession, dir: String): DataFrame = {
+    val edges = mmNearDupPairs(tauPpm)(spark, dir)
+      .select(col("m1").as("d1"), col("m2").as("d2"))
+    val labels = graft.text.TextOps.connectedComponents(edges)._1
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lbl")
+      .select(col("doc_id").as("media_id"), col("lbl").as("cluster"),
+        col("cluster_size"))
+      .orderBy("media_id")
+  }
+
+  def mmDupClustersSql(tauPpm: Long): String =
+    s"""WITH RECURSIVE
+       | e AS (SELECT m1 AS d1, m2 AS d2 FROM (${mmNearDupPairsSql(tauPpm)})),
+       | und AS (SELECT d1 AS a, d2 AS b FROM e UNION SELECT d2, d1 FROM e),
+       | nodes AS (SELECT a FROM und UNION SELECT b FROM und),
+       | reach(a, b) AS (
+       |   SELECT a, a FROM nodes
+       |   UNION
+       |   SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+       | lab AS (SELECT a AS media_id, CAST(min(b) AS BIGINT) AS cluster FROM reach GROUP BY a)
+       | SELECT media_id, cluster, CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_size
+       | FROM lab ORDER BY media_id""".stripMargin.replace("\n", " ")
+
   /** Deterministic stand-in "feature extraction": 4 doubles in [0,1)
     * derived from md5 prefixes of the blob — the operator shape (binary
     * in, fixed-width float features out, pure projection) matches a real

@@ -171,6 +171,65 @@ object SelectionOps {
       .orderBy("doc_id")
   }
 
+  /** Importance-ranked token-budget selection — the step after scoring:
+    * within each language, keep the highest-[[docDsir]]-weight documents
+    * until `budget` tokens are reached (a doc is kept iff the tokens of
+    * strictly-better docs leave room for its FIRST token, the
+    * [[TextOps.docPack]] prefix rule). Output: the kept docs with their
+    * budget position. Docs with <2 tokens have no DSIR evidence and are
+    * not candidates, like the lm family.
+    *
+    * Scale: the naive plan is a per-language window over (weight desc) —
+    * one partition per language, corpus-sized at 100 TB. This runs the
+    * two-phase bucketed prefix sum instead (the docPack shape applied to
+    * the WEIGHT domain): bucket g = dsir_ppm div step (step from one
+    * 1-row max aggregate, so bucket boundaries are value-derived and
+    * g is monotone in the weight — bucket order ∘ in-bucket order ≡ the
+    * global (weight desc, doc_id) order); per-(lang, g) totals form a
+    * BOUNDED relation (|langs|·(buckets+1) rows — langs is a bounded
+    * categorical, buckets a fixed constant) whose exclusive running sum
+    * gives each bucket's starting offset; the big side then only needs
+    * an in-bucket window, i.e. partitions of ~1/buckets of a language.
+    * Integer sums make two-phase ≡ one-window exact. */
+  def docSelectBudget(budget: Long, buckets: Int = 64)(
+      spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sc0 = TextOps.docs(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(words).cast(LongType).as("nt"))
+      .join(docDsir(spark, dir).select("doc_id", "dsir_ppm"), "doc_id")
+    val mx = sc0.agg(max("dsir_ppm").as("mxw"))
+    val sc = sc0.crossJoin(broadcast(mx))
+      .withColumn("g", expr(s"dsir_ppm div ((mxw div $buckets) + 1)"))
+      .drop("mxw")
+    val totals = sc.groupBy("lang", "g").agg(sum("nt").as("gtot"))
+    val exclusive = Window.partitionBy("lang").orderBy(col("g").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("goff", coalesce(sum("gtot").over(exclusive), lit(0L)))
+      .select("lang", "g", "goff")
+    val inBucket = Window.partitionBy("lang", "g")
+      .orderBy(col("dsir_ppm").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sc.join(broadcast(offsets), Seq("lang", "g"))
+      .withColumn("cum_before",
+        col("goff") + coalesce(sum("nt").over(inBucket), lit(0L)))
+      .filter(col("cum_before") < budget)
+      .select(col("doc_id"), col("lang"), col("nt"), col("cum_before"))
+      .orderBy("doc_id")
+  }
+
+  def docSelectBudgetSql(budget: Long): String =
+    s"""SELECT doc_id, lang, nt, cum_before FROM (
+       | SELECT sc.doc_id, sc.lang, sc.nt,
+       |  CAST(coalesce(sum(sc.nt) OVER (PARTITION BY sc.lang
+       |    ORDER BY sc.dsir_ppm DESC, sc.doc_id ASC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       | FROM (SELECT d.doc_id, d.lang,
+       |   CAST(len(string_split(d.text,' ')) AS BIGINT) AS nt, w.dsir_ppm
+       |  FROM documents d JOIN ($docDsirSql) w ON d.doc_id = w.doc_id) sc)
+       | WHERE cum_before < $budget ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
   val docNoveltySql: String =
     s"""WITH sh AS (SELECT doc_id, CAST('0x'||substr(md5(s),1,15) AS BIGINT) AS h
        |   FROM (${TextOps.shinglesSql})),

@@ -107,6 +107,79 @@ class SelectionOpsSpec extends SparkSpec {
     assert(!got.contains("view"), "view never the last touch here")
   }
 
+  test("doc_select_budget: two-phase bucketed plan == naive per-lang window") {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 2000L
+    val got = SelectionOps.docSelectBudget(budget)(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // naive reference: ONE window per language over the full weight order
+    val w = Window.partitionBy("lang")
+      .orderBy(col("dsir_ppm").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val naive = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+      .join(SelectionOps.docDsir(spark, sf0001).select("doc_id", "dsir_ppm"), "doc_id")
+      .withColumn("cum_before", coalesce(sum("nt").over(w), lit(0L)))
+      .filter(col("cum_before") < budget)
+      .select("doc_id", "lang", "nt", "cum_before")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == naive.toSeq, "bucketed two-phase must equal the naive window")
+    assert(got.nonEmpty && got.forall(_._4 < budget))
+    // the budget actually cuts: some candidates were dropped in every language
+    val candidates = SelectionOps.docDsir(spark, sf0001).count()
+    assert(got.length < candidates, "budget selection must drop documents")
+  }
+
+  test("events_cohort_ltv: conserves purchase cents; age-0 cell covers the cohort") {
+    val m = EventOps.cohortLtv(spark, sf0001).collect()
+    val purchases = EventOps.events(spark, sf0001)
+      .filter(col("event_type") === "purchase")
+    val totalCents = purchases
+      .agg(sum(round(col("value") * 100).cast("long"))).head.getLong(0)
+    assert(m.map(_.getLong(3)).sum == totalCents, "cents conserved across the matrix")
+    assert(m.forall(_.getLong(1) >= 0), "age_weeks >= 0")
+    // every user purchases in their own cohort week: the age-0 user count
+    // per cohort equals the cohort's size
+    val cohortSizes = purchases
+      .select(col("user_id"), expr(s"(ts div 1000) div ${EventOps.UsPerWeek}").as("week"))
+      .groupBy("user_id").agg(min("week").as("cw"))
+      .groupBy("cw").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    m.filter(_.getLong(1) == 0L).foreach { r =>
+      assert(r.getLong(2) == cohortSizes(r.getLong(0)),
+        s"cohort ${r.getLong(0)} age-0 users != cohort size")
+    }
+  }
+
+  test("mm_dup_clusters: labels are exact component minima of the pair graph") {
+    val tau = 500000L
+    val edges = graft.mm.MultimodalOps.mmNearDupPairs(tau)(spark, sf0001)
+      .select("m1", "m2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val labels = graft.mm.MultimodalOps.mmDupClusters(tau)(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // driver-side union-find ground truth on the (small) edge list
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = parent.keys.map(x => x -> find(x)).toMap
+      .groupBy(_._2).values.map(_.keys.toSet)
+      .map(comp => comp -> comp.min).toMap
+    assert(labels.nonEmpty)
+    labels.foreach { case (m, lbl, sz) =>
+      val comp = truth.keys.find(_.contains(m)).get
+      assert(lbl == comp.min, s"media $m: label $lbl != component min ${comp.min}")
+      assert(sz == comp.size.toLong, s"media $m: size $sz != ${comp.size}")
+    }
+    assert(labels.length == parent.size, "every paired media labeled exactly once")
+  }
+
   test("emb_ivf_topk_batch: row-identical to the single-query IVF search per qid") {
     val k = 5; val nprobe = 2; val nq = 10L
     val batch = Ivf.topKBatch(nq, k, nprobe)(spark, sf0001)
