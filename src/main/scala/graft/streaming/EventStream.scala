@@ -134,6 +134,48 @@ object EventStream {
       }
   }
 
+  /** Streaming twin of [[graft.events.EventOps.attribution]]'s
+    * per-purchase credit step: each purchase is attributed to its
+    * user's most recent preceding touch via flatMapGroupsWithState.
+    * State per user is ONLY the last touch (ts, event_id, channel) —
+    * O(users) state, no event buffering; within a batch rows sort by
+    * (µs, event_id) like the batch window, across batches the same
+    * in-order log-replay contract as [[streamingTransitions]].
+    * Downstream the emitted rows feed the identical bounded
+    * per-channel aggregation as the batch path. NULL purchase values
+    * emit 0 cents, matching the batch sum() which skips NULLs. */
+  final case class Attributed(user_id: Long, purchase_id: Long,
+      channel: String, cents: Long)
+  final case class LastTouch(ts: Long, event_id: Long, channel: String)
+
+  def streamingAttribution(events: DataFrame): Dataset[Attributed] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val touches = graft.events.EventOps.AttributionTouches.toSet
+    graft.events.EventOps.normalizeTs(events)
+      .filter(col("event_type")
+        .isin(graft.events.EventOps.AttributionTouches :+ "purchase": _*))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        coalesce(round(col("value") * 100).cast(LongType), lit(0L)).as("cents"))
+      .as[(Long, Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[LastTouch, Attributed](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[LastTouch]) =>
+          val batch = rows.toSeq.sortBy(r => (r._2 / 1000, r._3))
+          var lt = state.getOption
+          val out = Seq.newBuilder[Attributed]
+          batch.foreach { r =>
+            if (touches.contains(r._4)) lt = Some(LastTouch(r._2, r._3, r._4))
+            else out += Attributed(uid, r._3,
+              lt.map(_.channel).getOrElse("direct"), r._5)
+          }
+          lt.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Streaming Misra-Gries pass 1: per-type heavy-user CANDIDATE
     * sketches maintained incrementally by the engine's streaming
     * aggregation state — the native

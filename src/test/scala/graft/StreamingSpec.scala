@@ -217,6 +217,43 @@ class StreamingSpec extends SparkSpec {
       s"stream/batch transition counts diverge: ${streamed.size} vs ${batch.size} keys")
   }
 
+  test("streaming attribution across batch boundaries equals the batch report") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // in-order replay in 3 micro-batches: users straddle the boundary, so
+    // a touch in batch N must credit a purchase in batch N+1 via state
+    val rows = eventsBatch
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getDouble(4)))
+      .sortBy(r => (r._2, r._1))
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val df = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val ckpt = Files.createTempDirectory("attr_ckpt").toString
+    val q = EventStream.streamingAttribution(df).writeStream
+      .format("memory").queryName("attr_sink").outputMode("append")
+      .option("checkpointLocation", ckpt).start()
+    rows.grouped(rows.length / 3 + 1).foreach { chunk =>
+      mem.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("attr_sink")
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"), sum("cents").as("cents"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val batch = graft.events.EventOps.attribution(spark, sf0001)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(streamed == batch,
+      s"stream/batch attribution diverges: $streamed vs $batch")
+  }
+
   test("streaming MG sketch state: exact totals + candidate superset across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
