@@ -223,7 +223,11 @@ object Ivf {
     *  - candidates: probes join the cid-partitioned layout ON cid. The
     *    probe side is broadcast — bounded by the QUERY BATCH (the
     *    deployment knob, independent of corpus size); a corpus-scale
-    *    batch drops the hint and shuffles both sides on cid.
+    *    batch drops the hint and shuffles both sides on cid. Spark
+    *    injects DYNAMIC PARTITION PRUNING from the broadcast side, so
+    *    the layout scan opens only the probed cells' files at runtime
+    *    (spec-asserted: a 1-query batch reads nprobe of K partitions)
+    *    — the join stays an index probe, not a corpus scan.
     *  - exact rescoring + per-query top-k via row_number (Spark plans
     *    WindowGroupLimit: per-partition partial top-k before the window
     *    shuffle, so the exchange carries ≤ k·|batch| survivors, not all

@@ -180,6 +180,31 @@ class SelectionOpsSpec extends SparkSpec {
     assert(labels.length == parent.size, "every paired media labeled exactly once")
   }
 
+  test("emb_ivf_topk_batch: dynamic partition pruning reads only probed cells") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // a 1-query batch probes nprobe=2 of the K=8 cells; the broadcast
+    // probe side must prune the cid-partitioned layout scan to exactly
+    // those files at RUNTIME (dynamic partition pruning) — the property
+    // that makes the batch join an index probe, not a corpus scan
+    val df = Ivf.topKBatch(1L, 5, 2)(spark, sf0001)
+    df.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: QueryStageExec => scans(s.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case o => o.children.flatMap(scans)
+    }
+    val layoutScan = scans(df.queryExecution.executedPlan)
+      .find(_.partitionFilters.nonEmpty)
+      .getOrElse(fail("no partition-filtered scan of the IVF layout in the plan"))
+    assert(layoutScan.partitionFilters.mkString.contains("dynamicpruning"),
+      s"expected a dynamic pruning filter, got: ${layoutScan.partitionFilters}")
+    val selected = layoutScan.metrics("numFiles").value
+    assert(selected <= 2L,
+      s"1-query batch with nprobe=2 read $selected of ${Ivf.K} cells")
+  }
+
   test("emb_ivf_topk_batch: row-identical to the single-query IVF search per qid") {
     val k = 5; val nprobe = 2; val nq = 10L
     val batch = Ivf.topKBatch(nq, k, nprobe)(spark, sf0001)
