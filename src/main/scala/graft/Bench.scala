@@ -176,11 +176,14 @@ object Bench {
       val chosen = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json"))
         .toAbsolutePath.normalize
-      // only a FULL run may claim the repo's canonical bench_last.json —
-      // a filtered experiment would silently shadow the committed
-      // full-suite artifact with a 2-query fragment
+      // only a FULL run ON THE CANONICAL CORPUS may claim the repo's
+      // bench_last.json — a filtered experiment would shadow the
+      // committed full-suite artifact with a 2-query fragment, and an
+      // unfiltered run on a ScaleGen fixture (different SF dir) would
+      // shadow it with numbers from a different corpus entirely (this
+      // bit a 10x scale-stress run)
       val fromClasses =
-        if (filter.nonEmpty) None
+        if (filter.nonEmpty || !sfDir.startsWith("/root/testdata/")) None
         else try {
           var p = java.nio.file.Paths.get(
             Bench.getClass.getProtectionDomain.getCodeSource.getLocation.toURI)

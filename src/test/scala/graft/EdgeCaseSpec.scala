@@ -153,4 +153,24 @@ class EdgeCaseSpec extends SparkSpec {
           .filterNot(_ == graft.plans.CirclePrefilterRule)
     }
   }
+
+  test("selection-wave degenerate inputs: zero budget, pair-free clusters, touchless attribution, empty batch") {
+    import graft.text.SelectionOps
+    import graft.events.EventOps
+    // budget 0: nothing fits (cum_before >= 0 always) — empty, no crash
+    assert(SelectionOps.docSelectBudget(0L)(spark, sf0001).count() == 0)
+    // tau above every pair: zero edges — CC's vacuous fixpoint, empty result
+    assert(MultimodalOps.mmDupClusters(1000001L)(spark, sf0001).count() == 0)
+    // a log with no touch events: every purchase is 'direct'
+    val dir = Files.createTempDirectory("attr_direct").toString
+    spark.range(3).selectExpr("id AS event_id", "id * 1000 AS ts",
+        "id AS user_id", "'purchase' AS event_type",
+        "CAST(id AS DOUBLE) AS value", "'{}' AS props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val a = EventOps.attribution(spark, dir).collect()
+    assert(a.length == 1 && a.head.getString(0) == "direct" &&
+      a.head.getLong(1) == 3L)
+    // an empty query batch probes nothing and returns no rows
+    assert(graft.sim.Ivf.topKBatch(0L, 5, 2)(spark, sf0001).count() == 0)
+  }
 }
