@@ -357,15 +357,29 @@ object EventOps {
     * the HLL/quantile-sketch surface for dashboards over 100 TB where
     * exactness doesn't pay. No DuckDB oracle (sketch internals differ by
     * engine); the driver applies its rows>0 check, and the spec bounds
-    * the estimate against the exact count. */
-  def approxStats(spark: SparkSession, dir: String): DataFrame =
-    events(spark, dir)
-      .groupBy("event_type")
+    * the estimate against the exact count.
+    *
+    * The exact arm is computed from a DISTINCT-COMPRESSED relation and
+    * joined back, NOT mixed into the sketch aggregate: a count_distinct
+    * alongside other aggregates makes Spark EXPAND every input row into
+    * one per aggregation path, so the (heavy, non-codegen) percentile
+    * sketch would consume twice the rows. Separated, the sketch arm
+    * streams each row once and the exact arm aggregates 8-byte pairs —
+    * at 100 TB that halves the dominant cost for one extra tiny
+    * shuffle of (type, user) pairs. */
+  def approxStats(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    val exact = e.select("event_type", "user_id").distinct()
+      .groupBy("event_type").agg(count(lit(1)).as("exact_users"))
+    e.groupBy("event_type")
       .agg(
         approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
-        count_distinct(col("user_id")).as("exact_users"),
         percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_value"))
+      .join(exact, "event_type")
+      .select(col("event_type"), col("approx_users"), col("exact_users"),
+        col("p50_value"))
       .orderBy("event_type")
+  }
 
   /** As-of join: each `purchase` event paired with the user's most recent
     * `click` at-or-before it. Implemented the scalable way — NOT a range
