@@ -360,13 +360,16 @@ object EventOps {
     * the estimate against the exact count.
     *
     * The exact arm is computed from a DISTINCT-COMPRESSED relation and
-    * joined back, NOT mixed into the sketch aggregate: a count_distinct
-    * alongside other aggregates makes Spark EXPAND every input row into
-    * one per aggregation path, so the (heavy, non-codegen) percentile
-    * sketch would consume twice the rows. Separated, the sketch arm
-    * streams each row once and the exact arm aggregates 8-byte pairs —
-    * at 100 TB that halves the dominant cost for one extra tiny
-    * shuffle of (type, user) pairs. */
+    * joined back, NOT mixed into the sketch aggregate. Mixed, Spark's
+    * single-distinct rewrite keys the PARTIAL aggregate on
+    * (event_type, user_id) and evaluates the non-distinct sketches
+    * inside it — one HLL + one 1000-bucket percentile buffer PER
+    * DISTINCT USER, all merged afterwards (plan-verified:
+    * `partial_percentile_approx` under keys=[event_type, user_id]).
+    * Separated, the sketch arm keeps K sketch buffers (one per type)
+    * and the exact arm aggregates 8-byte pairs — at 100 TB that
+    * replaces per-user sketch allocation/merging with one extra tiny
+    * shuffle of (type, user) pairs. Measured 2.9x at sf0.1. */
   def approxStats(spark: SparkSession, dir: String): DataFrame = {
     val e = events(spark, dir)
     val exact = e.select("event_type", "user_id").distinct()
