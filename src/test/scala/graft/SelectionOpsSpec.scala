@@ -132,6 +132,26 @@ class SelectionOpsSpec extends SparkSpec {
     assert(got.length < candidates, "budget selection must drop documents")
   }
 
+  test("doc_select_budget: quantile buckets stay population-balanced (no hollow two-phase)") {
+    // importance ratios concentrate around 1, so a uniform VALUE grid put
+    // 65% of the corpus into one bucket — the two-phase plan would
+    // silently degenerate back to a corpus-sized window partition. With
+    // quantile cuts the worst (lang, bucket) group must stay a small
+    // fraction of its language (measured 5-7% here; 15% is the alarm).
+    val sc0 = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("lang"))
+      .join(SelectionOps.docDsir(spark, sf0001).select("doc_id", "dsir_ppm"), "doc_id")
+    val cuts = sc0.stat.approxQuantile("dsir_ppm",
+      (1 until 64).map(_.toDouble / 64).toArray, 0.01)
+      .map(_.toLong).distinct.sorted
+    val worst = sc0
+      .withColumn("g", size(filter(typedLit(cuts.toSeq), c => col("dsir_ppm") >= c)))
+      .groupBy("lang", "g").count()
+      .groupBy("lang").agg(max("count").as("mx"), sum("count").as("tot"))
+      .select(expr("mx * 100 div tot").as("pct")).collect().map(_.getLong(0)).max
+    assert(worst <= 15L, s"worst per-language bucket holds $worst% of its language")
+  }
+
   test("events_cohort_ltv: conserves purchase cents; age-0 cell covers the cohort") {
     val m = EventOps.cohortLtv(spark, sf0001).collect()
     val purchases = EventOps.events(spark, sf0001)
