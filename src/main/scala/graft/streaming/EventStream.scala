@@ -176,6 +176,49 @@ object EventStream {
       }
   }
 
+  /** Streaming twin of [[graft.events.EventOps.funnel]]: emit each
+    * user's click→purchase conversion the moment the FIRST purchase
+    * strictly after their FIRST click arrives. State per user is two
+    * optional µs timestamps — O(users), no buffering; under the
+    * in-order replay contract the first click seen IS min(click_us)
+    * and the first qualifying purchase IS min(p_us), so the appended
+    * conversions equal the batch report row-for-row. A user emits at
+    * most once (the `converted` flag); same-µs click+purchase does not
+    * convert (strict `>`, the batch rule). */
+  final case class Conversion(user_id: Long, click_us: Long,
+      purch_us: Long, delay_us: Long)
+  final case class FunnelState(firstClickUs: Long, converted: Boolean)
+
+  def streamingFunnel(events: DataFrame): Dataset[Conversion] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    graft.events.EventOps.normalizeTs(events)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, Conversion](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[FunnelState]) =>
+          val batch = rows.toSeq.sortBy(r => (r._2 / 1000, r._3))
+          var st = state.getOption.getOrElse(FunnelState(Long.MinValue, false))
+          val out = Seq.newBuilder[Conversion]
+          batch.foreach { r =>
+            val us = r._2 / 1000
+            if (r._4 == "click") {
+              if (st.firstClickUs == Long.MinValue) st = st.copy(firstClickUs = us)
+            } else if (!st.converted && st.firstClickUs != Long.MinValue &&
+                us > st.firstClickUs) {
+              st = st.copy(converted = true)
+              out += Conversion(uid, st.firstClickUs, us, us - st.firstClickUs)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Streaming Misra-Gries pass 1: per-type heavy-user CANDIDATE
     * sketches maintained incrementally by the engine's streaming
     * aggregation state — the native

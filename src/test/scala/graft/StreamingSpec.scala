@@ -254,6 +254,37 @@ class StreamingSpec extends SparkSpec {
       s"stream/batch attribution diverges: $streamed vs $batch")
   }
 
+  test("streaming funnel conversions across batch boundaries equal the batch report") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = eventsBatch
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(r => (r._2, r._1))
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type")
+    val ckpt = Files.createTempDirectory("funnel_ckpt").toString
+    val q = EventStream.streamingFunnel(df).writeStream
+      .format("memory").queryName("funnel_sink").outputMode("append")
+      .option("checkpointLocation", ckpt).start()
+    rows.grouped(rows.length / 3 + 1).foreach { chunk =>
+      mem.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("funnel_sink")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = graft.events.EventOps.funnel(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch,
+      s"stream/batch funnel diverges: ${streamed.size} vs ${batch.size} conversions")
+    assert(batch.nonEmpty, "fixture must contain conversions")
+  }
+
   test("streaming MG sketch state: exact totals + candidate superset across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
