@@ -152,17 +152,32 @@ object EventOps {
     * each partition sorts in parallel). Cents (exact int64) as
     * everywhere, with (cents, event_id) as the total tiebreak order so
     * both engines assign identical bucket boundaries. */
+  /** Decile report from the SAME value histogram as [[quantiles]] — no
+    * per-row ntile over a corpus-sized type partition. ntile(10)'s rank
+    * intervals are pure arithmetic (the first n%10 tiles get one extra
+    * row), so each tile's count is its interval width and its lo/hi
+    * cents are the histogram values overlapping the interval; the
+    * event_id tiebreak inside equal-cents runs never changes any of
+    * the three aggregates. The tile relation is |types|×10 rows —
+    * bounded categorical × constant, so the broadcast hint is
+    * policy-legal. */
   def valueDeciles(spark: SparkSession, dir: String): DataFrame = {
-    val byType = Window.partitionBy("event_type")
-      .orderBy(col("cents"), col("event_id"))
-    events(spark, dir)
-      .select(col("event_id"), col("event_type"),
-        round(col("value") * 100).cast(LongType).as("cents"))
-      .withColumn("decile", ntile(10).over(byType).cast(LongType))
-      .groupBy("event_type", "decile")
-      .agg(count(lit(1)).as("cnt"),
+    val hist = centsRankHistogram(spark, dir)
+    val tiles = hist.select("event_type", "n").distinct()
+      .select(col("event_type").as("t_type"), col("n"),
+        explode(sequence(lit(1L), lit(10L))).as("decile"))
+      .withColumn("t_start",
+        expr("(decile - 1) * (n div 10) + least(decile - 1, n % 10) + 1"))
+      .withColumn("t_end", expr("decile * (n div 10) + least(decile, n % 10)"))
+      .filter(col("t_end") >= col("t_start")) // n<10: absent tiles, like ntile
+      .select("t_type", "decile", "t_start", "t_end")
+    hist.join(broadcast(tiles),
+        col("event_type") === col("t_type") &&
+          col("lo_rank") <= col("t_end") && col("hi_rank") >= col("t_start"))
+      .groupBy(col("event_type"), col("decile"))
+      .agg(max(expr("t_end - t_start + 1")).as("cnt"),
         min(col("cents")).as("lo_cents"), max(col("cents")).as("hi_cents"))
-      .orderBy("event_type", "decile")
+      .orderBy(col("event_type"), col("decile"))
   }
 
   val valueDecilesSql: String =
@@ -752,20 +767,46 @@ object EventOps {
     * statistic (rank `1 + p*(n-1)/100`, lower value on ties via a total
     * (cents, event_id) order). Engine-agnostic by construction — no
     * interpolation, no float percentile semantics. One shuffle. */
+  /** The (event_type, cents) value HISTOGRAM with each value's covered
+    * rank interval [lo_rank, hi_rank] under (cents asc) order, plus the
+    * per-type total `n` — the exact-quantile substrate shared by
+    * [[quantiles]] and [[valueDeciles]].
+    *
+    * Scale: the obvious per-row plan (row_number over an event_type
+    * partition) sorts a WHOLE TYPE in one task — event_type is a
+    * bounded categorical, so those partitions are corpus-sized at
+    * 100 TB (the same hollow-window trap the budget selection's
+    * quantile bucketing closes). The histogram groupBy is map-side
+    * combinable and its running sum windows over DISTINCT VALUES —
+    * money-cents is a bounded value domain, orders of magnitude
+    * smaller than the row count. Rank values are tiebreak-free by
+    * construction: equal cents are adjacent in rank order, so the
+    * VALUE at any rank never depends on the event_id tiebreak the
+    * per-row spelling (and the oracle) use. */
+  private def centsRankHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val hist = events(spark, dir)
+      .select(col("event_type"), round(col("value") * 100).cast(LongType).as("cents"))
+      .groupBy("event_type", "cents").agg(count(lit(1)).as("c"))
+    val byTypeVal = Window.partitionBy("event_type").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // per-type totals: a bounded-categorical relation; AQE broadcasts
+    val n = hist.groupBy("event_type").agg(sum("c").as("n"))
+    hist.withColumn("hi_rank", sum("c").over(byTypeVal))
+      .withColumn("lo_rank", col("hi_rank") - col("c") + 1)
+      .join(n, "event_type")
+  }
+
   def quantiles(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("event_type")
-      .orderBy(col("cents").asc, col("event_id").asc)
-    val ranked = events(spark, dir)
-      .select(col("event_type"), col("event_id"),
-        round(col("value") * 100).cast(LongType).as("cents"))
-      .withColumn("rn", row_number().over(w).cast(LongType))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
-    ranked.groupBy("event_type")
-      .agg(
-        max(col("n")).as("n_events"),
-        max(when(col("rn") === expr("1 + (50 * (n - 1)) div 100"), col("cents"))).as("p50_cents"),
-        max(when(col("rn") === expr("1 + (90 * (n - 1)) div 100"), col("cents"))).as("p90_cents"),
-        max(when(col("rn") === expr("1 + (99 * (n - 1)) div 100"), col("cents"))).as("p99_cents"))
+    def pick(p: Int): Column = {
+      val r = expr(s"1 + ($p * (n - 1)) div 100")
+      max(when(col("lo_rank") <= r && r <= col("hi_rank"), col("cents")))
+    }
+    centsRankHistogram(spark, dir)
+      .groupBy("event_type")
+      .agg(max(col("n")).as("n_events"),
+        pick(50).as("p50_cents"),
+        pick(90).as("p90_cents"),
+        pick(99).as("p99_cents"))
       .orderBy("event_type")
   }
 
