@@ -265,14 +265,38 @@ object EventOps {
     * the final open-ended interval drops identically in both engines
     * (lead IS NULL). One shuffle on event_type for the lead window,
     * then a map-side-combinable aggregate in the same partitioning. */
+  /** Time-weighted value integral per type (Σ cents·seconds-held over
+    * adjacent-event intervals).
+    *
+    * Scale: a `lead` directly over an event_type partition sorts a
+    * whole type in one task (bounded categorical ⇒ corpus-sized window
+    * — the quantiles/deciles trap). The adjacency is two-phased on
+    * TIME-RANGE buckets instead: `lead` runs within (type, day)
+    * partitions, and each bucket's LAST event takes its successor from
+    * the next non-empty bucket's FIRST event — a (types × days)
+    * boundary relation (time-bounded metadata, like the dense-hourly
+    * grid, so its broadcast and its own tiny lead window are
+    * policy-legal). Same-µs events always share a bucket, so the
+    * stitched adjacency is exactly the global (ts_us, event_id) order
+    * and the result is bit-identical to the one-window spelling — the
+    * oracle keeps that spelling. */
   def timeWeighted(spark: SparkSession, dir: String): DataFrame = {
-    val byType = Window.partitionBy("event_type")
-      .orderBy(col("ts_us"), col("event_id"))
-    events(spark, dir)
+    val base = events(spark, dir)
       .select(col("event_type"), col("event_id"),
         expr("ts div 1000").as("ts_us"),
         round(col("value") * 100).cast(LongType).as("cents"))
-      .withColumn("next_us", lead(col("ts_us"), 1).over(byType))
+      .withColumn("g", expr(s"ts_us div $UsPerDay"))
+    val inBucket = Window.partitionBy("event_type", "g")
+      .orderBy(col("ts_us"), col("event_id"))
+    val byTypeBucket = Window.partitionBy("event_type").orderBy("g")
+    val nextFirst = base.groupBy("event_type", "g")
+      .agg(min(struct(col("ts_us"), col("event_id"))).as("f"))
+      .withColumn("nf_us", lead(col("f.ts_us"), 1).over(byTypeBucket))
+      .select("event_type", "g", "nf_us")
+    base
+      .withColumn("next_in", lead(col("ts_us"), 1).over(inBucket))
+      .join(broadcast(nextFirst), Seq("event_type", "g"))
+      .withColumn("next_us", coalesce(col("next_in"), col("nf_us")))
       .filter(col("next_us").isNotNull)
       .withColumn("dur_s", expr("(next_us - ts_us) div 1000000"))
       .groupBy("event_type")
