@@ -186,7 +186,7 @@ object EventOps {
       | SELECT event_type, CAST(round(value*100) AS BIGINT) AS cents,
       |  CAST(ntile(10) OVER (PARTITION BY event_type
       |    ORDER BY CAST(round(value*100) AS BIGINT), event_id) AS BIGINT) AS decile
-      | FROM events)
+      | FROM events WHERE value IS NOT NULL)
       | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " ")
 
   /** Gap-filled (dense) hourly series: every (hour, type) cell between
@@ -806,9 +806,17 @@ object EventOps {
     * smaller than the row count. Rank values are tiebreak-free by
     * construction: equal cents are adjacent in rank order, so the
     * VALUE at any rank never depends on the event_id tiebreak the
-    * per-row spelling (and the oracle) use. */
+    * per-row spelling (and the oracle) use.
+    *
+    * The rank population is explicitly NULL-FREE: Spark windows sort
+    * NULL first under ASC while DuckDB defaults to NULLS LAST, so a
+    * null `value` would shift every rank differently in the two
+    * engines — a latent divergence a null-less fixture can never
+    * catch. Both spellings filter nulls, making the semantics
+    * well-defined instead of engine-dependent. */
   private def centsRankHistogram(spark: SparkSession, dir: String): DataFrame = {
     val hist = events(spark, dir)
+      .filter(col("value").isNotNull)
       .select(col("event_type"), round(col("value") * 100).cast(LongType).as("cents"))
       .groupBy("event_type", "cents").agg(count(lit(1)).as("c"))
     val byTypeVal = Window.partitionBy("event_type").orderBy("cents")
@@ -843,7 +851,7 @@ object EventOps {
       |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
       |   CAST(row_number() OVER (PARTITION BY event_type ORDER BY CAST(round(value * 100) AS BIGINT) ASC, event_id ASC) AS BIGINT) AS rn,
       |   CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
-      |  FROM events)
+      |  FROM events WHERE value IS NOT NULL)
       | GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " ")
 
   val UsPerWeek: Long = 7L * 86400L * 1000 * 1000

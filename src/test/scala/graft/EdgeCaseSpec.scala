@@ -173,4 +173,28 @@ class EdgeCaseSpec extends SparkSpec {
     // an empty query batch probes nothing and returns no rows
     assert(graft.sim.Ivf.topKBatch(0L, 5, 2)(spark, sf0001).count() == 0)
   }
+
+  test("quantiles/deciles: NULL values are excluded, not engine-dependently ranked") {
+    import graft.events.EventOps
+    // Spark windows sort NULL first under ASC, DuckDB defaults to NULLS
+    // LAST — so a null value in the rank population would diverge
+    // silently. The definition excludes nulls; a planted-null fixture
+    // must equal the same fixture with those rows dropped.
+    val dir = Files.createTempDirectory("null_value_events").toString
+    spark.range(20).selectExpr("id AS event_id", "id * 1000000 AS ts",
+        "id % 4 AS user_id", "'click' AS event_type",
+        "CASE WHEN id % 7 = 0 THEN NULL ELSE CAST(id * 3 AS DOUBLE) END AS value",
+        "'{}' AS props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val clean = Files.createTempDirectory("null_value_events_clean").toString
+    spark.read.parquet(s"$dir/events.parquet")
+      .filter(org.apache.spark.sql.functions.col("value").isNotNull)
+      .write.mode("overwrite").parquet(s"$clean/events.parquet")
+    assert(EventOps.quantiles(spark, dir).collect().toSeq ==
+      EventOps.quantiles(spark, clean).collect().toSeq)
+    assert(EventOps.valueDeciles(spark, dir).collect().toSeq ==
+      EventOps.valueDeciles(spark, clean).collect().toSeq)
+    // n_events counts the ranked (non-null) population only
+    assert(EventOps.quantiles(spark, dir).head.getLong(1) == 17L)
+  }
 }
