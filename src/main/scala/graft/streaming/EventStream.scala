@@ -219,6 +219,41 @@ object EventStream {
       }
   }
 
+  /** Streaming twin of [[graft.events.EventOps.retention]]'s per-user
+    * substrate: cohort day (first day seen — under in-order replay the
+    * first event IS the minimum) plus the d1/d7 activity flags,
+    * re-emitted whenever a flag flips (Update semantics). State per
+    * user is one tiny row — O(users), no day-set buffering. The LAST
+    * emitted row per user aggregates to exactly the batch cohort
+    * report (count / count-if(d1) / count-if(d7) per cohort_day). */
+  final case class UserRetention(user_id: Long, cohort_day: Long,
+      d1: Boolean, d7: Boolean)
+
+  def streamingRetention(events: DataFrame): Dataset[UserRetention] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val usPerDay = graft.events.EventOps.UsPerDay
+    graft.events.EventOps.normalizeTs(events)
+      .select(col("user_id"), expr(s"(ts div 1000) div $usPerDay").as("day"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserRetention, UserRetention](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[UserRetention]) =>
+          val days = rows.map(_._2).toSeq.sorted
+          var st = state.getOption.getOrElse(
+            UserRetention(uid, days.head, d1 = false, d7 = false))
+          val before = state.getOption
+          days.foreach { d =>
+            if (d == st.cohort_day + 1) st = st.copy(d1 = true)
+            if (d == st.cohort_day + 7) st = st.copy(d7 = true)
+          }
+          state.update(st)
+          if (before.contains(st)) Iterator.empty else Iterator.single(st)
+      }
+  }
+
   /** Streaming Misra-Gries pass 1: per-type heavy-user CANDIDATE
     * sketches maintained incrementally by the engine's streaming
     * aggregation state — the native

@@ -285,6 +285,46 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty, "fixture must contain conversions")
   }
 
+  test("streaming retention state aggregates to the batch cohort report") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = eventsBatch
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(r => (r._2, r._1))
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type")
+    val ckpt = Files.createTempDirectory("ret_ckpt").toString
+    val q = EventStream.streamingRetention(df).writeStream
+      .format("memory").queryName("ret_sink").outputMode("append")
+      .option("checkpointLocation", ckpt).start()
+    rows.grouped(rows.length / 3 + 1).foreach { chunk =>
+      mem.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    // flags only ever flip false→true and cohort_day is constant per
+    // user, so the final state is the flag-wise OR of the emitted rows
+    // (no reliance on sink insertion order)
+    val finalStates = spark.table("ret_sink")
+      .groupBy("user_id")
+      .agg(max("cohort_day").as("cohort_day"),
+        max(col("d1")).as("d1"), max(col("d7")).as("d7"))
+    val streamed = finalStates.groupBy("cohort_day")
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("d1"), 1L).otherwise(0L)).as("d1"),
+        sum(when(col("d7"), 1L).otherwise(0L)).as("d7"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val batch = graft.events.EventOps.retention(spark, sf0001)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(streamed == batch,
+      s"stream/batch retention diverges: ${streamed.size} vs ${batch.size} cohorts")
+  }
+
   test("streaming MG sketch state: exact totals + candidate superset across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
