@@ -411,8 +411,11 @@ object EventOps {
     * shuffle of (type, user) pairs. Measured 2.9x at sf0.1. */
   def approxStats(spark: SparkSession, dir: String): DataFrame = {
     val e = events(spark, dir)
+    // count(user_id), not count(*): count_distinct excludes NULLs, and
+    // the distinct-compressed spelling must keep that semantic (a null
+    // user would otherwise count as one extra "user" per type)
     val exact = e.select("event_type", "user_id").distinct()
-      .groupBy("event_type").agg(count(lit(1)).as("exact_users"))
+      .groupBy("event_type").agg(count(col("user_id")).as("exact_users"))
     e.groupBy("event_type")
       .agg(
         approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
