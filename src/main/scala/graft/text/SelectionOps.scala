@@ -222,6 +222,9 @@ object SelectionOps {
     * bucketing: a single weight VALUE carrying a large mass stays in
     * one bucket (the df-cap hot-key situation); quantile cuts bound
     * every multi-value bucket at ~1/buckets of a language. */
+  private val cutsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+
   def docSelectBudget(budget: Long, buckets: Int = 64)(
       spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -230,10 +233,14 @@ object SelectionOps {
         size(words).cast(LongType).as("nt"))
       .join(dsirScores(spark, dir).select("doc_id", "dsir_ppm"), "doc_id")
     // buckets-1 interior quantile cuts (a bounded driver-side artifact,
-    // like every trained model here); g = #cuts <= weight is monotone
-    val cuts = sc0.stat.approxQuantile("dsir_ppm",
-      (1 until buckets).map(_.toDouble / buckets).toArray, 0.01)
-      .map(_.toLong).distinct.sorted
+    // like every trained model here — cached per dataset snapshot so
+    // repeated invocations don't re-run the quantile job);
+    // g = #cuts <= weight is monotone
+    val cuts = cutsCache.computeIfAbsent(
+      graft.DatasetCache.snapshotKey(spark, dir, "documents.parquet") + s":$buckets",
+      _ => sc0.stat.approxQuantile("dsir_ppm",
+        (1 until buckets).map(_.toDouble / buckets).toArray, 0.01)
+        .map(_.toLong).distinct.sorted)
     val sc = sc0.withColumn("g",
       size(filter(typedLit(cuts.toSeq), c => col("dsir_ppm") >= c)))
     val totals = sc.groupBy("lang", "g").agg(sum("nt").as("gtot"))
