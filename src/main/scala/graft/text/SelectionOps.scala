@@ -271,6 +271,51 @@ object SelectionOps {
        |  FROM documents d JOIN ($docDsirSql) w ON d.doc_id = w.doc_id) sc)
        | WHERE cum_before < $budget ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
+  /** Token-distribution drift between the corpus's two doc_id halves —
+    * the distribution-shift monitor a pipeline runs between crawl
+    * snapshots / shard generations: per-term frequency (ppm of each
+    * half's token mass) on both sides of the split, ranked by absolute
+    * drift. The split point derives from one 1-row max aggregate
+    * (`doc_id <= max div 2`), so "half" is deterministic and
+    * oracle-replayable.
+    *
+    * Scale: one corpus scan (explode + ONE keyed aggregation with
+    * map-side combine carrying both halves' counts as conditional
+    * sums), two 1-row totals that ride as a broadcast scalar, and a
+    * TakeOrderedAndProject top-k — no corpus-sized join or window.
+    * All-integer ppm arithmetic. */
+  def docDrift(k: Int)(spark: SparkSession, dir: String): DataFrame = {
+    val d = TextOps.docs(spark, dir)
+    val mx = d.agg(max("doc_id").as("mx"))
+    val terms = d.crossJoin(broadcast(mx))
+      .select(explode(words).as("term"),
+        (col("doc_id") <= expr("mx div 2")).as("h1"))
+      .groupBy("term")
+      .agg(sum(when(col("h1"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("h1"), 0L).otherwise(1L)).as("n2"))
+    val tot = terms.agg(sum("n1").as("t1"), sum("n2").as("t2"))
+    terms.crossJoin(broadcast(tot))
+      .select(col("term"), col("n1"), col("n2"),
+        expr("n1 * 1000000L div t1").as("p1_ppm"),
+        expr("n2 * 1000000L div t2").as("p2_ppm"))
+      .withColumn("drift_ppm", abs(col("p1_ppm") - col("p2_ppm")))
+      .orderBy(col("drift_ppm").desc, col("term").asc)
+      .limit(k)
+  }
+
+  def docDriftSql(k: Int): String =
+    s"""WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+       | t AS (SELECT term, CAST(count(*) FILTER (WHERE h1) AS BIGINT) AS n1,
+       |   CAST(count(*) FILTER (WHERE NOT h1) AS BIGINT) AS n2
+       |  FROM (SELECT unnest(string_split(text,' ')) AS term, doc_id <= mx // 2 AS h1
+       |        FROM documents, mx)
+       |  GROUP BY term),
+       | tot AS (SELECT CAST(sum(n1) AS BIGINT) AS t1, CAST(sum(n2) AS BIGINT) AS t2 FROM t)
+       | SELECT term, n1, n2, n1 * 1000000 // t1 AS p1_ppm, n2 * 1000000 // t2 AS p2_ppm,
+       |  abs(n1 * 1000000 // t1 - n2 * 1000000 // t2) AS drift_ppm
+       | FROM t, tot
+       | ORDER BY drift_ppm DESC, term ASC LIMIT $k""".stripMargin.replace("\n", " ")
+
   val docNoveltySql: String =
     s"""WITH sh AS (SELECT doc_id, CAST('0x'||substr(md5(s),1,15) AS BIGINT) AS h
        |   FROM (${TextOps.shinglesSql})),

@@ -68,6 +68,24 @@ class SelectionOpsSpec extends SparkSpec {
     assert(n(2L)._2 == n(2L)._1, "disjoint doc: all novel")
   }
 
+  test("doc_drift: a planted half-exclusive term tops the drift ranking") {
+    import spark.implicits._
+    // term "zonly" exists only in the second half: its drift is its full
+    // second-half share, which dominates the otherwise-identical halves
+    val docs = (0L until 40L).map { i =>
+      val base = "alpha beta gamma delta epsilon"
+      val text = if (i > 20) s"$base zonly zonly zonly" else base
+      (i, text, "en", "s", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val top = SelectionOps.docDrift(5)(spark, dir).collect()
+    assert(top.head.getString(0) == "zonly", s"expected zonly first, got ${top.head}")
+    assert(top.head.getLong(1) == 0L && top.head.getLong(2) > 0L)
+    // drift of a term present only in half 2 == its p2 share exactly
+    assert(top.head.getLong(5) == top.head.getLong(4))
+  }
+
   test("events_attribution: channels partition the purchases; cents conserved") {
     val a = EventOps.attribution(spark, sf0001).collect()
     val e = EventOps.events(spark, sf0001)
