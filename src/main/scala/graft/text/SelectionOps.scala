@@ -5,14 +5,18 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
 /** Data-selection operators for training-set curation: which documents
-  * to keep, and what each shard newly contributes.
+  * to keep (DSIR importance weights + token-budget selection), what
+  * each shard newly contributes (first-occurrence novelty), and how the
+  * corpus is shifting (token-distribution drift).
   *
-  * Both operators follow the repo's determinism discipline (all-integer
-  * arithmetic, md5-derived hashes, floor division on positives) so their
-  * DuckDB oracles hash-compare bit-for-bit, and both consume/produce the
-  * shapes a 100 TB pipeline needs: the DSIR model is a fixed 256-long
-  * array that rides as a literal (map-only scoring pass, no join), and
-  * novelty reads the already-materialized shingle index.
+  * Every operator follows the repo's determinism discipline (all-integer
+  * arithmetic, md5-derived hashes, floor division on positives) so the
+  * DuckDB oracles hash-compare bit-for-bit, and each runs in the shape a
+  * 100 TB pipeline needs: the DSIR model is a fixed 256-long array that
+  * rides as a plan literal (map-only scoring), scores materialize once,
+  * novelty reads the already-materialized shingle index, budget
+  * selection two-phases on quantile-balanced weight buckets, and drift
+  * is one scan with a single keyed aggregation.
   */
 object SelectionOps {
 
