@@ -200,19 +200,21 @@ object RelQueries {
     * `GROUP BY ... HAVING` + join-back pattern.
     *
     * Scale design: lineitem aggregates ONCE on its natural key (map-side
-    * combinable — the only shuffle in the plan), and the HAVING filter
-    * leaves a ~0.1% survivor set that BROADCASTS back, so the orders scan
-    * and then the customer scan are both map-only joins against a tiny
-    * broadcast relation. Neither fact table is ever shuffled; at 100 TB
-    * this beats the naive 3-way shuffle join by the full size of
-    * orders+customer. */
+    * combinable — the only mandatory shuffle in the plan), and the HAVING
+    * filter leaves a ~0.1% survivor set. 0.1% OF ORDERS is still
+    * SF-proportional (tens of millions of rows at 100 TB), so there is NO
+    * broadcast hint on it: AQE broadcasts the survivor set at test SFs —
+    * where the hint would have been free — and degrades to a keyed
+    * shuffle join when the survivors outgrow the threshold, which a hint
+    * cannot do (it would OOM the driver instead). Same rule, same
+    * reasoning, as the customer join below. */
   def largeOrders(minQty: Long)(spark: SparkSession, dir: String): DataFrame = {
     val big = t(spark, dir, "lineitem")
       .groupBy("l_orderkey")
       .agg(sum(col("l_quantity").cast(LongType)).as("sum_qty"))
       .filter(col("sum_qty") > minQty)
     val bigOrders = t(spark, dir, "orders")
-      .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .join(big, col("o_orderkey") === col("l_orderkey"))
     // no hint on the customer join: bigOrders carries full order rows, so
     // its size is data-dependent — AQE broadcasts it at test SFs and falls
     // back to a shuffle join if the survivor set ever grows past the

@@ -663,9 +663,12 @@ object TextOps {
 
   /** Drop rows whose `keys` group has more than `dfCap` members — the
     * shared hot-key guard for every candidate-pair self-join (shingles,
-    * LSH bands, simhash halves). The hot list is tiny by construction
-    * (at most |rows| / cap keys) => broadcast anti-join, no extra
-    * shuffle on the big side. */
+    * LSH bands, simhash halves). NO forced broadcast on the hot list:
+    * it is a HAVING survivor set whose worst case (|rows| / cap keys)
+    * grows with the corpus — the `rel_large_orders` class. AQE
+    * broadcasts the anti-join side at any realistic size (Zipfian key
+    * distributions keep it tiny) and degrades to a shuffled anti-join
+    * when it outgrows the threshold, which a hint cannot do. */
   /** The over-cap key relation: ONE definition of the df-cap policy
     * (count rows per key, keep keys above the cap) for both the inline
     * capped joins and the materialized shingle artifact. */
@@ -674,13 +677,14 @@ object TextOps {
       .filter(col("df") > dfCap).select(keys.map(col): _*)
 
   private[text] def dfCapped(rows: DataFrame, keys: Seq[String], dfCap: Int): DataFrame =
-    rows.join(broadcast(hotKeys(rows, keys, dfCap)), keys, "left_anti")
+    rows.join(hotKeys(rows, keys, dfCap), keys, "left_anti")
 
   private val hotIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Materialized over-cap shingle keys for `(dataset, dfCap)` — tiny
-    * by construction (≤ rows/cap keys), but deriving it is a FULL-index
+  /** Materialized over-cap shingle keys for `(dataset, dfCap)` — small
+    * in practice (Zipfian shingle dfs; worst case rows/cap), but
+    * deriving it is a FULL-index
     * aggregation, and a query whose plan mentions the capped relation
     * k times would otherwise pay that aggregation k times (the
     * `doc_neardup_lookup` profile: 3 subtree occurrences → 3 corpus
@@ -706,7 +710,9 @@ object TextOps {
     * `(dataset, dfCap)` — plans that mention it k times (the pair join
     * uses it 3×, the lookup 3×) read a plain parquet scan k times
     * instead of re-running the anti-join against the hot list k times.
-    * The build itself reads the hot list (one tiny broadcast). */
+    * The build reads the hot list UNHINTED (same [[dfCapped]] rule: a
+    * HAVING survivor set is SF-proportional in the worst case — AQE
+    * broadcasts it while small and degrades when it is not). */
   private def cappedShingles(spark: SparkSession, dir: String, dfCap: Int): DataFrame = {
     val key =
       s"${graft.DatasetCache.snapshotKey(spark, dir, "documents.parquet")}#capped$dfCap"
@@ -714,7 +720,7 @@ object TextOps {
       val p = graft.DatasetCache.registerTempDir(
         java.nio.file.Files.createTempDirectory("graft_capped_idx").toString)
       shingleIndex(spark, dir).select(col("doc_id"), col("h60").as("h"))
-        .join(broadcast(hotShingleKeys(spark, dir, dfCap)), Seq("h"), "left_anti")
+        .join(hotShingleKeys(spark, dir, dfCap), Seq("h"), "left_anti")
         .write.mode("overwrite").parquet(p)
       p
     })

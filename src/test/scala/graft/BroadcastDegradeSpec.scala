@@ -76,14 +76,36 @@ class BroadcastDegradeSpec extends SparkSpec {
     }
   }
 
-  test("largeOrders' only forced broadcast is the bounded HAVING survivor set") {
-    // the forced hint on `big` is documented-bounded (~0.1% HAVING
-    // survivors); the customer-side join must NOT be hinted
+  test("largeOrders carries NO hints and degrades to keyed joins when broadcast is off") {
+    // r6 verdict item 1: the HAVING survivor set is ~0.1% OF ORDERS —
+    // SF-proportional, so a forced broadcast would OOM the driver at
+    // scale where AQE degrades to a keyed shuffle join. The query must
+    // ship ZERO hints: AQE broadcasts the survivors at test SF (free
+    // where the hint was safe) and falls back past the threshold.
     val df = graft.rel.RelQueries.largeOrders(300)(spark, sf001)
     val hints = df.queryExecution.analyzed.collect {
       case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
     }
-    assert(hints.size == 1,
-      s"largeOrders should carry exactly one (bounded) broadcast hint, got ${hints.size}")
+    assert(hints.isEmpty,
+      s"largeOrders must not hint (SF-proportional sides), got ${hints.size}")
+    val baseline = df.collect().map(_.toString).sorted.toSeq
+
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val degraded = graft.rel.RelQueries.largeOrders(300)(spark, sf001)
+      val (bhj, smj) = joins(finalPlan(degraded))
+      assert(bhj.isEmpty,
+        "no broadcast join may survive threshold -1 in an unhinted plan")
+      assert(smj.nonEmpty, "joins must degrade to sort-merge")
+      assert(degraded.collect().map(_.toString).sorted.toSeq == baseline,
+        "degraded plan changed results")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 }
