@@ -45,6 +45,41 @@ object Ivf {
   val Shift: Double = 2.0
   val Scale: Double = 1048576.0 // 2^20: binary-exact multiplier
 
+  /** Target cell population for the CORPUS-DERIVED quantizer size used
+    * by the in-cell-quadratic production ops ([[SemDedup]], the bulk
+    * kNN graph): their per-cell pair work is quadratic in cell size by
+    * definition, so the number of cells must grow with the corpus —
+    * `K(n) = max(2, ceil(n / TargetCell))` keeps cells ~constant and
+    * total pair work ~`TargetCell · n`, linear in n (r6 verdict item 3:
+    * the knob must be in code, not prose). 64 reproduces the fixed K=8
+    * at the sf0.01 fixture (500 vectors), so the small-SF oracle chain
+    * is unchanged, while 10× data gets 10× cells instead of 10²× pair
+    * work. The fixed [[K]] stays as the INDEX build parameter for the
+    * IVF/PQ/SQ8 search family, where cells are probe targets, not pair
+    * blocks. */
+  val TargetCell: Int = 64
+
+  def derivedK(n: Long): Int =
+    math.max(2L, (n + TargetCell - 1) / TargetCell).toInt
+
+  /** The same derivation as a DuckDB scalar subquery, so the oracle's
+    * Lloyd CTE chain seeds exactly the K the library derived. */
+  val derivedKSql: String =
+    s"(SELECT greatest(2, (count(*) + ${TargetCell - 1}) // $TargetCell) FROM embeddings)"
+
+  private val nCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Corpus vector count, cached per dataset snapshot (one metadata-only
+    * parquet count — never a scan). */
+  def corpusN(spark: SparkSession, dir: String): Long =
+    nCache.computeIfAbsent(
+      graft.DatasetCache.snapshotKey(spark, dir, "embeddings.parquet"),
+      _ => SimOps.embeddings(spark, dir).count())
+
+  def derivedKCached(spark: SparkSession, dir: String): Int =
+    derivedK(corpusN(spark, dir))
+
   /** embeddings + the quantized int64 vector `qv`. */
   def quantized(spark: SparkSession, dir: String): DataFrame =
     SimOps.embeddings(spark, dir).select(
@@ -74,9 +109,17 @@ object Ivf {
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Array[Long])]]()
 
   def trainCached(spark: SparkSession, dir: String): Seq[(Long, Array[Long])] =
+    trainCachedK(spark, dir, K)
+
+  /** Trained codebook for an explicit quantizer size — the derived-K
+    * path of the in-cell-quadratic ops trains (and caches) per
+    * (dataset, k), like a production pipeline that re-trains when the
+    * corpus outgrows its cell budget. */
+  def trainCachedK(spark: SparkSession, dir: String,
+      k: Int): Seq[(Long, Array[Long])] =
     trainCache.computeIfAbsent(
-      graft.DatasetCache.snapshotKey(spark, dir, "embeddings.parquet"),
-      _ => train(quantized(spark, dir)))
+      graft.DatasetCache.snapshotKey(spark, dir, "embeddings.parquet") + s"#k$k",
+      _ => train(quantized(spark, dir), k = k))
 
   /** Lloyd iterations run at training time (the oracle CTE chain extends
     * mechanically with this constant — both engines iterate identically). */
@@ -296,17 +339,21 @@ object Ivf {
        |  SELECT vec_id, list_transform(embedding, v -> CAST(round((CAST(v AS DOUBLE)+$Shift)*$Scale) AS BIGINT)) AS qv
        |  FROM embeddings)""".stripMargin
 
-  private[sim] def chainSql(steps: Int): String = s"$qCteSql,\n${chainBodySql(steps)}"
+  private[sim] def chainSql(steps: Int, kSql: String = K.toString): String =
+    s"$qCteSql,\n${chainBodySql(steps, kSql)}"
 
   /** The IVF train+assign chain WITHOUT the leading `q` CTE (for
-    * composition with the PQ chains, which share `q`). */
-  private[sim] def chainBodySql(steps: Int): String = {
+    * composition with the PQ chains, which share `q`). `kSql` is the
+    * quantizer size as a SQL expression — the fixed index K by default,
+    * or [[derivedKSql]] (a scalar subquery; the seed CTE's LIMIT
+    * accepts it) for the corpus-derived cell count. */
+  private[sim] def chainBodySql(steps: Int, kSql: String = K.toString): String = {
     val dist = (c: String) =>
       s"CAST(list_sum(list_transform(range(1,${Dim + 1}), i -> (q.qv[i]-$c.cv[i])*(q.qv[i]-$c.cv[i]))) AS BIGINT)"
     val sb = new StringBuilder
     sb ++= s"""c0 AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, qv AS cv
-       |  FROM q ORDER BY vec_id LIMIT $K)""".stripMargin
+       |  FROM q ORDER BY vec_id LIMIT $kSql)""".stripMargin
     (0 until steps).foreach { s =>
       sb ++= s""",
        |d$s AS (

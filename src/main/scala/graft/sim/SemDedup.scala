@@ -33,11 +33,13 @@ import org.apache.spark.sql.functions._
   * Scale design: the candidate join is an equi-join on the cell id —
   * vectors only meet within their cell, never across, so the pair work
   * is sum(cell^2), not n^2, and the shuffle co-partitions both sides on
-  * `cid`. In production K grows with the corpus (K ~ n / targetCell)
-  * keeping cells bounded — the same knob the paper turns; K is fixed
-  * small here only so the oracle's unrolled Lloyd chain stays short.
-  * The dominance semi-join aggregates to DISTINCT dropped ids before
-  * the final anti-join, so the output pass is map-only per cell.
+  * `cid`. K GROWS WITH THE CORPUS by default (K = max(2, ceil(n /
+  * [[Ivf.TargetCell]])), the same knob the paper turns), so cells stay
+  * ~TargetCell-sized and total pair work is ~TargetCell·n — linear in
+  * n. The oracle derives the identical K with a scalar subquery in its
+  * Lloyd seed CTE, so both engines train the same quantizer at every
+  * SF. The dominance semi-join aggregates to DISTINCT dropped ids
+  * before the final anti-join, so the output pass is map-only per cell.
   */
 object SemDedup {
 
@@ -47,16 +49,22 @@ object SemDedup {
     * path while staying above the within-cell similarity median. */
   val Tau: Double = 0.40
 
+  /** Sentinel for `k`: derive the quantizer size from the corpus
+    * (`Ivf.derivedK(n)` = max(2, ceil(n / TargetCell))). */
+  val DerivedK: Int = -1
+
   /** (vec_id, embedding, cid, dist): each vector with its trained cell
     * and integer distance to the cell centroid (the dominance key).
-    * `k` is the quantizer size — the SCALE KNOB: production runs pick
-    * k ~ corpusSize / targetCellSize so per-cell pair work stays
-    * bounded as the corpus grows (the oracle-gated query keeps the
-    * default k, whose unrolled Lloyd chain the oracle replays). */
-  def assignment(spark: SparkSession, dir: String, k: Int = Ivf.K): DataFrame = {
-    val centroids =
-      if (k == Ivf.K) Ivf.trainCached(spark, dir)
-      else Ivf.train(Ivf.quantized(spark, dir), k = k)
+    * `k` is the quantizer size — the SCALE KNOB, and by default it is
+    * DERIVED from the corpus (k = max(2, ceil(n / TargetCell))), so
+    * per-cell pair work stays bounded as the corpus grows: total
+    * candidate work is ~TargetCell · n, linear in n. The oracle replays
+    * the identical derivation as a scalar subquery in its Lloyd seed
+    * CTE ([[Ivf.derivedKSql]]), so both engines train the same K at
+    * every SF. */
+  def assignment(spark: SparkSession, dir: String, k: Int = DerivedK): DataFrame = {
+    val kk = if (k == DerivedK) Ivf.derivedKCached(spark, dir) else k
+    val centroids = Ivf.trainCachedK(spark, dir, kk)
     val best = Ivf.nearest(centroids)
     Ivf.quantized(spark, dir)
       .select(col("vec_id"), col("embedding"),
@@ -64,7 +72,7 @@ object SemDedup {
   }
 
   /** (vec_id, cid, dist, keep) for every vector, sorted by vec_id. */
-  def semDedup(tau: Double, k: Int = Ivf.K)(
+  def semDedup(tau: Double, k: Int = DerivedK)(
       spark: SparkSession, dir: String): DataFrame = {
     val m = assignment(spark, dir, k)
     val u = m.select(col("vec_id").as("u_id"), col("embedding").as("u_emb"),
@@ -87,7 +95,7 @@ object SemDedup {
   def semDedupSql(tau: Double): String = {
     val dot = s"list_sum(list_transform(range(1,${Ivf.Dim + 1}), " +
       "i -> CAST(u.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)))"
-    s"""WITH ${Ivf.chainSql(Ivf.LloydSteps)},
+    s"""WITH ${Ivf.chainSql(Ivf.LloydSteps, Ivf.derivedKSql)},
        |m AS (SELECT a.vec_id, a.cid, a.dist, e.embedding
        |  FROM afin a JOIN embeddings e ON a.vec_id = e.vec_id),
        |dropped AS (SELECT DISTINCT v.vec_id

