@@ -161,7 +161,13 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val indexTotal = indexBuilds.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonMap(results)},"index_build":${jsonMap(indexBuilds)},"index_build_total":${fmt(indexTotal)},"failed":$failedNames,"load_start":${fmt(loadStart)},"load_end":${fmt(loadavg())},"sf":"$sfDir"}"""
+    // load_warning (r6 verdict item 7): external load above nCPU/8 at
+    // either sample inflates every number ~uniformly — flag the run so
+    // consumers stop re-litigating the noise (r5/r6 both did)
+    val loadEnd = loadavg()
+    val nCpu = Runtime.getRuntime.availableProcessors()
+    val loadWarning = math.max(loadStart, loadEnd) > nCpu / 8.0
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonMap(results)},"index_build":${jsonMap(indexBuilds)},"index_build_total":${fmt(indexTotal)},"failed":$failedNames,"load_start":${fmt(loadStart)},"load_end":${fmt(loadEnd)},"load_warning":$loadWarning,"sf":"$sfDir"}"""
     println(line)
     // The stdout line gets tail-truncated to its last ~2000 chars in
     // round artifacts (r4 lost most per-query timings; r5's driver

@@ -924,15 +924,21 @@ object EventOps {
           lit("direct")))
       .filter(col("event_type") === "purchase")
       .groupBy("channel")
+      // coalesce(sum, 0): a channel whose purchases are ALL NULL-valued
+      // would otherwise report NULL cents while the streaming twin
+      // (which coalesces per row before summing) reports 0 — align the
+      // two arms on 0 (both spellings; the fixture never hits it, the
+      // streaming replay spec does)
       .agg(count(lit(1)).as("n_purchases"),
-        sum(round(col("value") * 100).cast(LongType)).as("cents"))
+        coalesce(sum(round(col("value") * 100).cast(LongType)), lit(0L))
+          .as("cents"))
       .orderBy("channel")
   }
 
   val attributionSql: String = {
     val touches = AttributionTouches.map(t => s"'$t'").mkString(",")
     s"""SELECT channel, count(*) AS n_purchases,
-       | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+       | CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)), 0) AS BIGINT) AS cents
        | FROM (
        |  SELECT event_type, value,
        |   coalesce(last(CASE WHEN event_type IN ($touches) THEN event_type END IGNORE NULLS)

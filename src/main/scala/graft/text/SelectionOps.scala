@@ -297,7 +297,13 @@ object SelectionOps {
       .groupBy("term")
       .agg(sum(when(col("h1"), 1L).otherwise(0L)).as("n1"),
         sum(when(col("h1"), 0L).otherwise(1L)).as("n2"))
-    val tot = terms.agg(sum("n1").as("t1"), sum("n2").as("t2"))
+    // greatest(t, 1): an all-one-half corpus has a zero token total on
+    // the other side — Spark's div would yield NULL ppm rows where
+    // DuckDB's // errors; the guard gives 0-ppm rows in BOTH engines
+    // (n is 0 whenever its total is), the same null-discipline as the
+    // ratio queries elsewhere
+    val tot = terms.agg(greatest(sum("n1"), lit(1L)).as("t1"),
+      greatest(sum("n2"), lit(1L)).as("t2"))
     terms.crossJoin(broadcast(tot))
       .select(col("term"), col("n1"), col("n2"),
         expr("n1 * 1000000L div t1").as("p1_ppm"),
@@ -314,7 +320,7 @@ object SelectionOps {
        |  FROM (SELECT unnest(string_split(text,' ')) AS term, doc_id <= mx // 2 AS h1
        |        FROM documents, mx)
        |  GROUP BY term),
-       | tot AS (SELECT CAST(sum(n1) AS BIGINT) AS t1, CAST(sum(n2) AS BIGINT) AS t2 FROM t)
+       | tot AS (SELECT greatest(CAST(sum(n1) AS BIGINT), 1) AS t1, greatest(CAST(sum(n2) AS BIGINT), 1) AS t2 FROM t)
        | SELECT term, n1, n2, n1 * 1000000 // t1 AS p1_ppm, n2 * 1000000 // t2 AS p2_ppm,
        |  abs(n1 * 1000000 // t1 - n2 * 1000000 // t2) AS drift_ppm
        | FROM t, tot

@@ -13,6 +13,24 @@ class StreamingSpec extends SparkSpec {
 
   private lazy val eventsBatch = EventOps.events(spark, sf0001)
 
+  /** The O(users) state contract, asserted (r6 verdict item 8): across
+    * every micro-batch the query ever ran, total state rows never
+    * exceed the distinct-user count — the per-user-twins keep ONE state
+    * entry per user, no event buffering, so state cannot grow with
+    * event volume. */
+  private def assertUserBoundedState(
+      q: org.apache.spark.sql.streaming.StreamingQuery, nUsers: Long): Unit = {
+    val maxState = q.recentProgress.flatMap(_.stateOperators)
+      .map(_.numRowsTotal) match {
+      case a if a.isEmpty => 0L
+      case a => a.max
+    }
+    assert(maxState <= nUsers,
+      s"state rows $maxState exceed distinct users $nUsers — state is " +
+        "growing with events, not users")
+    assert(maxState > 0L, "state progress must have been recorded")
+  }
+
   private def runStream(build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
       sink: String): Unit = {
     val src = Files.createTempDirectory("evt_stream").toString
@@ -207,6 +225,7 @@ class StreamingSpec extends SparkSpec {
       mem.addData(chunk.toIndexedSeq)
       q.processAllAvailable()
     }
+    assertUserBoundedState(q, rows.map(_._3).distinct.length.toLong)
     q.stop()
     val streamed = spark.table("trans_sink")
       .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
@@ -241,6 +260,7 @@ class StreamingSpec extends SparkSpec {
       mem.addData(chunk.toIndexedSeq)
       q.processAllAvailable()
     }
+    assertUserBoundedState(q, rows.map(_._3).distinct.length.toLong)
     q.stop()
     val streamed = spark.table("attr_sink")
       .groupBy("channel")
@@ -273,6 +293,7 @@ class StreamingSpec extends SparkSpec {
       mem.addData(chunk.toIndexedSeq)
       q.processAllAvailable()
     }
+    assertUserBoundedState(q, rows.map(_._3).distinct.length.toLong)
     q.stop()
     val streamed = spark.table("funnel_sink")
       .collect()
@@ -304,6 +325,7 @@ class StreamingSpec extends SparkSpec {
       mem.addData(chunk.toIndexedSeq)
       q.processAllAvailable()
     }
+    assertUserBoundedState(q, rows.map(_._3).distinct.length.toLong)
     q.stop()
     // flags only ever flip false→true and cohort_day is constant per
     // user, so the final state is the flag-wise OR of the emitted rows
