@@ -81,12 +81,14 @@ object Ivf {
     derivedK(corpusN(spark, dir))
 
   /** embeddings + the quantized int64 vector `qv`. */
-  def quantized(spark: SparkSession, dir: String): DataFrame =
+  def quantized(spark: SparkSession, dir: String): DataFrame = {
+    NearestCell.register(spark)
     SimOps.embeddings(spark, dir).select(
       col("vec_id"), col("embedding"),
       transform(col("embedding"),
         v => round((v.cast("double") + lit(Shift)) * lit(Scale)).cast(LongType))
         .as("qv"))
+  }
 
   /** Integer squared-L2 distance from `qv` to a literal centroid. */
   private def distTo(cv: Array[Long]): Column =
@@ -94,12 +96,44 @@ object Ivf {
       zip_with(col("qv"), lit(cv), (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, v) => acc + v)
 
+  /** Max quantizer size for the UNROLLED K-way `least()` argmin: its
+    * generated code grows linearly with K, and past a few dozen cells
+    * the projection risks the HotSpot JIT bytecode limit and falls back
+    * to interpreted execution (the r6 `pc_register` finding: a
+    * 2,300-op unrolled projection ran 500× slower than a loop
+    * expression). Beyond this, assignment switches to [[nearestFold]]
+    * — still map-only and codegen'd, with expression SIZE independent
+    * of K because the centroids ride as one array LITERAL (data, not
+    * code). The fold is the path the corpus-derived K takes as the
+    * corpus grows; the literal's size (K×dim×8 B) caps the flat
+    * quantizer at K ~ 10^5 — past that a production deployment goes
+    * hierarchical (coarse cells, then per-cell refinement), which
+    * composes from this same operator. */
+  val UnrolledMaxK: Int = 32
+
   /** `struct(dist, cid)` argmin over literal centroids — ties break to
     * the lowest cid because `least` compares structs lexicographically. */
-  private[sim] def nearest(centroids: Seq[(Long, Array[Long])]): Column =
+  private[graft] def nearest(centroids: Seq[(Long, Array[Long])]): Column =
+    if (centroids.size <= UnrolledMaxK) nearestUnrolled(centroids)
+    else nearestFold(centroids)
+
+  private[graft] def nearestUnrolled(
+      centroids: Seq[(Long, Array[Long])]): Column =
     least(centroids.map { case (cid, cv) =>
       struct(distTo(cv).as("dist"), lit(cid).as("cid"))
     }: _*)
+
+  /** Same argmin through [[NearestCell]], the native codegen'd loop
+    * expression: identical integer arithmetic and (dist, cid)
+    * tie-break semantics to [[nearestUnrolled]], spec-pinned equal.
+    * (A higher-order-function fold was tried first: expression size is
+    * O(1) in K but Spark HOFs are CodegenFallback — interpreted — and
+    * the K=313 assignment took minutes where this loop is sub-second.)
+    * Requires [[NearestCell.register]], done in [[quantized]]. */
+  private[graft] def nearestFold(centroids: Seq[(Long, Array[Long])]): Column =
+    call_function("ivf_nearest_cell", col("qv"),
+      typedLit(centroids.map(_._1)),
+      typedLit(centroids.flatMap(_._2.toSeq)))
 
   /** Training result cache keyed by input path: both IVF queries (assign
     * + search) share one trained codebook per dataset, like a production

@@ -16,6 +16,30 @@ class IvfSpec extends SparkSpec {
     assert(cids.size >= 2, s"degenerate clustering: $cids")
   }
 
+  test("nearestFold == nearestUnrolled: same cells, dists, tie-breaks at any K") {
+    // the fold path (constant-size codegen, centroids as an array
+    // literal) must reproduce the unrolled least() argmin EXACTLY —
+    // including (dist, cid) tie-breaks — because the derived-K ops
+    // switch to it past UnrolledMaxK where the unrolled expression
+    // would outgrow the JIT limit
+    val q = Ivf.quantized(spark, sf001)
+    for (k <- Seq(3, Ivf.UnrolledMaxK, 40)) {
+      val c = Ivf.train(q, k = k)
+      val diff = q.select(
+        Ivf.nearestUnrolled(c).as("u"), Ivf.nearestFold(c).as("f"))
+        .filter(col("u") =!= col("f")).count()
+      assert(diff == 0L, s"k=$k: fold and unrolled argmin disagree on $diff rows")
+    }
+    // and the dispatcher actually switches (lambda ids make toString
+    // nondeterministic, so match on each path's structural marker)
+    val big = Ivf.train(q, k = Ivf.UnrolledMaxK + 1)
+    assert(Ivf.nearest(big).toString.contains("ivf_nearest_cell("),
+      "past UnrolledMaxK the dispatcher must take the native loop path")
+    val small = Ivf.train(q, k = 4)
+    assert(Ivf.nearest(small).toString.startsWith("least("),
+      "at small K the dispatcher must keep the unrolled least()")
+  }
+
   test("training is deterministic: two runs give identical centroids") {
     val q = Ivf.quantized(spark, sf001)
     val c1 = Ivf.train(q)
