@@ -162,11 +162,13 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val indexTotal = indexBuilds.map(_._2).filter(_ >= 0).sum
     // load_warning (r6 verdict item 7): external load above nCPU/8 at
-    // either sample inflates every number ~uniformly — flag the run so
-    // consumers stop re-litigating the noise (r5/r6 both did)
+    // suite START inflates every number ~uniformly — flag the run so
+    // consumers stop re-litigating the noise (r5/r6 both did). START
+    // only: load_end includes the bench's own 32-thread activity, so
+    // gating on it would flag every healthy run.
     val loadEnd = loadavg()
     val nCpu = Runtime.getRuntime.availableProcessors()
-    val loadWarning = math.max(loadStart, loadEnd) > nCpu / 8.0
+    val loadWarning = loadStart > nCpu / 8.0
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonMap(results)},"index_build":${jsonMap(indexBuilds)},"index_build_total":${fmt(indexTotal)},"failed":$failedNames,"load_start":${fmt(loadStart)},"load_end":${fmt(loadEnd)},"load_warning":$loadWarning,"sf":"$sfDir"}"""
     println(line)
     // The stdout line gets tail-truncated to its last ~2000 chars in

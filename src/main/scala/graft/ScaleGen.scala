@@ -41,8 +41,13 @@ object ScaleGen {
       val fan = spark.range(copies).select(col("id").as("_copy"))
       val wide = keyCols.foldLeft(df.crossJoin(fan)) { (d, k) =>
         d.withColumn(k, col(k) + col("_copy") * Off)
-      }.drop("_copy")
-      wide.write.mode("overwrite").parquet(s"$out/$t.parquet")
+      }
+      // one output shard per copy: an N×-bigger corpus arrives as N×
+      // the shards, so scans must parallelize N× wider too — a single
+      // coalesced file would serialize every downstream scan into ONE
+      // input partition and measure the fixture, not the plan
+      wide.repartitionByRange(copies, col("_copy")).drop("_copy")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
       println(s"scalegen: $t x$copies")
     }
     def copied(t: String): Unit = {
@@ -79,6 +84,7 @@ object ScaleGen {
           expr("array_join(transform(split(text, ' '), w -> concat(w, '_', _copy)), ' ')"))
         .withColumn("doc_id", col("doc_id") + col("_copy") * Off)
         .withColumn("n_chars", length(col("text")))
+        .repartitionByRange(copies, col("_copy")) // shard-per-copy, as above
         .drop("_copy")
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
       println(s"scalegen: documents x$copies (copy-tagged tokens)")
