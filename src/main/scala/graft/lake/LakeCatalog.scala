@@ -114,8 +114,25 @@ class LakeCatalog extends TableCatalog {
       properties: java.util.Map[String, String]): Table =
     refuseDdl("CREATE TABLE")
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    refuseDdl("ALTER TABLE")
+  /** `ALTER TABLE lake.ns.t ADD COLUMN x TYPE` / `DROP COLUMN x` run as
+    * metadata-only lake commits ([[LakeTable.addColumn]] /
+    * [[LakeTable.dropColumn]]); every other table change refuses. Only
+    * TOP-LEVEL single-name columns, no position clauses — each would
+    * silently diverge from the lake's evolution rules if
+    * half-translated. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = dirOf(ident)
+    if (LakeTable.latestVersion(dir).isEmpty) throw new NoSuchTableException(ident)
+    changes.foreach {
+      case a: TableChange.AddColumn
+          if a.fieldNames.length == 1 && a.position() == null =>
+        LakeTable.addColumn(dir, a.fieldNames.head, a.dataType())
+      case d: TableChange.DeleteColumn if d.fieldNames.length == 1 =>
+        LakeTable.dropColumn(SparkSession.active, dir, d.fieldNames.head)
+      case other => refuseDdl(s"ALTER TABLE change ${other.getClass.getSimpleName}")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = refuseDdl("DROP TABLE")
 

@@ -6,7 +6,7 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.util.control.NonFatal
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** ACID table format on plain Parquet — the transaction-log half of the
   * "lakehouse" (data lake + ACID) thesis, built from scratch because no
@@ -348,7 +348,8 @@ object LakeTable {
     // The predecessor is immutable and (versions are contiguous) exists
     // whenever version > 1, so the inherit read is race-free.
     val props =
-      if (c.op == "addconstraint" || c.op == "dropconstraint") c.props
+      if (c.op == "addconstraint" || c.op == "dropconstraint" ||
+        c.op == "dropcolumn") c.props // dropcolumn adds a name tombstone
       else if (c.version > 1) readCommit(table, c.version - 1).props
       else c.props
     val tmp = logDir(table).resolve(s".tmp-${java.util.UUID.randomUUID()}")
@@ -371,10 +372,23 @@ object LakeTable {
     * the latest commit IS the table metadata (the Delta pattern). */
   def constraints(table: String): Map[String, String] =
     latestVersion(table).map(readCommit(table, _).props).getOrElse(Seq.empty)
+      .filterNot(_.startsWith(DroppedPropPrefix)) // column tombstones, not CHECKs
       .flatMap { p =>
         val i = p.indexOf('=')
         if (i <= 0) None else Some(p.take(i) -> p.drop(i + 1))
       }.toMap
+
+  /** Tombstoned column-name props (`dropped:<lowername>=1`). The ':' in
+    * the prefix cannot collide with constraint names ([A-Za-z0-9_]+). */
+  private val DroppedPropPrefix = "dropped:"
+
+  private def droppedProps(table: String): Seq[String] =
+    currentProps(table).filter(_.startsWith(DroppedPropPrefix))
+
+  /** Lowercased names of every column ever dropped from the table. */
+  def droppedColumns(table: String): Set[String] =
+    droppedProps(table)
+      .map(_.stripPrefix(DroppedPropPrefix).takeWhile(_ != '=')).toSet
 
   /** The raw prop entries of the newest commit (currently: constraint
     * definitions) — what every data commit must re-assert. */
@@ -492,7 +506,8 @@ object LakeTable {
       require(violations == 0L,
         s"cannot add CHECK constraint `$name`: existing rows violate $sql")
       raceHook("addconstraint") // test seam: a writer lands post-validation
-      val props = (cur + (name -> sql)).map { case (n, s) => s"$n=$s" }.toSeq.sorted
+      val props = ((cur + (name -> sql)).map { case (n, s) => s"$n=$s" }.toSeq ++
+        droppedProps(table)).sorted
       val c = Commit(v0 + 1, "addconstraint", Seq.empty, Seq.empty,
         schemaJson.getOrElse(""), props = props)
       if (tryCommit(table, c)) { maybeCheckpoint(table, v0 + 1); return v0 + 1 }
@@ -516,7 +531,8 @@ object LakeTable {
         throw new IllegalArgumentException(s"no such table: $table"))
       val (_, schemaJson) = snapshotFiles(table, Some(v0))
       raceHook("dropconstraint") // test seam: a constraint edit lands here
-      val props = (cur - name).map { case (n, s) => s"$n=$s" }.toSeq.sorted
+      val props = ((cur - name).map { case (n, s) => s"$n=$s" }.toSeq ++
+        droppedProps(table)).sorted
       val c = Commit(v0 + 1, "dropconstraint", Seq.empty, Seq.empty,
         schemaJson.getOrElse(""), props = props)
       if (tryCommit(table, c)) { maybeCheckpoint(table, v0 + 1); return v0 + 1 }
@@ -524,6 +540,91 @@ object LakeTable {
     }
     throw new IllegalStateException(
       s"dropConstraint on $table failed after $MaxRetries retries")
+  }
+
+  /** ALTER TABLE ADD COLUMN — metadata-only schema evolution: ONE log
+    * commit carrying the widened schema and no files. The new column is
+    * nullable by definition (every existing file lacks it; the explicit
+    * -schema parquet scan null-fills, Spark's native behavior), so old
+    * rows read as NULL and later writes may populate it.
+    *
+    * Re-adding a previously DROPPED name is refused: live files written
+    * before the drop still carry the old PHYSICAL values, which would
+    * resurrect — with stale data — under the re-added name. Delta
+    * requires column mapping (physical ids) to allow this; without ids,
+    * tombstoning the name forever is the honest contract
+    * ([[droppedColumns]], carried as log props like constraints).
+    *
+    * Pinned validate-commit loop like [[addConstraint]]: the widened
+    * schema derives from exactly the version the commit replaces, so a
+    * racing schema edit makes the CAS lose and the derivation re-run
+    * against the winner. */
+  def addColumn(table: String, name: String,
+      dataType: org.apache.spark.sql.types.DataType): Long = {
+    require(name.matches("[A-Za-z0-9_]+"), s"column name `$name` invalid")
+    requireNoReservedNames(StructType(Seq(StructField(name, dataType))),
+      "addColumn")
+    var tries = 0
+    while (tries < MaxRetries) {
+      val v0 = latestVersion(table).getOrElse(
+        throw new IllegalArgumentException(s"no such table: $table"))
+      val (_, schemaJson) = snapshotFiles(table, Some(v0))
+      val cur = DataType.fromJson(schemaJson.getOrElse(
+        throw new IllegalStateException(s"$table carries no schema")))
+        .asInstanceOf[StructType]
+      require(!cur.fieldNames.exists(_.equalsIgnoreCase(name)),
+        s"addColumn: column `$name` already exists in ${cur.simpleString}")
+      require(!droppedColumns(table).contains(name.toLowerCase),
+        s"addColumn: `$name` was previously dropped; live files may still " +
+          "carry its old physical values (which would resurrect as stale " +
+          "data) — use a fresh name")
+      val widened = StructType(cur.fields :+
+        StructField(name, dataType, nullable = true))
+      raceHook("addcolumn") // test seam: a schema edit lands here
+      // props inherit from the predecessor in tryCommit (constraints +
+      // tombstones carry through untouched)
+      val c = Commit(v0 + 1, "addcolumn", Seq.empty, Seq.empty, widened.json)
+      if (tryCommit(table, c)) { maybeCheckpoint(table, v0 + 1); return v0 + 1 }
+      tries += 1 // re-derive against the winner's schema
+    }
+    throw new IllegalStateException(
+      s"addColumn on $table failed after $MaxRetries retries")
+  }
+
+  /** ALTER TABLE DROP COLUMN — metadata-only: ONE commit with the
+    * shrunk schema; no file is rewritten (the physical column stays in
+    * the immutable parquet, the explicit-schema scan simply never reads
+    * it — Delta's drop-column semantics). The name is tombstoned in the
+    * log props so [[addColumn]]/mergeSchema can never resurrect the
+    * stale physical values. Refused while a CHECK constraint references
+    * the column ([[requireConstraintColumns]]) and for the last
+    * remaining column. */
+  def dropColumn(spark: SparkSession, table: String, name: String): Long = {
+    var tries = 0
+    while (tries < MaxRetries) {
+      val v0 = latestVersion(table).getOrElse(
+        throw new IllegalArgumentException(s"no such table: $table"))
+      val (_, schemaJson) = snapshotFiles(table, Some(v0))
+      val cur = DataType.fromJson(schemaJson.getOrElse(
+        throw new IllegalStateException(s"$table carries no schema")))
+        .asInstanceOf[StructType]
+      val field = cur.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"dropColumn: no column `$name` in ${cur.simpleString}"))
+      val shrunk = StructType(cur.fields.filterNot(_.name == field.name))
+      require(shrunk.nonEmpty, s"dropColumn: cannot drop the last column")
+      requireConstraintColumns(table, shrunk, "dropColumn")
+      val props = (currentProps(table).filterNot(_.startsWith(DroppedPropPrefix)) ++
+        droppedProps(table) :+ s"$DroppedPropPrefix${field.name.toLowerCase}=1")
+        .distinct.sorted
+      raceHook("dropcolumn") // test seam: a schema edit lands here
+      val c = Commit(v0 + 1, "dropcolumn", Seq.empty, Seq.empty,
+        shrunk.json, props = props)
+      if (tryCommit(table, c)) { maybeCheckpoint(table, v0 + 1); return v0 + 1 }
+      tries += 1 // re-derive against the winner's schema
+    }
+    throw new IllegalStateException(
+      s"dropColumn on $table failed after $MaxRetries retries")
   }
 
   /** Stage `df` as immutable parquet files under a unique subdir and
@@ -915,6 +1016,16 @@ object LakeTable {
           throw new IllegalArgumentException(
             s"$op: columns ${fresh.map(_.name).mkString(", ")} not in table " +
               s"schema ${cur.simpleString}; pass mergeSchema=true to evolve")
+        // a merge-evolved column must not resurrect a DROPPED name: live
+        // files written before the drop still carry the old physical
+        // values, which would reappear as stale data (same rule as
+        // addColumn)
+        val tomb = droppedColumns(table)
+        val resurrect = fresh.filter(f => tomb(f.name.toLowerCase))
+        require(resurrect.isEmpty,
+          s"$op: column(s) ${resurrect.map(_.name).mkString(", ")} were " +
+            "previously dropped; live files may still carry their old " +
+            "physical values — use fresh names")
         // the omission rule is nullable-only: a file lacking a NON-null
         // column would read as null in a field the schema promises
         // non-null — impossible data for schema-trusting consumers
