@@ -181,17 +181,20 @@ object Bench {
     // source so a driver invoking sbt from any working directory still
     // leaves bench_last.json inside the repo it benchmarked.
     val outPaths = {
-      val chosen = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json"))
-        .toAbsolutePath.normalize
-      // only a FULL run ON THE CANONICAL CORPUS may claim the repo's
+      // only a FULL run ON THE CANONICAL CORPUS may claim a
       // bench_last.json — a filtered experiment would shadow the
       // committed full-suite artifact with a 2-query fragment, and an
       // unfiltered run on a ScaleGen fixture (different SF dir) would
       // shadow it with numbers from a different corpus entirely (this
-      // bit a 10x scale-stress run)
+      // bit a 10x scale-stress run TWICE: once via the classes path in
+      // r6, once via the default CWD path in r7 — both now guarded;
+      // an EXPLICIT SPARK_GRAFT_BENCH_OUT is always honored)
+      val canonical = filter.isEmpty && sfDir.startsWith("/root/testdata/")
+      val chosen = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+        .orElse(if (canonical) Some("bench_last.json") else None)
+        .map(p => java.nio.file.Paths.get(p).toAbsolutePath.normalize)
       val fromClasses =
-        if (filter.nonEmpty || !sfDir.startsWith("/root/testdata/")) None
+        if (!canonical) None
         else try {
           var p = java.nio.file.Paths.get(
             Bench.getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
@@ -199,7 +202,7 @@ object Bench {
             p = p.getParent
           Option(p).map(_.resolve("bench_last.json").toAbsolutePath.normalize)
         } catch { case _: Throwable => None }
-      (Seq(chosen) ++ fromClasses).distinct
+      (chosen.toSeq ++ fromClasses).distinct
     }
     outPaths.foreach { p =>
       try java.nio.file.Files.writeString(p, line)

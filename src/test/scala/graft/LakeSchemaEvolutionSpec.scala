@@ -112,6 +112,49 @@ class LakeSchemaEvolutionSpec extends SparkSpec {
     assert(LakeTable.droppedColumns(t) == Set("v"))
   }
 
+  test("addColumn raced by an append rebases and lands the widened schema") {
+    val t = freshTable("lake_addcol_race")
+    LakeTable.append(spark, t, spark.range(0, 5).select(col("id")))
+    var injected = false
+    graft.lake.LakeTestHooks.withRaceHook(op =>
+      if (op == "addcolumn" && !injected) {
+        injected = true
+        graft.lake.LakeTestHooks.withRaceHook(_ => ())(
+          LakeTable.append(spark, t, spark.range(5, 8).select(col("id"))))
+      }) {
+      LakeTable.addColumn(t, "score", LongType)
+    }
+    assert(injected)
+    // both commits landed: the append's rows AND the widened schema
+    val snap = LakeTable.snapshot(spark, t)
+    assert(snap.count() == 8)
+    assert(snap.schema.fieldNames.toSeq == Seq("id", "score"))
+  }
+
+  test("dropColumn raced by a constraint on that column refuses on retry") {
+    val t = freshTable("lake_dropcol_race")
+    LakeTable.append(spark, t,
+      spark.range(0, 5).select(col("id"), (col("id") * 2).as("v")))
+    var injected = false
+    val e = intercept[IllegalArgumentException] {
+      graft.lake.LakeTestHooks.withRaceHook(op =>
+        if (op == "dropcolumn" && !injected) {
+          injected = true
+          graft.lake.LakeTestHooks.withRaceHook(_ => ())(
+            LakeTable.addConstraint(spark, t, "v_nonneg", "v >= 0"))
+        }) {
+        LakeTable.dropColumn(spark, t, "v")
+      }
+    }
+    assert(injected)
+    assert(e.getMessage.contains("v_nonneg"),
+      s"retry must re-check constraints at the new tip, got: ${e.getMessage}")
+    // nothing dropped: the column, the constraint, and the rows survive
+    assert(LakeTable.snapshot(spark, t).schema.fieldNames.toSeq == Seq("id", "v"))
+    assert(LakeTable.constraints(t).contains("v_nonneg"))
+    assert(LakeTable.droppedColumns(t).isEmpty)
+  }
+
   test("SQL: ALTER TABLE ADD/DROP COLUMN through the lake catalog") {
     val root = java.nio.file.Files.createTempDirectory("lake_alter_cat").toString
     DatasetCache.registerTempDir(root)
