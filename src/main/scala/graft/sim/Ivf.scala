@@ -28,9 +28,9 @@ import org.apache.spark.sql.types.LongType
   *    and order-free on both engines.
   *
   * **Scale design.** Assignment is a single projection: the K centroids
-  * are *literal* arrays baked into one `least(struct(dist, cid), ...)`
-  * expression, so the scan side streams through codegen with NO join and
-  * NO shuffle — at 100 TB this is a map-only pass. The Lloyd update is a
+  * ride as reference arrays inside [[NearestCell]], one native
+  * codegen'd argmin loop, so the scan side streams through codegen with
+  * NO join and NO shuffle — at 100 TB this is a map-only pass. The Lloyd update is a
   * `groupBy(cid)` over K×dim integer sums (map-side partial aggregation;
   * shuffle carries K rows per partition). Training actions collect only
   * K×dim longs to the driver. The search probes `nprobe` cells, so the
@@ -96,44 +96,36 @@ object Ivf {
       zip_with(col("qv"), lit(cv), (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, v) => acc + v)
 
-  /** Max quantizer size for the UNROLLED K-way `least()` argmin: its
-    * generated code grows linearly with K, and past a few dozen cells
-    * the projection risks the HotSpot JIT bytecode limit and falls back
-    * to interpreted execution (the r6 `pc_register` finding: a
-    * 2,300-op unrolled projection ran 500× slower than a loop
-    * expression). Beyond this, assignment switches to [[nearestFold]]
-    * — still map-only and codegen'd, with expression SIZE independent
-    * of K because the centroids ride as one array LITERAL (data, not
-    * code). The fold is the path the corpus-derived K takes as the
-    * corpus grows; the literal's size (K×dim×8 B) caps the flat
-    * quantizer at K ~ 10^5 — past that a production deployment goes
-    * hierarchical (coarse cells, then per-cell refinement), which
-    * composes from this same operator. */
-  val UnrolledMaxK: Int = 32
-
-  /** `struct(dist, cid)` argmin over literal centroids — ties break to
-    * the lowest cid because `least` compares structs lexicographically. */
+  /** `struct(dist, cid)` argmin over literal centroids at ANY K, via
+    * [[NearestCell]] — the native codegen'd loop expression. The two
+    * built-in spellings both lose: the K-way unrolled
+    * `least(struct(...))` is O(K·dim) straight-line generated code
+    * (the r6 `pc_register` JIT-limit class — and its per-term HOF
+    * distances are CodegenFallback anyway, so it ran INTERPRETED even
+    * at K=8: switching cut `emb_semdedup` 1.82→0.64 s and
+    * `emb_knn_graph` 1.70→0.70 s at sf0.1), and a higher-order
+    * `aggregate(sequence(...))` fold is interpreted outright (the
+    * K=313 assignment took minutes). Centroids ride as reference
+    * arrays — data, not code — so generated-code size is O(1) in K;
+    * the literal's size (K×dim×8 B) caps the flat quantizer at
+    * K ~ 10^5, past which a deployment goes hierarchical (coarse
+    * cells, then per-cell refinement), composed from this same
+    * operator. Ties break to the lowest cid — bit-identical to the
+    * `least()` lexicographic struct order, pinned by `IvfSpec` against
+    * [[nearestUnrolled]], the reference implementation kept for that
+    * spec. Requires [[NearestCell.register]], done in [[quantized]]. */
   private[graft] def nearest(centroids: Seq[(Long, Array[Long])]): Column =
-    if (centroids.size <= UnrolledMaxK) nearestUnrolled(centroids)
-    else nearestFold(centroids)
+    call_function("ivf_nearest_cell", col("qv"),
+      typedLit(centroids.map(_._1)),
+      typedLit(centroids.flatMap(_._2.toSeq)))
 
+  /** The K-way unrolled `least()` spelling — the SPEC REFERENCE the
+    * native expression is pinned against, not a production path. */
   private[graft] def nearestUnrolled(
       centroids: Seq[(Long, Array[Long])]): Column =
     least(centroids.map { case (cid, cv) =>
       struct(distTo(cv).as("dist"), lit(cid).as("cid"))
     }: _*)
-
-  /** Same argmin through [[NearestCell]], the native codegen'd loop
-    * expression: identical integer arithmetic and (dist, cid)
-    * tie-break semantics to [[nearestUnrolled]], spec-pinned equal.
-    * (A higher-order-function fold was tried first: expression size is
-    * O(1) in K but Spark HOFs are CodegenFallback — interpreted — and
-    * the K=313 assignment took minutes where this loop is sub-second.)
-    * Requires [[NearestCell.register]], done in [[quantized]]. */
-  private[graft] def nearestFold(centroids: Seq[(Long, Array[Long])]): Column =
-    call_function("ivf_nearest_cell", col("qv"),
-      typedLit(centroids.map(_._1)),
-      typedLit(centroids.flatMap(_._2.toSeq)))
 
   /** Training result cache keyed by input path: both IVF queries (assign
     * + search) share one trained codebook per dataset, like a production

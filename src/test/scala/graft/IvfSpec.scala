@@ -16,28 +16,22 @@ class IvfSpec extends SparkSpec {
     assert(cids.size >= 2, s"degenerate clustering: $cids")
   }
 
-  test("nearestFold == nearestUnrolled: same cells, dists, tie-breaks at any K") {
-    // the fold path (constant-size codegen, centroids as an array
-    // literal) must reproduce the unrolled least() argmin EXACTLY —
-    // including (dist, cid) tie-breaks — because the derived-K ops
-    // switch to it past UnrolledMaxK where the unrolled expression
-    // would outgrow the JIT limit
+  test("NearestCell == unrolled least(): same cells, dists, tie-breaks at any K") {
+    // the native loop expression (constant-size codegen, centroids as
+    // reference arrays) must reproduce the unrolled least() argmin
+    // EXACTLY — including (dist, cid) tie-breaks — it is THE production
+    // assignment path at every K
     val q = Ivf.quantized(spark, sf001)
-    for (k <- Seq(3, Ivf.UnrolledMaxK, 40)) {
+    for (k <- Seq(3, 8, 32, 40)) {
       val c = Ivf.train(q, k = k)
       val diff = q.select(
-        Ivf.nearestUnrolled(c).as("u"), Ivf.nearestFold(c).as("f"))
+        Ivf.nearestUnrolled(c).as("u"), Ivf.nearest(c).as("f"))
         .filter(col("u") =!= col("f")).count()
-      assert(diff == 0L, s"k=$k: fold and unrolled argmin disagree on $diff rows")
+      assert(diff == 0L, s"k=$k: native and unrolled argmin disagree on $diff rows")
     }
-    // and the dispatcher actually switches (lambda ids make toString
-    // nondeterministic, so match on each path's structural marker)
-    val big = Ivf.train(q, k = Ivf.UnrolledMaxK + 1)
-    assert(Ivf.nearest(big).toString.contains("ivf_nearest_cell("),
-      "past UnrolledMaxK the dispatcher must take the native loop path")
-    val small = Ivf.train(q, k = 4)
-    assert(Ivf.nearest(small).toString.startsWith("least("),
-      "at small K the dispatcher must keep the unrolled least()")
+    val c8 = Ivf.train(q, k = 8)
+    assert(Ivf.nearest(c8).toString.contains("ivf_nearest_cell("),
+      "production assignment must run through the native loop expression")
   }
 
   test("training is deterministic: two runs give identical centroids") {
