@@ -499,6 +499,89 @@ object EventOps {
       | WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.click_us
       | GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")
 
+  /** Three-step strict-order funnel view→click→purchase: each user's
+    * FIRST view, then FIRST click strictly after it, then FIRST
+    * purchase strictly after that — the k-step generalization of
+    * [[funnel]] every product-analytics suite ships. Same aggregate-
+    * then-join shape, applied twice: each stage is one map-side-
+    * combinable per-user min aggregation joined user-keyed into the
+    * next stage's filtered events. Per-stage relations are user-sized
+    * (SF-proportional), so NO broadcast hints — AQE owns the
+    * broadcast-vs-shuffle choice, and all three joins co-shuffle on
+    * user_id (the sessionize exchange class). Timestamps compare at µs
+    * like every cross-engine time rule here; strictly-greater bounds
+    * make same-µs stage pairs non-converting (the [[funnel]] rule). */
+  def funnel3(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    val views = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(expr("ts div 1000")).as("view_us"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), expr("ts div 1000").as("c_us"))
+      .join(views, "user_id")
+      .filter(col("c_us") > col("view_us"))
+      .groupBy("user_id")
+      .agg(min(col("view_us")).as("view_us"), min(col("c_us")).as("click_us"))
+    e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts div 1000").as("p_us"))
+      .join(clicks, "user_id")
+      .filter(col("p_us") > col("click_us"))
+      .groupBy("user_id")
+      .agg(min(col("view_us")).as("view_us"),
+        min(col("click_us")).as("click_us"),
+        min(col("p_us")).as("purch_us"))
+      .select(col("user_id"), col("view_us"), col("click_us"),
+        col("purch_us"), (col("purch_us") - col("view_us")).as("delay_us"))
+      .orderBy("user_id")
+  }
+
+  val funnel3Sql: String =
+    """WITH v AS (SELECT user_id, min(epoch_us(ts)) AS view_us
+      |  FROM events WHERE event_type = 'view' GROUP BY 1),
+      | c AS (SELECT e.user_id, min(v.view_us) AS view_us,
+      |   min(epoch_us(e.ts)) AS click_us
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.view_us
+      |  GROUP BY 1)
+      | SELECT e.user_id, min(c.view_us) AS view_us,
+      |  min(c.click_us) AS click_us, min(epoch_us(e.ts)) AS purch_us,
+      |  min(epoch_us(e.ts)) - min(c.view_us) AS delay_us
+      | FROM events e JOIN c ON e.user_id = c.user_id
+      | WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.click_us
+      | GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")
+
+  /** Top user paths of three consecutive events (trigrams) in per-user
+    * event-time order — the path-analysis extension of the transition
+    * matrix (2-grams in [[GraphOps.transitions]]): which 3-step flows
+    * dominate. ONE window shuffle on user_id (lead×2 shares the same
+    * sort), then a keyed aggregation on a ≤|types|³-bounded relation;
+    * top-k is TakeOrderedAndProject. The (µs, event_id) tie rule keeps
+    * same-µs order identical across engines. */
+  def trigramPaths(k: Int)(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(expr("ts div 1000"), col("event_id"))
+    events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("e1"),
+        lead(col("event_type"), 1).over(w).as("e2"),
+        lead(col("event_type"), 2).over(w).as("e3"))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .groupBy("e1", "e2", "e3")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("e1").asc, col("e2").asc, col("e3").asc)
+      .limit(k)
+  }
+
+  def trigramPathsSql(k: Int): String =
+    s"""SELECT e1, e2, e3, cnt FROM (
+       | SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |  SELECT event_type AS e1,
+       |   lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS e2,
+       |   lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS e3
+       |  FROM events)
+       | WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+       | GROUP BY 1, 2, 3)
+       | ORDER BY cnt DESC, e1 ASC, e2 ASC, e3 ASC LIMIT $k""".stripMargin.replace("\n", " ")
+
   /** Per-user moving sum over a 3-row frame (2 preceding + current) in
     * event-time order — the frame-based window shape (moving averages,
     * rolling risk scores). One shuffle on user_id, then a linear pass

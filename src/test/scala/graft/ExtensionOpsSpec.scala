@@ -253,6 +253,45 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(f.length <= both)
   }
 
+  test("funnel3: strict view<click<purchase order; converters subset of 2-step funnel") {
+    val f3 = EventOps.funnel3(spark, sf001).collect()
+    assert(f3.nonEmpty)
+    f3.foreach { r =>
+      val (v, c, p, d) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(c > v, "first qualifying click must follow the first view")
+      assert(p > c, "first qualifying purchase must follow that click")
+      assert(d == p - v)
+    }
+    // every 3-step converter also converts the 2-step funnel, and their
+    // purchase can only be EARLIER or equal there (a weaker prefix
+    // constraint frees earlier purchases)
+    val f2 = EventOps.funnel(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    f3.foreach { r =>
+      val u = r.getLong(0)
+      assert(f2.contains(u), s"user $u converts 3-step but not 2-step")
+      assert(f2(u) <= r.getLong(3))
+    }
+  }
+
+  test("trigram paths: counts conserve the per-user trigram total, k bounded") {
+    val t = EventOps.trigramPaths(1000)(spark, sf001).collect()
+    assert(t.nonEmpty)
+    // Σ counts == Σ_users max(0, n_events - 2): every consecutive
+    // in-order triple is counted exactly once
+    val expected = EventOps.events(spark, sf001)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .select(sum(greatest(col("n") - 2, lit(0L)))).head().getLong(0)
+    assert(t.map(_.getLong(3)).sum == expected)
+    // bounded key domain: e1/e2/e3 come from the event vocabulary
+    val types = EventOps.events(spark, sf001)
+      .select("event_type").distinct().collect().map(_.getString(0)).toSet
+    t.foreach { r =>
+      assert(types(r.getString(0)) && types(r.getString(1)) && types(r.getString(2)))
+    }
+    assert(EventOps.trigramPaths(5)(spark, sf001).count() == 5)
+  }
+
   test("retention: cohort sizes partition the users; returns bounded by cohort") {
     val r = EventOps.retention(spark, sf001).collect()
     assert(r.nonEmpty)
