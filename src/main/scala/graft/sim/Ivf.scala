@@ -83,6 +83,7 @@ object Ivf {
   /** embeddings + the quantized int64 vector `qv`. */
   def quantized(spark: SparkSession, dir: String): DataFrame = {
     NearestCell.register(spark)
+    LongVecExprs.register(spark)
     SimOps.embeddings(spark, dir).select(
       col("vec_id"), col("embedding"),
       transform(col("embedding"),

@@ -1,0 +1,166 @@
+package graft.sim
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native codegen'd int64 vector kernels — the same (c)-tier custom
+  * Expression path as [[FloatVecDot]]/[[NearestCell]], for the same
+  * reason: Spark's higher-order functions (`aggregate`, `zip_with`,
+  * `transform`) are CodegenFallback, so a per-row HOF distance over a
+  * corpus-sized scan runs INTERPRETED no matter how hot the query.
+  * Each kernel is a tight primitive loop with identical integer
+  * arithmetic to the HOF spelling it replaces — spec-pinned equal, so
+  * the DuckDB oracles never move. */
+
+/** `Σ ((a[i] − b[i]) · w[i])²` — the SQ8 asymmetric-distance (ADC)
+  * kernel over two code arrays with literal per-dimension weights
+  * (`w = rng`, clearing the dequantization denominators exactly; see
+  * [[Sq8]]). */
+case class LongVecSqDistW(a: Expression, b: Expression, w: Expression)
+    extends TernaryExpression {
+
+  override def first: Expression = a
+  override def second: Expression = b
+  override def third: Expression = w
+
+  private def isLongArr(dt: DataType) = dt match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!isLongArr(a.dataType) || !isLongArr(b.dataType) || !isLongArr(w.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"sq8_adc_dist needs three array<bigint>, got " +
+          s"${a.dataType} / ${b.dataType} / ${w.dataType}")
+    else if (!w.foldable)
+      TypeCheckResult.TypeCheckFailure("sq8_adc_dist weights must be literal")
+    else TypeCheckResult.TypeCheckSuccess
+
+  @transient private lazy val wArr: Array[Long] =
+    w.eval().asInstanceOf[ArrayData].toLongArray()
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sq8_adc_dist"
+
+  override protected def nullSafeEval(x: Any, y: Any, z: Any): Any = {
+    val av = x.asInstanceOf[ArrayData]
+    val bv = y.asInstanceOf[ArrayData]
+    var s = 0L
+    var i = 0
+    while (i < wArr.length) {
+      val d = (av.getLong(i) - bv.getLong(i)) * wArr(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (av, bv, _) => {
+      val wRef = ctx.addReferenceObj("wArr", wArr, "long[]")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      s"""
+         |long $s = 0L;
+         |for (int $i = 0; $i < ${wArr.length}; $i++) {
+         |  long $d = ($av.getLong($i) - $bv.getLong($i)) * $wRef[$i];
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): LongVecSqDistW =
+    copy(a = newFirst, b = newSecond, w = newThird)
+}
+
+/** `Σ (a[i] − shift) · q[i]` over a literal query vector — the centered
+  * integer dot ([[Sq8.rangeSearch]]/[[Sq8.hardNegatives]] similarity;
+  * `shift` folds the quantization center out of the scanned column). */
+case class LongVecCenterDot(a: Expression, q: Expression, shift: Expression)
+    extends TernaryExpression {
+
+  override def first: Expression = a
+  override def second: Expression = q
+  override def third: Expression = shift
+
+  private def isLongArr(dt: DataType) = dt match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!isLongArr(a.dataType) || !isLongArr(q.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"center_dot needs array<bigint> vectors, got ${a.dataType} / ${q.dataType}")
+    else if (shift.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"center_dot needs a bigint shift, got ${shift.dataType}")
+    else if (!q.foldable || !shift.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "center_dot query vector and shift must be literals")
+    else TypeCheckResult.TypeCheckSuccess
+
+  @transient private lazy val qArr: Array[Long] =
+    q.eval().asInstanceOf[ArrayData].toLongArray()
+  @transient private lazy val shiftV: Long =
+    shift.eval().asInstanceOf[Long]
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "center_dot"
+
+  override protected def nullSafeEval(x: Any, y: Any, z: Any): Any = {
+    val av = x.asInstanceOf[ArrayData]
+    var s = 0L
+    var i = 0
+    while (i < qArr.length) {
+      s += (av.getLong(i) - shiftV) * qArr(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (av, _, _) => {
+      val qRef = ctx.addReferenceObj("qArr", qArr, "long[]")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      s"""
+         |long $s = 0L;
+         |for (int $i = 0; $i < ${qArr.length}; $i++) {
+         |  $s += ($av.getLong($i) - ${shiftV}L) * $qRef[$i];
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): LongVecCenterDot =
+    copy(a = newFirst, q = newSecond, shift = newThird)
+}
+
+object LongVecExprs {
+  /** Register both kernels in the session registry (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    val adc = org.apache.spark.sql.catalyst.FunctionIdentifier("sq8_adc_dist")
+    if (!registry.functionExists(adc))
+      registry.createOrReplaceTempFunction("sq8_adc_dist",
+        (es: Seq[Expression]) => LongVecSqDistW(es.head, es(1), es(2)),
+        "internal")
+    val cd = org.apache.spark.sql.catalyst.FunctionIdentifier("center_dot")
+    if (!registry.functionExists(cd))
+      registry.createOrReplaceTempFunction("center_dot",
+        (es: Seq[Expression]) => LongVecCenterDot(es.head, es(1), es(2)),
+        "internal")
+  }
+}

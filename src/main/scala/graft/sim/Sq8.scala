@@ -86,9 +86,8 @@ object Sq8 {
     val short = cds.crossJoin(broadcast(qc))
       .filter(col("vec_id") =!= queryId)
       .select(col("vec_id"),
-        expr(s"aggregate(zip_with(zip_with(cd, qcd, (a, b) -> a - b), " +
-          s"${litArr(ws)}, (d, w) -> (d * w) * (d * w)), 0L, (acc, v) -> acc + v)")
-          .as("ad"))
+        call_function("sq8_adc_dist", col("cd"), col("qcd"),
+          typedLit(ws.toSeq)).as("ad"))
       .orderBy(col("ad").asc, col("vec_id").asc)
       .limit(shortlist)
       .select("vec_id")
@@ -191,10 +190,8 @@ object Sq8 {
         // no hint: the survivor set is result-sized (unbounded in τ)
         Ivf.quantized(spark, dir).join(surv, "vec_id")
           .select(col("vec_id"),
-            aggregate(
-              zip_with(col("qv"), typedLit(qcv.toSeq),
-                (x, qc) => (x - lit(Center)) * qc),
-              lit(0L), (acc, v) => acc + v).as("csim"))
+            call_function("center_dot", col("qv"), typedLit(qcv.toSeq),
+              lit(Center)).as("csim"))
           .filter(col("csim") >= tau)
           .orderBy(col("csim").desc, col("vec_id").asc)
     }
@@ -246,10 +243,8 @@ object Sq8 {
         Ivf.quantized(spark, dir)
           .filter(col("vec_id") =!= queryId)
           .select(col("vec_id"),
-            aggregate(
-              zip_with(col("qv"), typedLit(qcv.toSeq),
-                (x, qc) => (x - lit(Center)) * qc),
-              lit(0L), (acc, v) => acc + v).as("csim"))
+            call_function("center_dot", col("qv"), typedLit(qcv.toSeq),
+              lit(Center)).as("csim"))
           .filter(col("csim") < dupTau)
           .orderBy(col("csim").desc, col("vec_id").asc)
           .limit(k)
@@ -320,9 +315,8 @@ object Sq8 {
         val short = spark.read.parquet(codesLayoutPath(spark, dir))
           .filter(col("cid").isin(probed: _*) && col("vec_id") =!= queryId)
           .select(col("vec_id"),
-            expr(s"aggregate(zip_with(zip_with(cd, ${litArr(qcd)}, (a, b) -> a - b), " +
-              s"${litArr(ws)}, (d, w) -> (d * w) * (d * w)), 0L, (acc, v) -> acc + v)")
-              .as("ad"))
+            call_function("sq8_adc_dist", col("cd"), typedLit(qcd.toSeq),
+              typedLit(ws.toSeq)).as("ad"))
           .orderBy(col("ad").asc, col("vec_id").asc)
           .limit(shortlist)
           .select("vec_id")

@@ -131,6 +131,41 @@ class RetrievalOpsSpec extends SparkSpec {
 
   // ---- SQ8 threshold search ------------------------------------------
 
+  test("native ADC / center-dot kernels == their HOF spellings row-for-row") {
+    // the corpus-scan distances run through codegen'd loop expressions
+    // (HOFs are CodegenFallback — interpreted); pin them to the
+    // higher-order spellings they replaced, same discipline as
+    // NearestCell vs the unrolled least()
+    import org.apache.spark.sql.functions._
+    val (mns, rngs, ws) = Sq8.trainCached(spark, sf001)
+    val cds = Sq8.codes(spark, sf001)
+    val q = cds.filter(col("vec_id") === 0L).select(col("cd").as("qcd"))
+    val wsLit = typedLit(ws.toSeq)
+    val adcDiff = cds.crossJoin(broadcast(q))
+      .select(
+        call_function("sq8_adc_dist", col("cd"), col("qcd"), wsLit).as("n"),
+        aggregate(
+          zip_with(zip_with(col("cd"), col("qcd"), (a, b) => a - b),
+            wsLit, (d, w) => (d * w) * (d * w)),
+          lit(0L), (acc, v) => acc + v).as("h"))
+      .filter(col("n") =!= col("h")).count()
+    assert(adcDiff == 0L, s"ADC kernel diverges on $adcDiff rows")
+
+    val qv = Ivf.quantized(spark, sf001).filter(col("vec_id") === 0L)
+      .select("qv").head().getSeq[Long](0).toArray
+    val qcv = qv.map(_ - Sq8.Center)
+    val cdDiff = Ivf.quantized(spark, sf001)
+      .select(
+        call_function("center_dot", col("qv"), typedLit(qcv.toSeq),
+          lit(Sq8.Center)).as("n"),
+        aggregate(
+          zip_with(col("qv"), typedLit(qcv.toSeq),
+            (x, qc) => (x - lit(Sq8.Center)) * qc),
+          lit(0L), (acc, v) => acc + v).as("h"))
+      .filter(col("n") =!= col("h")).count()
+    assert(cdDiff == 0L, s"center-dot kernel diverges on $cdDiff rows")
+  }
+
   test("rangeSearch equals the brute-force exact threshold scan (lossless prescreen)") {
     val tau = 220000000000L
     val q = Ivf.quantized(spark, sf001)
