@@ -21,9 +21,9 @@ import org.apache.spark.sql.types.LongType
   * DuckDB oracle, which replays the same chain per subspace in SQL.
   *
   * **Scale design.** Training collects M × Ksub × SubDim longs (driver-
-  * trivial); encoding is a map-only projection (literal codewords baked
-  * into codegen'd `least(struct(...))` expressions — no join, no
-  * shuffle); ADC search is a map-only projection over the codes relation
+  * trivial); encoding is a map-only projection (literal codewords ride
+  * as reference arrays in the native [[NearestCell]] argmin loops — no
+  * join, no shuffle); ADC search is a map-only projection over the codes relation
   * (the LUT is a literal array — effectively a broadcast of M × Ksub
   * longs) followed by TakeOrderedAndProject. At 100 TB the codes
   * relation is ~1/256 the size of the embeddings, so a full ADC scan
@@ -42,25 +42,25 @@ object Pq {
   private def sub(qv: Column, m: Int): Column =
     slice(qv, m * SubDim + 1, SubDim)
 
-  /** Integer squared-L2 distance from a subvector column to a literal
-    * codeword. */
-  private def distTo(sv: Column, cw: Array[Long]): Column =
-    aggregate(zip_with(sv, lit(cw), (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
-
   /** `struct(dist, code)` argmin over a subspace codebook; ties to the
-    * lowest code (lexicographic struct `least`). */
+    * lowest code. Runs through [[NearestCell]] (the generic native
+    * argmin loop — dim comes from the codebook, so the Dim/M
+    * subvectors work unchanged); the unrolled `least()` + HOF-distance
+    * spelling it replaces was CodegenFallback-interpreted, the same
+    * finding as [[Ivf.nearest]], pinned row-identical by `IvfSpec`.
+    * Registration happens in [[Ivf.quantized]], which every Pq path
+    * reads first. */
   private def nearest(sv: Column, codebook: Seq[(Long, Array[Long])]): Column =
-    least(codebook.map { case (code, cw) =>
-      struct(distTo(sv, cw).as("dist"), lit(code).as("code"))
-    }: _*)
+    call_function("ivf_nearest_cell", sv,
+      typedLit(codebook.map(_._1)),
+      typedLit(codebook.flatMap(_._2.toSeq)))
 
   /** One integer Lloyd update for subspace `m`. */
   private def lloydStep(q: DataFrame, m: Int,
       codebook: Seq[(Long, Array[Long])]): Seq[(Long, Array[Long])] = {
     val sv = sub(col("qv"), m)
     val sumCols = (1 to SubDim).map(j => sum(element_at(sv, j)).as(s"s$j"))
-    q.withColumn("code", nearest(sv, codebook).getField("code"))
+    q.withColumn("code", nearest(sv, codebook).getField("cid"))
       .groupBy("code")
       .agg(count(lit(1)).as("n"), sumCols: _*)
       .collect()
@@ -104,7 +104,7 @@ object Pq {
     val books = trainCached(spark, dir)
     (0 until M).foldLeft(Ivf.quantized(spark, dir)) { (df, m) =>
       df.withColumn(s"code_$m",
-        nearest(sub(col("qv"), m), books(m)).getField("code"))
+        nearest(sub(col("qv"), m), books(m)).getField("cid"))
     }
   }
 
