@@ -16,10 +16,27 @@ import org.apache.spark.sql.SparkSession
   * the run for isolated experiments; unset = everything.
   */
 object Bench {
+
+  /** 1-minute load average: external load is THE recurring cause of
+    * cross-run variance on a shared machine (r5 verdict item 2, r6
+    * driver-vs-committed deltas), so the artifact carries the context
+    * needed to judge its own numbers. -1 when the platform has no
+    * /proc/loadavg. */
+  private def loadavg(): Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+    // sample EXTERNAL load at process entry, BEFORE the session warmup
+    // and index builds: the 1-min loadavg has ~no memory of this JVM
+    // yet, so this is the machine's load, not the bench's own (sampling
+    // after warmup self-inflated past nCPU/8 on every healthy full run
+    // and made load_warning fire vacuously)
+    val loadStart = loadavg()
     val spark = LocalSession("32")
     // Warm-up: touch every input table once (schema + footer + codegen).
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
@@ -112,17 +129,6 @@ object Bench {
     // SPARK_GRAFT_BENCH_GC=0 disables the barrier — the A/B knob the
     // variance root-cause experiment uses; default ON
     val gcBarrier = sys.env.get("SPARK_GRAFT_BENCH_GC").forall(_ != "0")
-    // 1-minute load average, sampled at suite start and end: external
-    // load is THE recurring cause of cross-run variance on a shared
-    // machine (r5 verdict item 2, r6 driver-vs-committed deltas), so the
-    // artifact carries the context needed to judge its own numbers
-    // instead of leaving consumers to root-cause it again. -1 when the
-    // platform has no /proc/loadavg.
-    def loadavg(): Double =
-      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
-        .split(" ")(0).toDouble
-      catch { case _: Throwable => -1.0 }
-    val loadStart = loadavg()
     val results = queries.map { case (name, fn) =>
       var failed = false
       if (gcBarrier) System.gc()
