@@ -149,7 +149,7 @@ case class LongVecCenterDot(a: Expression, q: Expression, shift: Expression)
 }
 
 object LongVecExprs {
-  /** Register both kernels in the session registry (idempotent). */
+  /** Register the kernels in the session registry (idempotent). */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     val adc = org.apache.spark.sql.catalyst.FunctionIdentifier("sq8_adc_dist")
@@ -162,5 +162,94 @@ object LongVecExprs {
       registry.createOrReplaceTempFunction("center_dot",
         (es: Seq[Expression]) => LongVecCenterDot(es.head, es(1), es(2)),
         "internal")
+    val pj = org.apache.spark.sql.catalyst.FunctionIdentifier("proj_sqdist")
+    if (!registry.functionExists(pj))
+      registry.createOrReplaceTempFunction("proj_sqdist",
+        (es: Seq[Expression]) => LongVecProjSqDist(es.head, es(1), es(2)),
+        "internal")
   }
+}
+
+/** `Σ_r (Σ_i (a[i] − b[i]) · s[r·dim + i])²` — the JL projected squared
+  * L2 distance over a literal row-major ±1 sign matrix
+  * ([[Rproj.topK]]'s shortlist ranking; the row count derives from the
+  * matrix size and the input vector's length at run time). */
+case class LongVecProjSqDist(a: Expression, b: Expression, s: Expression)
+    extends TernaryExpression {
+
+  override def first: Expression = a
+  override def second: Expression = b
+  override def third: Expression = s
+
+  private def isLongArr(dt: DataType) = dt match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!isLongArr(a.dataType) || !isLongArr(b.dataType) || !isLongArr(s.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"proj_sqdist needs three array<bigint>, got " +
+          s"${a.dataType} / ${b.dataType} / ${s.dataType}")
+    else if (!s.foldable)
+      TypeCheckResult.TypeCheckFailure("proj_sqdist sign matrix must be literal")
+    else TypeCheckResult.TypeCheckSuccess
+
+  @transient private lazy val sArr: Array[Long] =
+    s.eval().asInstanceOf[ArrayData].toLongArray()
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "proj_sqdist"
+
+  override protected def nullSafeEval(x: Any, y: Any, z: Any): Any = {
+    val av = x.asInstanceOf[ArrayData]
+    val bv = y.asInstanceOf[ArrayData]
+    val dim = av.numElements()
+    val rdim = sArr.length / dim
+    var sum = 0L
+    var r = 0
+    while (r < rdim) {
+      var t = 0L
+      val base = r * dim
+      var i = 0
+      while (i < dim) {
+        t += (av.getLong(i) - bv.getLong(i)) * sArr(base + i)
+        i += 1
+      }
+      sum += t * t
+      r += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (av, bv, _) => {
+      val sRef = ctx.addReferenceObj("sArr", sArr, "long[]")
+      val sum = ctx.freshName("sum")
+      val dim = ctx.freshName("dim")
+      val rdim = ctx.freshName("rdim")
+      val r = ctx.freshName("r")
+      val i = ctx.freshName("i")
+      val t = ctx.freshName("t")
+      val base = ctx.freshName("base")
+      s"""
+         |long $sum = 0L;
+         |int $dim = $av.numElements();
+         |int $rdim = ${sArr.length} / $dim;
+         |for (int $r = 0; $r < $rdim; $r++) {
+         |  long $t = 0L;
+         |  int $base = $r * $dim;
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    $t += ($av.getLong($i) - $bv.getLong($i)) * $sRef[$base + $i];
+         |  }
+         |  $sum += $t * $t;
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): LongVecProjSqDist =
+    copy(a = newFirst, b = newSecond, s = newThird)
 }

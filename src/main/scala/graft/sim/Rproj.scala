@@ -42,16 +42,14 @@ object Rproj {
     }
   }
 
-  /** Squared L2 distance in the projected space over the per-component
-    * difference array `dv`: `Σ_r (s_r · dv)²` — 16 integer dot products
-    * against literal rows, squared and summed inside codegen. */
-  private def adCol(dv: Column): Column =
-    signs.map { sr =>
-      val t = aggregate(
-        zip_with(dv, typedLit(sr.toSeq), (x, s) => x * s),
-        lit(0L), (acc, v) => acc + v)
-      t * t
-    }.reduce(_ + _)
+  /** Squared L2 distance in the projected space: `Σ_r (s_r · (qv −
+    * qqv))²` through [[LongVecProjSqDist]], the native loop kernel (the
+    * 16 per-row HOF dot products it replaces were CodegenFallback —
+    * interpreted — like every `aggregate`/`zip_with` distance; pinned
+    * row-identical by `RetrievalOpsSpec`). The sign matrix rides
+    * row-major as one reference array. */
+  private def adCol(a: Column, b: Column): Column =
+    call_function("proj_sqdist", a, b, typedLit(signs.flatten.toSeq))
 
   /** JL top-k: project (map-only), shortlist by projected distance,
     * exact cosine rerank. */
@@ -61,8 +59,7 @@ object Rproj {
     val qq = q.filter(col("vec_id") === queryId).select(col("qv").as("qqv"))
     val short = q.crossJoin(broadcast(qq))
       .filter(col("vec_id") =!= queryId)
-      .withColumn("dv", zip_with(col("qv"), col("qqv"), (x, y) => x - y))
-      .select(col("vec_id"), adCol(col("dv")).as("ad"))
+      .select(col("vec_id"), adCol(col("qv"), col("qqv")).as("ad"))
       .orderBy(col("ad").asc, col("vec_id").asc)
       .limit(shortlist)
       .select("vec_id")

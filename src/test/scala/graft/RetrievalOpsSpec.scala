@@ -164,6 +164,22 @@ class RetrievalOpsSpec extends SparkSpec {
           lit(0L), (acc, v) => acc + v).as("h"))
       .filter(col("n") =!= col("h")).count()
     assert(cdDiff == 0L, s"center-dot kernel diverges on $cdDiff rows")
+
+    val qq = Ivf.quantized(spark, sf001).filter(col("vec_id") === 0L)
+      .select(col("qv").as("qqv"))
+    val pjDiff = Ivf.quantized(spark, sf001).crossJoin(broadcast(qq))
+      .select(
+        call_function("proj_sqdist", col("qv"), col("qqv"),
+          typedLit(Rproj.signs.flatten.toSeq)).as("n"),
+        Rproj.signs.map { sr =>
+          val t = aggregate(
+            zip_with(zip_with(col("qv"), col("qqv"), (x, y) => x - y),
+              typedLit(sr.toSeq), (x, s) => x * s),
+            lit(0L), (acc, v) => acc + v)
+          t * t
+        }.reduce(_ + _).as("h"))
+      .filter(col("n") =!= col("h")).count()
+    assert(pjDiff == 0L, s"proj-sqdist kernel diverges on $pjDiff rows")
   }
 
   test("rangeSearch equals the brute-force exact threshold scan (lossless prescreen)") {
