@@ -343,6 +343,69 @@ object EventOps {
        | FROM events WHERE event_type = 'purchase'
        | ORDER BY user_id, day_id""".stripMargin.replace("\n", " ")
 
+  /** Daily per-user resample with forward fill (last observation
+    * carried forward): every (user, day) cell of the dense calendar
+    * grid carries the user's most recent observed value at or before
+    * that day — the gap-filling shape behind balance/exposure
+    * reporting and feature snapshots over sparse event streams
+    * ([[denseHourly]] zero-fills COUNTS; this carries VALUES).
+    *
+    * The observation per (user, day) is the value of the day's LAST
+    * event under the (µs, event_id) tie rule (the [[sessionize]]
+    * discipline — never ns, which DuckDB truncates). Days before a
+    * user's first observation surface as the -1 sentinel, not NULL, so
+    * the output is null-free for stable hashing (cents are ≥ 0).
+    *
+    * Scale design: the day axis is TIME-bounded metadata from a 1-row
+    * bounds aggregate; the grid is |users| × |days| — linear in users —
+    * and the only event-volume work is the per-(user, day)
+    * last-observation reduction (one shuffle; its row_number window
+    * partitions by (user, day), never wider). The carry-forward window
+    * partitions by user over the bounded day axis, so no corpus-sized
+    * window partition exists at any SF. */
+  def ffillDaily(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(col("user_id"),
+      expr(s"ts div $NsPerDay").as("day_id"),
+      expr("ts div 1000").as("ts_us"), col("event_id"),
+      round(col("value") * 100).cast(LongType).as("cents"))
+    val lastPerDay = Window.partitionBy("user_id", "day_id")
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    val obs = ev.withColumn("rn", row_number().over(lastPerDay))
+      .filter(col("rn") === 1).select("user_id", "day_id", "cents")
+    val days = ev.agg(min("day_id").as("mn"), max("day_id").as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"))).as("day_id"))
+    val grid = ev.select("user_id").distinct().crossJoin(days)
+    val carry = Window.partitionBy("user_id").orderBy("day_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("user_id", "day_id"), "left_outer")
+      .select(col("user_id"), col("day_id"),
+        coalesce(last(col("cents"), ignoreNulls = true).over(carry),
+          lit(-1L)).as("cents_ffill"),
+        when(col("cents").isNull, 0L).otherwise(1L).as("is_obs"))
+      .orderBy("user_id", "day_id")
+  }
+
+  val ffillDailySql: String =
+    s"""WITH ev AS (SELECT user_id, epoch_ns(ts) // $NsPerDay AS day_id,
+       |  epoch_us(ts) AS ts_us, event_id,
+       |  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+       | obs AS (SELECT user_id, day_id, cents FROM (
+       |   SELECT user_id, day_id, cents, row_number() OVER (
+       |     PARTITION BY user_id, day_id ORDER BY ts_us DESC, event_id DESC) AS rn
+       |   FROM ev) WHERE rn = 1),
+       | days AS (SELECT unnest(generate_series(
+       |   (SELECT min(day_id) FROM ev), (SELECT max(day_id) FROM ev))) AS day_id),
+       | grid AS (SELECT u.user_id, d.day_id
+       |   FROM (SELECT DISTINCT user_id FROM ev) u CROSS JOIN days d)
+       | SELECT g.user_id, g.day_id,
+       |  coalesce(last_value(o.cents IGNORE NULLS) OVER (
+       |    PARTITION BY g.user_id ORDER BY g.day_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1) AS cents_ffill,
+       |  CAST(CASE WHEN o.cents IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_obs
+       | FROM grid g LEFT JOIN obs o
+       |  ON g.user_id = o.user_id AND g.day_id = o.day_id
+       | ORDER BY g.user_id, g.day_id""".stripMargin.replace("\n", " ")
+
   /** Sessionization: per-user sessions split at >30 min gaps, via
     * lag + running sum — one shuffle on user_id, then linear per-user
     * work. Output: per-user session count and longest session. */

@@ -461,6 +461,67 @@ class ExtensionOpsSpec extends SparkSpec {
     }
   }
 
+  test("ffillDaily: dense user×day grid, -1 before first obs, LOCF after") {
+    val rows = EventOps.ffillDaily(spark, sf0001).collect()
+    val ev = EventOps.events(spark, sf0001)
+      .select(col("user_id"), expr(s"ts div ${EventOps.NsPerDay}").as("day"),
+        expr("ts div 1000").as("ts_us"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val users = ev.map(_._1).distinct
+    val (dMin, dMax) = (ev.map(_._2).min, ev.map(_._2).max)
+    assert(rows.length == users.length * (dMax - dMin + 1).toInt)
+    // reference: per (user, day) value of the max-(ts_us, event_id) event,
+    // carried forward across the day axis
+    val lastObs = ev.groupBy(e => (e._1, e._2)).view
+      .mapValues(_.maxBy(e => (e._3, e._4))._5).toMap
+    val expect = users.flatMap { u =>
+      var cur = -1L
+      (dMin to dMax).map { d =>
+        cur = lastObs.getOrElse((u, d), cur)
+        ((u, d), (cur, lastObs.contains((u, d))))
+      }
+    }.toMap
+    rows.foreach { r =>
+      val (got, wantPair) =
+        ((r.getLong(2), r.getLong(3) == 1L), expect((r.getLong(0), r.getLong(1))))
+      assert(got == wantPair,
+        s"user=${r.getLong(0)} day=${r.getLong(1)}: got $got want $wantPair")
+    }
+  }
+
+  test("fuzzyParts: exactly the shared-token pairs within the edit band") {
+    import graft.rel.RelQueries
+    val rows = RelQueries.fuzzyParts(spark, sf0001).collect()
+    // driver-side ground truth over the distinct-name vocabulary
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j), d(i)(j - 1)) + 1,
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val names = spark.read.parquet(s"$sf0001/part.parquet")
+      .groupBy("p_name").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val vocab = names.keys.toSeq.sorted
+    val want = (for {
+      a <- vocab; b <- vocab if a < b
+      if a.split(" ").toSet.intersect(b.split(" ").toSet).nonEmpty
+      d = lev(a, b) if d <= RelQueries.FuzzyMaxDist
+    } yield (a, b, d.toLong)).toSet
+    val got = rows.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    // df columns carry the true per-spelling part counts
+    rows.foreach { r =>
+      assert(r.getLong(3) == names(r.getString(0)) &&
+        r.getLong(4) == names(r.getString(1)))
+    }
+    assert(rows.nonEmpty) // the fixture vocabulary has known near-pairs
+  }
+
   test("mmNearDupPairs plan: candidates via chunk-hash equi-join, no cartesian") {
     val plan = MultimodalOps.mmNearDupPairs(500000L)(spark, sf001)
       .queryExecution.executedPlan.toString
