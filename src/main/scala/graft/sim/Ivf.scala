@@ -80,16 +80,28 @@ object Ivf {
   def derivedKCached(spark: SparkSession, dir: String): Int =
     derivedK(corpusN(spark, dir))
 
-  /** embeddings + the quantized int64 vector `qv`. */
+  /** embeddings + the quantized int64 vector `qv`, via the native
+    * [[FloatVecQuantize]] kernel — the `transform` + per-element `round`
+    * HOF spelling (kept as [[quantizedHof]] for the pin spec) is
+    * CodegenFallback, so every corpus-wide encode/assign/train scan ran
+    * it interpreted. */
   def quantized(spark: SparkSession, dir: String): DataFrame = {
     NearestCell.register(spark)
     LongVecExprs.register(spark)
     SimOps.embeddings(spark, dir).select(
       col("vec_id"), col("embedding"),
+      call_function("fvec_quantize", col("embedding"),
+        lit(Shift), lit(Scale)).as("qv"))
+  }
+
+  /** Reference HOF spelling of [[quantized]]'s `qv`, spec-pinned
+    * element-identical to the kernel over the real corpus. */
+  private[graft] def quantizedHof(spark: SparkSession, dir: String): DataFrame =
+    SimOps.embeddings(spark, dir).select(
+      col("vec_id"), col("embedding"),
       transform(col("embedding"),
         v => round((v.cast("double") + lit(Shift)) * lit(Scale)).cast(LongType))
         .as("qv"))
-  }
 
   /** Integer squared-L2 distance from `qv` to a literal centroid. */
   private def distTo(cv: Array[Long]): Column =

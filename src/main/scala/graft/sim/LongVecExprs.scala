@@ -148,6 +148,81 @@ case class LongVecCenterDot(a: Expression, q: Expression, shift: Expression)
     copy(a = newFirst, q = newSecond, shift = newThird)
 }
 
+/** `round((a[i] + shift) · scale)` per element, array<float> →
+  * array<bigint> — the scan-side quantization step ([[Ivf.quantized]]).
+  * This was the LAST higher-order function on a corpus-scan hot path
+  * (`transform` + per-element `round`, both interpreted): every IVF
+  * assignment, Lloyd training step, and PQ/SQ8 encode pass paid it on
+  * every row.
+  *
+  * Rounding contract: `Math.round`, which equals Spark's
+  * `round(..., 0)` (BigDecimal HALF_UP on the shortest-decimal form)
+  * and DuckDB's `round` (half away from zero) whenever the scaled
+  * value is positive and exactly representable — guaranteed here
+  * because inputs are float32 (≤24-bit mantissa), `shift` makes them
+  * positive, and `scale` is a power of two ([[Ivf.Scale]] = 2^20), so
+  * every product is an exact small-fraction multiple, never the
+  * `0.49999999999999994` pathological zone. The three-way agreement is
+  * spec-pinned over the real corpus and both oracle SFs re-verify it. */
+case class FloatVecQuantize(a: Expression, shift: Expression, scale: Expression)
+    extends TernaryExpression {
+
+  override def first: Expression = a
+  override def second: Expression = shift
+  override def third: Expression = scale
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!a.dataType.isInstanceOf[ArrayType] ||
+        a.dataType.asInstanceOf[ArrayType].elementType != FloatType)
+      TypeCheckResult.TypeCheckFailure(
+        s"fvec_quantize needs array<float>, got ${a.dataType}")
+    else if (shift.dataType != DoubleType || scale.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        s"fvec_quantize needs double shift/scale, got " +
+          s"${shift.dataType} / ${scale.dataType}")
+    else if (!shift.foldable || !scale.foldable)
+      TypeCheckResult.TypeCheckFailure("fvec_quantize shift/scale must be literal")
+    else TypeCheckResult.TypeCheckSuccess
+
+  @transient private lazy val shiftV: Double = shift.eval().asInstanceOf[Double]
+  @transient private lazy val scaleV: Double = scale.eval().asInstanceOf[Double]
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "fvec_quantize"
+
+  override protected def nullSafeEval(x: Any, y: Any, z: Any): Any = {
+    val av = x.asInstanceOf[ArrayData]
+    val n = av.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = Math.round((av.getFloat(i).toDouble + shiftV) * scaleV)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (av, _, _) => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = $av.numElements();
+         |long[] $out = new long[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = Math.round(((double) $av.getFloat($i) + ${shiftV}D) * ${scaleV}D);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): FloatVecQuantize =
+    copy(a = newFirst, shift = newSecond, scale = newThird)
+}
+
 object LongVecExprs {
   /** Register the kernels in the session registry (idempotent). */
   def register(spark: SparkSession): Unit = {
@@ -166,6 +241,11 @@ object LongVecExprs {
     if (!registry.functionExists(pj))
       registry.createOrReplaceTempFunction("proj_sqdist",
         (es: Seq[Expression]) => LongVecProjSqDist(es.head, es(1), es(2)),
+        "internal")
+    val fq = org.apache.spark.sql.catalyst.FunctionIdentifier("fvec_quantize")
+    if (!registry.functionExists(fq))
+      registry.createOrReplaceTempFunction("fvec_quantize",
+        (es: Seq[Expression]) => FloatVecQuantize(es.head, es(1), es(2)),
         "internal")
   }
 }

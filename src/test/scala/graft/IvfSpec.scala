@@ -34,6 +34,22 @@ class IvfSpec extends SparkSpec {
       "production assignment must run through the native loop expression")
   }
 
+  test("fvec_quantize == HOF transform+round: identical qv over the corpus") {
+    // the native encode kernel must reproduce the round((v+shift)*scale)
+    // HOF spelling element-for-element on the REAL corpus — it is the
+    // production scan-side quantization everywhere (assign, train, PQ,
+    // SQ8); Math.round == Spark HALF_UP round holds on this domain
+    // (positive, float32-origin, power-of-two scale), and this pin makes
+    // that argument empirical
+    val diff = Ivf.quantized(spark, sf001).select("vec_id", "qv")
+      .join(Ivf.quantizedHof(spark, sf001)
+        .select(col("vec_id"), col("qv").as("hv")), Seq("vec_id"))
+      .filter(col("qv") =!= col("hv")).count()
+    assert(diff == 0L, s"native and HOF quantization disagree on $diff vectors")
+    val plan = Ivf.quantized(spark, sf001).queryExecution.executedPlan.toString
+    assert(plan.contains("fvec_quantize"), s"production qv must use the kernel:\n$plan")
+  }
+
   test("training is deterministic: two runs give identical centroids") {
     val q = Ivf.quantized(spark, sf001)
     val c1 = Ivf.train(q)
