@@ -1214,6 +1214,79 @@ object RelQueries {
        | WHERE sq * 2 > tq
        | GROUP BY 1 ORDER BY dom_parts DESC, s_name ASC""".stripMargin.replace("\n", " ")
 
+  /** Price-bucket count for [[skylineParts]]' two-phase prefix-max —
+    * bounded metadata, like the docPack bucket offsets. */
+  val SkylineBuckets = 64
+
+  /** 2-D skyline (Pareto frontier) of the part table over
+    * (price ↓ cheaper-better, size ↑ larger-better): parts no other
+    * part beats on both axes — the preference/dominance operator class
+    * (multi-criteria shortlists: cheapest-largest, freshest-highest-
+    * quality, …), which no single ORDER BY can express.
+    *
+    * A part is dominated iff a strictly cheaper part has size ≥ its
+    * size, or an equal-priced part has strictly larger size. Both
+    * conditions are 1-D prefix questions once rows are ordered by
+    * price, so the operator needs NO pairwise join and NO corpus-sized
+    * window: bucket rows by price range (boundaries from one 1-row
+    * min/max aggregate — exact integer bucket arithmetic), take
+    * per-bucket max sizes (≤ [[SkylineBuckets]] rows), prefix-max THAT
+    * bounded relation, and resolve within-bucket prefixes with a
+    * bucket-partitioned RANGE window whose frame ends 1 price unit
+    * before the current row (strictly-cheaper, so equal-price peers
+    * never dominate through it); equal-price domination is one more
+    * window over price peers. The two-phase split is the
+    * docPack/select_budget prefix discipline applied to prefix-MAX —
+    * at 100 TB each bucket partition holds ~n/buckets rows and the
+    * cross-bucket pass stays metadata-sized. Ties: identical
+    * (price, size) rows dominate each other on neither axis, so ALL
+    * survive — the RANGE frame (not ROWS) is what makes that exact. */
+  def skylineParts(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val B = SkylineBuckets
+    val p = t(spark, dir, "part").select(col("p_partkey"),
+      cents("p_retailprice").as("price_cents"),
+      col("p_size").cast(LongType).as("size"))
+    val bounds = p.agg(min("price_cents").as("lo"), max("price_cents").as("hi"))
+    val bucketed = p.crossJoin(bounds) // 1-row scalar relation, no hint
+      .withColumn("bkt",
+        expr(s"((price_cents - lo) * $B) div (hi - lo + 1)"))
+    // phase 1: per-bucket max size, then prefix-max over the ≤B buckets
+    // (the global window runs on a bounded metadata relation)
+    val belowBkt = bucketed.groupBy("bkt").agg(max("size").as("bmax"))
+      .withColumn("below", max("bmax").over(
+        Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)))
+      .select("bkt", "below")
+    // phase 2: within-bucket strictly-cheaper prefix (RANGE frame to
+    // price-1) + equal-price peer max
+    val strictIn = Window.partitionBy("bkt").orderBy("price_cents")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val peers = Window.partitionBy("price_cents")
+    bucketed.join(belowBkt, Seq("bkt"), "left_outer")
+      .withColumn("mb", greatest(max("size").over(strictIn), col("below")))
+      .withColumn("mp", max("size").over(peers))
+      .filter((col("mb").isNull || col("mb") < col("size")) &&
+        col("mp") === col("size"))
+      .select(col("p_partkey"), col("price_cents"), col("size"))
+      .orderBy("price_cents", "p_partkey")
+  }
+
+  /** Oracle: the same prefix-max characterization spelled as two plain
+    * windows — transparently equivalent to the NOT EXISTS dominance
+    * definition (see the spec's brute-force pin), and cheap for DuckDB
+    * at any gate SF. */
+  val skylinePartsSql: String =
+    """WITH p AS (SELECT p_partkey,
+      |  CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+      |  CAST(p_size AS BIGINT) AS size FROM part),
+      | w AS (SELECT p_partkey, price_cents, size,
+      |  max(size) OVER (ORDER BY price_cents
+      |    RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mb,
+      |  max(size) OVER (PARTITION BY price_cents) AS mp FROM p)
+      | SELECT p_partkey, price_cents, size FROM w
+      | WHERE (mb IS NULL OR mb < size) AND mp = size
+      | ORDER BY price_cents, p_partkey""".stripMargin.replace("\n", " ")
+
   /** Max edit distance for [[fuzzyParts]] — pairs further apart than
     * this are not considered the same entity. */
   val FuzzyMaxDist = 3

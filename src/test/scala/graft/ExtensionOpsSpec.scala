@@ -522,6 +522,30 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(rows.nonEmpty) // the fixture vocabulary has known near-pairs
   }
 
+  test("skylineParts equals brute-force NOT-EXISTS dominance, ties kept") {
+    import graft.rel.RelQueries
+    val rows = RelQueries.skylineParts(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val all = spark.read.parquet(s"$sf0001/part.parquet")
+      .select(col("p_partkey"),
+        round(col("p_retailprice") * 100).cast("long").as("pc"),
+        col("p_size").cast("long").as("sz"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // ground truth: the literal dominance definition, quadratic
+    val want = all.filter { case (_, pc, sz) =>
+      !all.exists { case (_, pc2, sz2) =>
+        pc2 <= pc && sz2 >= sz && (pc2 < pc || sz2 > sz) }
+    }.map { case (k, pc, sz) => (k, pc, sz) }.toSet
+    assert(rows.toSet == want,
+      s"missing=${want -- rows.toSet} extra=${rows.toSet -- want}")
+    assert(rows.nonEmpty)
+    // the frontier is strictly monotone: price up => size strictly up is
+    // impossible; equal prices share one size (peer rule)
+    rows.groupBy(_._2).foreach { case (_, g) =>
+      assert(g.map(_._3).distinct.size == 1)
+    }
+  }
+
   test("mmNearDupPairs plan: candidates via chunk-hash equi-join, no cartesian") {
     val plan = MultimodalOps.mmNearDupPairs(500000L)(spark, sf001)
       .queryExecution.executedPlan.toString
