@@ -738,8 +738,9 @@ object EventOps {
     * compared output). Distributes as two partial-agg groupBys, like any
     * HLL merge. */
   def hllUsers(spark: SparkSession, dir: String): DataFrame = {
-    val h = conv(substring(md5(col("user_id").cast("string")), 1, 7), 16, 10)
-      .cast(LongType)
+    graft.functions.Md5Prefix.register(spark)
+    val h = call_function("md5_prefix",
+      col("user_id").cast("string"), lit(1), lit(7))
     // bit length of the tail via an integer comparison ladder (log2 on
     // doubles is off-by-one-ulp-hazardous at exact powers of two)
     var bl: Column = when(col("tail") >= (1L << (TailBits - 1)), lit(TailBits))
@@ -911,8 +912,9 @@ object EventOps {
     * formulation. */
   def hllUsersAgg(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.HllSketchAgg.register(spark)
-    val h = conv(substring(md5(col("user_id").cast("string")), 1, 7), 16, 10)
-      .cast(LongType)
+    graft.functions.Md5Prefix.register(spark)
+    val h = call_function("md5_prefix",
+      col("user_id").cast("string"), lit(1), lit(7))
     events(spark, dir)
       .select(col("event_type"), h.as("h"))
       .groupBy("event_type")

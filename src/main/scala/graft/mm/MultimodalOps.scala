@@ -210,9 +210,10 @@ object MultimodalOps {
     * in, fixed-width float features out, pure projection) matches a real
     * embedding/decode UDF while staying oracle-checkable. */
   def mmFeatures(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Md5Prefix.register(spark)
     def f(j: Int): Column =
-      round(conv(substring(md5(col("media")), j * 8 + 1, 7), 16, 10)
-        .cast(LongType).cast("double") / (1L << 28).toDouble, 6)
+      round(call_function("md5_prefix", col("media"), lit(j * 8 + 1), lit(7))
+        .cast("double") / (1L << 28).toDouble, 6)
     media(spark, dir).select(
       col("media_id"),
       f(0).as("f0"), f(1).as("f1"), f(2).as("f2"), f(3).as("f3"))

@@ -44,7 +44,7 @@ object SelectionOps {
         slice(w, lit(1), greatest(size(w) - 1, lit(0))),
         slice(w, lit(2), greatest(size(w) - 1, lit(0))),
         (a, b) => concat(a, lit(" "), b)),
-      p => conv(substring(md5(p), 1, 7), 16, 10).cast(LongType) % lit(DsirBuckets.toLong))
+      p => TextOps.md5p(p, 1, 7) % lit(DsirBuckets.toLong))
   }
 
   /** (doc_id, lang, b): one row per bigram occurrence — the map-side

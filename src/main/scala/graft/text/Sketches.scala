@@ -37,7 +37,7 @@ object Sketches {
     * pair's estimated jaccard up by ~|doc shingle set|/2^28 (≈4e-7 at
     * the ~100-shingle documents here) INDEPENDENT of corpus size, so it
     * never becomes a scale problem the way a narrow JOIN key does. */
-  private def h28 = conv(substring(md5(col("s")), 1, 7), 16, 10).cast(LongType)
+  private def h28 = TextOps.md5p(col("s"), 1, 7)
 
   private val h28Sql = "CAST('0x'||substr(md5(s),1,7) AS BIGINT)"
 
@@ -141,7 +141,7 @@ object Sketches {
     val tok = TextOps.docs(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
     val th = tok.select(col("doc_id"),
-      conv(substring(md5(col("t")), 1, 15), 16, 10).cast(LongType).as("h"))
+      TextOps.md5p(col("t"), 1, 15).as("h"))
     val bitAggs = (0 until SimHashBits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
         .otherwise(-1L)).as(s"b$b")

@@ -16,8 +16,18 @@ import org.apache.spark.sql.types.LongType
   */
 object TextOps {
 
-  def docs(spark: SparkSession, dir: String): DataFrame =
+  def docs(spark: SparkSession, dir: String): DataFrame = {
+    // every text builder flows through here — register the native
+    // md5-prefix kernel once so any downstream expression can use it
+    graft.functions.Md5Prefix.register(spark)
     spark.read.parquet(s"$dir/documents.parquet")
+  }
+
+  /** `conv(substring(md5(c), start, n), 16, 10)` via the native
+    * [[graft.functions.Md5Prefix]] kernel (no hex-string roundtrip) —
+    * requires [[docs]]' registration, which every caller goes through. */
+  private[text] def md5p(c: Column, start: Int, n: Int): Column =
+    call_function("md5_prefix", c, lit(start), lit(n))
 
   /** Stopword list (the synthetic corpus vocabulary contains `a`/`the`). */
   val Stopwords: Seq[String] = Seq("a", "the", "and", "of", "to", "in", "is")
@@ -123,7 +133,7 @@ object TextOps {
     docs(spark, dir).select(
       col("doc_id"),
       md5(col("text")).as("fp"),
-      conv(substring(md5(col("text")), 1, 15), 16, 10).cast(LongType).as("fp64"))
+      md5p(col("text"), 1, 15).as("fp64"))
       .orderBy("doc_id")
 
   val docFingerprintSql: String =
@@ -283,7 +293,7 @@ object TextOps {
           lit(s"docLineDedup: a document has >= $MaxLinePos lines; " +
             "the int64 (doc_id, pos) keeper key would overflow"))
           .cast(LongType), lit(0L))).as("okey"),
-      conv(substring(md5(col("line")), 1, 15), 16, 10).cast(LongType).as("lh"))
+      md5p(col("line"), 1, 15).as("lh"))
     val keepers = withKey.groupBy("lh")
       .agg(min(col("okey")).as("keep_key"))
     val kept = withKey
@@ -342,8 +352,7 @@ object TextOps {
     * (split, lang) with doc and char totals so leakage-sensitive strata
     * are auditable. Pure map-side projection + one combinable groupBy. */
   def docSplit(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-      .cast(LongType) % 100
+    val bucket = md5p(col("doc_id").cast("string"), 1, 4) % 100
     docs(spark, dir).select(
       when(bucket < 80, "train").when(bucket < 90, "valid")
         .otherwise("test").as("split"),
@@ -418,7 +427,7 @@ object TextOps {
     val grams = toks.filter(size(col("ws")) >= 8)
       .select(col("doc_id"), posexplode(expr(
         """transform(sequence(1, size(ws) - 7),
-          |  i -> conv(substring(md5(array_join(slice(ws, i, 8), ' ')), 1, 15), 16, 10))"""
+          |  i -> md5_prefix(array_join(slice(ws, i, 8), ' '), 1, 15))"""
           .stripMargin)).as(Seq("p0", "ghs")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"),
         col("ghs").cast(LongType).as("gh"))
@@ -613,7 +622,7 @@ object TextOps {
   }
 
   /** Materialized shingle index: (doc_id, h28, h60) — both hash widths
-    * derived from ONE md5 per shingle — written to parquet once per
+    * via the native md5-prefix kernel — written to parquet once per
     * dataset and shared by every shingle consumer (jaccard pairs, dup
     * clusters, minhash signatures/LSH, cross-modal dedup). The build-once
     * pattern of the ANN/IVF layouts applied to the text-dedup index: at
@@ -637,10 +646,9 @@ object TextOps {
     val path = shingleIndexCache.computeIfAbsent(key, { _ =>
       val p = graft.DatasetCache.registerTempDir(
         java.nio.file.Files.createTempDirectory("graft_shingle_idx").toString)
-      val m = md5(col("s"))
       shingles(spark, dir).select(col("doc_id"),
-          conv(substring(m, 1, 7), 16, 10).cast(LongType).as("h28"),
-          conv(substring(m, 1, 15), 16, 10).cast(LongType).as("h60"))
+          md5p(col("s"), 1, 7).as("h28"),
+          md5p(col("s"), 1, 15).as("h60"))
         .write.mode("overwrite").parquet(p)
       p
     })
@@ -1114,8 +1122,7 @@ object TextOps {
     * final aggregation on the (split, lang) lattice. */
   def docSplitSafe(tau: Double)(spark: SparkSession, dir: String): DataFrame = {
     val labels = labelIndex(spark, dir, tau) // (doc_id, lbl)
-    val bucket = conv(substring(md5(col("skey").cast("string")), 1, 4), 16, 10)
-      .cast(LongType) % 100
+    val bucket = md5p(col("skey").cast("string"), 1, 4) % 100
     docs(spark, dir)
       // no hint: labels is near-dup-sized (unbounded on a
       // heavily-duplicated corpus); AQE broadcasts when it fits
@@ -1448,7 +1455,7 @@ object TextOps {
   val TermBuckets: Long = 64L
 
   private def termBucketCol(t: Column): Column =
-    conv(substring(md5(t), 1, 4), 16, 10).cast(LongType) % TermBuckets
+    md5p(t, 1, 4) % TermBuckets
 
   /** The same md5-prefix bucket, driver-side, for literal query terms
     * (the probe's partition values). */
@@ -1637,9 +1644,7 @@ object TextOps {
     * layout, and needs no shuffle — a pure filter at any scale. */
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .withColumn("h",
-        conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
-          .cast(LongType) % 1000)
+      .withColumn("h", md5p(col("doc_id").cast("string"), 1, 7) % 1000)
       .filter(col("h") < ratePermille)
       .select(col("doc_id"), col("lang"), col("source"), col("h"))
       .orderBy("doc_id")
@@ -1670,9 +1675,7 @@ object TextOps {
       .select(col("lang"), col("n_docs"),
         expr("(mn * 1000000L) div n_docs").as("rate_ppm"))
     docs(spark, dir).select("doc_id", "lang")
-      .withColumn("h",
-        conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
-          .cast(LongType) % 1000000L)
+      .withColumn("h", md5p(col("doc_id").cast("string"), 1, 7) % 1000000L)
       .join(broadcast(rates), "lang") // |langs| rows: bounded categorical
       .groupBy("lang")
       .agg(max("n_docs").as("n_docs"), max("rate_ppm").as("rate_ppm"),
@@ -1743,8 +1746,7 @@ object TextOps {
   def docTrainOrder(shards: Int = 16, seed: Int = 7, buckets: Int = 64)(
       spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val h = conv(substring(md5(concat(lit(s"$seed:"), col("doc_id").cast("string"))), 1, 15),
-      16, 10).cast(LongType)
+    val h = md5p(concat(lit(s"$seed:"), col("doc_id").cast("string")), 1, 15)
     val hashed = docs(spark, dir)
       .select(col("doc_id"), h.as("h"))
       .withColumn("shard", col("h") % shards)
@@ -2264,8 +2266,7 @@ object TextOps {
         java.nio.file.Files.createTempDirectory("graft_winnow_idx").toString)
       val w = words
       val kgramHash = transform(sequence(lit(0), size(w) - WinnowK), i =>
-        conv(substring(md5(concat_ws(" ", slice(w, i + lit(1), lit(WinnowK)))), 1, 15),
-          16, 10).cast(LongType))
+        md5p(concat_ws(" ", slice(w, i + lit(1), lit(WinnowK))), 1, 15))
       // window ending at 0-based hash index p covers hs[p-w+1 .. p]
       // = slice(hs, p-w+2, w) 1-based; p ranges over complete windows only
       val wmins = transform(
