@@ -128,12 +128,14 @@ object TextOps {
 
   /** Content fingerprint: md5 of the text plus a 60-bit integer prefix of
     * it (cheap join/dedup key — the rolling-hash analog with a portable
-    * definition). */
+    * definition). fp64 parses the prefix out of the SAME hex column —
+    * codegen subexpression elimination runs the digest once, where a
+    * second `md5_prefix` call would digest the full text twice. */
   def docFingerprint(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(
       col("doc_id"),
       md5(col("text")).as("fp"),
-      md5p(col("text"), 1, 15).as("fp64"))
+      conv(substring(md5(col("text")), 1, 15), 16, 10).cast(LongType).as("fp64"))
       .orderBy("doc_id")
 
   val docFingerprintSql: String =
@@ -646,9 +648,13 @@ object TextOps {
     val path = shingleIndexCache.computeIfAbsent(key, { _ =>
       val p = graft.DatasetCache.registerTempDir(
         java.nio.file.Files.createTempDirectory("graft_shingle_idx").toString)
-      shingles(spark, dir).select(col("doc_id"),
-          md5p(col("s"), 1, 7).as("h28"),
-          md5p(col("s"), 1, 15).as("h60"))
+      // ONE digest per shingle: h28 (hex chars 1-7 = bits [0,28)) is
+      // the top 28 bits of h60 (bits [0,60)), so derive it by shift
+      // instead of a second md5_prefix over the same string
+      shingles(spark, dir)
+        .select(col("doc_id"), md5p(col("s"), 1, 15).as("h60"))
+        .select(col("doc_id"), shiftright(col("h60"), 32).as("h28"),
+          col("h60"))
         .write.mode("overwrite").parquet(p)
       p
     })
