@@ -645,6 +645,41 @@ object EventOps {
        | GROUP BY 1, 2, 3)
        | ORDER BY cnt DESC, e1 ASC, e2 ASC, e3 ASC LIMIT $k""".stripMargin.replace("\n", " ")
 
+  /** Users whose event-type sequence matches a regex —
+    * MATCH_RECOGNIZE-style sequence search (Spark has no
+    * MATCH_RECOGNIZE; the reference engines it twins against do not
+    * either). Each user's events collapse, in (µs, event_id) order, to
+    * a string of per-type initial characters (v/c/p/s/e — distinct for
+    * this schema), and the pattern is an ordinary regex over it:
+    * `vc.*p` = a view IMMEDIATELY followed by a click, with a purchase
+    * any time later — stricter than the funnel's subsequence logic,
+    * inexpressible as joins without a per-adjacency window pass.
+    *
+    * ONE user-keyed aggregation; per-user state is the user's own
+    * event string (bounded by events-per-user, the same contract as
+    * every sessionize/funnel op), and the regex runs once per USER,
+    * not per event. The initial-character alphabet keeps the string
+    * 1 byte per event. */
+  def seqPattern(pattern: String)(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("user_id"),
+        struct(expr("ts div 1000").as("us"), col("event_id").as("eid"),
+          substring(col("event_type"), 1, 1).as("c")).as("s"))
+      .groupBy("user_id")
+      .agg(array_join(transform(array_sort(collect_list(col("s"))),
+        x => x.getField("c")), "").as("seq"))
+      .filter(col("seq").rlike(pattern))
+      .select(col("user_id"), length(col("seq")).cast(LongType).as("n_events"))
+      .orderBy("user_id")
+
+  def seqPatternSql(pattern: String): String =
+    s"""WITH s AS (SELECT user_id,
+       |  string_agg(substr(event_type, 1, 1), '' ORDER BY epoch_us(ts), event_id) AS seq
+       |  FROM events GROUP BY 1)
+       | SELECT user_id, CAST(length(seq) AS BIGINT) AS n_events
+       | FROM s WHERE regexp_matches(seq, '$pattern')
+       | ORDER BY user_id""".stripMargin.replace("\n", " ")
+
   /** Per-user moving sum over a 3-row frame (2 preceding + current) in
     * event-time order — the frame-based window shape (moving averages,
     * rolling risk scores). One shuffle on user_id, then a linear pass

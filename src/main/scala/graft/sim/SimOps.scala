@@ -91,6 +91,95 @@ object SimOps {
        |   CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rn FROM scored)
        | SELECT qid, vec_id, sim, rn FROM ranked WHERE rn <= $k ORDER BY qid, rn""".stripMargin.replace("\n", " ")
 
+  // ---- MMR diverse top-k ----------------------------------------------
+
+  /** Maximal-Marginal-Relevance diverse top-k: greedily pick the
+    * candidate maximizing `rel − max_{s∈selected} sim(v, s)` (MMR with
+    * λ=0.5 — the constant factor does not change any argmax, so it is
+    * dropped from the score). The retrieval-diversification step of a
+    * RAG / training-data-sampling pipeline, as opposed to [[topK]]'s
+    * redundancy-blind ranking.
+    *
+    * Shape at scale: k map-only corpus scans (selected vectors ride as
+    * plan literals, ≤ k·dim floats), each reduced by
+    * TakeOrderedAndProject to ONE row — no shuffle, no join, no
+    * candidate materialization. The driver loop is bounded by k (the
+    * documented driver-side exception class: k picked rows, not a
+    * dataset). Ranks compare the ROUNDED score (what the oracle hashes)
+    * with vec_id as tiebreak, so bucket boundaries cannot diverge
+    * between engines; the oracle replays the same greedy chain as k
+    * generated CTE stages. */
+  def mmr(queryId: Long, k: Int)(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = embeddings(spark, dir)
+    val qOpt = e.filter(col("vec_id") === queryId)
+      .select(col("embedding")).collect().headOption
+      .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
+    qOpt match {
+      case None => // unknown id: empty, like the join/oracle arms
+        spark.range(0).select(col("id").as("rank"), col("id").as("vec_id"),
+          lit(0.0).as("rel"), lit(0.0).as("score"))
+      case Some(qe) =>
+        val rel = e.filter(col("vec_id") =!= queryId)
+          .select(col("vec_id"), col("embedding"),
+            round(dot(col("embedding"), typedLit(qe)), 6).as("rel"))
+        val picked = scala.collection.mutable.ArrayBuffer[(Long, Array[Float], Double, Double)]()
+        var exhausted = false
+        while (!exhausted && picked.length < k) {
+          val scoreCol =
+            if (picked.isEmpty) col("rel")
+            else round(col("rel") - picked.map(p =>
+                round(dot(col("embedding"), typedLit(p._2)), 6))
+              .reduce((a, b) => greatest(a, b)), 6)
+          val rows = rel
+            .filter(if (picked.isEmpty) lit(true)
+              else !col("vec_id").isin(picked.map(_._1).toSeq: _*))
+            .select(col("vec_id"), col("embedding"), col("rel"),
+              scoreCol.as("score"))
+            .orderBy(col("score").desc, col("vec_id").asc)
+            .limit(1).collect()
+          if (rows.isEmpty) exhausted = true
+          else {
+            val r = rows(0)
+            picked += ((r.getLong(0),
+              r.getAs[scala.collection.Seq[Float]](1).toArray,
+              r.getDouble(2), r.getDouble(3)))
+          }
+        }
+        picked.zipWithIndex
+          .map { case ((vid, _, rl, sc), i) => ((i + 1).toLong, vid, rl, sc) }
+          .toSeq.toDF("rank", "vec_id", "rel", "score")
+          .orderBy("rank")
+    }
+  }
+
+  /** The same greedy chain as k generated CTE stages: p_i picks step
+    * i's argmax, s_i accumulates the selected set, c_i scores the
+    * remaining candidates against it (max over ≤ i−1 rows). Every chained
+    * CTE is `AS MATERIALIZED`: each s_i is referenced twice by stage i+1,
+    * so the default inline-on-reference expansion is 2^k copies of the
+    * whole chain — measured ~7 min to PLAN at k=8 vs 0.13 s materialized. */
+  def mmrSql(queryId: Long, k: Int): String = {
+    val qdot = dotSql("embedding", "qe")
+    val sdot = dotSql("r.embedding", "s.embedding")
+    val sb = new StringBuilder
+    sb ++= s"WITH q AS MATERIALIZED (SELECT embedding AS qe FROM embeddings WHERE vec_id = $queryId), "
+    sb ++= s"rel AS MATERIALIZED (SELECT vec_id, embedding, round($qdot, 6) AS rel FROM embeddings, q WHERE vec_id != $queryId), "
+    sb ++= "p1 AS MATERIALIZED (SELECT CAST(1 AS BIGINT) AS rank, vec_id, embedding, rel, rel AS score FROM rel ORDER BY score DESC, vec_id ASC LIMIT 1), "
+    sb ++= "s1 AS MATERIALIZED (SELECT vec_id, embedding FROM p1)"
+    for (i <- 2 to k) {
+      sb ++= s", c$i AS MATERIALIZED (SELECT r.vec_id, r.rel, round(r.rel - max(round($sdot, 6)), 6) AS score" +
+        s" FROM rel r, s${i - 1} s WHERE r.vec_id NOT IN (SELECT vec_id FROM s${i - 1}) GROUP BY r.vec_id, r.rel)" +
+        s", p$i AS MATERIALIZED (SELECT CAST($i AS BIGINT) AS rank, c.vec_id, e.embedding, c.rel, c.score" +
+        s" FROM c$i c JOIN embeddings e ON c.vec_id = e.vec_id ORDER BY c.score DESC, c.vec_id ASC LIMIT 1)" +
+        s", s$i AS MATERIALIZED (SELECT vec_id, embedding FROM s${i - 1} UNION ALL SELECT vec_id, embedding FROM p$i)"
+    }
+    sb ++= " SELECT rank, vec_id, rel, score FROM (" +
+      (1 to k).map(i => s"SELECT rank, vec_id, rel, score FROM p$i")
+        .mkString(" UNION ALL ") + ") ORDER BY rank"
+    sb.toString
+  }
+
   // ---- within-cluster near-duplicate pairs (IVF-style restriction) -----
 
   /** Most-similar pairs, restricted to equal `label` (the coarse-quantizer
