@@ -254,6 +254,52 @@ object EventStream {
       }
   }
 
+  /** Streaming twin of [[graft.events.EventOps.pitFeatures]] — ONLINE
+    * point-in-time feature serving: each purchase label emits the
+    * user's feature row computed from state BEFORE the label event is
+    * folded in, which is exactly the batch side's
+    * `UNBOUNDED PRECEDING .. 1 PRECEDING` frame (leakage-safe by
+    * construction: emit-then-update). State per user is three longs
+    * (running event count, view count, last observed cents) — O(users),
+    * no event buffering; within a batch rows sort by (µs, event_id)
+    * like the batch window, across batches the in-order log-replay
+    * contract of [[streamingTransitions]] applies. A NULL purchase
+    * value rides as a Long.MinValue sentinel (the tuple encoder cannot
+    * carry null) and leaves last_cents untouched, matching the batch
+    * `last(..., ignoreNulls)`. */
+  final case class PitFeatureRow(user_id: Long, event_id: Long, ts_us: Long,
+      feat_events: Long, feat_views: Long, last_cents: Long)
+  final case class PitState(nEvents: Long, nViews: Long, lastCents: Long)
+
+  def streamingPitFeatures(events: DataFrame): Dataset[PitFeatureRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    graft.events.EventOps.normalizeTs(events)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        coalesce(round(col("value") * 100).cast(LongType),
+          lit(Long.MinValue)).as("cents"))
+      .as[(Long, Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[PitState, PitFeatureRow](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[PitState]) =>
+          val batch = rows.toSeq.sortBy(r => (r._2 / 1000, r._3))
+          var st = state.getOption.getOrElse(PitState(0L, 0L, -1L))
+          val out = Seq.newBuilder[PitFeatureRow]
+          batch.foreach { r =>
+            if (r._4 == "purchase")
+              out += PitFeatureRow(uid, r._3, r._2 / 1000,
+                st.nEvents, st.nViews, st.lastCents)
+            st = PitState(st.nEvents + 1,
+              st.nViews + (if (r._4 == "view") 1L else 0L),
+              if (r._5 != Long.MinValue) r._5 else st.lastCents)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Streaming Misra-Gries pass 1: per-type heavy-user CANDIDATE
     * sketches maintained incrementally by the engine's streaming
     * aggregation state — the native

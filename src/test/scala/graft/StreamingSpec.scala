@@ -306,6 +306,48 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty, "fixture must contain conversions")
   }
 
+  test("streaming pit-features across batch boundaries equal the batch feature rows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // in-order replay in 3 micro-batches: a user's history accumulated in
+    // batch N must feed a purchase label arriving in batch N+1 via state,
+    // and the label's own row must stay invisible to its features
+    val rows = eventsBatch
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getDouble(4)))
+      .sortBy(r => (r._2, r._1))
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val df = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val ckpt = Files.createTempDirectory("pit_ckpt").toString
+    val q = EventStream.streamingPitFeatures(df).writeStream
+      .format("memory").queryName("pit_sink").outputMode("append")
+      .option("checkpointLocation", ckpt).start()
+    rows.grouped(rows.length / 3 + 1).foreach { chunk =>
+      mem.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    assertUserBoundedState(q, rows.map(_._3).distinct.length.toLong)
+    q.stop()
+    val streamed = spark.table("pit_sink")
+      .select("event_id", "user_id", "ts_us", "feat_events", "feat_views",
+        "last_cents")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    val batch = EventOps.pitFeatures(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(batch.nonEmpty, "fixture must contain purchases")
+    assert(streamed == batch,
+      s"stream/batch pit-features diverge: ${streamed.size} vs ${batch.size} rows")
+  }
+
   test("streaming retention state aggregates to the batch cohort report") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
