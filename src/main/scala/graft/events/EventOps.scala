@@ -768,6 +768,45 @@ object EventOps {
       | FROM cp WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
       | ORDER BY user_id, version""".stripMargin.replace("\n", " ")
 
+  /** SCD2 upsert delta — the MERGE update set that applies a change
+    * batch to a [[scd2]]-shaped dimension table: each affected user's
+    * OPEN interval closed at the change timestamp, plus the new version
+    * row opened there. No-op changes (same tier as the open interval)
+    * and stale changes (ts not after the open interval's start — they
+    * cannot tile) drop out. `dim_key = user_id·10⁶ + version` is the
+    * surrogate MERGE key, so closing an interval REWRITES its row
+    * (matched key) while the new version INSERTS (fresh key) — one
+    * atomic copy-on-write commit via [[graft.lake.LakeTable.merge]].
+    *
+    * Scale shape: ONE keyed left join of the change batch against the
+    * open slice of the dimension (no hints — AQE broadcasts a small
+    * batch itself); the delta is O(changes), never O(dimension), so the
+    * lake's file-granular MERGE rewrites only the files holding touched
+    * users. Caller contract: one change row per user per batch (the
+    * merge layer rejects duplicate keys). */
+  def scd2Delta(dim: DataFrame, changes: DataFrame): DataFrame = {
+    val open = dim.filter(col("valid_to_us") === lit(Long.MaxValue))
+      .select(col("user_id"), col("tier").as("cur_tier"),
+        col("version").as("cur_version"),
+        col("valid_from_us").as("cur_from"))
+    val c = changes
+      .select(col("user_id"), col("tier").as("new_tier"), col("ts_us"))
+      .join(open, Seq("user_id"), "left")
+      .filter(col("cur_tier").isNull ||
+        (col("cur_tier") =!= col("new_tier") && col("ts_us") > col("cur_from")))
+    val closed = c.filter(col("cur_tier").isNotNull).select(
+      col("user_id"), col("cur_tier").as("tier"),
+      col("cur_version").as("version"),
+      col("cur_from").as("valid_from_us"), col("ts_us").as("valid_to_us"))
+    val fresh = c.select(
+      col("user_id"), col("new_tier").as("tier"),
+      coalesce(col("cur_version") + 1, lit(1L)).as("version"),
+      col("ts_us").as("valid_from_us"),
+      lit(Long.MaxValue).as("valid_to_us"))
+    closed.unionByName(fresh)
+      .withColumn("dim_key", col("user_id") * lit(1000000L) + col("version"))
+  }
+
   /** Per-user moving sum over a 3-row frame (2 preceding + current) in
     * event-time order — the frame-based window shape (moving averages,
     * rolling risk scores). One shuffle on user_id, then a linear pass

@@ -1,0 +1,119 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.events.EventOps
+import graft.lake.LakeTable
+
+/** SCD2 over the transaction log: a change batch applies to the
+  * dimension as ONE atomic MERGE (close the open interval + insert the
+  * new version), history stays time-travelable, and the tiling
+  * invariant survives every apply. */
+class LakeScd2Spec extends SparkSpec {
+
+  private def freshTable(): String = {
+    val d = Files.createTempDirectory("graft_scd2").toString
+    DatasetCache.registerTempDir(d)
+    d
+  }
+
+  /** A 3-user dimension: u1 tier 1 @ [10, MAX), u2 tier 2 @ [10, 40)
+    * then tier 0 @ [40, MAX). */
+  private def seedDim() = {
+    import spark.implicits._
+    Seq(
+      (1L, 1L, 1L, 10L, Long.MaxValue),
+      (2L, 2L, 1L, 10L, 40L),
+      (2L, 0L, 2L, 40L, Long.MaxValue))
+      .toDF("user_id", "tier", "version", "valid_from_us", "valid_to_us")
+      .withColumn("dim_key", col("user_id") * lit(1000000L) + col("version"))
+  }
+
+  private def tiling(rows: Array[org.apache.spark.sql.Row]): Unit =
+    rows.map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .groupBy(_._1).foreach { case (u, ivs) =>
+        val sorted = ivs.sortBy(_._2)
+        assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq,
+          s"user $u versions not dense")
+        sorted.sliding(2).foreach {
+          case Array(a, b) => assert(a._4 == b._3, s"user $u gap/overlap")
+          case _ =>
+        }
+        assert(sorted.last._4 == Long.MaxValue, s"user $u no open interval")
+      }
+
+  test("scd2Delta computes exactly the close+insert set") {
+    import spark.implicits._
+    val dim = seedDim()
+    // u1: real change (1→3 @50); u2: no-op (already 0); u3: brand new;
+    // u1 also demonstrates the version bump
+    val changes = Seq((1L, 3L, 50L), (2L, 0L, 60L), (3L, 1L, 70L))
+      .toDF("user_id", "tier", "ts_us")
+    val got = EventOps.scd2Delta(dim, changes).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == Set(
+      (1L, 1L, 1L, 10L, 50L),             // u1 old interval closed @50
+      (1L, 3L, 2L, 50L, Long.MaxValue),   // u1 new version opened
+      (3L, 1L, 1L, 70L, Long.MaxValue)),  // u3 first version
+      s"got $got")
+  }
+
+  test("stale changes (ts not after the open start) drop out") {
+    import spark.implicits._
+    val dim = seedDim()
+    val stale = Seq((2L, 3L, 40L)).toDF("user_id", "tier", "ts_us")
+    assert(EventOps.scd2Delta(dim, stale).count() == 0,
+      "a change at exactly the open interval's start cannot tile")
+  }
+
+  test("SCD2 apply is one atomic lake MERGE; history time-travels") {
+    val t = freshTable()
+    import spark.implicits._
+    LakeTable.append(spark, t, seedDim())
+    val v1 = LakeTable.latestVersion(t).get
+    val changes = Seq((1L, 3L, 50L), (3L, 1L, 70L))
+      .toDF("user_id", "tier", "ts_us")
+    val delta = EventOps.scd2Delta(LakeTable.snapshot(spark, t), changes)
+    LakeTable.merge(spark, t, delta, "dim_key")
+    val now = LakeTable.snapshot(spark, t)
+      .select("user_id", "tier", "version", "valid_from_us", "valid_to_us")
+      .collect()
+    // tiling holds after the apply, for every user
+    tiling(now)
+    // u1 is now tier 3 open at 50; its v1 interval is CLOSED at 50
+    val u1 = now.filter(_.getLong(0) == 1L).sortBy(_.getLong(2))
+    assert(u1.length == 2 && u1(0).getLong(4) == 50L &&
+      u1(1).getLong(1) == 3L && u1(1).getLong(3) == 50L &&
+      u1(1).getLong(4) == Long.MaxValue)
+    // u3 exists with exactly one open version
+    assert(now.count(_.getLong(0) == 3L) == 1)
+    // time travel: the pre-apply snapshot still shows u1 open at tier 1
+    val before = LakeTable.snapshot(spark, t, Some(v1))
+      .filter(col("user_id") === 1L).collect()
+    assert(before.length == 1 && before.head.getAs[Long]("valid_to_us")
+      == Long.MaxValue)
+    // the whole apply was ONE commit
+    assert(LakeTable.history(t).map(_.op) == Seq("append", "merge"))
+  }
+
+  test("a second apply chains versions and stays tiled") {
+    val t = freshTable()
+    import spark.implicits._
+    LakeTable.append(spark, t, seedDim())
+    val c1 = Seq((1L, 3L, 50L)).toDF("user_id", "tier", "ts_us")
+    LakeTable.merge(spark, t,
+      EventOps.scd2Delta(LakeTable.snapshot(spark, t), c1), "dim_key")
+    val c2 = Seq((1L, 0L, 90L)).toDF("user_id", "tier", "ts_us")
+    LakeTable.merge(spark, t,
+      EventOps.scd2Delta(LakeTable.snapshot(spark, t), c2), "dim_key")
+    val rows = LakeTable.snapshot(spark, t)
+      .select("user_id", "tier", "version", "valid_from_us", "valid_to_us")
+      .collect()
+    tiling(rows)
+    val u1 = rows.filter(_.getLong(0) == 1L).sortBy(_.getLong(2))
+    assert(u1.map(r => (r.getLong(1), r.getLong(3), r.getLong(4))).toSeq ==
+      Seq((1L, 10L, 50L), (3L, 50L, 90L), (0L, 90L, Long.MaxValue)))
+  }
+}
