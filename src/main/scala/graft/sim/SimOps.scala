@@ -103,12 +103,15 @@ object SimOps {
     * Shape at scale: k map-only corpus scans (selected vectors ride as
     * plan literals, ≤ k·dim floats), each reduced by
     * TakeOrderedAndProject to ONE row — no shuffle, no join, no
-    * candidate materialization. The driver loop is bounded by k (the
-    * documented driver-side exception class: k picked rows, not a
-    * dataset). Ranks compare the ROUNDED score (what the oracle hashes)
-    * with vec_id as tiebreak, so bucket boundaries cannot diverge
-    * between engines; the oracle replays the same greedy chain as k
-    * generated CTE stages. */
+    * candidate materialization. The (id, embedding, rel) projection is
+    * cached MEMORY_AND_DISK across the k iterations (spill-capable —
+    * never an OOM risk) so the parquet scan and the query-dot run ONCE
+    * instead of k times; it unpersists before returning. The driver
+    * loop is bounded by k (the documented driver-side exception class:
+    * k picked rows, not a dataset). Ranks compare the ROUNDED score
+    * (what the oracle hashes) with vec_id as tiebreak, so bucket
+    * boundaries cannot diverge between engines; the oracle replays the
+    * same greedy chain as k generated CTE stages. */
   def mmr(queryId: Long, k: Int)(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = embeddings(spark, dir)
@@ -123,33 +126,36 @@ object SimOps {
         val rel = e.filter(col("vec_id") =!= queryId)
           .select(col("vec_id"), col("embedding"),
             round(dot(col("embedding"), typedLit(qe)), 6).as("rel"))
-        val picked = scala.collection.mutable.ArrayBuffer[(Long, Array[Float], Double, Double)]()
-        var exhausted = false
-        while (!exhausted && picked.length < k) {
-          val scoreCol =
-            if (picked.isEmpty) col("rel")
-            else round(col("rel") - picked.map(p =>
-                round(dot(col("embedding"), typedLit(p._2)), 6))
-              .reduce((a, b) => greatest(a, b)), 6)
-          val rows = rel
-            .filter(if (picked.isEmpty) lit(true)
-              else !col("vec_id").isin(picked.map(_._1).toSeq: _*))
-            .select(col("vec_id"), col("embedding"), col("rel"),
-              scoreCol.as("score"))
-            .orderBy(col("score").desc, col("vec_id").asc)
-            .limit(1).collect()
-          if (rows.isEmpty) exhausted = true
-          else {
-            val r = rows(0)
-            picked += ((r.getLong(0),
-              r.getAs[scala.collection.Seq[Float]](1).toArray,
-              r.getDouble(2), r.getDouble(3)))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val picked = scala.collection.mutable.ArrayBuffer[(Long, Array[Float], Double, Double)]()
+          var exhausted = false
+          while (!exhausted && picked.length < k) {
+            val scoreCol =
+              if (picked.isEmpty) col("rel")
+              else round(col("rel") - picked.map(p =>
+                  round(dot(col("embedding"), typedLit(p._2)), 6))
+                .reduce((a, b) => greatest(a, b)), 6)
+            val rows = rel
+              .filter(if (picked.isEmpty) lit(true)
+                else !col("vec_id").isin(picked.map(_._1).toSeq: _*))
+              .select(col("vec_id"), col("embedding"), col("rel"),
+                scoreCol.as("score"))
+              .orderBy(col("score").desc, col("vec_id").asc)
+              .limit(1).collect()
+            if (rows.isEmpty) exhausted = true
+            else {
+              val r = rows(0)
+              picked += ((r.getLong(0),
+                r.getAs[scala.collection.Seq[Float]](1).toArray,
+                r.getDouble(2), r.getDouble(3)))
+            }
           }
-        }
-        picked.zipWithIndex
-          .map { case ((vid, _, rl, sc), i) => ((i + 1).toLong, vid, rl, sc) }
-          .toSeq.toDF("rank", "vec_id", "rel", "score")
-          .orderBy("rank")
+          picked.zipWithIndex
+            .map { case ((vid, _, rl, sc), i) => ((i + 1).toLong, vid, rl, sc) }
+            .toSeq.toDF("rank", "vec_id", "rel", "score")
+            .orderBy("rank")
+        } finally rel.unpersist(blocking = false)
     }
   }
 
