@@ -197,4 +197,32 @@ class EdgeCaseSpec extends SparkSpec {
     // n_events counts the ranked (non-null) population only
     assert(EventOps.quantiles(spark, dir).head.getLong(1) == 17L)
   }
+
+  test("feature-wave degenerate inputs: purchase-free log, no-match pattern, single-event SCD2, singleton baskets") {
+    import graft.events.EventOps
+    import graft.rel.RelQueries
+    import spark.implicits._
+    // a log with no purchases yields zero training rows, no crash
+    val dir = Files.createTempDirectory("pit_nopurch").toString
+    spark.range(10).selectExpr("id AS event_id", "id * 1000000 AS ts",
+        "id % 3 AS user_id", "'view' AS event_type",
+        "CAST(id AS DOUBLE) AS value", "'{}' AS props")
+      .write.parquet(s"$dir/events.parquet")
+    assert(EventOps.pitFeatures(spark, dir).count() == 0)
+    // a pattern no user can match is empty, not an error
+    assert(EventOps.seqPattern("zzz")(spark, dir).count() == 0)
+    // single-event users produce exactly one OPEN interval at version 1
+    val one = Files.createTempDirectory("scd2_one").toString
+    Seq((1L, 5000L, 42L, "view", 1.0, """{"k": 3}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$one/events.parquet")
+    val iv = EventOps.scd2(spark, one).collect()
+    assert(iv.length == 1 && iv.head.getLong(2) == 1L &&
+      iv.head.getLong(4) == Long.MaxValue)
+    // all-singleton baskets: no pair ever forms, support filter or not
+    val li = Files.createTempDirectory("copurch_single").toString
+    spark.range(20).selectExpr("id AS l_orderkey", "id + 100 AS l_partkey")
+      .write.parquet(s"$li/lineitem.parquet")
+    assert(RelQueries.copurchase(10)(spark, li).count() == 0)
+  }
 }
