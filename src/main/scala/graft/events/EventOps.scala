@@ -69,6 +69,35 @@ object EventOps {
        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
        | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " ")
 
+  /** Sliding (hopping) windowed rollup: 1-hour windows every 30
+    * minutes, through Spark's native sliding `window()` TVF — each
+    * event lands in exactly size/slide = 2 windows, which the engine
+    * expands MAP-SIDE before the keyed aggregation (one shuffle, 2×
+    * the rows, no self-join). The oracle states the same semantics
+    * arithmetically: a 1 h/30 min hop is the union of two
+    * phase-shifted tumbling grids, so each event's two window starts
+    * are `(us div slide)·slide − {0, slide}`. Epoch-aligned on both
+    * sides (Spark's default window origin). */
+  def slidingRollup(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(timestamp_micros(expr("ts div 1000")).as("et"),
+        col("event_type"), col("value"))
+      .groupBy(window(col("et"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("value") * 100).cast(LongType)).as("cents"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"), col("cnt"), col("cents"))
+      .orderBy("win_start_us", "event_type")
+
+  val slidingRollupSql: String = {
+    val slideUs = 1800L * 1000000L
+    s"""SELECT (epoch_us(ts) // $slideUs) * $slideUs - o.off AS win_start_us,
+       | event_type, count(*) AS cnt,
+       | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+       | FROM events CROSS JOIN (SELECT unnest([0, $slideUs]) AS off) o
+       | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " ")
+  }
+
   /** CUBE report over (event type × hour-of-day): all four grouping
     * sets — the full cross-tab, row margins, column margins, grand
     * total — in ONE pass over the fact table (Spark expands the cube
