@@ -555,6 +555,42 @@ object EventOps {
       | FROM events WHERE event_type IN ('click', 'purchase'))
       | WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin.replace("\n", " ")
 
+  /** Tolerance-bounded as-of join: like [[asOfJoin]], but a click more
+    * than `tolUs` microseconds old does NOT match (the merge-asof
+    * `tolerance` semantic — feature-freshness bounds: a stale
+    * observation must not leak into a training row). The identical
+    * union + user-keyed window plan; the tolerance is a post-window
+    * predicate on the running match, so the bound costs nothing. */
+  def asOfJoinTol(tolUs: Long)(spark: SparkSession, dir: String): DataFrame = {
+    val byUserTime = Window.partitionBy("user_id")
+      .orderBy(expr("ts div 1000"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("click_us",
+        when(col("event_type") === "click", expr("ts div 1000")))
+      .withColumn("last_click_us",
+        last(col("click_us"), ignoreNulls = true).over(byUserTime))
+      .filter(col("event_type") === "purchase")
+      .withColumn("match_us",
+        when(expr("ts div 1000") - col("last_click_us") <= tolUs,
+          col("last_click_us")))
+      .select(col("event_id"), col("user_id"), col("match_us"),
+        (expr("ts div 1000") - col("match_us")).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  def asOfJoinTolSql(tolUs: Long): String =
+    s"""SELECT event_id, user_id, match_us, epoch_us(ts) - match_us AS gap_us
+       | FROM (SELECT event_id, user_id, ts, event_type,
+       |  CASE WHEN epoch_us(ts) - last_click_us <= $tolUs
+       |   THEN last_click_us END AS match_us FROM (
+       |  SELECT event_id, user_id, ts, event_type,
+       |   last(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
+       |    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id ROWS UNBOUNDED PRECEDING) AS last_click_us
+       |  FROM events WHERE event_type IN ('click', 'purchase')))
+       | WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin.replace("\n", " ")
+
   /** Click→purchase conversion funnel: users whose first purchase
     * strictly follows their first click, with the conversion delay —
     * the sequence-analytics shape (did A happen, then B?) behind every

@@ -81,6 +81,26 @@ class FeatureStoreSpec extends SparkSpec {
     }
   }
 
+  test("asOfJoinTol: stale matches null out; infinite tolerance equals asOfJoin") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("asof_tol").toString
+    // u1: click@10, purchase@15 (gap 5 ≤ tol) and purchase@100 (gap 90 > tol)
+    Seq((1L, 10L, 1L, "click"), (2L, 15L, 1L, "purchase"),
+        (3L, 100L, 1L, "purchase"))
+      .map { case (e, us, u, ty) => (e, us * 1000L, u, ty, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = EventOps.asOfJoinTol(10L)(spark, dir).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(got == Seq((2L, 10L), (3L, -1L)), s"got $got")
+    // tol = MaxValue reproduces the unbounded as-of matches exactly
+    val unb = EventOps.asOfJoin(spark, sf0001).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    val inf = EventOps.asOfJoinTol(Long.MaxValue)(spark, sf0001).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(inf == unb)
+  }
+
   test("copurchase equals the literal per-order pair count on sf0.001") {
     val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
       .select("l_orderkey", "l_partkey").collect()
