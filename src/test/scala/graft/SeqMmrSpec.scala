@@ -98,6 +98,31 @@ class SeqMmrSpec extends SparkSpec {
     assert(got == Seq((1L, 3L), (4L, 4L)), s"got $got")
   }
 
+  test("seqPattern equals a driver-side regex re-derivation on random logs (3 seeds)") {
+    import spark.implicits._
+    val types = Vector("view", "click", "purchase", "session", "error")
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val rows = (1L to 300L).map { eid =>
+        (eid, (rnd.nextInt(1000) * 1000L + rnd.nextInt(3)) * 1000L, // µs ties on purpose
+          rnd.nextInt(20).toLong, types(rnd.nextInt(types.size)))
+      }
+      val dir = Files.createTempDirectory(s"seqprop$seed").toString
+      rows.map { case (e, ns, u, ty) => (e, ns, u, ty, 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$dir/events.parquet")
+      val pattern = "vc.*p"
+      val expected = rows.groupBy(_._3).flatMap { case (u, es) =>
+        val seq = es.sortBy(e => (e._2 / 1000, e._1)).map(_._4.head).mkString
+        if (pattern.r.findFirstIn(seq).isDefined) Some((u, seq.length.toLong))
+        else None
+      }.toSeq.sortBy(_._1)
+      val got = EventOps.seqPattern(pattern)(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == expected, s"seed $seed: got $got expected $expected")
+    }
+  }
+
   test("seqPattern orders the string by (us, event_id), not arrival order") {
     import spark.implicits._
     val dir = Files.createTempDirectory("seqpat_order").toString
