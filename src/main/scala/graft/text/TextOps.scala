@@ -57,6 +57,39 @@ object TextOps {
        | CAST(length(text) AS BIGINT) AS n_chars_m
        | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
+  /** One-row corpus dataset card — the release-documentation profile
+    * (sizes, language/source diversity, English share, length extremes)
+    * in ONE scan and ONE map-side-combinable reduce to a single row;
+    * the two `count_distinct`s are over bounded categoricals (langs,
+    * sources), so the standard two-phase distinct expansion stays tiny.
+    * All integer math (ppm share via integer division), so the card
+    * hash-compares across engines at any corpus size. */
+  def docCard(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("lang"), col("source"),
+        length(col("text")).cast(LongType).as("chars"),
+        size(words).cast(LongType).as("toks"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("chars")).as("total_chars"),
+        sum(col("toks")).as("total_tokens"),
+        count_distinct(col("lang")).as("n_langs"),
+        count_distinct(col("source")).as("n_sources"),
+        expr("sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1000000 div count(*)")
+          .as("en_ppm"),
+        min(col("chars")).as("min_chars"),
+        max(col("chars")).as("max_chars"))
+
+  val docCardSql: String =
+    """SELECT count(*) AS n_docs,
+      | CAST(sum(CAST(length(text) AS BIGINT)) AS BIGINT) AS total_chars,
+      | CAST(sum(CAST(len(string_split(text,' ')) AS BIGINT)) AS BIGINT) AS total_tokens,
+      | count(DISTINCT lang) AS n_langs, count(DISTINCT source) AS n_sources,
+      | CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS en_ppm,
+      | CAST(min(length(text)) AS BIGINT) AS min_chars,
+      | CAST(max(length(text)) AS BIGINT) AS max_chars
+      | FROM documents""".stripMargin.replace("\n", " ")
+
   /** Quality score in parts-per-million of [0,1]: mix of stopword ratio
     * (30%), lexical diversity (50%) and a saturating length credit (20%)
     * — the standard cheap heuristics used to filter web-scraped training
