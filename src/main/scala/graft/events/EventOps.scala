@@ -69,6 +69,37 @@ object EventOps {
        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
        | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " ")
 
+  /** Exact sufficient statistics of the value distribution per event
+    * type — n, Σcents, Σcents², min, max — the standardization /
+    * normalization stats a feature pipeline ships to training (mean and
+    * variance derive exactly from these on the consumer side). ONE scan,
+    * ONE map-side-combinable reduce onto |types| rows; all integer
+    * arithmetic (Σcents² in DECIMAL(38,0) — cents ≤ 2³¹ per row keeps
+    * even a 10¹² -row sum inside 38 digits), so the stats hash-compare
+    * across engines at any scale, unlike a float mean/stddev whose
+    * summation order differs per engine. */
+  def valueMoments(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_type"),
+        round(col("value") * 100).cast(LongType).as("cents"))
+      .groupBy("event_type")
+      .agg(
+        count(col("cents")).as("n"),
+        sum(col("cents")).as("sum_cents"),
+        sum(col("cents").cast("decimal(38,0)") * col("cents")
+          .cast("decimal(38,0)")).cast("decimal(38,0)").as("sum_sq"),
+        min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"))
+      .orderBy("event_type")
+
+  val valueMomentsSql: String =
+    """SELECT event_type, count(cents) AS n,
+      | CAST(sum(cents) AS BIGINT) AS sum_cents,
+      | CAST(sum(CAST(cents AS HUGEINT) * cents) AS DECIMAL(38,0)) AS sum_sq,
+      | min(cents) AS min_cents, max(cents) AS max_cents FROM (
+      | SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      | FROM events) GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")
+
   /** Sliding (hopping) windowed rollup: 1-hour windows every 30
     * minutes, through Spark's native sliding `window()` TVF — each
     * event lands in exactly size/slide = 2 windows, which the engine
