@@ -1740,7 +1740,7 @@ object LakeTable {
 
   /** Hidden column names used by the DV anti-join — double-underscored
     * to stay clear of any user schema. */
-  private val RelCol = "__lake_rel"
+  private[lake] val RelCol = "__lake_rel"
   private val RiCol = "__lake_ri"
 
   /** `stage-sub/name` of the file each row came from, via the parquet
@@ -1760,7 +1760,7 @@ object LakeTable {
     * the union of referenced sidecars. The anti-join keys on the scan-
     * bound metadata columns, so it is exact whatever Spark does to the
     * plan downstream. */
-  private def readEntriesWithRel(spark: SparkSession, table: String,
+  private[lake] def readEntriesWithRel(spark: SparkSession, table: String,
       entries: Seq[String], schema: StructType,
       withRowIndex: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.col
@@ -1800,7 +1800,7 @@ object LakeTable {
     }
   }
 
-  private def readEntries(spark: SparkSession, table: String,
+  private[lake] def readEntries(spark: SparkSession, table: String,
       entries: Seq[String], schema: StructType): DataFrame =
     readEntriesWithRel(spark, table, entries, schema).drop(RelCol)
 

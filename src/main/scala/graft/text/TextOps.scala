@@ -1236,7 +1236,7 @@ object TextOps {
     * runtime-filter optimizer injects) as session SQL functions —
     * idempotent, same registry pattern as
     * [[graft.functions.HllSketchAgg.register]]. */
-  private def registerBloomFns(spark: SparkSession): Unit = {
+  private[graft] def registerBloomFns(spark: SparkSession): Unit = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate

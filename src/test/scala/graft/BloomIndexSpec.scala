@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.lake.{BloomIndex, LakeTable}
+
+/** Per-file Bloom data skipping: point predicates prune files that
+  * min/max range stats structurally cannot (hash-distributed keys span
+  * the whole domain in every file), with zero false negatives. */
+class BloomIndexSpec extends SparkSpec {
+
+  private def freshTable(): String = {
+    val d = Files.createTempDirectory("graft_bloom").toString
+    DatasetCache.registerTempDir(d)
+    d
+  }
+
+  /** 16 hash-distributed files: every file's id range spans ~the whole
+    * domain, so range pruning keeps all 16; each id lives in ONE file. */
+  private def seed(t: String): Unit = {
+    import spark.implicits._
+    val df = spark.range(8000)
+      .select(col("id"), concat(lit("doc-"), col("id")).as("name"),
+        (col("id") % 97).as("v"))
+      .repartition(16, col("id"))
+    LakeTable.append(spark, t, df)
+  }
+
+  test("point lookup prunes to ~1 file where range stats keep all 16") {
+    val t = freshTable()
+    seed(t)
+    // range stats cannot prune a hash layout: every file spans the domain
+    val (byRange, total) = LakeTable.prunedFiles(t, "id", 4242.0, 4242.0)
+    assert(total == 16 && byRange.size == 16,
+      s"fixture must be range-unprunable, got ${byRange.size}/$total")
+    assert(BloomIndex.build(spark, t, "id", 2000) == 16)
+    val (byBloom, total2) = BloomIndex.prunedFilesPoint(t, "id", 4242L)
+    assert(total2 == 16)
+    assert(byBloom.size <= 3, // 1 true + fpp stragglers at worst
+      s"bloom kept ${byBloom.size}/16 files for a single-file id")
+    // the pruned read returns exactly the full-scan result
+    val got = BloomIndex.snapshotPoint(spark, t, "id", 4242L).collect()
+    assert(got.length == 1 && got.head.getAs[Long]("id") == 4242L &&
+      got.head.getAs[String]("name") == "doc-4242")
+  }
+
+  test("an id absent everywhere prunes to ~0 files and returns no rows") {
+    val t = freshTable()
+    seed(t)
+    BloomIndex.build(spark, t, "id", 2000)
+    val (kept, _) = BloomIndex.prunedFilesPoint(t, "id", 999999L)
+    assert(kept.size <= 2, s"absent id kept ${kept.size} files")
+    assert(BloomIndex.snapshotPoint(spark, t, "id", 999999L).count() == 0)
+  }
+
+  test("string column: same skipping, same exactness") {
+    val t = freshTable()
+    seed(t)
+    BloomIndex.build(spark, t, "name", 2000)
+    val (kept, total) = BloomIndex.prunedFilesPoint(t, "name", "doc-77")
+    assert(total == 16 && kept.size <= 3, s"kept ${kept.size}")
+    val got = BloomIndex.snapshotPoint(spark, t, "name", "doc-77").collect()
+    assert(got.length == 1 && got.head.getAs[Long]("id") == 77L)
+  }
+
+  test("files appended after the build are scanned conservatively; rebuild blooms only them") {
+    import spark.implicits._
+    val t = freshTable()
+    seed(t)
+    BloomIndex.build(spark, t, "id", 2000)
+    // new data WITHOUT a sidecar must stay visible (no false negative)
+    LakeTable.append(spark, t,
+      Seq((900000L, "doc-900000", 0L)).toDF("id", "name", "v"))
+    val got = BloomIndex.snapshotPoint(spark, t, "id", 900000L).collect()
+    assert(got.length == 1, "appended row must be found without a sidecar")
+    // incremental rebuild blooms ONLY the new file, then still finds it
+    val n = BloomIndex.build(spark, t, "id", 2000)
+    assert(n == 1, s"expected 1 new sidecar, wrote $n")
+    assert(BloomIndex.snapshotPoint(spark, t, "id", 900000L).count() == 1)
+    assert(BloomIndex.build(spark, t, "id", 2000) == 0) // idempotent
+  }
+
+  test("DV-deleted rows stay deleted through the bloom path (filter over-approximates, read is exact)") {
+    val t = freshTable()
+    seed(t)
+    BloomIndex.build(spark, t, "id", 2000)
+    LakeTable.deleteWhereDV(spark, t, "id", 4242.0, 4242.0)
+    // the stale sidecar still says "might contain" — the DV-applied
+    // read must NOT resurrect the row
+    assert(BloomIndex.snapshotPoint(spark, t, "id", 4242L).count() == 0)
+    // neighbors survive
+    assert(BloomIndex.snapshotPoint(spark, t, "id", 4243L).count() == 1)
+  }
+
+  test("no false negatives across 50 sampled ids") {
+    val t = freshTable()
+    seed(t)
+    BloomIndex.build(spark, t, "id", 2000)
+    (0 until 50).map(_ * 161L).foreach { id =>
+      val got = BloomIndex.snapshotPoint(spark, t, "id", id).collect()
+      assert(got.length == 1 && got.head.getAs[Long]("id") == id,
+        s"id $id lost through the bloom path")
+    }
+  }
+}
