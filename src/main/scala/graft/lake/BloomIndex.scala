@@ -122,6 +122,26 @@ object BloomIndex {
     n
   }
 
+  /** Planning-time survivor test for `column = value`, used by the DSv2
+    * [[LakeFileIndex]]: None when the column has no index directory (the
+    * common case — zero per-file cost), otherwise a predicate on the
+    * file's REL path. Files without a sidecar always survive. The hash
+    * is computed once per (column, value); each candidate's sidecar is
+    * read, tested, and discarded — kilobytes per file at planning vs
+    * scanning the file's data. */
+  private[lake] def pointTest(table: String, f: StructField, value: Any)
+      : Option[String => Boolean] = {
+    if (!Files.isDirectory(indexDir(table, f.name))) return None
+    val h =
+      try hashValue(f, value)
+      catch { case _: IllegalArgumentException => return None }
+    Some { rel =>
+      val sc = sidecar(table, f.name, rel)
+      !Files.exists(sc) || BloomFilter.readFrom(
+        new ByteArrayInputStream(Files.readAllBytes(sc))).mightContainLong(h)
+    }
+  }
+
   /** Live entries that MIGHT contain `column = value`, plus the total —
     * the file-skipping decision a point query plans from. Entries
     * without a sidecar never prune (conservative). */

@@ -475,11 +475,21 @@ class LakeFileIndex(spark: SparkSession, root: String,
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val base = super.listFiles(partitionFilters, Seq.empty)
     val bounds = LakeStatsPruning.constraints(dataFilters)
-    if (bounds.isEmpty) base
+    // point (=) predicates additionally probe per-file Bloom sidecars
+    // when an index exists — the skipping class min/max cannot serve on
+    // hash-distributed key columns; no index directory → zero cost
+    val bloomTests = LakeStatsPruning.points(dataFilters)
+      .flatMap { case (name, value) =>
+        schema.fields.find(_.name == name)
+          .flatMap(f => BloomIndex.pointTest(root, f, value))
+      }
+    if (bounds.isEmpty && bloomTests.isEmpty) base
     else base.map { pd =>
-      pd.copy(files = pd.files.filter(f =>
-        LakeStatsPruning.mayMatch(bounds,
-          statsByRel.getOrElse(relOf(f.getPath), ""))))
+      pd.copy(files = pd.files.filter { f =>
+        val rel = relOf(f.getPath)
+        LakeStatsPruning.mayMatch(bounds, statsByRel.getOrElse(rel, "")) &&
+          bloomTests.forall(_(rel))
+      })
     }.filter(_.files.nonEmpty)
   }
 }
@@ -553,6 +563,30 @@ object LakeStatsPruning {
 
   def constraints(filters: Seq[Expression]): Seq[Bound] =
     filters.flatMap(constraintsOf)
+
+  /** `column = literal` point predicates for Bloom probing — bare
+    * Attribute only (a Cast changes the hashed value space), non-null
+    * literal, integral or string column (the families [[BloomIndex]]
+    * blooms). Conjuncts only, like [[constraints]]. */
+  def points(filters: Seq[Expression]): Seq[(String, Any)] =
+    filters.flatMap(pointsOf)
+
+  private def pointsOf(e: Expression): Seq[(String, Any)] = e match {
+    case And(l, r) => pointsOf(l) ++ pointsOf(r)
+    case EqualTo(a: Attribute, Literal(v, t)) if v != null &&
+        pointFamilyOk(a.dataType, t) => Seq((a.name, v))
+    case EqualTo(Literal(v, t), a: Attribute) if v != null &&
+        pointFamilyOk(a.dataType, t) => Seq((a.name, v))
+    case _ => Seq.empty
+  }
+
+  private def pointFamilyOk(col: DataType, lit: DataType): Boolean =
+    (col, lit) match {
+      case (ByteType | ShortType | IntegerType | LongType,
+        ByteType | ShortType | IntegerType | LongType) => true
+      case (StringType, StringType) => true
+      case _ => false
+    }
 
   private def constraintsOf(e: Expression): Seq[Bound] = e match {
     case And(l, r) => constraintsOf(l) ++ constraintsOf(r)

@@ -93,6 +93,50 @@ class BloomIndexSpec extends SparkSpec {
     assert(BloomIndex.snapshotPoint(spark, t, "id", 4243L).count() == 1)
   }
 
+  /** Data files a DataFrame's final plan actually scans (the
+    * LakeDataSourceSpec pattern). */
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def scans(p: SparkPlan): Seq[BatchScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: QueryStageExec => scans(s.plan)
+      case b: BatchScanExec => Seq(b)
+      case other => other.children.flatMap(scans)
+    }
+    scans(finalPlan(df)).flatMap(_.partitions.flatten.flatMap {
+      case fp: FilePartition => fp.files.map(_.filePath.toString).toSeq
+      case _ => Seq.empty
+    }).distinct
+  }
+
+  test("DSv2 point predicates prune through the bloom sidecars automatically") {
+    val t = freshTable()
+    seed(t)
+    // no index yet: the hash layout defeats min/max — all 16 files scan
+    val before = spark.read.format("lake").load(t)
+      .filter(col("id") === 4242L)
+    assert(scannedFiles(before).size == 16,
+      "fixture must be range-unprunable before the index exists")
+    BloomIndex.build(spark, t, "id", 2000)
+    val after = spark.read.format("lake").load(t)
+      .filter(col("id") === 4242L)
+    assert(after.count() == 1)
+    val scanned = scannedFiles(after)
+    assert(scanned.size <= 3,
+      s"SQL point predicate scanned ${scanned.size}/16 files with the index")
+    // string column through the same path
+    BloomIndex.build(spark, t, "name", 2000)
+    val s = spark.read.format("lake").load(t)
+      .filter(col("name") === "doc-77")
+    assert(s.count() == 1 && scannedFiles(s).size <= 3)
+    // a range predicate on the bloomed column is untouched by the index
+    assert(spark.read.format("lake").load(t)
+      .filter(col("id") >= 4240L && col("id") <= 4244L).count() == 5)
+  }
+
   test("no false negatives across 50 sampled ids") {
     val t = freshTable()
     seed(t)
