@@ -2253,6 +2253,18 @@ object LakeTable {
         } finally files.close()
       }
     finally it.close()
-    deleted.result()
+    val gone = deleted.result()
+    // reclaim the deleted files' advisory Bloom sidecars ([[BloomIndex]]
+    // keys them by data-file rel, so a vacuumed file's sidecar is pure
+    // garbage; live files' sidecars are untouched)
+    val bloomRoot = root.resolve("_bloom")
+    if (Files.isDirectory(bloomRoot)) {
+      val cols = Files.list(bloomRoot)
+      try cols.iterator().asScala.filter(Files.isDirectory(_)).foreach { cd =>
+        gone.foreach(rel =>
+          Files.deleteIfExists(cd.resolve(rel.replace('/', '~'))))
+      } finally cols.close()
+    }
+    gone
   }
 }

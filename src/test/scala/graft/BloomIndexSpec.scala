@@ -137,6 +137,24 @@ class BloomIndexSpec extends SparkSpec {
       .filter(col("id") >= 4240L && col("id") <= 4244L).count() == 5)
   }
 
+  test("vacuum reclaims the sidecars of the files it deletes") {
+    import spark.implicits._
+    val t = freshTable()
+    seed(t)
+    BloomIndex.build(spark, t, "id", 2000)
+    val bloomDir = java.nio.file.Paths.get(t, "_bloom", "id")
+    assert(java.nio.file.Files.list(bloomDir).count() == 16)
+    // replace the table contents: the 16 seeded files leave the snapshot
+    LakeTable.overwrite(spark, t,
+      Seq((1L, "doc-1", 0L)).toDF("id", "name", "v"))
+    val latest = LakeTable.latestVersion(t).get
+    val gone = LakeTable.vacuum(t, latest, orphanMinAgeMs = 0L)
+    assert(gone.size >= 16, s"expected the 16 old files vacuumed, got ${gone.size}")
+    // their sidecars went with them; the read stays correct
+    assert(java.nio.file.Files.list(bloomDir).count() == 0)
+    assert(BloomIndex.snapshotPoint(spark, t, "id", 1L).count() == 1)
+  }
+
   test("no false negatives across 50 sampled ids") {
     val t = freshTable()
     seed(t)
