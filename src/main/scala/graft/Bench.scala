@@ -106,6 +106,8 @@ object Bench {
         () => graft.rel.RelQueries.prebuildBucketedTables(spark, sfDir)),
       ("lake_ingest", _.startsWith("rel_pricing_lake"),
         () => graft.rel.RelQueries.prebuildLakeTable(spark, sfDir)),
+      ("bloom_point_lake", _.startsWith("rel_point_lookup"),
+        () => graft.rel.RelQueries.prebuildPointLake(spark, sfDir)),
       ("mv_build", _.startsWith("rel_pricing_mv"),
         () => graft.rel.RelQueries.prebuildMv(spark, sfDir)))
     val indexBuilds: Seq[(String, Double)] = indexDefs

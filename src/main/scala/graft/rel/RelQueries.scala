@@ -608,6 +608,54 @@ object RelQueries {
     ()
   }
 
+  private val pointLakeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** One-time build of the Bloom point-lookup fixture: lineitem
+    * ingested into a lake table HASH-distributed on `l_orderkey` (16
+    * files, each spanning the whole key domain — the layout on which
+    * min/max range stats structurally cannot prune a point predicate),
+    * then Bloom-indexed on the key. Snapshot-keyed like every derived
+    * layout. */
+  private def pointLake(spark: SparkSession, dir: String): String = {
+    val key = s"${graft.DatasetCache.snapshotKey(spark, dir, "lineitem.parquet")}#bloom"
+    pointLakeCache.computeIfAbsent(key, { _ =>
+      val path = graft.DatasetCache.registerTempDir(
+        java.nio.file.Files.createTempDirectory("graft_lake_point").toString)
+      graft.lake.LakeTable.append(spark, path,
+        t(spark, dir, "lineitem").repartition(16, col("l_orderkey")))
+      graft.lake.BloomIndex.build(spark, path, "l_orderkey")
+      path
+    })
+  }
+
+  /** Force the one-time point-lake build (bench isolation hook). */
+  def prebuildPointLake(spark: SparkSession, dir: String): Unit = {
+    pointLake(spark, dir)
+    ()
+  }
+
+  /** Single-order point lookup THROUGH the lake's Bloom-sidecar data
+    * skipping: the DSv2 scan probes the per-file filters inside its
+    * file listing and reads ≤1-2 of the 16 hash-distributed files —
+    * the OLTP-ish needle query every warehouse still owes its users at
+    * 100 TB, served from metadata instead of a corpus scan.
+    * Layout-invariant: the oracle is the flat-parquet SQL. */
+  def pointLookup(orderkey: Long)(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("lake").load(pointLake(spark, dir))
+      .filter(col("l_orderkey") === orderkey)
+      .select(col("l_orderkey"), col("l_linenumber").cast(LongType).as("line"),
+        col("l_partkey"), col("l_quantity").cast(LongType).as("qty"),
+        cents("l_extendedprice").as("price_cents"))
+      .orderBy("line")
+
+  def pointLookupSql(orderkey: Long): String =
+    s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line, l_partkey,
+       | CAST(l_quantity AS BIGINT) AS qty,
+       | CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+       | FROM lineitem WHERE l_orderkey = $orderkey
+       | ORDER BY line""".stripMargin.replace("\n", " ")
+
   /** The Q1-shaped pricing summary read THROUGH the ACID table's
     * transaction-log snapshot instead of raw parquet — proving the lake
     * read path is a drop-in table source for the relational surface.
