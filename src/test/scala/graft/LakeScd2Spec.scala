@@ -98,6 +98,40 @@ class LakeScd2Spec extends SparkSpec {
     assert(LakeTable.history(t).map(_.op) == Seq("append", "merge"))
   }
 
+  test("streaming change batches maintain the SCD2 dimension via foreachBatch MERGE") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val t = freshTable()
+    LakeTable.append(spark, t, seedDim())
+    // a stream of (user_id, tier, ts_us) changes, applied per micro-batch
+    // as one transactional MERGE each — the streaming CDC→SCD2 pipeline
+    val mem = MemoryStream[(Long, Long, Long)]
+    val ckpt = Files.createTempDirectory("scd2_stream_ckpt").toString
+    val q = mem.toDF().toDF("user_id", "tier", "ts_us").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val delta = EventOps.scd2Delta(LakeTable.snapshot(spark, t), batch)
+        if (!delta.isEmpty) { LakeTable.merge(spark, t, delta, "dim_key"); () }
+      }
+      .start()
+    // three micro-batches; u1 changes twice ACROSS batches, u3 is new
+    Seq(Seq((1L, 3L, 50L)), Seq((3L, 1L, 60L), (2L, 0L, 65L)),
+        Seq((1L, 0L, 90L)))
+      .foreach { b => mem.addData(b); q.processAllAvailable() }
+    q.stop()
+    val rows = LakeTable.snapshot(spark, t)
+      .select("user_id", "tier", "version", "valid_from_us", "valid_to_us")
+      .collect()
+    tiling(rows)
+    val u1 = rows.filter(_.getLong(0) == 1L).sortBy(_.getLong(2))
+    assert(u1.map(r => (r.getLong(1), r.getLong(3), r.getLong(4))).toSeq ==
+      Seq((1L, 10L, 50L), (3L, 50L, 90L), (0L, 90L, Long.MaxValue)))
+    // the no-op change for u2 (already tier 0) committed nothing for it
+    assert(rows.count(_.getLong(0) == 2L) == 2)
+    assert(rows.filter(_.getLong(0) == 3L).map(_.getLong(2)).toSeq == Seq(1L))
+  }
+
   test("a second apply chains versions and stays tiled") {
     val t = freshTable()
     import spark.implicits._
