@@ -129,6 +129,30 @@ object EventOps {
        | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " ")
   }
 
+  /** Sliding-window DISTINCT users — the deduplicating variant of
+    * [[slidingRollup]] (active-users dashboards): count(DISTINCT
+    * user_id) per hopping 1 h/30 min window. Spark plans the distinct
+    * over the same map-side window Expand as a two-phase aggregate
+    * ((window, user) partial dedup, then the count) — two keyed
+    * shuffles, no self-join, state bounded by distinct (window, user)
+    * pairs. */
+  def slidingUsers(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(timestamp_micros(expr("ts div 1000")).as("et"), col("user_id"))
+      .groupBy(window(col("et"), "1 hour", "30 minutes"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("n_users"))
+      .orderBy("win_start_us")
+
+  val slidingUsersSql: String = {
+    val slideUs = 1800L * 1000000L
+    s"""SELECT (epoch_us(ts) // $slideUs) * $slideUs - o.off AS win_start_us,
+       | count(DISTINCT user_id) AS n_users
+       | FROM events CROSS JOIN (SELECT unnest([0, $slideUs]) AS off) o
+       | GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")
+  }
+
   /** CUBE report over (event type × hour-of-day): all four grouping
     * sets — the full cross-tab, row margins, column margins, grand
     * total — in ONE pass over the fact table (Spark expands the cube
