@@ -364,6 +364,32 @@ object Ivf {
        |  SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn FROM sc)
        |WHERE rn <= $k ORDER BY qid, rn""".stripMargin.replace("\n", " ")
 
+  /** Recall@k evaluation of the IVF index against the exact scan — the
+    * eval-harness query every ANN deployment runs before trusting an
+    * index (and re-runs on drift). Both arms already share the rounded
+    * (sim, vec_id) tie discipline and self-exclusion, so the
+    * intersection is deterministic; the result is ONE row of integer
+    * evidence (hits, recall in ppm). Cost = the two arms it measures;
+    * the join is on (qid, vec_id) over nq·k rows — negligible. */
+  def recallEval(nq: Long, k: Int, nprobe: Int)(
+      spark: SparkSession, dir: String): DataFrame = {
+    val exact = SimOps.topKMulti(nq.toInt, k)(spark, dir)
+      .select("qid", "vec_id")
+    val approx = topKBatch(nq, k, nprobe)(spark, dir)
+      .select("qid", "vec_id")
+    exact.join(approx, Seq("qid", "vec_id"))
+      .agg(count(lit(1)).as("hits"))
+      .select(lit(nq).as("n_queries"), lit(k.toLong).as("k"), col("hits"),
+        expr(s"hits * 1000000 div ${nq * k}").as("recall_ppm"))
+  }
+
+  def recallEvalSql(nq: Long, k: Int, nprobe: Int): String =
+    s"""SELECT CAST($nq AS BIGINT) AS n_queries, CAST($k AS BIGINT) AS k,
+       | CAST(count(*) AS BIGINT) AS hits,
+       | CAST(count(*) * 1000000 // ${nq * k} AS BIGINT) AS recall_ppm
+       | FROM (${SimOps.topKMultiSql(nq.toInt, k)}) e
+       | JOIN (${topKBatchSql(nq, k, nprobe)}) a USING (qid, vec_id)""".stripMargin.replace("\n", " ")
+
   // ---- DuckDB oracle: the same training chain in SQL -------------------
 
   /** Mechanically generated CTE chain for `steps` Lloyd iterations:

@@ -106,6 +106,9 @@ class HintAuditSpec extends SparkSpec {
     "emb_ivf_topk" -> (1, "probes = nprobe rows for one query vector"),
     "emb_ivf_topk_part" -> (1, "probes = nprobe rows for one query vector"),
     "emb_ivf_topk_batch" -> (1, "probes = nq × nprobe rows — batch-bounded"),
+    "emb_ivf_recall" -> (2,
+      "composes emb_topk_multi's nQueries-row query broadcast and " +
+        "emb_ivf_topk_batch's nq × nprobe probes — both request-bounded"),
     "emb_ivfpq_topk" -> (1, "q = 1 row (vec_id = literal)"),
     "emb_ivfsq8_topk" -> (1, "q = 1 row (vec_id = literal)"),
     "emb_pq_rerank" -> (1, "q = 1 row (vec_id = literal)"),
