@@ -340,6 +340,39 @@ object LakeTable {
     * version file. Content is fully durable before publication (written
     * to a temp file, published by hard-link creation — one atomic
     * syscall that fails if the target exists). */
+  /** Zero-copy CLONE of `src`'s current snapshot into a NEW table at
+    * `dst`: every live data file (and DV sidecar) HARDLINKS into `dst`
+    * under its original rel path, and one v1 commit registers them with
+    * their log stats, the source's schema, and its props (constraints +
+    * column tombstones) carried over. No data copied, no scan run —
+    * O(files) metadata work, the dev/test-snapshot verb at 100 TB.
+    *
+    * Hardlinks make this STRONGER than a path-sharing shallow clone
+    * (Delta's shallow clone breaks when the source vacuums): each
+    * side's vacuum unlinks its own name and the inode survives until
+    * the last reference drops, so the clone stays readable whatever
+    * the source does — while still writing zero data bytes. Bloom
+    * sidecars are advisory and rebuildable; the clone starts
+    * unindexed. */
+  def cloneTable(src: String, dst: String): Long = {
+    val (all, schemaJson) = snapshotFilesWithStats(src, None)
+    require(schemaJson.isDefined, s"no such table: $src")
+    require(latestVersion(dst).isEmpty, s"clone target already exists: $dst")
+    val (srcRoot, dstRoot) = (Paths.get(src), Paths.get(dst))
+    all.foreach { case (e, _) =>
+      val p = parseEntry(e)
+      (p.data +: p.dv.toSeq).foreach { rel =>
+        val to = dstRoot.resolve(rel)
+        Files.createDirectories(to.getParent)
+        if (!Files.exists(to)) Files.createLink(to, srcRoot.resolve(rel))
+      }
+    }
+    val ok = tryCommit(dst, Commit(1L, "clone", all.map(_._1), Seq.empty,
+      schemaJson.get, addStats = all.map(_._2), props = currentProps(src)))
+    require(ok, s"clone target already exists: $dst")
+    1L
+  }
+
   private def tryCommit(table: String, c: Commit): Boolean = {
     Files.createDirectories(logDir(table))
     // every commit re-asserts the table props (constraints): only the
