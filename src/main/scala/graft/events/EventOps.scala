@@ -923,9 +923,26 @@ object EventOps {
       coalesce(col("cur_version") + 1, lit(1L)).as("version"),
       col("ts_us").as("valid_from_us"),
       lit(Long.MaxValue).as("valid_to_us"))
+    // surrogate-key domain: dim_key = user_id * 10^6 + version is
+    // injective only while version < 10^6 and user_id fits the Long
+    // headroom — a silent collision would corrupt MERGE matching, so
+    // out-of-domain rows fail loudly instead (assert_true throws)
+    val keyOk = col("version") < lit(Scd2VersionCap) &&
+      col("user_id").between(lit(0L), lit(Long.MaxValue / Scd2VersionCap - 1))
     closed.unionByName(fresh)
-      .withColumn("dim_key", col("user_id") * lit(1000000L) + col("version"))
+      .withColumn("dim_key",
+        when(assert_true(keyOk, concat(
+          lit(s"scd2Delta: surrogate key out of domain (need 0 <= user_id " +
+            s"< ${Long.MaxValue / Scd2VersionCap} and version < " +
+            s"$Scd2VersionCap), got user_id="),
+          col("user_id"), lit(" version="), col("version"))).isNull,
+          col("user_id") * lit(Scd2VersionCap) + col("version")))
   }
+
+  /** `dim_key = user_id * Scd2VersionCap + version`: the versions-per-
+    * user bound that keeps the SCD2 surrogate key injective (enforced
+    * per row in [[scd2Delta]]). */
+  val Scd2VersionCap: Long = 1000000L
 
   /** Per-user moving sum over a 3-row frame (2 preceding + current) in
     * event-time order — the frame-based window shape (moving averages,

@@ -18,16 +18,22 @@ import org.apache.spark.util.sketch.BloomFilter
   *
   * The index is a directory of per-file sidecars
   * (`table/_bloom/<column>/<fileId>`), each the serialized
-  * `org.apache.spark.util.sketch.BloomFilter` over that file's
-  * DV-applied 64-bit value hashes. Correctness leans on the log's file
-  * IMMUTABILITY (every verb adds/removes whole entries, never edits a
-  * file in place): a sidecar can never go stale, files added after the
-  * build simply have no sidecar and are scanned conservatively, and a
-  * DV added later only makes the filter over-approximate — Bloom
-  * filters have no false negatives, and the row-level predicate after
-  * the scan stays exact. Sidecars are advisory metadata: no log
-  * commit; a crash mid-build leaves a partial index that is correct
-  * for the files it covers.
+  * `org.apache.spark.util.sketch.BloomFilter` over that file's RAW
+  * PHYSICAL 64-bit value hashes — deletion vectors deliberately NOT
+  * applied at build time, so the filter over-approximates EVERY
+  * snapshot of the immutable file. That is what makes the
+  * version-agnostic probe in [[LakeFileIndex.listFiles]] safe: a
+  * `versionAsOf` read of a snapshot predating a DV still probes
+  * positive for the value the DV later masked (hashing DV-applied rows
+  * would be a false negative for exactly that time-travel read).
+  * Correctness leans on the log's file IMMUTABILITY (every verb
+  * adds/removes whole entries, never edits a file in place): a sidecar
+  * can never go stale, files added after the build simply have no
+  * sidecar and are scanned conservatively, and a DV — whenever added —
+  * only makes the filter over-approximate; Bloom filters have no false
+  * negatives, and the row-level predicate after the scan stays exact.
+  * Sidecars are advisory metadata: no log commit; a crash mid-build
+  * leaves a partial index that is correct for the files it covers.
   *
   * Values bloom through ONE uniform path — `xxhash64` of the column
   * (integrals cast to LONG first so int/long spellings of the same id
@@ -49,9 +55,16 @@ object BloomIndex {
   private def indexDir(table: String, column: String): Path =
     Paths.get(table, "_bloom", column)
 
-  /** Sidecar file for a data entry's REL path (`stage-sub/name`). */
+  /** Injective flattening of a data entry's REL path (`stage-sub/name`)
+    * to a sidecar file name: `~` escapes first (`~` → `~~`, `/` → `~s`)
+    * so `a/b~c` and `a~b/c` cannot collide on one sidecar — a shared
+    * filter would prune incorrectly for one of the two files. */
+  private[lake] def sidecarName(rel: String): String =
+    rel.replace("~", "~~").replace("/", "~s")
+
+  /** Sidecar file for a data entry's REL path. */
   private def sidecar(table: String, column: String, rel: String): Path =
-    indexDir(table, column).resolve(rel.replace('/', '~'))
+    indexDir(table, column).resolve(sidecarName(rel))
 
   /** The uniform 64-bit value hash, as a COLUMN (build side). */
   private def hashCol(f: StructField): org.apache.spark.sql.Column =
@@ -105,8 +118,10 @@ object BloomIndex {
       .filter(e => !Files.exists(
         sidecar(table, f.name, LakeTable.parseEntry(e).data)))
     if (todo.isEmpty) return 0
+    // RAW physical rows: see the class doc — the filter must cover
+    // every snapshot of the file, including ones predating current DVs
     val perFile = LakeTable
-      .readEntriesWithRel(spark, table, todo, schema)
+      .readEntriesRawWithRel(spark, table, todo, schema)
       .select(col(LakeTable.RelCol).as("rel"), hashCol(f).as("h"))
       .groupBy("rel")
       .agg(call_function("graft_bloom_agg", col("h"),

@@ -124,6 +124,12 @@ class LakeCatalog extends TableCatalog {
     val dir = dirOf(ident)
     if (LakeTable.latestVersion(dir).isEmpty) throw new NoSuchTableException(ident)
     changes.foreach {
+      // NOT NULL would silently commit as nullable (old files null-fill
+      // added columns, so the constraint is unenforceable) — refuse
+      // rather than half-translate, like every other unsupported shape
+      case a: TableChange.AddColumn if !a.isNullable() =>
+        refuseDdl("ALTER TABLE ADD COLUMN ... NOT NULL (existing rows " +
+          "null-fill added columns, so the constraint cannot hold)")
       case a: TableChange.AddColumn
           if a.fieldNames.length == 1 && a.position() == null =>
         LakeTable.addColumn(dir, a.fieldNames.head, a.dataType())

@@ -1837,6 +1837,28 @@ object LakeTable {
       entries: Seq[String], schema: StructType): DataFrame =
     readEntriesWithRel(spark, table, entries, schema).drop(RelCol)
 
+  /** Raw PHYSICAL read of entries' data files — deletion vectors are
+    * deliberately NOT applied — with the `__lake_rel` provenance column.
+    * The Bloom index build hashes THESE rows: a sidecar must
+    * over-approximate EVERY snapshot of its immutable file, and a
+    * `versionAsOf` read of a snapshot predating a DV must still probe
+    * positive for the value that DV later masked. Hashing the
+    * DV-applied rows would be a Bloom false NEGATIVE for exactly that
+    * time-travel read. */
+  private[lake] def readEntriesRawWithRel(spark: SparkSession, table: String,
+      entries: Seq[String], schema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val parsed = entries.map(parseEntry)
+    if (parsed.isEmpty)
+      return emptyDf(spark, StructType(schema.fields :+
+        org.apache.spark.sql.types.StructField(RelCol,
+          org.apache.spark.sql.types.StringType)))
+    spark.read.schema(schema)
+      .parquet(parsed.map(e => s"$table/${e.data}"): _*)
+      .withColumn(RelCol, relFileCol)
+      .select((schema.fieldNames.toSeq :+ RelCol).map(col): _*)
+  }
+
   /** Merge-on-read DELETE: rows with `column ∈ [lo, hi]` are masked by a
     * deletion-vector sidecar instead of rewriting the data files — the
     * industry answer to point deletes at 100 TB, where copy-on-write
@@ -2295,7 +2317,7 @@ object LakeTable {
       val cols = Files.list(bloomRoot)
       try cols.iterator().asScala.filter(Files.isDirectory(_)).foreach { cd =>
         gone.foreach(rel =>
-          Files.deleteIfExists(cd.resolve(rel.replace('/', '~'))))
+          Files.deleteIfExists(cd.resolve(BloomIndex.sidecarName(rel))))
       } finally cols.close()
     }
     gone

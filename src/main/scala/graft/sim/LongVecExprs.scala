@@ -50,6 +50,8 @@ case class LongVecSqDistW(a: Expression, b: Expression, w: Expression)
   override protected def nullSafeEval(x: Any, y: Any, z: Any): Any = {
     val av = x.asInstanceOf[ArrayData]
     val bv = y.asInstanceOf[ArrayData]
+    LongVecExprs.checkLen(av.numElements(), wArr.length, "sq8_adc_dist")
+    LongVecExprs.checkLen(bv.numElements(), wArr.length, "sq8_adc_dist")
     var s = 0L
     var i = 0
     while (i < wArr.length) {
@@ -67,6 +69,8 @@ case class LongVecSqDistW(a: Expression, b: Expression, w: Expression)
       val i = ctx.freshName("i")
       val d = ctx.freshName("d")
       s"""
+         |graft.sim.LongVecExprs.checkLen($av.numElements(), ${wArr.length}, "sq8_adc_dist");
+         |graft.sim.LongVecExprs.checkLen($bv.numElements(), ${wArr.length}, "sq8_adc_dist");
          |long $s = 0L;
          |for (int $i = 0; $i < ${wArr.length}; $i++) {
          |  long $d = ($av.getLong($i) - $bv.getLong($i)) * $wRef[$i];
@@ -119,6 +123,7 @@ case class LongVecCenterDot(a: Expression, q: Expression, shift: Expression)
 
   override protected def nullSafeEval(x: Any, y: Any, z: Any): Any = {
     val av = x.asInstanceOf[ArrayData]
+    LongVecExprs.checkLen(av.numElements(), qArr.length, "center_dot")
     var s = 0L
     var i = 0
     while (i < qArr.length) {
@@ -134,6 +139,7 @@ case class LongVecCenterDot(a: Expression, q: Expression, shift: Expression)
       val s = ctx.freshName("s")
       val i = ctx.freshName("i")
       s"""
+         |graft.sim.LongVecExprs.checkLen($av.numElements(), ${qArr.length}, "center_dot");
          |long $s = 0L;
          |for (int $i = 0; $i < ${qArr.length}; $i++) {
          |  $s += ($av.getLong($i) - ${shiftV}L) * $qRef[$i];
@@ -224,6 +230,25 @@ case class FloatVecQuantize(a: Expression, shift: Expression, scale: Expression)
 }
 
 object LongVecExprs {
+  /** Runtime domain check shared by eval and codegen: the kernels are
+    * session-REGISTERED SQL functions that loop to the literal side's
+    * length, so a SQL caller passing a shorter row-side array would
+    * read UnsafeArrayData out of bounds — silent garbage. Array lengths
+    * are data, not types, so this is the row-time counterpart of
+    * [[graft.functions.Md5Prefix]]'s analysis-time domain validation. */
+  def checkLen(actual: Int, expected: Int, fn: String): Unit =
+    if (actual < expected) throw new IllegalArgumentException(
+      s"$fn: row-side array has $actual elements, expected >= $expected")
+
+  /** proj_sqdist's domain: the b vector must cover a's length, and the
+    * sign matrix must hold whole rows of that length. */
+  def checkProjDim(bLen: Int, dim: Int, sLen: Int): Unit = {
+    if (dim <= 0 || sLen % dim != 0) throw new IllegalArgumentException(
+      s"proj_sqdist: sign matrix of $sLen elements is not a whole number " +
+        s"of rows of the input dimension $dim")
+    checkLen(bLen, dim, "proj_sqdist")
+  }
+
   /** Register the kernels in the session registry (idempotent). */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -285,6 +310,7 @@ case class LongVecProjSqDist(a: Expression, b: Expression, s: Expression)
     val av = x.asInstanceOf[ArrayData]
     val bv = y.asInstanceOf[ArrayData]
     val dim = av.numElements()
+    LongVecExprs.checkProjDim(bv.numElements(), dim, sArr.length)
     val rdim = sArr.length / dim
     var sum = 0L
     var r = 0
@@ -315,6 +341,7 @@ case class LongVecProjSqDist(a: Expression, b: Expression, s: Expression)
       s"""
          |long $sum = 0L;
          |int $dim = $av.numElements();
+         |graft.sim.LongVecExprs.checkProjDim($bv.numElements(), $dim, ${sArr.length});
          |int $rdim = ${sArr.length} / $dim;
          |for (int $r = 0; $r < $rdim; $r++) {
          |  long $t = 0L;

@@ -155,6 +155,27 @@ class BloomIndexSpec extends SparkSpec {
     assert(BloomIndex.snapshotPoint(spark, t, "id", 1L).count() == 1)
   }
 
+  test("time travel to a pre-DV snapshot stays exact: sidecars hash raw physical rows") {
+    val t = freshTable()
+    seed(t)
+    val v0 = LakeTable.latestVersion(t).get
+    LakeTable.deleteWhereDV(spark, t, "id", 4242.0, 4242.0)
+    // build AFTER the delete: were the build DV-applied, 4242 would be
+    // missing from its file's filter and the pinned read below would
+    // silently lose the row to a Bloom false negative
+    BloomIndex.build(spark, t, "id", 2000)
+    // latest (DV-applied, via the snapshot API — the DSv2 scan refuses
+    // DV-carrying snapshots): deleted
+    assert(LakeTable.snapshot(spark, t)
+      .filter(col("id") === 4242L).count() == 0, "latest must see the delete")
+    assert(BloomIndex.snapshotPoint(spark, t, "id", 4242L).count() == 0,
+      "the bloom point read of the latest snapshot must see the delete")
+    val pinned = spark.read.format("lake").option("versionAsOf", v0).load(t)
+      .filter(col("id") === 4242L)
+    assert(pinned.count() == 1,
+      "bloom pruning dropped a row visible in the pinned pre-delete snapshot")
+  }
+
   test("no false negatives across 50 sampled ids") {
     val t = freshTable()
     seed(t)

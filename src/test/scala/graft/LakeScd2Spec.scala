@@ -60,6 +60,28 @@ class LakeScd2Spec extends SparkSpec {
       s"got $got")
   }
 
+  test("surrogate keys out of the injective domain fail loudly, never collide") {
+    import spark.implicits._
+    // u1 already at version 999999: the bump to 1000000 would collide
+    // with (user_id+1, version 0) under dim_key = uid * 10^6 + version
+    val dim = Seq((1L, 1L, EventOps.Scd2VersionCap - 1, 10L, Long.MaxValue))
+      .toDF("user_id", "tier", "version", "valid_from_us", "valid_to_us")
+      .withColumn("dim_key",
+        col("user_id") * lit(EventOps.Scd2VersionCap) + col("version"))
+    val change = Seq((1L, 3L, 50L)).toDF("user_id", "tier", "ts_us")
+    val e = intercept[Exception] {
+      EventOps.scd2Delta(dim, change).collect()
+    }
+    assert(e.getMessage.contains("surrogate key out of domain") ||
+      Option(e.getCause).exists(_.getMessage.contains("surrogate key out of domain")),
+      s"expected the domain assert, got: ${e.getMessage}")
+    // a user_id past the Long headroom fails the same way
+    val dim2 = seedDim()
+    val huge = Seq((Long.MaxValue / EventOps.Scd2VersionCap + 1, 3L, 50L))
+      .toDF("user_id", "tier", "ts_us")
+    intercept[Exception] { EventOps.scd2Delta(dim2, huge).collect() }
+  }
+
   test("stale changes (ts not after the open start) drop out") {
     import spark.implicits._
     val dim = seedDim()

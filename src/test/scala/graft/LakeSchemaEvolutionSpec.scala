@@ -174,6 +174,15 @@ class LakeSchemaEvolutionSpec extends SparkSpec {
       spark.sql("ALTER TABLE evlake.ns.ev RENAME COLUMN id TO id2")
     }
     assert(e.getMessage.contains("not supported"))
+    // NOT NULL adds refuse instead of silently committing nullable:
+    // existing rows null-fill added columns, the constraint cannot hold
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE evlake.ns.ev ADD COLUMN req BIGINT NOT NULL")
+    }
+    assert(e2.getMessage.contains("NOT NULL"),
+      s"NOT NULL add must refuse, got: ${e2.getMessage}")
+    assert(!spark.table("evlake.ns.ev").schema.fieldNames.contains("req"),
+      "a refused ADD COLUMN must not commit")
     // and VERSION AS OF still pairs old files with the old schema
     assert(spark.sql("SELECT * FROM evlake.ns.ev VERSION AS OF 1")
       .schema.fieldNames.toSeq == Seq("id", "v"))

@@ -347,4 +347,32 @@ class RetrievalOpsSpec extends SparkSpec {
     assert(countShuffles(df) == 0,
       s"projection + shortlist + broadcast rerank needs no exchange:\n$plan")
   }
+
+  test("kernel domain guards: short row-side arrays throw instead of reading out of bounds") {
+    // the kernels are session-registered SQL functions that loop to the
+    // LITERAL side's length — a shorter row-side array must fail loudly,
+    // not return garbage from UnsafeArrayData out-of-bounds reads
+    graft.sim.LongVecExprs.register(spark)
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    def fails(sql: String): Unit = {
+      val e = intercept[Exception] { spark.sql(sql).collect() }
+      assert(messages(e).exists(m =>
+        m.contains("elements") || m.contains("sign matrix")),
+        s"expected the length guard for `$sql`, got: $e")
+    }
+    fails("SELECT sq8_adc_dist(array(1L,2L), array(1L,2L,3L), array(1L,1L,1L))")
+    fails("SELECT sq8_adc_dist(array(1L,2L,3L), array(1L), array(1L,1L,1L))")
+    fails("SELECT center_dot(array(1L), array(1L,2L,3L), 0L)")
+    fails("SELECT proj_sqdist(array(1L,2L), array(1L), array(1L,1L,1L,1L))")
+    // a sign matrix that is not whole rows of the input dimension
+    fails("SELECT proj_sqdist(array(1L,2L), array(1L,2L), array(1L,1L,1L))")
+    // in-domain calls still compute
+    assert(spark.sql("SELECT center_dot(array(3L,4L), array(1L,1L), 1L) AS v")
+      .head().getLong(0) == 5L)
+    assert(spark.sql(
+      "SELECT sq8_adc_dist(array(3L,4L), array(1L,2L), array(2L,2L)) AS v")
+      .head().getLong(0) == 32L)
+  }
 }
