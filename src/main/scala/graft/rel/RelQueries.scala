@@ -1460,4 +1460,67 @@ object RelQueries {
        |  GROUP BY 1, 2)
        | WHERE cnt >= $CopurchaseSupport
        | ORDER BY cnt DESC, p1 ASC, p2 ASC LIMIT $k""".stripMargin.replace("\n", " ")
+
+  /** Triangle enumeration over the support-filtered co-purchase graph —
+    * the graph-analytics step behind affinity bundles ("these THREE
+    * parts sell together") and local clustering coefficients, on the
+    * same edges [[copurchase]] mines.
+    *
+    * Scale design: edges are DEGREE-ORIENTED — each undirected edge
+    * points from its lower (degree, id) endpoint to the higher — before
+    * the wedge join, the standard trick that bounds every vertex's
+    * out-degree by O(√m), so wedge fan-out (and with it total pair
+    * work, O(m^1.5)) is independent of how hot the hottest part is; the
+    * naive id-orientation would instead fan out quadratically at a
+    * best-selling part. Output triples are canonicalized (sorted by
+    * id), so the oracle can enumerate the SAME set with the simpler
+    * id-orientation: both find every triangle exactly once. Three keyed
+    * equi-joins on an edge set the support threshold already bounds —
+    * no hints, AQE picks strategies; output is triangle-proportional by
+    * definition. */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(collect_set(col("l_partkey")).as("parts"))
+      .select(explode(col("parts")).as("p1"), col("parts"))
+      .select(col("p1"), explode(col("parts")).as("p2"))
+      .filter(col("p1") < col("p2"))
+      .groupBy("p1", "p2")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= CopurchaseSupport)
+      .select("p1", "p2")
+    val deg = e.select(col("p1").as("p"))
+      .unionByName(e.select(col("p2").as("p")))
+      .groupBy("p").agg(count(lit(1)).as("deg"))
+    val ed = e
+      .join(deg.select(col("p").as("p1"), col("deg").as("d1")), Seq("p1"))
+      .join(deg.select(col("p").as("p2"), col("deg").as("d2")), Seq("p2"))
+    val fwd = col("d1") < col("d2") ||
+      (col("d1") === col("d2") && col("p1") < col("p2"))
+    val oriented = ed.select(
+      when(fwd, col("p1")).otherwise(col("p2")).as("u"),
+      when(fwd, col("p2")).otherwise(col("p1")).as("v"))
+    // triangle {a,b,c} ordered by (deg,id) has oriented edges a→b, a→c,
+    // b→c: join wedges at the pivot, then close on the (x,z) edge
+    val e1 = oriented.select(col("u").as("x"), col("v").as("y"))
+    val e2 = oriented.select(col("u").as("y"), col("v").as("z"))
+    val e3 = oriented.select(col("u").as("x"), col("v").as("z"))
+    val lo = least(col("x"), col("y"), col("z"))
+    val hi = greatest(col("x"), col("y"), col("z"))
+    e1.join(e2, Seq("y")).join(e3, Seq("x", "z"))
+      .select(lo.as("p1"), (col("x") + col("y") + col("z") - lo - hi).as("p2"),
+        hi.as("p3"))
+      .orderBy("p1", "p2", "p3")
+  }
+
+  val trianglesSql: String =
+    s"""WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       | e AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+       |  FROM d a JOIN d b
+       |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= $CopurchaseSupport)
+       | SELECT e1.p1 AS p1, e1.p2 AS p2, e2.p2 AS p3
+       | FROM e e1 JOIN e e2 ON e1.p2 = e2.p1
+       |  JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+       | ORDER BY p1, p2, p3""".stripMargin.replace("\n", " ")
 }

@@ -411,4 +411,84 @@ object SimOps {
        | SELECT vec_id, round(${dotSql("embedding", "qe")}, 6) AS sim
        | FROM e, q WHERE bit_count(xor(bucket, qb)) <= 1 AND vec_id != $queryId
        | ORDER BY sim DESC, vec_id ASC LIMIT $k""".stripMargin.replace("\n", " ")
+
+  // ---- cluster-balanced curation ---------------------------------------
+
+  /** Cluster-balanced (semantically stratified) sampling: keep
+    * `ceil(fracPpm/1e6 · |cell|)` members of EVERY quantizer cell,
+    * chosen by a deterministic per-id hash order — the training-data
+    * curation step that downsamples a corpus while PRESERVING its
+    * semantic diversity (uniform sampling over-represents dense topic
+    * clusters; per-cell quotas keep the tail topics; cf. the
+    * cluster-based selection in SemDeDup/DSIR-style pipelines).
+    *
+    * Scale shape: the cell assignment is the map-only [[NearestCell]]
+    * scan over [[Ivf]]'s corpus-derived quantizer; then ONE shuffle on
+    * `cid` where a single window pass ranks members by
+    * `(md5-hash, vec_id)` and counts the cell — both over cells the
+    * derived-K knob keeps ~[[Ivf.TargetCell]]-sized, so no window
+    * partition grows with the corpus. Quota arithmetic is integer ppm
+    * (exact in both engines); output is ~frac·n rows, map-filtered in
+    * the same pass. */
+  def clusterSample(fracPpm: Long)(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.Md5Prefix.register(spark)
+    val a = SemDedup.assignment(spark, dir).select(col("vec_id"), col("cid"))
+    val byCell = Window.partitionBy("cid")
+    val hk = call_function("md5_prefix",
+      col("vec_id").cast("string"), lit(1), lit(15))
+    a.withColumn("rn", row_number()
+        .over(byCell.orderBy(hk, col("vec_id"))).cast(LongType))
+      .withColumn("n", count(lit(1)).over(byCell))
+      .filter(col("rn") <= expr(s"(n * $fracPpm + 999999L) div 1000000L"))
+      .select(col("vec_id"), col("cid"))
+      .orderBy("vec_id")
+  }
+
+  def clusterSampleSql(fracPpm: Long): String =
+    s"""WITH ${Ivf.chainSql(Ivf.LloydSteps, Ivf.derivedKSql)},
+       |r AS (SELECT vec_id, cid,
+       |  CAST(row_number() OVER (PARTITION BY cid
+       |    ORDER BY CAST('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15) AS BIGINT), vec_id) AS BIGINT) AS rn,
+       |  count(*) OVER (PARTITION BY cid) AS n
+       | FROM afin)
+       |SELECT vec_id, cid FROM r
+       |WHERE rn <= (n * $fracPpm + 999999) // 1000000
+       |ORDER BY vec_id""".stripMargin.replace("\n", " ")
+
+  /** Top-`topN` terms per quantizer cell — the cluster "topic labeling"
+    * pass a curation pipeline runs to inspect WHAT each semantic cell
+    * holds before keeping/dropping/reweighting it (the human-auditable
+    * face of [[clusterSample]] / SemDeDup decisions).
+    *
+    * Scale shape: one keyed equi-join of documents to their cell (the
+    * assignment side is the map-only quantizer scan; AQE picks the join
+    * strategy), explode + map-side-combined (cid, term) counting, then
+    * a rank window whose partitions are per-cell VOCABULARIES — bounded
+    * by cell size · doc length, never corpus-sized, because the
+    * derived-K knob keeps cells ~[[Ivf.TargetCell]] docs. */
+  def clusterTerms(topN: Int)(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = SemDedup.assignment(spark, dir).select(col("vec_id"), col("cid"))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val tf = docs.join(a, docs("doc_id") === a("vec_id"))
+      .select(col("cid"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("cid", "term")
+      .agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy("cid").orderBy(col("tf").desc, col("term").asc)
+    tf.withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= topN)
+      .orderBy("cid", "rn")
+  }
+
+  def clusterTermsSql(topN: Int): String =
+    s"""WITH ${Ivf.chainSql(Ivf.LloydSteps, Ivf.derivedKSql)},
+       |t AS (SELECT a.cid, unnest(string_split(d.text, ' ')) AS term
+       |  FROM documents d JOIN afin a ON d.doc_id = a.vec_id),
+       |tf AS (SELECT cid, term, count(*) AS tf FROM t GROUP BY 1, 2),
+       |r AS (SELECT cid, term, tf,
+       |  CAST(row_number() OVER (PARTITION BY cid ORDER BY tf DESC, term ASC) AS BIGINT) AS rn FROM tf)
+       |SELECT cid, term, tf, rn FROM r WHERE rn <= $topN
+       |ORDER BY cid, rn""".stripMargin.replace("\n", " ")
 }
