@@ -14,12 +14,16 @@ import org.apache.spark.sql.types._
   * source's row-level change feed since the last refresh into the stored
   * state: cost is O(changes + view size), never O(source size).
   *
-  * Maintained aggregates are the self-maintainable ones — `count(*)` and
-  * `sum(measure)` per group (plus per-measure non-null counts, so
-  * SQL's null-when-no-non-null-input semantics survive deletion back to
-  * zero). `avg` is derivable (`sum/cnt`); `min`/`max` are NOT
-  * incrementally maintainable under deletes without full per-group
-  * history and are refused at create time.
+  * Maintained aggregates: `count(*)` and `sum(measure)` per group (plus
+  * per-measure non-null counts, so SQL's null-when-no-non-null-input
+  * semantics survive deletion back to zero) are self-maintainable under
+  * EVERY change type. `avg` is derivable (`sum/cnt`). `min`/`max` are
+  * maintainable only under growth — a delete can remove the current
+  * extremum, which no summary short of per-group history can repair —
+  * so a view that declares min/max columns folds INSERT-ONLY change
+  * ranges incrementally (the dominant append workload) and falls back
+  * to a full recompute whenever the range carries a delete or update:
+  * exact always, incremental whenever theory permits.
   *
   * Change semantics: an `insert`/`update_postimage` row carries weight
   * +1, a `delete`/`update_preimage` row weight −1 — the classic
@@ -48,12 +52,19 @@ object MaterializedView {
   private[lake] val CntCol = "_mv_cnt"
   private def sumName(c: String) = s"_mv_sum_$c"
   private def nnName(c: String) = s"_mv_nn_$c"
+  private def minName(c: String) = s"_mv_min_$c"
+  private def maxName(c: String) = s"_mv_max_$c"
+
+  /** How the last [[refresh]] landed — observability for specs pinning
+    * that appends stay incremental and deletes trigger the min/max
+    * recompute fallback. "incremental" | "full" | "noop". */
+  private[graft] var lastRefreshMode: String = ""
 
   /** Sidecar carrying the view definition (written once at create). */
   private def specFile(view: String) = Paths.get(view, "_mv_spec")
 
   final case class Spec(source: String, groupCols: Seq[String],
-      sumCols: Seq[String])
+      sumCols: Seq[String], minMaxCols: Seq[String] = Nil)
 
   /** Define the view over `source` and build its initial state at the
     * source's current version. Validates the definition against the
@@ -61,7 +72,8 @@ object MaterializedView {
     * measures refuse loudly) so a bad definition cannot fail at the
     * first refresh instead. */
   def create(spark: SparkSession, view: String, source: String,
-      groupCols: Seq[String], sumCols: Seq[String]): Long = {
+      groupCols: Seq[String], sumCols: Seq[String],
+      minMaxCols: Seq[String] = Nil): Long = {
     require(groupCols.nonEmpty, "materialized view: at least one group column")
     require(!Files.exists(specFile(view)), s"view already exists: $view")
     val schemaJson = LakeTable.snapshotFiles(source, None)._2.getOrElse(
@@ -86,9 +98,20 @@ object MaterializedView {
           s"materialized view: measure `${f.name}` is $other, not numeric")
       }
     }
-    (g ++ s).foreach(c => require(!c.contains(",") && !c.contains("\n"),
+    val mm = minMaxCols.map { c =>
+      val f = resolve(c)
+      f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType |
+            FloatType | DoubleType | StringType | TimestampType |
+            DateType | _: DecimalType => f.name
+        case other => throw new IllegalArgumentException(
+          s"materialized view: min/max column `${f.name}` is $other, " +
+            "not an orderable scalar")
+      }
+    }
+    (g ++ s ++ mm).foreach(c => require(!c.contains(",") && !c.contains("\n"),
       s"materialized view: column name `$c` must not contain ',' or newline"))
-    writeSpec(view, Spec(source, g, s))
+    writeSpec(view, Spec(source, g, s, mm))
     refresh(spark, view).getOrElse(
       throw new IllegalStateException(s"initial build of $view produced no commit"))
   }
@@ -108,17 +131,28 @@ object MaterializedView {
     val viewV = LakeTable.latestVersion(view)
     val from = viewV.flatMap(v =>
       LakeTable.lastTxnVersion(view, MvApp, Some(v))).getOrElse(0L)
-    if (latest <= from) return None
+    if (latest <= from) { lastRefreshMode = "noop"; return None }
+    val incremental = from > 0 &&
+      LakeTable.changeFeedCovers(sp.source, from, latest) && {
+        // min/max views fold only GROWTH: a delete/update in the range
+        // can remove a group's current extremum, which the stored state
+        // cannot repair — recompute instead (exact always)
+        sp.minMaxCols.isEmpty || LakeTable.changeFeed(spark, sp.source, from, latest)
+          .filter(col(LakeTable.CdcTypeCol) =!= "insert").isEmpty
+      }
     val state =
-      if (from > 0 && LakeTable.changeFeedCovers(sp.source, from, latest)) {
+      if (incremental) {
+        lastRefreshMode = "incremental"
         val feed = LakeTable.changeFeed(spark, sp.source, from, latest)
         val w = when(col(LakeTable.CdcTypeCol)
           .isin("insert", "update_postimage"), 1L).otherwise(-1L)
         merge(LakeTable.snapshot(spark, view, viewV), aggState(feed, sp, w), sp)
-      } else
+      } else {
         // re-sync: full recompute pinned AT `latest` (a writer racing past
         // it must not leak rows the token doesn't cover)
+        lastRefreshMode = "full"
         aggState(LakeTable.snapshot(spark, sp.source, Some(latest)), sp, lit(1L))
+      }
     LakeTable.overwriteIdempotent(spark, view, state, MvApp, latest)
   }
 
@@ -131,7 +165,9 @@ object MaterializedView {
     st.select(sp.groupCols.map(col) ++ Seq(col(CntCol).as("cnt")) ++
       sp.sumCols.map(c =>
         when(col(nnName(c)) > 0, col(sumName(c))).otherwise(lit(null))
-          .as(s"sum_$c")): _*)
+          .as(s"sum_$c")) ++
+      sp.minMaxCols.flatMap(c => Seq(
+        col(minName(c)).as(s"min_$c"), col(maxName(c)).as(s"max_$c"))): _*)
   }
 
   /** Source version the stored state reflects (0 = never refreshed). */
@@ -145,7 +181,11 @@ object MaterializedView {
   private def aggState(df: DataFrame, sp: Spec, w: Column): DataFrame = {
     val aggs = Seq(sum(w).as(CntCol)) ++ sp.sumCols.flatMap(c => Seq(
       sum(col(c) * w).as(sumName(c)),
-      sum(when(col(c).isNotNull, w).otherwise(0L)).as(nnName(c))))
+      sum(when(col(c).isNotNull, w).otherwise(0L)).as(nnName(c)))) ++
+      // weight-free by construction: this path only ever sees +1 rows
+      // (full recompute, or a feed the insert-only gate has vetted)
+      sp.minMaxCols.flatMap(c => Seq(
+        min(col(c)).as(minName(c)), max(col(c)).as(maxName(c))))
     val grouped = df.groupBy(sp.groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
     sp.sumCols.foldLeft(grouped) { (acc, c) =>
@@ -167,11 +207,20 @@ object MaterializedView {
       val t = old.schema(c).dataType
       coalesce(old(c), lit(0).cast(t)) + coalesce(d(s"_d_$c"), lit(0).cast(t))
     }
+    // null-safe extremum fold: null state = "no non-null value yet", so
+    // the other side wins; both non-null take least/greatest
+    def fold(c: String, f: (Column, Column) => Column): Column =
+      when(old(c).isNull, d(s"_d_$c"))
+        .when(d(s"_d_$c").isNull, old(c))
+        .otherwise(f(old(c), d(s"_d_$c")))
     val stateCols =
       sp.groupCols.map(c => coalesce(old(c), d(s"_d_$c")).as(c)) ++
         Seq(add(CntCol).as(CntCol)) ++
         sp.sumCols.flatMap(c => Seq(add(sumName(c)).as(sumName(c)),
-          add(nnName(c)).as(nnName(c))))
+          add(nnName(c)).as(nnName(c)))) ++
+        sp.minMaxCols.flatMap(c => Seq(
+          fold(minName(c), least(_, _)).as(minName(c)),
+          fold(maxName(c), greatest(_, _)).as(maxName(c))))
     joined.select(stateCols: _*).filter(col(CntCol) > 0)
   }
 
@@ -180,7 +229,7 @@ object MaterializedView {
   private def writeSpec(view: String, sp: Spec): Unit = {
     Files.createDirectories(Paths.get(view))
     val body = s"source=${sp.source}\ngroup=${sp.groupCols.mkString(",")}\n" +
-      s"sums=${sp.sumCols.mkString(",")}\n"
+      s"sums=${sp.sumCols.mkString(",")}\nminmax=${sp.minMaxCols.mkString(",")}\n"
     val tmp = Paths.get(view, s".tmpspec-${java.util.UUID.randomUUID()}")
     Files.write(tmp, body.getBytes(UTF_8))
     Files.move(tmp, specFile(view), StandardCopyOption.ATOMIC_MOVE)
@@ -196,6 +245,7 @@ object MaterializedView {
       .toMap
     def cols(k: String): Seq[String] =
       kv.getOrElse(k, "").split(',').toSeq.map(_.trim).filter(_.nonEmpty)
-    Spec(kv("source"), cols("group"), cols("sums"))
+    // `minmax` may be absent in pre-min/max specs: read as Nil
+    Spec(kv("source"), cols("group"), cols("sums"), cols("minmax"))
   }
 }

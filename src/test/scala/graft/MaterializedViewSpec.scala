@@ -156,6 +156,82 @@ class MaterializedViewSpec extends SparkSpec {
     assertMatches(view, src)
   }
 
+  /** min/max oracle. */
+  private def recomputeMM(source: String): DataFrame =
+    LakeTable.snapshot(spark, source)
+      .groupBy("g").agg(count(lit(1)).as("cnt"), sum("x").as("sum_x"),
+        min("x").as("min_x"), max("x").as("max_x"))
+
+  private def assertMatchesMM(view: String, source: String): Unit = {
+    val got = MaterializedView.read(spark, view)
+      .select("g", "cnt", "sum_x", "min_x", "max_x").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.get(2), r.get(3), r.get(4))).toSet
+    val want = recomputeMM(source).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.get(2), r.get(3), r.get(4))).toSet
+    assert(got == want, s"got $got\nwant $want")
+  }
+
+  test("min/max views: appends fold incrementally, exact extrema") {
+    val src = fresh("graft_mv_src")
+    val view = fresh("graft_mv_view")
+    LakeTable.append(spark, src, rows(0 until 50))
+    MaterializedView.create(spark, view, src, Seq("g"), Seq("x"), Seq("x"))
+    assertMatchesMM(view, src)
+    // growth only: both refreshes must take the incremental path
+    LakeTable.append(spark, src, rows(200 until 260))
+    assert(MaterializedView.refresh(spark, view).isDefined)
+    assert(MaterializedView.lastRefreshMode == "incremental",
+      "insert-only range must fold incrementally for min/max views")
+    assertMatchesMM(view, src)
+    LakeTable.append(spark, src, rows(300 until 310))
+    assert(MaterializedView.refresh(spark, view).isDefined)
+    assert(MaterializedView.lastRefreshMode == "incremental")
+    assertMatchesMM(view, src)
+  }
+
+  test("min/max views: a delete in the range triggers the exact full-recompute fallback") {
+    val src = fresh("graft_mv_src")
+    val view = fresh("graft_mv_view")
+    LakeTable.append(spark, src, rows(0 until 50).repartition(2))
+    MaterializedView.create(spark, view, src, Seq("g"), Seq("x"), Seq("x"))
+    // delete the global maximum of group g4 (id 49, x = 49): the stored
+    // max is now unrepairable from state — the fallback must fire and
+    // the new max must be exact
+    LakeTable.deleteWhere(spark, src, "id", 49, 49)
+    assert(MaterializedView.refresh(spark, view).isDefined)
+    assert(MaterializedView.lastRefreshMode == "full",
+      "a delete under a min/max view must recompute, not fold")
+    assertMatchesMM(view, src)
+    // and a later pure append is incremental again
+    LakeTable.append(spark, src, rows(100 until 120))
+    assert(MaterializedView.refresh(spark, view).isDefined)
+    assert(MaterializedView.lastRefreshMode == "incremental")
+    assertMatchesMM(view, src)
+  }
+
+  test("sum-only views still fold deletes incrementally (fallback is min/max-scoped)") {
+    val src = fresh("graft_mv_src")
+    val view = fresh("graft_mv_view")
+    LakeTable.append(spark, src, rows(0 until 50).repartition(2))
+    MaterializedView.create(spark, view, src, Seq("g"), Seq("x"))
+    LakeTable.deleteWhere(spark, src, "id", 10, 19)
+    assert(MaterializedView.refresh(spark, view).isDefined)
+    assert(MaterializedView.lastRefreshMode == "incremental",
+      "a sum-only view must keep folding deletes through the feed")
+    assertMatches(view, src)
+  }
+
+  test("min/max create refuses non-orderable columns; old specs read back minmax-free") {
+    import spark.implicits._
+    val src = fresh("graft_mv_src")
+    LakeTable.append(spark, src,
+      Seq((1L, "a", Seq(1.0))).toDF("id", "g", "arr"))
+    intercept[IllegalArgumentException] {
+      MaterializedView.create(spark, fresh("graft_mv_view"), src,
+        Seq("g"), Seq.empty, Seq("arr"))
+    }
+  }
+
   test("create refuses unknown columns and decimal measures") {
     import spark.implicits._
     val src = fresh("graft_mv_src")
