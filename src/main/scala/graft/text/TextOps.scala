@@ -18,8 +18,10 @@ object TextOps {
 
   def docs(spark: SparkSession, dir: String): DataFrame = {
     // every text builder flows through here — register the native
-    // md5-prefix kernel once so any downstream expression can use it
+    // md5-prefix and k-gram/winnow kernels once so any downstream
+    // expression can use them
     graft.functions.Md5Prefix.register(spark)
+    graft.functions.TextKernels.register(spark)
     spark.read.parquet(s"$dir/documents.parquet")
   }
 
@@ -642,7 +644,9 @@ object TextOps {
   // ---- n-gram Jaccard near-duplicate pairs ----------------------------
 
   /** Distinct word-3-shingles per document (docs with <3 tokens drop out,
-    * identically in the oracle). */
+    * identically in the oracle) — the HOF spelling, kept as the SPEC
+    * REFERENCE the native kernel is pinned against (and for any consumer
+    * that needs the shingle STRINGS, which the index does not). */
   private[text] def shingles(spark: SparkSession, dir: String): DataFrame = {
     val w = words
     // spread: the shingle explode + per-shingle md5 downstream is the
@@ -683,9 +687,17 @@ object TextOps {
         java.nio.file.Files.createTempDirectory("graft_shingle_idx").toString)
       // ONE digest per shingle: h28 (hex chars 1-7 = bits [0,28)) is
       // the top 28 bits of h60 (bits [0,60)), so derive it by shift
-      // instead of a second md5_prefix over the same string
-      shingles(spark, dir)
-        .select(col("doc_id"), md5p(col("s"), 1, 15).as("h60"))
+      // instead of a second md5_prefix over the same string. The hash
+      // pass is the native kgram_hashes kernel — one tight loop per
+      // document streaming token bytes into an incremental MD5; the
+      // HOF spelling ([[shingles]] + md5p) ran interpreted per k-gram
+      // and is pinned equal by spec
+      val w = words
+      graft.DatasetCache.spread(docs(spark, dir)
+        .filter(size(w) >= 3)
+        .select(col("doc_id"), col("text")))
+        .select(col("doc_id"),
+          explode(call_function("kgram_hashes", w, lit(3))).as("h60"))
         .select(col("doc_id"), shiftright(col("h60"), 32).as("h28"),
           col("h60"))
         .write.mode("overwrite").parquet(p)
@@ -2304,21 +2316,18 @@ object TextOps {
       val p = graft.DatasetCache.registerTempDir(
         java.nio.file.Files.createTempDirectory("graft_winnow_idx").toString)
       val w = words
-      val kgramHash = transform(sequence(lit(0), size(w) - WinnowK), i =>
-        md5p(concat_ws(" ", slice(w, i + lit(1), lit(WinnowK))), 1, 15))
-      // window ending at 0-based hash index p covers hs[p-w+1 .. p]
-      // = slice(hs, p-w+2, w) 1-based; p ranges over complete windows only
-      val wmins = transform(
-        sequence(lit(WinnowW - 1), size(col("hs")) - 1),
-        p => array_min(slice(col("hs"), p - lit(WinnowW - 2), lit(WinnowW))))
+      // hash-and-winnow runs in the native winnow_mins kernel (one loop
+      // per document, incremental MD5); the HOF spelling — transform +
+      // md5p per k-gram then transform + array_min per window — ran
+      // interpreted and is pinned element-identical by spec
       graft.DatasetCache.spread(docs(spark, dir)
         // need at least one complete window: m = n-k+1 hashes, m >= w
         // (docs below the bar emit no rows in the oracle either — its
         // `p >= w-1` filter leaves nothing when m < w)
         .filter(size(w) >= WinnowK + WinnowW - 1)
         .select(col("doc_id"), col("text")))
-        .select(col("doc_id"), kgramHash.as("hs"))
-        .select(col("doc_id"), explode(wmins).as("fp"))
+        .select(col("doc_id"), explode(
+          call_function("winnow_mins", w, lit(WinnowK), lit(WinnowW))).as("fp"))
         .groupBy("doc_id", "fp")
         .agg(count(lit(1)).as("n_windows"))
         .write.mode("overwrite").parquet(p)

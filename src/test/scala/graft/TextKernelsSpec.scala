@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+
+/** The native k-gram/winnow kernels must be element-identical to the
+  * higher-order-function spellings they replaced (which are themselves
+  * oracle-pinned): same hashes, same distinctness, same window minima,
+  * same short-row behavior — over the REAL corpus, not toy rows. */
+class TextKernelsSpec extends SparkSpec {
+
+  private def corpus = {
+    graft.functions.Md5Prefix.register(spark)
+    graft.functions.TextKernels.register(spark)
+    spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+  }
+
+  test("kgram_hashes == array_distinct(transform(md5_prefix(concat_ws(slice))))") {
+    val df = corpus
+      .withColumn("native", call_function("kgram_hashes", col("ws"), lit(3)))
+      .withColumn("hof",
+        when(size(col("ws")) >= 3, array_distinct(
+          transform(sequence(lit(0), size(col("ws")) - 3), i =>
+            call_function("md5_prefix",
+              concat_ws(" ", slice(col("ws"), i + lit(1), lit(3))),
+              lit(1), lit(15)))))
+          .otherwise(array().cast("array<bigint>")))
+    val diff = df.filter(col("native") =!= col("hof")).count()
+    assert(diff == 0, s"kgram kernel diverges on $diff documents")
+    // sanity: the fixture exercises both branches
+    assert(df.filter(size(col("native")) > 0).count() > 0)
+  }
+
+  test("winnow_mins == per-window trailing array_min over the k-gram hash stream") {
+    val k = TextOps.WinnowK
+    val w = TextOps.WinnowW
+    val hs = transform(sequence(lit(0), size(col("ws")) - k), i =>
+      call_function("md5_prefix",
+        concat_ws(" ", slice(col("ws"), i + lit(1), lit(k))), lit(1), lit(15)))
+    val df = corpus
+      .withColumn("native", call_function("winnow_mins", col("ws"), lit(k), lit(w)))
+      .withColumn("hs", when(size(col("ws")) >= k + w - 1, hs))
+      .withColumn("hof",
+        when(col("hs").isNotNull, transform(
+          sequence(lit(w - 1), size(col("hs")) - 1),
+          p => array_min(slice(col("hs"), p - lit(w - 2), lit(w)))))
+          .otherwise(array().cast("array<bigint>")))
+    val diff = df.filter(col("native") =!= col("hof")).count()
+    assert(diff == 0, s"winnow kernel diverges on $diff documents")
+    assert(df.filter(size(col("native")) > 0).count() > 0)
+  }
+
+  test("short rows: below-k and below-window documents yield empty arrays") {
+    import spark.implicits._
+    graft.functions.TextKernels.register(spark)
+    val df = Seq("a b", "a b c d e f g h").toDF("text")
+      .select(split(col("text"), " ").as("ws"))
+      .select(
+        call_function("kgram_hashes", col("ws"), lit(3)).as("kg"),
+        call_function("winnow_mins", col("ws"), lit(4), lit(5)).as("wm"))
+      .collect()
+    assert(df(0).getSeq[Long](0).isEmpty && df(0).getSeq[Long](1).isEmpty)
+    // 8 tokens: six 3-grams; five 4-gram hashes = exactly one complete
+    // 5-window (n = k+w-1 is the first row that winnows at all)
+    assert(df(1).getSeq[Long](0).size == 6 && df(1).getSeq[Long](1).size == 1)
+  }
+}
