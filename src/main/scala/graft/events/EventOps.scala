@@ -1304,6 +1304,55 @@ object EventOps {
       |  FROM events WHERE value IS NOT NULL)
       | GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " ")
 
+  /** Equi-depth feature discretization: every non-null event value is
+    * assigned to one of `bins` rank bins per event type (bin of the row
+    * at rank r out of n = `((r-1)·B) div n` — the floor-NTILE rule),
+    * reported as per-(type, bin) row counts, value sums, and bin value
+    * bounds. The quantile-binning transform feature pipelines apply
+    * before training on heavy-tailed monetary features.
+    *
+    * Scale shape: the ranks come from the same bounded VALUE HISTOGRAM
+    * as [[quantiles]] — never a per-row corpus window (the hollow-window
+    * class the r6 audit banned). Each histogram row knows its rank
+    * interval [lo, hi]; the rows of one value fall into the ≤B bins
+    * intersecting that interval, so a bounded explode + exact integer
+    * interval arithmetic turns the histogram into per-(type, bin)
+    * aggregates. The oracle states the same semantics per row with the
+    * (cents, event_id)-ordered rank — equal values straddling a bin
+    * boundary split purely by count, so the per-bin sums cannot depend
+    * on the tiebreak. */
+  def valueBins(bins: Int)(spark: SparkSession, dir: String): DataFrame = {
+    // rows r with ((r-1)B) div n = k form [ceil(kn/B)+1, ceil((k+1)n/B)]
+    val binLo = expr(s"((lo_rank - 1) * $bins) div n")
+    val binHi = expr(s"((hi_rank - 1) * $bins) div n")
+    centsRankHistogram(spark, dir)
+      .select(col("event_type"), col("cents"), col("lo_rank"),
+        col("hi_rank"), col("n"),
+        explode(sequence(binLo, binHi)).as("bin"))
+      .withColumn("ov",
+        least(col("hi_rank"),
+          expr(s"((bin + 1) * n + $bins - 1) div $bins")) -
+        greatest(col("lo_rank"),
+          expr(s"(bin * n + $bins - 1) div $bins + 1")) + 1)
+      .groupBy("event_type", "bin")
+      .agg(sum(col("ov")).as("n_rows"),
+        sum(col("cents") * col("ov")).as("cents_sum"),
+        min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"))
+      .orderBy("event_type", "bin")
+  }
+
+  def valueBinsSql(bins: Int): String =
+    s"""SELECT event_type, ((rn - 1) * $bins) // n AS bin,
+       | count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS cents_sum,
+       | min(cents) AS min_cents, max(cents) AS max_cents
+       | FROM (
+       |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+       |   CAST(row_number() OVER (PARTITION BY event_type ORDER BY CAST(round(value * 100) AS BIGINT) ASC, event_id ASC) AS BIGINT) AS rn,
+       |   CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+       |  FROM events WHERE value IS NOT NULL)
+       | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " ")
+
   val UsPerWeek: Long = 7L * 86400L * 1000 * 1000
 
   /** Cohort lifetime-value matrix: users cohorted by their FIRST

@@ -546,6 +546,53 @@ class ExtensionOpsSpec extends SparkSpec {
     }
   }
 
+  test("valueBins == literal per-row floor-NTILE recount; equi-depth within 1") {
+    import graft.events.EventOps
+    val got = EventOps.valueBins(10)(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // literal recount: rank every non-null value per type by
+    // (cents, event_id), bin = ((r-1)*10) div n
+    val rows = spark.read.parquet(s"$sf001/events.parquet")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val binned: Seq[((String, Long), Long)] =
+      rows.groupBy(_._1).toSeq.flatMap { case (t, g) =>
+        val sorted = g.sortBy(x => (x._3, x._2))
+        val n = sorted.length.toLong
+        sorted.zipWithIndex.map { case ((_, _, c), i) =>
+          ((t, i.toLong * 10L / n), c)
+        }.toSeq
+      }
+    val want = binned.groupBy(_._1).map { case (k, vs) =>
+      val cs = vs.map(_._2)
+      k -> ((cs.size.toLong, cs.sum, cs.min, cs.max))
+    }
+    assert(got == want, s"bins diverge:\ngot  $got\nwant $want")
+    // equi-depth: within one event type, bin sizes differ by at most 1
+    got.keys.groupBy(_._1).foreach { case (t, ks) =>
+      val sizes = ks.map(k => got(k)._1)
+      assert(sizes.max - sizes.min <= 1, s"$t bins not equi-depth: $sizes")
+    }
+  }
+
+  test("valueBins plan: binning rides the value histogram, no corpus-sized window") {
+    import graft.events.EventOps
+    val plan = finalPlan(EventOps.valueBins(10)(spark, sf001)).toString
+    // the per-row spelling ranks raw events with row_number; the
+    // histogram formulation's only window is a cumulative sum over the
+    // (type, cents) HISTOGRAM — no per-row rank may appear anywhere
+    assert(!plan.contains("row_number"),
+      s"value binning must not rank raw rows:\n$plan")
+    // and the window input is the aggregated histogram, not the scan:
+    // a HashAggregate must sit below the Window in the plan tree
+    val winIdx = plan.indexOf("Window")
+    assert(winIdx >= 0 && plan.indexOf("HashAggregate", winIdx) >= 0,
+      s"expected Window over the pre-aggregated histogram:\n$plan")
+  }
+
   test("mmNearDupPairs plan: candidates via chunk-hash equi-join, no cartesian") {
     val plan = MultimodalOps.mmNearDupPairs(500000L)(spark, sf001)
       .queryExecution.executedPlan.toString
