@@ -1353,6 +1353,42 @@ object EventOps {
        |  FROM events WHERE value IS NOT NULL)
        | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " ")
 
+  /** Exact audience overlap between event types: |users(A) ∩ users(B)|
+    * and the Jaccard ppm for every unordered type pair — the
+    * segment-overlap report behind campaign planning ("how much of the
+    * click audience also signs up"), and the exact ground truth the HLL
+    * sketch family approximates.
+    *
+    * Scale shape: ONE distinct pass compresses the log to (type, user);
+    * the pair join is a self-equi-join ON user_id, so per-user fan-out
+    * is (types-per-user)² ≤ |types|² — bounded categorical, never row
+    * count; the final aggregate has ≤ |types|² keys. No hints — the
+    * distinct relation is user-sized and AQE decides. */
+  def audienceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val d = events(spark, dir).select(col("event_type"), col("user_id")).distinct()
+    val n = d.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val a = d.select(col("event_type").as("t1"), col("user_id"))
+    val b = d.select(col("event_type").as("t2"), col("user_id"))
+    a.join(b, Seq("user_id")).filter(col("t1") < col("t2"))
+      .groupBy("t1", "t2").agg(count(lit(1)).as("inter"))
+      .join(n.select(col("event_type").as("t1"), col("n").as("n1")), Seq("t1"))
+      .join(n.select(col("event_type").as("t2"), col("n").as("n2")), Seq("t2"))
+      .select(col("t1"), col("t2"), col("n1"), col("n2"), col("inter"),
+        expr("inter * 1000000 div (n1 + n2 - inter)").as("jaccard_ppm"))
+      .orderBy("t1", "t2")
+  }
+
+  val audienceOverlapSql: String =
+    """WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+      | n AS (SELECT event_type, count(*) AS n FROM d GROUP BY 1),
+      | p AS (SELECT a.event_type AS t1, b.event_type AS t2, count(*) AS inter
+      |  FROM d a JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      | SELECT t1, t2, n1.n AS n1, n2.n AS n2, inter,
+      |  CAST(inter * 1000000 // (n1.n + n2.n - inter) AS BIGINT) AS jaccard_ppm
+      | FROM p JOIN n n1 ON p.t1 = n1.event_type JOIN n n2 ON p.t2 = n2.event_type
+      | ORDER BY t1, t2""".stripMargin.replace("\n", " ")
+
   val UsPerWeek: Long = 7L * 86400L * 1000 * 1000
 
   /** Cohort lifetime-value matrix: users cohorted by their FIRST

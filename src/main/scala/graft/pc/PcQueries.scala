@@ -316,6 +316,75 @@ object PcQueries {
        | count(*) AS cnt, CAST(sum(pid) AS BIGINT) AS pid_sum
        | FROM ($pointsSql) GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin.replace("\n", " ")
 
+  /** Density-based spatial region labeling — grid DBSCAN: bucket points
+    * into a fixed 2-D grid, keep the CORE cells (count ≥ 1.1× the mean
+    * occupied-cell count — an SF-adaptive density gate, exact integer
+    * comparison `10·c·occ ≥ 11·total`), and label 4-adjacent core cells
+    * with their connected component (region = smallest cell id in the
+    * component, the same order-free fixpoint as the dedup clusters).
+    * The spatial clustering step of footprint extraction / object
+    * segmentation over a point cloud.
+    *
+    * Scale shape: everything after the ONE point-bucketing aggregation
+    * runs on the BOUNDED cell relation (≤ 40×40 here): the density gate
+    * is a scalar broadcast condition; adjacency is two equi-joins on
+    * shifted (cx, cy) keys (never a distance join); the component pass
+    * is [[graft.text.TextOps.connectedComponents]]'s O(log diameter)
+    * min-propagation on cell-sized data. Isolated core cells keep their
+    * own id via the final coalesce. */
+  def cellRegions(spark: SparkSession, dir: String): DataFrame = {
+    val g = points(spark, dir)
+      .groupBy(floor(col("x") / 25.0).cast(LongType).as("cx"),
+        floor(col("y") / 25.0).cast(LongType).as("cy"))
+      .agg(count(lit(1)).as("c"))
+    val tot = g.agg(sum("c").as("t"), count(lit(1)).as("occ"))
+    val core = g.crossJoin(broadcast(tot)) // 1-row scalar: bounded hint
+      .filter(col("c") * 10 * col("occ") >= col("t") * 11)
+      .select(col("cx"), col("cy"), (col("cx") * 1000 + col("cy")).as("id"),
+        col("c"))
+    val right = core.select(col("id").as("d2"), col("cx"), col("cy"))
+    val edges = core
+      .join(right.withColumn("cx", col("cx") - 1), Seq("cx", "cy"))
+      .select(col("id").as("d1"), col("d2"))
+      .unionByName(core
+        .join(right.withColumn("cy", col("cy") - 1), Seq("cx", "cy"))
+        .select(col("id").as("d1"), col("d2")))
+    val labels = graft.text.TextOps.connectedComponents(
+      edges.select(col("d1"), col("d2")))._1
+      .withColumnRenamed("doc_id", "id").withColumnRenamed("lbl", "region")
+    val lab = core.join(labels, Seq("id"), "left")
+      .select(col("cx"), col("cy"),
+        coalesce(col("region"), col("id")).as("region"),
+        col("c").as("n_points"))
+    // region-size window over the bounded cell relation
+    val sizes = lab.groupBy("region").agg(count(lit(1)).as("region_size"))
+    lab.join(sizes, Seq("region"))
+      .select(col("cx"), col("cy"), col("region"), col("region_size"),
+        col("n_points"))
+      .orderBy("cx", "cy")
+  }
+
+  val cellRegionsSql: String =
+    s"""WITH RECURSIVE
+       | g AS (SELECT CAST(floor(x / 25.0) AS BIGINT) AS cx,
+       |   CAST(floor(y / 25.0) AS BIGINT) AS cy, count(*) AS c
+       |  FROM ($pointsSql) GROUP BY 1, 2),
+       | tot AS (SELECT CAST(sum(c) AS BIGINT) AS t, count(*) AS occ FROM g),
+       | core AS (SELECT cx, cy, cx * 1000 + cy AS id, c
+       |  FROM g, tot WHERE c * 10 * occ >= t * 11),
+       | und AS (SELECT a.id AS a, b.id AS b FROM core a JOIN core b
+       |  ON abs(a.cx - b.cx) + abs(a.cy - b.cy) = 1),
+       | reach(a, b) AS (
+       |   SELECT id, id FROM core
+       |   UNION
+       |   SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+       | lab AS (SELECT a AS id, CAST(min(b) AS BIGINT) AS region FROM reach GROUP BY a)
+       | SELECT c.cx, c.cy, l.region,
+       |  CAST(count(*) OVER (PARTITION BY l.region) AS BIGINT) AS region_size,
+       |  CAST(c.c AS BIGINT) AS n_points
+       | FROM core c JOIN lab l ON c.id = l.id
+       | ORDER BY c.cx, c.cy""".stripMargin.replace("\n", " ")
+
   // ---- D4 as a relational query: assign every point to its quadtree LoD
   // cell at depth 2 (21 cells; level l owns importance slice
   // [seen/21, (seen+4^l)/21) and a 2^l x 2^l xy grid) and count. ----

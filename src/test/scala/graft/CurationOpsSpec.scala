@@ -103,4 +103,68 @@ class CurationOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.distinct.length == got.length, "duplicate triangle emitted")
   }
+
+  test("cellRegions == driver-side BFS over the density-gated cell grid") {
+    val got = graft.pc.PcQueries.cellRegions(spark, sf001).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
+    assert(got.nonEmpty)
+    // literal re-derivation: bucket, gate, BFS-label
+    val pts = graft.pc.Points.fromLineitem(spark, sf001)
+      .select(floor(col("x") / 25.0).cast("long").as("cx"),
+        floor(col("y") / 25.0).cast("long").as("cy"))
+      .groupBy("cx", "cy").agg(count(lit(1)).as("c")).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    val total = pts.map(_._2).sum
+    val occ = pts.length.toLong
+    val core = pts.filter { case (_, c) => c * 10 * occ >= total * 11 }.toMap
+    // BFS components over 4-adjacency
+    val seen = scala.collection.mutable.Set[(Long, Long)]()
+    val regionOf = scala.collection.mutable.Map[(Long, Long), Long]()
+    core.keys.toSeq.sorted.foreach { start =>
+      if (!seen(start)) {
+        val comp = scala.collection.mutable.Buffer(start)
+        seen += start
+        var i = 0
+        while (i < comp.length) {
+          val (x, y) = comp(i)
+          Seq((x - 1, y), (x + 1, y), (x, y - 1), (x, y + 1)).foreach { nb =>
+            if (core.contains(nb) && !seen(nb)) { seen += nb; comp += nb }
+          }
+          i += 1
+        }
+        val lbl = comp.map { case (x, y) => x * 1000 + y }.min
+        comp.foreach(c => regionOf(c) = lbl)
+      }
+    }
+    val want = core.map { case (cell, c) =>
+      cell -> ((regionOf(cell),
+        regionOf.count(_._2 == regionOf(cell)).toLong, c))
+    }
+    assert(got.toMap == want,
+      s"regions diverge: got ${got.length} cells, want ${want.size}")
+    // structure sanity: the gate keeps a strict subset, and at least one
+    // multi-cell region exists on the real fixture
+    assert(core.size < pts.length)
+    assert(got.map(_._2._2).max >= 2, "fixture should produce a joined region")
+  }
+
+  test("audienceOverlap == literal distinct-set intersection per type pair") {
+    import graft.events.EventOps
+    val got = EventOps.audienceOverlap(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val sets = spark.read.parquet(s"$sf001/events.parquet")
+      .select("event_type", "user_id").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (t, vs) => (t, vs.map(_._2).toSet) }
+    val types = sets.keys.toSeq.sorted
+    val want = (for {
+      i <- types.indices; j <- (i + 1) until types.length
+      t1 = types(i); t2 = types(j)
+      inter = (sets(t1) & sets(t2)).size.toLong if inter > 0
+    } yield (t1, t2) -> ((sets(t1).size.toLong, sets(t2).size.toLong, inter,
+      inter * 1000000L / (sets(t1).size + sets(t2).size - inter)))).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
 }
