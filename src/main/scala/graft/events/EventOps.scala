@@ -1353,6 +1353,51 @@ object EventOps {
        |  FROM events WHERE value IS NOT NULL)
        | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " ")
 
+  /** Winsorized (clamped-tail) value statistics per event type: every
+    * cents value clamps into [p05, p95] before summing — the robust
+    * aggregate feature pipelines use on heavy-tailed monetary features
+    * where a single outlier dominates a plain mean. Cuts use the same
+    * exact rank rule as [[quantiles]].
+    *
+    * Scale shape: both phases run on the bounded (type, cents) VALUE
+    * HISTOGRAM — the cut extraction is one aggregation of it, the
+    * clamped sum a second (weighted by the histogram counts); no
+    * per-row rank window exists anywhere (the hollow-window rule). */
+  def winsorized(spark: SparkSession, dir: String): DataFrame = {
+    val h = centsRankHistogram(spark, dir)
+    def pick(p: Int): Column = {
+      val r = expr(s"1 + ($p * (n - 1)) div 100")
+      max(when(col("lo_rank") <= r && r <= col("hi_rank"), col("cents")))
+    }
+    val cuts = h.groupBy("event_type")
+      .agg(pick(5).as("p05"), pick(95).as("p95"))
+    h.join(cuts, Seq("event_type"))
+      .select(col("event_type"), col("c"),
+        least(greatest(col("cents"), col("p05")), col("p95")).as("w"),
+        col("p05"), col("p95"))
+      .groupBy("event_type")
+      .agg(sum(col("c")).as("n_rows"),
+        sum(col("w") * col("c")).as("wsum_cents"),
+        max(col("p05")).as("p05_cents"), max(col("p95")).as("p95_cents"))
+      .orderBy("event_type")
+  }
+
+  val winsorizedSql: String =
+    """WITH r AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+      |   CAST(row_number() OVER (PARTITION BY event_type ORDER BY CAST(round(value * 100) AS BIGINT) ASC, event_id ASC) AS BIGINT) AS rn,
+      |   CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      |  FROM events WHERE value IS NOT NULL),
+      | c AS (SELECT event_type,
+      |   max(CASE WHEN rn = 1 + (5 * (n - 1)) // 100 THEN cents END) AS p05,
+      |   max(CASE WHEN rn = 1 + (95 * (n - 1)) // 100 THEN cents END) AS p95
+      |  FROM r GROUP BY 1)
+      | SELECT r.event_type, count(*) AS n_rows,
+      |  CAST(sum(least(greatest(cents, p05), p95)) AS BIGINT) AS wsum_cents,
+      |  max(p05) AS p05_cents, max(p95) AS p95_cents
+      | FROM r JOIN c ON r.event_type = c.event_type
+      | GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")
+
   /** Exact audience overlap between event types: |users(A) ∩ users(B)|
     * and the Jaccard ppm for every unordered type pair — the
     * segment-overlap report behind campaign planning ("how much of the

@@ -824,6 +824,44 @@ object TextOps {
       .orderBy("d1", "d2")
   }
 
+  /** Asymmetric CONTAINMENT near-dup pairs: `inter / min(|A|, |B|)` in
+    * integer ppm — the score that catches a document EMBEDDED inside a
+    * larger one (boilerplate-wrapped articles, quote-heavy rehosts),
+    * which symmetric Jaccard dilutes toward zero as the host grows
+    * (Broder's containment, the Lee-et-al. substring-dedup signal at
+    * shingle granularity). Identical scale shape to
+    * [[ngramJaccardPairs]]: df-capped shingle equi-join, unhinted
+    * per-doc count joins, all-integer scoring. */
+  def ngramContainmentPairs(tau: Double, dfCap: Int = ShingleDfCap)(
+      spark: SparkSession, dir: String): DataFrame = {
+    val sh = cappedShingles(spark, dir, dfCap)
+    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(n.as("na"), col("d1") === col("na.doc_id"))
+      .join(n.as("nb"), col("d2") === col("nb.doc_id"))
+      .select(col("d1"), col("d2"), col("inter"),
+        expr("(inter * 1000000) div least(na.n, nb.n)").as("containment_ppm"))
+      .filter(col("containment_ppm") >= math.round(tau * 1e6))
+      .orderBy("d1", "d2")
+  }
+
+  def ngramContainmentPairsSql(tau: Double, dfCap: Int = ShingleDfCap): String =
+    s"""WITH sh0 AS (SELECT doc_id, CAST('0x'||substr(md5(s),1,15) AS BIGINT) AS h FROM ($shinglesSql)),
+       | hot AS (SELECT h FROM sh0 GROUP BY h HAVING count(*) > $dfCap),
+       | sh AS (SELECT sh0.* FROM sh0 ANTI JOIN hot USING (h)),
+       | n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       | p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+       |   FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       | SELECT d1, d2, inter,
+       |  CAST(inter * 1000000 // least(na.n, nb.n) AS BIGINT) AS containment_ppm
+       | FROM p JOIN n na ON na.doc_id = d1 JOIN n nb ON nb.doc_id = d2
+       | WHERE inter * 1000000 // least(na.n, nb.n) >= ${math.round(tau * 1e6)}
+       | ORDER BY 1, 2""".stripMargin.replace("\n", " ")
+
   /** Incremental batch dedup — the production shape: a NEW crawl batch
     * (the last 1/`den` of doc ids) dedups against the STANDING corpus
     * and against earlier docs in its own batch, greedily keep-first

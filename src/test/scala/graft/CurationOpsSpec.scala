@@ -148,6 +148,44 @@ class CurationOpsSpec extends SparkSpec {
     assert(got.map(_._2._2).max >= 2, "fixture should produce a joined region")
   }
 
+  test("containment pairs: score == inter/min(|A|,|B|), catches subset dups jaccard dilutes") {
+    import graft.text.TextOps
+    val tau = 0.5
+    val got = TextOps.ngramContainmentPairs(tau)(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    // literal recount from distinct 3-shingle sets
+    val sets = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val ws = r.getString(1).split(" ")
+        (r.getLong(0), ws.sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet)
+      }.filter(_._2.nonEmpty).toMap
+    got.foreach { case (d1, d2, inter, ppm) =>
+      val i = (sets(d1) & sets(d2)).size.toLong
+      assert(i == inter, s"($d1,$d2) inter $inter, recount $i")
+      val p = i * 1000000L / math.min(sets(d1).size, sets(d2).size)
+      assert(p == ppm && p >= 500000L, s"($d1,$d2) ppm $ppm, recount $p")
+    }
+    // completeness: every qualifying pair appears
+    val ids = sets.keys.toSeq.sorted
+    val wantCount = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = sets(ids(i)); b = sets(ids(j))
+      inter = (a & b).size.toLong if inter > 0
+      if inter * 1000000L / math.min(a.size, b.size) >= 500000L
+    } yield 1).size
+    assert(got.length == wantCount, s"got ${got.length}, want $wantCount")
+    // containment dominates jaccard (min ≤ union): the reason the
+    // asymmetric score catches embedded docs the symmetric one dilutes
+    got.foreach { case (d1, d2, inter, ppm) =>
+      val u = sets(d1).size + sets(d2).size - inter
+      assert(ppm >= inter * 1000000L / u,
+        s"($d1,$d2) containment below jaccard — impossible")
+    }
+  }
+
   test("audienceOverlap == literal distinct-set intersection per type pair") {
     import graft.events.EventOps
     val got = EventOps.audienceOverlap(spark, sf001).collect()

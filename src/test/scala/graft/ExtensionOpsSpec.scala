@@ -593,6 +593,30 @@ class ExtensionOpsSpec extends SparkSpec {
       s"expected Window over the pre-aggregated histogram:\n$plan")
   }
 
+  test("winsorized == literal clamp-at-exact-percentile recount") {
+    import graft.events.EventOps
+    val got = EventOps.winsorized(spark, sf001).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val rows = spark.read.parquet(s"$sf001/events.parquet")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = rows.groupBy(_._1).map { case (t, g) =>
+      val sorted = g.map(_._3).sorted
+      val n = sorted.length.toLong
+      def cut(p: Long): Long = sorted(((p * (n - 1)) / 100).toInt)
+      val (p05, p95) = (cut(5), cut(95))
+      val wsum = g.map(x => math.min(math.max(x._3, p05), p95)).sum
+      t -> ((n, wsum, p05, p95))
+    }
+    assert(got == want, s"got $got\nwant $want")
+    // the clamp must have bitten on the real fixture (tails exist)
+    assert(got.exists { case (t, (_, wsum, _, _)) =>
+      wsum != rows.filter(_._1 == t).map(_._3).sum })
+  }
+
   test("mmNearDupPairs plan: candidates via chunk-hash equi-join, no cartesian") {
     val plan = MultimodalOps.mmNearDupPairs(500000L)(spark, sf001)
       .queryExecution.executedPlan.toString
