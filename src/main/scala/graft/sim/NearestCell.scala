@@ -136,7 +136,8 @@ case class NearestCell(qv: Expression, cids: Expression, cvs: Expression)
 }
 
 object NearestCell {
-  /** Register `ivf_nearest_cell` in the session registry (idempotent). */
+  /** Register `ivf_nearest_cell` (+ the row-codebook variant) in the
+    * session registry (idempotent). */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     val id = org.apache.spark.sql.catalyst.FunctionIdentifier("ivf_nearest_cell")
@@ -146,5 +147,103 @@ object NearestCell {
         (exprs: Seq[Expression]) =>
           NearestCell(exprs.head, exprs(1), exprs(2)),
         "internal")
+    val idr = org.apache.spark.sql.catalyst.FunctionIdentifier("ivf_nearest_cell_row")
+    if (!registry.functionExists(idr))
+      registry.createOrReplaceTempFunction(
+        "ivf_nearest_cell_row",
+        (exprs: Seq[Expression]) =>
+          NearestCellRow(exprs.head, exprs(1), exprs(2)),
+        "internal")
+  }
+}
+
+/** [[NearestCell]] with a ROW-SIDE codebook: `cids`/`cvs` are data
+  * columns, not literals — the hierarchical-quantizer kernel, where
+  * each row carries ITS coarse cell's sub-codebook (joined on from a
+  * K1-row packed relation) and the argmin runs over only that cell's
+  * sub-centroids. This is what caps assignment work at O(n·(K1+K2)) =
+  * O(n·√K) instead of the flat codebook's O(n·K): the literal variant
+  * structurally cannot express a per-row codebook. Same integer
+  * arithmetic and (dist, cid) tie discipline, pinned equal to the
+  * literal kernel on equal inputs by `Ivf2Spec`. */
+case class NearestCellRow(qv: Expression, cids: Expression, cvs: Expression)
+    extends TernaryExpression {
+
+  override def first: Expression = qv
+  override def second: Expression = cids
+  override def third: Expression = cvs
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def isLongArr(dt: DataType) = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (!isLongArr(qv.dataType) || !isLongArr(cids.dataType) ||
+        !isLongArr(cvs.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"ivf_nearest_cell_row needs three array<bigint>, got " +
+          s"${qv.dataType} / ${cids.dataType} / ${cvs.dataType}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("dist", LongType, nullable = false),
+    StructField("cid", LongType, nullable = false)))
+
+  override def prettyName: String = "ivf_nearest_cell_row"
+
+  override protected def nullSafeEval(q: Any, c1: Any, c2: Any): Any = {
+    val v = q.asInstanceOf[ArrayData]
+    val ks = c1.asInstanceOf[ArrayData]
+    val cs = c2.asInstanceOf[ArrayData]
+    NearestCellRow.argmin(v, ks, cs)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, ks, cs) =>
+      s"${ev.value} = (InternalRow) graft.sim.NearestCellRow.argmin($q, $ks, $cs);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): NearestCellRow =
+    copy(qv = newFirst, cids = newSecond, cvs = newThird)
+}
+
+object NearestCellRow {
+  /** The shared tight loop (JIT-compiled once, called from both eval and
+    * generated code — the TextKernels pattern). Domain-checked: a
+    * codebook that does not divide into whole centroids of the query's
+    * dimension throws instead of reading out of bounds. */
+  def argmin(v: ArrayData, ks: ArrayData, cs: ArrayData): InternalRow = {
+    val n = ks.numElements()
+    val total = cs.numElements()
+    if (n <= 0 || total % n != 0)
+      throw new IllegalArgumentException(
+        s"ivf_nearest_cell_row: $total centroid components do not divide " +
+          s"into $n cells")
+    val dim = total / n
+    if (v.numElements() < dim)
+      throw new IllegalArgumentException(
+        s"ivf_nearest_cell_row: query vector has ${v.numElements()} " +
+          s"elements, centroids have $dim")
+    var bestD = Long.MaxValue
+    var bestC = Long.MaxValue
+    var k = 0
+    while (k < n) {
+      var d = 0L
+      val base = k * dim
+      var i = 0
+      while (i < dim) {
+        val diff = v.getLong(i) - cs.getLong(base + i)
+        d += diff * diff
+        i += 1
+      }
+      val cid = ks.getLong(k)
+      if (d < bestD || (d == bestD && cid < bestC)) {
+        bestD = d; bestC = cid
+      }
+      k += 1
+    }
+    new GenericInternalRow(Array[Any](bestD, bestC))
   }
 }

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sim.{Ivf, Ivf2, SimOps}
+
+/** The two-level quantizer: the row-codebook argmin kernel must equal
+  * the literal kernel on equal inputs, the assignment must respect the
+  * per-cell derived K2, and the kernel's domain guards must fire. The
+  * full numeric derivation (both Lloyd levels) is independently
+  * re-derived by the DuckDB oracle at both SFs. */
+class Ivf2Spec extends SparkSpec {
+
+  test("ivf_nearest_cell_row == ivf_nearest_cell on the same codebook, corpus-wide") {
+    val cents = Ivf.trainCachedK(spark, sf001, 8)
+    val cids = cents.map(_._1)
+    val cvs = cents.flatMap(_._2.toSeq)
+    // ship the codebook as a joined COLUMN (non-foldable) for the row
+    // kernel, and as literals for the reference kernel
+    import spark.implicits._
+    val book = Seq((1, cids, cvs)).toDF("one", "scids", "cvs")
+    val diff = Ivf.quantized(spark, sf001)
+      .withColumn("one", lit(1))
+      .join(book, Seq("one"))
+      .select(
+        call_function("ivf_nearest_cell_row",
+          col("qv"), col("scids"), col("cvs")).as("row"),
+        call_function("ivf_nearest_cell",
+          col("qv"), typedLit(cids), typedLit(cvs)).as("lit"))
+      .filter(col("row") =!= col("lit")).count()
+    assert(diff == 0, s"row-codebook kernel diverges on $diff vectors")
+  }
+
+  test("assign2: every vector assigned once, scid within its cell's derived K2") {
+    val a2 = Ivf2.assign2(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = SimOps.embeddings(spark, sf001).count()
+    assert(a2.length == n && a2.map(_._1).distinct.length == n,
+      "assignment must cover every vector exactly once")
+    // K2 per coarse cell = ceil(|cell| / TargetCell); scids dense from 0
+    val byCoarse = a2.groupBy(_._2)
+    byCoarse.foreach { case (c1, rows) =>
+      val k2 = math.max(1L,
+        (rows.length + Ivf.TargetCell - 1L) / Ivf.TargetCell)
+      assert(rows.forall(_._3 < k2),
+        s"coarse cell $c1: scid out of derived K2=$k2")
+    }
+    // leaf cells stay ~TargetCell-sized on the uniform fixture (the
+    // point of deriving K2): no leaf more than 3x the target
+    val leafMax = a2.groupBy(r => (r._2, r._3)).map(_._2.length).max
+    assert(leafMax <= 3 * Ivf.TargetCell, s"leaf cell of $leafMax points")
+    // K1 is the sqrt-derived coarse count
+    assert(byCoarse.keySet.max < Ivf2.k1(n),
+      "coarse ids must come from the K1-sized codebook")
+  }
+
+  test("row-kernel domain guards: non-dividing codebooks and short vectors throw") {
+    graft.sim.NearestCell.register(spark)
+    def fails(sql: String): Unit = {
+      val e = intercept[Exception] { spark.sql(sql).collect() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(m => m.contains("divide") || m.contains("elements")),
+        s"expected the domain guard for `$sql`, got: $e")
+    }
+    fails("SELECT ivf_nearest_cell_row(array(1L,2L), array(0L,1L), array(1L,1L,1L))")
+    fails("SELECT ivf_nearest_cell_row(array(1L), array(0L), array(1L,1L))")
+    // in-domain: argmin of [(1,1),(2,2)] vs query (1,1) is cell 0, dist 0
+    val r = spark.sql(
+      "SELECT ivf_nearest_cell_row(array(1L,1L), array(0L,1L), array(1L,1L,2L,2L)) AS b")
+      .select(col("b.dist"), col("b.cid")).head()
+    assert(r.getLong(0) == 0L && r.getLong(1) == 0L)
+  }
+
+  test("two-level sample: same quota rule over leaf cells, subset of corpus") {
+    val got = SimOps.clusterSample2(250000L)(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val leaves = Ivf2.assign2(spark, sf001).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+    val leafOf = leaves.toMap
+    got.foreach { case (v, c1, scid) =>
+      assert(leafOf(v) == ((c1, scid)), s"vec $v sampled into a foreign leaf") }
+    val quota = leaves.groupBy(_._2).map { case (l, vs) =>
+      l -> ((vs.length * 250000L + 999999L) / 1000000L) }
+    val kept = got.groupBy(r => (r._2, r._3)).map { case (l, vs) => l -> vs.length.toLong }
+    assert(kept == quota, "per-leaf quotas diverge")
+  }
+}
