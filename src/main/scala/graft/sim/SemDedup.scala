@@ -92,6 +92,48 @@ object SemDedup {
       .orderBy("vec_id")
   }
 
+  /** [[semDedup]] over the TWO-LEVEL quantizer's leaf cells — the
+    * 100-TB arm: the flat derived-K assignment is O(n·K) (measured
+    * quadratic at 100×, `BENCH_SCALE_r08.json`), [[Ivf2]]'s is
+    * O(n·√K). The dominance rule is unchanged — vectors meet only
+    * within their (c1, scid) leaf, ordered by (dist-to-sub-centroid,
+    * vec_id) — and leaves stay ~TargetCell-sized by the per-cell K2
+    * derivation, so pair work remains ~TargetCell·n. */
+  def semDedup2(tau: Double)(spark: SparkSession, dir: String): DataFrame = {
+    val m = Ivf2.assign2(spark, dir)
+      .join(SimOps.embeddings(spark, dir), Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("c1"), col("scid"), col("dist"))
+    val u = m.select(col("vec_id").as("u_id"), col("embedding").as("u_emb"),
+      col("c1"), col("scid"), col("dist").as("u_dist"))
+    val v = m.select(col("vec_id").as("v_id"), col("embedding").as("v_emb"),
+      col("c1"), col("scid"), col("dist").as("v_dist"))
+    val dropped = u.join(v, Seq("c1", "scid"))
+      .filter(col("u_id") =!= col("v_id"))
+      .filter(col("u_dist") < col("v_dist") ||
+        (col("u_dist") === col("v_dist") && col("u_id") < col("v_id")))
+      .filter(round(SimOps.dot(col("u_emb"), col("v_emb")), 6) >= tau)
+      .select(col("v_id")).distinct()
+    m.join(dropped, m("vec_id") === dropped("v_id"), "left")
+      .select(col("vec_id"), col("c1"), col("scid"), col("dist"),
+        col("v_id").isNull.as("keep"))
+      .orderBy("vec_id")
+  }
+
+  def semDedup2Sql(tau: Double): String = {
+    val dot = s"list_sum(list_transform(range(1,${Ivf.Dim + 1}), " +
+      "i -> CAST(u.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)))"
+    s"""WITH ${Ivf2.chain2CtesSql},
+       |m AS (SELECT b.vec_id, b.c1, b.scid, b.dist, e.embedding
+       |  FROM hbf b JOIN embeddings e ON b.vec_id = e.vec_id),
+       |dropped AS (SELECT DISTINCT v.vec_id
+       |  FROM m u JOIN m v ON u.c1 = v.c1 AND u.scid = v.scid AND u.vec_id <> v.vec_id
+       |   AND (u.dist < v.dist OR (u.dist = v.dist AND u.vec_id < v.vec_id))
+       |  WHERE round($dot, 6) >= $tau)
+       |SELECT m.vec_id, m.c1, m.scid, m.dist, (d.vec_id IS NULL) AS keep
+       |FROM m LEFT JOIN dropped d ON m.vec_id = d.vec_id
+       |ORDER BY m.vec_id""".stripMargin.replace("\n", " ")
+  }
+
   def semDedupSql(tau: Double): String = {
     val dot = s"list_sum(list_transform(range(1,${Ivf.Dim + 1}), " +
       "i -> CAST(u.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)))"
