@@ -259,6 +259,45 @@ object SimOps {
        |   ON a.cid = b.cid AND a.vec_id != b.vec_id)
        | WHERE rn <= $k ORDER BY src, rn""".stripMargin.replace("\n", " ")
 
+  /** [[knnGraph]] over the TWO-LEVEL quantizer's leaf cells — the
+    * 100-TB arm, completing the hierarchical trio with
+    * [[clusterSample2]] and [[SemDedup.semDedup2]]: neighbor candidates
+    * meet within their (c1, scid) leaf (~TargetCell-sized by the
+    * per-cell K2 derivation), and the assignment stage is [[Ivf2]]'s
+    * O(n·√K) path instead of the flat O(n·K) scan. */
+  def knnGraph2(k: Int)(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = Ivf2.assign2(spark, dir)
+      .join(embeddings(spark, dir), Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("c1"), col("scid"))
+    val a = m.select(col("vec_id").as("src"), col("embedding").as("a_emb"),
+      col("c1"), col("scid"))
+    val b = m.select(col("vec_id").as("dst"), col("embedding").as("b_emb"),
+      col("c1"), col("scid"))
+    val scored = a.join(b, Seq("c1", "scid"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        round(dot(col("a_emb"), col("b_emb")), 6).as("sim"))
+    val w = Window.partitionBy("src")
+      .orderBy(col("sim").desc, col("dst").asc)
+    scored.withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= k)
+      .orderBy("src", "rn")
+  }
+
+  def knnGraph2Sql(k: Int): String =
+    s"""WITH ${Ivf2.chain2CtesSql},
+       | m AS (SELECT b.vec_id, b.c1, b.scid, e.embedding
+       |   FROM hbf b JOIN embeddings e ON b.vec_id = e.vec_id)
+       | SELECT src, dst, sim, rn FROM (
+       |  SELECT a.vec_id AS src, b.vec_id AS dst,
+       |   round(${dotSql("a.embedding", "b.embedding")}, 6) AS sim,
+       |   CAST(row_number() OVER (PARTITION BY a.vec_id
+       |     ORDER BY round(${dotSql("a.embedding", "b.embedding")}, 6) DESC, b.vec_id ASC) AS BIGINT) AS rn
+       |  FROM m a JOIN m b
+       |   ON a.c1 = b.c1 AND a.scid = b.scid AND a.vec_id != b.vec_id)
+       | WHERE rn <= $k ORDER BY src, rn""".stripMargin.replace("\n", " ")
+
   // ---- random-hyperplane LSH ------------------------------------------
 
   val Planes: Int = 8
