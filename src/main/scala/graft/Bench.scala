@@ -76,7 +76,7 @@ object Bench {
       ("span_index", n => n.startsWith("doc_dup_spans") ||
         n.startsWith("doc_pipeline_keep"),
         () => graft.text.TextOps.prebuildSpanIndex(spark, sfDir)),
-      ("ivf_codebook", _.startsWith("emb_ivf"),
+      ("ivf_codebook", n => n.startsWith("emb_ivf") && !n.startsWith("emb_ivf2"),
         () => { graft.sim.Ivf.trainCached(spark, sfDir); () }),
       ("pq_codebooks", n => n.startsWith("emb_pq") || n.startsWith("emb_ivfpq"),
         () => graft.sim.Pq.prebuildCodebooks(spark, sfDir)),
@@ -96,8 +96,11 @@ object Bench {
         n.startsWith("emb_pq_rerank") || n.startsWith("emb_ivfpq"),
         () => graft.sim.Pq.prebuildCodesLayout(spark, sfDir)),
       // the partitioned-layout build feeds only the `_part` probe arm
-      ("ivf_layout", n => n.startsWith("emb_ivf") && !n.startsWith("emb_ivfpq") && !n.startsWith("emb_ivfsq8"),
+      ("ivf_layout", n => n.startsWith("emb_ivf") && !n.startsWith("emb_ivfpq") &&
+          !n.startsWith("emb_ivfsq8") && !n.startsWith("emb_ivf2"),
         () => { graft.sim.Ivf.layoutPath(spark, sfDir); () }),
+      ("ivf2_layout", _.startsWith("emb_ivf2_topk"),
+        () => graft.sim.Ivf2.prebuildLayout2(spark, sfDir)),
       ("ann_layout", _.startsWith("emb_lsh"),
         () => graft.sim.SimOps.prebuildAnnLayout(spark, sfDir)),
       ("pc_layouts", _.startsWith("pc_"),

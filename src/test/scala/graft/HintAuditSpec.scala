@@ -104,6 +104,10 @@ class HintAuditSpec extends SparkSpec {
     "emb_lsh_topk" -> (1, "q = 1 row (vec_id = literal)"),
     "emb_lsh_topk_mp" -> (1, "q = 1 row (vec_id = literal)"),
     "emb_ivf_topk" -> (1, "probes = nprobe rows for one query vector"),
+    "emb_ivf2_topk" -> (1, "qe = 1 row (vec_id = literal point filter on a unique key)"),
+    "emb_ivf2_recall" -> (2,
+      "composes emb_topk's 1-row query broadcast and emb_ivf2_topk's " +
+        "1-row qe broadcast — both point-filtered on the unique vec_id"),
     "emb_ivf_topk_part" -> (1, "probes = nprobe rows for one query vector"),
     "emb_ivf_topk_batch" -> (1, "probes = nq × nprobe rows — batch-bounded"),
     "emb_ivf_recall" -> (2,

@@ -51,6 +51,41 @@ class TextKernelsSpec extends SparkSpec {
     assert(df.filter(size(col("native")) > 0).count() > 0)
   }
 
+  test("property: kernels == pure-Scala md5 reference on random token arrays") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def ref60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      var hi = 0L
+      (0 until 8).foreach(j => hi = (hi << 8) | (d(j) & 0xffL))
+      hi >>> 4
+    }
+    // tokens include empties and multi-byte chars — the byte-streaming
+    // digest must agree with the joined-string digest on all of them
+    val tok = Gen.oneOf(Gen.alphaNumStr.map(_.take(6)), Gen.const(""),
+      Gen.const("äöü"), Gen.const("日本"))
+    val toks = Gen.listOf(tok)
+    val p = Prop.forAll(toks, Gen.choose(1, 5), Gen.choose(1, 5)) { (ts, k, w) =>
+      val arr = new GenericArrayData(
+        ts.map(t => UTF8String.fromString(t)).toArray[Any])
+      val grams = ts.sliding(k).filter(_.length == k).map(_.mkString(" ")).toSeq
+      val hs = grams.map(ref60)
+      val wantK = hs.distinct
+      val gotK = graft.functions.TextKernels.kgramHashes(arr, k).toLongArray.toSeq
+      val wantW =
+        if (hs.length < w) Seq.empty[Long]
+        else hs.sliding(w).map(_.min).toSeq
+      val gotW = graft.functions.TextKernels.winnowMins(arr, k, w).toLongArray.toSeq
+      gotK == wantK && gotW == wantW
+    }
+    val r = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(500)
+      .withInitialSeed(org.scalacheck.rng.Seed(42L)), p)
+    assert(r.passed, s"kernel property failed: ${r.status}")
+  }
+
   test("short rows: below-k and below-window documents yield empty arrays") {
     import spark.implicits._
     graft.functions.TextKernels.register(spark)
