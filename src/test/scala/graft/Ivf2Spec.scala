@@ -72,6 +72,32 @@ class Ivf2Spec extends SparkSpec {
     assert(r.getLong(0) == 0L && r.getLong(1) == 0L)
   }
 
+  test("assign2's packed-codebook join carries no hint and degrades to keyed joins intact") {
+    // the packed relation has K1 rows — K1 grows with the corpus
+    // (sqrt), so the library hint policy forbids forcing it; AQE
+    // broadcasts at test SF and must degrade to shuffled joins past the
+    // threshold with IDENTICAL results
+    val analyzed = Ivf2.assign2(spark, sf001).queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"),
+      "assign2 must not carry broadcast hints")
+    val base = Ivf2.assign2(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val degraded = Ivf2.assign2(spark, sf001).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(degraded == base,
+        "assignment must be identical under forced shuffle joins")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("two-level sample: same quota rule over leaf cells, subset of corpus") {
     val got = SimOps.clusterSample2(250000L)(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
