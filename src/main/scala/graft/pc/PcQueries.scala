@@ -316,6 +316,54 @@ object PcQueries {
        | count(*) AS cnt, CAST(sum(pid) AS BIGINT) AS pid_sum
        | FROM ($pointsSql) GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin.replace("\n", " ")
 
+  /** Per-cell EXACT second-moment sufficient statistics (counts, sums,
+    * sums of squares and cross-products over milli-unit integers) — the
+    * order-independent inputs to per-cell covariance / PCA normal
+    * estimation, the spatial analog of the events moments table: ship
+    * these, and any consumer derives mean/covariance/normals without
+    * touching the points again. ONE map-side-combinable aggregation;
+    * products in DECIMAL(38,0) so the sums are exact in any engine and
+    * any order. Coordinates are exact milli-units (the synthesis is
+    * k/1000.0), so round(x·1000) reproduces k identically everywhere. */
+  def cellCov(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    def m(c: String) = round(col(c) * 1000).cast(LongType)
+    def sq(a: Column, b: Column) =
+      sum(a.cast(d38) * b.cast(d38)).cast(d38)
+    points(spark, dir)
+      .select(floor(col("x") / 125.0).cast(LongType).as("cx"),
+        floor(col("y") / 125.0).cast(LongType).as("cy"),
+        m("x").as("mx"), m("y").as("my"), m("z").as("mz"))
+      .groupBy("cx", "cy")
+      .agg(count(lit(1)).as("n"),
+        sum("mx").as("sx"), sum("my").as("sy"), sum("mz").as("sz"),
+        sq(col("mx"), col("mx")).as("sxx"),
+        sq(col("my"), col("my")).as("syy"),
+        sq(col("mz"), col("mz")).as("szz"),
+        sq(col("mx"), col("my")).as("sxy"),
+        sq(col("mx"), col("mz")).as("sxz"),
+        sq(col("my"), col("mz")).as("syz"))
+      .orderBy("cx", "cy")
+  }
+
+  val cellCovSql: String =
+    s"""SELECT CAST(floor(x / 125.0) AS BIGINT) AS cx,
+       | CAST(floor(y / 125.0) AS BIGINT) AS cy,
+       | count(*) AS n,
+       | CAST(sum(mx) AS BIGINT) AS sx, CAST(sum(my) AS BIGINT) AS sy,
+       | CAST(sum(mz) AS BIGINT) AS sz,
+       | CAST(sum(CAST(mx AS HUGEINT) * mx) AS DECIMAL(38,0)) AS sxx,
+       | CAST(sum(CAST(my AS HUGEINT) * my) AS DECIMAL(38,0)) AS syy,
+       | CAST(sum(CAST(mz AS HUGEINT) * mz) AS DECIMAL(38,0)) AS szz,
+       | CAST(sum(CAST(mx AS HUGEINT) * my) AS DECIMAL(38,0)) AS sxy,
+       | CAST(sum(CAST(mx AS HUGEINT) * mz) AS DECIMAL(38,0)) AS sxz,
+       | CAST(sum(CAST(my AS HUGEINT) * mz) AS DECIMAL(38,0)) AS syz
+       | FROM (SELECT x, y,
+       |   CAST(round(x * 1000) AS BIGINT) AS mx,
+       |   CAST(round(y * 1000) AS BIGINT) AS my,
+       |   CAST(round(z * 1000) AS BIGINT) AS mz FROM ($pointsSql))
+       | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " ")
+
   /** Density-based spatial region labeling — grid DBSCAN: bucket points
     * into a fixed 2-D grid, keep the CORE cells (count ≥ 1.1× the mean
     * occupied-cell count — an SF-adaptive density gate, exact integer

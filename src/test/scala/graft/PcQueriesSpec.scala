@@ -156,4 +156,30 @@ class PcQueriesSpec extends SparkSpec {
     assert(auto.toSeq == brute.toSeq,
       "density-derived bbox clipped away part of the true k nearest")
   }
+
+  test("cellCov: exact BigInt recount of one cell's moments; covariance derivable") {
+    import org.apache.spark.sql.functions.{col, floor, round}
+    val got = PcQueries.cellCov(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(got.nonEmpty)
+    val (cx, cy) = got.keys.head
+    val pts = graft.pc.Points.fromLineitem(spark, sf001)
+      .filter(floor(col("x") / 125.0) === cx && floor(col("y") / 125.0) === cy)
+      .select(round(col("x") * 1000).cast("long"),
+        round(col("y") * 1000).cast("long"),
+        round(col("z") * 1000).cast("long"))
+      .collect().map(r => (BigInt(r.getLong(0)), BigInt(r.getLong(1)), BigInt(r.getLong(2))))
+    val r = got((cx, cy))
+    assert(r.getLong(2) == pts.length)
+    assert(BigInt(r.getLong(3)) == pts.map(_._1).sum)
+    assert(r.getDecimal(6).toBigInteger == pts.map(p => p._1 * p._1).sum.bigInteger)
+    assert(r.getDecimal(9).toBigInteger == pts.map(p => p._1 * p._2).sum.bigInteger)
+    assert(r.getDecimal(11).toBigInteger == pts.map(p => p._2 * p._3).sum.bigInteger)
+    // the moments suffice: cell covariance(x,y) derives without a second pass
+    val n = BigInt(pts.length)
+    val covXY = (n * pts.map(p => p._1 * p._2).sum -
+      pts.map(_._1).sum * pts.map(_._2).sum)
+    assert(covXY == n * BigInt(r.getDecimal(9).toBigInteger) -
+      BigInt(r.getLong(3)) * BigInt(r.getLong(4)))
+  }
 }
