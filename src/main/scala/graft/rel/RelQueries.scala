@@ -1461,6 +1461,60 @@ object RelQueries {
        | WHERE cnt >= $CopurchaseSupport
        | ORDER BY cnt DESC, p1 ASC, p2 ASC LIMIT $k""".stripMargin.replace("\n", " ")
 
+  /** Association rules over the co-purchase pairs: for every DIRECTED
+    * part pair (a → b) with joint support ≥ [[CopurchaseSupport]], the
+    * rule metrics a recommender ranks by — confidence (P(b|a)) and lift
+    * (P(b|a)/P(b)) — in exact integer ppm. The rule-mining step after
+    * [[copurchase]]'s pair counting.
+    *
+    * Scale shape: pair counts come from the same bounded-basket explode
+    * (quadratic only in basket size); per-item order counts are one
+    * keyed aggregation of the distinct (order, part) relation; the two
+    * metric joins key on part ids — unhinted, item counts are
+    * catalog-sized (AQE decides). The 1-row total-orders scalar rides a
+    * bounded broadcast. */
+  def assocRules(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val itemN = d.groupBy(col("l_partkey").as("p")).agg(count(lit(1)).as("n"))
+    val total = d.select(countDistinct("l_orderkey").as("total"))
+    val pairs = t(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(collect_set(col("l_partkey")).as("parts"))
+      .select(explode(col("parts")).as("a"), col("parts"))
+      .select(col("a"), explode(col("parts")).as("b"))
+      .filter(col("a") =!= col("b")) // both directions: a→b and b→a
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= CopurchaseSupport)
+    pairs
+      .join(itemN.select(col("p").as("a"), col("n").as("na")), Seq("a"))
+      .join(itemN.select(col("p").as("b"), col("n").as("nb")), Seq("b"))
+      .crossJoin(broadcast(total)) // 1-row scalar: bounded hint
+      .select(col("a"), col("b"), col("sup"), col("na"), col("nb"),
+        expr("sup * 1000000 div na").as("conf_ppm"),
+        // DECIMAL(38,0) numerator: sup·total·10^6 overflows int64 at
+        // ~10^10 orders — the TextOps salience div idiom keeps it exact
+        expr("((CAST(sup AS DECIMAL(38,0)) * total * 1000000) div " +
+          "(CAST(na AS DECIMAL(38,0)) * nb)) ").cast(LongType).as("lift_ppm"))
+      .orderBy("a", "b")
+  }
+
+  val assocRulesSql: String =
+    s"""WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       | i AS (SELECT l_partkey AS p, count(*) AS n FROM d GROUP BY 1),
+       | tot AS (SELECT count(DISTINCT l_orderkey) AS total FROM d),
+       | pr AS (SELECT a.l_partkey AS a, b.l_partkey AS b,
+       |   CAST(count(*) AS BIGINT) AS sup
+       |  FROM d a JOIN d b
+       |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= $CopurchaseSupport)
+       | SELECT a, b, sup, na.n AS na, nb.n AS nb,
+       |  CAST(sup * 1000000 // na.n AS BIGINT) AS conf_ppm,
+       |  CAST((CAST(sup AS HUGEINT) * tot.total * 1000000) // (CAST(na.n AS HUGEINT) * nb.n) AS BIGINT) AS lift_ppm
+       | FROM pr JOIN i na ON pr.a = na.p JOIN i nb ON pr.b = nb.p, tot
+       | ORDER BY a, b""".stripMargin.replace("\n", " ")
+
   /** Triangle enumeration over the support-filtered co-purchase graph —
     * the graph-analytics step behind affinity bundles ("these THREE
     * parts sell together") and local clustering coefficients, on the

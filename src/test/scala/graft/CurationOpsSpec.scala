@@ -104,6 +104,36 @@ class CurationOpsSpec extends SparkSpec {
     assert(got.distinct.length == got.length, "duplicate triangle emitted")
   }
 
+  test("assocRules == literal per-pair confidence/lift recount") {
+    val got = RelQueries.assocRules(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    assert(got.nonEmpty)
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val itemN = li.groupBy(_._2).map { case (p, vs) => (p, vs.length.toLong) }
+    val total = BigInt(li.map(_._1).distinct.length)
+    val dirPairs: Seq[(Long, Long)] =
+      li.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        val ps = rows.map(_._2).toSeq
+        for (a <- ps; b <- ps if a != b) yield (a, b)
+      }
+    val pairCnt = dirPairs.groupBy(identity)
+      .filter(_._2.size >= RelQueries.CopurchaseSupport)
+      .map { case (k, vs) => (k, vs.size.toLong) }
+    val want = pairCnt.map { case ((a, b), sup) =>
+      val (na, nb) = (itemN(a), itemN(b))
+      (a, b) -> ((sup, na, nb, sup * 1000000L / na,
+        ((BigInt(sup) * total * 1000000) / (BigInt(na) * nb)).toLong))
+    }
+    assert(got == want, s"rules diverge: got ${got.size}, want ${want.size}")
+    // metric sanity on real data: confidence ppm within (0, 1e6];
+    // a support-2 pair on a sparse catalog lifts far above 1
+    assert(got.values.forall { case (_, _, _, c, l) => c > 0 && c <= 1000000L && l > 1000000L })
+  }
+
   test("cellRegions == driver-side BFS over the density-gated cell grid") {
     val got = graft.pc.PcQueries.cellRegions(spark, sf001).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
