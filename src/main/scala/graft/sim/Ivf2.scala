@@ -199,6 +199,53 @@ object Ivf2 {
       .limit(k)
   }
 
+  /** Embedding-distribution drift across the corpus halves, measured
+    * on the two-level quantizer's leaf occupancies: per (c1, scid)
+    * leaf, the old-half and new-half member counts and their occupancy
+    * shares in exact integer ppm, plus the share delta — the
+    * distribution-shift monitor an embedding pipeline runs between
+    * ingest batches (a leaf whose share moves is a topic whose volume
+    * moved; an empty-new leaf is vanishing data; a hot-new leaf wants
+    * an index rebuild). The text-side twin is `doc_drift`; this is the
+    * embedding-space version, and it rides the O(n·√K) hierarchical
+    * assignment, never the flat quadratic scan.
+    *
+    * Scale shape: ONE leaf-keyed aggregation of the assignment with
+    * conditional counts; the totals are a 1-row scalar (bounded
+    * broadcast); output is leaf-count-sized. */
+  def cellDrift(spark: SparkSession, dir: String): DataFrame = {
+    val half = Ivf.corpusN(spark, dir) / 2
+    val g = assign2(spark, dir)
+      .groupBy("c1", "scid")
+      .agg(sum(when(col("vec_id") < half, 1L).otherwise(0L)).as("n_old"),
+        sum(when(col("vec_id") >= half, 1L).otherwise(0L)).as("n_new"))
+    val tot = g.agg(sum("n_old").as("t_old"), sum("n_new").as("t_new"))
+    g.crossJoin(broadcast(tot)) // 1-row scalar: bounded hint
+      .select(col("c1"), col("scid"), col("n_old"), col("n_new"),
+        expr("n_old * 1000000 div greatest(t_old, 1L)").as("p_old_ppm"),
+        expr("n_new * 1000000 div greatest(t_new, 1L)").as("p_new_ppm"),
+        expr("(n_new * 1000000 div greatest(t_new, 1L)) - " +
+          "(n_old * 1000000 div greatest(t_old, 1L))").as("delta_ppm"))
+      .orderBy("c1", "scid")
+  }
+
+  val cellDriftSql: String = {
+    val half = "(SELECT count(*) // 2 FROM embeddings)"
+    s"""WITH $chain2CtesSql,
+       |hg AS (SELECT c1, scid,
+       |  CAST(sum(CASE WHEN vec_id < $half THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+       |  CAST(sum(CASE WHEN vec_id >= $half THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+       | FROM hbf GROUP BY 1, 2),
+       |t AS (SELECT CAST(sum(n_old) AS BIGINT) AS t_old,
+       |  CAST(sum(n_new) AS BIGINT) AS t_new FROM hg)
+       |SELECT c1, scid, n_old, n_new,
+       | CAST(n_old * 1000000 // greatest(t_old, 1) AS BIGINT) AS p_old_ppm,
+       | CAST(n_new * 1000000 // greatest(t_new, 1) AS BIGINT) AS p_new_ppm,
+       | CAST(n_new * 1000000 // greatest(t_new, 1) AS BIGINT) -
+       |  CAST(n_old * 1000000 // greatest(t_old, 1) AS BIGINT) AS delta_ppm
+       |FROM hg, t ORDER BY c1, scid""".stripMargin.replace("\n", " ")
+  }
+
   /** Recall@k of the two-level search against the exact scan — one
     * oracle-gated row, the eval an ANN deployment runs before trusting
     * the index (the [[Ivf.recallEval]] discipline for the hierarchical

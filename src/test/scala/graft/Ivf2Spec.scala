@@ -98,6 +98,36 @@ class Ivf2Spec extends SparkSpec {
     }
   }
 
+  test("cellDrift: shares recount exactly; deltas sum to ~0 (a share moved somewhere)") {
+    val got = Ivf2.cellDrift(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    val n = SimOps.embeddings(spark, sf001).count()
+    val half = n / 2
+    val leaves = Ivf2.assign2(spark, sf001).collect()
+      .map(r => ((r.getLong(1), r.getLong(2)), r.getLong(0)))
+    val want = leaves.groupBy(_._1).map { case (l, vs) =>
+      val old = vs.count(_._2 < half).toLong
+      val nw = vs.count(_._2 >= half).toLong
+      l -> ((old, nw))
+    }
+    val tOld = want.values.map(_._1).sum
+    val tNew = want.values.map(_._2).sum
+    assert(tOld + tNew == n)
+    got.foreach { case (l, (o, w, po, pn, d)) =>
+      assert((o, w) == want(l), s"leaf $l counts diverge")
+      assert(po == o * 1000000L / math.max(tOld, 1L))
+      assert(pn == w * 1000000L / math.max(tNew, 1L))
+      assert(d == pn - po)
+    }
+    assert(got.keySet == want.keySet)
+    // floor-division residue keeps |sum of deltas| < number of leaves
+    val sumDelta = got.values.map(_._5).sum
+    assert(math.abs(sumDelta) <= got.size.toLong,
+      s"share deltas should telescope to ~0, got $sumDelta")
+  }
+
   test("two-level sample: same quota rule over leaf cells, subset of corpus") {
     val got = SimOps.clusterSample2(250000L)(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
