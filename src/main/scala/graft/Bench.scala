@@ -99,7 +99,10 @@ object Bench {
       ("ivf_layout", n => n.startsWith("emb_ivf") && !n.startsWith("emb_ivfpq") &&
           !n.startsWith("emb_ivfsq8") && !n.startsWith("emb_ivf2"),
         () => { graft.sim.Ivf.layoutPath(spark, sfDir); () }),
-      ("ivf2_layout", _.startsWith("emb_ivf2_topk"),
+      // emb_ivf2_recall composes topK2 and pays the same one-time
+      // trained2/layout2 parquet builds if benchmarked alone
+      ("ivf2_layout", n => n.startsWith("emb_ivf2_topk") ||
+          n.startsWith("emb_ivf2_recall"),
         () => graft.sim.Ivf2.prebuildLayout2(spark, sfDir)),
       ("ann_layout", _.startsWith("emb_lsh"),
         () => graft.sim.SimOps.prebuildAnnLayout(spark, sfDir)),

@@ -77,7 +77,12 @@ object EventOps {
     * arithmetic (Σcents² in DECIMAL(38,0) — cents ≤ 2³¹ per row keeps
     * even a 10¹² -row sum inside 38 digits), so the stats hash-compare
     * across engines at any scale, unlike a float mean/stddev whose
-    * summation order differs per engine. */
+    * summation order differs per engine. The wide sum stays DECIMAL
+    * internally but is EMITTED as a canonical decimal STRING: typed
+    * Decimal readers (Spark parquet) and float-coercing clients
+    * (DuckDB fetchdf) disagree on a DECIMAL(38,0) column's value
+    * representation even when every integer is identical, so exact
+    * big integers cross the engine boundary as text. */
   def valueMoments(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
       .select(col("event_type"),
@@ -87,7 +92,8 @@ object EventOps {
         count(col("cents")).as("n"),
         sum(col("cents")).as("sum_cents"),
         sum(col("cents").cast("decimal(38,0)") * col("cents")
-          .cast("decimal(38,0)")).cast("decimal(38,0)").as("sum_sq"),
+          .cast("decimal(38,0)")).cast("decimal(38,0)")
+          .cast("string").as("sum_sq"),
         min(col("cents")).as("min_cents"),
         max(col("cents")).as("max_cents"))
       .orderBy("event_type")
@@ -95,7 +101,7 @@ object EventOps {
   val valueMomentsSql: String =
     """SELECT event_type, count(cents) AS n,
       | CAST(sum(cents) AS BIGINT) AS sum_cents,
-      | CAST(sum(CAST(cents AS HUGEINT) * cents) AS DECIMAL(38,0)) AS sum_sq,
+      | CAST(sum(CAST(cents AS HUGEINT) * cents) AS VARCHAR) AS sum_sq,
       | min(cents) AS min_cents, max(cents) AS max_cents FROM (
       | SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
       | FROM events) GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")
@@ -1334,6 +1340,12 @@ object EventOps {
           expr(s"((bin + 1) * n + $bins - 1) div $bins")) -
         greatest(col("lo_rank"),
           expr(s"(bin * n + $bins - 1) div $bins + 1")) + 1)
+      // a value's [lo, hi] interval can touch a bin whose own rank range
+      // is empty (n < bins with a duplicated value spanning the gap);
+      // such rows carry ov = 0 but would still mint an (event_type, bin)
+      // group with n_rows = 0 and phantom min/max — the per-row oracle
+      // never produces that group, so drop zero-overlap rows pre-agg
+      .filter(col("ov") > 0)
       .groupBy("event_type", "bin")
       .agg(sum(col("ov")).as("n_rows"),
         sum(col("cents") * col("ov")).as("cents_sum"),

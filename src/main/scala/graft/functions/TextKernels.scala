@@ -109,6 +109,26 @@ object TextKernels {
     if (!registry.functionExists(wm))
       registry.createOrReplaceTempFunction("winnow_mins",
         (es: Seq[Expression]) => WinnowMins(es.head, es(1), es(2)), "internal")
+    val tc = org.apache.spark.sql.catalyst.FunctionIdentifier("token_count_in")
+    if (!registry.functionExists(tc))
+      registry.createOrReplaceTempFunction("token_count_in",
+        (es: Seq[Expression]) => TokenCountIn(es.head, es(1)), "internal")
+    val tl = org.apache.spark.sql.catalyst.FunctionIdentifier("token_len_sum")
+    if (!registry.functionExists(tl))
+      registry.createOrReplaceTempFunction("token_len_sum",
+        (es: Seq[Expression]) => TokenLenSum(es.head), "internal")
+    val bp = org.apache.spark.sql.catalyst.FunctionIdentifier("bigram_pairs")
+    if (!registry.functionExists(bp))
+      registry.createOrReplaceTempFunction("bigram_pairs",
+        (es: Seq[Expression]) => BigramPairs(es.head), "internal")
+    val cs = org.apache.spark.sql.catalyst.FunctionIdentifier("chunk_structs")
+    if (!registry.functionExists(cs))
+      registry.createOrReplaceTempFunction("chunk_structs",
+        (es: Seq[Expression]) => ChunkStructs(es.head, es(1)), "internal")
+    val cl = org.apache.spark.sql.catalyst.FunctionIdentifier("count_le")
+    if (!registry.functionExists(cl))
+      registry.createOrReplaceTempFunction("count_le",
+        (es: Seq[Expression]) => CountLe(es.head, es(1)), "internal")
   }
 }
 
@@ -187,4 +207,328 @@ case class WinnowMins(child: Expression, kExpr: Expression, wExpr: Expression)
       newFirst: Expression, newSecond: Expression,
       newThird: Expression): WinnowMins =
     copy(child = newFirst, kExpr = newSecond, wExpr = newThird)
+}
+
+/** `token_count_in(ws, set)`: count of tokens equal to any member of a
+  * LITERAL string set — the `size(filter(ws, w -> w IN (...)))` idiom
+  * (stopword counting, language-marker scoring, literal-term tf) as
+  * one hash-probe loop. The HOF spelling is CodegenFallback, so every
+  * quality/langid/BM25 pass walked an interpreted lambda tree per
+  * token (r9 standing-audit find). Semantics identical: null elements
+  * never match (IN over a non-null set is null → filtered). */
+case class TokenCountIn(child: Expression, set: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = child
+  override def right: Expression = set
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!child.dataType.isInstanceOf[ArrayType] ||
+        child.dataType.asInstanceOf[ArrayType].elementType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"token_count_in needs array<string>, got ${child.dataType}")
+    else if (!set.dataType.isInstanceOf[ArrayType] ||
+        set.dataType.asInstanceOf[ArrayType].elementType != StringType ||
+        !set.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "token_count_in set must be a literal array<string>")
+    else TypeCheckResult.TypeCheckSuccess
+
+  @transient private lazy val setV: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String] = {
+    val arr = set.eval().asInstanceOf[ArrayData]
+    val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](
+      arr.numElements() * 2)
+    var i = 0
+    while (i < arr.numElements()) {
+      // clone: literal UTF8Strings may back onto a shared buffer
+      s.add(arr.getUTF8String(i).clone())
+      i += 1
+    }
+    s
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "token_count_in"
+
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    TokenCountIn.count(x.asInstanceOf[ArrayData], setV)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (arr, _) => {
+      val ref = ctx.addReferenceObj("set", setV, "java.util.HashSet")
+      s"${ev.value} = graft.functions.TokenCountIn.count($arr, $ref);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TokenCountIn =
+    copy(child = newLeft, set = newRight)
+}
+
+object TokenCountIn {
+  /** Shared JIT-compiled probe loop. */
+  def count(arr: ArrayData,
+      set: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]): Long = {
+    var n = 0L
+    var i = 0
+    val len = arr.numElements()
+    while (i < len) {
+      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i))) n += 1L
+      i += 1
+    }
+    n
+  }
+}
+
+/** `token_len_sum(ws)`: Σ length(w) over the row's tokens — the Gopher
+  * mean-word-length numerator (`aggregate(ws, 0L, (a, w) -> a +
+  * length(w))`) without the interpreted fold. `length` counts CHARS
+  * (codepoints), exactly like the built-in; a null element nulls the
+  * whole sum, matching the fold's null propagation. */
+case class TokenLenSum(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!child.dataType.isInstanceOf[ArrayType] ||
+        child.dataType.asInstanceOf[ArrayType].elementType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"token_len_sum needs array<string>, got ${child.dataType}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "token_len_sum"
+
+  override protected def nullSafeEval(x: Any): Any =
+    TokenLenSum.sum(x.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val c = child.genCode(ctx)
+    val boxed = ctx.freshName("boxed")
+    // a NON-null input can still produce a null sum (null element →
+    // fold's null propagation), so nullSafeCodeGen does not fit
+    ev.copy(code =
+      code"""
+        ${c.code}
+        boolean ${ev.isNull} = true;
+        long ${ev.value} = -1L;
+        if (!${c.isNull}) {
+          java.lang.Long $boxed = graft.functions.TokenLenSum.sum(${c.value});
+          if ($boxed != null) { ${ev.isNull} = false; ${ev.value} = $boxed.longValue(); }
+        }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenLenSum =
+    copy(child = newChild)
+}
+
+object TokenLenSum {
+  /** Shared loop; null element → null total (the fold's semantics). */
+  def sum(arr: ArrayData): java.lang.Long = {
+    var s = 0L
+    var i = 0
+    val len = arr.numElements()
+    while (i < len) {
+      if (arr.isNullAt(i)) return null
+      s += arr.getUTF8String(i).numChars()
+      i += 1
+    }
+    java.lang.Long.valueOf(s)
+  }
+}
+
+/** `bigram_pairs(ws)`: adjacent token pairs joined by one space —
+  * `zip_with(slice(ws,1,n-1), slice(ws,2,n-1), (a,b) -> concat(a,' ',b))`
+  * as one loop (n−1 output elements; empty below 2 tokens). The BPE /
+  * phrase-mining pair-explode ran three interpreted collection
+  * expressions per document. */
+case class BigramPairs(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!child.dataType.isInstanceOf[ArrayType] ||
+        child.dataType.asInstanceOf[ArrayType].elementType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"bigram_pairs needs array<string>, got ${child.dataType}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "bigram_pairs"
+
+  override protected def nullSafeEval(x: Any): Any =
+    BigramPairs.pairs(x.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.functions.BigramPairs.pairs($arr);")
+
+  override protected def withNewChildInternal(newChild: Expression): BigramPairs =
+    copy(child = newChild)
+}
+
+object BigramPairs {
+  private val SPACE = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  /** Shared loop; a null endpoint nulls that pair (concat semantics). */
+  def pairs(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - 1)
+    var i = 0
+    while (i < n - 1) {
+      out(i) =
+        if (arr.isNullAt(i) || arr.isNullAt(i + 1)) null
+        else org.apache.spark.unsafe.types.UTF8String.concat(
+          arr.getUTF8String(i), SPACE, arr.getUTF8String(i + 1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `chunk_structs(ws, width)`: the context-length split —
+  * `transform(sequence(0, (n−1) div width), i -> struct(i, size(slice),
+  * md5(array_join(slice, ' '))))` as one loop that streams each chunk's
+  * token bytes into an incremental MD5 (no joined-string allocation).
+  * Element-identical to the HOF spelling, including the 1-empty-chunk
+  * degenerate row at n = 0 and the final short chunk. */
+case class ChunkStructs(child: Expression, widthExpr: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = child
+  override def right: Expression = widthExpr
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!child.dataType.isInstanceOf[ArrayType] ||
+        child.dataType.asInstanceOf[ArrayType].elementType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"chunk_structs needs array<string>, got ${child.dataType}")
+    else if (widthExpr.dataType != IntegerType || !widthExpr.foldable)
+      TypeCheckResult.TypeCheckFailure("chunk_structs width must be an int literal")
+    else if (widthV < 1)
+      TypeCheckResult.TypeCheckFailure(
+        s"chunk_structs width must be >= 1, got $widthV")
+    else TypeCheckResult.TypeCheckSuccess
+
+  @transient private lazy val widthV: Int = widthExpr.eval().asInstanceOf[Int]
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("chunk_id", LongType, nullable = false),
+    StructField("n_chunk_tokens", LongType, nullable = false),
+    StructField("chunk_fp", StringType, nullable = true))),
+    containsNull = false)
+  override def prettyName: String = "chunk_structs"
+
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    ChunkStructs.chunks(x.asInstanceOf[ArrayData], widthV)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (arr, _) =>
+      s"${ev.value} = graft.functions.ChunkStructs.chunks($arr, $widthV);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ChunkStructs =
+    copy(child = newLeft, widthExpr = newRight)
+}
+
+object ChunkStructs {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val HEX = "0123456789abcdef".toCharArray
+  private val SP: Byte = ' '.toByte
+
+  /** Shared loop: one md5 per chunk, streamed token bytes. */
+  def chunks(arr: ArrayData, width: Int): ArrayData = {
+    val n = arr.numElements()
+    // `sequence(0, (n-1) div width)`: Spark div truncates toward zero,
+    // so n = 0 still yields chunk 0 (an empty slice), like the HOF
+    val nChunks = math.max((n - 1) / width, 0) + 1
+    val out = new Array[Any](nChunks)
+    val d = md.get()
+    var c = 0
+    while (c < nChunks) {
+      val from = c * width
+      val to = math.min(from + width, n)
+      d.reset()
+      var i = from
+      while (i < to) {
+        if (i > from) d.update(SP)
+        // array_join skips NULL elements entirely (no separator); split
+        // output never carries nulls, but match the built-in exactly
+        if (!arr.isNullAt(i)) d.update(arr.getUTF8String(i).getBytes)
+        i += 1
+      }
+      val dg = d.digest()
+      val hex = new Array[Char](32)
+      var j = 0
+      while (j < 16) {
+        hex(2 * j) = HEX((dg(j) >> 4) & 0xf)
+        hex(2 * j + 1) = HEX(dg(j) & 0xf)
+        j += 1
+      }
+      out(c) = org.apache.spark.sql.catalyst.InternalRow(
+        c.toLong, (to - from).toLong,
+        org.apache.spark.unsafe.types.UTF8String.fromString(new String(hex)))
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `count_le(cuts, v)`: how many LITERAL cut points are ≤ v — the
+  * quantile-bucket index (`size(filter(cuts, c -> v >= c))`) without
+  * the interpreted per-element lambda. Returns INT like `size`. */
+case class CountLe(cuts: Expression, v: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = cuts
+  override def right: Expression = v
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!cuts.dataType.isInstanceOf[ArrayType] ||
+        cuts.dataType.asInstanceOf[ArrayType].elementType != LongType ||
+        !cuts.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"count_le needs a literal array<bigint> cuts, got ${cuts.dataType}")
+    else if (v.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"count_le needs a bigint value, got ${v.dataType}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  @transient private lazy val cutArr: Array[Long] =
+    cuts.eval().asInstanceOf[ArrayData].toLongArray()
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "count_le"
+
+  override protected def nullSafeEval(x: Any, y: Any): Any = {
+    val value = y.asInstanceOf[Long]
+    var n = 0
+    var i = 0
+    while (i < cutArr.length) {
+      if (cutArr(i) <= value) n += 1
+      i += 1
+    }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (_, value) => {
+      val ref = ctx.addReferenceObj("cuts", cutArr, "long[]")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = 0;
+         |for (int $i = 0; $i < ${cutArr.length}; $i++) {
+         |  if ($ref[$i] <= $value) $n++;
+         |}
+         |${ev.value} = $n;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CountLe =
+    copy(cuts = newLeft, v = newRight)
 }

@@ -52,8 +52,18 @@ import org.apache.spark.util.sketch.BloomFilter
   */
 object BloomIndex {
 
+  /** Versioned index root: `_bloom2` marks sidecars written under the
+    * INJECTIVE `~`-escaped naming. The retired `_bloom` root used a
+    * non-injective `/`→`~` mapping, so a legacy sidecar for rel `a/sX`
+    * shares a file name with the new-format sidecar for `a/X` — probed
+    * through the new naming it could prune the WRONG file (a Bloom
+    * false negative, the one failure class the design forbids).
+    * Versioning the root makes legacy files unreachable by
+    * construction; [[build]] additionally purges any legacy root. */
+  val IndexRoot = "_bloom2"
+
   private def indexDir(table: String, column: String): Path =
-    Paths.get(table, "_bloom", column)
+    Paths.get(table, IndexRoot, column)
 
   /** Injective flattening of a data entry's REL path (`stage-sub/name`)
     * to a sidecar file name: `~` escapes first (`~` → `~~`, `/` → `~s`)
@@ -65,6 +75,20 @@ object BloomIndex {
   /** Sidecar file for a data entry's REL path. */
   private def sidecar(table: String, column: String, rel: String): Path =
     indexDir(table, column).resolve(sidecarName(rel))
+
+  /** Delete a retired non-injective `_bloom` root wholesale: its
+    * sidecars are advisory (removal can only un-prune) and were written
+    * under a naming that cannot be trusted per-file. */
+  private def purgeLegacyRoot(table: String): Unit = {
+    val legacy = Paths.get(table, "_bloom")
+    if (Files.isDirectory(legacy)) {
+      import scala.jdk.CollectionConverters._
+      val all = Files.walk(legacy)
+      try all.iterator().asScala.toSeq.reverseIterator
+        .foreach(Files.deleteIfExists(_))
+      finally all.close()
+    }
+  }
 
   /** The uniform 64-bit value hash, as a COLUMN (build side). */
   private def hashCol(f: StructField): org.apache.spark.sql.Column =
@@ -112,6 +136,7 @@ object BloomIndex {
       .asInstanceOf[StructType]
     val f = resolve(schema, column)
     graft.text.TextOps.registerBloomFns(spark)
+    purgeLegacyRoot(table)
     Files.createDirectories(indexDir(table, f.name))
     // only files not yet bloomed: the build is append-incremental
     val todo = all.map(_._1)

@@ -2312,7 +2312,7 @@ object LakeTable {
     // reclaim the deleted files' advisory Bloom sidecars ([[BloomIndex]]
     // keys them by data-file rel, so a vacuumed file's sidecar is pure
     // garbage; live files' sidecars are untouched)
-    val bloomRoot = root.resolve("_bloom")
+    val bloomRoot = root.resolve(BloomIndex.IndexRoot)
     if (Files.isDirectory(bloomRoot)) {
       val cols = Files.list(bloomRoot)
       try cols.iterator().asScala.filter(Files.isDirectory(_)).foreach { cd =>

@@ -323,13 +323,17 @@ object PcQueries {
     * these, and any consumer derives mean/covariance/normals without
     * touching the points again. ONE map-side-combinable aggregation;
     * products in DECIMAL(38,0) so the sums are exact in any engine and
-    * any order. Coordinates are exact milli-units (the synthesis is
-    * k/1000.0), so round(x·1000) reproduces k identically everywhere. */
+    * any order — but EMITTED as canonical decimal STRINGs, because a
+    * DECIMAL(38,0) output column round-trips as typed Decimal through
+    * Spark parquet and as float64 through DuckDB's client, hashing
+    * differently even when every integer matches. Coordinates are
+    * exact milli-units (the synthesis is k/1000.0), so round(x·1000)
+    * reproduces k identically everywhere. */
   def cellCov(spark: SparkSession, dir: String): DataFrame = {
     val d38 = "decimal(38,0)"
     def m(c: String) = round(col(c) * 1000).cast(LongType)
     def sq(a: Column, b: Column) =
-      sum(a.cast(d38) * b.cast(d38)).cast(d38)
+      sum(a.cast(d38) * b.cast(d38)).cast(d38).cast("string")
     points(spark, dir)
       .select(floor(col("x") / 125.0).cast(LongType).as("cx"),
         floor(col("y") / 125.0).cast(LongType).as("cy"),
@@ -352,12 +356,12 @@ object PcQueries {
        | count(*) AS n,
        | CAST(sum(mx) AS BIGINT) AS sx, CAST(sum(my) AS BIGINT) AS sy,
        | CAST(sum(mz) AS BIGINT) AS sz,
-       | CAST(sum(CAST(mx AS HUGEINT) * mx) AS DECIMAL(38,0)) AS sxx,
-       | CAST(sum(CAST(my AS HUGEINT) * my) AS DECIMAL(38,0)) AS syy,
-       | CAST(sum(CAST(mz AS HUGEINT) * mz) AS DECIMAL(38,0)) AS szz,
-       | CAST(sum(CAST(mx AS HUGEINT) * my) AS DECIMAL(38,0)) AS sxy,
-       | CAST(sum(CAST(mx AS HUGEINT) * mz) AS DECIMAL(38,0)) AS sxz,
-       | CAST(sum(CAST(my AS HUGEINT) * mz) AS DECIMAL(38,0)) AS syz
+       | CAST(sum(CAST(mx AS HUGEINT) * mx) AS VARCHAR) AS sxx,
+       | CAST(sum(CAST(my AS HUGEINT) * my) AS VARCHAR) AS syy,
+       | CAST(sum(CAST(mz AS HUGEINT) * mz) AS VARCHAR) AS szz,
+       | CAST(sum(CAST(mx AS HUGEINT) * my) AS VARCHAR) AS sxy,
+       | CAST(sum(CAST(mx AS HUGEINT) * mz) AS VARCHAR) AS sxz,
+       | CAST(sum(CAST(my AS HUGEINT) * mz) AS VARCHAR) AS syz
        | FROM (SELECT x, y,
        |   CAST(round(x * 1000) AS BIGINT) AS mx,
        |   CAST(round(y * 1000) AS BIGINT) AS my,

@@ -322,13 +322,17 @@ object Ivf {
     import org.apache.spark.sql.expressions.Window
     val centroids = trainCached(spark, dir)
     val table = spark.read.parquet(layoutPath(spark, dir))
-    val distArr = array(centroids.map { case (cid, cv) =>
-      struct(distTo(cv).as("dist"), lit(cid).as("cid"))
-    }: _*)
+    // native probe selection (ivf_probe_cells): the struct-sort HOF
+    // spelling (slice(array_sort(array(struct(dist, cid)...)), 1, p))
+    // is CodegenFallback — interpreted once per query row (the r9
+    // standing-audit find); the kernel has the identical (dist, cid)
+    // ascending tiebreak, spec-pinned in IvfSpec
     val probes = quantized(spark, dir).filter(col("vec_id") < nq)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        explode(slice(array_sort(distArr), 1, nprobe)).as("p"))
-      .select(col("qid"), col("qe"), col("p.cid").as("cid"))
+        explode(call_function("ivf_probe_cells", col("qv"),
+          typedLit(centroids.map(_._1)),
+          typedLit(centroids.flatMap(_._2.toSeq)),
+          lit(nprobe))).as("cid"))
     val w = Window.partitionBy("qid")
       .orderBy(col("sim").desc, col("vec_id").asc)
     table.join(broadcast(probes), Seq("cid"))

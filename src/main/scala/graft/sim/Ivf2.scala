@@ -136,13 +136,18 @@ object Ivf2 {
   /** Materialized two-level inverted-list layout: (vec_id, embedding,
     * scid) partitioned by the COARSE cell — a probe opens only its
     * coarse cells' directories (file-level pruning), then map-filters to
-    * the probed leaves. */
+    * the probed leaves. Assignment runs against the MATERIALIZED
+    * codebook from [[trained2Path]] — one Lloyd training pass per
+    * dataset, not one per artifact (re-deriving `level2Trained` here
+    * doubled the `ivf2_layout` build time). */
   def layout2Path(spark: SparkSession, dir: String): String =
     layoutCache.computeIfAbsent(
       graft.DatasetCache.snapshotKey(spark, dir, "embeddings.parquet"), { _ =>
         val p = graft.DatasetCache.registerTempDir(
           java.nio.file.Files.createTempDirectory("graft_ivf2_layout").toString)
-        assign2(spark, dir)
+        val cents = spark.read.parquet(trained2Path(spark, dir))
+          .select(col("c1"), col("scid"), col("cv"))
+        assignRow(coarseAssigned(spark, dir), cents)
           .join(SimOps.embeddings(spark, dir), Seq("vec_id"))
           .select(col("vec_id"), col("embedding"), col("scid"), col("c1"))
           .write.mode("overwrite").partitionBy("c1").parquet(p)
@@ -184,6 +189,11 @@ object Ivf2 {
       .filter(col("c1").isin(p1: _*)).collect()
       .map(r => (qdist(r.getSeq[Long](2).toArray), r.getLong(0), r.getLong(1)))
     val p2 = subs.sorted.take(nprobe2).map(t => (t._2, t._3))
+    // degenerate but possible: every probed coarse cell lost all its
+    // members to other cells in the final assignment, leaving no
+    // level-2 centroids — the SQL oracle's joins yield zero rows, so
+    // return empty instead of reduce() throwing on an empty list
+    if (p2.isEmpty) return SimOps.emptyTopK(spark)
     val leafPred = p2.map { case (c1v, scid) =>
       col("c1") === c1v && col("scid") === scid }.reduce(_ || _)
     val qe = SimOps.embeddings(spark, dir)

@@ -229,6 +229,78 @@ case class FloatVecQuantize(a: Expression, shift: Expression, scale: Expression)
     copy(a = newFirst, shift = newSecond, scale = newThird)
 }
 
+/** `sq8_encode(qv, mns, rngs)`: per-dimension scalar quantization to a
+  * byte code — `least((qv[i] − mn[i]) · 255 div rng[i], 255)` — as ONE
+  * tight loop over literal range arrays. The chained `zip_with`
+  * spelling this replaces is CodegenFallback ([[Sq8.cdExpr]]'s old
+  * form): every SQ8 encode pass walked two interpreted lambda trees
+  * per corpus row (the r9 standing-audit find). Identical all-integer
+  * arithmetic (Java `/` and Spark `div` both truncate toward zero, and
+  * the differences are non-negative by construction — mn is the corpus
+  * minimum), spec-pinned element-identical in `PqSpec`'s SQ8 suite. */
+case class LongVecSq8Encode(a: Expression, mns: Expression, rngs: Expression)
+    extends TernaryExpression {
+
+  override def first: Expression = a
+  override def second: Expression = mns
+  override def third: Expression = rngs
+
+  private def isLongArr(dt: DataType) = dt match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!isLongArr(a.dataType) || !isLongArr(mns.dataType) ||
+        !isLongArr(rngs.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"sq8_encode needs three array<bigint>, got " +
+          s"${a.dataType} / ${mns.dataType} / ${rngs.dataType}")
+    else if (!mns.foldable || !rngs.foldable)
+      TypeCheckResult.TypeCheckFailure("sq8_encode ranges must be literal")
+    else if (mnArr.length != rgArr.length)
+      TypeCheckResult.TypeCheckFailure(
+        s"sq8_encode: ${mnArr.length} mins vs ${rgArr.length} ranges")
+    else TypeCheckResult.TypeCheckSuccess
+
+  @transient private lazy val mnArr: Array[Long] =
+    mns.eval().asInstanceOf[ArrayData].toLongArray()
+  @transient private lazy val rgArr: Array[Long] =
+    rngs.eval().asInstanceOf[ArrayData].toLongArray()
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sq8_encode"
+
+  override protected def nullSafeEval(x: Any, y: Any, z: Any): Any =
+    LongVecSq8Encode.encode(x.asInstanceOf[ArrayData], mnArr, rgArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (av, _, _) => {
+      val mnRef = ctx.addReferenceObj("mns", mnArr, "long[]")
+      val rgRef = ctx.addReferenceObj("rngs", rgArr, "long[]")
+      s"${ev.value} = graft.sim.LongVecSq8Encode.encode($av, $mnRef, $rgRef);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): LongVecSq8Encode =
+    copy(a = newFirst, mns = newSecond, rngs = newThird)
+}
+
+object LongVecSq8Encode {
+  /** Shared JIT-compiled loop (TextKernels pattern). */
+  def encode(v: ArrayData, mns: Array[Long], rngs: Array[Long]): ArrayData = {
+    LongVecExprs.checkLen(v.numElements(), mns.length, "sq8_encode")
+    val out = new Array[Long](mns.length)
+    var i = 0
+    while (i < mns.length) {
+      out(i) = math.min((v.getLong(i) - mns(i)) * 255L / rngs(i), 255L)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object LongVecExprs {
   /** Runtime domain check shared by eval and codegen: the kernels are
     * session-REGISTERED SQL functions that loop to the literal side's
@@ -271,6 +343,11 @@ object LongVecExprs {
     if (!registry.functionExists(fq))
       registry.createOrReplaceTempFunction("fvec_quantize",
         (es: Seq[Expression]) => FloatVecQuantize(es.head, es(1), es(2)),
+        "internal")
+    val se = org.apache.spark.sql.catalyst.FunctionIdentifier("sq8_encode")
+    if (!registry.functionExists(se))
+      registry.createOrReplaceTempFunction("sq8_encode",
+        (es: Seq[Expression]) => LongVecSq8Encode(es.head, es(1), es(2)),
         "internal")
   }
 }

@@ -2,9 +2,9 @@ package graft.sim
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.types._
@@ -154,6 +154,13 @@ object NearestCell {
         (exprs: Seq[Expression]) =>
           NearestCellRow(exprs.head, exprs(1), exprs(2)),
         "internal")
+    val idp = org.apache.spark.sql.catalyst.FunctionIdentifier("ivf_probe_cells")
+    if (!registry.functionExists(idp))
+      registry.createOrReplaceTempFunction(
+        "ivf_probe_cells",
+        (exprs: Seq[Expression]) =>
+          ProbeCells(exprs.head, exprs(1), exprs(2), exprs(3)),
+        "internal")
   }
 }
 
@@ -245,5 +252,118 @@ object NearestCellRow {
       k += 1
     }
     new GenericInternalRow(Array[Any](bestD, bestC))
+  }
+}
+
+/** `ivf_probe_cells(qv, cids, cvs, nprobe)`: the cids of the `nprobe`
+  * nearest LITERAL centroids in ascending (dist, cid) order — the
+  * batch-search probe selection as one tight loop. The built-in
+  * spelling (`slice(array_sort(array(struct(dist_k, cid_k), ...)), 1,
+  * nprobe)`) allocates a K-element struct array per QUERY ROW and
+  * sorts it through three CodegenFallback HOF/collection expressions —
+  * interpreted per row of the query batch (the r9 standing-audit find;
+  * same class as the r7 sim sweep). Selection here is an O(K·nprobe)
+  * insertion into a bounded buffer, no allocation beyond the output.
+  * Identical (dist, cid) tiebreak — ascending struct order IS that
+  * lexicographic comparison — pinned by `IvfSpec`. */
+case class ProbeCells(qv: Expression, cids: Expression, cvs: Expression,
+    np: Expression) extends QuaternaryExpression {
+
+  override def first: Expression = qv
+  override def second: Expression = cids
+  override def third: Expression = cvs
+  override def fourth: Expression = np
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def isLongArr(dt: DataType) = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (!isLongArr(qv.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"ivf_probe_cells needs array<bigint> qv, got ${qv.dataType}")
+    else if (!isLongArr(cids.dataType) || !isLongArr(cvs.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"ivf_probe_cells needs array<bigint> centroid literals, got " +
+          s"${cids.dataType} / ${cvs.dataType}")
+    else if (!cids.foldable || !cvs.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "ivf_probe_cells centroids must be literals")
+    else if (np.dataType != IntegerType || !np.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "ivf_probe_cells nprobe must be an int literal")
+    else if (cidArr.isEmpty || cvArr.length % cidArr.length != 0)
+      TypeCheckResult.TypeCheckFailure(
+        s"ivf_probe_cells: ${cvArr.length} centroid components do not " +
+          s"divide into ${cidArr.length} cells")
+    else if (npV < 1)
+      TypeCheckResult.TypeCheckFailure(
+        s"ivf_probe_cells nprobe must be >= 1, got $npV")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  @transient private lazy val cidArr: Array[Long] =
+    cids.eval().asInstanceOf[ArrayData].toLongArray()
+  @transient private lazy val cvArr: Array[Long] =
+    cvs.eval().asInstanceOf[ArrayData].toLongArray()
+  @transient private lazy val npV: Int = np.eval().asInstanceOf[Int]
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ivf_probe_cells"
+
+  override protected def nullSafeEval(q: Any, c1: Any, c2: Any, c3: Any): Any =
+    ProbeCells.select(q.asInstanceOf[ArrayData], cidArr, cvArr, npV)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, _, _, _) => {
+      val cidsRef = ctx.addReferenceObj("cids", cidArr, "long[]")
+      val cvsRef = ctx.addReferenceObj("cvs", cvArr, "long[]")
+      s"${ev.value} = graft.sim.ProbeCells.select($q, $cidsRef, $cvsRef, $npV);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression,
+      newFourth: Expression): ProbeCells =
+    copy(qv = newFirst, cids = newSecond, cvs = newThird, np = newFourth)
+}
+
+object ProbeCells {
+  /** Bounded insertion-selection of the nprobe smallest (dist, cid)
+    * pairs — the shared JIT-compiled loop (TextKernels pattern). */
+  def select(v: ArrayData, cids: Array[Long], cvs: Array[Long],
+      nprobe: Int): ArrayData = {
+    val kTotal = cids.length
+    val dim = cvs.length / kTotal
+    if (v.numElements() < dim)
+      throw new IllegalArgumentException(
+        s"ivf_probe_cells: query vector has ${v.numElements()} elements, " +
+          s"centroids have $dim")
+    val p = math.min(nprobe, kTotal)
+    val bd = new Array[Long](p) // selected dists, ascending (dist, cid)
+    val bc = new Array[Long](p)
+    var filled = 0
+    var k = 0
+    while (k < kTotal) {
+      var d = 0L
+      val base = k * dim
+      var i = 0
+      while (i < dim) {
+        val diff = v.getLong(i) - cvs(base + i)
+        d += diff * diff
+        i += 1
+      }
+      val c = cids(k)
+      if (filled < p || d < bd(p - 1) || (d == bd(p - 1) && c < bc(p - 1))) {
+        // insertion position by (dist, cid)
+        var j = math.min(filled, p - 1)
+        while (j > 0 && (bd(j - 1) > d || (bd(j - 1) == d && bc(j - 1) > c))) {
+          bd(j) = bd(j - 1); bc(j) = bc(j - 1); j -= 1
+        }
+        bd(j) = d; bc(j) = c
+        if (filled < p) filled += 1
+      }
+      k += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(bc, filled))
   }
 }

@@ -63,8 +63,18 @@ object Sq8 {
 
   /** The encoding expression over the `qv` column — the ONE definition
     * both the flat codes relation and the partitioned layout use (a
-    * fork here would silently desynchronize them from the oracle). */
+    * fork here would silently desynchronize them from the oracle).
+    * Native `sq8_encode` kernel: the previous chained-`zip_with`
+    * spelling is CodegenFallback, so every encode pass over the corpus
+    * ran interpreted (r9 standing-audit find); [[cdExprHof]] keeps that
+    * spelling as the spec reference. */
   private def cdExpr(mns: Array[Long], rngs: Array[Long]): org.apache.spark.sql.Column =
+    call_function("sq8_encode", col("qv"),
+      typedLit(mns.toSeq), typedLit(rngs.toSeq))
+
+  /** The built-in HOF spelling — SPEC REFERENCE only (PqSpec pins the
+    * kernel element-identical to it), never a production path. */
+  private[sim] def cdExprHof(mns: Array[Long], rngs: Array[Long]): org.apache.spark.sql.Column =
     expr(s"zip_with(zip_with(qv, ${litArr(mns)}, (x, mn) -> x - mn), " +
       s"${litArr(rngs)}, (d, rng) -> least(d * 255L div rng, 255L))")
 

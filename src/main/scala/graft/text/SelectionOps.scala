@@ -245,8 +245,10 @@ object SelectionOps {
       _ => sc0.stat.approxQuantile("dsir_ppm",
         (1 until buckets).map(_.toDouble / buckets).toArray, 0.01)
         .map(_.toLong).distinct.sorted)
+    // native count_le kernel: the literal-array filter HOF is
+    // CodegenFallback (r9 standing-audit find); same INT bucket index
     val sc = sc0.withColumn("g",
-      size(filter(typedLit(cuts.toSeq), c => col("dsir_ppm") >= c)))
+      call_function("count_le", typedLit(cuts.toSeq), col("dsir_ppm")))
     val totals = sc.groupBy("lang", "g").agg(sum("nt").as("gtot"))
     val exclusive = Window.partitionBy("lang").orderBy(col("g").desc)
       .rowsBetween(Window.unboundedPreceding, -1)

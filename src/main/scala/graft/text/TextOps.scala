@@ -36,6 +36,12 @@ object TextOps {
 
   private def words: Column = split(col("text"), " ")
 
+  /** `size(filter(ws, w -> w IN set))` via the native `token_count_in`
+    * kernel — the HOF spelling is CodegenFallback (interpreted per
+    * corpus row; r9 standing-audit find). Element-identical, LongType. */
+  private def countIn(set: Seq[String]): Column =
+    call_function("token_count_in", words, typedLit(set))
+
   // ---- token counting + quality signals -------------------------------
 
   /** Per-document token/char statistics: whitespace tokens, distinct
@@ -47,7 +53,7 @@ object TextOps {
       size(words).cast(LongType).as("n_tokens"),
       size(array_distinct(words)).cast(LongType).as("n_distinct"),
       regexp_count(col("text"), lit("[a-z0-9]+")).cast(LongType).as("n_word_tokens"),
-      size(filter(words, w => w.isin(Stopwords: _*))).cast(LongType).as("n_stop"),
+      countIn(Stopwords).as("n_stop"),
       length(col("text")).cast(LongType).as("n_chars_m"))
       .orderBy("doc_id")
 
@@ -102,7 +108,7 @@ object TextOps {
     * the integers. */
   def docQuality(spark: SparkSession, dir: String): DataFrame = {
     val nTok = size(words).cast(LongType)
-    val nStop = size(filter(words, w => w.isin(Stopwords: _*))).cast(LongType)
+    val nStop = countIn(Stopwords)
     val nDist = size(array_distinct(words)).cast(LongType)
     docs(spark, dir)
       .select(col("doc_id"), nTok.as("nt"), nStop.as("ns"), nDist.as("nd"),
@@ -137,7 +143,7 @@ object TextOps {
 
   def docLangId(spark: SparkSession, dir: String): DataFrame = {
     val counts = LangMarkers.map { case (lang, ms) =>
-      lang -> size(filter(words, w => w.isin(ms: _*))).cast(LongType)
+      lang -> countIn(ms)
     }
     val maxAll = greatest(counts.map(_._2): _*)
     val pred = counts.foldRight(lit("und")) { case ((lang, c), els) =>
@@ -525,8 +531,8 @@ object TextOps {
     * rules is one streaming pass. */
   def docGopher(spark: SparkSession, dir: String): DataFrame = {
     val nt = size(words).cast(LongType)
-    val sw = aggregate(words, lit(0L), (a, w) => a + length(w))
-    val ns = size(filter(words, w => w.isin(Stopwords: _*))).cast(LongType)
+    val sw = call_function("token_len_sum", words)
+    val ns = countIn(Stopwords)
     val nd = size(array_distinct(words)).cast(LongType)
     docs(spark, dir)
       .select(col("doc_id"), nt.as("nt"), sw.as("sw"), ns.as("ns"), nd.as("nd"))
@@ -1485,7 +1491,7 @@ object TextOps {
     val tots = d.agg(count(lit(1)).cast(LongType).as("n"),
       sum(size(words).cast(LongType)).as("t"))
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
-      size(filter(words, w => w === lit(t))).cast(LongType).as(s"tf$i") }
+      countIn(Seq(t)).as(s"tf$i") }
     val perDoc = d
       .select(col("doc_id") +: size(words).cast(LongType).as("dl") +: tfCols: _*)
       .filter(terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
@@ -1871,11 +1877,10 @@ object TextOps {
     * map-side combine keeps the shuffle at distinct-pair width, and the
     * unigram df-cap/salting treatments compose if pair skew ever bites. */
   def docBigramTop(k: Int)(spark: SparkSession, dir: String): DataFrame = {
-    val w = words
-    val pairs = zip_with(
-      slice(w, lit(1), greatest(size(w) - 1, lit(0))),
-      slice(w, lit(2), greatest(size(w) - 1, lit(0))),
-      (a, b) => concat(a, lit(" "), b))
+    // native bigram_pairs kernel: the zip-of-slices spelling walks
+    // three interpreted collection expressions per document (r9
+    // standing-audit find); element-identical, spec-pinned
+    val pairs = call_function("bigram_pairs", words)
     docs(spark, dir)
       .select(explode(pairs).as("pair"))
       .groupBy("pair").agg(count(lit(1)).as("n"))
@@ -1911,14 +1916,14 @@ object TextOps {
     * shared by [[docLmScore]] and [[docCcnetBucket]] (which joins
     * `documents` itself for lang). */
   private def lmScoresRaw(spark: SparkSession, dir: String): DataFrame = {
-    val w = words
-    val prs = zip_with(
-      slice(w, lit(1), greatest(size(w) - 1, lit(0))),
-      slice(w, lit(2), greatest(size(w) - 1, lit(0))),
-      (a, b) => struct(a.as("pre"), concat(a, lit(" "), b).as("pair")))
+    // native bigram_pairs kernel; `pre` is recovered from the pair
+    // string (tokens are space-split, so the first token has no space)
+    // by the codegen'd substring_index instead of a struct zip_with
     val pr = docs(spark, dir)
-      .select(col("doc_id"), explode(prs).as("p"))
-      .select(col("doc_id"), col("p.pre").as("pre"), col("p.pair").as("pair"))
+      .select(col("doc_id"),
+        explode(call_function("bigram_pairs", words)).as("pair"))
+      .select(col("doc_id"), substring_index(col("pair"), " ", 1).as("pre"),
+        col("pair"))
     val bn = pr.groupBy("pair").agg(count(lit(1)).as("bn"))
     val un = pr.groupBy("pre").agg(count(lit(1)).as("un"))
     pr.join(bn, "pair").join(un, "pre")
@@ -2039,17 +2044,12 @@ object TextOps {
     * map-side explode: no shuffle at any scale, output rows stream
     * straight to the sink. */
   def docChunk(width: Int = 32)(spark: SparkSession, dir: String): DataFrame = {
-    val w = words
-    val chunks = transform(
-      // `div`, not Column./ (float): the chunk count must be exact integer
-      sequence(lit(0L), expr(s"CAST((size(split(text, ' ')) - 1) div $width AS BIGINT)")),
-      i => {
-        val slc = slice(w, (i * width + 1).cast("int"), lit(width))
-        struct(
-          i.as("chunk_id"),
-          size(slc).cast(LongType).as("n_chunk_tokens"),
-          md5(array_join(slc, " ")).as("chunk_fp"))
-      })
+    // native chunk_structs kernel: the transform-over-sequence spelling
+    // re-sliced the token array and joined a fresh string per chunk,
+    // all through interpreted HOFs (r9 standing-audit find); the kernel
+    // streams each chunk's token bytes into one incremental MD5,
+    // element-identical including the n=0 degenerate chunk
+    val chunks = call_function("chunk_structs", words, lit(width))
     docs(spark, dir)
       .select(col("doc_id"), explode(chunks).as("c"))
       .select(col("doc_id"), col("c.chunk_id"), col("c.n_chunk_tokens"),

@@ -45,6 +45,24 @@ class BloomIndexSpec extends SparkSpec {
       got.head.getAs[String]("name") == "doc-4242")
   }
 
+  test("build purges a legacy _bloom root; versioned root never reads legacy sidecars") {
+    val t = freshTable()
+    seed(t)
+    // plant a retired-format index: under the old non-injective naming a
+    // stale filter could be probed for the WRONG file (false-negative
+    // pruning); the versioned build must remove the whole legacy root
+    val legacy = java.nio.file.Paths.get(t, "_bloom", "id")
+    Files.createDirectories(legacy)
+    Files.write(legacy.resolve("stale~sfile"), Array[Byte](1, 2, 3))
+    assert(BloomIndex.build(spark, t, "id", 2000) == 16)
+    assert(!Files.exists(java.nio.file.Paths.get(t, "_bloom")),
+      "legacy _bloom root must be purged by the versioned build")
+    assert(Files.isDirectory(java.nio.file.Paths.get(t, BloomIndex.IndexRoot, "id")))
+    // and the versioned index is fully functional
+    val got = BloomIndex.snapshotPoint(spark, t, "id", 4242L).collect()
+    assert(got.length == 1 && got.head.getAs[Long]("id") == 4242L)
+  }
+
   test("an id absent everywhere prunes to ~0 files and returns no rows") {
     val t = freshTable()
     seed(t)
@@ -142,7 +160,7 @@ class BloomIndexSpec extends SparkSpec {
     val t = freshTable()
     seed(t)
     BloomIndex.build(spark, t, "id", 2000)
-    val bloomDir = java.nio.file.Paths.get(t, "_bloom", "id")
+    val bloomDir = java.nio.file.Paths.get(t, BloomIndex.IndexRoot, "id")
     assert(java.nio.file.Files.list(bloomDir).count() == 16)
     // replace the table contents: the 16 seeded files leave the snapshot
     LakeTable.overwrite(spark, t,

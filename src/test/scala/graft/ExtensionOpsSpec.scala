@@ -578,6 +578,30 @@ class ExtensionOpsSpec extends SparkSpec {
     }
   }
 
+  test("valueBins: no phantom zero-row bins when n < bins and a duplicate spans the gap") {
+    // r8 advice: a value's rank interval [lo, hi] can SPAN bins whose own
+    // rank range is empty (possible when a type has fewer rows than bins
+    // and one value repeats) — those exploded rows carry ov = 0 and must
+    // not mint (event_type, bin) groups the per-row oracle never produces.
+    // 3 rows, 10 bins: cents [500, 500, 700] → ranks 1..3 land in bins
+    // {0, 3, 6}; the duplicated 500 spans ranks [1, 2] = bins 0..3, so
+    // bins 1 and 2 are exactly the phantom class.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("evts_bins").toString
+    Seq((1L, 1000L, "buy", 5.0), (2L, 2000L, "buy", 5.0),
+      (3L, 3000L, "buy", 7.0))
+      .toDF("event_id", "ts", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventOps.valueBins(10)(spark, dir).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got.keySet == Set(0L, 3L, 6L), s"phantom bins emitted: ${got.keySet}")
+    assert(got(0L) == ((1L, 500L, 500L, 500L)))
+    assert(got(3L) == ((1L, 500L, 500L, 500L)))
+    assert(got(6L) == ((1L, 700L, 700L, 700L)))
+    assert(got.values.forall(_._1 > 0L), "zero-row bin survived the filter")
+  }
+
   test("valueBins plan: binning rides the value histogram, no corpus-sized window") {
     import graft.events.EventOps
     val plan = finalPlan(EventOps.valueBins(10)(spark, sf001)).toString

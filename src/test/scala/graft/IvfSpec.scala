@@ -34,6 +34,29 @@ class IvfSpec extends SparkSpec {
       "production assignment must run through the native loop expression")
   }
 
+  test("ivf_probe_cells == slice(array_sort(struct(dist,cid)), 1, nprobe): order and ties") {
+    // the native probe-selection kernel must reproduce the struct-sort
+    // HOF spelling exactly — ascending (dist, cid), including the
+    // nprobe > K clamp — it is the production batch-search probe path
+    val q = Ivf.quantized(spark, sf001)
+    for ((k, np) <- Seq((8, 2), (32, 5), (3, 5))) {
+      val c = Ivf.train(q, k = k)
+      val distArr = array(c.map { case (cid, cv) =>
+        struct(
+          aggregate(zip_with(col("qv"), lit(cv), (x, y) => (x - y) * (x - y)),
+            lit(0L), (a, v) => a + v).as("dist"),
+          lit(cid).as("cid"))
+      }: _*)
+      val hof = transform(slice(array_sort(distArr), 1, np),
+        p => p.getField("cid"))
+      val native = call_function("ivf_probe_cells", col("qv"),
+        typedLit(c.map(_._1)), typedLit(c.flatMap(_._2.toSeq)), lit(np))
+      val diff = q.select(hof.as("h"), native.as("n"))
+        .filter(col("h") =!= col("n")).count()
+      assert(diff == 0L, s"k=$k np=$np: probe kernel diverges on $diff rows")
+    }
+  }
+
   test("fvec_quantize == HOF transform+round: identical qv over the corpus") {
     // the native encode kernel must reproduce the round((v+shift)*scale)
     // HOF spelling element-for-element on the REAL corpus — it is the

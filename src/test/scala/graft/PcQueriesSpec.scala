@@ -172,14 +172,14 @@ class PcQueriesSpec extends SparkSpec {
     val r = got((cx, cy))
     assert(r.getLong(2) == pts.length)
     assert(BigInt(r.getLong(3)) == pts.map(_._1).sum)
-    assert(r.getDecimal(6).toBigInteger == pts.map(p => p._1 * p._1).sum.bigInteger)
-    assert(r.getDecimal(9).toBigInteger == pts.map(p => p._1 * p._2).sum.bigInteger)
-    assert(r.getDecimal(11).toBigInteger == pts.map(p => p._2 * p._3).sum.bigInteger)
+    assert(BigInt(r.getString(6)) == pts.map(p => p._1 * p._1).sum)
+    assert(BigInt(r.getString(9)) == pts.map(p => p._1 * p._2).sum)
+    assert(BigInt(r.getString(11)) == pts.map(p => p._2 * p._3).sum)
     // the moments suffice: cell covariance(x,y) derives without a second pass
     val n = BigInt(pts.length)
     val covXY = (n * pts.map(p => p._1 * p._2).sum -
       pts.map(_._1).sum * pts.map(_._2).sum)
-    assert(covXY == n * BigInt(r.getDecimal(9).toBigInteger) -
+    assert(covXY == n * BigInt(r.getString(9)) -
       BigInt(r.getLong(3)) * BigInt(r.getLong(4)))
   }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.sim.{Ivf, Pq, SimOps}
+import graft.sim.{Ivf, Pq, SimOps, Sq8}
 
 /** Product quantization: codes, ADC distances, and approximation
   * sanity. Oracle hash-equality is the driver's job; this suite pins the
@@ -123,5 +123,21 @@ class PqSpec extends SparkSpec {
       .map(_._1).toSet
     val hit = rr.map(_.getLong(0)).count(trueTop)
     assert(hit >= 5, s"recall@10 with shortlist 50 was $hit/10")
+  }
+
+  test("sq8_encode == chained zip_with spelling: identical codes over the corpus") {
+    // the native encode kernel is THE production path (codes relation +
+    // partitioned layout); the interpreted HOF chain stays as this
+    // spec's reference only
+    val (mns, rngs, _) = Sq8.trainCached(spark, sf001)
+    def litArr(a: Array[Long]) = a.mkString("array(", "L,", "L)")
+    val hof = expr(s"zip_with(zip_with(qv, ${litArr(mns)}, (x, mn) -> x - mn), " +
+      s"${litArr(rngs)}, (d, rng) -> least(d * 255L div rng, 255L))")
+    val native = call_function("sq8_encode", col("qv"),
+      typedLit(mns.toSeq), typedLit(rngs.toSeq))
+    val df = Ivf.quantized(spark, sf001).select(hof.as("h"), native.as("n"))
+    assert(df.filter(col("h") =!= col("n")).count() == 0)
+    // codes actually span the byte domain on the fixture
+    assert(df.select(array_max(col("n"))).agg(max(col("array_max(n)"))).head().getLong(0) == 255L)
   }
 }

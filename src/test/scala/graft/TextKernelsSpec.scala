@@ -101,3 +101,100 @@ class TextKernelsSpec extends SparkSpec {
     assert(df(1).getSeq[Long](0).size == 6 && df(1).getSeq[Long](1).size == 1)
   }
 }
+
+/** Round-9 kernels (the standing CodegenFallback audit's finds): each
+  * native expression pinned element-identical to the interpreted HOF
+  * spelling it replaced, over the REAL corpus plus the edge rows the
+  * corpus cannot contain. */
+class TextKernels2Spec extends SparkSpec {
+
+  private def corpus = {
+    graft.functions.Md5Prefix.register(spark)
+    graft.functions.TextKernels.register(spark)
+    spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("ws"))
+  }
+
+  private val stop = graft.text.TextOps.Stopwords
+
+  test("token_count_in == size(filter(ws, w -> w IN set)) on the corpus") {
+    val df = corpus
+      .withColumn("native",
+        call_function("token_count_in", col("ws"), typedLit(stop)))
+      .withColumn("hof",
+        size(filter(col("ws"), w => w.isin(stop: _*))).cast("long"))
+    assert(df.filter(col("native") =!= col("hof")).count() == 0)
+    assert(df.filter(col("native") > 0).count() > 0, "fixture has stopword hits")
+    // single-member set (the BM25 literal-tf case)
+    val one = corpus
+      .withColumn("native",
+        call_function("token_count_in", col("ws"), typedLit(Seq("the"))))
+      .withColumn("hof", size(filter(col("ws"), w => w === lit("the"))).cast("long"))
+    assert(one.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("token_len_sum == aggregate(ws, 0L, (a, w) -> a + length(w)); null element nulls") {
+    val df = corpus
+      .withColumn("native", call_function("token_len_sum", col("ws")))
+      .withColumn("hof", aggregate(col("ws"), lit(0L), (a, w) => a + length(w)))
+    assert(df.filter(col("native") =!= col("hof")).count() == 0)
+    // null propagation parity on a planted null element
+    import spark.implicits._
+    val planted = Seq(Seq("ab", "c"), Seq("x")).toDF("ws")
+      .withColumn("ws",
+        when(size(col("ws")) === 1, array(lit(null).cast("string")))
+          .otherwise(col("ws")))
+      .withColumn("native", call_function("token_len_sum", col("ws")))
+      .withColumn("hof", aggregate(col("ws"), lit(0L), (a, w) => a + length(w)))
+    assert(planted.filter(col("native") <=> col("hof")).count() == 2)
+    assert(planted.filter(col("native").isNull).count() == 1)
+  }
+
+  test("bigram_pairs == zip_with(slice, slice, concat) incl. 0/1-token rows") {
+    val pairsHof = zip_with(
+      slice(col("ws"), lit(1), greatest(size(col("ws")) - 1, lit(0))),
+      slice(col("ws"), lit(2), greatest(size(col("ws")) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    val df = corpus
+      .withColumn("native", call_function("bigram_pairs", col("ws")))
+      .withColumn("hof", pairsHof)
+    assert(df.filter(col("native") =!= col("hof")).count() == 0)
+    import spark.implicits._
+    val short = Seq((1L, "solo"), (2L, "")).toDF("id", "text")
+      .select(split(col("text"), " ").as("ws"))
+      .withColumn("native", call_function("bigram_pairs", col("ws")))
+    assert(short.filter(size(col("native")) =!= 0).count() == 0,
+      "sub-2-token rows must yield empty pair arrays")
+  }
+
+  test("chunk_structs == transform(sequence)-slice-md5 incl. the short final chunk") {
+    val width = 32
+    val chunksHof = transform(
+      sequence(lit(0L), expr(s"CAST((size(split(text, ' ')) - 1) div $width AS BIGINT)")),
+      i => {
+        val slc = slice(col("ws"), (i * width + 1).cast("int"), lit(width))
+        struct(
+          i.as("chunk_id"),
+          size(slc).cast("long").as("n_chunk_tokens"),
+          md5(array_join(slc, " ")).as("chunk_fp"))
+      })
+    val df = corpus
+      .withColumn("native", call_function("chunk_structs", col("ws"), lit(width)))
+      .withColumn("hof", chunksHof)
+    assert(df.filter(col("native") =!= col("hof")).count() == 0)
+    // the fixture exercises multi-chunk docs AND a short final chunk
+    assert(df.filter(size(col("native")) > 1).count() > 0)
+  }
+
+  test("count_le == size(filter(cuts, c -> v >= c)) across the cut domain") {
+    val cuts = Seq(10L, 20L, 20L, 35L)
+    import spark.implicits._
+    val df = (0L to 40L).toDF("v")
+      .withColumn("native",
+        call_function("count_le", typedLit(cuts), col("v")))
+      .withColumn("hof", size(filter(typedLit(cuts), c => col("v") >= c)))
+    assert(df.filter(col("native") =!= col("hof")).count() == 0)
+    assert(df.schema("native").dataType == df.schema("hof").dataType,
+      "count_le must return INT exactly like size()")
+  }
+}
