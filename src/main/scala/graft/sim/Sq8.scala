@@ -195,7 +195,9 @@ object Sq8 {
         val qcv = row.getSeq[Long](0).toArray.map(_ - Center)
         val surv = codes(spark, dir)
           .filter(col("vec_id") =!= queryId)
-          .filter(ubCol(qcv, mns, rngs) >= tau)
+          .filter(call_function("sq8_ub", col("cd"), typedLit(qcv.toSeq),
+            typedLit(rngs.toSeq),
+            typedLit(mns.map(_ - Center).toSeq)) >= tau)
           .select("vec_id")
         // no hint: the survivor set is result-sized (unbounded in τ)
         Ivf.quantized(spark, dir).join(surv, "vec_id")
@@ -210,7 +212,11 @@ object Sq8 {
   /** The integer upper bound of csim from a code row `cd`: per-dim
     * interval endpoint picked by the SIGN of the literal query component
     * (ceil lower / floor upper bounds of the quantization interval). */
-  private def ubCol(qcv: Array[Long], mns: Array[Long],
+  /** The unrolled 64-term bound — SPEC REFERENCE only (PqSpec pins the
+    * `sq8_ub` kernel term-identical); as a production filter its 64
+    * references to `cd` let predicate pushdown clone the encode into
+    * every term (the r9 plan-audit find). */
+  private[graft] def ubCol(qcv: Array[Long], mns: Array[Long],
       rngs: Array[Long]): org.apache.spark.sql.Column = {
     val terms = (0 until Dim).map { i =>
       val base = mns(i) - Center

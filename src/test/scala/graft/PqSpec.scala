@@ -140,4 +140,23 @@ class PqSpec extends SparkSpec {
     // codes actually span the byte domain on the fixture
     assert(df.select(array_max(col("n"))).agg(max(col("array_max(n)"))).head().getLong(0) == 255L)
   }
+
+  test("sq8_ub kernel == the unrolled 64-term bound, and it never excludes a true match") {
+    val (mns, rngs, _) = Sq8.trainCached(spark, sf001)
+    val q = Ivf.quantized(spark, sf001)
+    val qcv = q.filter(col("vec_id") === 0L).select("qv").head()
+      .getSeq[Long](0).toArray.map(_ - Sq8.Center)
+    val cds = Sq8.codes(spark, sf001)
+    val native = call_function("sq8_ub", col("cd"), typedLit(qcv.toSeq),
+      typedLit(rngs.toSeq), typedLit(mns.map(_ - Sq8.Center).toSeq))
+    val df = cds.select(native.as("n"), Sq8.ubCol(qcv, mns, rngs).as("h"))
+    assert(df.filter(col("n") =!= col("h")).count() == 0)
+    // soundness: ub >= the exact centered dot for EVERY row (a single
+    // false negative would silently drop a range-search result)
+    val joined = cds.join(q, "vec_id")
+      .select(native.as("ub"),
+        call_function("center_dot", col("qv"), typedLit(qcv.toSeq),
+          lit(Sq8.Center)).as("csim"))
+    assert(joined.filter(col("ub") < col("csim")).count() == 0)
+  }
 }
