@@ -309,12 +309,18 @@ object Ivf2 {
   /** The full two-level CTE list (coarse chain + `h`-prefixed level-2
     * chain), ending at `hbf(vec_id, c1, scid, dist)` — shared by
     * [[assign2Sql]] and the two-level cluster-sampling oracle. */
-  private[sim] def chain2CtesSql: String = {
+  private[sim] def chain2CtesSql: String =
+    s"${Ivf.chainSql(Ivf.LloydSteps, k1Sql)},\n$hChainBodySql"
+      .replace("\n", " ")
+
+  /** The level-2 (`h`-prefixed) Lloyd chain alone, from `afin`/`q` to
+    * `hbf` — composed after the coarse chain by [[chain2CtesSql]] and
+    * after a FILTERED coarse chain by [[assign2AppendSql]]. */
+  private def hChainBodySql: String = {
     val dim = Ivf.Dim
     val dist = (qv: String, cv: String) =>
       s"CAST(list_sum(list_transform(range(1,${dim + 1}), i -> ($qv[i]-$cv[i])*($qv[i]-$cv[i]))) AS BIGINT)"
     val sb = new StringBuilder
-    sb ++= s"${Ivf.chainSql(Ivf.LloydSteps, k1Sql)},\n"
     sb ++= s"""ha AS (SELECT a.vec_id, q.qv, a.cid AS c1 FROM afin a JOIN q USING (vec_id)),
        |hk AS (SELECT c1, greatest(1, (count(*) + ${Ivf.TargetCell - 1}) // ${Ivf.TargetCell}) AS k2 FROM ha GROUP BY 1),
        |hs0 AS (SELECT t.c1, t.rn - 1 AS scid, t.qv AS cv FROM (
@@ -339,5 +345,77 @@ object Ivf2 {
        |  SELECT vec_id, c1, scid, dist, row_number() OVER (PARTITION BY vec_id ORDER BY dist, scid) AS rn FROM hdf)
        |  WHERE rn = 1)""".stripMargin
     sb.toString.replace("\n", " ")
+  }
+
+  // ---- incremental index maintenance: append without retraining -------
+
+  /** The split point for the append scenario: the newest half of the
+    * corpus arrives AFTER both quantizer levels were trained. */
+  private def appendSplit(spark: SparkSession, dir: String): Long =
+    Ivf.corpusN(spark, dir) / 2
+
+  /** Incremental two-level assignment of APPENDED vectors — the index
+    * MAINTENANCE path: vectors with `vec_id >= split` are assigned
+    * against the coarse + level-2 codebooks trained on the OLD corpus
+    * only (`vec_id < split`), with NO retraining. This is how a
+    * production ANN index absorbs an ingest batch at 100 TB: training
+    * is a periodic offline job; appends are a map-only literal-codebook
+    * scan of the NEW rows (O(n_new·√K_old)) plus the K1-row packed
+    * sub-codebook join — corpus-size-independent work per appended row.
+    * The [[cellDrift]] monitor is the signal that decides when the
+    * codebooks have aged enough to retrain; until then every append
+    * rides this path (the batch-side-bound discipline of
+    * `doc_dedup_incremental`). Oracle: the SAME two-level Lloyd chain
+    * with the training CTEs filtered to the old half, then the
+    * (dist, id)-tiebroken argmin of the new rows against both frozen
+    * levels — [[assign2AppendSql]]. */
+  def assign2Append(spark: SparkSession, dir: String): DataFrame = {
+    val split = appendSplit(spark, dir)
+    val q = Ivf.quantized(spark, dir)
+    val qOld = q.filter(col("vec_id") < split)
+    // both levels trained on the OLD half only (k1 from the old count)
+    val coarse = Ivf.train(qOld, k = k1(split))
+    val best = Ivf.nearest(coarse)
+    val aOld = qOld.select(col("vec_id"), col("qv"),
+      best.getField("cid").as("c1"))
+    val cents = level2Trained(aOld)
+    val aNew = q.filter(col("vec_id") >= split)
+      .select(col("vec_id"), col("qv"), best.getField("cid").as("c1"))
+    assignRow(aNew, cents)
+      .select(col("vec_id"), col("c1"), col("scid"), col("dist"))
+      .orderBy("vec_id")
+  }
+
+  def assign2AppendSql: String = {
+    val dim = Ivf.Dim
+    val dist = (qv: String, cv: String) =>
+      s"CAST(list_sum(list_transform(range(1,${dim + 1}), i -> ($qv[i]-$cv[i])*($qv[i]-$cv[i]))) AS BIGINT)"
+    val splitSql = "(SELECT count(*) // 2 FROM embeddings)"
+    // q = the OLD half (training corpus); k1 derives from the old count
+    val qOldCte =
+      s"""q AS (
+         |  SELECT vec_id, list_transform(embedding, v -> CAST(round((CAST(v AS DOUBLE)+${Ivf.Shift})*${Ivf.Scale}) AS BIGINT)) AS qv
+         |  FROM embeddings WHERE vec_id < $splitSql)""".stripMargin
+    val k1Old = s"(SELECT greatest(2, CAST(ceil(sqrt(greatest(2, (count(*) + " +
+      s"${Ivf.TargetCell - 1}) // ${Ivf.TargetCell}))) AS BIGINT)) " +
+      s"FROM embeddings WHERE vec_id < $splitSql)"
+    s"""WITH $qOldCte,
+       |${Ivf.chainBodySql(Ivf.LloydSteps, k1Old)},
+       |$hChainBodySql,
+       |qn AS (
+       |  SELECT vec_id, list_transform(embedding, v -> CAST(round((CAST(v AS DOUBLE)+${Ivf.Shift})*${Ivf.Scale}) AS BIGINT)) AS qv
+       |  FROM embeddings WHERE vec_id >= $splitSql),
+       |nd1 AS (SELECT qn.vec_id, qn.qv, c.cid AS c1, ${dist("qn.qv", "c.cv")} AS dist
+       |  FROM qn, c${Ivf.LloydSteps} c),
+       |nb1 AS (SELECT vec_id, qv, c1 FROM (
+       |  SELECT vec_id, qv, c1, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c1) AS rn FROM nd1)
+       |  WHERE rn = 1),
+       |nd2 AS (SELECT nb1.vec_id, nb1.c1, s.scid, ${dist("nb1.qv", "s.cv")} AS dist
+       |  FROM nb1 JOIN hs${Ivf.LloydSteps} s ON nb1.c1 = s.c1),
+       |nb2 AS (SELECT vec_id, c1, scid, dist FROM (
+       |  SELECT vec_id, c1, scid, dist, row_number() OVER (PARTITION BY vec_id ORDER BY dist, scid) AS rn FROM nd2)
+       |  WHERE rn = 1)
+       |SELECT vec_id, c1, scid, dist FROM nb2 ORDER BY vec_id""".stripMargin
+      .replace("\n", " ")
   }
 }

