@@ -347,6 +347,92 @@ object Ivf2 {
     sb.toString.replace("\n", " ")
   }
 
+  /** Batch two-level IVF search: top-k for EVERY query in the batch
+    * (vec_id < `nq`) over the hierarchical index — the kNN-join /
+    * backfill / eval-sweep shape ([[Ivf.topKBatch]]) on the index that
+    * actually scales (derived-K flat probes are O(K) per query; the
+    * two-level probe is O(K1 + nprobe1·K2) = O(√K)). All distributed,
+    * no per-query driver loop:
+    *
+    *  - coarse probes: the native [[ProbeCells]] kernel over the
+    *    K1-literal codebook — map-only, nprobe1 cells per query row;
+    *  - leaf probes: probes join the K1·K2-row level-2 codebook
+    *    RELATION on c1 (never a driver literal), rank sub-centroids
+    *    per query by the exact integer distance — the plain row-row
+    *    squared L2 is [[LongVecSqDistW]] with unit weights — and keep
+    *    nprobe2 via a batch-bounded window (WindowGroupLimit);
+    *  - candidates: the probed (c1, scid) leaves join the c1-partitioned
+    *    layout; the probe side is bounded by the QUERY BATCH
+    *    (nq·nprobe2 rows — the deployment knob, corpus-independent), so
+    *    its broadcast injects dynamic partition pruning into the layout
+    *    scan exactly like the flat batch path; exact cosine rescoring +
+    *    per-query top-k via row_number.
+    *
+    * Tie discipline matches [[topK2]]: coarse (dist, cid), leaves
+    * (dist, c1, scid), results (sim DESC, vec_id ASC). */
+  def topK2Batch(nq: Long, k: Int, nprobe1: Int, nprobe2: Int)(
+      spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val coarse = Ivf.trainCachedK(spark, dir, k1(Ivf.corpusN(spark, dir)))
+    val ones = Seq.fill(Ivf.Dim)(1L)
+    val qs = Ivf.quantized(spark, dir).filter(col("vec_id") < nq)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("qv"),
+        explode(call_function("ivf_probe_cells", col("qv"),
+          typedLit(coarse.map(_._1)),
+          typedLit(coarse.flatMap(_._2.toSeq)),
+          lit(nprobe1))).as("c1"))
+    val subs = spark.read.parquet(trained2Path(spark, dir))
+      .select(col("c1"), col("scid"), col("cv"))
+    val byQ = Window.partitionBy("qid")
+      .orderBy(col("d2"), col("c1"), col("scid"))
+    val leaves = qs.join(subs, Seq("c1"))
+      .withColumn("d2", call_function("sq8_adc_dist", col("qv"), col("cv"),
+        typedLit(ones)))
+      .withColumn("prn", row_number().over(byQ))
+      .filter(col("prn") <= nprobe2)
+      .select(col("qid"), col("qe"), col("c1"), col("scid"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    spark.read.parquet(layout2Path(spark, dir))
+      .join(broadcast(leaves), Seq("c1", "scid")) // batch-bounded probe side
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(SimOps.dot(col("embedding"), col("qe")), 6).as("sim"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= k)
+      .orderBy("qid", "rn")
+  }
+
+  def topK2BatchSql(nq: Long, k: Int, nprobe1: Int, nprobe2: Int): String = {
+    val dim = Ivf.Dim
+    val dist = (qv: String, cv: String) =>
+      s"CAST(list_sum(list_transform(range(1,${dim + 1}), i -> ($qv[i]-$cv[i])*($qv[i]-$cv[i]))) AS BIGINT)"
+    s"""WITH $chain2CtesSql,
+       |qs AS (SELECT vec_id AS qid, qv FROM q WHERE vec_id < $nq),
+       |p1 AS (SELECT qid, qv, cid AS c1 FROM (
+       |  SELECT qs.qid, qs.qv, c.cid,
+       |    row_number() OVER (PARTITION BY qs.qid ORDER BY ${dist("qs.qv", "c.cv")}, c.cid) AS rn
+       |  FROM qs, c${Ivf.LloydSteps} c)
+       |  WHERE rn <= $nprobe1),
+       |p2 AS (SELECT qid, c1, scid FROM (
+       |  SELECT p1.qid, s.c1, s.scid,
+       |    row_number() OVER (PARTITION BY p1.qid ORDER BY ${dist("p1.qv", "s.cv")}, s.c1, s.scid) AS rn
+       |  FROM p1 JOIN hs${Ivf.LloydSteps} s ON s.c1 = p1.c1)
+       |  WHERE rn <= $nprobe2),
+       |cand AS (
+       |  SELECT p2.qid, b.vec_id FROM p2 JOIN hbf b ON b.c1 = p2.c1 AND b.scid = p2.scid
+       |  WHERE b.vec_id != p2.qid),
+       |sc AS (
+       |  SELECT cand.qid, cand.vec_id,
+       |    round(${SimOps.dotSql("e.embedding", "qe.embedding")}, 6) AS sim
+       |  FROM cand
+       |  JOIN embeddings e ON e.vec_id = cand.vec_id
+       |  JOIN embeddings qe ON qe.vec_id = cand.qid)
+       |SELECT qid, vec_id, sim, CAST(rn AS BIGINT) AS rn FROM (
+       |  SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn FROM sc)
+       |WHERE rn <= $k ORDER BY qid, rn""".stripMargin.replace("\n", " ")
+  }
+
   // ---- incremental index maintenance: append without retraining -------
 
   /** The split point for the append scenario: the newest half of the

@@ -109,6 +109,9 @@ class HintAuditSpec extends SparkSpec {
       "composes emb_topk's 1-row query broadcast and emb_ivf2_topk's " +
         "1-row qe broadcast — both point-filtered on the unique vec_id"),
     "emb_ivf_topk_part" -> (1, "probes = nprobe rows for one query vector"),
+    "emb_ivf2_topk_batch" -> (1,
+      "leaves = nq × nprobe2 probed-leaf rows — bounded by the query " +
+        "batch (the deployment knob), independent of corpus size"),
     "emb_ivf_topk_batch" -> (1, "probes = nq × nprobe rows — batch-bounded"),
     "emb_ivf_recall" -> (2,
       "composes emb_topk_multi's nQueries-row query broadcast and " +

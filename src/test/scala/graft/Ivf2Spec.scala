@@ -161,4 +161,25 @@ class Ivf2Spec extends SparkSpec {
     // (the oracle hash already pins this end-to-end at both SFs)
     assert(got.forall(_.getLong(3) >= 0L))
   }
+
+  test("topK2Batch(nq=1) == the single-query two-level probe, row for row") {
+    import graft.sim.Ivf2
+    val single = Ivf2.topK2(0L, 10, 2, 4)(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val batch = Ivf2.topK2Batch(1L, 10, 2, 4)(spark, sf001)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(batch == single,
+      s"batch and single-query two-level search diverge:\n$batch\n$single")
+  }
+
+  test("topK2Batch: every query answered with k rows, ranks dense, self excluded") {
+    import graft.sim.Ivf2
+    val got = Ivf2.topK2Batch(10L, 5, 2, 4)(spark, sf001).collect()
+    val byQ = got.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until 10L).toSet)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_.getLong(3)).sorted.toSeq == (1L to 5L), s"q=$q ranks")
+      assert(!rows.exists(_.getLong(1) == q), s"q=$q returned itself")
+    }
+  }
 }
