@@ -99,10 +99,14 @@ object Bench {
       ("ivf_layout", n => n.startsWith("emb_ivf") && !n.startsWith("emb_ivfpq") &&
           !n.startsWith("emb_ivfsq8") && !n.startsWith("emb_ivf2"),
         () => { graft.sim.Ivf.layoutPath(spark, sfDir); () }),
-      // emb_ivf2_recall composes topK2 and pays the same one-time
-      // trained2/layout2 parquet builds if benchmarked alone
+      // every consumer of the materialized two-level index pays the
+      // same one-time trained2/layout2 parquet builds if benched alone
+      // (the *_flat arms deliberately do NOT: they are the
+      // train-inline oracle baselines)
       ("ivf2_layout", n => n.startsWith("emb_ivf2_topk") ||
-          n.startsWith("emb_ivf2_recall"),
+          n.startsWith("emb_ivf2_recall") ||
+          Set("emb_semdedup", "emb_knn_graph", "emb_cluster_sample",
+            "emb_cell_drift").contains(n),
         () => graft.sim.Ivf2.prebuildLayout2(spark, sfDir)),
       ("ann_layout", _.startsWith("emb_lsh"),
         () => graft.sim.SimOps.prebuildAnnLayout(spark, sfDir)),

@@ -149,10 +149,28 @@ object Ivf2 {
           .select(col("c1"), col("scid"), col("cv"))
         assignRow(coarseAssigned(spark, dir), cents)
           .join(SimOps.embeddings(spark, dir), Seq("vec_id"))
-          .select(col("vec_id"), col("embedding"), col("scid"), col("c1"))
+          .select(col("vec_id"), col("embedding"), col("scid"), col("dist"),
+            col("c1"))
           .write.mode("overwrite").partitionBy("c1").parquet(p)
         p
       })
+
+  /** The materialized assignment + embeddings, read back from the
+    * layout artifact — the INDEX-CONSUMER path for the production
+    * similarity ops (semantic dedup, kNN graph, balanced sampling,
+    * drift): a 100-TB pipeline trains/assigns once ([[layout2Path]],
+    * isolated as the `ivf2_layout` one-time build) and every consumer
+    * reads the leaf-partitioned artifact instead of re-running both
+    * Lloyd chains per query. Identical rows to
+    * [[assign2]]`.join(embeddings)` by construction — the same
+    * deterministic chain wrote the files — so the DuckDB oracles
+    * (which replay the chain) are unchanged. The `c1` PARTITION column
+    * reads back as the directory-name-inferred INT; restore the
+    * library-wide LongType contract here, once, so no consumer's
+    * output schema silently narrows. */
+  def assign2FromLayout(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(layout2Path(spark, dir))
+      .withColumn("c1", col("c1").cast(LongType))
 
   /** Bench isolation hook: force both one-time builds. */
   def prebuildLayout2(spark: SparkSession, dir: String): Unit = {
@@ -225,7 +243,7 @@ object Ivf2 {
     * broadcast); output is leaf-count-sized. */
   def cellDrift(spark: SparkSession, dir: String): DataFrame = {
     val half = Ivf.corpusN(spark, dir) / 2
-    val g = assign2(spark, dir)
+    val g = assign2FromLayout(spark, dir) // index-consumer path
       .groupBy("c1", "scid")
       .agg(sum(when(col("vec_id") < half, 1L).otherwise(0L)).as("n_old"),
         sum(when(col("vec_id") >= half, 1L).otherwise(0L)).as("n_new"))

@@ -100,8 +100,10 @@ object SemDedup {
     * vec_id) — and leaves stay ~TargetCell-sized by the per-cell K2
     * derivation, so pair work remains ~TargetCell·n. */
   def semDedup2(tau: Double)(spark: SparkSession, dir: String): DataFrame = {
-    val m = Ivf2.assign2(spark, dir)
-      .join(SimOps.embeddings(spark, dir), Seq("vec_id"))
+    // index-consumer path: read the materialized leaf-partitioned
+    // assignment (one-time ivf2_layout build) instead of re-running
+    // both Lloyd chains per query — identical rows by construction
+    val m = Ivf2.assign2FromLayout(spark, dir)
       .select(col("vec_id"), col("embedding"), col("c1"), col("scid"), col("dist"))
     val u = m.select(col("vec_id").as("u_id"), col("embedding").as("u_emb"),
       col("c1"), col("scid"), col("dist").as("u_dist"))

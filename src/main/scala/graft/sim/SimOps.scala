@@ -267,8 +267,8 @@ object SimOps {
     * O(n·√K) path instead of the flat O(n·K) scan. */
   def knnGraph2(k: Int)(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val m = Ivf2.assign2(spark, dir)
-      .join(embeddings(spark, dir), Seq("vec_id"))
+    // index-consumer path: the materialized leaf-partitioned assignment
+    val m = Ivf2.assign2FromLayout(spark, dir)
       .select(col("vec_id"), col("embedding"), col("c1"), col("scid"))
     val a = m.select(col("vec_id").as("src"), col("embedding").as("a_emb"),
       col("c1"), col("scid"))
@@ -504,7 +504,9 @@ object SimOps {
   def clusterSample2(fracPpm: Long)(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.Md5Prefix.register(spark)
-    val a = Ivf2.assign2(spark, dir).select(col("vec_id"), col("c1"), col("scid"))
+    // index-consumer path: the materialized leaf-partitioned assignment
+    val a = Ivf2.assign2FromLayout(spark, dir)
+      .select(col("vec_id"), col("c1"), col("scid"))
     val byCell = Window.partitionBy("c1", "scid")
     val hk = call_function("md5_prefix",
       col("vec_id").cast("string"), lit(1), lit(15))
