@@ -52,6 +52,12 @@ def fmt(v):
         return str(int(v))
     if isinstance(v, bytes):
         return "0x" + v.hex()
+    if isinstance(v, str):
+        # type-marked: int 5 and string "5" must NOT hash equal — the
+        # repo contract sends exact big integers as STRING on both
+        # sides, so a BIGINT-vs-VARCHAR divergence is exactly the class
+        # the driver's typed hash flags
+        return "s:" + v
     if isinstance(v, (pd.Timestamp, datetime.datetime, datetime.date)):
         if pd.isna(v):
             return "NULL"

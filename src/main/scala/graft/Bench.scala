@@ -108,6 +108,10 @@ object Bench {
           Set("emb_semdedup", "emb_knn_graph", "emb_cluster_sample",
             "emb_cell_drift").contains(n),
         () => graft.sim.Ivf2.prebuildLayout2(spark, sfDir)),
+      // the append op's FROZEN old-half codebooks are a one-time
+      // training artifact, like every other index here
+      ("ivf2_append_index", _.startsWith("emb_ivf2_append"),
+        () => graft.sim.Ivf2.prebuildAppendIndex(spark, sfDir)),
       ("ann_layout", _.startsWith("emb_lsh"),
         () => graft.sim.SimOps.prebuildAnnLayout(spark, sfDir)),
       ("pc_layouts", _.startsWith("pc_"),

@@ -452,12 +452,17 @@ object ChunkStructs {
       val from = c * width
       val to = math.min(from + width, n)
       d.reset()
+      // array_join skips NULL elements entirely — INCLUDING their
+      // separator (join(['a', NULL, 'b']) = "a b", not "a  b") — so
+      // the separator tracks the previous WRITTEN token, not position
+      var wrote = false
       var i = from
       while (i < to) {
-        if (i > from) d.update(SP)
-        // array_join skips NULL elements entirely (no separator); split
-        // output never carries nulls, but match the built-in exactly
-        if (!arr.isNullAt(i)) d.update(arr.getUTF8String(i).getBytes)
+        if (!arr.isNullAt(i)) {
+          if (wrote) d.update(SP)
+          d.update(arr.getUTF8String(i).getBytes)
+          wrote = true
+        }
         i += 1
       }
       val dg = d.digest()
@@ -479,12 +484,18 @@ object ChunkStructs {
 
 /** `count_le(cuts, v)`: how many LITERAL cut points are ≤ v — the
   * quantile-bucket index (`size(filter(cuts, c -> v >= c))`) without
-  * the interpreted per-element lambda. Returns INT like `size`. */
+  * the interpreted per-element lambda. Returns INT like `size`, and
+  * matches the HOF's null semantics exactly: a NULL `v` makes the
+  * lambda NULL for every cut, `filter` drops them all, `size` returns
+  * 0 — so this expression is NEVER null (a null-propagating kernel
+  * would mint a separate NULL bucket the spelling it replaces cannot
+  * produce). */
 case class CountLe(cuts: Expression, v: Expression)
     extends BinaryExpression {
 
   override def left: Expression = cuts
   override def right: Expression = v
+  override def nullable: Boolean = false
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (!cuts.dataType.isInstanceOf[ArrayType] ||
@@ -503,30 +514,39 @@ case class CountLe(cuts: Expression, v: Expression)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "count_le"
 
-  override protected def nullSafeEval(x: Any, y: Any): Any = {
-    val value = y.asInstanceOf[Long]
-    var n = 0
-    var i = 0
-    while (i < cutArr.length) {
-      if (cutArr(i) <= value) n += 1
-      i += 1
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val value = v.eval(input)
+    if (value == null) 0
+    else {
+      val l = value.asInstanceOf[Long]
+      var n = 0
+      var i = 0
+      while (i < cutArr.length) {
+        if (cutArr(i) <= l) n += 1
+        i += 1
+      }
+      n
     }
-    n
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (_, value) => {
-      val ref = ctx.addReferenceObj("cuts", cutArr, "long[]")
-      val n = ctx.freshName("n")
-      val i = ctx.freshName("i")
-      s"""
-         |int $n = 0;
-         |for (int $i = 0; $i < ${cutArr.length}; $i++) {
-         |  if ($ref[$i] <= $value) $n++;
-         |}
-         |${ev.value} = $n;
-       """.stripMargin
-    })
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val c = v.genCode(ctx)
+    val ref = ctx.addReferenceObj("cuts", cutArr, "long[]")
+    val n = ctx.freshName("n")
+    val i = ctx.freshName("i")
+    ev.copy(isNull =
+      org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral,
+      code = code"""
+        ${c.code}
+        int $n = 0;
+        if (!${c.isNull}) {
+          for (int $i = 0; $i < ${cutArr.length}; $i++) {
+            if ($ref[$i] <= ${c.value}) $n++;
+          }
+        }
+        int ${ev.value} = $n;""")
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CountLe =

@@ -79,7 +79,7 @@ object BloomIndex {
   /** Delete a retired non-injective `_bloom` root wholesale: its
     * sidecars are advisory (removal can only un-prune) and were written
     * under a naming that cannot be trusted per-file. */
-  private def purgeLegacyRoot(table: String): Unit = {
+  private[lake] def purgeLegacyRoot(table: String): Unit = {
     val legacy = Paths.get(table, "_bloom")
     if (Files.isDirectory(legacy)) {
       import scala.jdk.CollectionConverters._

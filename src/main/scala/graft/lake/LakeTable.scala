@@ -2320,6 +2320,10 @@ object LakeTable {
           Files.deleteIfExists(cd.resolve(BloomIndex.sidecarName(rel))))
       } finally cols.close()
     }
+    // a retired non-injective `_bloom` root is dead weight on a table
+    // that is vacuumed but never re-indexed: reclaim it here too (the
+    // build path already purges it; both are advisory-only deletes)
+    BloomIndex.purgeLegacyRoot(table)
     gone
   }
 }

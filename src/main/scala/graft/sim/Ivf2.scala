@@ -48,6 +48,12 @@ object Ivf2 {
     s"(SELECT greatest(2, CAST(ceil(sqrt(greatest(2, (count(*) + " +
       s"${Ivf.TargetCell - 1}) // ${Ivf.TargetCell}))) AS BIGINT)) FROM embeddings)"
 
+  /** The DuckDB integer squared-L2 lambda — ONE definition for every
+    * oracle in this module (a drift between copies would silently fork
+    * the oracles from each other). */
+  private def distSql(qv: String, cv: String): String =
+    s"CAST(list_sum(list_transform(range(1,${Ivf.Dim + 1}), i -> ($qv[i]-$cv[i])*($qv[i]-$cv[i]))) AS BIGINT)"
+
   /** (vec_id, qv, c1): the corpus with its coarse cell. Map-only
     * literal-codebook scan at K1 ≈ √K centroids. */
   private def coarseAssigned(spark: SparkSession, dir: String): DataFrame = {
@@ -297,8 +303,7 @@ object Ivf2 {
 
   def topK2Sql(queryId: Long, k: Int, nprobe1: Int, nprobe2: Int): String = {
     val dim = Ivf.Dim
-    val dist = (qv: String, cv: String) =>
-      s"CAST(list_sum(list_transform(range(1,${dim + 1}), i -> ($qv[i]-$cv[i])*($qv[i]-$cv[i]))) AS BIGINT)"
+    val dist = distSql _
     val dot = s"list_sum(list_transform(range(1,${dim + 1}), " +
       "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qe.embedding[i] AS DOUBLE)))"
     s"""WITH $chain2CtesSql,
@@ -336,8 +341,7 @@ object Ivf2 {
     * after a FILTERED coarse chain by [[assign2AppendSql]]. */
   private def hChainBodySql: String = {
     val dim = Ivf.Dim
-    val dist = (qv: String, cv: String) =>
-      s"CAST(list_sum(list_transform(range(1,${dim + 1}), i -> ($qv[i]-$cv[i])*($qv[i]-$cv[i]))) AS BIGINT)"
+    val dist = distSql _
     val sb = new StringBuilder
     sb ++= s"""ha AS (SELECT a.vec_id, q.qv, a.cid AS c1 FROM afin a JOIN q USING (vec_id)),
        |hk AS (SELECT c1, greatest(1, (count(*) + ${Ivf.TargetCell - 1}) // ${Ivf.TargetCell}) AS k2 FROM ha GROUP BY 1),
@@ -393,8 +397,12 @@ object Ivf2 {
     import org.apache.spark.sql.expressions.Window
     val coarse = Ivf.trainCachedK(spark, dir, k1(Ivf.corpusN(spark, dir)))
     val ones = Seq.fill(Ivf.Dim)(1L)
+    // probe ranking carries ONLY (qid, qv, c1): the ~512 B float query
+    // embedding must not ride the nq·nprobe1·K2-row window exchange
+    // just so nq·nprobe2 survivors can keep it — it joins back onto
+    // the candidates by qid (a batch-bounded relation; AQE broadcasts)
     val qs = Ivf.quantized(spark, dir).filter(col("vec_id") < nq)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("qv"),
+      .select(col("vec_id").as("qid"), col("qv"),
         explode(call_function("ivf_probe_cells", col("qv"),
           typedLit(coarse.map(_._1)),
           typedLit(coarse.flatMap(_._2.toSeq)),
@@ -408,12 +416,15 @@ object Ivf2 {
         typedLit(ones)))
       .withColumn("prn", row_number().over(byQ))
       .filter(col("prn") <= nprobe2)
-      .select(col("qid"), col("qe"), col("c1"), col("scid"))
+      .select(col("qid"), col("c1"), col("scid"))
+    val qe = SimOps.embeddings(spark, dir).filter(col("vec_id") < nq)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val w = Window.partitionBy("qid")
       .orderBy(col("sim").desc, col("vec_id").asc)
     spark.read.parquet(layout2Path(spark, dir))
       .join(broadcast(leaves), Seq("c1", "scid")) // batch-bounded probe side
       .filter(col("vec_id") =!= col("qid"))
+      .join(qe, Seq("qid")) // batch-bounded; unhinted, AQE decides
       .select(col("qid"), col("vec_id"),
         round(SimOps.dot(col("embedding"), col("qe")), 6).as("sim"))
       .withColumn("rn", row_number().over(w).cast(LongType))
@@ -423,8 +434,7 @@ object Ivf2 {
 
   def topK2BatchSql(nq: Long, k: Int, nprobe1: Int, nprobe2: Int): String = {
     val dim = Ivf.Dim
-    val dist = (qv: String, cv: String) =>
-      s"CAST(list_sum(list_transform(range(1,${dim + 1}), i -> ($qv[i]-$cv[i])*($qv[i]-$cv[i]))) AS BIGINT)"
+    val dist = distSql _
     s"""WITH $chain2CtesSql,
        |qs AS (SELECT vec_id AS qid, qv FROM q WHERE vec_id < $nq),
        |p1 AS (SELECT qid, qv, cid AS c1 FROM (
@@ -458,6 +468,39 @@ object Ivf2 {
   private def appendSplit(spark: SparkSession, dir: String): Long =
     Ivf.corpusN(spark, dir) / 2
 
+  private val appendCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[(Long, Array[Long])], String)]()
+
+  /** The FROZEN old-half index (coarse codebook + materialized level-2
+    * codebook parquet) — trained once per dataset snapshot, like every
+    * other index artifact here: the append path's whole point is that
+    * training is periodic and offline, so the op itself must not pay
+    * an O(n_old) Lloyd pass per invocation (it did at first — the r9
+    * self-review catch). Distinct cache key from [[trained2Path]]:
+    * these codebooks see only `vec_id < split`. */
+  private def appendIndex(spark: SparkSession, dir: String)
+      : (Seq[(Long, Array[Long])], String) =
+    appendCache.computeIfAbsent(
+      graft.DatasetCache.snapshotKey(spark, dir, "embeddings.parquet") + "#append",
+      { _ =>
+        val split = appendSplit(spark, dir)
+        val qOld = Ivf.quantized(spark, dir).filter(col("vec_id") < split)
+        val coarse = Ivf.train(qOld, k = k1(split))
+        val best = Ivf.nearest(coarse)
+        val aOld = qOld.select(col("vec_id"), col("qv"),
+          best.getField("cid").as("c1"))
+        val p = graft.DatasetCache.registerTempDir(
+          java.nio.file.Files.createTempDirectory("graft_ivf2_append").toString)
+        level2Trained(aOld).write.mode("overwrite").parquet(p)
+        (coarse, p)
+      })
+
+  /** Bench isolation hook: force the one-time old-half training. */
+  def prebuildAppendIndex(spark: SparkSession, dir: String): Unit = {
+    appendIndex(spark, dir)
+    ()
+  }
+
   /** Incremental two-level assignment of APPENDED vectors — the index
     * MAINTENANCE path: vectors with `vec_id >= split` are assigned
     * against the coarse + level-2 codebooks trained on the OLD corpus
@@ -475,15 +518,15 @@ object Ivf2 {
     * levels — [[assign2AppendSql]]. */
   def assign2Append(spark: SparkSession, dir: String): DataFrame = {
     val split = appendSplit(spark, dir)
-    val q = Ivf.quantized(spark, dir)
-    val qOld = q.filter(col("vec_id") < split)
-    // both levels trained on the OLD half only (k1 from the old count)
-    val coarse = Ivf.train(qOld, k = k1(split))
+    // both levels FROZEN (trained once on the old half, cached/
+    // materialized like every index artifact): the op itself is pure
+    // assignment — a literal-codebook scan of the new rows plus the
+    // K1-row packed sub-codebook join
+    val (coarse, centsPath) = appendIndex(spark, dir)
+    val cents = spark.read.parquet(centsPath)
+      .select(col("c1"), col("scid"), col("cv"))
     val best = Ivf.nearest(coarse)
-    val aOld = qOld.select(col("vec_id"), col("qv"),
-      best.getField("cid").as("c1"))
-    val cents = level2Trained(aOld)
-    val aNew = q.filter(col("vec_id") >= split)
+    val aNew = Ivf.quantized(spark, dir).filter(col("vec_id") >= split)
       .select(col("vec_id"), col("qv"), best.getField("cid").as("c1"))
     assignRow(aNew, cents)
       .select(col("vec_id"), col("c1"), col("scid"), col("dist"))
@@ -492,8 +535,7 @@ object Ivf2 {
 
   def assign2AppendSql: String = {
     val dim = Ivf.Dim
-    val dist = (qv: String, cv: String) =>
-      s"CAST(list_sum(list_transform(range(1,${dim + 1}), i -> ($qv[i]-$cv[i])*($qv[i]-$cv[i]))) AS BIGINT)"
+    val dist = distSql _
     val splitSql = "(SELECT count(*) // 2 FROM embeddings)"
     // q = the OLD half (training corpus); k1 derives from the old count
     val qOldCte =

@@ -58,9 +58,29 @@ class CodegenFallbackAuditSpec extends SparkSpec {
     case other => other.children.flatMap(hotScans)
   }
 
+  /** Fallbacks in an Aggregate that run PER INPUT ROW — grouping keys
+    * and aggregate-function INPUTS evaluate once per scanned row during
+    * partial aggregation, so a HOF there is just as hot as one in a
+    * Project over the scan; only the post-aggregation result
+    * expressions (outside aggregate functions) run per group. */
+  private def perRowAggFallbacks(a: Aggregate): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+    val perRow = a.groupingExpressions ++
+      a.aggregateExpressions.flatMap(_.collect {
+        case ae: AggregateExpression => ae.aggregateFunction.children
+      }.flatten)
+    perRow.flatMap(_.collect { case e: CodegenFallback => e.prettyName }).distinct
+  }
+
   /** (node, fallback names, unreduced scans) triples that need review. */
   private def hotFallbacks(plan: LogicalPlan): Seq[String] =
     plan.collect {
+      case a: Aggregate if perRowAggFallbacks(a).nonEmpty =>
+        // the Aggregate is NOT a barrier for its own per-row inputs
+        val scans = a.children.flatMap(hotScans)
+        if (scans.isEmpty) Nil
+        else Seq(s"Aggregate-input[${perRowAggFallbacks(a).mkString(",")}] over " +
+          scans.map(_.split('/').last).distinct.mkString("{", ",", "}"))
       case n if !n.isInstanceOf[Aggregate] && fallbacks(n).nonEmpty =>
         val scans = n.children.flatMap(hotScans)
         if (scans.isEmpty) Nil
@@ -95,5 +115,23 @@ class CodegenFallbackAuditSpec extends SparkSpec {
     val df = graft.text.TextOps.docs(spark, sf001)
       .select(expr("aggregate(sequence(1, 10), 0L, (a, x) -> a + x * length(text))").as("h"))
     assert(hotFallbacks(df.queryExecution.optimizedPlan).nonEmpty)
+  }
+
+  test("the audit detects a planted HOF hiding inside an Aggregate's per-row input") {
+    import org.apache.spark.sql.functions._
+    // the fold runs once per CORPUS ROW during partial aggregation —
+    // the Aggregate node must not shield its own input expressions
+    val df = graft.text.TextOps.docs(spark, sf001)
+      .groupBy(col("lang"))
+      .agg(sum(expr("aggregate(split(text, ' '), 0L, (a, w) -> a + length(w))")).as("s"))
+    assert(hotFallbacks(df.queryExecution.optimizedPlan)
+      .exists(_.startsWith("Aggregate-input")))
+    // per-GROUP result expressions stay exempt: a HOF around the
+    // aggregate's output runs |groups| times, not per row
+    val ok = graft.text.TextOps.docs(spark, sf001)
+      .groupBy(col("lang"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .select(expr("aggregate(ids, 0L, (a, x) -> a + x)").as("s"))
+    assert(hotFallbacks(ok.queryExecution.optimizedPlan).isEmpty)
   }
 }

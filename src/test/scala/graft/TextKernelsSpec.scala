@@ -186,15 +186,42 @@ class TextKernels2Spec extends SparkSpec {
     assert(df.filter(size(col("native")) > 1).count() > 0)
   }
 
-  test("count_le == size(filter(cuts, c -> v >= c)) across the cut domain") {
+  test("count_le == size(filter(cuts, c -> v >= c)) across the cut domain incl. NULL") {
     val cuts = Seq(10L, 20L, 20L, 35L)
     import spark.implicits._
     val df = (0L to 40L).toDF("v")
+      .withColumn("v", when(col("v") === 40L, lit(null)).otherwise(col("v")))
       .withColumn("native",
         call_function("count_le", typedLit(cuts), col("v")))
       .withColumn("hof", size(filter(typedLit(cuts), c => col("v") >= c)))
-    assert(df.filter(col("native") =!= col("hof")).count() == 0)
+    assert(df.filter(!(col("native") <=> col("hof"))).count() == 0)
     assert(df.schema("native").dataType == df.schema("hof").dataType,
       "count_le must return INT exactly like size()")
+    // the null row: the HOF's null lambda drops every cut -> 0, never
+    // NULL (a null-propagating kernel would mint a phantom NULL bucket)
+    assert(df.filter(col("v").isNull).select("native").head().getInt(0) == 0)
+  }
+
+  test("chunk_structs matches array_join's skip-null-and-separator rule on planted nulls") {
+    import spark.implicits._
+    // 'a NULL b' must fingerprint as "a b" (one separator), not "a  b";
+    // a LEADING null must not leave a leading separator either
+    val rows = Seq(Seq[String]("a", null, "b"), Seq[String](null, "x", "y"))
+      .toDF("ws")
+    val width = 32
+    val hof = transform(
+      sequence(lit(0L), expr(s"CAST((size(ws) - 1) div $width AS BIGINT)")),
+      i => {
+        val slc = slice(col("ws"), (i * width + 1).cast("int"), lit(width))
+        struct(
+          i.as("chunk_id"),
+          size(slc).cast("long").as("n_chunk_tokens"),
+          md5(array_join(slc, " ")).as("chunk_fp"))
+      })
+    val df = rows
+      .withColumn("native", call_function("chunk_structs", col("ws"), lit(width)))
+      .withColumn("hof", hof)
+    assert(df.filter(col("native") =!= col("hof")).count() == 0,
+      df.select("native", "hof").collect().mkString("\n"))
   }
 }
