@@ -501,6 +501,39 @@ object Ivf2 {
     ()
   }
 
+  /** The frozen old-half codebooks as consumable values: the coarse
+    * literal codebook plus the level-2 codebook RELATION — what both
+    * the batch append ([[assign2Append]]) and the streaming ingest
+    * twin ([[graft.streaming.EmbedStream.streamingIndexIngest]])
+    * assign against. */
+  private[graft] def appendCodebooks(spark: SparkSession, dir: String)
+      : (Seq[(Long, Array[Long])], DataFrame) = {
+    val (coarse, centsPath) = appendIndex(spark, dir)
+    (coarse, spark.read.parquet(centsPath)
+      .select(col("c1"), col("scid"), col("cv")))
+  }
+
+  /** Assignment of arbitrary (vec_id, embedding) rows against FROZEN
+    * codebooks — the shared kernel of batch append and streaming
+    * ingest. Stateless and map-side except the K1-row packed-codebook
+    * join (stream-static safe): quantize, literal-codebook coarse
+    * argmin, row-codebook leaf argmin. NO sort (a streaming caller
+    * cannot sort an append-mode stream); batch callers order
+    * downstream. */
+  private[graft] def assignFrozen(vecs: DataFrame,
+      coarse: Seq[(Long, Array[Long])], cents: DataFrame): DataFrame = {
+    val spark = vecs.sparkSession
+    NearestCell.register(spark)
+    LongVecExprs.register(spark)
+    val best = Ivf.nearest(coarse)
+    val q = vecs.select(col("vec_id"),
+      call_function("fvec_quantize", col("embedding"),
+        lit(Ivf.Shift), lit(Ivf.Scale)).as("qv"))
+      .select(col("vec_id"), col("qv"), best.getField("cid").as("c1"))
+    assignRow(q, cents)
+      .select(col("vec_id"), col("c1"), col("scid"), col("dist"))
+  }
+
   /** Incremental two-level assignment of APPENDED vectors — the index
     * MAINTENANCE path: vectors with `vec_id >= split` are assigned
     * against the coarse + level-2 codebooks trained on the OLD corpus
@@ -521,15 +554,11 @@ object Ivf2 {
     // both levels FROZEN (trained once on the old half, cached/
     // materialized like every index artifact): the op itself is pure
     // assignment — a literal-codebook scan of the new rows plus the
-    // K1-row packed sub-codebook join
-    val (coarse, centsPath) = appendIndex(spark, dir)
-    val cents = spark.read.parquet(centsPath)
-      .select(col("c1"), col("scid"), col("cv"))
-    val best = Ivf.nearest(coarse)
-    val aNew = Ivf.quantized(spark, dir).filter(col("vec_id") >= split)
-      .select(col("vec_id"), col("qv"), best.getField("cid").as("c1"))
-    assignRow(aNew, cents)
-      .select(col("vec_id"), col("c1"), col("scid"), col("dist"))
+    // K1-row packed sub-codebook join, shared with the streaming twin
+    val (coarse, cents) = appendCodebooks(spark, dir)
+    assignFrozen(
+      SimOps.embeddings(spark, dir).filter(col("vec_id") >= split),
+      coarse, cents)
       .orderBy("vec_id")
   }
 
