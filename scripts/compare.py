@@ -24,6 +24,12 @@ Formatting rules (per cell):
   - bytes                   -> "0x" + hex
   - list/ndarray            -> "[" + ",".join(recurse) + "]"
   - timestamp/date          -> isoformat
+
+PRECONDITION: rows are compared POSITIONALLY (no row sort), which is
+sound only because every registered query ends in ORDER BY and Spark
+part files glob-sort into global order. A future unordered query would
+flap as spurious MISMATCH; the mismatch diagnostics detect that case
+and print "rows differ only in ORDER" so the flap self-explains.
 """
 import sys, json, glob, hashlib, decimal, datetime
 
@@ -119,6 +125,16 @@ def main():
             if cols_ok and len(o) == len(s):
                 sc = s.reindex(sorted(s.columns), axis=1)
                 oc = o.reindex(sorted(o.columns), axis=1)
+                # order-only divergence check (see PRECONDITION above):
+                # same row multiset in a different order means the query
+                # lost its total ORDER BY, not its values
+                srows = sorted("|".join(fmt(v) for v in r)
+                               for r in sc.itertuples(index=False, name=None))
+                orows = sorted("|".join(fmt(v) for v in r)
+                               for r in oc.itertuples(index=False, name=None))
+                if srows == orows:
+                    print("  rows differ only in ORDER — the query's "
+                          "ORDER BY is not a total order on both engines")
                 shown = 0
                 # itertuples, NOT .iloc[i]: a row Series upcasts mixed
                 # dtypes (int32 beside float64 prints as float) — the

@@ -79,13 +79,17 @@ object BloomIndex {
   /** Delete a retired non-injective `_bloom` root wholesale: its
     * sidecars are advisory (removal can only un-prune) and were written
     * under a naming that cannot be trusted per-file. */
-  private[lake] def purgeLegacyRoot(table: String): Unit = {
+  /** Returns the number of filesystem entries removed (0 when no
+    * legacy root exists) so callers can surface the purge — vacuum
+    * deleting an unrecognized directory tree must be observable. */
+  private[lake] def purgeLegacyRoot(table: String): Int = {
     val legacy = Paths.get(table, "_bloom")
-    if (Files.isDirectory(legacy)) {
+    if (!Files.isDirectory(legacy)) 0
+    else {
       import scala.jdk.CollectionConverters._
       val all = Files.walk(legacy)
       try all.iterator().asScala.toSeq.reverseIterator
-        .foreach(Files.deleteIfExists(_))
+        .count(Files.deleteIfExists(_))
       finally all.close()
     }
   }

@@ -2322,8 +2322,15 @@ object LakeTable {
     }
     // a retired non-injective `_bloom` root is dead weight on a table
     // that is vacuumed but never re-indexed: reclaim it here too (the
-    // build path already purges it; both are advisory-only deletes)
-    BloomIndex.purgeLegacyRoot(table)
+    // build path already purges it; both are advisory-only deletes).
+    // Announced when it fires: vacuum silently removing a directory
+    // tree this library version never wrote would be surprising
+    // (ADVICE r9), so the purge is observable.
+    val legacyPurged = BloomIndex.purgeLegacyRoot(table)
+    if (legacyPurged > 0)
+      System.err.println(
+        s"lake: vacuum purged legacy advisory `_bloom` root of $table " +
+          s"($legacyPurged entries) — superseded by `_bloom2`")
     gone
   }
 }

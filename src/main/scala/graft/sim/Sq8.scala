@@ -209,13 +209,13 @@ object Sq8 {
     }
   }
 
-  /** The integer upper bound of csim from a code row `cd`: per-dim
-    * interval endpoint picked by the SIGN of the literal query component
-    * (ceil lower / floor upper bounds of the quantization interval). */
-  /** The unrolled 64-term bound — SPEC REFERENCE only (PqSpec pins the
-    * `sq8_ub` kernel term-identical); as a production filter its 64
-    * references to `cd` let predicate pushdown clone the encode into
-    * every term (the r9 plan-audit find). */
+  /** The unrolled 64-term integer upper bound of csim from a code row
+    * `cd` — per-dim quantization-interval endpoint picked by the SIGN of
+    * the literal query component (ceil lower / floor upper bound). SPEC
+    * REFERENCE only (PqSpec pins the `sq8_ub` kernel term-identical); as
+    * a production filter its 64 references to `cd` let predicate
+    * pushdown clone the encode into every term (the r9 plan-audit
+    * find). */
   private[graft] def ubCol(qcv: Array[Long], mns: Array[Long],
       rngs: Array[Long]): org.apache.spark.sql.Column = {
     val terms = (0 until Dim).map { i =>

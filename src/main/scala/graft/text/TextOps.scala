@@ -2106,6 +2106,11 @@ object TextOps {
   private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
     String, Seq[(Long, String, String, Long)]]()
 
+  /** Merge-loop lineage budget: the vocab DataFrame is checkpointed
+    * after every this-many merge steps, bounding the plan stack at a
+    * constant regardless of the requested merge count. */
+  private[graft] val BpeCheckpointEvery = 8
+
   /** The trained merge table, cached per (dataset snapshot, steps) —
     * [[docBpeMerges]] returns it, [[docBpeTokenize]] applies it. */
   private def bpeMerges(steps: Int)(
@@ -2136,6 +2141,16 @@ object TextOps {
             v = v.select(col("w"),
               replace(col("seq"), lit(s"|$p1||$p2|"), lit(s"|$p1$p2|")).as("seq"),
               col("freq"))
+            // lineage truncation every few merges (the
+            // [[connectedComponents]] discipline): each step layers a
+            // `replace` projection AND runs a limit(1).collect() job
+            // against the whole stack — at a realistic merge count
+            // (thousands) an unbounded stack blows the plan tree and
+            // re-analyzes O(steps) projections per step. The vocab is
+            // word-count-sized (bounded, nowhere near the corpus), so
+            // the checkpoint is cheap; every merge step stays one job
+            // over a LEAF relation regardless of `steps`.
+            if (s % BpeCheckpointEvery == 0) v = v.localCheckpoint(true)
             s += 1
           }
         }

@@ -114,6 +114,29 @@ class PipelineOps6Spec extends SparkSpec {
     assert(m(2) == ((3L, "aa", "aa", 3L)), s"step3 was ${m(2)}")
   }
 
+  test("bpe at steps>=32 crosses the checkpoint boundary and prefixes the short run") {
+    // the merge loop truncates vocab lineage every BpeCheckpointEvery
+    // steps; a 32-step run crosses that boundary 4 times. BPE training
+    // is a greedy prefix algorithm — merge k depends only on merges
+    // 1..k-1 — so the 32-step table MUST start with the 6-step table
+    // verbatim; any checkpoint-induced drift (row loss, replace-order
+    // change) would break the prefix
+    assert(TextOps.BpeCheckpointEvery <= 8,
+      "test assumes the 32-step run crosses >= 4 checkpoint boundaries")
+    val long = TextOps.docBpeMerges(32)(spark, sf001).orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val short = TextOps.docBpeMerges(6)(spark, sf001).orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(long.length >= 24, s"corpus exhausted after ${long.length} merges; " +
+      "prefix test needs the loop to cross checkpoint boundaries")
+    assert(long.take(short.length).toSeq == short.toSeq,
+      "long run's merge prefix diverged from the short run")
+    // counts stay non-increasing across the checkpoint boundaries too
+    long.map(_._4).sliding(2).foreach { case Array(a, b) =>
+      assert(a >= b, s"merge counts rose after a checkpoint: $a -> $b")
+    }
+  }
+
   test("bpe stops early on a pair-free corpus; tokenize is then the identity") {
     val s: org.apache.spark.sql.SparkSession = spark
     import s.implicits._
