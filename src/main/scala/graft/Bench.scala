@@ -104,10 +104,14 @@ object Bench {
       // (the *_flat arms deliberately do NOT: they are the
       // train-inline oracle baselines)
       ("ivf2_layout", n => n.startsWith("emb_ivf2_topk") ||
-          n.startsWith("emb_ivf2_recall") ||
+          n.startsWith("emb_ivf2_recall") || n.startsWith("emb_ivf2_delete") ||
           Set("emb_semdedup", "emb_knn_graph", "emb_cluster_sample",
             "emb_cell_drift").contains(n),
         () => graft.sim.Ivf2.prebuildLayout2(spark, sfDir)),
+      // the kill-list derivation (one semdedup pass) is a one-time
+      // artifact; the delete ops themselves measure pure DV application
+      ("ivf2_delete_dv", _.startsWith("emb_ivf2_delete"),
+        () => graft.sim.Ivf2.prebuildDeletionVectors(spark, sfDir)),
       // the append op's FROZEN old-half codebooks are a one-time
       // training artifact, like every other index here
       ("ivf2_append_index", _.startsWith("emb_ivf2_append"),

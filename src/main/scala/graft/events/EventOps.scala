@@ -545,23 +545,42 @@ object EventOps {
       | count(*) AS cnt, count(DISTINCT event_type) AS n_types
       | FROM events GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")
 
-  /** Sketch aggregates: approximate distinct users + value percentiles —
-    * the HLL/quantile-sketch surface for dashboards over 100 TB where
-    * exactness doesn't pay. No DuckDB oracle (sketch internals differ by
-    * engine); the driver applies its rows>0 check, and the spec bounds
-    * the estimate against the exact count.
+  /** Sketch aggregates: approximate distinct users + an approximate
+    * median — the HLL/quantile-sketch dashboard surface for 100 TB
+    * where exactness doesn't pay. Both sketches are built FROM SCRATCH
+    * on deterministic integer arithmetic so the DuckDB oracle replays
+    * them bit-exactly (engine-native `approx_count_distinct` /
+    * `percentile_approx` are internally seeded sketches no other
+    * engine can reproduce — this query was the surface's ONLY
+    * rows-only gate until r10):
+    *
+    *  - `approx_users`: the [[hllUsers]] deterministic HLL folded to
+    *    an INTEGER estimate. Raw estimator `alpha*m^2*2^23/harmonic`
+    *    with alpha_64 = 709/1000 exact-rational, evaluated as one
+    *    BIGINT floor division; the small-range regime (raw <= 2.5m
+    *    with empty registers) switches to linear counting
+    *    `m*ln(m/V)` — transcendental, so it ships as a PRECOMPUTED
+    *    63-entry literal table (V has only 63 possible values),
+    *    identical digits in both engines.
+    *  - `p50_lo_cents`: equal-width-histogram median — the fixed-
+    *    memory quantile sketch. [[HistBuckets]] buckets spanning the
+    *    per-type [mn, mx] cent range; the reported value is the lower
+    *    edge of the first bucket whose cumulative count covers rank
+    *    ceil(n/2). Error is bounded by one bucket width by
+    *    construction (spec-pinned against the exact order statistic).
     *
     * The exact arm is computed from a DISTINCT-COMPRESSED relation and
-    * joined back, NOT mixed into the sketch aggregate. Mixed, Spark's
-    * single-distinct rewrite keys the PARTIAL aggregate on
-    * (event_type, user_id) and evaluates the non-distinct sketches
-    * inside it — one HLL + one 1000-bucket percentile buffer PER
-    * DISTINCT USER, all merged afterwards (plan-verified:
-    * `partial_percentile_approx` under keys=[event_type, user_id]).
-    * Separated, the sketch arm keeps K sketch buffers (one per type)
-    * and the exact arm aggregates 8-byte pairs — at 100 TB that
-    * replaces per-user sketch allocation/merging with one extra tiny
-    * shuffle of (type, user) pairs. Measured 2.9x at sf0.1. */
+    * joined back, NOT mixed into the sketch aggregate (mixed, Spark's
+    * single-distinct rewrite evaluates the sketches once per distinct
+    * user — measured 2.9x at sf0.1 in the r5 form of this query).
+    *
+    * Scale shape: three independent aggregations of the fact table
+    * (register maxima, distinct pairs, bucket counts) — each
+    * map-side-combinable to a bounded relation (64 registers / distinct
+    * pairs / [[HistBuckets]] cells per type); the histogram needs one
+    * extra min/max pass (equi-width needs the range first), joined back
+    * as a type-count-bounded broadcast. The cumulative-rank window runs
+    * over the BUCKET relation (<= types x 1000 rows), never the corpus. */
   def approxStats(spark: SparkSession, dir: String): DataFrame = {
     val e = events(spark, dir)
     // count(user_id), not count(*): count_distinct excludes NULLs, and
@@ -569,14 +588,73 @@ object EventOps {
     // user would otherwise count as one extra "user" per type)
     val exact = e.select("event_type", "user_id").distinct()
       .groupBy("event_type").agg(count(col("user_id")).as("exact_users"))
-    e.groupBy("event_type")
-      .agg(
-        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
-        percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_value"))
-      .join(exact, "event_type")
+    // HLL integer estimate from the shared register state
+    val vEmpty = lit(HllBuckets.toLong) - col("used_buckets")
+    val raw = expr(s"$HllRawNum div (1000 * harmonic_scaled)")
+    val approx = hllRegisters(spark, dir)
+      .select(col("event_type"),
+        when(vEmpty > 0 && raw <= lit(160L), // 2.5 * m, exact at m=64
+          element_at(typedLit(LcTable), vEmpty.cast("int")))
+          .otherwise(raw).as("approx_users"))
+    // equal-width histogram median over integer cents
+    val cents = round(col("value") * 100).cast(LongType)
+    val base = e.select(col("event_type"), cents.as("c"))
+    val mm = base.groupBy("event_type")
+      .agg(min("c").as("mn"), max("c").as("mx"), count(lit(1)).as("n"))
+    val buck = base.join(broadcast(mm), "event_type") // bounded: row per type
+      .select(col("event_type"),
+        expr(s"((c - mn) * $HistBuckets) div (mx - mn + 1)").as("b"))
+      .groupBy("event_type", "b").agg(count(lit(1)).as("bc"))
+    val wcum = Window.partitionBy("event_type").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val p50 = buck.withColumn("cum", sum("bc").over(wcum))
+      .join(broadcast(mm), "event_type") // bounded: row per type
+      .filter(col("cum") * 2 >= col("n"))
+      .groupBy("event_type")
+      // mn/mx are per-type constants; max() just carries them through
+      .agg(min("b").as("pb"), max("mn").as("mn"), max("mx").as("mx"))
+      .select(col("event_type"),
+        expr(s"mn + (pb * (mx - mn + 1)) div $HistBuckets").as("p50_lo_cents"))
+    approx.join(exact, "event_type").join(p50, "event_type")
       .select(col("event_type"), col("approx_users"), col("exact_users"),
-        col("p50_value"))
+        col("p50_lo_cents"))
       .orderBy("event_type")
+  }
+
+  // lazy: references the HLL constants declared further down the file
+  lazy val approxStatsSql: String = {
+    val lc = LcTable.mkString("[", ", ", "]")
+    s"""WITH hr AS (
+       | SELECT event_type, CAST(count(*) AS BIGINT) AS used_buckets,
+       |  CAST(sum(CAST(1 AS BIGINT) << CAST(${TailBits + 1} - mreg AS INTEGER))
+       |    + ($HllBuckets - count(*)) * $EmptyWeight AS BIGINT) AS harmonic_scaled
+       | FROM (
+       |  SELECT event_type, bucket, CAST(max(${TailBits + 1} - (CASE $bitLenLadderSql END)) AS BIGINT) AS mreg
+       |  FROM (
+       |   SELECT event_type, hv // $TailMod AS bucket, hv % $TailMod AS tail
+       |   FROM (SELECT event_type, CAST('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,7) AS BIGINT) AS hv FROM events))
+       |  GROUP BY 1, 2) GROUP BY event_type),
+       |ap AS (SELECT event_type,
+       | CAST(CASE WHEN ($HllBuckets - used_buckets) > 0
+       |   AND ($HllRawNum // (1000 * harmonic_scaled)) <= 160
+       |  THEN ($lc)[CAST($HllBuckets - used_buckets AS INTEGER)]
+       |  ELSE $HllRawNum // (1000 * harmonic_scaled) END AS BIGINT) AS approx_users FROM hr),
+       |ex AS (SELECT event_type, CAST(count(user_id) AS BIGINT) AS exact_users
+       | FROM (SELECT DISTINCT event_type, user_id FROM events) GROUP BY 1),
+       |cb AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events),
+       |mm AS (SELECT event_type, min(c) AS mn, max(c) AS mx,
+       | CAST(count(*) AS BIGINT) AS n FROM cb GROUP BY 1),
+       |bk AS (SELECT cb.event_type, ((c - mn) * $HistBuckets) // (mx - mn + 1) AS b,
+       | CAST(count(*) AS BIGINT) AS bc FROM cb JOIN mm USING (event_type) GROUP BY 1, 2),
+       |cm AS (SELECT event_type, b,
+       | sum(bc) OVER (PARTITION BY event_type ORDER BY b ROWS UNBOUNDED PRECEDING) AS cum FROM bk),
+       |p5 AS (SELECT t.event_type,
+       | CAST(mn + (pb * (mx - mn + 1)) // $HistBuckets AS BIGINT) AS p50_lo_cents
+       | FROM (SELECT cm.event_type, min(b) AS pb FROM cm JOIN mm USING (event_type)
+       |  WHERE cum * 2 >= n GROUP BY 1) t JOIN mm ON t.event_type = mm.event_type)
+       |SELECT ap.event_type, approx_users, exact_users, p50_lo_cents
+       |FROM ap JOIN ex USING (event_type) JOIN p5 USING (event_type)
+       |ORDER BY event_type""".stripMargin.replace("\n", " ")
   }
 
   /** As-of join: each `purchase` event paired with the user's most recent
@@ -1032,6 +1110,30 @@ object EventOps {
   private val TailMod = 1L << TailBits // 4194304
   private val EmptyWeight = 1L << (TailBits + 1) // 2^23: rho=0 contribution
 
+  /** Numerator of the raw HLL estimate with alpha_64 = 709/1000 kept
+    * exact-rational: estimate = HllRawNum / (1000 * harmonic_scaled),
+    * evaluated as BIGINT floor division in BOTH engines (709 * 64^2 *
+    * 2^23 = 24361054502912, well inside int64). */
+  private val HllRawNum: Long = 709L * HllBuckets * HllBuckets * EmptyWeight
+
+  /** Linear-counting estimates m*ln(m/V) for every possible empty-
+    * register count V in 1..m-1, precomputed ONCE here and embedded as
+    * integer literals in both engines' plans — ln is transcendental,
+    * so the only way both engines agree bit-exactly is to never let
+    * either of them evaluate it. */
+  private val LcTable: Seq[Long] = (1 until HllBuckets).map(v =>
+    math.round(HllBuckets.toDouble * math.log(HllBuckets.toDouble / v)))
+
+  /** Bucket count of the equal-width histogram quantile sketch. */
+  val HistBuckets: Int = 1000
+
+  /** The DuckDB bit-length comparison ladder over `tail` — shared by
+    * every oracle that replays the deterministic HLL. */
+  private def bitLenLadderSql: String =
+    ((TailBits to 1 by -1)
+      .map(k => s"WHEN tail >= ${1L << (k - 1)} THEN $k") :+ "ELSE 0")
+      .mkString(" ")
+
   /** HyperLogLog built from scratch on deterministic integer arithmetic,
     * so the sketch itself is ORACLE-EXACT (unlike engine-native HLLs,
     * whose hashes differ): bucket = top 6 bits of the md5-derived 28-bit
@@ -1042,7 +1144,14 @@ object EventOps {
     * is one engine-local division away (done in the spec, not the hash-
     * compared output). Distributes as two partial-agg groupBys, like any
     * HLL merge. */
-  def hllUsers(spark: SparkSession, dir: String): DataFrame = {
+  def hllUsers(spark: SparkSession, dir: String): DataFrame =
+    hllRegisters(spark, dir).orderBy("event_type")
+
+  /** The per-type HLL register state (event_type, used_buckets,
+    * harmonic_scaled), unsorted — shared by [[hllUsers]] (which emits it
+    * verbatim) and [[approxStats]] (which folds it into the integer
+    * estimate). */
+  private def hllRegisters(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.Md5Prefix.register(spark)
     val h = call_function("md5_prefix",
       col("user_id").cast("string"), lit(1), lit(7))
@@ -1063,13 +1172,10 @@ object EventOps {
         (sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST(${TailBits + 1} - mreg AS INT))"))
           + (lit(HllBuckets.toLong) - count(lit(1))) * lit(EmptyWeight))
           .as("harmonic_scaled"))
-      .orderBy("event_type")
   }
 
   val hllUsersSql: String = {
-    val ladder = ((TailBits to 1 by -1)
-      .map(k => s"WHEN tail >= ${1L << (k - 1)} THEN $k") :+ "ELSE 0")
-      .mkString(" ")
+    val ladder = bitLenLadderSql
     s"""SELECT event_type, CAST(count(*) AS BIGINT) AS used_buckets,
        | CAST(sum(CAST(1 AS BIGINT) << CAST(${TailBits + 1} - mreg AS INTEGER))
        |   + ($HllBuckets - count(*)) * $EmptyWeight AS BIGINT) AS harmonic_scaled

@@ -195,7 +195,18 @@ object Ivf2 {
     * ~nprobe2·TargetCell candidates, independent of both n and K. Tie
     * discipline matches the oracle ((dist, id) everywhere). */
   def topK2(queryId: Long, k: Int, nprobe1: Int, nprobe2: Int)(
-      spark: SparkSession, dir: String): DataFrame = {
+      spark: SparkSession, dir: String): DataFrame =
+    topK2Impl(queryId, k, nprobe1, nprobe2, live = false)(spark, dir)
+
+  /** Shared probe + rescore body of [[topK2]] (full index) and
+    * [[topK2Deleted]] (`live = true`: candidates anti-joined with the
+    * deletion-vector sidecar, pruned to the same probed coarse cells —
+    * the DV read costs one file-pruned scan of kill-sized data). The
+    * PROBE side never consults the DV: codebooks are untouched by
+    * deletion (that is the whole point of the verb), so probing stays
+    * O(K1 + nprobe1·K2) regardless of how much has been deleted. */
+  private def topK2Impl(queryId: Long, k: Int, nprobe1: Int, nprobe2: Int,
+      live: Boolean)(spark: SparkSession, dir: String): DataFrame = {
     val qrow = Ivf.quantized(spark, dir)
       .filter(col("vec_id") === queryId)
       .select(col("qv"), col("embedding")).collect()
@@ -222,10 +233,18 @@ object Ivf2 {
       col("c1") === c1v && col("scid") === scid }.reduce(_ || _)
     val qe = SimOps.embeddings(spark, dir)
       .filter(col("vec_id") === queryId).select(col("embedding").as("qe"))
-    spark.read.parquet(layout2Path(spark, dir))
-      .filter(col("c1").isin(p2.map(_._1).distinct: _*)) // dir-level pruning
+    val probedCells = p2.map(_._1).distinct
+    val cand0 = spark.read.parquet(layout2Path(spark, dir))
+      .filter(col("c1").isin(probedCells: _*)) // dir-level pruning
       .filter(leafPred)
       .filter(col("vec_id") =!= queryId)
+    val cand =
+      if (!live) cand0
+      else cand0.join( // DV scan pruned to the SAME probed cells
+        readDv(spark, deletionVectorPath(spark, dir))
+          .filter(col("c1").isin(probedCells: _*)).select("vec_id"),
+        Seq("vec_id"), "left_anti")
+    cand
       .crossJoin(broadcast(qe)) // 1-row query vector: bounded hint
       .select(col("vec_id"),
         round(SimOps.dot(col("embedding"), col("qe")), 6).as("sim"))
@@ -592,5 +611,160 @@ object Ivf2 {
        |  WHERE rn = 1)
        |SELECT vec_id, c1, scid, dist FROM nb2 ORDER BY vec_id""".stripMargin
       .replace("\n", " ")
+  }
+
+  // ---- index lifecycle: delete without retraining ----------------------
+
+  private val dvCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The deletion-vector sidecar for [[layout2Path]]: the kill-list as
+    * (vec_id, scid) parquet PARTITIONED BY THE COARSE CELL, mirroring
+    * the layout's own directory structure so every read that prunes the
+    * layout to its probed cells prunes the DV identically. The
+    * kill-list is [[SemDedup.semDedup2]]'s dropped set — the dedup
+    * pipeline's natural output IS the deletion workload (semantic
+    * near-duplicates leave the corpus; the index must stop returning
+    * them) — and deletion deliberately touches NEITHER codebook level
+    * nor any layout data file: at 100 TB a delete writes O(kill-list)
+    * bytes, search stays correct immediately via the anti-join, and
+    * [[compactDeletes]] reclaims space leaf-locally when the DV has
+    * grown past taste (the [[cellDrift]] monitor decides when the
+    * SHAPE has drifted enough to retrain — orthogonal verbs). Built
+    * once per dataset snapshot like every other index artifact
+    * (`ivf2_delete_dv` in the bench prelude). */
+  def deletionVectorPath(spark: SparkSession, dir: String): String =
+    dvCache.computeIfAbsent(
+      graft.DatasetCache.snapshotKey(spark, dir, "embeddings.parquet") + "#dv",
+      { _ =>
+        val p = graft.DatasetCache.registerTempDir(
+          java.nio.file.Files.createTempDirectory("graft_ivf2_dv").toString)
+        SemDedup.semDedup2(SemDedup.Tau)(spark, dir)
+          .filter(!col("keep"))
+          .select(col("vec_id"), col("scid"), col("c1"))
+          .write.mode("overwrite").partitionBy("c1").parquet(p)
+        p
+      })
+
+  /** Bench isolation hook: force the one-time kill-list derivation. */
+  def prebuildDeletionVectors(spark: SparkSession, dir: String): Unit = {
+    deletionVectorPath(spark, dir)
+    ()
+  }
+
+  /** Read a DV sidecar as (vec_id, c1). A zero-row kill-list leaves a
+    * partitioned parquet dir with no data files (schema cannot be
+    * inferred) — that is an EMPTY deletion vector, not an error. */
+  private[sim] def readDv(spark: SparkSession, p: String): DataFrame =
+    try spark.read.parquet(p)
+      .select(col("vec_id"), col("c1").cast(LongType).as("c1"))
+    catch { case _: org.apache.spark.sql.AnalysisException =>
+      spark.range(0).select(col("id").as("vec_id"), col("id").as("c1"))
+    }
+
+  /** The LIVE (post-delete) index view: [[assign2FromLayout]] minus the
+    * deletion vector. The anti-join's build side is the kill-list —
+    * unhinted, because a dedup kill-list can be corpus-sized on a
+    * duplicate-heavy corpus (AQE broadcasts when it is small). */
+  def assign2FromLayoutLive(spark: SparkSession, dir: String): DataFrame =
+    assign2FromLayout(spark, dir)
+      .join(readDv(spark, deletionVectorPath(spark, dir)).select("vec_id"),
+        Seq("vec_id"), "left_anti")
+
+  /** Post-delete search: [[topK2]] over the live view — returns no
+    * killed vector, with NO retraining and NO layout rewrite. Oracle:
+    * [[topK2DeletedSql]] (the same frozen chains, candidates
+    * anti-joined with the replayed kill-list). */
+  def topK2Deleted(queryId: Long, k: Int, nprobe1: Int, nprobe2: Int)(
+      spark: SparkSession, dir: String): DataFrame =
+    topK2Impl(queryId, k, nprobe1, nprobe2, live = true)(spark, dir)
+
+  /** Deletion audit: per coarse cell, total/killed/live member counts —
+    * the occupancy report an operator reads after applying a kill-list
+    * (a cell going mostly-dead is a compaction candidate; ALL cells
+    * going thin is a retrain signal). ONE aggregation of the layout
+    * left-joined with the kill-sized DV; output is K1-sized. */
+  def deleteStats(spark: SparkSession, dir: String): DataFrame = {
+    val dv = readDv(spark, deletionVectorPath(spark, dir))
+      .select(col("vec_id"), lit(1L).as("killed"))
+    assign2FromLayout(spark, dir)
+      .join(dv, Seq("vec_id"), "left") // kill-sized right side; AQE decides
+      .groupBy("c1")
+      .agg(count(lit(1)).as("n_total"),
+        sum(coalesce(col("killed"), lit(0L))).as("n_killed"),
+        sum(when(col("killed").isNull, 1L).otherwise(0L)).as("n_live"))
+      .orderBy("c1")
+  }
+
+  def deleteStatsSql: String =
+    s"""WITH $chain2CtesSql,
+       |${SemDedup.dropped2CtesSql(SemDedup.Tau)}
+       |SELECT b.c1, CAST(count(*) AS BIGINT) AS n_total,
+       | CAST(count(d.vec_id) AS BIGINT) AS n_killed,
+       | CAST(count(*) - count(d.vec_id) AS BIGINT) AS n_live
+       |FROM hbf b LEFT JOIN dropped d ON b.vec_id = d.vec_id
+       |GROUP BY b.c1 ORDER BY b.c1""".stripMargin.replace("\n", " ")
+
+  def topK2DeletedSql(queryId: Long, k: Int, nprobe1: Int, nprobe2: Int): String = {
+    val dist = distSql _
+    val dot = s"list_sum(list_transform(range(1,${Ivf.Dim + 1}), " +
+      "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qe.embedding[i] AS DOUBLE)))"
+    s"""WITH $chain2CtesSql,
+       |${SemDedup.dropped2CtesSql(SemDedup.Tau)},
+       |qq AS (SELECT qv FROM q WHERE vec_id = $queryId),
+       |p1 AS (SELECT c.cid FROM c${Ivf.LloydSteps} c, qq
+       |  ORDER BY ${dist("qq.qv", "c.cv")}, c.cid LIMIT $nprobe1),
+       |p2 AS (SELECT s.c1, s.scid FROM hs${Ivf.LloydSteps} s JOIN p1 ON s.c1 = p1.cid, qq
+       |  ORDER BY ${dist("qq.qv", "s.cv")}, s.c1, s.scid LIMIT $nprobe2)
+       |SELECT e.vec_id, round($dot, 6) AS sim
+       |FROM embeddings e
+       |JOIN hbf b ON e.vec_id = b.vec_id
+       |JOIN p2 ON b.c1 = p2.c1 AND b.scid = p2.scid
+       |LEFT JOIN dropped dd ON e.vec_id = dd.vec_id
+       |JOIN (SELECT embedding FROM embeddings WHERE vec_id = $queryId) AS qe ON TRUE
+       |WHERE e.vec_id != $queryId AND dd.vec_id IS NULL
+       |ORDER BY sim DESC, e.vec_id ASC LIMIT $k""".stripMargin.replace("\n", " ")
+  }
+
+  /** Leaf-local physical reclaim: rewrite ONLY the coarse-cell
+    * partitions that carry deletions (dynamic partition overwrite —
+    * untouched cells' files are never read OR written), then drop the
+    * consumed DV sidecar. Returns the rewritten cell ids. Work is
+    * proportional to the AFFECTED cells' data, not the corpus — the
+    * Spark spelling of the reference's cell-routed chunk rewrite
+    * (`pc-format/src/pointcloud.rs:146-171`). The rewrite frame is
+    * localCheckpoint'ed first: it reads the same path it overwrites,
+    * and the LogicalRDD leaf both licenses that and pins the rows
+    * before any file is replaced. */
+  def compactDeletes(spark: SparkSession, layoutPath: String,
+      dvPath: String): Seq[Long] = {
+    val dv = readDv(spark, dvPath)
+    val cells = dv.select("c1").distinct().collect().map(_.getLong(0)).toSeq
+    if (cells.nonEmpty) {
+      val live = spark.read.parquet(layoutPath)
+        .withColumn("c1", col("c1").cast(LongType))
+        .filter(col("c1").isin(cells: _*)) // file-pruned to affected dirs
+        .join(dv.select("vec_id"), Seq("vec_id"), "left_anti")
+        .localCheckpoint(true)
+      val conf = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(conf)
+      spark.conf.set(conf, "dynamic")
+      try live.write.mode("overwrite").partitionBy("c1").parquet(layoutPath)
+      finally prev match {
+        case Some(v) => spark.conf.set(conf, v)
+        case None => spark.conf.unset(conf)
+      }
+      // the DV is consumed: a stale sidecar would re-hide rows a future
+      // kill-list legitimately re-adds under the same ids
+      val root = java.nio.file.Paths.get(dvPath)
+      if (java.nio.file.Files.isDirectory(root)) {
+        import scala.jdk.CollectionConverters._
+        val all = java.nio.file.Files.walk(root)
+        try all.iterator().asScala.toSeq.reverseIterator
+          .filter(_ != root).foreach(java.nio.file.Files.deleteIfExists(_))
+        finally all.close()
+      }
+    }
+    cells
   }
 }

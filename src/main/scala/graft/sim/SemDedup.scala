@@ -121,20 +121,29 @@ object SemDedup {
       .orderBy("vec_id")
   }
 
-  def semDedup2Sql(tau: Double): String = {
+  /** The `m` + `dropped` CTE pair over the two-level chain's `hbf` —
+    * the KILL-LIST relation (`dropped(vec_id)`), shared verbatim by
+    * [[semDedup2Sql]] and the index-deletion oracles
+    * ([[Ivf2.deleteStatsSql]], [[Ivf2.topK2DeletedSql]]): the deletion
+    * verb's whole premise is that the kill-list IS the dedup
+    * pipeline's output, so the oracles must derive it identically. */
+  private[sim] def dropped2CtesSql(tau: Double): String = {
     val dot = s"list_sum(list_transform(range(1,${Ivf.Dim + 1}), " +
       "i -> CAST(u.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)))"
-    s"""WITH ${Ivf2.chain2CtesSql},
-       |m AS (SELECT b.vec_id, b.c1, b.scid, b.dist, e.embedding
+    s"""m AS (SELECT b.vec_id, b.c1, b.scid, b.dist, e.embedding
        |  FROM hbf b JOIN embeddings e ON b.vec_id = e.vec_id),
        |dropped AS (SELECT DISTINCT v.vec_id
        |  FROM m u JOIN m v ON u.c1 = v.c1 AND u.scid = v.scid AND u.vec_id <> v.vec_id
        |   AND (u.dist < v.dist OR (u.dist = v.dist AND u.vec_id < v.vec_id))
-       |  WHERE round($dot, 6) >= $tau)
+       |  WHERE round($dot, 6) >= $tau)""".stripMargin.replace("\n", " ")
+  }
+
+  def semDedup2Sql(tau: Double): String =
+    s"""WITH ${Ivf2.chain2CtesSql},
+       |${dropped2CtesSql(tau)}
        |SELECT m.vec_id, m.c1, m.scid, m.dist, (d.vec_id IS NULL) AS keep
        |FROM m LEFT JOIN dropped d ON m.vec_id = d.vec_id
        |ORDER BY m.vec_id""".stripMargin.replace("\n", " ")
-  }
 
   def semDedupSql(tau: Double): String = {
     val dot = s"list_sum(list_transform(range(1,${Ivf.Dim + 1}), " +

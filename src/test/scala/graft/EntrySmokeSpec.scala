@@ -9,11 +9,11 @@ class EntrySmokeSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every declared query has either an oracle or a documented exemption") {
+  test("every declared query has an oracle (the full surface is hash-gated)") {
+    // r10 closed the last exemption: events_approx now runs
+    // deterministic from-scratch sketches the oracle replays exactly
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // events_approx: engine-specific sketch estimates, rows-only by
-    // design (SparkEntry doc); anything else missing is a gate hole
-    assert(noOracle == Set("events_approx"), s"queries without oracle: $noOracle")
+    assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
   }
 
   test("oracle entries never reference unregistered queries") {

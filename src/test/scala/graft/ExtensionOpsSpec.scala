@@ -328,14 +328,43 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(total == direct)
   }
 
-  test("approx sketch aggregates land within their error bounds") {
-    val rows = EventOps.approxStats(spark, sf001).collect()
-    assert(rows.nonEmpty)
-    rows.foreach { r =>
-      val approx = r.getLong(1).toDouble
-      val exact = r.getLong(2).toDouble
-      assert(math.abs(approx - exact) / exact < 0.1,
-        s"${r.getString(0)}: approx $approx vs exact $exact")
+  test("approx sketch aggregates land within their error bounds at both SFs") {
+    // tolerance vs the exact twins, per r9 verdict item 5: the HLL
+    // estimate against the exact distinct count, and the histogram
+    // median against the exact lower-median order statistic
+    Seq("/root/testdata/sf0.001", sf001).foreach { dir =>
+      val rows = EventOps.approxStats(spark, dir).collect()
+      assert(rows.nonEmpty)
+      // exact per-type lower-median order statistic (rank ceil(n/2)),
+      // computed client-side — the sketch's own ground truth
+      val byType = EventOps.events(spark, dir)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("c"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .groupBy(_._1).map { case (t, vs) =>
+          val s = vs.map(_._2).sorted
+          t -> (s((s.length + 1) / 2 - 1), s.head, s.last)
+        }
+      rows.foreach { r =>
+        val t = r.getString(0)
+        val approx = r.getLong(1).toDouble
+        val exact = r.getLong(2).toDouble
+        // m=64 => ~13% standard error; allow 3 sigma (the [[hllUsers]]
+        // twin's bound). These SFs sit in HLL's worst regime — load
+        // factor ~2.3, too full for linear counting (V can be 0), too
+        // empty for the raw estimator to have converged
+        assert(math.abs(approx - exact) / exact < 0.4,
+          s"$dir/$t: approx $approx vs exact $exact")
+        val (medLM, mn, mx) = byType(t)
+        val range = mx - mn + 1
+        val width = range / EventOps.HistBuckets + 1 // >= ceil(range/B)
+        val lo = r.getLong(3)
+        // the sketch reports the LOWER EDGE of the bucket covering rank
+        // ceil(n/2): that order statistic must lie inside the bucket
+        assert(lo <= medLM && medLM <= lo + width,
+          s"$dir/$t: p50_lo_cents $lo does not bracket exact lower median " +
+            s"$medLM (bucket width <= $width)")
+      }
     }
   }
 

@@ -105,6 +105,10 @@ class HintAuditSpec extends SparkSpec {
     "emb_lsh_topk_mp" -> (1, "q = 1 row (vec_id = literal)"),
     "emb_ivf_topk" -> (1, "probes = nprobe rows for one query vector"),
     "emb_ivf2_topk" -> (1, "qe = 1 row (vec_id = literal point filter on a unique key)"),
+    "emb_ivf2_delete" -> (1,
+      "same 1-row qe broadcast as emb_ivf2_topk (shared topK2Impl); the " +
+        "DV anti-join side is deliberately UNHINTED — kill-lists can be " +
+        "corpus-sized on a duplicate-heavy corpus, AQE decides"),
     "emb_ivf2_recall" -> (2,
       "composes emb_topk's 1-row query broadcast and emb_ivf2_topk's " +
         "1-row qe broadcast — both point-filtered on the unique vec_id"),
@@ -126,6 +130,9 @@ class HintAuditSpec extends SparkSpec {
     "events_heavy_users" -> (2,
       "cands/totals = ≤ |event_types| × 2·denom Misra-Gries counters"),
     "events_outliers" -> (1, "stats = per-event_type moments — bounded categorical"),
+    "events_approx" -> (2,
+      "mm = per-event_type (min, max, n) — bounded categorical, hinted " +
+        "at both the bucketing join and the cumulative-rank join"),
     "events_time_weighted" -> (1,
       "nextFirst = one row per (event_type, day) — grows with calendar " +
         "span, not with event count; MBs at decades of data"))
