@@ -63,25 +63,28 @@ object Ivf2 {
       .select(col("vec_id"), col("qv"), best.getField("cid").as("c1"))
   }
 
-  /** Pack each coarse cell's sub-codebook into ONE row (scids ascending,
-    * centroid components flattened in scid order) and run the
-    * row-codebook argmin. The packed relation has K1 rows — it joins,
-    * not broadcasts-by-hint (K1 grows with the corpus; AQE decides). */
-  private def assignRow(a: DataFrame, cents: DataFrame): DataFrame = {
-    val packed = cents
+  /** Each coarse cell's sub-codebook packed into ONE row (scids
+    * ascending, centroid components flattened in scid order) — a K1-row
+    * relation that JOINS, never broadcasts-by-hint (K1 grows with the
+    * corpus; AQE decides). HOFs run over these K1 rows only, never the
+    * corpus. */
+  private def packedCodebook(cents: DataFrame): DataFrame =
+    cents
       .groupBy("c1")
       .agg(sort_array(collect_list(struct(col("scid"), col("cv")))).as("sc"))
-      // HOFs over the K1-row packed relation only — never the corpus
       .select(col("c1"),
         expr("transform(sc, x -> x.scid)").as("scids"),
         expr("flatten(transform(sc, x -> x.cv))").as("cvs"))
-    a.join(packed, Seq("c1"))
+
+  /** Row-codebook leaf argmin of (vec_id, qv, c1) rows against the
+    * packed level-2 codebook. */
+  private def assignRow(a: DataFrame, cents: DataFrame): DataFrame =
+    a.join(packedCodebook(cents), Seq("c1"))
       .withColumn("best",
         call_function("ivf_nearest_cell_row", col("qv"), col("scids"), col("cvs")))
       .select(col("vec_id"), col("qv"), col("c1"),
         col("best").getField("cid").as("scid"),
         col("best").getField("dist").as("dist"))
-  }
 
   /** One distributed level-2 Lloyd update: per-(c1, scid) integer means
     * (truncating division on the positive quantized domain == the
@@ -540,17 +543,31 @@ object Ivf2 {
     * cannot sort an append-mode stream); batch callers order
     * downstream. */
   private[graft] def assignFrozen(vecs: DataFrame,
+      coarse: Seq[(Long, Array[Long])], cents: DataFrame): DataFrame =
+    assignFrozenFull(vecs, coarse, cents)
+      .select(col("vec_id"), col("c1"), col("scid"), col("dist"))
+
+  /** [[assignFrozen]] KEEPING the embedding — the layout-segment row
+    * shape (vec_id, embedding, scid, dist, c1), column-identical to the
+    * files [[layout2Path]] writes, so a streaming ingest sink can emit
+    * files a layout reader unions with the base segment directly. */
+  private[graft] def assignFrozenFull(vecs: DataFrame,
       coarse: Seq[(Long, Array[Long])], cents: DataFrame): DataFrame = {
     val spark = vecs.sparkSession
     NearestCell.register(spark)
     LongVecExprs.register(spark)
     val best = Ivf.nearest(coarse)
-    val q = vecs.select(col("vec_id"),
+    val q = vecs.select(col("vec_id"), col("embedding"),
       call_function("fvec_quantize", col("embedding"),
         lit(Ivf.Shift), lit(Ivf.Scale)).as("qv"))
-      .select(col("vec_id"), col("qv"), best.getField("cid").as("c1"))
-    assignRow(q, cents)
-      .select(col("vec_id"), col("c1"), col("scid"), col("dist"))
+      .select(col("vec_id"), col("embedding"), col("qv"),
+        best.getField("cid").as("c1"))
+    q.join(packedCodebook(cents), Seq("c1"))
+      .withColumn("best",
+        call_function("ivf_nearest_cell_row", col("qv"), col("scids"), col("cvs")))
+      .select(col("vec_id"), col("embedding"),
+        col("best").getField("cid").as("scid"),
+        col("best").getField("dist").as("dist"), col("c1"))
   }
 
   /** Incremental two-level assignment of APPENDED vectors — the index

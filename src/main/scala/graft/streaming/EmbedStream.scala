@@ -1,6 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.sim.Ivf2
 
@@ -25,7 +27,9 @@ import graft.sim.Ivf2
   *
   * Batch ≡ stream is spec-pinned: the appended corpus half fed through
   * a MemoryStream in several micro-batches yields row-for-row the
-  * batch operator's assignment. */
+  * batch operator's assignment ([[EmbedStreamSpec]]), and the SINK
+  * path below lands the same rows as queryable layout files exactly
+  * once across restarts ([[EmbedStreamIngestSpec]]). */
 object EmbedStream {
 
   /** `vectors`: a STREAMING DataFrame with (vec_id: long,
@@ -34,4 +38,40 @@ object EmbedStream {
   def streamingIndexIngest(vectors: DataFrame,
       coarse: Seq[(Long, Array[Long])], cents: DataFrame): DataFrame =
     Ivf2.assignFrozen(vectors, coarse, cents)
+
+  /** End-to-end ingest INTO A QUERYABLE INDEX SEGMENT: the streaming
+    * assignment (embedding kept — [[Ivf2.assignFrozenFull]]) written as
+    * a coarse-cell-partitioned parquet DELTA directory through Spark's
+    * file sink, whose `_spark_metadata` commit log makes the append
+    * EXACTLY-ONCE across restarts from `checkpoint` (a batch reader of
+    * `path` sees only committed files — a crashed micro-batch's
+    * half-written parquet is invisible). The segment's row shape and
+    * partitioning are column-identical to [[Ivf2.layout2Path]]'s base
+    * layout, so a search reads `base UNION delta` with the SAME
+    * coarse-cell file pruning on both sides — the base+delta segment
+    * model every LSM-ish index uses, with the periodic retrain
+    * (`emb_cell_drift`-triggered) as the fold that absorbs the delta
+    * into the next base. Deletes compose unchanged: the DV anti-join
+    * ([[Ivf2.topK2Deleted]]) applies to the union like any other
+    * layout read. */
+  def startIndexIngest(vectors: DataFrame,
+      coarse: Seq[(Long, Array[Long])], cents: DataFrame,
+      path: String, checkpoint: String): StreamingQuery =
+    Ivf2.assignFrozenFull(vectors, coarse, cents)
+      .writeStream.format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("c1")
+      .outputMode("append")
+      .start()
+
+  /** The queryable view of an ingest delta segment: committed files
+    * only (the file sink's metadata log), with the `c1` partition
+    * column restored to the library-wide LongType contract — the same
+    * normalization [[Ivf2.assign2FromLayout]] applies to the base. */
+  def deltaSegment(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(path)
+      .withColumn("c1", col("c1").cast(org.apache.spark.sql.types.LongType))
+      .select("vec_id", "embedding", "scid", "dist", "c1")
 }
