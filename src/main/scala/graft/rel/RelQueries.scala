@@ -368,31 +368,38 @@ object RelQueries {
     *
     * Scale design: part is SF-proportional, so the join carries NO
     * hint — AQE broadcasts the 2-column projection at test SFs and
-    * degrades to a partkey shuffle at scale. */
+    * degrades to a partkey shuffle at scale. The revenue sums run in
+    * DECIMAL(38,0) internally and cross the boundary as STRING (the
+    * `events_moments` discipline): the r10 100× sweep caught the int64
+    * spelling overflowing in `promo_units * 10^6` (~4·10^19 at 100×
+    * data), and the month's unit sum itself (~10^9/row) exits int64
+    * within another 10× anyway. */
   def promoShare(spark: SparkSession, dir: String): DataFrame = {
     val parts = t(spark, dir, "part")
       .select(col("p_partkey"),
         (col("p_type") === "PROMO").cast("int").as("is_promo"))
+    val unit = (cents("l_extendedprice") *
+      (lit(100L) - cents("l_discount"))).cast("decimal(38,0)")
     t(spark, dir, "lineitem")
       .filter(col("l_shipdate") >= lit("1997-06-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
       .join(parts, col("l_partkey") === col("p_partkey"))
       .agg(
-        sum(when(col("is_promo") === 1,
-          cents("l_extendedprice") * (lit(100L) - cents("l_discount")))
-          .otherwise(0L)).as("promo_units"),
-        sum(cents("l_extendedprice") * (lit(100L) - cents("l_discount")))
-          .as("total_units"))
-      .select(col("promo_units"), col("total_units"),
-        expr("(promo_units * 1000000) div total_units").as("promo_ppm"))
+        sum(when(col("is_promo") === 1, unit)
+          .otherwise(lit(0L).cast("decimal(38,0)"))).as("promo_d"),
+        sum(unit).as("total_d"))
+      .select(col("promo_d").cast("string").as("promo_units"),
+        col("total_d").cast("string").as("total_units"),
+        expr("(promo_d * 1000000) div total_d").cast(LongType).as("promo_ppm"))
   }
 
   val promoShareSql: String =
-    """SELECT promo_units, total_units,
-      | CAST(promo_units * 1000000 // total_units AS BIGINT) AS promo_ppm
+    """SELECT CAST(promo_d AS VARCHAR) AS promo_units,
+      | CAST(total_d AS VARCHAR) AS total_units,
+      | CAST(promo_d * 1000000 // total_d AS BIGINT) AS promo_ppm
       | FROM (SELECT
-      |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT)) ELSE 0 END) AS BIGINT) AS promo_units,
-      |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS total_units
+      |  sum(CASE WHEN p_type = 'PROMO' THEN CAST(round(l_extendedprice*100) AS HUGEINT) * (100 - CAST(round(l_discount*100) AS BIGINT)) ELSE 0 END) AS promo_d,
+      |  sum(CAST(round(l_extendedprice*100) AS HUGEINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS total_d
       |  FROM lineitem JOIN part ON l_partkey = p_partkey
       |  WHERE l_shipdate >= TIMESTAMP '1997-06-01' AND l_shipdate < TIMESTAMP '1997-07-01')""".stripMargin.replace("\n", " ")
 

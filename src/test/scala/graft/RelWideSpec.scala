@@ -82,10 +82,13 @@ class RelWideSpec extends SparkSpec {
   }
 
   test("promoShare ppm is a true integer share") {
+    // promo/total cross the boundary as STRING (DECIMAL kept internal
+    // since the r10 100x sweep caught the int64 ppm numerator overflow)
     val r = RelQueries.promoShare(spark, sf001).collect()(0)
-    val (promo, total, ppm) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val (promo, total, ppm) =
+      (BigInt(r.getString(0)), BigInt(r.getString(1)), r.getLong(2))
     assert(promo >= 0 && promo <= total)
-    assert(ppm == promo * 1000000L / total)
+    assert(BigInt(ppm) == promo * 1000000 / total)
   }
 
   test("events cube margins are consistent with the grand total") {
