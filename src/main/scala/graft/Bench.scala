@@ -153,8 +153,18 @@ object Bench {
     // fixtures run each query for minutes, where (a) min-of-3 triples a
     // multi-hour wall and (b) scheduler noise is proportionally tiny —
     // they pass 2; the canonical sf0.1 artifact keeps the default 3
-    val runsPerQuery = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
-      .map(_.toInt).filter(_ >= 1).getOrElse(3)
+    val runsPerQuery = sys.env.get("SPARK_GRAFT_BENCH_RUNS") match {
+      case None => 3
+      case Some(s) =>
+        // fail FAST and loudly: a typo must abort before the suite, and
+        // 0/negative must never silently fall back to triple wall-clock
+        val n = try s.trim.toInt catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"SPARK_GRAFT_BENCH_RUNS must be a positive int, got `$s`")
+        }
+        require(n >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $n")
+        n
+    }
     val results = queries.map { case (name, fn) =>
       var failed = false
       if (gcBarrier) System.gc()

@@ -78,10 +78,10 @@ object BloomIndex {
 
   /** Delete a retired non-injective `_bloom` root wholesale: its
     * sidecars are advisory (removal can only un-prune) and were written
-    * under a naming that cannot be trusted per-file. */
-  /** Returns the number of filesystem entries removed (0 when no
-    * legacy root exists) so callers can surface the purge — vacuum
-    * deleting an unrecognized directory tree must be observable. */
+    * under a naming that cannot be trusted per-file. Returns the number
+    * of filesystem entries removed (0 when no legacy root exists) so
+    * callers can surface the purge — vacuum deleting an unrecognized
+    * directory tree must be observable. */
   private[lake] def purgeLegacyRoot(table: String): Int = {
     val legacy = Paths.get(table, "_bloom")
     if (!Files.isDirectory(legacy)) 0

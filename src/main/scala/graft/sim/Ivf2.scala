@@ -76,15 +76,25 @@ object Ivf2 {
         expr("transform(sc, x -> x.scid)").as("scids"),
         expr("flatten(transform(sc, x -> x.cv))").as("cvs"))
 
-  /** Row-codebook leaf argmin of (vec_id, qv, c1) rows against the
-    * packed level-2 codebook. */
-  private def assignRow(a: DataFrame, cents: DataFrame): DataFrame =
+  /** Row-codebook leaf argmin against the packed level-2 codebook:
+    * `a`'s columns (which must include qv and c1) plus (scid, dist).
+    * ONE body for every caller — batch assignment, layout build, and
+    * streaming ingest share the argmin call and tie discipline, so
+    * they cannot drift (Catalyst prunes whatever passthrough columns a
+    * caller does not keep). */
+  private def leafArgmin(a: DataFrame, cents: DataFrame): DataFrame =
     a.join(packedCodebook(cents), Seq("c1"))
       .withColumn("best",
         call_function("ivf_nearest_cell_row", col("qv"), col("scids"), col("cvs")))
-      .select(col("vec_id"), col("qv"), col("c1"),
-        col("best").getField("cid").as("scid"),
-        col("best").getField("dist").as("dist"))
+      .withColumn("scid", col("best").getField("cid"))
+      .withColumn("dist", col("best").getField("dist"))
+      .drop("scids", "cvs", "best")
+
+  /** [[leafArgmin]] at the (vec_id, qv, c1, scid, dist) shape the Lloyd
+    * chain and layout build consume. */
+  private def assignRow(a: DataFrame, cents: DataFrame): DataFrame =
+    leafArgmin(a, cents)
+      .select(col("vec_id"), col("qv"), col("c1"), col("scid"), col("dist"))
 
   /** One distributed level-2 Lloyd update: per-(c1, scid) integer means
     * (truncating division on the positive quantized domain == the
@@ -562,12 +572,9 @@ object Ivf2 {
         lit(Ivf.Shift), lit(Ivf.Scale)).as("qv"))
       .select(col("vec_id"), col("embedding"), col("qv"),
         best.getField("cid").as("c1"))
-    q.join(packedCodebook(cents), Seq("c1"))
-      .withColumn("best",
-        call_function("ivf_nearest_cell_row", col("qv"), col("scids"), col("cvs")))
-      .select(col("vec_id"), col("embedding"),
-        col("best").getField("cid").as("scid"),
-        col("best").getField("dist").as("dist"), col("c1"))
+    leafArgmin(q, cents)
+      .select(col("vec_id"), col("embedding"), col("scid"), col("dist"),
+        col("c1"))
   }
 
   /** Incremental two-level assignment of APPENDED vectors — the index
@@ -671,13 +678,18 @@ object Ivf2 {
 
   /** Read a DV sidecar as (vec_id, c1). A zero-row kill-list leaves a
     * partitioned parquet dir with no data files (schema cannot be
-    * inferred) — that is an EMPTY deletion vector, not an error. */
-  private[sim] def readDv(spark: SparkSession, p: String): DataFrame =
+    * inferred) — that is an EMPTY deletion vector, not an error. A
+    * NONEXISTENT path is an error: treating a mistyped/moved sidecar
+    * location as "nothing deleted" would silently resurrect rows. */
+  private[sim] def readDv(spark: SparkSession, p: String): DataFrame = {
+    require(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p)),
+      s"deletion-vector path does not exist: $p")
     try spark.read.parquet(p)
       .select(col("vec_id"), col("c1").cast(LongType).as("c1"))
     catch { case _: org.apache.spark.sql.AnalysisException =>
       spark.range(0).select(col("id").as("vec_id"), col("id").as("c1"))
     }
+  }
 
   /** The LIVE (post-delete) index view: [[assign2FromLayout]] minus the
     * deletion vector. The anti-join's build side is the kill-list —
@@ -771,17 +783,32 @@ object Ivf2 {
         case Some(v) => spark.conf.set(conf, v)
         case None => spark.conf.unset(conf)
       }
+      // a kill-list that empties a WHOLE cell writes no rows for it, so
+      // dynamic overwrite never touches its directory — without this
+      // explicit removal the old files would survive the compaction and
+      // the deleted vectors would silently resurrect once the DV is
+      // consumed below (semdedup kill-lists cannot empty a cell — the
+      // per-leaf minimum survives — but this API accepts ANY DV)
+      val survivors = live.select("c1").distinct()
+        .collect().map(_.getLong(0)).toSet
+      cells.filterNot(survivors).foreach { dead =>
+        deleteTree(java.nio.file.Paths.get(layoutPath, s"c1=$dead"))
+      }
       // the DV is consumed: a stale sidecar would re-hide rows a future
       // kill-list legitimately re-adds under the same ids
-      val root = java.nio.file.Paths.get(dvPath)
-      if (java.nio.file.Files.isDirectory(root)) {
-        import scala.jdk.CollectionConverters._
-        val all = java.nio.file.Files.walk(root)
-        try all.iterator().asScala.toSeq.reverseIterator
-          .filter(_ != root).foreach(java.nio.file.Files.deleteIfExists(_))
-        finally all.close()
-      }
+      deleteTree(java.nio.file.Paths.get(dvPath), keepRoot = true)
     }
     cells
   }
+
+  private def deleteTree(root: java.nio.file.Path,
+      keepRoot: Boolean = false): Unit =
+    if (java.nio.file.Files.isDirectory(root)) {
+      import scala.jdk.CollectionConverters._
+      val all = java.nio.file.Files.walk(root)
+      try all.iterator().asScala.toSeq.reverseIterator
+        .filter(p => !keepRoot || p != root)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally all.close()
+    }
 }

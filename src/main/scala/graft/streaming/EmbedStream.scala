@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, expr}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.sim.Ivf2
@@ -68,10 +68,24 @@ object EmbedStream {
   /** The queryable view of an ingest delta segment: committed files
     * only (the file sink's metadata log), with the `c1` partition
     * column restored to the library-wide LongType contract — the same
-    * normalization [[Ivf2.assign2FromLayout]] applies to the base. */
+    * normalization [[Ivf2.assign2FromLayout]] applies to the base. A
+    * segment with NO committed batch yet (ingest started, first
+    * micro-batch still in flight — schema cannot be inferred from zero
+    * files) is an EMPTY segment, not an error: a search must be able
+    * to read base ∪ delta at any moment of the ingest's life. */
   def deltaSegment(spark: org.apache.spark.sql.SparkSession,
-      path: String): DataFrame =
-    spark.read.parquet(path)
+      path: String): DataFrame = {
+    // a nonexistent dir is a caller error (mistyped segment path), not
+    // an empty segment — same discipline as Ivf2.readDv
+    require(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path)),
+      s"delta segment path does not exist: $path")
+    try spark.read.parquet(path)
       .withColumn("c1", col("c1").cast(org.apache.spark.sql.types.LongType))
       .select("vec_id", "embedding", "scid", "dist", "c1")
+    catch { case _: org.apache.spark.sql.AnalysisException =>
+      spark.range(0).select(col("id").as("vec_id"),
+        expr("CAST(array() AS array<float>)").as("embedding"),
+        col("id").as("scid"), col("id").as("dist"), col("id").as("c1"))
+    }
+  }
 }

@@ -26,6 +26,17 @@ class EmbedStreamIngestSpec extends SparkSpec {
     Files.move(part, dst.resolve(name), StandardCopyOption.ATOMIC_MOVE)
   }
 
+  test("a delta dir with no committed batch reads as an EMPTY segment; a missing dir errors") {
+    val fresh = Files.createTempDirectory("ingest_fresh_delta")
+    val seg = EmbedStream.deltaSegment(spark, fresh.toString)
+    assert(seg.count() == 0)
+    assert(seg.columns.toSeq ==
+      Seq("vec_id", "embedding", "scid", "dist", "c1"))
+    intercept[IllegalArgumentException] {
+      EmbedStream.deltaSegment(spark, "/nonexistent/segment/path")
+    }
+  }
+
   test("restarted ingest lands the batch append rows exactly once, as a queryable segment") {
     val n = SimOps.embeddings(spark, sf0001).count()
     val split = n / 2

@@ -332,7 +332,7 @@ class ExtensionOpsSpec extends SparkSpec {
     // tolerance vs the exact twins, per r9 verdict item 5: the HLL
     // estimate against the exact distinct count, and the histogram
     // median against the exact lower-median order statistic
-    Seq("/root/testdata/sf0.001", sf001).foreach { dir =>
+    Seq(sf0001, sf001).foreach { dir =>
       val rows = EventOps.approxStats(spark, dir).collect()
       assert(rows.nonEmpty)
       // exact per-type lower-median order statistic (rank ceil(n/2)),

@@ -124,6 +124,40 @@ class Ivf2DeleteSpec extends SparkSpec {
     assert(spark.read.parquet(layout.toString).count() == beforeRows - killed.size)
   }
 
+  test("compacting a FULLY-dead cell removes its files instead of resurrecting them") {
+    // dynamic partition overwrite writes nothing for a cell with zero
+    // live rows; compactDeletes must remove such cells explicitly or
+    // the old files survive the DV's consumption (the r10 self-review
+    // must-fix)
+    val layout = Files.createTempDirectory("ivf2_deadcell_layout")
+    copyTree(Paths.get(Ivf2.layout2Path(spark, sf001)), layout)
+    val all = spark.read.parquet(layout.toString)
+      .withColumn("c1", col("c1").cast("long"))
+    val deadCell = all.select("c1").orderBy("c1").limit(1)
+      .collect()(0).getLong(0)
+    val cellRows = all.filter(col("c1") === deadCell).count()
+    val total = all.count()
+    val dv = Files.createTempDirectory("ivf2_deadcell_dv").toString
+    all.filter(col("c1") === deadCell) // kill EVERY row of the cell
+      .select(col("vec_id"), col("scid"), col("c1"))
+      .write.mode("overwrite").partitionBy("c1").parquet(dv)
+    assert(Ivf2.compactDeletes(spark, layout.toString, dv) == Seq(deadCell))
+    val post = spark.read.parquet(layout.toString)
+      .withColumn("c1", col("c1").cast("long"))
+    assert(post.count() == total - cellRows)
+    assert(post.filter(col("c1") === deadCell).count() == 0,
+      "fully-dead cell's rows resurrected after compaction")
+    assert(!Files.isDirectory(layout.resolve(s"c1=$deadCell")),
+      "fully-dead cell's partition directory survived compaction")
+  }
+
+  test("a nonexistent DV path is an error, not an empty deletion vector") {
+    val layout = Ivf2.layout2Path(spark, sf001)
+    intercept[IllegalArgumentException] {
+      Ivf2.compactDeletes(spark, layout, "/nonexistent/dv/path")
+    }
+  }
+
   test("an empty kill-list is the identity: compaction over a fresh dir is a no-op") {
     val emptyDv = Files.createTempDirectory("ivf2_empty_dv").toString
     val layout = Files.createTempDirectory("ivf2_noop_layout")
