@@ -158,6 +158,68 @@ class Ivf2DeleteSpec extends SparkSpec {
     }
   }
 
+  test("lifecycle composition: (base ∪ appended delta) − deletions searches exactly") {
+    import graft.sim.SimOps
+    // the three lifecycle verbs COMPOSED, checked against a fully
+    // independent client-side ground truth: a base segment (old half,
+    // frozen codebooks), an appended delta segment (new half — batch
+    // spelling; batch ≡ stream is pinned in EmbedStreamIngestSpec), and
+    // a kill-list spanning BOTH segments, searched through the same
+    // union + DV-anti-join shape production uses
+    val n = SimOps.embeddings(spark, sf001).count()
+    val split = n / 2
+    // frozen codebooks from the old half, as the append path trains
+    val (coarse, cents) = Ivf2.appendCodebooks(spark, sf001)
+    val base = Files.createTempDirectory("lc_base").toString
+    val delta = Files.createTempDirectory("lc_delta").toString
+    Ivf2.assignFrozenFull(SimOps.embeddings(spark, sf001)
+      .filter(col("vec_id") < split), coarse, cents)
+      .write.mode("overwrite").partitionBy("c1").parquet(base)
+    Ivf2.assignFrozenFull(SimOps.embeddings(spark, sf001)
+      .filter(col("vec_id") >= split), coarse, cents)
+      .write.mode("overwrite").partitionBy("c1").parquet(delta)
+    def seg(p: String) = spark.read.parquet(p)
+      .withColumn("c1", col("c1").cast("long"))
+      .select("vec_id", "embedding", "scid", "dist", "c1")
+    // kill every 5th vector: ids from BOTH halves
+    val union = seg(base).unionByName(seg(delta))
+    val dvDir = Files.createTempDirectory("lc_dv").toString
+    union.filter(col("vec_id") % 5 === 2)
+      .select(col("vec_id"), col("scid"), col("c1"))
+      .write.mode("overwrite").partitionBy("c1").parquet(dvDir)
+    val dv = spark.read.parquet(dvDir).select("vec_id")
+    val qid = 1L
+    val got = union
+      .join(dv, Seq("vec_id"), "left_anti")
+      .filter(col("vec_id") =!= qid)
+      .crossJoin(broadcast(SimOps.embeddings(spark, sf001)
+        .filter(col("vec_id") === qid).select(col("embedding").as("qe"))))
+      .select(col("vec_id"),
+        round(graft.sim.SimOps.dot(col("embedding"), col("qe")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // ground truth computed OUTSIDE the reader path: plain Scala over
+    // the raw embeddings table
+    val all = SimOps.embeddings(spark, sf001)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val q = all.find(_._1 == qid).get._2
+    def cos(a: Array[Float]) = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * q(i).toDouble; i += 1 }
+      BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = all
+      .filter { case (id, _) => id != qid && id % 5 != 2 }
+      .map { case (id, e) => (id, cos(e)) }
+      .sortBy { case (id, s) => (-s, id) }.take(10).toSeq
+    assert(got == want,
+      s"composed lifecycle search diverged from ground truth:\n$got\n$want")
+    // the composition genuinely exercises all three pieces
+    assert(got.exists(_._1 >= split), "no delta-segment vector in top-10")
+    assert(got.exists(_._1 < split), "no base-segment vector in top-10")
+  }
+
   test("an empty kill-list is the identity: compaction over a fresh dir is a no-op") {
     val emptyDv = Files.createTempDirectory("ivf2_empty_dv").toString
     val layout = Files.createTempDirectory("ivf2_noop_layout")
