@@ -35,8 +35,33 @@ object Bench {
     // and index builds: the 1-min loadavg has ~no memory of this JVM
     // yet, so this is the machine's load, not the bench's own (sampling
     // after warmup self-inflated past nCPU/8 on every healthy full run
-    // and made load_warning fire vacuously)
-    val loadStart = loadavg()
+    // and made load_warning fire vacuously).
+    //
+    // Load-aware START (r10 verdict item 1 — BENCH_r10 was recorded on
+    // a load-5.76 machine and its index-build numbers were 35-87×
+    // environmental noise): when entry load exceeds the warning
+    // threshold, WAIT for the machine to quiet down — up to
+    // SPARK_GRAFT_BENCH_LOAD_WAIT seconds (default 900; 0 disables) —
+    // polling every 30 s, rather than knowingly record a contaminated
+    // artifact. If the deadline passes still-loaded, proceed and let
+    // load_warning flag the run as before (refusing forever would
+    // deadlock a driver on a chronically busy box); load_waited_sec in
+    // the artifact records how long the gate held.
+    val nCpu = Runtime.getRuntime.availableProcessors()
+    val loadThreshold = nCpu / 8.0
+    val maxWaitSec = sys.env.get("SPARK_GRAFT_BENCH_LOAD_WAIT")
+      .map(_.trim.toInt).getOrElse(900)
+    val waitT0 = System.nanoTime()
+    var loadStart = loadavg()
+    while (loadStart > loadThreshold && loadStart >= 0 &&
+        (System.nanoTime() - waitT0) / 1e9 < maxWaitSec) {
+      System.err.println(
+        f"bench: load $loadStart%.2f > $loadThreshold%.2f, waiting 30s " +
+          "for the machine to quiet (SPARK_GRAFT_BENCH_LOAD_WAIT)")
+      Thread.sleep(30000)
+      loadStart = loadavg()
+    }
+    val loadWaitedSec = (System.nanoTime() - waitT0) / 1e9
     val spark = LocalSession("32")
     // Warm-up: touch every input table once (schema + footer + codegen).
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
@@ -209,9 +234,8 @@ object Bench {
     // only: load_end includes the bench's own 32-thread activity, so
     // gating on it would flag every healthy run.
     val loadEnd = loadavg()
-    val nCpu = Runtime.getRuntime.availableProcessors()
-    val loadWarning = loadStart > nCpu / 8.0
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonMap(results)},"index_build":${jsonMap(indexBuilds)},"index_build_total":${fmt(indexTotal)},"failed":$failedNames,"load_start":${fmt(loadStart)},"load_end":${fmt(loadEnd)},"load_warning":$loadWarning,"sf":"$sfDir"}"""
+    val loadWarning = loadStart > loadThreshold
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonMap(results)},"index_build":${jsonMap(indexBuilds)},"index_build_total":${fmt(indexTotal)},"failed":$failedNames,"load_start":${fmt(loadStart)},"load_end":${fmt(loadEnd)},"load_warning":$loadWarning,"load_waited_sec":${fmt(loadWaitedSec)},"sf":"$sfDir"}"""
     println(line)
     // The stdout line gets tail-truncated to its last ~2000 chars in
     // round artifacts (r4 lost most per-query timings; r5's driver

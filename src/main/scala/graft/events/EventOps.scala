@@ -596,9 +596,14 @@ object EventOps {
         when(vEmpty > 0 && raw <= lit(160L), // 2.5 * m, exact at m=64
           element_at(typedLit(LcTable), vEmpty.cast("int")))
           .otherwise(raw).as("approx_users"))
-    // equal-width histogram median over integer cents
+    // equal-width histogram median over integer cents. NULL values are
+    // filtered BEFORE bucketing (mirrored in the oracle): a NULL lands
+    // in a NULL bucket the two engines ORDER BY differently (Spark
+    // nulls-first, DuckDB nulls-last) while count(*) would still count
+    // it in n — the exact-users arm NULL-proofs user_id the same way.
     val cents = round(col("value") * 100).cast(LongType)
-    val base = e.select(col("event_type"), cents.as("c"))
+    val base = e.filter(col("value").isNotNull)
+      .select(col("event_type"), cents.as("c"))
     val mm = base.groupBy("event_type")
       .agg(min("c").as("mn"), max("c").as("mx"), count(lit(1)).as("n"))
     val buck = base.join(broadcast(mm), "event_type") // bounded: row per type
@@ -641,7 +646,7 @@ object EventOps {
        |  ELSE $HllRawNum // (1000 * harmonic_scaled) END AS BIGINT) AS approx_users FROM hr),
        |ex AS (SELECT event_type, CAST(count(user_id) AS BIGINT) AS exact_users
        | FROM (SELECT DISTINCT event_type, user_id FROM events) GROUP BY 1),
-       |cb AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events),
+       |cb AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events WHERE value IS NOT NULL),
        |mm AS (SELECT event_type, min(c) AS mn, max(c) AS mx,
        | CAST(count(*) AS BIGINT) AS n FROM cb GROUP BY 1),
        |bk AS (SELECT cb.event_type, ((c - mn) * $HistBuckets) // (mx - mn + 1) AS b,

@@ -676,19 +676,40 @@ object Ivf2 {
     ()
   }
 
+  /** True iff `root` contains at least one VISIBLE data file — a
+    * regular file none of whose path segments under `root` starts with
+    * `_` or `.` (Spark's own visibility rule: `_SUCCESS`,
+    * `_spark_metadata`, `.crc` sidecars are metadata, not data). The
+    * structural emptiness test for layout-shaped directories: a
+    * partitioned write of zero rows leaves only metadata. */
+  private[graft] def hasVisibleDataFile(root: java.nio.file.Path): Boolean = {
+    import scala.jdk.CollectionConverters._
+    val all = java.nio.file.Files.walk(root)
+    try all.iterator().asScala.exists { f =>
+      java.nio.file.Files.isRegularFile(f) &&
+        !root.relativize(f).iterator().asScala
+          .exists { seg => val s = seg.toString
+            s.startsWith("_") || s.startsWith(".") }
+    } finally all.close()
+  }
+
   /** Read a DV sidecar as (vec_id, c1). A zero-row kill-list leaves a
     * partitioned parquet dir with no data files (schema cannot be
     * inferred) — that is an EMPTY deletion vector, not an error. A
     * NONEXISTENT path is an error: treating a mistyped/moved sidecar
-    * location as "nothing deleted" would silently resurrect rows. */
+    * location as "nothing deleted" would silently resurrect rows — and
+    * so would swallowing ANY read failure: emptiness is detected
+    * STRUCTURALLY (no visible data file under the dir), so a
+    * malformed/wrong-schema sidecar still fails loudly in the
+    * `spark.read` below instead of reading as "nothing deleted". */
   private[sim] def readDv(spark: SparkSession, p: String): DataFrame = {
-    require(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p)),
+    val root = java.nio.file.Paths.get(p)
+    require(java.nio.file.Files.isDirectory(root),
       s"deletion-vector path does not exist: $p")
-    try spark.read.parquet(p)
-      .select(col("vec_id"), col("c1").cast(LongType).as("c1"))
-    catch { case _: org.apache.spark.sql.AnalysisException =>
+    if (!hasVisibleDataFile(root))
       spark.range(0).select(col("id").as("vec_id"), col("id").as("c1"))
-    }
+    else spark.read.parquet(p)
+      .select(col("vec_id"), col("c1").cast(LongType).as("c1"))
   }
 
   /** The LIVE (post-delete) index view: [[assign2FromLayout]] minus the
@@ -767,6 +788,15 @@ object Ivf2 {
     * before any file is replaced. */
   def compactDeletes(spark: SparkSession, layoutPath: String,
       dvPath: String): Seq[Long] = {
+    // a STREAMING delta segment is governed by its file sink's
+    // `_spark_metadata` commit log; a plain batch rewrite would bypass
+    // that log, leaving segment readers pointing at deleted committed
+    // files and blind to the rewritten ones. Fold the segment into a
+    // base layout first (EmbedStream.foldDelta), then compact the base.
+    require(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(layoutPath, "_spark_metadata")),
+      s"$layoutPath is a streaming delta segment (_spark_metadata); " +
+        "fold it into a base layout (EmbedStream.foldDelta) before compacting")
     val dv = readDv(spark, dvPath)
     val cells = dv.select("c1").distinct().collect().map(_.getLong(0)).toSeq
     if (cells.nonEmpty) {
@@ -775,14 +805,11 @@ object Ivf2 {
         .filter(col("c1").isin(cells: _*)) // file-pruned to affected dirs
         .join(dv.select("vec_id"), Seq("vec_id"), "left_anti")
         .localCheckpoint(true)
-      val conf = "spark.sql.sources.partitionOverwriteMode"
-      val prev = spark.conf.getOption(conf)
-      spark.conf.set(conf, "dynamic")
-      try live.write.mode("overwrite").partitionBy("c1").parquet(layoutPath)
-      finally prev match {
-        case Some(v) => spark.conf.set(conf, v)
-        case None => spark.conf.unset(conf)
-      }
+      // per-write dynamic overwrite (NOT the session conf: a concurrent
+      // write in the same session must not inherit dynamic semantics)
+      live.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("c1").parquet(layoutPath)
       // a kill-list that empties a WHOLE cell writes no rows for it, so
       // dynamic overwrite never touches its directory — without this
       // explicit removal the old files would survive the compaction and

@@ -188,11 +188,33 @@ object SimOps {
 
   // ---- within-cluster near-duplicate pairs (IVF-style restriction) -----
 
+  /** Per-label member cap for [[topPairsWithinLabel]]: the exact
+    * all-pairs baseline evaluates the FIRST `LabelPairCap` vectors of
+    * each label in vec_id order — a deterministic, SQL-expressible
+    * bound that keeps the in-cell quadratic's work at
+    * O(labels · cap²) no matter how dense a label grows. At every
+    * canonical SF the cap is slack (max per-label count is 218 at
+    * sf0.1, measured), so results are unchanged there; it exists for
+    * scale-stress fixtures whose key-shifted copies densify labels
+    * 100× (the r10 sweep's 1187× row — an unbounded exact quadratic is
+    * not a baseline, it is a suite-distorting outlier). The PRODUCTION
+    * path for dense cells is the two-level index ([[knnGraph2]] /
+    * [[SemDedup.semDedup2]]), whose leaves stay ~TargetCell-sized by
+    * construction. */
+  val LabelPairCap: Int = 1000
+
   /** Most-similar pairs, restricted to equal `label` (the coarse-quantizer
     * cell): the O(n^2) blow-up is bounded per cell and the join
-    * co-partitions on the label key. */
+    * co-partitions on the label key, with per-label membership bounded
+    * at [[LabelPairCap]] (deterministic vec_id-order prefix; identical
+    * clause in the oracle). */
   def topPairsWithinLabel(k: Int)(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byLabel = Window.partitionBy("label").orderBy("vec_id")
     val e = embeddings(spark, dir)
+      .withColumn("lrn", row_number().over(byLabel))
+      .filter(col("lrn") <= LabelPairCap)
+      .drop("lrn")
     e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
@@ -203,9 +225,13 @@ object SimOps {
   }
 
   def topPairsWithinLabelSql(k: Int): String =
-    s"""SELECT a.vec_id AS v1, b.vec_id AS v2, a.label AS label,
+    s"""WITH capped AS (SELECT vec_id, embedding, label FROM (
+       |  SELECT vec_id, embedding, label,
+       |   row_number() OVER (PARTITION BY label ORDER BY vec_id) AS lrn
+       |  FROM embeddings) WHERE lrn <= $LabelPairCap)
+       |SELECT a.vec_id AS v1, b.vec_id AS v2, a.label AS label,
        |  round(${dotSql("a.embedding", "b.embedding")}, 6) AS sim
-       | FROM embeddings a JOIN embeddings b
+       | FROM capped a JOIN capped b
        |  ON a.label = b.label AND a.vec_id < b.vec_id
        | ORDER BY sim DESC, v1 ASC, v2 ASC LIMIT $k""".stripMargin.replace("\n", " ")
 

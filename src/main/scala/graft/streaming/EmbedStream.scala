@@ -76,16 +76,33 @@ object EmbedStream {
   def deltaSegment(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
     // a nonexistent dir is a caller error (mistyped segment path), not
-    // an empty segment — same discipline as Ivf2.readDv
-    require(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path)),
+    // an empty segment — same discipline as Ivf2.readDv. Emptiness is
+    // detected STRUCTURALLY, not by swallowing AnalysisException (which
+    // would also swallow a wrong-schema/corrupt segment as "empty"):
+    // the segment is empty iff (a) no visible data file exists yet, or
+    // (b) the file sink's metadata log exists but has committed no
+    // batch — in-flight files are present but not yet COMMITTED, and a
+    // metadata-log read of zero files cannot infer a schema.
+    val root = java.nio.file.Paths.get(path)
+    require(java.nio.file.Files.isDirectory(root),
       s"delta segment path does not exist: $path")
-    try spark.read.parquet(path)
-      .withColumn("c1", col("c1").cast(org.apache.spark.sql.types.LongType))
-      .select("vec_id", "embedding", "scid", "dist", "c1")
-    catch { case _: org.apache.spark.sql.AnalysisException =>
+    val meta = root.resolve("_spark_metadata")
+    val committedEmpty =
+      !Ivf2.hasVisibleDataFile(root) ||
+        (java.nio.file.Files.isDirectory(meta) && {
+          import scala.jdk.CollectionConverters._
+          val ls = java.nio.file.Files.list(meta)
+          try !ls.iterator().asScala.exists { f =>
+            val s = f.getFileName.toString
+            !s.startsWith("_") && !s.startsWith(".")
+          } finally ls.close()
+        })
+    if (committedEmpty)
       spark.range(0).select(col("id").as("vec_id"),
         expr("CAST(array() AS array<float>)").as("embedding"),
         col("id").as("scid"), col("id").as("dist"), col("id").as("c1"))
-    }
+    else spark.read.parquet(path)
+      .withColumn("c1", col("c1").cast(org.apache.spark.sql.types.LongType))
+      .select("vec_id", "embedding", "scid", "dist", "c1")
   }
 }

@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.AnalysisException
+import org.apache.spark.sql.functions._
+
+import graft.sim.Ivf2
+import graft.streaming.EmbedStream
+
+/** Failure-mode discipline for the layout sidecar/segment readers:
+  * emptiness must be detected STRUCTURALLY (no visible data file, no
+  * committed batch), never by swallowing read errors — a malformed or
+  * wrong-schema sidecar must fail loudly, not silently resurrect
+  * deleted vectors or hide ingested ones. */
+class SidecarRobustnessSpec extends SparkSpec {
+
+  /** A layout-shaped dir (one c1 partition, layout columns). */
+  private def tinyLayout(): String = {
+    val p = Files.createTempDirectory("robust_layout").toString
+    spark.range(4).select(col("id").as("vec_id"),
+        expr("CAST(array(1.0, 2.0) AS array<float>)").as("embedding"),
+        col("id").as("scid"), col("id").as("dist"),
+        (col("id") % 2).as("c1"))
+      .write.mode("overwrite").partitionBy("c1").parquet(p)
+    p
+  }
+
+  test("a wrong-schema DV sidecar fails loudly instead of reading as 'nothing deleted'") {
+    val dv = Files.createTempDirectory("robust_bad_dv").toString
+    // data files exist, but the vec_id/c1 columns do not
+    spark.range(3).select(col("id").as("wrong_column"))
+      .write.mode("overwrite").parquet(dv)
+    intercept[AnalysisException] {
+      Ivf2.compactDeletes(spark, tinyLayout(), dv)
+    }
+  }
+
+  test("a zero-committed-file DV dir is structurally empty: compaction is a no-op") {
+    val dv = Files.createTempDirectory("robust_empty_dv").toString
+    // only metadata under the dir: a partitioned zero-row write's shape
+    Files.writeString(Paths.get(dv, "_SUCCESS"), "")
+    assert(Ivf2.compactDeletes(spark, tinyLayout(), dv).isEmpty)
+  }
+
+  test("compactDeletes refuses a streaming delta segment (commit-log bypass)") {
+    val seg = tinyLayout()
+    Files.createDirectory(Paths.get(seg, "_spark_metadata"))
+    val dv = Files.createTempDirectory("robust_dv").toString
+    val e = intercept[IllegalArgumentException] {
+      Ivf2.compactDeletes(spark, seg, dv)
+    }
+    assert(e.getMessage.contains("foldDelta"))
+  }
+
+  test("a wrong-schema delta segment fails loudly instead of reading as empty") {
+    val seg = Files.createTempDirectory("robust_bad_seg").toString
+    spark.range(3).select(col("id").as("wrong_column"))
+      .write.mode("overwrite").parquet(seg)
+    intercept[AnalysisException] {
+      EmbedStream.deltaSegment(spark, seg)
+    }
+  }
+
+  test("a delta segment with an EMPTY commit log hides in-flight data files") {
+    val seg = Files.createTempDirectory("robust_inflight_seg")
+    // an in-flight (uncommitted) data file plus a batchless metadata log
+    spark.range(2).select(col("id").as("vec_id"),
+        expr("CAST(array(1.0, 2.0) AS array<float>)").as("embedding"),
+        col("id").as("scid"), col("id").as("dist"), col("id").as("c1"))
+      .write.mode("overwrite").parquet(seg.resolve("c1=0").toString)
+    Files.createDirectory(seg.resolve("_spark_metadata"))
+    assert(EmbedStream.deltaSegment(spark, seg.toString).count() == 0)
+  }
+}
