@@ -139,8 +139,14 @@ object Bench {
         () => graft.sim.Ivf2.prebuildDeletionVectors(spark, sfDir)),
       // the append op's FROZEN old-half codebooks are a one-time
       // training artifact, like every other index here
-      ("ivf2_append_index", _.startsWith("emb_ivf2_append"),
+      ("ivf2_append_index", n => n.startsWith("emb_ivf2_append") ||
+          n.startsWith("emb_ivf2_lifecycle"),
         () => graft.sim.Ivf2.prebuildAppendIndex(spark, sfDir)),
+      // the composed-lifecycle artifacts (frozen base layout + delta
+      // segment + union-derived DV) are one-time builds; the query
+      // itself measures the pure composed read
+      ("ivf2_lifecycle", _.startsWith("emb_ivf2_lifecycle"),
+        () => graft.sim.Ivf2.prebuildLifecycle(spark, sfDir)),
       ("ann_layout", _.startsWith("emb_lsh"),
         () => graft.sim.SimOps.prebuildAnnLayout(spark, sfDir)),
       ("pc_layouts", _.startsWith("pc_"),

@@ -121,17 +121,20 @@ object SemDedup {
       .orderBy("vec_id")
   }
 
-  /** The `m` + `dropped` CTE pair over the two-level chain's `hbf` —
-    * the KILL-LIST relation (`dropped(vec_id)`), shared verbatim by
-    * [[semDedup2Sql]] and the index-deletion oracles
-    * ([[Ivf2.deleteStatsSql]], [[Ivf2.topK2DeletedSql]]): the deletion
-    * verb's whole premise is that the kill-list IS the dedup
-    * pipeline's output, so the oracles must derive it identically. */
-  private[sim] def dropped2CtesSql(tau: Double): String = {
+  /** The `m` + `dropped` CTE pair over a two-level assignment relation
+    * (default: the full-corpus chain's `hbf`) — the KILL-LIST relation
+    * (`dropped(vec_id)`), shared verbatim by [[semDedup2Sql]], the
+    * index-deletion oracles ([[Ivf2.deleteStatsSql]],
+    * [[Ivf2.topK2DeletedSql]]), and — with `src = "ubf"` — the
+    * composed-lifecycle oracle ([[Ivf2.lifecycleSql]], where the
+    * assignment is base ∪ frozen-appended delta): the deletion verb's
+    * whole premise is that the kill-list IS the dedup pipeline's
+    * output, so every oracle must derive it identically. */
+  private[sim] def dropped2CtesSql(tau: Double, src: String = "hbf"): String = {
     val dot = s"list_sum(list_transform(range(1,${Ivf.Dim + 1}), " +
       "i -> CAST(u.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)))"
     s"""m AS (SELECT b.vec_id, b.c1, b.scid, b.dist, e.embedding
-       |  FROM hbf b JOIN embeddings e ON b.vec_id = e.vec_id),
+       |  FROM $src b JOIN embeddings e ON b.vec_id = e.vec_id),
        |dropped AS (SELECT DISTINCT v.vec_id
        |  FROM m u JOIN m v ON u.c1 = v.c1 AND u.scid = v.scid AND u.vec_id <> v.vec_id
        |   AND (u.dist < v.dist OR (u.dist = v.dist AND u.vec_id < v.vec_id))

@@ -105,4 +105,70 @@ object EmbedStream {
       .withColumn("c1", col("c1").cast(org.apache.spark.sql.types.LongType))
       .select("vec_id", "embedding", "scid", "dist", "c1")
   }
+
+  /** FOLD a delta segment into the base layout WITHOUT retraining — the
+    * file-move analog of [[graft.sim.Ivf2.compactDeletes]], closing the
+    * base+delta lifecycle: at 100 TB you do not retrain the quantizer
+    * to absorb a day of ingest; you merge the delta's COMMITTED rows
+    * into the base's coarse-cell directories and retire the segment.
+    * Codebooks and assignments are untouched (delta rows were assigned
+    * by the SAME frozen codebooks as the base — [[startIndexIngest]]),
+    * so fold(base, delta) carries exactly the rows of a batch-built
+    * layout over the grown corpus, and every reader (search, dedup,
+    * drift, delete) sees identical results before and after
+    * ([[FoldDeltaSpec]]). The periodic retrain remains the SHAPE fold
+    * (a drifted codebook wants new cells); this is the SPACE fold.
+    *
+    * Two modes, both with work independent of the corpus:
+    *  - `compact = false` (default): the delta's committed rows are
+    *    appended into the base's partition dirs — O(delta) bytes
+    *    written, NO base file read or touched (spec-pinned: the base's
+    *    pre-fold files survive byte-identical).
+    *  - `compact = true`: the AFFECTED coarse cells (those the delta
+    *    touches) are rewritten as merged files — the
+    *    [[graft.sim.Ivf2.compactDeletes]] discipline applied to
+    *    appends, reclaiming the file-count cost of many small
+    *    micro-batch files; work is proportional to the affected cells'
+    *    data. The rewrite frame is localCheckpoint'ed first (it reads
+    *    the path it overwrites) and the overwrite mode is per-write.
+    *
+    * The delta segment is CONSUMED (directory removed): its rows now
+    * live in the base, and a reader unioning base with a stale segment
+    * would double-count. Fold only a STOPPED ingest's segment; the next
+    * ingest epoch starts a fresh segment + checkpoint (a restarted
+    * query against the old checkpoint would re-create the dir and
+    * re-land only post-fold batches — the committed offsets live in the
+    * checkpoint, not the retired segment). Returns the affected
+    * coarse-cell ids. */
+  def foldDelta(spark: org.apache.spark.sql.SparkSession, basePath: String,
+      deltaPath: String, compact: Boolean = false): Seq[Long] = {
+    require(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(basePath)),
+      s"base layout path does not exist: $basePath")
+    // the base must be a BATCH layout: folding into another streaming
+    // segment would append files its _spark_metadata log never lists
+    require(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(basePath, "_spark_metadata")),
+      s"$basePath is itself a streaming delta segment; fold into the batch base")
+    val delta = deltaSegment(spark, deltaPath) // committed rows only
+    val cells = delta.select("c1").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    if (cells.nonEmpty) {
+      if (!compact)
+        delta.write.mode("append").partitionBy("c1").parquet(basePath)
+      else {
+        val merged = spark.read.parquet(basePath)
+          .withColumn("c1", col("c1").cast(org.apache.spark.sql.types.LongType))
+          .select("vec_id", "embedding", "scid", "dist", "c1")
+          .filter(col("c1").isin(cells: _*)) // file-pruned to affected dirs
+          .unionByName(delta)
+          .repartition(cells.size, col("c1")) // merged files per cell
+          .localCheckpoint(true)
+        merged.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("c1").parquet(basePath)
+      }
+      Ivf2.deleteTree(java.nio.file.Paths.get(deltaPath))
+    }
+    cells
+  }
 }

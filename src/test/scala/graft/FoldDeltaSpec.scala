@@ -1,0 +1,158 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+
+import graft.sim.{Ivf2, SimOps}
+import graft.streaming.EmbedStream
+
+/** The delta-segment FOLD: absorbing a (stopped) streaming ingest's
+  * committed rows into the base layout without retraining —
+  * fold(base, delta) must carry exactly the batch-built layout's rows,
+  * leave unaffected base files untouched (append mode: ALL base files
+  * untouched), keep search results identical, and consume the segment. */
+class FoldDeltaSpec extends SparkSpec {
+
+  /** (basePath, deltaPath): a frozen-codebook base layout of the old
+    * corpus half plus a STREAM-WRITTEN delta segment of the new half
+    * (one micro-batch through the real file sink — commit log and all). */
+  private def buildBaseAndDelta(): (String, String) = {
+    import scala.jdk.CollectionConverters._
+    val n = SimOps.embeddings(spark, sf0001).count()
+    val split = n / 2
+    val (coarse, cents) = Ivf2.appendCodebooks(spark, sf0001)
+    val base = Files.createTempDirectory("fold_base").toString
+    Ivf2.assignFrozenFull(
+      SimOps.embeddings(spark, sf0001).filter(col("vec_id") < split),
+      coarse, cents)
+      .write.mode("overwrite").partitionBy("c1").parquet(base)
+
+    val newHalf = SimOps.embeddings(spark, sf0001)
+      .filter(col("vec_id") >= split).select("vec_id", "embedding")
+    val src = Files.createTempDirectory("fold_src")
+    val stage = Files.createTempDirectory("fold_stage")
+    newHalf.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = Files.list(stage).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+    Files.move(part, src.resolve("wave0.parquet"), StandardCopyOption.ATOMIC_MOVE)
+    val delta = Files.createTempDirectory("fold_delta").toString
+    val ckpt = Files.createTempDirectory("fold_ckpt").toString
+    val q = EmbedStream.startIndexIngest(
+      spark.readStream.schema(newHalf.schema).parquet(src.toString),
+      coarse, cents, delta, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    (base, delta)
+  }
+
+  private def rows(path: String) =
+    spark.read.parquet(path)
+      .withColumn("c1", col("c1").cast("long"))
+      .select("vec_id", "c1", "scid", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+
+  /** Every (relative file name, size) under `root`, data files only. */
+  private def fileSet(root: String): Set[(String, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val rp = Paths.get(root)
+    val all = Files.walk(rp)
+    try all.iterator().asScala
+      .filter(f => Files.isRegularFile(f) &&
+        !rp.relativize(f).iterator().asScala.exists { seg =>
+          val s = seg.toString; s.startsWith("_") || s.startsWith(".") })
+      .map(f => (rp.relativize(f).toString, Files.size(f))).toSet
+    finally all.close()
+  }
+
+  private def topk(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] = {
+    val qe = SimOps.embeddings(spark, sf0001)
+      .filter(col("vec_id") === 0L).select(col("embedding").as("qe"))
+    df.filter(col("vec_id") =!= 0L)
+      .crossJoin(broadcast(qe))
+      .select(col("vec_id"), round(SimOps.dot(col("embedding"), col("qe")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+  }
+
+  test("append-mode fold: batch-layout rows, base files untouched, search unchanged, segment consumed") {
+    val (base, delta) = buildBaseAndDelta()
+    val preFiles = fileSet(base)
+    val preSearch = topk(spark.read.parquet(base)
+      .withColumn("c1", col("c1").cast("long"))
+      .select("vec_id", "embedding", "scid", "dist", "c1")
+      .unionByName(EmbedStream.deltaSegment(spark, delta)))
+    val deltaCells = EmbedStream.deltaSegment(spark, delta)
+      .select("c1").distinct().collect().map(_.getLong(0)).toSet
+
+    val folded = EmbedStream.foldDelta(spark, base, delta)
+    assert(folded.toSet == deltaCells, "fold must report the delta's cells")
+
+    // rows ≡ the batch-built layout over the grown corpus
+    val (coarse, cents) = Ivf2.appendCodebooks(spark, sf0001)
+    val want = Ivf2.assignFrozenFull(SimOps.embeddings(spark, sf0001), coarse, cents)
+      .select("vec_id", "c1", "scid", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(rows(base) == want, "folded base != batch-built layout rows")
+
+    // O(delta) write: every pre-fold base file survives byte-identical
+    assert(preFiles.subsetOf(fileSet(base)),
+      "append-mode fold touched a pre-existing base file")
+
+    // the composed read collapses to a base-only read with no delta
+    val postSearch = topk(spark.read.parquet(base)
+      .withColumn("c1", col("c1").cast("long"))
+      .select("vec_id", "embedding", "scid", "dist", "c1"))
+    assert(postSearch == preSearch, "search result changed across the fold")
+
+    // segment consumed: a stale union would double-count its rows
+    assert(!Files.exists(Paths.get(delta)), "delta segment must be consumed")
+  }
+
+  test("compact-mode fold: identical rows, affected cells rewritten as merged files") {
+    val (base, delta) = buildBaseAndDelta()
+    val deltaCells = EmbedStream.deltaSegment(spark, delta)
+      .select("c1").distinct().collect().map(_.getLong(0)).toSet
+    val preFiles = fileSet(base)
+    val untouchedPre = preFiles.filterNot { case (p, _) =>
+      deltaCells.exists(c => p.startsWith(s"c1=$c/")) }
+
+    EmbedStream.foldDelta(spark, base, delta, compact = true)
+
+    val (coarse, cents) = Ivf2.appendCodebooks(spark, sf0001)
+    val want = Ivf2.assignFrozenFull(SimOps.embeddings(spark, sf0001), coarse, cents)
+      .select("vec_id", "c1", "scid", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(rows(base) == want, "compact-folded base != batch-built layout rows")
+
+    // unaffected cells' files are untouched; affected cells were
+    // rewritten (fresh file names) with at most a task's worth of files
+    val postFiles = fileSet(base)
+    assert(untouchedPre.subsetOf(postFiles),
+      "compact fold touched a cell the delta does not reach")
+    deltaCells.foreach { c =>
+      val nFiles = postFiles.count(_._1.startsWith(s"c1=$c/"))
+      assert(nFiles >= 1 && nFiles <= 2,
+        s"cell $c has $nFiles files after compaction — not merged")
+    }
+    assert(!Files.exists(Paths.get(delta)))
+  }
+
+  test("an empty delta folds as the identity and a streaming base is refused") {
+    val (base, _) = buildBaseAndDelta()
+    val empty = Files.createTempDirectory("fold_empty").toString
+    val pre = fileSet(base)
+    assert(EmbedStream.foldDelta(spark, base, empty).isEmpty)
+    assert(fileSet(base) == pre)
+    assert(Files.exists(Paths.get(empty)), "identity fold must not consume")
+
+    val seg = Files.createTempDirectory("fold_streambase")
+    Files.createDirectory(seg.resolve("_spark_metadata"))
+    intercept[IllegalArgumentException] {
+      EmbedStream.foldDelta(spark, seg.toString, empty)
+    }
+  }
+}

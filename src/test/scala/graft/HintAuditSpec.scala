@@ -109,6 +109,10 @@ class HintAuditSpec extends SparkSpec {
       "same 1-row qe broadcast as emb_ivf2_topk (shared topK2Impl); the " +
         "DV anti-join side is deliberately UNHINTED — kill-lists can be " +
         "corpus-sized on a duplicate-heavy corpus, AQE decides"),
+    "emb_ivf2_lifecycle" -> (1,
+      "same 1-row qe broadcast (vec_id = literal point filter); both " +
+        "segment scans and the DV anti-join side are UNHINTED — the " +
+        "union is corpus-sized and kill-lists can be too, AQE decides"),
     "emb_ivf2_recall" -> (2,
       "composes emb_topk's 1-row query broadcast and emb_ivf2_topk's " +
         "1-row qe broadcast — both point-filtered on the unique vec_id"),
