@@ -198,7 +198,16 @@ object Bench {
     }
     val results = queries.map { case (name, fn) =>
       var failed = false
-      if (gcBarrier) System.gc()
+      // DOUBLE collect with a settle window (r10 verdict item 2 — the
+      // rel_assoc_rules 170x-in-suite vs 34x-isolated adjacency gap at
+      // 100x): one System.gc() only ENQUEUES dead localCheckpoint /
+      // broadcast references onto the ContextCleaner's async queue; the
+      // sleep lets the cleaner actually drop their storage blocks, and
+      // the second collect reclaims the heap they pinned. Residency
+      // from preceding queries inflates ALL N timing runs equally, so
+      // min-of-N cannot remove it — only draining between queries can.
+      // ~250 ms of untimed wall per query.
+      if (gcBarrier) { System.gc(); Thread.sleep(200); System.gc() }
       val times = (0 until runsPerQuery).map { _ =>
         val t0 = System.nanoTime()
         // noop sink, NOT count(): count() lets ColumnPruning delete any
