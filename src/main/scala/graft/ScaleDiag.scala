@@ -26,16 +26,25 @@ object ScaleDiag {
     val total = graft.pc.Points.fromLineitem(spark, sfDir).count()
 
     def scanRows(df: DataFrame): Seq[(String, Long)] = {
-      df.write.format("noop").mode("overwrite").save()
-      val plan = df.queryExecution.executedPlan match {
-        case a: AdaptiveSparkPlanExec => a.executedPlan
-        case p => p
-      }
-      plan.collectLeaves().collect {
-        case s: FileSourceScanExec =>
-          val path = s.relation.location.rootPaths.headOption
-            .map(_.getName).getOrElse("?")
-          path -> s.metrics("numOutputRows").value
+      // collect() (not a noop WRITE: the write action plans its OWN
+      // query execution, leaving this df's plan unexecuted and its
+      // metrics zero) — result sizes here are bounded (rect ≈ 0.5% of
+      // the table, knn = k, sample = 1%)
+      df.collect()
+      // recurse into AQE query stages: a post-shuffle plan's scans live
+      // inside materialized QueryStageExec subtrees, not in the
+      // top-level plan's leaves
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[FileSourceScanExec] = p.collect {
+        case s: FileSourceScanExec => Seq(s)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      }.flatten
+      scans(df.queryExecution.executedPlan).map { s =>
+        val path = s.relation.location.rootPaths.headOption
+          .map(_.getName).getOrElse("?")
+        path -> s.metrics("numOutputRows").value
       }
     }
 
