@@ -49,8 +49,20 @@ object Bench {
     // the artifact records how long the gate held.
     val nCpu = Runtime.getRuntime.availableProcessors()
     val loadThreshold = nCpu / 8.0
-    val maxWaitSec = sys.env.get("SPARK_GRAFT_BENCH_LOAD_WAIT")
-      .map(_.trim.toInt).getOrElse(900)
+    val maxWaitSec = sys.env.get("SPARK_GRAFT_BENCH_LOAD_WAIT") match {
+      case None => 900
+      case Some(s) =>
+        // fail fast and loudly, like SPARK_GRAFT_BENCH_RUNS below: a
+        // typo'd value must name its variable, and a negative must not
+        // silently disable the gate (0 disables it, explicitly)
+        val n = try s.trim.toInt catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"SPARK_GRAFT_BENCH_LOAD_WAIT must be a non-negative int of seconds, got `$s`")
+        }
+        require(n >= 0,
+          s"SPARK_GRAFT_BENCH_LOAD_WAIT must be >= 0, got $n")
+        n
+    }
     val waitT0 = System.nanoTime()
     var loadStart = loadavg()
     while (loadStart > loadThreshold && loadStart >= 0 &&

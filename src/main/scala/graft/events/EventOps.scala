@@ -620,7 +620,11 @@ object EventOps {
       .agg(min("b").as("pb"), max("mn").as("mn"), max("mx").as("mx"))
       .select(col("event_type"),
         expr(s"mn + (pb * (mx - mn + 1)) div $HistBuckets").as("p50_lo_cents"))
-    approx.join(exact, "event_type").join(p50, "event_type")
+    // LEFT join on the histogram arm: a type whose values are all NULL
+    // has no histogram row, but its user counts must still report
+    // (p50_lo_cents NULL) rather than the type vanishing entirely
+    approx.join(exact, "event_type")
+      .join(p50, Seq("event_type"), "left")
       .select(col("event_type"), col("approx_users"), col("exact_users"),
         col("p50_lo_cents"))
       .orderBy("event_type")
@@ -658,7 +662,7 @@ object EventOps {
        | FROM (SELECT cm.event_type, min(b) AS pb FROM cm JOIN mm USING (event_type)
        |  WHERE cum * 2 >= n GROUP BY 1) t JOIN mm ON t.event_type = mm.event_type)
        |SELECT ap.event_type, approx_users, exact_users, p50_lo_cents
-       |FROM ap JOIN ex USING (event_type) JOIN p5 USING (event_type)
+       |FROM ap JOIN ex USING (event_type) LEFT JOIN p5 USING (event_type)
        |ORDER BY event_type""".stripMargin.replace("\n", " ")
   }
 

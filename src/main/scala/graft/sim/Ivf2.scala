@@ -844,8 +844,10 @@ object Ivf2 {
     * shape (vec_id, embedding, scid, dist, c1:long). `spark.read`
     * resolves a streaming file sink's `_spark_metadata` commit log
     * automatically when present, so this read is committed-files-only
-    * on streamed segments and a plain scan on batch ones. */
-  private def readSegment(spark: SparkSession, p: String): DataFrame =
+    * on streamed segments and a plain scan on batch ones. ONE
+    * definition of the segment row contract — the streaming reader
+    * ([[graft.streaming.EmbedStream.deltaSegment]]) delegates here. */
+  private[graft] def readSegment(spark: SparkSession, p: String): DataFrame =
     spark.read.parquet(p)
       .withColumn("c1", col("c1").cast(LongType))
       .select("vec_id", "embedding", "scid", "dist", "c1")
@@ -888,18 +890,11 @@ object Ivf2 {
           .write.mode("overwrite").partitionBy("c1").parquet(delta)
         // the kill-list: SemDedup's dominance rule over the UNION
         // assignment — vectors meet within their (c1, scid) leaf only,
-        // ordered by (dist-to-frozen-sub-centroid, vec_id)
+        // ordered by (dist-to-frozen-sub-centroid, vec_id); ONE shared
+        // kernel (SemDedup.droppedIds) so the lifecycle DV can never
+        // drift from the dedup pipeline that defines it
         val m = readSegment(spark, base).unionByName(readSegment(spark, delta))
-        val u = m.select(col("vec_id").as("u_id"), col("embedding").as("u_emb"),
-          col("c1"), col("scid"), col("dist").as("u_dist"))
-        val v = m.select(col("vec_id").as("v_id"), col("embedding").as("v_emb"),
-          col("c1"), col("scid"), col("dist").as("v_dist"))
-        val dropped = u.join(v, Seq("c1", "scid"))
-          .filter(col("u_id") =!= col("v_id"))
-          .filter(col("u_dist") < col("v_dist") ||
-            (col("u_dist") === col("v_dist") && col("u_id") < col("v_id")))
-          .filter(round(SimOps.dot(col("u_emb"), col("v_emb")), 6) >= SemDedup.Tau)
-          .select(col("v_id")).distinct()
+        val dropped = SemDedup.droppedIds(m, SemDedup.Tau, Seq("c1", "scid"))
         val dv = tmp("dv")
         m.join(dropped, m("vec_id") === dropped("v_id"))
           .select(col("vec_id"), col("scid"), col("c1"))

@@ -71,20 +71,35 @@ object SemDedup {
         best.getField("cid").as("cid"), best.getField("dist").as("dist"))
   }
 
-  /** (vec_id, cid, dist, keep) for every vector, sorted by vec_id. */
-  def semDedup(tau: Double, k: Int = DerivedK)(
-      spark: SparkSession, dir: String): DataFrame = {
-    val m = assignment(spark, dir, k)
-    val u = m.select(col("vec_id").as("u_id"), col("embedding").as("u_emb"),
-      col("cid"), col("dist").as("u_dist"))
-    val v = m.select(col("vec_id").as("v_id"), col("embedding").as("v_emb"),
-      col("cid"), col("dist").as("v_dist"))
-    val dropped = u.join(v, Seq("cid"))
+  /** The dominance kill-list over an assignment frame `m` with columns
+    * (vec_id, embedding, dist, cellCols...) — ONE Scala definition of
+    * the rule (the SQL twin is [[dropped2CtesSql]]): vector v is
+    * dropped iff some u in the same cell precedes it in the
+    * (dist, vec_id) total order with round(cos(u,v),6) >= tau. Shared
+    * by the flat dedup ([[semDedup]], cell = cid), the two-level dedup
+    * ([[semDedup2]], cell = (c1, scid)), and the lifecycle DV
+    * derivation ([[Ivf2.lifecycleSearch]]'s artifact build) — a drift
+    * between copies would silently fork the deletion workload from the
+    * dedup pipeline that defines it. Returns DISTINCT `v_id` rows. */
+  private[sim] def droppedIds(m: DataFrame, tau: Double,
+      cellCols: Seq[String]): DataFrame = {
+    val u = m.select((cellCols.map(col) :+ col("vec_id").as("u_id") :+
+      col("embedding").as("u_emb") :+ col("dist").as("u_dist")): _*)
+    val v = m.select((cellCols.map(col) :+ col("vec_id").as("v_id") :+
+      col("embedding").as("v_emb") :+ col("dist").as("v_dist")): _*)
+    u.join(v, cellCols)
       .filter(col("u_id") =!= col("v_id"))
       .filter(col("u_dist") < col("v_dist") ||
         (col("u_dist") === col("v_dist") && col("u_id") < col("v_id")))
       .filter(round(SimOps.dot(col("u_emb"), col("v_emb")), 6) >= tau)
       .select(col("v_id")).distinct()
+  }
+
+  /** (vec_id, cid, dist, keep) for every vector, sorted by vec_id. */
+  def semDedup(tau: Double, k: Int = DerivedK)(
+      spark: SparkSession, dir: String): DataFrame = {
+    val m = assignment(spark, dir, k)
+    val dropped = droppedIds(m, tau, Seq("cid"))
     // no hint: `dropped` is corpus-sized on a duplicate-heavy corpus
     m.join(dropped, m("vec_id") === dropped("v_id"), "left")
       .select(col("vec_id"), col("cid"), col("dist"),
@@ -105,16 +120,7 @@ object SemDedup {
     // both Lloyd chains per query — identical rows by construction
     val m = Ivf2.assign2FromLayout(spark, dir)
       .select(col("vec_id"), col("embedding"), col("c1"), col("scid"), col("dist"))
-    val u = m.select(col("vec_id").as("u_id"), col("embedding").as("u_emb"),
-      col("c1"), col("scid"), col("dist").as("u_dist"))
-    val v = m.select(col("vec_id").as("v_id"), col("embedding").as("v_emb"),
-      col("c1"), col("scid"), col("dist").as("v_dist"))
-    val dropped = u.join(v, Seq("c1", "scid"))
-      .filter(col("u_id") =!= col("v_id"))
-      .filter(col("u_dist") < col("v_dist") ||
-        (col("u_dist") === col("v_dist") && col("u_id") < col("v_id")))
-      .filter(round(SimOps.dot(col("u_emb"), col("v_emb")), 6) >= tau)
-      .select(col("v_id")).distinct()
+    val dropped = droppedIds(m, tau, Seq("c1", "scid"))
     m.join(dropped, m("vec_id") === dropped("v_id"), "left")
       .select(col("vec_id"), col("c1"), col("scid"), col("dist"),
         col("v_id").isNull.as("keep"))

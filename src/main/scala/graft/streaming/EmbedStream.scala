@@ -101,9 +101,7 @@ object EmbedStream {
       spark.range(0).select(col("id").as("vec_id"),
         expr("CAST(array() AS array<float>)").as("embedding"),
         col("id").as("scid"), col("id").as("dist"), col("id").as("c1"))
-    else spark.read.parquet(path)
-      .withColumn("c1", col("c1").cast(org.apache.spark.sql.types.LongType))
-      .select("vec_id", "embedding", "scid", "dist", "c1")
+    else Ivf2.readSegment(spark, path) // the ONE segment row contract
   }
 
   /** FOLD a delta segment into the base layout WITHOUT retraining — the
@@ -138,8 +136,16 @@ object EmbedStream {
     * ingest epoch starts a fresh segment + checkpoint (a restarted
     * query against the old checkpoint would re-create the dir and
     * re-land only post-fold batches — the committed offsets live in the
-    * checkpoint, not the retired segment). Returns the affected
-    * coarse-cell ids. */
+    * checkpoint, not the retired segment).
+    *
+    * CRASH RECOVERY — re-running foldDelta is IDEMPOTENT: only the
+    * delta rows whose vec_id is not already in the base's affected
+    * cells are folded (one file-pruned anti-join against those cells —
+    * O(affected-cell data), never the corpus), so a crash in the
+    * window between the completed base write and the segment removal
+    * is healed by simply running the fold again; the second pass
+    * appends nothing and deletes the stale segment. Returns the
+    * affected coarse-cell ids. */
   def foldDelta(spark: org.apache.spark.sql.SparkSession, basePath: String,
       deltaPath: String, compact: Boolean = false): Seq[Long] = {
     require(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(basePath)),
@@ -153,19 +159,24 @@ object EmbedStream {
     val cells = delta.select("c1").distinct()
       .collect().map(_.getLong(0)).toSeq
     if (cells.nonEmpty) {
-      if (!compact)
-        delta.write.mode("append").partitionBy("c1").parquet(basePath)
-      else {
-        val merged = spark.read.parquet(basePath)
-          .withColumn("c1", col("c1").cast(org.apache.spark.sql.types.LongType))
-          .select("vec_id", "embedding", "scid", "dist", "c1")
-          .filter(col("c1").isin(cells: _*)) // file-pruned to affected dirs
-          .unionByName(delta)
-          .repartition(cells.size, col("c1")) // merged files per cell
-          .localCheckpoint(true)
-        merged.write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("c1").parquet(basePath)
+      def baseCells = Ivf2.readSegment(spark, basePath)
+        .filter(col("c1").isin(cells: _*)) // file-pruned to affected dirs
+      // idempotence: drop delta rows a crashed previous fold already
+      // landed (vec_id is unique across the index's life)
+      val fresh = delta.join(baseCells.select("vec_id"), Seq("vec_id"),
+        "left_anti").localCheckpoint(true)
+      if (fresh.head(1).nonEmpty) {
+        if (!compact)
+          fresh.write.mode("append").partitionBy("c1").parquet(basePath)
+        else {
+          val merged = baseCells
+            .unionByName(fresh)
+            .repartition(cells.size, col("c1")) // merged files per cell
+            .localCheckpoint(true)
+          merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("c1").parquet(basePath)
+        }
       }
       Ivf2.deleteTree(java.nio.file.Paths.get(deltaPath))
     }

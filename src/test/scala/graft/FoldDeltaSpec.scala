@@ -141,6 +141,30 @@ class FoldDeltaSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(delta)))
   }
 
+  test("crash recovery: re-running a fold whose segment removal did not land is a no-op") {
+    import scala.jdk.CollectionConverters._
+    val (base, delta) = buildBaseAndDelta()
+    // snapshot the segment — the state a crash between the base write
+    // and the segment removal leaves behind
+    val stale = Files.createTempDirectory("fold_stale")
+    val dp = Paths.get(delta)
+    val walk = Files.walk(dp)
+    try walk.iterator().asScala.toSeq.foreach { p =>
+      val t = stale.resolve(dp.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else Files.copy(p, t, StandardCopyOption.COPY_ATTRIBUTES)
+    } finally walk.close()
+
+    EmbedStream.foldDelta(spark, base, delta)
+    val once = rows(base)
+    // resurrect the stale segment and fold AGAIN (the crash-recovery
+    // path): nothing may double-append
+    Files.move(stale, dp)
+    EmbedStream.foldDelta(spark, base, delta)
+    assert(rows(base) == once, "re-folding a stale segment duplicated rows")
+    assert(!Files.exists(dp), "the stale segment must still be consumed")
+  }
+
   test("an empty delta folds as the identity and a streaming base is refused") {
     val (base, _) = buildBaseAndDelta()
     val empty = Files.createTempDirectory("fold_empty").toString
