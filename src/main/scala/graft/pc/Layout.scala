@@ -25,6 +25,24 @@ object Layout {
     * (pc-io/src/config.rs:3,30). */
   val BatchSize: Long = 524288L
 
+  /** Rows per layout file for a table of `count` rows: `count/256`
+    * clamped to [8192, [[BatchSize]]].
+    *
+    * A FIXED small per-file row count is a scale trap: file count then
+    * grows linearly with the data, and a pruned scan's wall time becomes
+    * dominated by per-file costs (driver listing, footer reads, task
+    * scheduling) instead of rows read — measured at 100x sf0.1, the
+    * 8192-row layouts (7,330 files) made every layout-backed pc query
+    * ~10x SLOWER than the plain full scan it was built to beat. The
+    * divisor keeps ~256 files as the table grows (enough parallelism for
+    * local[32] and enough cells for pruning), the floor keeps tiny SFs
+    * from degenerating below the reference's test granularity, and past
+    * ~134M rows the [[BatchSize]] cap (the reference's cluster-scale
+    * default) takes over so file count resumes growing linearly — at
+    * 100 TB you want more 512Ki-row files, not bigger ones. */
+  def adaptiveBatchSize(count: Long): Long =
+    math.min(BatchSize, math.max(8192L, count / 256L))
+
   /** Geometry of a grid(sigma) layout: xy cell edge + importance splits
     * (reference: pc-cli/src/partition.rs:164-198). Windows of the
     * reference are `floor(8/sqrt(sigma))` cells per axis; because windows

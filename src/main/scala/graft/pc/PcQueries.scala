@@ -234,10 +234,19 @@ object PcQueries {
       val path = graft.DatasetCache.registerTempDir(java.nio.file.Files
         .createTempDirectory(s"graft_${kind}_layout").toString)
       val pts = points(spark, dir)
+      // size files to the corpus (Layout.adaptiveBatchSize): a fixed
+      // 8192-row file made file count grow linearly with SF, and at 100x
+      // per-file open/footer/scheduling costs dwarfed the pruned reads —
+      // the layout lost to the plain scan it exists to beat. Results are
+      // layout-invariant (same-SQL oracle), only pruning granularity and
+      // scan overhead move. The extra count() is one columnar metadata
+      // pass, charged to the one-time layout build like the writers' own
+      // boundsAndCount pass.
+      val batch = Layout.adaptiveBatchSize(pts.count())
       kind match {
-        case "grid" => Layout.writeGrid(pts, path, sigma = 8, batchSize = 8192L)
-        case "quad" => Layout.writeQuadtree(pts, path, batchSize = 8192L)
-        case "zorder" => Layout.writeZorder(pts, path, batchSize = 8192L)
+        case "grid" => Layout.writeGrid(pts, path, sigma = 8, batchSize = batch)
+        case "quad" => Layout.writeQuadtree(pts, path, batchSize = batch)
+        case "zorder" => Layout.writeZorder(pts, path, batchSize = batch)
       }
       path
     })
