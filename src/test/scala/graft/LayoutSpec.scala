@@ -164,4 +164,22 @@ class LayoutSpec extends SparkSpec {
     assert(quadRead < flatRead,
       s"LoD pruning ineffective: quad read $quadRead rows vs flat $flatRead")
   }
+
+  test("adaptiveBatchSize: file count stays bounded until the 512Ki cap") {
+    // the tiny-file trap: a FIXED rows-per-file makes file count grow
+    // linearly with data, and per-file costs then dominate pruned scans
+    // (measured 10x slower than a plain scan at 100x sf0.1). The adaptive
+    // size keeps ~256 files as the table grows, floors at the test
+    // granularity, and past ~134M rows the reference's 512Ki cluster
+    // default caps the file size so file COUNT grows linearly again.
+    assert(Layout.adaptiveBatchSize(0L) == 8192L)
+    assert(Layout.adaptiveBatchSize(600000L) == 8192L) // sf0.1: unchanged
+    assert(Layout.adaptiveBatchSize(60000000L) == 234375L) // 100x: ~256 files
+    assert(Layout.adaptiveBatchSize(Long.MaxValue) == Layout.BatchSize)
+    // monotone non-decreasing in count => file count never shrinks the
+    // per-file size below the floor as data grows
+    val probes = Seq(1L, 8192L, 2097152L, 134217728L, 1L << 40)
+    probes.zip(probes.tail).foreach { case (a, b) =>
+      assert(Layout.adaptiveBatchSize(a) <= Layout.adaptiveBatchSize(b)) }
+  }
 }
