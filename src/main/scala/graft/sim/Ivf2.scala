@@ -670,9 +670,15 @@ object Ivf2 {
       { _ =>
         val p = graft.DatasetCache.registerTempDir(
           java.nio.file.Files.createTempDirectory("graft_ivf2_dv").toString)
-        SemDedup.semDedup2(SemDedup.Tau)(spark, dir)
-          .filter(!col("keep"))
-          .select(col("vec_id"), col("scid"), col("c1"))
+        // the same kill-list semDedup2 reports as keep=false, off the
+        // shared droppedCells kernel directly: the keep-flag left join
+        // and the per-vector sort exist for the dedup REPORT, not for
+        // the sidecar, which only needs (vec_id, scid, c1)
+        val m = assign2FromLayout(spark, dir)
+          .select(col("vec_id"), col("embedding"), col("c1"), col("scid"),
+            col("dist"))
+        SemDedup.droppedCells(m, SemDedup.Tau, Seq("c1", "scid"))
+          .select(col("v_id").as("vec_id"), col("scid"), col("c1"))
           .write.mode("overwrite").partitionBy("c1").parquet(p)
         p
       })
@@ -891,13 +897,15 @@ object Ivf2 {
         // the kill-list: SemDedup's dominance rule over the UNION
         // assignment — vectors meet within their (c1, scid) leaf only,
         // ordered by (dist-to-frozen-sub-centroid, vec_id); ONE shared
-        // kernel (SemDedup.droppedIds) so the lifecycle DV can never
-        // drift from the dedup pipeline that defines it
+        // kernel (SemDedup.droppedCells) so the lifecycle DV can never
+        // drift from the dedup pipeline that defines it. droppedCells
+        // keeps the dropped vector's leaf key, so the sidecar writes
+        // straight off the pair join — no second corpus-sized scan of
+        // `m` to recover (c1, scid) for ids the join already localized
         val m = readSegment(spark, base).unionByName(readSegment(spark, delta))
-        val dropped = SemDedup.droppedIds(m, SemDedup.Tau, Seq("c1", "scid"))
         val dv = tmp("dv")
-        m.join(dropped, m("vec_id") === dropped("v_id"))
-          .select(col("vec_id"), col("scid"), col("c1"))
+        SemDedup.droppedCells(m, SemDedup.Tau, Seq("c1", "scid"))
+          .select(col("v_id").as("vec_id"), col("scid"), col("c1"))
           .write.mode("overwrite").partitionBy("c1").parquet(dv)
         (base, delta, dv)
       })

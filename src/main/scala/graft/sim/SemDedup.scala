@@ -82,17 +82,42 @@ object SemDedup {
     * between copies would silently fork the deletion workload from the
     * dedup pipeline that defines it. Returns DISTINCT `v_id` rows. */
   private[sim] def droppedIds(m: DataFrame, tau: Double,
+      cellCols: Seq[String]): DataFrame =
+    // one row per dropped vector already (semi-join output of a
+    // one-row-per-vector frame) — nothing to de-duplicate
+    droppedCells(m, tau, cellCols).select(col("v_id"))
+
+  /** [[droppedIds]] WITH the dropped vector's cell columns — the same
+    * one-kernel dominance rule, keeping `v`'s cell key in the output
+    * (a DV sidecar writer wants exactly (cellCols..., v_id); deriving
+    * it here avoids re-joining the corpus-sized assignment frame
+    * against the kill-list just to recover cells the join already knew
+    * each id in). The rule is an EXISTS — "some in-cell predecessor u
+    * dominates v" — so it is evaluated as a LEFT SEMI join: the probe
+    * side stops at each row's FIRST dominator instead of materializing
+    * every qualifying pair and de-duplicating them. On a
+    * duplicate-heavy cell (the 100× lifecycle fixture piles ~100
+    * identical vectors per leaf) a dropped vector's dominator is found
+    * in O(1) probes, collapsing the leaf's pair work from quadratic
+    * toward linear; kept vectors still pay one full leaf scan, which
+    * is what the inner join charged EVERY vector. Output rows are
+    * unique by construction (one `v` row per vector), so the old
+    * pair-set `.distinct()` exchange disappears with the pair set. */
+  private[sim] def droppedCells(m: DataFrame, tau: Double,
       cellCols: Seq[String]): DataFrame = {
-    val u = m.select((cellCols.map(col) :+ col("vec_id").as("u_id") :+
-      col("embedding").as("u_emb") :+ col("dist").as("u_dist")): _*)
+    val u = m.select((cellCols.map(c => col(c).as(s"u_$c")) :+
+      col("vec_id").as("u_id") :+ col("embedding").as("u_emb") :+
+      col("dist").as("u_dist")): _*)
     val v = m.select((cellCols.map(col) :+ col("vec_id").as("v_id") :+
       col("embedding").as("v_emb") :+ col("dist").as("v_dist")): _*)
-    u.join(v, cellCols)
-      .filter(col("u_id") =!= col("v_id"))
-      .filter(col("u_dist") < col("v_dist") ||
-        (col("u_dist") === col("v_dist") && col("u_id") < col("v_id")))
-      .filter(round(SimOps.dot(col("u_emb"), col("v_emb")), 6) >= tau)
-      .select(col("v_id")).distinct()
+    val sameCell = cellCols.map(c => col(c) === col(s"u_$c")).reduce(_ && _)
+    val precedes = col("u_dist") < col("v_dist") ||
+      (col("u_dist") === col("v_dist") && col("u_id") < col("v_id"))
+    v.join(u,
+        sameCell && precedes &&
+          round(SimOps.dot(col("u_emb"), col("v_emb")), 6) >= tau,
+        "left_semi")
+      .select((cellCols.map(col) :+ col("v_id")): _*)
   }
 
   /** (vec_id, cid, dist, keep) for every vector, sorted by vec_id. */
