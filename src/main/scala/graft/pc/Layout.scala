@@ -43,6 +43,14 @@ object Layout {
   def adaptiveBatchSize(count: Long): Long =
     math.min(BatchSize, math.max(8192L, count / 256L))
 
+  /** Sentinel `batchSize` for the layout writers: derive
+    * [[adaptiveBatchSize]] from the count their bounds pass already
+    * computes — no extra aggregation job for the caller. */
+  val AdaptiveBatch: Long = -1L
+
+  private def resolveBatch(batchSize: Long, count: Long): Long =
+    if (batchSize == AdaptiveBatch) adaptiveBatchSize(count) else batchSize
+
   /** Geometry of a grid(sigma) layout: xy cell edge + importance splits
     * (reference: pc-cli/src/partition.rs:164-198). Windows of the
     * reference are `floor(8/sqrt(sigma))` cells per axis; because windows
@@ -163,7 +171,8 @@ object Layout {
       batchSize: Long = BatchSize): ZorderGeometry = {
     val (bounds, count) = boundsAndCount(df)
     val geo = ZorderGeometry(bounds, bits)
-    writeClustered(df, Seq(geo.zCol.as("zkey")), Seq("zkey"), path, count, batchSize)
+    writeClustered(df, Seq(geo.zCol.as("zkey")), Seq("zkey"), path, count,
+      resolveBatch(batchSize, count))
     geo
   }
 
@@ -205,8 +214,9 @@ object Layout {
   def writeGrid(df: DataFrame, path: String, sigma: Int,
       batchSize: Long = BatchSize): GridGeometry = {
     val (bounds, count) = boundsAndCount(df)
-    val geo = gridGeometry(bounds, count, sigma, batchSize)
-    writeClustered(df, geo.cellCols(df), geo.cellNames, path, count, batchSize)
+    val bs = resolveBatch(batchSize, count)
+    val geo = gridGeometry(bounds, count, sigma, bs)
+    writeClustered(df, geo.cellCols(df), geo.cellNames, path, count, bs)
     geo
   }
 
@@ -214,8 +224,9 @@ object Layout {
   def writeQuadtree(df: DataFrame, path: String,
       batchSize: Long = BatchSize): QuadtreeGeometry = {
     val (bounds, count) = boundsAndCount(df)
-    val geo = quadtreeGeometry(bounds, count, batchSize)
-    writeClustered(df, geo.cellCols(df), geo.cellNames, path, count, batchSize)
+    val bs = resolveBatch(batchSize, count)
+    val geo = quadtreeGeometry(bounds, count, bs)
+    writeClustered(df, geo.cellCols(df), geo.cellNames, path, count, bs)
     geo
   }
 

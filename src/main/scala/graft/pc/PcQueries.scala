@@ -234,15 +234,14 @@ object PcQueries {
       val path = graft.DatasetCache.registerTempDir(java.nio.file.Files
         .createTempDirectory(s"graft_${kind}_layout").toString)
       val pts = points(spark, dir)
-      // size files to the corpus (Layout.adaptiveBatchSize): a fixed
+      // size files to the corpus (Layout.AdaptiveBatch → the writers
+      // derive adaptiveBatchSize from their own bounds pass): a fixed
       // 8192-row file made file count grow linearly with SF, and at 100x
       // per-file open/footer/scheduling costs dwarfed the pruned reads —
       // the layout lost to the plain scan it exists to beat. Results are
       // layout-invariant (same-SQL oracle), only pruning granularity and
-      // scan overhead move. The extra count() is one columnar metadata
-      // pass, charged to the one-time layout build like the writers' own
-      // boundsAndCount pass.
-      val batch = Layout.adaptiveBatchSize(pts.count())
+      // scan overhead move.
+      val batch = Layout.AdaptiveBatch
       kind match {
         case "grid" => Layout.writeGrid(pts, path, sigma = 8, batchSize = batch)
         case "quad" => Layout.writeQuadtree(pts, path, batchSize = batch)

@@ -191,6 +191,17 @@ object Ivf2 {
     spark.read.parquet(layout2Path(spark, dir))
       .withColumn("c1", col("c1").cast(LongType))
 
+  /** [[assign2FromLayout]] at the dominance-kernel row shape
+    * (vec_id, embedding, c1, scid, dist) — ONE definition of the frame
+    * both the dedup report ([[SemDedup.semDedup2]]) and the DV sidecar
+    * build ([[deletionVectorPath]]) feed to `droppedCells`, so the
+    * kill-list the sidecar persists can never fork from the one the
+    * dedup pipeline reports. */
+  private[sim] def leafFrame(spark: SparkSession, dir: String): DataFrame =
+    assign2FromLayout(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("c1"), col("scid"),
+        col("dist"))
+
   /** Bench isolation hook: force both one-time builds. */
   def prebuildLayout2(spark: SparkSession, dir: String): Unit = {
     trained2Path(spark, dir)
@@ -671,13 +682,12 @@ object Ivf2 {
         val p = graft.DatasetCache.registerTempDir(
           java.nio.file.Files.createTempDirectory("graft_ivf2_dv").toString)
         // the same kill-list semDedup2 reports as keep=false, off the
-        // shared droppedCells kernel directly: the keep-flag left join
-        // and the per-vector sort exist for the dedup REPORT, not for
-        // the sidecar, which only needs (vec_id, scid, c1)
-        val m = assign2FromLayout(spark, dir)
-          .select(col("vec_id"), col("embedding"), col("c1"), col("scid"),
-            col("dist"))
-        SemDedup.droppedCells(m, SemDedup.Tau, Seq("c1", "scid"))
+        // shared droppedCells kernel over the shared leafFrame: the
+        // keep-flag left join and the per-vector sort exist for the
+        // dedup REPORT, not for the sidecar, which only needs
+        // (vec_id, scid, c1)
+        SemDedup.droppedCells(leafFrame(spark, dir), SemDedup.Tau,
+            Seq("c1", "scid"))
           .select(col("v_id").as("vec_id"), col("scid"), col("c1"))
           .write.mode("overwrite").partitionBy("c1").parquet(p)
         p

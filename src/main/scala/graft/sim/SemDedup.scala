@@ -38,8 +38,10 @@ import org.apache.spark.sql.functions._
   * ~TargetCell-sized and total pair work is ~TargetCell·n — linear in
   * n. The oracle derives the identical K with a scalar subquery in its
   * Lloyd seed CTE, so both engines train the same quantizer at every
-  * SF. The dominance semi-join aggregates to DISTINCT dropped ids
-  * before the final anti-join, so the output pass is map-only per cell.
+  * SF. The dominance rule is evaluated as a LEFT SEMI join (it is an
+  * EXISTS — see [[droppedCells]]): each vector's probe stops at its
+  * first dominator, so no pair set is ever materialized and no
+  * distinct aggregation is needed before the final keep-flag join.
   */
 object SemDedup {
 
@@ -113,8 +115,13 @@ object SemDedup {
     val sameCell = cellCols.map(c => col(c) === col(s"u_$c")).reduce(_ && _)
     val precedes = col("u_dist") < col("v_dist") ||
       (col("u_dist") === col("v_dist") && col("u_id") < col("v_id"))
+    // u_id =!= v_id is implied by `precedes` on a one-row-per-vector
+    // frame, but stays EXPLICIT: the SQL twin (dropped2CtesSql) carries
+    // `u.vec_id <> v.vec_id`, and if a caller ever passed a frame with
+    // a vec_id under two dists, dropping the guard would let a vector
+    // self-dominate (cos(v,v)=1 >= tau) where the oracle keeps it
     v.join(u,
-        sameCell && precedes &&
+        sameCell && col("u_id") =!= col("v_id") && precedes &&
           round(SimOps.dot(col("u_emb"), col("v_emb")), 6) >= tau,
         "left_semi")
       .select((cellCols.map(col) :+ col("v_id")): _*)
@@ -142,9 +149,9 @@ object SemDedup {
   def semDedup2(tau: Double)(spark: SparkSession, dir: String): DataFrame = {
     // index-consumer path: read the materialized leaf-partitioned
     // assignment (one-time ivf2_layout build) instead of re-running
-    // both Lloyd chains per query — identical rows by construction
-    val m = Ivf2.assign2FromLayout(spark, dir)
-      .select(col("vec_id"), col("embedding"), col("c1"), col("scid"), col("dist"))
+    // both Lloyd chains per query — identical rows by construction;
+    // the SAME frame the DV sidecar build feeds to the kernel
+    val m = Ivf2.leafFrame(spark, dir)
     val dropped = droppedIds(m, tau, Seq("c1", "scid"))
     m.join(dropped, m("vec_id") === dropped("v_id"), "left")
       .select(col("vec_id"), col("c1"), col("scid"), col("dist"),
