@@ -230,7 +230,29 @@ object Ivf2 {
     * deletion (that is the whole point of the verb), so probing stays
     * O(K1 + nprobe1·K2) regardless of how much has been deleted. */
   private def topK2Impl(queryId: Long, k: Int, nprobe1: Int, nprobe2: Int,
-      live: Boolean)(spark: SparkSession, dir: String): DataFrame = {
+      live: Boolean)(spark: SparkSession, dir: String): DataFrame =
+    probeSearch(queryId, k, nprobe1, nprobe2,
+      coarse = Ivf.trainCachedK(spark, dir, k1(Ivf.corpusN(spark, dir))),
+      cents = spark.read.parquet(trained2Path(spark, dir)),
+      candidates = cells => spark.read.parquet(layout2Path(spark, dir))
+        .filter(col("c1").isin(cells: _*)), // dir-level pruning
+      dvPath = if (live) Some(deletionVectorPath(spark, dir)) else None)(
+      spark, dir)
+
+  /** ONE probe-and-rescore discipline for every single-query two-level
+    * search — [[topK2]] (full index), [[topK2Deleted]] (DV anti-join),
+    * and [[lifecycleSearch]] (base ∪ delta segments, DV anti-join) —
+    * parameterized on the codebooks (trained or frozen), the candidate
+    * source (one layout or a union of segments, already dir-pruned to
+    * the probed coarse cells by the callback), and an optional DV
+    * sidecar. The tie discipline is oracle-load-bearing in every
+    * caller ((dist, cid) coarse, (dist, c1, scid) leaves,
+    * (sim desc, vec_id) results); keeping it in one body means a probe
+    * change can never fork one caller's results from its SQL twin. */
+  private def probeSearch(queryId: Long, k: Int, nprobe1: Int, nprobe2: Int,
+      coarse: Seq[(Long, Array[Long])], cents: DataFrame,
+      candidates: Seq[Long] => DataFrame, dvPath: Option[String])(
+      spark: SparkSession, dir: String): DataFrame = {
     val qrow = Ivf.quantized(spark, dir)
       .filter(col("vec_id") === queryId)
       .select(col("qv"), col("embedding")).collect()
@@ -241,10 +263,9 @@ object Ivf2 {
       while (i < cv.length) { val d = qv(i) - cv(i); s += d * d; i += 1 }
       s
     }
-    val coarse = Ivf.trainCachedK(spark, dir, k1(Ivf.corpusN(spark, dir)))
     val p1 = coarse.map { case (cid, cv) => (qdist(cv), cid) }
       .sorted.take(nprobe1).map(_._2)
-    val subs = spark.read.parquet(trained2Path(spark, dir))
+    val subs = cents.select(col("c1"), col("scid"), col("cv"))
       .filter(col("c1").isin(p1: _*)).collect()
       .map(r => (qdist(r.getSeq[Long](2).toArray), r.getLong(0), r.getLong(1)))
     val p2 = subs.sorted.take(nprobe2).map(t => (t._2, t._3))
@@ -258,16 +279,15 @@ object Ivf2 {
     val qe = SimOps.embeddings(spark, dir)
       .filter(col("vec_id") === queryId).select(col("embedding").as("qe"))
     val probedCells = p2.map(_._1).distinct
-    val cand0 = spark.read.parquet(layout2Path(spark, dir))
-      .filter(col("c1").isin(probedCells: _*)) // dir-level pruning
+    val cand0 = candidates(probedCells)
       .filter(leafPred)
       .filter(col("vec_id") =!= queryId)
-    val cand =
-      if (!live) cand0
-      else cand0.join( // DV scan pruned to the SAME probed cells
-        readDv(spark, deletionVectorPath(spark, dir))
+    val cand = dvPath.fold(cand0) { p =>
+      cand0.join( // DV scan pruned to the SAME probed cells; unhinted
+        readDv(spark, p)
           .filter(col("c1").isin(probedCells: _*)).select("vec_id"),
         Seq("vec_id"), "left_anti")
+    }
     cand
       .crossJoin(broadcast(qe)) // 1-row query vector: bounded hint
       .select(col("vec_id"),
@@ -699,21 +719,43 @@ object Ivf2 {
     ()
   }
 
+  /** Spark's file-visibility rule, in ONE place (shared by the
+    * data-file walk below, the streaming segment reader's commit-log
+    * probe, and the fold spec's file inventory): names starting with
+    * `_` or `.` (`_SUCCESS`, `_spark_metadata`, `.crc` sidecars) are
+    * metadata, not data. */
+  private[graft] def isVisibleName(name: String): Boolean =
+    !name.startsWith("_") && !name.startsWith(".")
+
   /** True iff `root` contains at least one VISIBLE data file — a
-    * regular file none of whose path segments under `root` starts with
-    * `_` or `.` (Spark's own visibility rule: `_SUCCESS`,
-    * `_spark_metadata`, `.crc` sidecars are metadata, not data). The
-    * structural emptiness test for layout-shaped directories: a
-    * partitioned write of zero rows leaves only metadata. */
+    * regular file none of whose path segments under `root` is
+    * invisible ([[isVisibleName]]). The structural emptiness test for
+    * layout-shaped directories: a partitioned write of zero rows
+    * leaves only metadata. Walked with a visitor that (a) SKIPS
+    * invisible subtrees (`_spark_metadata` most importantly — a LIVE
+    * streaming sink renames `.N.tmp` commit files in there while
+    * searches read the segment, and a stat on a vanished entry would
+    * crash the walk) and (b) treats a file that disappears mid-walk
+    * as simply not there, so a concurrent micro-batch commit can
+    * never fail a reader. */
   private[graft] def hasVisibleDataFile(root: java.nio.file.Path): Boolean = {
-    import scala.jdk.CollectionConverters._
-    val all = java.nio.file.Files.walk(root)
-    try all.iterator().asScala.exists { f =>
-      java.nio.file.Files.isRegularFile(f) &&
-        !root.relativize(f).iterator().asScala
-          .exists { seg => val s = seg.toString
-            s.startsWith("_") || s.startsWith(".") }
-    } finally all.close()
+    import java.nio.file.{FileVisitResult, Files, Path, SimpleFileVisitor}
+    import java.nio.file.attribute.BasicFileAttributes
+    var found = false
+    Files.walkFileTree(root, new SimpleFileVisitor[Path] {
+      override def preVisitDirectory(d: Path, a: BasicFileAttributes) =
+        if (d != root && !isVisibleName(d.getFileName.toString))
+          FileVisitResult.SKIP_SUBTREE
+        else FileVisitResult.CONTINUE
+      override def visitFile(f: Path, a: BasicFileAttributes) = {
+        if (a.isRegularFile && isVisibleName(f.getFileName.toString)) {
+          found = true; FileVisitResult.TERMINATE
+        } else FileVisitResult.CONTINUE
+      }
+      override def visitFileFailed(f: Path, e: java.io.IOException) =
+        FileVisitResult.CONTINUE // vanished mid-walk: not a data file
+    })
+    found
   }
 
   /** Read a DV sidecar as (vec_id, c1). A zero-row kill-list leaves a
@@ -943,41 +985,16 @@ object Ivf2 {
       spark: SparkSession, dir: String): DataFrame = {
     val (basePath, deltaPath, dvPath) = lifecyclePaths(spark, dir)
     val (coarse, cents) = appendCodebooks(spark, dir)
-    val qrow = Ivf.quantized(spark, dir)
-      .filter(col("vec_id") === queryId)
-      .select(col("qv"), col("embedding")).collect()
-    if (qrow.isEmpty) return SimOps.emptyTopK(spark)
-    val qv = qrow.head.getSeq[Long](0).toArray
-    def qdist(cv: Array[Long]): Long = {
-      var s = 0L; var i = 0
-      while (i < cv.length) { val d = qv(i) - cv(i); s += d * d; i += 1 }
-      s
-    }
-    val p1 = coarse.map { case (cid, cv) => (qdist(cv), cid) }
-      .sorted.take(nprobe1).map(_._2)
-    val subs = cents.filter(col("c1").isin(p1: _*)).collect()
-      .map(r => (qdist(r.getSeq[Long](2).toArray), r.getLong(0), r.getLong(1)))
-    val p2 = subs.sorted.take(nprobe2).map(t => (t._2, t._3))
-    if (p2.isEmpty) return SimOps.emptyTopK(spark)
-    val leafPred = p2.map { case (c1v, scid) =>
-      col("c1") === c1v && col("scid") === scid }.reduce(_ || _)
-    val probedCells = p2.map(_._1).distinct
-    val qe = SimOps.embeddings(spark, dir)
-      .filter(col("vec_id") === queryId).select(col("embedding").as("qe"))
-    def seg(p: String) = readSegment(spark, p)
-      .filter(col("c1").isin(probedCells: _*)) // dir-level pruning
-      .filter(leafPred)
-    seg(basePath).unionByName(seg(deltaPath))
-      .filter(col("vec_id") =!= queryId)
-      .join( // DV scan pruned to the SAME probed cells; unhinted
-        readDv(spark, dvPath)
-          .filter(col("c1").isin(probedCells: _*)).select("vec_id"),
-        Seq("vec_id"), "left_anti")
-      .crossJoin(broadcast(qe)) // 1-row query vector: bounded hint
-      .select(col("vec_id"),
-        round(SimOps.dot(col("embedding"), col("qe")), 6).as("sim"))
-      .orderBy(col("sim").desc, col("vec_id").asc)
-      .limit(k)
+    // the shared probe discipline; only the candidate source differs —
+    // BOTH segments dir-prune to the probed coarse cells (they share
+    // the c1 directory shape by construction)
+    probeSearch(queryId, k, nprobe1, nprobe2, coarse, cents,
+      candidates = cells => {
+        def seg(p: String) = readSegment(spark, p)
+          .filter(col("c1").isin(cells: _*)) // dir-level pruning
+        seg(basePath).unionByName(seg(deltaPath))
+      },
+      dvPath = Some(dvPath))(spark, dir)
   }
 
   def lifecycleSql(queryId: Long, k: Int, nprobe1: Int, nprobe2: Int): String = {

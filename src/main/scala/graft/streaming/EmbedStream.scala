@@ -87,15 +87,20 @@ object EmbedStream {
     require(java.nio.file.Files.isDirectory(root),
       s"delta segment path does not exist: $path")
     val meta = root.resolve("_spark_metadata")
+    // the committed-file SET (not just batch presence) decides: a
+    // micro-batch can legitimately commit ZERO files (every row of the
+    // batch filtered out), leaving a log with batches but no data —
+    // with the next batch's part files in flight on disk, a
+    // batch-presence test would fall through to a metadata-log read of
+    // zero files, which cannot infer a schema and would crash a live
+    // base ∪ delta search. The sink's own log (FileStreamSinkLog) is
+    // the one reader of record; a corrupt log still fails loudly here.
     val committedEmpty =
       !Ivf2.hasVisibleDataFile(root) ||
         (java.nio.file.Files.isDirectory(meta) && {
-          import scala.jdk.CollectionConverters._
-          val ls = java.nio.file.Files.list(meta)
-          try !ls.iterator().asScala.exists { f =>
-            val s = f.getFileName.toString
-            !s.startsWith("_") && !s.startsWith(".")
-          } finally ls.close()
+          import org.apache.spark.sql.execution.streaming.sinks.FileStreamSinkLog
+          new FileStreamSinkLog(FileStreamSinkLog.VERSION, spark,
+            meta.toString).allFiles().isEmpty
         })
     if (committedEmpty)
       spark.range(0).select(col("id").as("vec_id"),
@@ -150,6 +155,16 @@ object EmbedStream {
       deltaPath: String, compact: Boolean = false): Seq[Long] = {
     require(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(basePath)),
       s"base layout path does not exist: $basePath")
+    require(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(deltaPath)),
+      s"delta segment path does not exist: $deltaPath")
+    // base == delta (under any alias: symlink, `.`, trailing slash)
+    // would make the anti-join drop every row as "already landed" and
+    // then CONSUME the segment — i.e. silently delete the base layout
+    // and report success. Canonicalize before comparing.
+    require(java.nio.file.Paths.get(basePath).toRealPath() !=
+        java.nio.file.Paths.get(deltaPath).toRealPath(),
+      s"fold of a segment into itself: base and delta both resolve to " +
+        java.nio.file.Paths.get(basePath).toRealPath())
     // the base must be a BATCH layout: folding into another streaming
     // segment would append files its _spark_metadata log never lists
     require(!java.nio.file.Files.exists(

@@ -60,8 +60,8 @@ class FoldDeltaSpec extends SparkSpec {
     val all = Files.walk(rp)
     try all.iterator().asScala
       .filter(f => Files.isRegularFile(f) &&
-        !rp.relativize(f).iterator().asScala.exists { seg =>
-          val s = seg.toString; s.startsWith("_") || s.startsWith(".") })
+        rp.relativize(f).iterator().asScala.forall(seg =>
+          graft.sim.Ivf2.isVisibleName(seg.toString)))
       .map(f => (rp.relativize(f).toString, Files.size(f))).toSet
     finally all.close()
   }

@@ -72,4 +72,37 @@ class SidecarRobustnessSpec extends SparkSpec {
     Files.createDirectory(seg.resolve("_spark_metadata"))
     assert(EmbedStream.deltaSegment(spark, seg.toString).count() == 0)
   }
+
+  test("a commit log whose batches list ZERO files reads as an empty segment") {
+    // a micro-batch can legitimately commit no files (every row of the
+    // batch filtered out): the log has a batch, the committed file SET
+    // is empty, and the next batch's part file is in flight on disk —
+    // the segment must read as EMPTY, not crash schema inference
+    val seg = Files.createTempDirectory("robust_zerofile_seg")
+    spark.range(2).select(col("id").as("vec_id"),
+        expr("CAST(array(1.0, 2.0) AS array<float>)").as("embedding"),
+        col("id").as("scid"), col("id").as("dist"), col("id").as("c1"))
+      .write.mode("overwrite").parquet(seg.resolve("c1=0").toString) // in flight
+    val meta = Files.createDirectory(seg.resolve("_spark_metadata"))
+    Files.write(meta.resolve("0"), "v1\n".getBytes) // batch 0: zero files
+    assert(EmbedStream.deltaSegment(spark, seg.toString).count() == 0)
+  }
+
+  test("foldDelta refuses base == delta under path aliasing") {
+    val base = Files.createTempDirectory("robust_selffold_base")
+    spark.range(2).select(col("id").as("vec_id"),
+        expr("CAST(array(1.0, 2.0) AS array<float>)").as("embedding"),
+        col("id").as("scid"), col("id").as("dist"), col("id").as("c1"))
+      .write.mode("overwrite").partitionBy("c1").parquet(base.toString)
+    // an aliased spelling of the same dir: fold(base, base/.) would
+    // anti-join every row away and then CONSUME the "segment" — i.e.
+    // delete the base layout while reporting success
+    val aliased = base.toString + java.io.File.separator + "."
+    val e = intercept[IllegalArgumentException] {
+      EmbedStream.foldDelta(spark, base.toString, aliased)
+    }
+    assert(e.getMessage.contains("fold of a segment into itself"))
+    // the base survived untouched
+    assert(spark.read.parquet(base.toString).count() == 2)
+  }
 }
