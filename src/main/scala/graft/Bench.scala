@@ -27,6 +27,85 @@ object Bench {
       .split(" ")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
+  /** Drift-calibration canary (r11 verdict item 2): the loadavg gate
+    * catches a BUSY machine but not slow uniform VM drift — same-code
+    * canonical runs spanned 104–134 s in r11, all "clean" by load. A
+    * fixed single-threaded CPU workload timed inside the artifact makes
+    * that drift QUANTIFIABLE: `drift` = canary_sec / [[CanaryRefSec]],
+    * so a cross-round comparison can normalize by it instead of
+    * re-litigating the noise in prose. xorshift64* over a fixed
+    * iteration count — pure register arithmetic, no allocation, no I/O,
+    * so it tracks effective CPU speed (clock/steal/contention), which is
+    * exactly what uniform drift changes. Min of 3 after 2 untimed JIT
+    * warm-ups; the accumulator feeds a side effect so the loop cannot be
+    * dead-code-eliminated. */
+  private[graft] def canarySec(): Double = {
+    def once(): Double = {
+      var x = 0x9E3779B97F4A7C15L
+      var acc = 0L
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < 200000000) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        acc += x
+        i += 1
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (acc == 42L) System.err.println("canary sink") // defeat DCE
+      sec
+    }
+    once(); once() // JIT warm-up, untimed
+    Seq(once(), once(), once()).min
+  }
+
+  /** The committed reference for [[canarySec]] on this machine, measured
+    * at round-12 head across two fresh JVMs (0.413–0.418 s, min-of-3
+    * each). A healthy run's `drift` is ~1.0; r11's +45% driver-vs-builder
+    * gap would have shown as ~1.4. */
+  val CanaryRefSec: Double = 0.413
+
+  /** I/O half of the calibration (r12): the first canonical r12 bench
+    * recorded builds 2.5× and queries 1.5× over r11 while the CPU
+    * canary read only 1.06 — and an immediate post-run probe showed
+    * single- AND 16-wide CPU at full speed. The episodic degradation on
+    * this VM is therefore not (only) core speed; the write-heavy index
+    * builds implicate the I/O path. This canary times writing a fixed
+    * 64 MiB file to the same tmp filesystem the derived layouts use
+    * (force(false) so the bytes actually leave the page cache), reading
+    * it back, then deleting it — min of 3. */
+  private[graft] def canaryIoSec(): Double = {
+    val buf = new Array[Byte](1 << 20)
+    java.util.Arrays.fill(buf, 0x5a.toByte)
+    def once(): Double = {
+      val p = java.nio.file.Files.createTempFile("graft_canary", ".bin")
+      val t0 = System.nanoTime()
+      val ch = java.nio.channels.FileChannel.open(p,
+        java.nio.file.StandardOpenOption.WRITE)
+      var i = 0
+      while (i < 64) { ch.write(java.nio.ByteBuffer.wrap(buf)); i += 1 }
+      ch.force(false)
+      ch.close()
+      val in = java.nio.channels.FileChannel.open(p,
+        java.nio.file.StandardOpenOption.READ)
+      val rb = java.nio.ByteBuffer.allocate(1 << 20)
+      var n = 0L
+      var r = in.read(rb)
+      while (r >= 0) { n += r; rb.clear(); r = in.read(rb) }
+      in.close()
+      val sec = (System.nanoTime() - t0) / 1e9
+      java.nio.file.Files.deleteIfExists(p)
+      if (n != (64L << 20)) System.err.println(s"canary io short read: $n")
+      sec
+    }
+    once() // warm-up (allocator, dentry cache), untimed
+    Seq(once(), once(), once()).min
+  }
+
+  /** Committed reference for [[canaryIoSec]], measured at round-12 head
+    * immediately after the full-speed CPU probe (0.140–0.149 s across
+    * two calls in a fresh JVM). */
+  val CanaryIoRefSec: Double = 0.14
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
@@ -74,6 +153,11 @@ object Bench {
       loadStart = loadavg()
     }
     val loadWaitedSec = (System.nanoTime() - waitT0) / 1e9
+    // calibration canary at artifact START (post-gate, pre-session: the
+    // machine state the suite is about to run under) and again at END —
+    // two samples bound drift DURING the run, not just at entry
+    val canaryStart = canarySec()
+    val canaryIoStart = canaryIoSec()
     val spark = LocalSession("32")
     // Warm-up: touch every input table once (schema + footer + codegen).
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
@@ -262,7 +346,9 @@ object Bench {
     // gating on it would flag every healthy run.
     val loadEnd = loadavg()
     val loadWarning = loadStart > loadThreshold
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonMap(results)},"index_build":${jsonMap(indexBuilds)},"index_build_total":${fmt(indexTotal)},"failed":$failedNames,"load_start":${fmt(loadStart)},"load_end":${fmt(loadEnd)},"load_warning":$loadWarning,"load_waited_sec":${fmt(loadWaitedSec)},"sf":"$sfDir"}"""
+    val canaryEnd = canarySec()
+    val canaryIoEnd = canaryIoSec()
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonMap(results)},"index_build":${jsonMap(indexBuilds)},"index_build_total":${fmt(indexTotal)},"failed":$failedNames,"load_start":${fmt(loadStart)},"load_end":${fmt(loadEnd)},"load_warning":$loadWarning,"load_waited_sec":${fmt(loadWaitedSec)},"canary_sec":${fmt(canaryStart)},"canary_end_sec":${fmt(canaryEnd)},"canary_ref_sec":${fmt(CanaryRefSec)},"drift":${fmt(canaryStart / CanaryRefSec)},"drift_end":${fmt(canaryEnd / CanaryRefSec)},"canary_io_sec":${fmt(canaryIoStart)},"canary_io_end_sec":${fmt(canaryIoEnd)},"canary_io_ref_sec":${fmt(CanaryIoRefSec)},"drift_io":${fmt(canaryIoStart / CanaryIoRefSec)},"drift_io_end":${fmt(canaryIoEnd / CanaryIoRefSec)},"sf":"$sfDir"}"""
     println(line)
     // The stdout line gets tail-truncated to its last ~2000 chars in
     // round artifacts (r4 lost most per-query timings; r5's driver

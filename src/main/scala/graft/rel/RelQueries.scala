@@ -745,11 +745,26 @@ object RelQueries {
 
   // ---- bucketed co-located join (persistent shuffle-free layout) ------
 
-  /** Buckets for the orders/lineitem layout. Sized so each bucket of the
-    * largest table is one comfortable task; at 100 TB this would be
-    * O(10^4) and chosen once per lake, since every table bucketed on the
-    * same key with the same count joins co-located forever after. */
+  /** Bucket-count floor for the orders/lineitem layout — the count at
+    * every canonical SF (committed bench numbers unchanged). The actual
+    * count is ADAPTIVE ([[adaptiveBuckets]]): a fixed 8 caps both the
+    * one-shuffle build and every later bucketed scan at 8-way
+    * parallelism no matter how large the corpus grows — the inverse of
+    * the r11 tiny-file trap (too FEW files instead of too many). At
+    * 100 TB this lands at the O(10^4) a production lake would choose
+    * once, since every table bucketed on the same key with the same
+    * count joins co-located forever after. */
   val JoinBuckets = 8
+
+  /** Target rows of the LARGEST bucketed table per bucket: one
+    * comfortable sort-merge task (~2M lineitem rows ≈ low hundreds of
+    * MB). Both tables use the count derived from lineitem — co-located
+    * joins require equal bucket counts. */
+  val JoinBucketRows = 2000000L
+
+  private[graft] def adaptiveBuckets(largestRows: Long): Int =
+    math.max(JoinBuckets.toLong,
+      math.min(4096L, largestRows / JoinBucketRows)).toInt
 
   private val bucketCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
@@ -775,12 +790,15 @@ object RelQueries {
         .toString.replace("-", "").take(16)
       val ordName = s"graft_orders_b_$h"
       val liName = s"graft_lineitem_b_$h"
+      // ONE adaptive count for both tables (equal counts are what makes
+      // the join co-located), derived from the larger table
+      val buckets = adaptiveBuckets(t(spark, dir, "lineitem").count())
       def write(df: DataFrame, bucketCol: String, name: String): Unit = {
         val path = graft.DatasetCache.registerTempDir(
           java.nio.file.Files.createTempDirectory(s"graft_bucket_$name").toString)
-        df.repartition(JoinBuckets, col(bucketCol))
+        df.repartition(buckets, col(bucketCol))
           .write.mode("overwrite")
-          .bucketBy(JoinBuckets, bucketCol).sortBy(bucketCol)
+          .bucketBy(buckets, bucketCol).sortBy(bucketCol)
           .option("path", path).saveAsTable(name)
       }
       write(t(spark, dir, "orders"), "o_orderkey", ordName)

@@ -269,8 +269,9 @@ object Ivf {
         java.nio.file.Files.createTempDirectory("graft_ivf_layout").toString)
       val q = quantized(spark, dir)
       val best = nearest(trainCached(spark, dir))
-      q.select(col("vec_id"), col("embedding"), best.getField("cid").as("cid"))
-        .write.mode("overwrite").partitionBy("cid").parquet(path)
+      Ivf2.layoutWrite(
+        q.select(col("vec_id"), col("embedding"), best.getField("cid").as("cid")),
+        "cid", SimOps.embeddings(spark, dir).count(), path)
       path
     })
 

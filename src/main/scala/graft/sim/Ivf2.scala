@@ -158,7 +158,14 @@ object Ivf2 {
     * the probed leaves. Assignment runs against the MATERIALIZED
     * codebook from [[trained2Path]] — one Lloyd training pass per
     * dataset, not one per artifact (re-deriving `level2Trained` here
-    * doubled the `ivf2_layout` build time). */
+    * doubled the `ivf2_layout` build time).
+    *
+    * File sizing is the [[layoutWrite]] discipline (the r11 §10
+    * tiny-file lesson generalized off the pc layouts): without it, an
+    * unrepartitioned `partitionBy` writes (upstream tasks × cells)
+    * files, so file count grows linearly with the corpus and per-file
+    * listing/footer costs eventually swamp the dir-pruning the layout
+    * exists for. */
   def layout2Path(spark: SparkSession, dir: String): String =
     layoutCache.computeIfAbsent(
       graft.DatasetCache.snapshotKey(spark, dir, "embeddings.parquet"), { _ =>
@@ -166,13 +173,33 @@ object Ivf2 {
           java.nio.file.Files.createTempDirectory("graft_ivf2_layout").toString)
         val cents = spark.read.parquet(trained2Path(spark, dir))
           .select(col("c1"), col("scid"), col("cv"))
-        assignRow(coarseAssigned(spark, dir), cents)
-          .join(SimOps.embeddings(spark, dir), Seq("vec_id"))
-          .select(col("vec_id"), col("embedding"), col("scid"), col("dist"),
-            col("c1"))
-          .write.mode("overwrite").partitionBy("c1").parquet(p)
+        layoutWrite(
+          assignRow(coarseAssigned(spark, dir), cents)
+            .join(SimOps.embeddings(spark, dir), Seq("vec_id"))
+            .select(col("vec_id"), col("embedding"), col("scid"), col("dist"),
+              col("c1")),
+          "c1", SimOps.embeddings(spark, dir).count(), p, subCols = Seq("scid"))
         p
       })
+
+  /** ONE file-sizing discipline for every cell-partitioned sim layout
+    * (two-level, flat IVF, SQ8/PQ codes, LSH buckets): concentrate each
+    * partition-column value into few tasks (`repartition` on the column —
+    * without it, every upstream task writes a sliver into every cell dir
+    * and file count grows as tasks × cells, linear in the corpus), then
+    * cap file length with the SAME corpus-adaptive row budget as the pc
+    * layouts ([[graft.pc.Layout.adaptiveBatchSize]]: ~256 files until
+    * the 512Ki-row cluster-scale cap takes over). File count is thereby
+    * bounded by shuffle-width × cells (constant in the corpus) until the
+    * row cap splits on data VOLUME — never growing with upstream task
+    * count. `subCols` adds finer deterministic keys (e.g. the leaf id)
+    * so a layout with FEW partition values still writes shuffle-wide. */
+  private[sim] def layoutWrite(df: DataFrame, partCol: String, rows: Long,
+      path: String, subCols: Seq[String] = Nil): Unit =
+    df.repartition((partCol +: subCols).map(col): _*)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", graft.pc.Layout.adaptiveBatchSize(rows))
+      .partitionBy(partCol).parquet(path)
 
   /** The materialized assignment + embeddings, read back from the
     * layout artifact — the INDEX-CONSUMER path for the production
@@ -754,6 +781,13 @@ object Ivf2 {
       }
       override def visitFileFailed(f: Path, e: java.io.IOException) =
         FileVisitResult.CONTINUE // vanished mid-walk: not a data file
+      // the default rethrows a non-null IOException — but a DIRECTORY
+      // whose iteration failed mid-walk (vanished concurrently, e.g. a
+      // partition dir the sink is renaming) holds no observable data
+      // files either, and the doc contract above is that a concurrent
+      // commit can never fail a reader
+      override def postVisitDirectory(d: Path, e: java.io.IOException) =
+        FileVisitResult.CONTINUE
     })
     found
   }
@@ -936,16 +970,15 @@ object Ivf2 {
         val split = appendSplit(spark, dir)
         def tmp(tag: String) = graft.DatasetCache.registerTempDir(
           java.nio.file.Files.createTempDirectory(s"graft_ivf2_lc_$tag").toString)
+        val half = SimOps.embeddings(spark, dir).count() / 2
         val base = tmp("base")
-        assignFrozenFull(
+        layoutWrite(assignFrozenFull(
           SimOps.embeddings(spark, dir).filter(col("vec_id") < split),
-          coarse, cents)
-          .write.mode("overwrite").partitionBy("c1").parquet(base)
+          coarse, cents), "c1", half, base, subCols = Seq("scid"))
         val delta = tmp("delta")
-        assignFrozenFull(
+        layoutWrite(assignFrozenFull(
           SimOps.embeddings(spark, dir).filter(col("vec_id") >= split),
-          coarse, cents)
-          .write.mode("overwrite").partitionBy("c1").parquet(delta)
+          coarse, cents), "c1", half, delta, subCols = Seq("scid"))
         // the kill-list: SemDedup's dominance rule over the UNION
         // assignment — vectors meet within their (c1, scid) leaf only,
         // ordered by (dist-to-frozen-sub-centroid, vec_id); ONE shared

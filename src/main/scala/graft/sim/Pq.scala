@@ -130,9 +130,10 @@ object Pq {
         java.nio.file.Files.createTempDirectory("graft_pq_codes").toString)
       val withCell = encoded(spark, dir).withColumn("cid",
         Ivf.nearest(Ivf.trainCached(spark, dir)).getField("cid"))
-      withCell
-        .select(col("vec_id") +: (0 until M).map(m => col(s"code_$m")) :+ col("cid"): _*)
-        .write.mode("overwrite").partitionBy("cid").parquet(path)
+      Ivf2.layoutWrite(
+        withCell.select(
+          col("vec_id") +: (0 until M).map(m => col(s"code_$m")) :+ col("cid"): _*),
+        "cid", SimOps.embeddings(spark, dir).count(), path)
       path
     })
 

@@ -203,13 +203,35 @@ object SimOps {
     * construction. */
   val LabelPairCap: Int = 1000
 
+  /** Truncation DIAGNOSTIC for [[LabelPairCap]]: the labels whose
+    * membership exceeds the cap, i.e. exactly the labels where
+    * [[topPairsWithinLabel]]'s "exact all-pairs" baseline has silently
+    * become a bounded-prefix baseline (the true top pair may involve a
+    * truncated vector). Empty at every canonical SF (max per-label
+    * count is 218 at sf0.1, spec-pinned) — a future larger canonical
+    * fixture that crosses the cap is caught by the spec AND by the
+    * warning [[topPairsWithinLabel]] emits per invocation, instead of
+    * silently shifting from exact to truncated. */
+  def labelCapOverflow(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir).groupBy("label")
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > LabelPairCap)
+
   /** Most-similar pairs, restricted to equal `label` (the coarse-quantizer
     * cell): the O(n^2) blow-up is bounded per cell and the join
     * co-partitions on the label key, with per-label membership bounded
     * at [[LabelPairCap]] (deterministic vec_id-order prefix; identical
-    * clause in the oracle). */
+    * clause in the oracle). Caps that actually TRUNCATE are not silent:
+    * one cheap label-count scan (columnar, label column only — noise
+    * next to the in-cell quadratic) warns when any label exceeds the
+    * cap ([[labelCapOverflow]] lists the offenders). */
   def topPairsWithinLabel(k: Int)(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val over = labelCapOverflow(spark, dir).count()
+    if (over > 0) System.err.println(
+      s"simops: topPairsWithinLabel truncating $over label(s) past " +
+        s"LabelPairCap=$LabelPairCap — the exact baseline is a bounded " +
+        "vec_id-order prefix for those labels (labelCapOverflow lists them)")
     val byLabel = Window.partitionBy("label").orderBy("vec_id")
     val e = embeddings(spark, dir)
       .withColumn("lrn", row_number().over(byLabel))
@@ -393,14 +415,15 @@ object SimOps {
     ()
   }
 
-  private def annLayoutPath(spark: SparkSession, dir: String): String =
+  private[graft] def annLayoutPath(spark: SparkSession, dir: String): String =
     annLayoutCache.computeIfAbsent(
       graft.DatasetCache.snapshotKey(spark, dir, "embeddings.parquet"), { _ =>
       val path = graft.DatasetCache.registerTempDir(
         java.nio.file.Files.createTempDirectory("graft_ann_layout").toString)
-      embeddings(spark, dir)
-        .select(col("vec_id"), col("embedding"), bucketCol(col("embedding")).as("bucket"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(path)
+      Ivf2.layoutWrite(
+        embeddings(spark, dir).select(col("vec_id"), col("embedding"),
+          bucketCol(col("embedding")).as("bucket")),
+        "bucket", embeddings(spark, dir).count(), path)
       path
     })
 

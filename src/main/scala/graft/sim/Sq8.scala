@@ -293,10 +293,11 @@ object Sq8 {
         val path = graft.DatasetCache.registerTempDir(
           java.nio.file.Files.createTempDirectory("graft_sq8_codes").toString)
         val (mns, rngs, _) = trainCached(spark, dir)
-        Ivf.quantized(spark, dir).select(col("vec_id"),
+        Ivf2.layoutWrite(
+          Ivf.quantized(spark, dir).select(col("vec_id"),
             cdExpr(mns, rngs).as("cd"),
-            Ivf.nearest(Ivf.trainCached(spark, dir)).getField("cid").as("cid"))
-          .write.mode("overwrite").partitionBy("cid").parquet(path)
+            Ivf.nearest(Ivf.trainCached(spark, dir)).getField("cid").as("cid")),
+          "cid", SimOps.embeddings(spark, dir).count(), path)
         path
       })
 

@@ -95,18 +95,34 @@ object EmbedStream {
     // zero files, which cannot infer a schema and would crash a live
     // base ∪ delta search. The sink's own log (FileStreamSinkLog) is
     // the one reader of record; a corrupt log still fails loudly here.
-    val committedEmpty =
-      !Ivf2.hasVisibleDataFile(root) ||
-        (java.nio.file.Files.isDirectory(meta) && {
-          import org.apache.spark.sql.execution.streaming.sinks.FileStreamSinkLog
-          new FileStreamSinkLog(FileStreamSinkLog.VERSION, spark,
-            meta.toString).allFiles().isEmpty
-        })
-    if (committedEmpty)
-      spark.range(0).select(col("id").as("vec_id"),
-        expr("CAST(array() AS array<float>)").as("embedding"),
-        col("id").as("scid"), col("id").as("dist"), col("id").as("c1"))
-    else Ivf2.readSegment(spark, path) // the ONE segment row contract
+    // The log is consulted FIRST: when it lists committed files, the
+    // visible-data-file probe is a CROSS-CHECK, not a short-circuit — a
+    // segment whose log names committed files but whose data files are
+    // gone (partial copy, external deletion) must fail loudly, not read
+    // as an empty delta that silently drops the whole segment from a
+    // composed search.
+    val committedNonEmpty: Option[Boolean] =
+      if (!java.nio.file.Files.isDirectory(meta)) None
+      else {
+        import org.apache.spark.sql.execution.streaming.sinks.FileStreamSinkLog
+        Some(new FileStreamSinkLog(FileStreamSinkLog.VERSION, spark,
+          meta.toString).allFiles().nonEmpty)
+      }
+    def emptySegment = spark.range(0).select(col("id").as("vec_id"),
+      expr("CAST(array() AS array<float>)").as("embedding"),
+      col("id").as("scid"), col("id").as("dist"), col("id").as("c1"))
+    committedNonEmpty match {
+      case Some(true) =>
+        require(Ivf2.hasVisibleDataFile(root),
+          s"delta segment $path: the sink's commit log lists committed " +
+            "files but no visible data file exists — partial copy or " +
+            "external deletion; refusing to read a truncated segment as empty")
+        Ivf2.readSegment(spark, path) // the ONE segment row contract
+      case Some(false) => emptySegment // log present, zero files committed
+      case None => // no sink log: a batch-written (or still file-less) dir
+        if (Ivf2.hasVisibleDataFile(root)) Ivf2.readSegment(spark, path)
+        else emptySegment
+    }
   }
 
   /** FOLD a delta segment into the base layout WITHOUT retraining — the
@@ -137,7 +153,14 @@ object EmbedStream {
     *
     * The delta segment is CONSUMED (directory removed): its rows now
     * live in the base, and a reader unioning base with a stale segment
-    * would double-count. Fold only a STOPPED ingest's segment; the next
+    * would double-count. A segment whose ingest committed ZERO rows is
+    * consumed too (its sink commit log proves it is a retired segment);
+    * only a bare directory with no commit log — not provably a
+    * segment — is left in place as the identity fold. A delta row whose
+    * vec_id already exists in the base with a DIFFERENT payload is an
+    * id collision, not a crash-recovery re-land, and the fold fails
+    * rather than silently dropping it. Fold only a STOPPED ingest's
+    * segment; the next
     * ingest epoch starts a fresh segment + checkpoint (a restarted
     * query against the old checkpoint would re-create the dir and
     * re-land only post-fold batches — the committed offsets live in the
@@ -177,9 +200,33 @@ object EmbedStream {
       def baseCells = Ivf2.readSegment(spark, basePath)
         .filter(col("c1").isin(cells: _*)) // file-pruned to affected dirs
       // idempotence: drop delta rows a crashed previous fold already
-      // landed (vec_id is unique across the index's life)
-      val fresh = delta.join(baseCells.select("vec_id"), Seq("vec_id"),
-        "left_anti").localCheckpoint(true)
+      // landed (vec_id is unique across the index's life). ONE left
+      // join serves both the fresh-row split and the relanded-row
+      // ACCOUNTING: a dropped row whose base payload matches is the
+      // crash-recovery no-op this anti-join exists for, but a dropped
+      // row whose payload DIFFERS is an id collision (update-semantics
+      // ingest, or a duplicate-id bug) — consuming the segment there
+      // would silently discard data, so it fails instead.
+      val joined = delta.join(
+        baseCells.select(col("vec_id"), col("embedding").as("b_embedding"),
+          col("scid").as("b_scid"), col("dist").as("b_dist"),
+          col("c1").as("b_c1")),
+        Seq("vec_id"), "left_outer").localCheckpoint(true)
+      val relanded = joined.filter(col("b_scid").isNotNull)
+      val mismatched = relanded.filter(
+        col("c1") =!= col("b_c1") || col("scid") =!= col("b_scid") ||
+          col("dist") =!= col("b_dist") ||
+          col("embedding") =!= col("b_embedding")).count()
+      if (mismatched > 0) throw new IllegalStateException(
+        s"foldDelta: $mismatched delta row(s) collide on vec_id with base " +
+          s"rows whose payload DIFFERS ($deltaPath into $basePath) — not a " +
+          "crash-recovery re-land; refusing to drop them and consume the segment")
+      val nRelanded = relanded.count()
+      if (nRelanded > 0) System.err.println(
+        s"foldDelta: skipping $nRelanded delta row(s) already in the base " +
+          s"(payload-identical — a crashed previous fold's re-land)")
+      val fresh = joined.filter(col("b_scid").isNull)
+        .select(delta.columns.map(col): _*)
       if (fresh.head(1).nonEmpty) {
         if (!compact)
           fresh.write.mode("append").partitionBy("c1").parquet(basePath)
@@ -193,6 +240,16 @@ object EmbedStream {
             .partitionBy("c1").parquet(basePath)
         }
       }
+      Ivf2.deleteTree(java.nio.file.Paths.get(deltaPath))
+    } else if (java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(deltaPath, "_spark_metadata"))) {
+      // a stopped ingest that committed ZERO rows is still a RETIRED
+      // segment — the sink's commit log proves an ingest owned this dir,
+      // and leaving it would leak the directory forever (the one
+      // lifecycle verb whose "consumed" postcondition would otherwise
+      // have a silent exception). A bare directory WITHOUT a commit log
+      // is not provably a segment (it may be a caller's mistyped or
+      // pre-created path), so the identity fold leaves it alone.
       Ivf2.deleteTree(java.nio.file.Paths.get(deltaPath))
     }
     cells

@@ -171,6 +171,8 @@ class FoldDeltaSpec extends SparkSpec {
     val pre = fileSet(base)
     assert(EmbedStream.foldDelta(spark, base, empty).isEmpty)
     assert(fileSet(base) == pre)
+    // a bare directory carries NO sink commit log, so it is not provably
+    // a retired segment — the identity fold must not delete it
     assert(Files.exists(Paths.get(empty)), "identity fold must not consume")
 
     val seg = Files.createTempDirectory("fold_streambase")
@@ -178,5 +180,118 @@ class FoldDeltaSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       EmbedStream.foldDelta(spark, seg.toString, empty)
     }
+  }
+
+  test("a zero-row ingest's segment is still consumed by the fold") {
+    // a stopped ingest whose micro-batches committed ZERO rows (every
+    // row filtered out) leaves a segment dir whose commit log proves an
+    // ingest owned it — the fold must retire it like any other segment,
+    // or it leaks forever (r11 verdict item 4)
+    import scala.jdk.CollectionConverters._
+    val n = SimOps.embeddings(spark, sf0001).count()
+    val (coarse, cents) = Ivf2.appendCodebooks(spark, sf0001)
+    val (base, _) = buildBaseAndDelta()
+
+    val newHalf = SimOps.embeddings(spark, sf0001)
+      .filter(col("vec_id") >= n / 2).select("vec_id", "embedding")
+    val src = Files.createTempDirectory("fold_zsrc")
+    val stage = Files.createTempDirectory("fold_zstage")
+    newHalf.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = Files.list(stage).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+    Files.move(part, src.resolve("wave0.parquet"), StandardCopyOption.ATOMIC_MOVE)
+    val seg = Files.createTempDirectory("fold_zseg").toString
+    val ckpt = Files.createTempDirectory("fold_zckpt").toString
+    val q = EmbedStream.startIndexIngest(
+      spark.readStream.schema(newHalf.schema).parquet(src.toString)
+        .filter(col("vec_id") < 0), // every row filtered: zero-row commits
+      coarse, cents, seg, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    assert(Files.isDirectory(Paths.get(seg, "_spark_metadata")),
+      "fixture regression: the sink left no commit log")
+
+    val pre = fileSet(base)
+    assert(EmbedStream.foldDelta(spark, base, seg).isEmpty)
+    assert(fileSet(base) == pre, "zero-row fold must not touch the base")
+    assert(!Files.exists(Paths.get(seg)),
+      "a committed-empty segment must be consumed, not leaked")
+  }
+
+  test("a delta row colliding on vec_id with a DIFFERENT base payload fails the fold") {
+    val (base, delta) = buildBaseAndDelta()
+    EmbedStream.foldDelta(spark, base, delta) // absorb the honest delta
+    val once = rows(base)
+    // forge a conflicting segment: one vec_id the base already holds,
+    // with a different assignment payload — update semantics or a
+    // duplicate-id ingest bug, NOT a crash-recovery re-land
+    val victim = spark.read.parquet(base)
+      .withColumn("c1", col("c1").cast("long"))
+      .select("vec_id", "embedding", "scid", "dist", "c1")
+      .orderBy("vec_id").limit(1)
+      .withColumn("dist", col("dist") + 1L)
+    val forged = Files.createTempDirectory("fold_forged").toString
+    victim.write.mode("overwrite").partitionBy("c1").parquet(forged)
+    val ex = intercept[IllegalStateException] {
+      EmbedStream.foldDelta(spark, base, forged)
+    }
+    assert(ex.getMessage.contains("payload DIFFERS"))
+    assert(rows(base) == once, "failed fold must not modify the base")
+    assert(Files.exists(Paths.get(forged)),
+      "failed fold must not consume the segment")
+  }
+
+  /** The fold × DV composition (r11 verdict item 3): a deletion-vector
+    * sidecar derived while the delta segment was live must stay valid
+    * across a compact fold — compact mode preserves c1 partition keys
+    * and vec_ids, and the DV is vec_id-keyed, so (a) the anti-joined
+    * search over the folded base equals the pre-fold base ∪ delta − DV
+    * search, and (b) the sidecar still APPLIES physically
+    * ([[graft.sim.Ivf2.compactDeletes]] on the folded base removes
+    * exactly the killed rows). */
+  test("fold × DV: a pre-fold sidecar stays valid across a compact fold and still applies") {
+    val (base, delta) = buildBaseAndDelta()
+    def readBase() = spark.read.parquet(base)
+      .withColumn("c1", col("c1").cast("long"))
+      .select("vec_id", "embedding", "scid", "dist", "c1")
+    val union = readBase().unionByName(EmbedStream.deltaSegment(spark, delta))
+    val unionIds = union.select("vec_id").collect().map(_.getLong(0)).toSet
+    val n = SimOps.embeddings(spark, sf0001).count()
+
+    // kill-list drawn from BOTH segments AND from the live top-10 (so
+    // the DV provably changes the search), written as the sidecar shape
+    val noDv = topk(union)
+    val kill = noDv.map(_._1).take(3).toSet ++
+      unionIds.filter(_ % 7 == 3)
+    assert(kill.exists(_ < n / 2) && kill.exists(_ >= n / 2),
+      "fixture regression: kill-list must span base and delta")
+    val dvPath = Files.createTempDirectory("fold_dv").toString
+    union.filter(col("vec_id").isInCollection(kill))
+      .select("vec_id", "scid", "c1")
+      .write.mode("overwrite").partitionBy("c1").parquet(dvPath)
+
+    def dvIds = spark.read.parquet(dvPath).select("vec_id")
+    val pre = topk(union.join(dvIds, Seq("vec_id"), "left_anti"))
+    assert(pre != noDv, "fixture regression: DV did not change the top-k")
+
+    EmbedStream.foldDelta(spark, base, delta, compact = true)
+
+    // (a) the anti-joined search over the folded base ≡ pre-fold
+    val post = topk(readBase().join(dvIds, Seq("vec_id"), "left_anti"))
+    assert(post == pre, "fold changed the DV-composed search result")
+    assert(post.forall(p => !kill(p._1)), "killed id in post-fold result")
+    // the DV's c1 keys still name existing base partition dirs
+    spark.read.parquet(dvPath).select(col("c1").cast("long"))
+      .distinct().collect().map(_.getLong(0)).foreach { c =>
+        assert(Files.isDirectory(Paths.get(base, s"c1=$c")),
+          s"DV cell c1=$c no longer exists in the folded base")
+      }
+    // (b) the sidecar still applies PHYSICALLY: compacting the folded
+    // base removes exactly the killed rows, and the search is unchanged
+    Ivf2.compactDeletes(spark, base, dvPath)
+    val live = rows(base).map(_._1).toSet
+    assert(live == unionIds -- kill,
+      "compactDeletes after the fold did not remove exactly the killed rows")
+    assert(topk(readBase()) == pre)
   }
 }

@@ -88,6 +88,44 @@ class SidecarRobustnessSpec extends SparkSpec {
     assert(EmbedStream.deltaSegment(spark, seg.toString).count() == 0)
   }
 
+  test("a commit log listing committed files with the data files GONE fails loudly") {
+    // the inverse of the two cases above: the sink's log names committed
+    // files but no visible data file exists (partial copy, external
+    // deletion) — reading that as an empty delta would silently drop the
+    // whole segment from a composed search (r11 advice item 1)
+    import scala.jdk.CollectionConverters._
+    val stage = Files.createTempDirectory("robust_gone_stage")
+    val src = Files.createTempDirectory("robust_gone_src")
+    val rows = spark.range(2).select(col("id").as("vec_id"),
+      expr("CAST(array(1.0, 2.0) AS array<float>)").as("embedding"),
+      col("id").as("scid"), col("id").as("dist"), col("id").as("c1"))
+    rows.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = Files.list(stage).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+    Files.move(part, src.resolve("wave0.parquet"))
+    val seg = Files.createTempDirectory("robust_gone_seg")
+    val ckpt = Files.createTempDirectory("robust_gone_ckpt")
+    val q = spark.readStream.schema(rows.schema).parquet(src.toString)
+      .writeStream.format("parquet").option("path", seg.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .partitionBy("c1").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    assert(EmbedStream.deltaSegment(spark, seg.toString).count() == 2)
+    // externally delete every committed DATA file; the log survives
+    val walk = Files.walk(seg)
+    try walk.iterator().asScala.toSeq
+      .filter(p => Files.isRegularFile(p) &&
+        seg.relativize(p).iterator().asScala.forall(s =>
+          Ivf2.isVisibleName(s.toString)))
+      .foreach(Files.delete)
+    finally walk.close()
+    val e = intercept[IllegalArgumentException] {
+      EmbedStream.deltaSegment(spark, seg.toString)
+    }
+    assert(e.getMessage.contains("refusing to read a truncated segment"))
+  }
+
   test("foldDelta refuses base == delta under path aliasing") {
     val base = Files.createTempDirectory("robust_selffold_base")
     spark.range(2).select(col("id").as("vec_id"),
