@@ -183,23 +183,34 @@ object Ivf2 {
       })
 
   /** ONE file-sizing discipline for every cell-partitioned sim layout
-    * (two-level, flat IVF, SQ8/PQ codes, LSH buckets): concentrate each
-    * partition-column value into few tasks (`repartition` on the column —
-    * without it, every upstream task writes a sliver into every cell dir
-    * and file count grows as tasks × cells, linear in the corpus), then
-    * cap file length with the SAME corpus-adaptive row budget as the pc
-    * layouts ([[graft.pc.Layout.adaptiveBatchSize]]: ~256 files until
-    * the 512Ki-row cluster-scale cap takes over). File count is thereby
-    * bounded by shuffle-width × cells (constant in the corpus) until the
-    * row cap splits on data VOLUME — never growing with upstream task
-    * count. `subCols` adds finer deterministic keys (e.g. the leaf id)
-    * so a layout with FEW partition values still writes shuffle-wide. */
+    * (two-level, flat IVF, SQ8/PQ codes, LSH buckets): range-partition
+    * on (partition column, `subCols`) into `ceil(rows / budget)` tasks,
+    * where budget is the SAME corpus-adaptive row cap as the pc layouts
+    * ([[graft.pc.Layout.adaptiveBatchSize]]: ~256 files until the
+    * 512Ki-row cluster-scale cap takes over). Range partitioning keeps
+    * each cell's rows CONTIGUOUS across tasks, so total file count is
+    * ≈ max(cells, rows/budget) + boundary spill — proportional to data
+    * VOLUME, never to task count (an unrepartitioned `partitionBy`
+    * writes tasks × cells files, linear in the corpus; a fixed-width
+    * HASH repartition on fine keys writes width × cells — both were
+    * measured at 100×: ann 3735 files pre-discipline, ivf2 1024 under
+    * the hash spelling this replaces). Write parallelism is data-sized
+    * too: one task at toy SFs, up to 4096 at cluster scale.
+    * `sortWithinPartitions` on the same keys clusters each file by
+    * `subCols` (e.g. the leaf id), so parquet min/max stats prune
+    * probed leaves WITHIN a cell dir. */
   private[sim] def layoutWrite(df: DataFrame, partCol: String, rows: Long,
-      path: String, subCols: Seq[String] = Nil): Unit =
-    df.repartition((partCol +: subCols).map(col): _*)
+      path: String, subCols: Seq[String] = Nil): Unit = {
+    val budget = graft.pc.Layout.adaptiveBatchSize(rows)
+    val nParts = math.max(1L, math.min(
+      (rows + budget - 1) / budget, 4096L)).toInt
+    val keys = (partCol +: subCols).map(col)
+    df.repartitionByRange(nParts, keys: _*)
+      .sortWithinPartitions(keys: _*)
       .write.mode("overwrite")
-      .option("maxRecordsPerFile", graft.pc.Layout.adaptiveBatchSize(rows))
+      .option("maxRecordsPerFile", budget)
       .partitionBy(partCol).parquet(path)
+  }
 
   /** The materialized assignment + embeddings, read back from the
     * layout artifact — the INDEX-CONSUMER path for the production
