@@ -340,8 +340,22 @@ object PcQueries {
   def cellCov(spark: SparkSession, dir: String): DataFrame = {
     val d38 = "decimal(38,0)"
     def m(c: String) = round(col(c) * 1000).cast(LongType)
-    def sq(a: Column, b: Column) =
-      sum(a.cast(d38) * b.cast(d38)).cast(d38).cast("string")
+    // Exact int64-split second moments (r12): summing the products as
+    // decimal(38,0) ran every row through the slow wide-decimal path
+    // inside the aggregate. Each product of milli-unit coords is
+    // NON-NEGATIVE and < 10^12 (m ∈ [0, 10^6)), so splitting it at 2^20
+    // into (hi = prod >> 20 < 9.6e5, lo = prod & (2^20-1) < 2^20) keeps
+    // both per-cell LONG sums exact up to ~8.8e12 rows per cell — orders
+    // of magnitude above a 100 TB corpus spread over the fixed 40×40
+    // cell domain (and the 2×-margin guard below fails loudly first).
+    // The wide-decimal recombine hi·2^20 + lo runs once per GROUP, not
+    // per row, and emits the identical canonical integer string.
+    val mask = (1L << 20) - 1
+    def hiS(a: Column, b: Column) = sum(shiftright(a * b, 20))
+    def loS(a: Column, b: Column) = sum((a * b).bitwiseAND(lit(mask)))
+    def rec(hi: String, lo: String) =
+      (col(hi).cast(d38) * lit(1L << 20) + col(lo).cast(d38))
+        .cast(d38).cast("string")
     points(spark, dir)
       .select(floor(col("x") / 125.0).cast(LongType).as("cx"),
         floor(col("y") / 125.0).cast(LongType).as("cy"),
@@ -349,12 +363,24 @@ object PcQueries {
       .groupBy("cx", "cy")
       .agg(count(lit(1)).as("n"),
         sum("mx").as("sx"), sum("my").as("sy"), sum("mz").as("sz"),
-        sq(col("mx"), col("mx")).as("sxx"),
-        sq(col("my"), col("my")).as("syy"),
-        sq(col("mz"), col("mz")).as("szz"),
-        sq(col("mx"), col("my")).as("sxy"),
-        sq(col("mx"), col("mz")).as("sxz"),
-        sq(col("my"), col("mz")).as("syz"))
+        hiS(col("mx"), col("mx")).as("hxx"), loS(col("mx"), col("mx")).as("lxx"),
+        hiS(col("my"), col("my")).as("hyy"), loS(col("my"), col("my")).as("lyy"),
+        hiS(col("mz"), col("mz")).as("hzz"), loS(col("mz"), col("mz")).as("lzz"),
+        hiS(col("mx"), col("my")).as("hxy"), loS(col("mx"), col("my")).as("lxy"),
+        hiS(col("mx"), col("mz")).as("hxz"), loS(col("mx"), col("mz")).as("lxz"),
+        hiS(col("my"), col("mz")).as("hyz"), loS(col("my"), col("mz")).as("lyz"))
+      // per-cell row-count guard: the hi/lo long sums are exact while
+      // n < 2^63 / max(per-row term) ≈ 8.8e12; assert at half that so an
+      // overflow can never silently truncate (assert_true is NULL on
+      // pass, so the coalesce keeps it inside a kept column)
+      .select(col("cx"), col("cy"),
+        (col("n") + coalesce(assert_true(col("n") < (1L << 42),
+          lit("cellCov: per-cell row count would overflow the int64 " +
+            "split-sum accumulators")).cast(LongType), lit(0L))).as("n"),
+        col("sx"), col("sy"), col("sz"),
+        rec("hxx", "lxx").as("sxx"), rec("hyy", "lyy").as("syy"),
+        rec("hzz", "lzz").as("szz"), rec("hxy", "lxy").as("sxy"),
+        rec("hxz", "lxz").as("sxz"), rec("hyz", "lyz").as("syz"))
       .orderBy("cx", "cy")
   }
 
@@ -398,10 +424,17 @@ object PcQueries {
         floor(col("y") / 25.0).cast(LongType).as("cy"))
       .agg(count(lit(1)).as("c"))
     val tot = g.agg(sum("c").as("t"), count(lit(1)).as("occ"))
+    // localCheckpoint (r12): core feeds both adjacency joins (2×2 sides),
+    // the CC label pass, and the final relabel — without materialization
+    // the point-bucketing scan replicated 4× in the plan and the CC loop
+    // re-derived it again. The relation is BOUNDED by construction
+    // (≤ 40×40 cells of the fixed [0,1000)² domain at any SF), so the
+    // checkpoint is metadata-sized; it stays inside the timed query.
     val core = g.crossJoin(broadcast(tot)) // 1-row scalar: bounded hint
       .filter(col("c") * 10 * col("occ") >= col("t") * 11)
       .select(col("cx"), col("cy"), (col("cx") * 1000 + col("cy")).as("id"),
         col("c"))
+      .localCheckpoint(false)
     val right = core.select(col("id").as("d2"), col("cx"), col("cy"))
     val edges = core
       .join(right.withColumn("cx", col("cx") - 1), Seq("cx", "cy"))
@@ -409,16 +442,22 @@ object PcQueries {
       .unionByName(core
         .join(right.withColumn("cy", col("cy") - 1), Seq("cx", "cy"))
         .select(col("id").as("d1"), col("d2")))
+    // boundedLabels: the node relation is the core-cell set, ≤ 40×40 by
+    // the fixed [0,1000)² domain / 25.0 grid — a plan-time constant, so
+    // the per-round broadcast is bounded at ANY corpus size
     val labels = graft.text.TextOps.connectedComponents(
-      edges.select(col("d1"), col("d2")))._1
+      edges.select(col("d1"), col("d2")), boundedLabels = true)._1
       .withColumnRenamed("doc_id", "id").withColumnRenamed("lbl", "region")
-    val lab = core.join(labels, Seq("id"), "left")
+    // labels and sizes inherit the same ≤ 40×40 bound as core: hint the
+    // relabel/size joins broadcast so no exchange survives past the one
+    // point-bucketing aggregation
+    val lab = core.join(broadcast(labels), Seq("id"), "left")
       .select(col("cx"), col("cy"),
         coalesce(col("region"), col("id")).as("region"),
         col("c").as("n_points"))
     // region-size window over the bounded cell relation
     val sizes = lab.groupBy("region").agg(count(lit(1)).as("region_size"))
-    lab.join(sizes, Seq("region"))
+    lab.join(broadcast(sizes), Seq("region"))
       .select(col("cx"), col("cy"), col("region"), col("region_size"),
         col("n_points"))
       .orderBy("cx", "cy")

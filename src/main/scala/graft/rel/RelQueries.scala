@@ -1463,17 +1463,31 @@ object RelQueries {
     * (distinct, both join sides, pair count) — measured 1.74 s vs
     * 0.5 s for this shape at sf0.1. */
   def copurchase(k: Int)(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "lineitem")
-      .groupBy("l_orderkey")
-      .agg(collect_set(col("l_partkey")).as("parts"))
-      .select(explode(col("parts")).as("p1"), col("parts"))
-      .select(col("p1"), explode(col("parts")).as("p2"))
-      .filter(col("p1") < col("p2"))
+    basketPairs(spark, dir)
       .groupBy("p1", "p2")
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= CopurchaseSupport)
       .orderBy(col("cnt").desc, col("p1").asc, col("p2").asc)
       .limit(k)
+
+  /** Canonical (p1 < p2) part pairs per order basket — the shared mining
+    * step of [[copurchase]], [[triangles]] (and the directed variant in
+    * [[assocRules]]). Baskets are SORTED once per order and the second
+    * explode walks only the strict tail (`slice` from the next element),
+    * so exactly the n·(n−1)/2 ordered pairs materialize — half the rows
+    * of the explode-both-then-filter spelling (r12; the pair relation is
+    * what the downstream aggregation shuffles, so generated-row count is
+    * the real unit). The per-basket sort is bounded by basket size (≤
+    * order line count); both Generates sit ABOVE the basket aggregate,
+    * so no per-corpus-row interpreted work is introduced. */
+  private def basketPairs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      .select(posexplode(col("parts")).as(Seq("i", "p1")), col("parts"))
+      .select(col("p1"),
+        explode(slice(col("parts"), col("i") + lit(2), size(col("parts"))))
+          .as("p2"))
 
   def copurchaseSql(k: Int): String =
     s"""WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
@@ -1497,15 +1511,23 @@ object RelQueries {
     * keyed aggregation of the distinct (order, part) relation; the two
     * metric joins key on part ids — unhinted, item counts are
     * catalog-sized (AQE decides). The 1-row total-orders scalar rides a
-    * bounded broadcast. */
+    * bounded broadcast.
+    *
+    * ONE corpus pass (r12): itemN and total are DERIVED from the same
+    * basket aggregation the pair explode consumes — exploding a basket
+    * yields exactly the distinct (order, part) relation, and the basket
+    * count IS countDistinct(l_orderkey) — so the basket exchange is
+    * built once and reused by all three branches (ReuseExchange)
+    * instead of lineitem being scanned 4× (basket build + two distinct
+    * passes + the countDistinct pass, 12 exchanges → 5). */
   def assocRules(spark: SparkSession, dir: String): DataFrame = {
-    val d = t(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val itemN = d.groupBy(col("l_partkey").as("p")).agg(count(lit(1)).as("n"))
-    val total = d.select(countDistinct("l_orderkey").as("total"))
-    val pairs = t(spark, dir, "lineitem")
+    val baskets = t(spark, dir, "lineitem")
       .groupBy("l_orderkey")
       .agg(collect_set(col("l_partkey")).as("parts"))
+    val itemN = baskets.select(explode(col("parts")).as("p"))
+      .groupBy("p").agg(count(lit(1)).as("n"))
+    val total = baskets.agg(count(lit(1)).as("total"))
+    val pairs = baskets
       .select(explode(col("parts")).as("a"), col("parts"))
       .select(col("a"), explode(col("parts")).as("b"))
       .filter(col("a") =!= col("b")) // both directions: a→b and b→a
@@ -1558,16 +1580,24 @@ object RelQueries {
     * no hints, AQE picks strategies; output is triangle-proportional by
     * definition. */
   def triangles(spark: SparkSession, dir: String): DataFrame = {
-    val e = t(spark, dir, "lineitem")
-      .groupBy("l_orderkey")
-      .agg(collect_set(col("l_partkey")).as("parts"))
-      .select(explode(col("parts")).as("p1"), col("parts"))
-      .select(col("p1"), explode(col("parts")).as("p2"))
-      .filter(col("p1") < col("p2"))
+    // localCheckpoint (r12): `e` feeds deg (twice, via the union) and the
+    // edge relation, and `oriented` feeds all three wedge-join arms —
+    // composed, the basket-mining subtree replicated 15× in the physical
+    // plan (a 261-node plan; ReuseExchange dedupes the shuffles but every
+    // post-exchange final aggregate and the planner itself re-ran per
+    // copy). Materializing the two edge-sized intermediates truncates the
+    // plan to ONE mining pass + a 3-relation join over checkpointed
+    // blocks (guide §3.3: wide reuse of one subtree → materialize it).
+    // Both relations are support-filtered EDGE sets — far smaller than
+    // lineitem at any scale — and the checkpoint work stays inside the
+    // timed query (eager, recomputed per invocation; nothing persists
+    // across runs).
+    val e = basketPairs(spark, dir)
       .groupBy("p1", "p2")
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= CopurchaseSupport)
       .select("p1", "p2")
+      .localCheckpoint()
     val deg = e.select(col("p1").as("p"))
       .unionByName(e.select(col("p2").as("p")))
       .groupBy("p").agg(count(lit(1)).as("deg"))
@@ -1579,6 +1609,7 @@ object RelQueries {
     val oriented = ed.select(
       when(fwd, col("p1")).otherwise(col("p2")).as("u"),
       when(fwd, col("p2")).otherwise(col("p1")).as("v"))
+      .localCheckpoint()
     // triangle {a,b,c} ordered by (deg,id) has oriented edges a→b, a→c,
     // b→c: join wedges at the pivot, then close on the (x,z) edge
     val e1 = oriented.select(col("u").as("x"), col("v").as("y"))

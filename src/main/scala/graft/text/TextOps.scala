@@ -1113,7 +1113,19 @@ object TextOps {
     * checkpoint), instead of a separate change-count join. Sum unchanged
     * means neither step changed any label, i.e. plain propagation is at
     * its fixpoint too: labels are exact component minima. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
+  /** @param boundedLabels caller-asserted claim that the NODE relation is
+    *   bounded by a plan-time constant (not by data size) — e.g.
+    *   [[graft.pc.PcQueries.cellRegions]]'s ≤ 40×40 fixed-domain grid
+    *   cells. When true the per-round label relations carry a broadcast
+    *   hint, so every propagation/halving round is a map-side join with
+    *   ZERO exchanges instead of an AQE-planned shuffle pair (the r12
+    *   measurement: the rounds, not the point-bucketing scan, dominated
+    *   cell_regions). Corpus-scale callers (dup clusters) MUST leave it
+    *   false: their node relation is unbounded and a forced broadcast
+    *   would OOM where the unhinted join degrades gracefully. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50,
+      boundedLabels: Boolean = false): (DataFrame, Int) = {
+    def bcast(df: DataFrame): DataFrame = if (boundedLabels) broadcast(df) else df
     // checkpoint the edge list up front: it is re-joined every round (so
     // an expensive upstream like ngramJaccardPairs must not recompute),
     // and unioning two projections of one NON-LEAF plan trips Catalyst's
@@ -1131,9 +1143,9 @@ object TextOps {
     var converged = first.getLong(1) == 0L // zero edges: vacuous fixpoint
     var iter = 0
     while (!converged && iter < maxIter) {
-      val viaD2 = e.join(labels.withColumnRenamed("doc_id", "j"),
+      val viaD2 = e.join(bcast(labels.withColumnRenamed("doc_id", "j")),
         col("d2") === col("j")).select(col("d1").as("doc_id"), col("lbl"))
-      val viaD1 = e.join(labels.withColumnRenamed("doc_id", "j"),
+      val viaD1 = e.join(bcast(labels.withColumnRenamed("doc_id", "j")),
         col("d1") === col("j")).select(col("d2").as("doc_id"), col("lbl"))
       // the checkpoint lives on `prop`, NOT on the halving join: a
       // localCheckpoint of a self-join captures constraints that
@@ -1150,7 +1162,7 @@ object TextOps {
       // coalesce: every label IS a node id, but a label that is already
       // its component's minimum maps to itself either way
       val next = prop.as("p")
-        .join(prop.select(col("doc_id").as("j"), col("lbl").as("lbl2")).as("q"),
+        .join(bcast(prop.select(col("doc_id").as("j"), col("lbl").as("lbl2"))).as("q"),
           col("p.lbl") === col("q.j"), "left")
         .select(col("p.doc_id").as("doc_id"),
           least(col("p.lbl"), coalesce(col("lbl2"), col("p.lbl"))).as("lbl"))
@@ -2291,19 +2303,26 @@ object TextOps {
 
   // ---- set operations across corpus slices ----------------------------
 
-  /** Distinct vocabulary of one language slice. */
-  private def langVocab(spark: SparkSession, dir: String, lang: String): DataFrame =
-    docs(spark, dir).filter(col("lang") === lang)
-      .select(explode(array_distinct(words)).as("term")).distinct()
-
-  /** Terms shared between two language slices — INTERSECT, the set
-    * operator. Spark compiles it to a left-semi join over two
-    * pre-distinct sides (each a map-side-combinable aggregate on the
-    * term); at 100 TB both sides are vocabulary-sized, not
-    * corpus-sized, before they ever meet. */
+  /** Terms shared between two language slices — set intersection.
+    *
+    * Evaluated as ONE corpus pass (r12): filter to the two slices,
+    * explode each document's distinct terms WITH its lang, and a single
+    * map-side-combinable groupBy(term) keeps per-lang presence flags;
+    * the filter on both flags is exactly INTERSECT. The previous
+    * intersect-of-two-distincts spelling scanned+tokenized the corpus
+    * twice and paid three exchanges (two distinct aggs + a semi join);
+    * this is one exchange, and the partial aggregation collapses each
+    * task's terms before the wire. At 100 TB the shuffled relation is
+    * vocabulary-sized either way; this shape reaches it with one pass. */
   def vocabOverlap(langA: String, langB: String)(
       spark: SparkSession, dir: String): DataFrame =
-    langVocab(spark, dir, langA).intersect(langVocab(spark, dir, langB))
+    docs(spark, dir).filter(col("lang").isin(langA, langB))
+      .select(col("lang"), explode(array_distinct(words)).as("term"))
+      .groupBy("term")
+      .agg(max(col("lang") === langA).as("in_a"),
+        max(col("lang") === langB).as("in_b"))
+      .filter(col("in_a") && col("in_b"))
+      .select("term")
       .orderBy("term")
 
   def vocabOverlapSql(langA: String, langB: String): String =
