@@ -106,81 +106,12 @@ object Bench {
     * two calls in a fresh JVM). */
   val CanaryIoRefSec: Double = 0.14
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
-      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
-    // sample EXTERNAL load at process entry, BEFORE the session warmup
-    // and index builds: the 1-min loadavg has ~no memory of this JVM
-    // yet, so this is the machine's load, not the bench's own (sampling
-    // after warmup self-inflated past nCPU/8 on every healthy full run
-    // and made load_warning fire vacuously).
-    //
-    // Load-aware START (r10 verdict item 1 — BENCH_r10 was recorded on
-    // a load-5.76 machine and its index-build numbers were 35-87×
-    // environmental noise): when entry load exceeds the warning
-    // threshold, WAIT for the machine to quiet down — up to
-    // SPARK_GRAFT_BENCH_LOAD_WAIT seconds (default 900; 0 disables) —
-    // polling every 30 s, rather than knowingly record a contaminated
-    // artifact. If the deadline passes still-loaded, proceed and let
-    // load_warning flag the run as before (refusing forever would
-    // deadlock a driver on a chronically busy box); load_waited_sec in
-    // the artifact records how long the gate held.
-    val nCpu = Runtime.getRuntime.availableProcessors()
-    val loadThreshold = nCpu / 8.0
-    val maxWaitSec = sys.env.get("SPARK_GRAFT_BENCH_LOAD_WAIT") match {
-      case None => 900
-      case Some(s) =>
-        // fail fast and loudly, like SPARK_GRAFT_BENCH_RUNS below: a
-        // typo'd value must name its variable, and a negative must not
-        // silently disable the gate (0 disables it, explicitly)
-        val n = try s.trim.toInt catch { case _: NumberFormatException =>
-          throw new IllegalArgumentException(
-            s"SPARK_GRAFT_BENCH_LOAD_WAIT must be a non-negative int of seconds, got `$s`")
-        }
-        require(n >= 0,
-          s"SPARK_GRAFT_BENCH_LOAD_WAIT must be >= 0, got $n")
-        n
-    }
-    val waitT0 = System.nanoTime()
-    var loadStart = loadavg()
-    while (loadStart > loadThreshold && loadStart >= 0 &&
-        (System.nanoTime() - waitT0) / 1e9 < maxWaitSec) {
-      System.err.println(
-        f"bench: load $loadStart%.2f > $loadThreshold%.2f, waiting 30s " +
-          "for the machine to quiet (SPARK_GRAFT_BENCH_LOAD_WAIT)")
-      Thread.sleep(30000)
-      loadStart = loadavg()
-    }
-    val loadWaitedSec = (System.nanoTime() - waitT0) / 1e9
-    // calibration canary at artifact START (post-gate, pre-session: the
-    // machine state the suite is about to run under) and again at END —
-    // two samples bound drift DURING the run, not just at entry
-    val canaryStart = canarySec()
-    val canaryIoStart = canaryIoSec()
-    val spark = LocalSession("32")
-    // Warm-up: touch every input table once (schema + footer + codegen).
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => }
-    Seq("lineitem", "documents", "embeddings", "events",
-      "orders", "customer", "supplier", "part", "nation", "region").foreach { t =>
-      try spark.read.parquet(s"$sfDir/$t.parquet").count()
-      catch { case _: Throwable => }
-    }
-
-    def timed(f: => Unit): Double = {
-      val t0 = System.nanoTime()
-      f
-      (System.nanoTime() - t0) / 1e9
-    }
-
-    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => filter.forall(_.exists(n.startsWith)) }
-    val selected = queries.map(_._1)
-
-    // one-time index/layout builds, isolated and individually timed —
-    // but only those some selected query actually consumes (a filtered
-    // experiment must not pay for unrelated builds)
-    val indexDefs: Seq[(String, String => Boolean, () => Unit)] = Seq(
+  /** One-time index/layout builds, isolated and individually timed by
+    * [[main]] — but only those some selected query actually consumes (a
+    * filtered experiment must not pay for unrelated builds). Exposed so
+    * the Profile diagnostic can drive a single build under a listener. */
+  def indexDefs(spark: SparkSession, sfDir: String)
+      : Seq[(String, String => Boolean, () => Unit)] = Seq(
       ("shingle_index", n => n.startsWith("doc_") || n.startsWith("dedup_"),
         () => graft.text.TextOps.prebuildShingleIndex(spark, sfDir)),
       ("winnow_index", _.startsWith("doc_winnow"),
@@ -255,6 +186,79 @@ object Bench {
         () => graft.rel.RelQueries.prebuildPointLake(spark, sfDir)),
       ("mv_build", _.startsWith("rel_pricing_mv"),
         () => graft.rel.RelQueries.prebuildMv(spark, sfDir)))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+    // sample EXTERNAL load at process entry, BEFORE the session warmup
+    // and index builds: the 1-min loadavg has ~no memory of this JVM
+    // yet, so this is the machine's load, not the bench's own (sampling
+    // after warmup self-inflated past nCPU/8 on every healthy full run
+    // and made load_warning fire vacuously).
+    //
+    // Load-aware START (r10 verdict item 1 — BENCH_r10 was recorded on
+    // a load-5.76 machine and its index-build numbers were 35-87×
+    // environmental noise): when entry load exceeds the warning
+    // threshold, WAIT for the machine to quiet down — up to
+    // SPARK_GRAFT_BENCH_LOAD_WAIT seconds (default 900; 0 disables) —
+    // polling every 30 s, rather than knowingly record a contaminated
+    // artifact. If the deadline passes still-loaded, proceed and let
+    // load_warning flag the run as before (refusing forever would
+    // deadlock a driver on a chronically busy box); load_waited_sec in
+    // the artifact records how long the gate held.
+    val nCpu = Runtime.getRuntime.availableProcessors()
+    val loadThreshold = nCpu / 8.0
+    val maxWaitSec = sys.env.get("SPARK_GRAFT_BENCH_LOAD_WAIT") match {
+      case None => 900
+      case Some(s) =>
+        // fail fast and loudly, like SPARK_GRAFT_BENCH_RUNS below: a
+        // typo'd value must name its variable, and a negative must not
+        // silently disable the gate (0 disables it, explicitly)
+        val n = try s.trim.toInt catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"SPARK_GRAFT_BENCH_LOAD_WAIT must be a non-negative int of seconds, got `$s`")
+        }
+        require(n >= 0,
+          s"SPARK_GRAFT_BENCH_LOAD_WAIT must be >= 0, got $n")
+        n
+    }
+    val waitT0 = System.nanoTime()
+    var loadStart = loadavg()
+    while (loadStart > loadThreshold && loadStart >= 0 &&
+        (System.nanoTime() - waitT0) / 1e9 < maxWaitSec) {
+      System.err.println(
+        f"bench: load $loadStart%.2f > $loadThreshold%.2f, waiting 30s " +
+          "for the machine to quiet (SPARK_GRAFT_BENCH_LOAD_WAIT)")
+      Thread.sleep(30000)
+      loadStart = loadavg()
+    }
+    val loadWaitedSec = (System.nanoTime() - waitT0) / 1e9
+    // calibration canary at artifact START (post-gate, pre-session: the
+    // machine state the suite is about to run under) and again at END —
+    // two samples bound drift DURING the run, not just at entry
+    val canaryStart = canarySec()
+    val canaryIoStart = canaryIoSec()
+    val spark = LocalSession("32")
+    // Warm-up: touch every input table once (schema + footer + codegen).
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    Seq("lineitem", "documents", "embeddings", "events",
+      "orders", "customer", "supplier", "part", "nation", "region").foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").count()
+      catch { case _: Throwable => }
+    }
+
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime()
+      f
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => filter.forall(_.exists(n.startsWith)) }
+    val selected = queries.map(_._1)
+
+    val indexDefs = Bench.indexDefs(spark, sfDir)
     val indexBuilds: Seq[(String, Double)] = indexDefs
       .filter { case (_, relevant, _) => selected.exists(relevant) }
       .map { case (name, _, build) =>
@@ -264,6 +268,7 @@ object Bench {
             -1.0
         })
       }
+
 
     // min of 3 runs per query: steady-state (plans cached, JIT warm, all
     // shared indexes built); min discards shared-machine noise spikes.

@@ -32,7 +32,7 @@ object EventOps {
     * arithmetic, so the normalization lives HERE, once, not in each
     * query. See [[normalizeTs]]. */
   def events(spark: SparkSession, dir: String): DataFrame =
-    normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
+    normalizeTs(graft.DatasetCache.readTable(spark, dir, "events.parquet"))
 
   /** Normalize a `ts` column to int64 nanoseconds-since-epoch.
     *

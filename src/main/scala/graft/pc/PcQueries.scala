@@ -251,7 +251,19 @@ object PcQueries {
     })
 
   /** Force the one-time layout builds (bench isolates them as
-    * `index_build` instead of charging whichever query runs first). */
+    * `index_build` instead of charging whichever query runs first).
+    *
+    * Measured NON-change (r12 optimization round, guide §1/§5): each
+    * layout writer runs a bounds pass, a range-sampling pass and the
+    * shuffle map side over the synthesized point set — 9 scan+synthesis
+    * passes for 3 layouts — which looks like the classic
+    * materialize-a-reused-subtree case. Tried: persist the points once
+    * (MEMORY_AND_DISK) and share across the writers. Result: build wall
+    * 5.5 → 9.0 s — the synthesis is cheap vectorized arithmetic over a
+    * columnar scan, while the cache stores deserialized rows whose
+    * re-reads + GC pressure cost more than recomputing (guide §5:
+    * cache only when recompute beats the memory pressure it creates).
+    * Kept the recompute spelling deliberately. */
   def prebuildLayouts(spark: SparkSession, dir: String): Unit = {
     layoutPath(spark, dir, "grid")
     layoutPath(spark, dir, "quad")
@@ -423,43 +435,57 @@ object PcQueries {
       .groupBy(floor(col("x") / 25.0).cast(LongType).as("cx"),
         floor(col("y") / 25.0).cast(LongType).as("cy"))
       .agg(count(lit(1)).as("c"))
-    val tot = g.agg(sum("c").as("t"), count(lit(1)).as("occ"))
-    // localCheckpoint (r12): core feeds both adjacency joins (2×2 sides),
-    // the CC label pass, and the final relabel — without materialization
-    // the point-bucketing scan replicated 4× in the plan and the CC loop
-    // re-derived it again. The relation is BOUNDED by construction
-    // (≤ 40×40 cells of the fixed [0,1000)² domain at any SF), so the
-    // checkpoint is metadata-sized; it stays inside the timed query.
-    val core = g.crossJoin(broadcast(tot)) // 1-row scalar: bounded hint
-      .filter(col("c") * 10 * col("occ") >= col("t") * 11)
-      .select(col("cx"), col("cy"), (col("cx") * 1000 + col("cy")).as("id"),
-        col("c"))
-      .localCheckpoint(false)
-    val right = core.select(col("id").as("d2"), col("cx"), col("cy"))
-    val edges = core
-      .join(right.withColumn("cx", col("cx") - 1), Seq("cx", "cy"))
-      .select(col("id").as("d1"), col("d2"))
-      .unionByName(core
-        .join(right.withColumn("cy", col("cy") - 1), Seq("cx", "cy"))
-        .select(col("id").as("d1"), col("d2")))
-    // boundedLabels: the node relation is the core-cell set, ≤ 40×40 by
-    // the fixed [0,1000)² domain / 25.0 grid — a plan-time constant, so
-    // the per-round broadcast is bounded at ANY corpus size
-    val labels = graft.text.TextOps.connectedComponents(
-      edges.select(col("d1"), col("d2")), boundedLabels = true)._1
-      .withColumnRenamed("doc_id", "id").withColumnRenamed("lbl", "region")
-    // labels and sizes inherit the same ≤ 40×40 bound as core: hint the
-    // relabel/size joins broadcast so no exchange survives past the one
-    // point-bucketing aggregation
-    val lab = core.join(broadcast(labels), Seq("id"), "left")
-      .select(col("cx"), col("cy"),
-        coalesce(col("region"), col("id")).as("region"),
-        col("c").as("n_points"))
-    // region-size window over the bounded cell relation
-    val sizes = lab.groupBy("region").agg(count(lit(1)).as("region_size"))
-    lab.join(broadcast(sizes), Seq("region"))
-      .select(col("cx"), col("cy"), col("region"), col("region_size"),
-        col("n_points"))
+    // Bounded-metadata collect (the events_pagerank precedent): the
+    // occupied-cell relation of the FIXED [0,1000)² domain / 25.0 grid
+    // is ≤ 40×40 rows at ANY corpus size — a plan-time constant, like
+    // pagerank's ≤|event_type|² edge matrix. The distributed work is
+    // exactly the ONE point-bucketing aggregation above; the density
+    // gate, 4-adjacency connected components and region sizing run
+    // driver-side on ≤1600 rows with the same exact integer arithmetic
+    // the oracle replays. The previous on-cluster spelling paid ~25
+    // sequential metadata-sized jobs (CC rounds, localCheckpoints,
+    // broadcast builds) — r12 profile: 30 stages but only 0.9 s of
+    // stage time inside a 2.5 s wall; every removed second was
+    // job-launch latency, at ANY corpus size. Fail loudly if the
+    // domain bound ever breaks rather than grow unbounded driver state.
+    val cells = g.collect()
+    require(cells.length <= 1600,
+      s"cellRegions: ${cells.length} occupied cells — the fixed-domain " +
+        "(40x40) bound no longer holds; the driver-side CC would be unsound")
+    val occ = cells.length.toLong
+    val tot = cells.iterator.map(_.getLong(2)).sum
+    val core = cells.iterator
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter { case (_, _, c) => c * 10 * occ >= tot * 11 }.toArray
+    val idOf = core.iterator
+      .map { case (cx, cy, _) => (cx, cy) -> (cx * 1000 + cy) }.toMap
+    // min-label union-find: the smaller root always wins, so each final
+    // root is the SMALLEST cell id of its component — the identical
+    // order-free fixpoint the recursive oracle closure converges to
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    idOf.valuesIterator.foreach(v => parent(v) = v)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    core.foreach { case (cx, cy, _) =>
+      val id = idOf((cx, cy))
+      idOf.get((cx + 1, cy)).foreach(union(id, _))
+      idOf.get((cx, cy + 1)).foreach(union(id, _))
+    }
+    val regions = core.map { case (cx, cy, _) => find(idOf((cx, cy))) }
+    val sizes = regions.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val rows = core.zip(regions)
+      .map { case ((cx, cy, c), reg) => (cx, cy, reg, sizes(reg), c) }
+      .sortBy { case (cx, cy, _, _, _) => (cx, cy) }
+      .toSeq
+    import spark.implicits._
+    rows.toDF("cx", "cy", "region", "region_size", "n_points")
       .orderBy("cx", "cy")
   }
 

@@ -45,7 +45,7 @@ object Points {
   /** Synthesize the point-cloud DataFrame from `dir`/lineitem.parquet.
     * Columns: pid bigint, x/y/z/i double, with PC:* metadata attached. */
   def fromLineitem(spark: SparkSession, dir: String): DataFrame = {
-    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val li = graft.DatasetCache.readTable(spark, dir, "lineitem.parquet")
     val ok = col("l_orderkey")
     val ln = col("l_linenumber").cast(LongType)
     val pk = col("l_partkey")

@@ -26,7 +26,7 @@ import org.apache.spark.sql.types.LongType
 object RelQueries {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    graft.DatasetCache.readTable(spark, dir, s"$name.parquet")
 
   private def cents(c: String) = round(col(c) * 100).cast(LongType)
 
@@ -1521,22 +1521,49 @@ object RelQueries {
     * instead of lineitem being scanned 4× (basket build + two distinct
     * passes + the countDistinct pass, 12 exchanges → 5). */
   def assocRules(spark: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint (r12 optimization round): baskets feeds THREE
+    // branches (item counts, the 1-row total, the pair explode). The
+    // ReuseExchange spelling built the basket exchange once but re-ran
+    // the final collect_set merge per branch AND re-scanned lineitem for
+    // the pruned `total` branch; materializing the basket relation runs
+    // the mining once (guide §3.3 — wide reuse of one subtree). Sorted
+    // parts let the pair explode walk only the strict tail (the
+    // basketPairs discipline): n(n-1)/2 UNDIRECTED pairs instead of the
+    // n(n-1) directed explode — sup(a→b) = sup(b→a) by symmetry, so the
+    // directed relation is recovered by mirroring AFTER the support
+    // aggregation+filter, halving the pair shuffle (measured 24.9 MB →
+    // 12.4 MB at sf0.1) at any scale.
     val baskets = t(spark, dir, "lineitem")
       .groupBy("l_orderkey")
-      .agg(collect_set(col("l_partkey")).as("parts"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      .localCheckpoint(false)
     val itemN = baskets.select(explode(col("parts")).as("p"))
       .groupBy("p").agg(count(lit(1)).as("n"))
     val total = baskets.agg(count(lit(1)).as("total"))
-    val pairs = baskets
-      .select(explode(col("parts")).as("a"), col("parts"))
-      .select(col("a"), explode(col("parts")).as("b"))
-      .filter(col("a") =!= col("b")) // both directions: a→b and b→a
-      .groupBy("a", "b")
+    val und = baskets
+      .select(posexplode(col("parts")).as(Seq("i", "p1")), col("parts"))
+      .select(col("p1"),
+        explode(slice(col("parts"), col("i") + lit(2), size(col("parts"))))
+          .as("p2"))
+      .groupBy("p1", "p2")
       .agg(count(lit(1)).as("sup"))
       .filter(col("sup") >= CopurchaseSupport)
+    // join the UNDIRECTED pair once with both endpoint counts, THEN fan
+    // out to the two directed rows (a 2-element array explode) — a
+    // union of two `und` copies would re-read the support exchange and
+    // re-run both count joins per direction (profiled: 52 MB shuffle
+    // read for 17 MB written)
+    val pairs = und
+      .join(itemN.select(col("p").as("p1"), col("n").as("n1")), Seq("p1"))
+      .join(itemN.select(col("p").as("p2"), col("n").as("n2")), Seq("p2"))
+      .select(explode(array(
+        struct(col("p1").as("a"), col("p2").as("b"), col("sup"),
+          col("n1").as("na"), col("n2").as("nb")),
+        struct(col("p2").as("a"), col("p1").as("b"), col("sup"),
+          col("n2").as("na"), col("n1").as("nb")))).as("r"))
+      .select(col("r.a").as("a"), col("r.b").as("b"), col("r.sup").as("sup"),
+        col("r.na").as("na"), col("r.nb").as("nb"))
     pairs
-      .join(itemN.select(col("p").as("a"), col("n").as("na")), Seq("a"))
-      .join(itemN.select(col("p").as("b"), col("n").as("nb")), Seq("b"))
       .crossJoin(broadcast(total)) // 1-row scalar: bounded hint
       .select(col("a"), col("b"), col("sup"), col("na"), col("nb"),
         expr("sup * 1000000 div na").as("conf_ppm"),

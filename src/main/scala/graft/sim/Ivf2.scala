@@ -202,8 +202,19 @@ object Ivf2 {
   private[sim] def layoutWrite(df: DataFrame, partCol: String, rows: Long,
       path: String, subCols: Seq[String] = Nil): Unit = {
     val budget = graft.pc.Layout.adaptiveBatchSize(rows)
-    val nParts = math.max(1L, math.min(
-      (rows + budget - 1) / budget, 4096L)).toInt
+    // Write-parallelism floor (r12 optimization round): ceil(rows/budget)
+    // alone collapses small layouts to ONE writer task, which then creates
+    // every partitionBy directory file SEQUENTIALLY — profiled at sf0.1:
+    // the ann layout's single write task spent 2.5 s of wall on ~10 ms/file
+    // create+commit latency for 249 bucket files with only 1.2 s of CPU.
+    // Floor the task count at the scheduler width (what a REBALANCE hint
+    // would pick; at real scale rows/budget >> cores, so the floor is
+    // inert). Range partitioning keeps each task's cells contiguous, so
+    // file count stays ≈ max(cells, rows/budget) — a cell can straddle at
+    // most one task boundary, adding ≤ nParts boundary files.
+    val width = df.sparkSession.sparkContext.defaultParallelism.toLong
+    val nParts = math.max(math.min(width, math.max(1L, rows / 64L)),
+      math.min((rows + budget - 1) / budget, 4096L)).toInt
     val keys = (partCol +: subCols).map(col)
     df.repartitionByRange(nParts, keys: _*)
       .sortWithinPartitions(keys: _*)

@@ -29,7 +29,7 @@ object SimOps {
 
   def embeddings(spark: SparkSession, dir: String): DataFrame = {
     FloatVecDot.register(spark)
-    spark.read.parquet(s"$dir/embeddings.parquet")
+    graft.DatasetCache.readTable(spark, dir, "embeddings.parquet")
   }
 
   /** Sequential dot product of two array<float> columns in double: the

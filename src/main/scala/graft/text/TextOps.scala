@@ -22,7 +22,13 @@ object TextOps {
     // expression can use them
     graft.functions.Md5Prefix.register(spark)
     graft.functions.TextKernels.register(spark)
-    spark.read.parquet(s"$dir/documents.parquet")
+    // NOT spread here (measured r12): blanket-spreading every document
+    // scan regressed the doc_* family 26.9 → 46.4 s — the round-robin
+    // shuffle + sort-before-repartition of full text rows costs more
+    // than single-task scans save, except where the downstream per-row
+    // kernel is far heavier than one row copy (shingle/winnow builds,
+    // the PII regex pass), which spread individually.
+    graft.DatasetCache.readTable(spark, dir, "documents.parquet")
   }
 
   /** `conv(substring(md5(c), start, n), 16, 10)` via the native
@@ -273,7 +279,14 @@ object TextOps {
           regexp_replace(t, PiiEmail, "<EMAIL>"),
           PiiIp, "<IP>"),
         PiiPhone, "<PHONE>")
-    docs(spark, dir).select(
+    // spread (r12, guide §2.6): six regex passes per document are far
+    // heavier than one row copy, and the single-file scan otherwise runs
+    // them as ONE task at canonical SFs (profiled: 0.84 s of a 1.06 s
+    // wall in one task). Identity at real scale (splits >> cores);
+    // measured 1.12 -> 0.68 s. The blanket docs()-level spread was
+    // measured and rejected — see [[docs]].
+    graft.DatasetCache.spread(docs(spark, dir).select("doc_id", "text"))
+      .select(
       col("doc_id"),
       regexp_count(t, lit(PiiEmail)).cast(LongType).as("n_email"),
       regexp_count(t, lit(PiiIp)).cast(LongType).as("n_ip"),
@@ -475,16 +488,28 @@ object TextOps {
   private def spanCoverageCompute(spark: SparkSession, dir: String): DataFrame = {
     val toks = docs(spark, dir).select(col("doc_id"),
       split(col("text"), " ").as("ws"))
+    // spread (r12): the 8-gram md5 kernel below is the build's dominant
+    // cost and otherwise runs single-task on the single-file canonical
+    // corpus; identity at real scale (the shingleIndex discipline)
+    val toksW = graft.DatasetCache.spread(toks)
     // Spark's sequence(1, n) DESCENDS for n < 1 — short docs must not
     // reach it (DuckDB's generate_series is empty there; plans agree
     // because the base table below still carries every doc)
-    val grams = toks.filter(size(col("ws")) >= 8)
+    //
+    // localCheckpoint (r12, guide §3.3): grams feeds BOTH the dup-key
+    // aggregation and the coverage semi-join, and column pruning gives
+    // the two branches DIFFERENT projections, so ReuseExchange cannot
+    // dedupe them — profiled: the md5 gram pass ran twice per build.
+    // The materialized relation is three longs per gram (narrow), far
+    // cheaper to re-read than to re-hash at any scale.
+    val grams = toksW.filter(size(col("ws")) >= 8)
       .select(col("doc_id"), posexplode(expr(
         """transform(sequence(1, size(ws) - 7),
           |  i -> md5_prefix(array_join(slice(ws, i, 8), ' '), 1, 15))"""
           .stripMargin)).as(Seq("p0", "ghs")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"),
         col("ghs").cast(LongType).as("gh"))
+      .localCheckpoint(false)
     val dup = grams.groupBy("gh").agg(count(lit(1)).as("n"))
       .filter(col("n") > 1).select("gh")
     val covered = grams.join(dup, Seq("gh"), "left_semi")
@@ -789,18 +814,34 @@ object TextOps {
     * The build reads the hot list UNHINTED (same [[dfCapped]] rule: a
     * HAVING survivor set is SF-proportional in the worst case — AQE
     * broadcasts it while small and degrades when it is not). */
-  private def cappedShingles(spark: SparkSession, dir: String, dfCap: Int): DataFrame = {
+  private def cappedShingles(spark: SparkSession, dir: String, dfCap: Int): DataFrame =
+    spark.read.parquet(s"${cappedIndexPath(spark, dir, dfCap)}/sh")
+
+  /** Per-doc capped-shingle counts, materialized WITH the capped index
+    * (r12 optimization round): the pair/containment/incremental queries
+    * each re-aggregated the full capped relation to get `n` — one
+    * corpus-index pass per consumer. The build derives it once from the
+    * just-written relation (deterministic, so every consumer sees the
+    * identical values the inline aggregation produced). */
+  private def cappedCounts(spark: SparkSession, dir: String, dfCap: Int): DataFrame =
+    spark.read.parquet(s"${cappedIndexPath(spark, dir, dfCap)}/n")
+
+  private def cappedIndexPath(spark: SparkSession, dir: String, dfCap: Int): String = {
     val key =
       s"${graft.DatasetCache.snapshotKey(spark, dir, "documents.parquet")}#capped$dfCap"
-    val path = cappedIndexCache.computeIfAbsent(key, { _ =>
+    cappedIndexCache.computeIfAbsent(key, { _ =>
       val p = graft.DatasetCache.registerTempDir(
         java.nio.file.Files.createTempDirectory("graft_capped_idx").toString)
       shingleIndex(spark, dir).select(col("doc_id"), col("h60").as("h"))
         .join(hotShingleKeys(spark, dir, dfCap), Seq("h"), "left_anti")
-        .write.mode("overwrite").parquet(p)
+        .write.mode("overwrite").parquet(s"$p/sh")
+      // counts derive from the materialized relation (a read-back, not a
+      // recompute of the anti-join)
+      spark.read.parquet(s"$p/sh")
+        .groupBy("doc_id").agg(count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(s"$p/n")
       p
     })
-    spark.read.parquet(path)
   }
 
   /** Near-duplicate pairs with shingle-set Jaccard >= tau. The join is an
@@ -818,7 +859,7 @@ object TextOps {
     // the materialized shingle index feeds three consumers here (both
     // join sides + the per-doc count table) and four other queries
     val sh = cappedShingles(spark, dir, dfCap)
-    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val n = cappedCounts(spark, dir, dfCap)
     val inter = sh.as("a").join(sh.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
@@ -865,7 +906,7 @@ object TextOps {
   def ngramContainmentPairs(tau: Double, dfCap: Int = ShingleDfCap)(
       spark: SparkSession, dir: String): DataFrame = {
     val sh = cappedShingles(spark, dir, dfCap)
-    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val n = cappedCounts(spark, dir, dfCap)
     val inter = sh.as("a").join(sh.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
@@ -912,7 +953,7 @@ object TextOps {
     val maxId = docs(spark, dir).agg(max("doc_id")).head.getLong(0)
     val split = maxId * (den - 1) / den + 1
     val sh = cappedShingles(spark, dir, dfCap)
-    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val n = cappedCounts(spark, dir, dfCap)
     val newSh = sh.filter(col("doc_id") >= split)
     val matches = newSh.as("a").join(sh.as("b"),
         col("a.h") === col("b.h") && col("b.doc_id") < col("a.doc_id"))
@@ -1129,10 +1170,22 @@ object TextOps {
     // checkpoint the edge list up front: it is re-joined every round (so
     // an expensive upstream like ngramJaccardPairs must not recompute),
     // and unioning two projections of one NON-LEAF plan trips Catalyst's
-    // Union constraint rewrite — a LogicalRDD leaf avoids both
-    val e = edges.select(col("d1"), col("d2")).localCheckpoint(false)
-    var labels = e.select(col("d1").as("doc_id"))
-      .union(e.select(col("d2").as("doc_id")))
+    // Union constraint rewrite — a LogicalRDD leaf avoids both.
+    // r12 optimization: materialize BOTH orientations once (|dir| = 2|E|,
+    // the same bytes the old two-join round moved) and REPARTITION on the
+    // probe key before checkpointing — localCheckpoint preserves the
+    // output partitioning through LogicalRDD, so every round's neighbor
+    // propagation is ONE equi-join whose edge side needs no exchange;
+    // only the node-sized label relation shuffles per round (plus the
+    // edge-sized propagation aggregation), instead of two edge joins +
+    // a union per round.
+    val dir = edges.select(
+      explode(array(struct(col("d1").as("u"), col("d2").as("v")),
+        struct(col("d2").as("u"), col("d1").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .repartition(col("u"))
+      .localCheckpoint(false)
+    var labels = dir.select(col("u").as("doc_id"))
       .distinct()
       .withColumn("lbl", col("doc_id"))
       .localCheckpoint(false)
@@ -1143,10 +1196,8 @@ object TextOps {
     var converged = first.getLong(1) == 0L // zero edges: vacuous fixpoint
     var iter = 0
     while (!converged && iter < maxIter) {
-      val viaD2 = e.join(bcast(labels.withColumnRenamed("doc_id", "j")),
-        col("d2") === col("j")).select(col("d1").as("doc_id"), col("lbl"))
-      val viaD1 = e.join(bcast(labels.withColumnRenamed("doc_id", "j")),
-        col("d1") === col("j")).select(col("d2").as("doc_id"), col("lbl"))
+      val prop0 = dir.join(bcast(labels.withColumnRenamed("doc_id", "j")),
+        col("u") === col("j")).select(col("v").as("doc_id"), col("lbl"))
       // the checkpoint lives on `prop`, NOT on the halving join: a
       // localCheckpoint of a self-join captures constraints that
       // reference the join's deduplicated (re-numbered) attributes, and
@@ -1155,7 +1206,7 @@ object TextOps {
       // un-checkpointed halving join sits directly on the leaf `prop`,
       // so lineage stays bounded; its 2-3 recomputations per round are
       // joins of two small cached relations
-      val prop = viaD2.union(viaD1).union(labels)
+      val prop = prop0.union(labels)
         .groupBy("doc_id").agg(min(col("lbl")).as("lbl"))
         .localCheckpoint(false)
       // path halving: lbl(u) <- min(lbl(u), lbl(lbl(u))). Left join +
@@ -1614,7 +1665,12 @@ object TextOps {
         d.agg(count(lit(1)).cast(LongType).as("n"),
             sum(size(words).cast(LongType)).as("t"))
           .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
-        d.select(col("doc_id"), size(words).cast(LongType).as("dl"),
+        // spread before the tokenize+explode+aggregate chain: the build's
+        // heavy map side otherwise runs as ONE task on the single-file
+        // canonical corpus (profiled: 2.0 s single-task stage); identity
+        // at real scale — the [[shingleIndex]] discipline
+        graft.DatasetCache.spread(d.select(col("doc_id"), col("text")))
+          .select(col("doc_id"), size(words).cast(LongType).as("dl"),
             explode(words).as("term"))
           .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
           .withColumn("tb", termBucketCol(col("term")))

@@ -60,9 +60,14 @@ class PiiLineDedupSpec extends SparkSpec {
   }
 
   test("plan budget: pii scrub is scan+sort; line dedup stays at 4 keyed shuffles") {
-    // pii: pure map-side projection — the only exchange is the
-    // presentation sort's range partitioning
-    assert(countShuffles(TextOps.docPiiScrub(spark, sf0001)) <= 1)
+    // pii: map-side projection + the presentation sort's range
+    // partitioning, plus (r12) ONE conditional spread exchange — the
+    // regex pass is spread to scheduler width when the scan has fewer
+    // splits than cores (single-file corpus at test SFs); at real scale
+    // splits >> cores and spread inserts nothing, so the budget there
+    // is still 1. A THIRD exchange would mean a genuine regression
+    // (e.g. a window or join sneaking in).
+    assert(countShuffles(TextOps.docPiiScrub(spark, sf0001)) <= 2)
     // line dedup: keeper groupBy, join probe, per-doc rebuild, final
     // sort — anything beyond that means a plan regression (e.g. a
     // window sneaking in a global sort)
