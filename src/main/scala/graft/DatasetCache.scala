@@ -75,6 +75,43 @@ object DatasetCache {
     spark.read.schema(schema).parquet(path)
   }
 
+  // weak session keys: a DataFrame is bound to the session that read it,
+  // so the cache must never serve one session's frame to another (the
+  // test suites cycle many sessions per JVM), and a stopped session's
+  // entries must be collectable
+  private val artifactFrames =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]]()
+
+  /** `spark.read.parquet(path)` for an IMMUTABLE derived artifact (a
+    * temp dir written exactly once per dataset snapshot — the caller's
+    * path cache already guarantees a rewritten dataset gets a FRESH
+    * directory): the resolved DataFrame — schema plus file/partition
+    * listing — is cached per (session, path), so repeated invocations
+    * skip the per-read schema-inference job AND the partition-discovery
+    * job a many-directory layout pays on every `read.parquet` call
+    * (r13 profile: the 249-dir ANN bucket layout re-listed with a
+    * 249-task ParallelCollectionRDD job, 0.6 s wall + 1.2 s GC, inside
+    * EVERY timed `emb_lsh_topk_part` probe; the two-level IVF probes
+    * each paid 4 small metadata jobs the same way). The DATA path is
+    * untouched — every query still scans the parquet files; only the
+    * plan-time metadata is reused, the [[readTable]] discipline
+    * extended to artifact paths. At 100 TB this is what a table format
+    * with manifest metadata does for you (guide §6: avoid re-listing).
+    * Callers that MUTATE a directory in place (lake tables, lifecycle
+    * segments with fold/compact) must keep their own readers. */
+  def readArtifact(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
+    val perSession = artifactFrames.synchronized {
+      var m = artifactFrames.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+        artifactFrames.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(path, _ => spark.read.parquet(path))
+  }
+
   /** Spread a CPU-heavy map stage when the input has fewer splits than
     * the cluster has cores (small files, single-row-group parquet — a
     * 1-row-group file is always 1 task no matter how wide the cluster).

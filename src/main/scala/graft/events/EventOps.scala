@@ -252,7 +252,12 @@ object EventOps {
     * bounded categorical × constant, so the broadcast hint is
     * policy-legal. */
   def valueDeciles(spark: SparkSession, dir: String): DataFrame = {
-    val hist = centsRankHistogram(spark, dir)
+    // ONE histogram materialization (r13): hist feeds the tile derivation
+    // AND the interval-join probe side — as two subtree copies the
+    // corpus-sized cents aggregation ran twice (profiled: the query's two
+    // ~300 ms scan stages). The relation is bounded (distinct cents ×
+    // types), so the checkpoint is metadata-cheap at any scale.
+    val hist = centsRankHistogram(spark, dir).localCheckpoint(false)
     val tiles = hist.select("event_type", "n").distinct()
       .select(col("event_type").as("t_type"), col("n"),
         explode(sequence(lit(1L), lit(10L))).as("decile"))
@@ -956,7 +961,15 @@ object EventOps {
   def scd2(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id")
       .orderBy(col("ts_us"), col("event_id"))
-    events(spark, dir)
+    // spread before the JSON-parse projection (r13; the pii-regex
+    // criterion): get_json_object per event row is far heavier than a
+    // row copy, and the single-file canonical corpus otherwise runs the
+    // parse as ONE task (profiled: 636 ms of a 1150 ms stage wall on one
+    // core). Identity at real scale where splits cover the cores; the
+    // window result is partitioning-independent (total (ts_us, event_id)
+    // order per user).
+    graft.DatasetCache.spread(events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("props")))
       .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_id"),
         coalesce(get_json_object(col("props"), "$.k").cast(LongType) % 4,
           lit(-1L)).as("tier"))

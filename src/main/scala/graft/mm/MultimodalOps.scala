@@ -172,7 +172,7 @@ object MultimodalOps {
       mmNearDupPairs(tauPpm)(spark, dir).write.mode("overwrite").parquet(p)
       p
     })
-    spark.read.parquet(path)
+    graft.DatasetCache.readArtifact(spark, path)
   }
 
   /** Force the one-time pair-index build (bench isolation hook). */

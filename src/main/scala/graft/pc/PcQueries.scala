@@ -273,14 +273,14 @@ object PcQueries {
 
   /** S_RECT on the grid(8) layout: same oracle as pc_srect. */
   def rectOnGrid(box: Aabb)(spark: SparkSession, dir: String): DataFrame =
-    summarize(spark.read.parquet(layoutPath(spark, dir, "grid"))
+    summarize(graft.DatasetCache.readArtifact(spark, layoutPath(spark, dir, "grid"))
       .filter(boxPredicate(box)))
 
   /** S_RECT on the Z-order layout: layouts are result-invariant, so the
     * oracle is again the flat pc_srect SQL — the layout only changes
     * which row groups the scan can skip. */
   def rectOnZorder(box: Aabb)(spark: SparkSession, dir: String): DataFrame =
-    summarize(spark.read.parquet(layoutPath(spark, dir, "zorder"))
+    summarize(graft.DatasetCache.readArtifact(spark, layoutPath(spark, dir, "zorder"))
       .filter(boxPredicate(box)))
 
   /** k-NN on the grid layout: the bbox prefilter prunes row groups via
@@ -289,7 +289,7 @@ object PcQueries {
   def knnOnGrid(k: Int, r: Double)(spark: SparkSession, dir: String): DataFrame = {
     val (cx, cy) = knnAt
     val bbox = Aabb.xy(cx - r, cy - r, cx + r, cy + r)
-    spark.read.parquet(layoutPath(spark, dir, "grid"))
+    graft.DatasetCache.readArtifact(spark, layoutPath(spark, dir, "grid"))
       .filter(boxPredicate(bbox))
       .withColumn("d2",
         (col("x") - cx) * (col("x") - cx) + (col("y") - cy) * (col("y") - cy))
@@ -306,14 +306,14 @@ object PcQueries {
       spark: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftExtensions.install(spark)
     val d2 = (col("x") - cx) * (col("x") - cx) + (col("y") - cy) * (col("y") - cy)
-    summarize(spark.read.parquet(layoutPath(spark, dir, "grid"))
+    summarize(graft.DatasetCache.readArtifact(spark, layoutPath(spark, dir, "grid"))
       .filter(d2 < r * r))
   }
 
   /** Importance sampling on the quadtree LoD layout: same oracle as the
     * flat sample — the LoD pyramid only helps pruning, never results. */
   def sampleOnQuadtree(p: Double)(spark: SparkSession, dir: String): DataFrame =
-    summarize(spark.read.parquet(layoutPath(spark, dir, "quad"))
+    summarize(graft.DatasetCache.readArtifact(spark, layoutPath(spark, dir, "quad"))
       .filter(col("i") < p))
 
   // ---- D2/D5 as a relational query: assign every point to its grid cell

@@ -1636,15 +1636,33 @@ object RelQueries {
     val oriented = ed.select(
       when(fwd, col("p1")).otherwise(col("p2")).as("u"),
       when(fwd, col("p2")).otherwise(col("p1")).as("v"))
-      .localCheckpoint()
-    // triangle {a,b,c} ordered by (deg,id) has oriented edges a→b, a→c,
-    // b→c: join wedges at the pivot, then close on the (x,z) edge
-    val e1 = oriented.select(col("u").as("x"), col("v").as("y"))
-    val e2 = oriented.select(col("u").as("y"), col("v").as("z"))
-    val e3 = oriented.select(col("u").as("x"), col("v").as("z"))
+    // Adjacency-array wedge enumeration (r13 optimization round): the
+    // former three-relation spelling (e1 ⋈ e2 on the pivot, then ⋈ e3 on
+    // (x,z)) shuffled `oriented` THREE times (hash(v), hash(u),
+    // hash(u,v)) behind a second localCheckpoint. Grouping the oriented
+    // edges into per-pivot neighbor arrays instead — bounded at O(√m)
+    // members by the degree orientation, so no array is ever hot — lets
+    // the strict-tail explode (the basketPairs idiom) emit every wedge
+    // with NO further shuffle of `oriented`, and the closure is ONE
+    // equi-join against the already-checkpointed canonical edge set `e`:
+    // nbrs is id-ascending, so a wedge pair (y < z by id) closes iff
+    // (y, z) ∈ e, which is exactly e's (p1 < p2) canonical form — the
+    // closing edge's deg-orientation never mattered, only its existence.
+    // Plan: 4 exchanges of edge-sized data + an eager checkpoint → 3
+    // exchanges, no checkpoint; triangles found are identical (each
+    // triangle's (deg,id)-min vertex is the unique pivot with out-edges
+    // to both others, counted once in both spellings; oracle-pinned).
+    val adj = oriented.groupBy("u")
+      .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+    val wedges = adj
+      .select(col("u").as("x"), posexplode(col("nbrs")).as(Seq("i", "y")),
+        col("nbrs"))
+      .select(col("x"), col("y"),
+        explode(slice(col("nbrs"), col("i") + lit(2), size(col("nbrs"))))
+          .as("z"))
     val lo = least(col("x"), col("y"), col("z"))
     val hi = greatest(col("x"), col("y"), col("z"))
-    e1.join(e2, Seq("y")).join(e3, Seq("x", "z"))
+    wedges.join(e, wedges("y") === e("p1") && wedges("z") === e("p2"))
       .select(lo.as("p1"), (col("x") + col("y") + col("z") - lo - hi).as("p2"),
         hi.as("p3"))
       .orderBy("p1", "p2", "p3")

@@ -282,7 +282,7 @@ object Ivf {
   def topKPartitioned(queryId: Long, k: Int, nprobe: Int)(
       spark: SparkSession, dir: String): DataFrame = {
     val centroids = trainCached(spark, dir)
-    val table = spark.read.parquet(layoutPath(spark, dir))
+    val table = graft.DatasetCache.readArtifact(spark, layoutPath(spark, dir))
     quantized(spark, dir).filter(col("vec_id") === queryId)
       .select("qv").collect().headOption match {
       case None => SimOps.emptyTopK(spark) // unknown id: empty, like the oracle
@@ -322,7 +322,7 @@ object Ivf {
       spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val centroids = trainCached(spark, dir)
-    val table = spark.read.parquet(layoutPath(spark, dir))
+    val table = graft.DatasetCache.readArtifact(spark, layoutPath(spark, dir))
     // native probe selection (ivf_probe_cells): the struct-sort HOF
     // spelling (slice(array_sort(array(struct(dist, cid)...)), 1, p))
     // is CodegenFallback — interpreted once per query row (the r9

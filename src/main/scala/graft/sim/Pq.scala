@@ -161,7 +161,7 @@ object Pq {
       case Some(row) =>
         // ADC over the MATERIALIZED code index: ~1 byte of codes per
         // vector scanned, embeddings untouched
-        spark.read.parquet(codesLayoutPath(spark, dir))
+        graft.DatasetCache.readArtifact(spark, codesLayoutPath(spark, dir))
           .filter(col("vec_id") =!= queryId)
           .select(col("vec_id"),
             adcColumn(books, row.getSeq[Long](0).toArray).as("adc_dist"))
@@ -210,7 +210,7 @@ object Pq {
         val probed = Ivf.probeCells(centroids, qv, nprobe)
         // the cid-partitioned code index file-prunes the non-probed
         // cells; ADC touches only the probed cells' 1-byte codes
-        val short = spark.read.parquet(codesLayoutPath(spark, dir))
+        val short = graft.DatasetCache.readArtifact(spark, codesLayoutPath(spark, dir))
           .filter(col("cid").isin(probed: _*) && col("vec_id") =!= queryId)
           .select(col("vec_id"), adcColumn(books, qv).as("adc_dist"))
           .orderBy(col("adc_dist").asc, col("vec_id").asc)

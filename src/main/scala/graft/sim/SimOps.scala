@@ -436,7 +436,7 @@ object SimOps {
     // call (which registers) is skipped, and a NEW session in the same
     // JVM would otherwise miss fvec_dot
     FloatVecDot.register(spark)
-    val table = spark.read.parquet(annLayoutPath(spark, dir))
+    val table = graft.DatasetCache.readArtifact(spark, annLayoutPath(spark, dir))
     // the query's (embedding, bucket) is a point lookup on the BASE
     // table — one compact file with the vec_id filter pushed — not a
     // scan of the 2^Planes-directory layout; surfacing the bucket as a

@@ -329,7 +329,7 @@ object Sq8 {
         val qv = row.getSeq[Long](0).toArray
         val probed = Ivf.probeCells(centroids, qv, nprobe)
         val qcd = encodeQuery(qv, mns, rngs)
-        val short = spark.read.parquet(codesLayoutPath(spark, dir))
+        val short = graft.DatasetCache.readArtifact(spark, codesLayoutPath(spark, dir))
           .filter(col("cid").isin(probed: _*) && col("vec_id") =!= queryId)
           .select(col("vec_id"),
             call_function("sq8_adc_dist", col("cd"), typedLit(qcd.toSeq),

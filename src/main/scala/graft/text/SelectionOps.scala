@@ -148,7 +148,7 @@ object SelectionOps {
       dsirScoresRaw(spark, dir).write.mode("overwrite").parquet(p)
       p
     })
-    spark.read.parquet(path)
+    graft.DatasetCache.readArtifact(spark, path)
   }
 
   /** Per-document DSIR importance score: the mean bucket importance

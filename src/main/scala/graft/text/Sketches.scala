@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -135,21 +135,44 @@ object Sketches {
   private val HalfMask: Long = (1L << HalfBits) - 1
 
   /** 60-bit SimHash over whitespace tokens (with multiplicity): bit b is
-    * set iff the majority of token-hash bits b vote 1. Implemented as 60
-    * conditional-sum aggregates — map-side combinable, single shuffle. */
+    * set iff the majority of token-hash bits b vote 1.
+    *
+    * Implemented as 30 LANE-PACKED sum aggregates (r13 optimization
+    * round; was 60 conditional ±1 sums): each aggregate sums TWO bit
+    * counters — bit 2i in the low 32-bit lane, bit 2i+1 shifted into the
+    * high lane — so the per-token-row work halves (30 buffer updates of
+    * `(h>>2i)&1 + ((h>>(2i+1))&1)<<32` replace 60 compare-branch-sum
+    * updates) while staying map-side combinable on a single shuffle.
+    * Lane overflow is impossible: each lane counts ≤ one document's
+    * tokens, and a single text value cannot hold 2^32 tokens. The
+    * majority vote is recovered exactly — the old `sum(±1) >= 0` is
+    * `2·ones_b >= n` with n the doc's token count — so the assembled
+    * sketch is bit-identical (oracle-pinned).
+    *
+    * The tokenize+md5 map side is [[graft.DatasetCache.spread]] (the
+    * pii-regex discipline: per-token MD5 is far heavier than a row
+    * copy, and the single-file canonical corpus otherwise runs it as
+    * ONE task — profiled 340 ms of a 743 ms stage wall; identity at
+    * real scale where splits cover the cores). */
   private def simhashRaw(spark: SparkSession, dir: String): DataFrame = {
-    val tok = TextOps.docs(spark, dir)
+    val tok = graft.DatasetCache.spread(TextOps.docs(spark, dir)
+        .select(col("doc_id"), col("text")))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
     val th = tok.select(col("doc_id"),
       TextOps.md5p(col("t"), 1, 15).as("h"))
-    val bitAggs = (0 until SimHashBits).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
-        .otherwise(-1L)).as(s"b$b")
+    val laneAggs = (0 until SimHashBits / 2).map { i =>
+      sum(shiftright(col("h"), 2 * i).bitwiseAND(lit(1L)) +
+        shiftright(col("h"), 2 * i + 1).bitwiseAND(lit(1L)) * lit(1L << 32))
+        .as(s"l$i")
     }
+    def ones(b: Int): Column =
+      if (b % 2 == 0) col(s"l${b / 2}").bitwiseAND(lit(0xFFFFFFFFL))
+      else shiftright(col(s"l${b / 2}"), 32)
     val assembled = (0 until SimHashBits)
-      .map(b => when(col(s"b$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+      .map(b => when(ones(b) * 2 >= col("n"), lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
-    th.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+    th.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), laneAggs: _*)
       .select(col("doc_id"), assembled.cast(LongType).as("simhash"))
   }
 

@@ -354,6 +354,16 @@ object TextOps {
     // assert_true yields NULL when the check passes, so the coalesce
     // keeps the guard inside the okey expression where the optimizer
     // cannot prune it.
+    // ONE line-relation materialization (r13 optimization round): the
+    // line relation feeds the keeper aggregation, the keeper-join probe
+    // side, AND (via the per-doc line count) the report side — spelled
+    // as three subtree copies, the regexp_replace + split + per-line md5
+    // corpus pass ran THREE times (profiled: 3 of the query's 4 corpus
+    // scan stages). The checkpoint runs it once; n_lines is recovered as
+    // count(*) per doc from the SAME relation — split("\n") never yields
+    // an empty array (an empty text is one empty line, exactly like the
+    // oracle's string_split), so every doc_id is present and the
+    // left-outer report semantics are unchanged (oracle-pinned).
     val withKey = lines.select(col("doc_id"), col("pos"), col("line"),
       (col("doc_id") * MaxLinePos + col("pos") +
         coalesce(assert_true(col("pos") < MaxLinePos,
@@ -361,6 +371,7 @@ object TextOps {
             "the int64 (doc_id, pos) keeper key would overflow"))
           .cast(LongType), lit(0L))).as("okey"),
       md5p(col("line"), 1, 15).as("lh"))
+      .localCheckpoint(false)
     val keepers = withKey.groupBy("lh")
       .agg(min(col("okey")).as("keep_key"))
     val kept = withKey
@@ -371,9 +382,8 @@ object TextOps {
         count(lit(1)).as("n_kept"),
         concat_ws("\n", expr("transform(array_sort(collect_list(struct(pos, line))), x -> x.line)"))
           .as("rebuilt"))
-    lined.select(col("doc_id"),
-        (size(split(col("lt"), "\n"))).cast(LongType).as("n_lines"),
-        col("lt"))
+    withKey.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"))
       .join(rebuilt, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("n_lines"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
@@ -479,7 +489,7 @@ object TextOps {
       spanCoverageCompute(spark, dir).write.mode("overwrite").parquet(p)
       p
     })
-    spark.read.parquet(path)
+    graft.DatasetCache.readArtifact(spark, path)
   }
 
   def docDupSpanCoverage(spark: SparkSession, dir: String): DataFrame =
@@ -745,7 +755,7 @@ object TextOps {
         .write.mode("overwrite").parquet(p)
       p
     })
-    spark.read.parquet(path)
+    graft.DatasetCache.readArtifact(spark, path)
   }
 
   private[text] val shinglesSql: String =
@@ -801,7 +811,7 @@ object TextOps {
         .write.mode("overwrite").parquet(p)
       p
     })
-    spark.read.parquet(path)
+    graft.DatasetCache.readArtifact(spark, path)
   }
 
   private val cappedIndexCache =
@@ -815,7 +825,7 @@ object TextOps {
     * HAVING survivor set is SF-proportional in the worst case — AQE
     * broadcasts it while small and degrades when it is not). */
   private def cappedShingles(spark: SparkSession, dir: String, dfCap: Int): DataFrame =
-    spark.read.parquet(s"${cappedIndexPath(spark, dir, dfCap)}/sh")
+    graft.DatasetCache.readArtifact(spark, s"${cappedIndexPath(spark, dir, dfCap)}/sh")
 
   /** Per-doc capped-shingle counts, materialized WITH the capped index
     * (r12 optimization round): the pair/containment/incremental queries
@@ -824,7 +834,7 @@ object TextOps {
     * just-written relation (deterministic, so every consumer sees the
     * identical values the inline aggregation produced). */
   private def cappedCounts(spark: SparkSession, dir: String, dfCap: Int): DataFrame =
-    spark.read.parquet(s"${cappedIndexPath(spark, dir, dfCap)}/n")
+    graft.DatasetCache.readArtifact(spark, s"${cappedIndexPath(spark, dir, dfCap)}/n")
 
   private def cappedIndexPath(spark: SparkSession, dir: String, dfCap: Int): String = {
     val key =
@@ -1051,7 +1061,7 @@ object TextOps {
       ngramJaccardPairs(tau)(spark, dir).write.mode("overwrite").parquet(p)
       p
     })
-    spark.read.parquet(path)
+    graft.DatasetCache.readArtifact(spark, path)
   }
 
   /** Near-dup retrieval for ONE query document — the dedup-at-ingest /
@@ -1279,7 +1289,7 @@ object TextOps {
       connectedComponents(edges)._1.write.mode("overwrite").parquet(p)
       p
     })
-    spark.read.parquet(path)
+    graft.DatasetCache.readArtifact(spark, path)
   }
 
   /** Force the one-time label-index build (bench isolation hook). */
@@ -1669,12 +1679,25 @@ object TextOps {
         // heavy map side otherwise runs as ONE task on the single-file
         // canonical corpus (profiled: 2.0 s single-task stage); identity
         // at real scale — the [[shingleIndex]] discipline
-        graft.DatasetCache.spread(d.select(col("doc_id"), col("text")))
+        val post = graft.DatasetCache.spread(d.select(col("doc_id"), col("text")))
           .select(col("doc_id"), size(words).cast(LongType).as("dl"),
             explode(words).as("term"))
           .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
           .withColumn("tb", termBucketCol(col("term")))
-          .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings")
+        // layoutWrite range discipline on (tb, term) — r13, the r12
+        // flagged-deferred fanout: writing straight off the aggregation's
+        // hash partitioning lands every reduce task in up to all 64
+        // term-bucket dirs — (tasks × buckets) files, linear in the
+        // corpus at scale (the NOTES_r12 §5 trap in a text index). Range
+        // partitioning keeps each bucket's terms contiguous, so file
+        // count stays ≈ max(buckets, rows/budget), and the in-file
+        // (tb, term) sort gives parquet min/max stats that prune probed
+        // terms WITHIN a bucket dir. Sized by the total token count (an
+        // upper bound on posting rows) read back from the 1-row stats
+        // artifact written above — no extra corpus pass.
+        val totTokens = spark.read.parquet(s"$path/stats").head.getLong(1)
+        graft.sim.Ivf2.layoutWrite(post, "tb", totTokens,
+          s"$path/postings", subCols = Seq("term"))
         path
       })
 
@@ -1699,9 +1722,9 @@ object TextOps {
   def docBm25Indexed(terms: Seq[String], k: Int)(
       spark: SparkSession, dir: String): DataFrame = {
     val path = postingIndexPath(spark, dir)
-    val stats = spark.read.parquet(s"$path/stats")
+    val stats = graft.DatasetCache.readArtifact(spark, s"$path/stats")
     val buckets = terms.map(termBucket).distinct
-    val post = spark.read.parquet(s"$path/postings")
+    val post = graft.DatasetCache.readArtifact(spark, s"$path/postings")
       .filter(col("tb").isin(buckets: _*) && col("term").isin(terms: _*))
     val dfr = post.groupBy("term").agg(count(lit(1)).as("df"))
     post.join(broadcast(dfr), "term") // |query|-bounded: hint OK
@@ -2047,7 +2070,7 @@ object TextOps {
       lmScoresRaw(spark, dir).write.mode("overwrite").parquet(p)
       p
     })
-    spark.read.parquet(path)
+    graft.DatasetCache.readArtifact(spark, path)
   }
 
   def docLmScore(spark: SparkSession, dir: String): DataFrame =
@@ -2485,7 +2508,7 @@ object TextOps {
         .write.mode("overwrite").parquet(p)
       p
     })
-    spark.read.parquet(path)
+    graft.DatasetCache.readArtifact(spark, path)
   }
 
   /** The winnow fingerprint relation as a SQL fragment (no ORDER BY) —
