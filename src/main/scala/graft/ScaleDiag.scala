@@ -139,6 +139,10 @@ object ScaleDiag {
       finally walk.close()
     }
     val layouts: Seq[(String, () => String)] = Seq(
+      // r13: the posting write moved onto the layoutWrite range
+      // discipline — this row is the file-count-∝-rows evidence
+      ("posting_index", () =>
+        graft.text.TextOps.postingIndexPath(spark, sfDir) + "/postings"),
       ("ann_layout", () => graft.sim.SimOps.annLayoutPath(spark, sfDir)),
       ("ivf_layout", () => graft.sim.Ivf.layoutPath(spark, sfDir)),
       ("ivf2_layout", () => graft.sim.Ivf2.layout2Path(spark, sfDir)),
