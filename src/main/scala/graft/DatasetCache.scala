@@ -75,12 +75,16 @@ object DatasetCache {
     spark.read.schema(schema).parquet(path)
   }
 
-  // weak session keys: a DataFrame is bound to the session that read it,
+  // per-session frames: a DataFrame is bound to the session that read it,
   // so the cache must never serve one session's frame to another (the
-  // test suites cycle many sessions per JVM), and a stopped session's
-  // entries must be collectable
+  // test suites cycle many sessions per JVM). NOT a WeakHashMap: a
+  // Dataset strongly references its SparkSession (via QueryExecution),
+  // so weak keys would never be collectable (the value-refers-to-key
+  // case the WeakHashMap javadoc warns about); stopped sessions are
+  // instead purged explicitly on access, bounding retention to "until
+  // the next readArtifact call".
   private val artifactFrames =
-    new java.util.WeakHashMap[SparkSession,
+    new java.util.concurrent.ConcurrentHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]]()
 
   /** `spark.read.parquet(path)` for an IMMUTABLE derived artifact (a
@@ -101,15 +105,13 @@ object DatasetCache {
     * Callers that MUTATE a directory in place (lake tables, lifecycle
     * segments with fold/compact) must keep their own readers. */
   def readArtifact(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
-    val perSession = artifactFrames.synchronized {
-      var m = artifactFrames.get(spark)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
-        artifactFrames.put(spark, m)
-      }
-      m
+    artifactFrames.keySet.forEach { s =>
+      if (s.sparkContext.isStopped) artifactFrames.remove(s): Unit
     }
-    perSession.computeIfAbsent(path, _ => spark.read.parquet(path))
+    artifactFrames
+      .computeIfAbsent(spark, _ =>
+        new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]())
+      .computeIfAbsent(path, _ => spark.read.parquet(path))
   }
 
   /** Spread a CPU-heavy map stage when the input has fewer splits than

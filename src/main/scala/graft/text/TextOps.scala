@@ -1695,7 +1695,10 @@ object TextOps {
         // terms WITHIN a bucket dir. Sized by the total token count (an
         // upper bound on posting rows) read back from the 1-row stats
         // artifact written above — no extra corpus pass.
-        val totTokens = spark.read.parquet(s"$path/stats").head.getLong(1)
+        // sum over zero rows is NULL: an empty corpus must size as 0,
+        // not NPE (the pre-r13 write path handled empty fine)
+        val statsRow = spark.read.parquet(s"$path/stats").head
+        val totTokens = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
         graft.sim.Ivf2.layoutWrite(post, "tb", totTokens,
           s"$path/postings", subCols = Seq("term"))
         path
